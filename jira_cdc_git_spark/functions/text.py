@@ -1,0 +1,95 @@
+"""Text scalar-function library (extension surface + SURVEY §2.7 string
+functions). All Column-returning, built-ins only — no Python UDFs in the
+hot path. Deterministic, so every function is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small latin-stopword set used by quality scoring / language heuristics;
+# deterministic and tiny on purpose (oracle-expressible).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the `parseIssueList` split/trim shape,
+    internal/cli/sync.go:365-424, generalized to documents)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Empty array when the doc has < n
+    tokens. Pure built-ins: transform over an index sequence + slice."""
+    toks = tokens(text)
+    raw = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, raw).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return stop / F.size(toks)
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    return F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.size(toks)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized (lowercased,
+    whitespace-collapsed) text — the SHA-256-checksum idea from
+    pkg/state/manager.go:649-662, applied to document identity."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def minhash_columns(shingle_col: str, num_hashes: int = 16) -> list[Column]:
+    """One min-aggregate per hash seed: minhash_s = min(md5('s:' || shingle)).
+
+    md5 as the hash family keeps the signature engine-portable (identical in
+    DuckDB), deterministic, and JVM-evaluated. 16 hashes / 4 bands is the
+    classic 0.8-threshold operating point."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col(shingle_col)))).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, built-ins only.
+
+    Each token votes +1/-1 on 64 bit positions according to the bits of
+    xxhash64(token); the signature bit is 1 where the sum is positive.
+    Computed as: for each bit j, sign of sum over tokens of
+    (2*bit_j(hash)-1). Expressed with transform/aggregate so it stays in
+    codegen."""
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_sum(j: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        out = out.bitwiseOR(
+            F.when(bit_sum(j) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(2 ** j if j < 63 else -(2 ** 63)).cast("long")
+        )
+    return out

@@ -1,0 +1,430 @@
+"""Core relational operators (SURVEY §2.1–§2.6) expressed over the driver's
+testdata tables.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; each has a
+matching ANSI-SQL oracle in `__spark_entry__.oracle_sql()`. The SURVEY §2
+operator IDs covered are named in each docstring with the reference
+file:line they re-express.
+
+Scale notes are inline: which side broadcasts, where the shuffle lands,
+why the plan survives 100×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark.sources.registry import load_table
+
+
+# ---------------------------------------------------------------------------
+# Scans / point lookups / pagination (S1–S3)
+# ---------------------------------------------------------------------------
+
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — keyed point lookup (reference: pkg/client/client.go:129-146
+    GetIssue). A single-key predicate scan; Catalyst pushes the filter into
+    the parquet scan so only matching row groups are read. At 100 TB the
+    table would be bucketed/Z-ordered on the key to make this a few-file
+    read."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.filter(F.col("o_orderkey") == 1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+def predicate_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P10/P13 — predicate scan with conjunctive range filters + scalar
+    aggregate (reference: SearchIssues pkg/client/client.go:150-191; the JQL
+    predicate executes server-side there, here it's a pushed-down parquet
+    filter). TPC-H Q6 shape: all predicates reach PushedFilters, aggregation
+    is partial+final (map-side combine) — no full-row shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def paged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/W6 — limit/offset pagination (reference:
+    SearchIssuesWithPagination pkg/client/client.go:195-223, 100-row API
+    pages). Row-number window over a deterministic total order; at scale
+    prefer keyset pagination (WHERE key > last_seen LIMIT n) — the window
+    formulation is the parity query."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 120))
+        .select("rn", "o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (P1, P4, P11, P12, P16)
+# ---------------------------------------------------------------------------
+
+def projection_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — null-safe projection & reshaping (reference: convertJIRAIssue
+    pkg/client/client.go:237-282 flattens nested structs with nil checks).
+    Pure narrow transformation: no shuffle, whole-stage codegen, column
+    pruning means the scan reads only 3 columns."""
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.round(F.coalesce(F.col("c_acctbal"), F.lit(0.0)), 2).alias("acctbal"),
+    )
+
+
+def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/U2 — array explode + dedup-style aggregation (reference:
+    extractIssueLinks pkg/client/client.go:365-397 explodes nested links
+    into rows; parseIssueList internal/cli/sync.go:365-424 splits/trims/
+    dedups). Explode is narrow; the groupBy shuffles on the token — at
+    100 TB this is the classic word-count with map-side partial aggregation
+    keeping the shuffle small."""
+    docs = load_table(spark, "documents", sf_dir)
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+def regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 — regex validation filter (reference: validateIssueKey
+    internal/cli/sync.go:329-341 `^[A-Z][A-Z0-9]*(-[A-Z0-9]+)*-\\d+$`).
+    rlike compiles once per task; predicate stays JVM-side."""
+    part = load_table(spark, "part", sf_dir)
+    return part.filter(F.col("p_brand").rlike(r"^Brand#[0-9]+$")).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+
+
+def in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/P12 — IN-list plus negated equality (reference: the
+    project-active-issues JQL template `status NOT IN (Closed, Done)` —
+    pkg/profile/templates.go:114, pkg/jql/builder.go:174). Catalyst turns
+    isin into an `In` predicate pushed to the scan."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderstatus") != "F")
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A3, A5, A7/A9)
+# ---------------------------------------------------------------------------
+
+def breakdown_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — preview breakdowns: counts by status, by priority, and a grand
+    total in ONE pass via GROUPING SETS (reference runs three separate
+    passes: pkg/jql/jira_builder.go:237-269 PreviewQuery). One shuffle
+    instead of three scans — the exact win Catalyst's grouping-sets
+    expansion gives at scale."""
+    orders = load_table(spark, "orders", sf_dir)
+    orders.createOrReplaceTempView("_a1_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM _a1_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 flagship — TPC-H Q1 pricing summary: the batch-result fold
+    (internal/sync/batch.go:220-263 computes totals/averages/rates over
+    results) generalized to the canonical multi-agg groupBy. Partial
+    aggregation map-side; shuffle carries only (2-col key × 8 aggs)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/U4 — sync-statistics rollup (reference: updateStatistics
+    pkg/state/manager.go:599-633: running counts, avg duration, distinct
+    issues, sorted distinct project list). countDistinct adds a second
+    shuffle stage; collect_set is bounded (few distinct statuses) so safe.
+    The sorted-set-to-string mirrors ActiveProjects (manager.go:665-676)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.agg(
+        F.count("*").alias("n_ops"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.countDistinct("o_custkey").alias("n_distinct_cust"),
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+    )
+
+
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W7 — global top-k (reference: GetMostUsedProfiles
+    pkg/profile/manager.go:475-497 sort desc + limit). Spark's
+    TakeOrderedAndProject: each partition keeps k rows, driver merges —
+    no full sort even at 100 TB."""
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        cust.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — queue-status counts pivoted to one row (reference:
+    GetQueueStatus pkg/jobs/scheduler.go:244-271 / QueueStatus
+    pkg/jobs/types.go:133-139). Explicit pivot values avoid the extra
+    distinct-scan Spark needs to discover them."""
+    ev = load_table(spark, "events", sf_dir)
+    counted = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return (
+        counted.groupBy()
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .sum("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J2, J5, J6, J7, equi-join aggregation)
+# ---------------------------------------------------------------------------
+
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join chain + agg (the reference's joins are all in-memory Go
+    maps — SURVEY §2.3; this is the canonical Spark restatement). `nation`
+    is tiny → broadcast (no shuffle of the fact side for that join);
+    customer⋈orders shuffles on custkey once."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3/J4 — the anti-join family (reference: broken-link detection
+    pkg/epic/jira_analyzer.go:326-356; orphan files
+    pkg/state/manager.go:505-536; missing files manager.go:484-503).
+    left_anti keeps only build-side misses; AQE picks broadcast when the
+    right side is small."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def semi_join_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/P8 — membership semi-join (reference: `issue in linkedIssues(K)`
+    discovery pkg/epic/jira_analyzer.go:178-181 → left_semi against the
+    member set). The member set (BUILDING customers) broadcasts."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    members = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        orders.join(
+            F.broadcast(members), orders.o_custkey == members.c_custkey, "left_semi"
+        )
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+def incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/C1 — THE CDC core: left join candidates against sync state, keep
+    rows that are new (no state) or updated (event time > watermark).
+    Reference: filterIssuesForSync internal/sync/incremental.go:298-363 +
+    NeedsSync pkg/state/manager.go:444-454.
+
+    Here: state = F/P orders (keyed by orderkey, watermark o_orderdate);
+    candidates = lineitems (event time l_shipdate). Shuffles both sides on
+    the key once; at 100 TB the state table would be bucketed on key so
+    only the candidate side shuffles."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    state = orders.filter(F.col("o_orderstatus") != "O").select(
+        F.col("o_orderkey").alias("state_key"),
+        F.col("o_orderdate").alias("last_synced"),
+    )
+    joined = li.join(state, li.l_orderkey == state.state_key, "left_outer")
+    return (
+        joined.filter(
+            F.col("state_key").isNull() | (F.col("l_shipdate") > F.col("last_synced"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("state_key").isNull(), F.lit("new"))
+            .otherwise(F.lit("updated"))
+            .alias("change_type"),
+        )
+    )
+
+
+def drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — checksum-drift join: inner join + inequality filter (reference:
+    validateFiles pkg/state/manager.go:494-501 recomputes SHA-256 and
+    compares to the stored checksum). Here: recompute expected price from
+    the part dimension, flag rows that drifted >2×. part is small →
+    broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    expected = F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        joined.filter(F.col("l_extendedprice") > 2 * expected)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.round(F.col("l_extendedprice") - expected, 2).alias("drift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (W4, W5, rolling frames, multi-key sort W8)
+# ---------------------------------------------------------------------------
+
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — top-N per key via row_number (reference: history tail "keep most
+    recent 50 ops" pkg/state/manager.go:149-152 — a per-repo window).
+    Single shuffle on the partition key; AQE handles skewed keys."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — last successful operation time (reference: GetLastSyncTime
+    pkg/state/manager.go:457-470 scans history backwards for the first
+    `completed` op; in Spark it's max-where, one partial+final agg)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_purchase_ts"), F.count("*").alias("n_purchases"))
+    )
+
+
+def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window — rolling mean over the last 3 events per user
+    (no direct reference analog; required by the extension surface, SURVEY
+    §2.5 note). rowsBetween frame evaluated in one pass after the
+    partition-key shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 2).alias("rolling_avg_3"),
+    )
+
+
+def multikey_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8/W1 — dynamic multi-key sort + limit (reference: sortProfiles
+    pkg/profile/manager.go:663-697, deterministic ORDER BY injection
+    pkg/jql/jira_builder.go:222-225). TakeOrderedAndProject again — no
+    global sort materialized."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(50)
+        .select("o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1, U3)
+# ---------------------------------------------------------------------------
+
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — hybrid multi-strategy discovery: union N result sets, dedup by
+    key (reference: discoverByHybridStrategy pkg/epic/jira_analyzer.go:
+    184-220 merges epic-link/custom-field/parent strategies and dedups).
+    unionByName is metadata-only; dropDuplicates is one hash aggregate."""
+    orders = load_table(spark, "orders", sf_dir)
+    s1 = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    s2 = orders.filter(F.col("o_orderstatus") == "F")
+    s3 = orders.filter(F.col("o_totalprice") > 300000)
+    return (
+        s1.unionByName(s2)
+        .unionByName(s3)
+        .dropDuplicates(["o_orderkey"])
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+def except_skipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — requested-minus-processed difference (reference: SkippedIssues
+    accounting internal/sync/incremental.go:156-164). EXCEPT (distinct) over
+    key projections."""
+    orders = load_table(spark, "orders", sf_dir)
+    requested = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    processed = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return requested.exceptAll(processed).distinct()

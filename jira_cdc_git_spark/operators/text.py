@@ -1,0 +1,139 @@
+"""Text-analysis + deduplication operators over `documents` (the north-star
+LLM-data-pipeline extension surface; SURVEY §7 Phase 6).
+
+All pure built-in expressions — the whole pipeline stays in whole-stage
+codegen; no Python UDFs. Every operator here is DuckDB-oracle-checkable
+because the hash family is md5 (identical in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark.functions import text as TX
+from jira_cdc_git_spark.sources.registry import load_table
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length / stopword ratio / mean
+    token length). Narrow projection — scales embarrassingly."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.round(TX.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        F.round(TX.avg_token_len(F.col("text")), 4).alias("avg_token_len"),
+    )
+
+
+def lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus census by language tag (A1-shaped groupBy over documents)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup fingerprint table: md5 of normalized text, with group
+    size. Groups with n_copies > 1 are exact duplicates (hash-groupBy
+    dedup — the 100 TB exact-dedup primitive: one shuffle on the hash)."""
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), 3)).alias("shingle")
+    )
+
+
+def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """MinHash + LSH near-duplicate detection with exact-Jaccard
+    verification — the scalable near-dedup pipeline:
+
+      shingle (word 3-grams, distinct)
+        → 16 md5 minhashes per doc (one groupBy, 16 min-aggregates)
+        → 4 bands of 4 hashes; band_key = md5(mh0|mh1|mh2|mh3)
+        → candidate pairs = self-join on (band, band_key)   [the LSH trick:
+          no O(n²) compare; only docs colliding in a band meet]
+        → verify candidates with exact shingle-set Jaccard ≥ threshold.
+
+    At 100 TB: the band join shuffles on band_key (collisions are rare so
+    groups are tiny); the verify join touches only candidate pairs. This is
+    how MinHashLSH in spark.ml works internally — expressed here in pure
+    SQL expressions so the DuckDB oracle can replay it bit-for-bit.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(*TX.minhash_columns("shingle", NUM_HASHES))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit signatures per document (near-dup clustering by
+    Hamming distance; xxhash64-based so Spark-only — no SQL oracle,
+    checked by pytest instead)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", TX.simhash64(F.col("text")).alias("simhash"))

@@ -1,0 +1,124 @@
+"""Vector similarity operators over `embeddings` (north-star extension:
+similarity search / embedding-cosine near-dup).
+
+Brute-force cosine top-k is the correctness baseline (oracle-checkable);
+the LSH-bucketed variant is the 100 TB scale path — both pure built-in
+expressions (F.zip_with + F.aggregate fold, JVM-side), no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark.sources.registry import load_table
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — identical accumulation order to DuckDB's
+    list_sum(list_transform(...)), so results are bit-comparable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad, bd = _as_double(a), _as_double(b)
+    return dot(ad, bd) / F.sqrt(norm2(ad) * norm2(bd))
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.
+
+    The single-row query side broadcasts (a literal cross join); scoring is
+    a narrow map over the corpus; top-k is TakeOrderedAndProject (per-
+    partition k + driver merge — no global sort). This brute-force scan IS
+    the right baseline at any scale when k is small; the IVF variant below
+    cuts the scored fraction."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != query_vec_id)
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: deterministic centroids (the first
+    n_centroids vectors by vec_id — a seeded stand-in for k-means), assign
+    every vector to its nearest centroid once (narrow pass over a broadcast
+    centroid table), then score only vectors in the query's n_probe nearest
+    clusters.
+
+    At 100 TB this is the real ANN path: the corpus is written partitioned
+    by cluster_id, so a query prunes (n_probe / n_centroids) of the data at
+    the parquet-partition level."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        )
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("d", cosine(F.col("embedding"), F.col("cent_emb")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", F.col("cent_id").alias("cluster_id"))
+    )
+    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    q_clusters = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("d", cosine(F.col("cent_emb"), F.col("q_embedding")))
+        .orderBy(F.col("d").desc(), F.col("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+    )
+    probe = assigned.join(
+        F.broadcast(q_clusters), assigned.cluster_id == q_clusters.cent_id, "left_semi"
+    )
+    return (
+        probe.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

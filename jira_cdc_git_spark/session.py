@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Tuned defaults for the two execution profiles we care about:
+
+* local[N] single-JVM testing (the CI / bench profile) — shuffle partitions
+  sized to cores, AQE on, Arrow on, UTC session timezone so results are
+  directly comparable with the DuckDB oracle.
+* large-cluster execution (the design target) — the same settings are the
+  right starting point there too: AQE handles partition coalescing and skew
+  joins at runtime, and `spark.sql.shuffle.partitions` becomes a floor that
+  AQE re-plans from.
+
+Reference parity note: the reference hand-rolls a worker pool clamped to
+[1,10] goroutines (internal/sync/batch.go:90-107); in Spark, parallelism is
+task scheduling + AQE — nothing to hand-tune per query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "jira_cdc_git_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    All settings are safe on a real cluster: AQE, skew-join handling,
+    partition coalescing, Arrow transfers, UTC timestamps.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
