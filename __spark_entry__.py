@@ -3,8 +3,13 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Every registered query aliases its computed columns identically in the
+Spark code and the oracle SQL, and rounds floating aggregates so the
+value-hash is engine-stable. Queries with no oracle entry
+(simhash_signatures — xxhash64 has no DuckDB equivalent) get the
+driver's weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +18,418 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from jira_cdc_git_spark.operators import graph as G
+from jira_cdc_git_spark.operators import relational as R
+from jira_cdc_git_spark.operators import text as T
+from jira_cdc_git_spark.operators import timeseries as TS
+from jira_cdc_git_spark.operators import vectors as V
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary / SURVEY A4+A5) on sf0.001."""
+    return R.pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- scans / filters / projections (S1-S3, P1, P4, P11/P12, P16) ---
+        "point_lookup": R.point_lookup,
+        "predicate_scan_agg": R.predicate_scan_agg,
+        "paged_scan": R.paged_scan,
+        "projection_reshape": R.projection_reshape,
+        "explode_wordcount": R.explode_wordcount,
+        "regex_filter": R.regex_filter,
+        "in_list_filter": R.in_list_filter,
+        # --- aggregations (A1, A4/A5, A7, A9) ---
+        "breakdown_grouping_sets": R.breakdown_grouping_sets,
+        "pricing_summary": R.pricing_summary,
+        "stats_rollup": R.stats_rollup,
+        "top_k": R.top_k,
+        "status_pivot": R.status_pivot,
+        # --- joins (J2-J7) ---
+        "join_revenue_by_nation": R.join_revenue_by_nation,
+        "anti_join_no_orders": R.anti_join_no_orders,
+        "semi_join_segment": R.semi_join_segment,
+        "incremental_changes": R.incremental_changes,
+        "drift_detection": R.drift_detection,
+        # --- windows / sorts (W1-W8) ---
+        "topn_per_group": R.topn_per_group,
+        "last_event_per_user": R.last_event_per_user,
+        "rolling_stats": R.rolling_stats,
+        "multikey_sort_limit": R.multikey_sort_limit,
+        # --- set ops (U1, U3) ---
+        "union_dedup": R.union_dedup,
+        "except_skipped": R.except_skipped,
+        # --- graph (J1) ---
+        "hierarchy_levels": G.hierarchy_over_orders,
+        # --- text / dedup extension surface ---
+        "token_stats": T.token_stats,
+        "lang_breakdown": T.lang_breakdown,
+        "doc_fingerprints": T.doc_fingerprints,
+        "neardup_pairs_lsh": T.neardup_pairs_lsh,
+        "simhash_signatures": T.simhash_signatures,
+        # --- vector similarity extension surface ---
+        "cosine_topk": V.cosine_topk,
+        "ivf_topk": V.ivf_topk,
+        # --- event-time / windowing extension surface ---
+        "tumbling_hourly": TS.tumbling_hourly,
+        "sliding_windows": TS.sliding_windows,
+        "sessionize": TS.sessionize,
+        "asof_last_error": TS.asof_last_error_before_purchase,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB SQL mirrors of each Spark query. Column aliases and value rounding
+# match the Spark side exactly; integer-typed columns are cast where DuckDB's
+# default width differs from Spark's (row_number → INTEGER, window sum →
+# BIGINT) so the driver's schema check lines up.
+_ORACLES: dict[str, str] = {
+    "point_lookup": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey = 1
+    """,
+    "predicate_scan_agg": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate <  TIMESTAMP '1995-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "paged_scan": """
+        SELECT CAST(rn AS INTEGER) AS rn, o_orderkey, o_custkey, o_orderstatus
+        FROM (SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,
+                     o_orderkey, o_custkey, o_orderstatus
+              FROM orders) t
+        WHERE rn > 100 AND rn <= 120
+    """,
+    "projection_reshape": """
+        SELECT c_custkey AS custkey,
+               upper(c_name) AS name_upper,
+               coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+               round(coalesce(c_acctbal, 0.0), 2) AS acctbal
+        FROM customer
+    """,
+    "explode_wordcount": """
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+              FROM documents) t
+        WHERE token <> ''
+        GROUP BY token
+        HAVING count(*) >= 10
+    """,
+    "regex_filter": """
+        SELECT p_partkey, p_brand, p_type
+        FROM part WHERE regexp_matches(p_brand, '^Brand#[0-9]+$')
+    """,
+    "in_list_filter": """
+        SELECT o_orderkey, o_orderstatus, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus <> 'F'
+    """,
+    "breakdown_grouping_sets": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "stats_rollup": """
+        SELECT count(*) AS n_ops,
+               round(sum(o_totalprice), 2) AS total_price,
+               round(avg(o_totalprice), 2) AS avg_price,
+               count(DISTINCT o_custkey) AS n_distinct_cust,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+        FROM orders
+    """,
+    "top_k": """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 10
+    """,
+    "status_pivot": """
+        SELECT count(*) FILTER (WHERE event_type = 'click')    AS "click",
+               count(*) FILTER (WHERE event_type = 'view')     AS "view",
+               count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+               count(*) FILTER (WHERE event_type = 'signup')   AS "signup",
+               count(*) FILTER (WHERE event_type = 'error')    AS "error"
+        FROM events
+    """,
+    "join_revenue_by_nation": """
+        SELECT n_name,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "anti_join_no_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "semi_join_segment": """
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+    """,
+    "incremental_changes": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN s.state_key IS NULL THEN 'new' ELSE 'updated' END AS change_type
+        FROM lineitem l
+        LEFT JOIN (SELECT o_orderkey AS state_key, o_orderdate AS last_synced
+                   FROM orders WHERE o_orderstatus <> 'O') s
+          ON l.l_orderkey = s.state_key
+        WHERE s.state_key IS NULL OR l.l_shipdate > s.last_synced
+    """,
+    "drift_detection": """
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               round(l_extendedprice - p_retailprice * l_quantity, 2) AS drift
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_extendedprice > 2 * (p_retailprice * l_quantity)
+    """,
+    "topn_per_group": """
+        SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn
+        FROM (SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey) AS rn
+              FROM orders) t
+        WHERE rn <= 3
+    """,
+    "last_event_per_user": """
+        SELECT user_id, max(ts) AS last_purchase_ts, count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    """,
+    "rolling_stats": """
+        SELECT event_id, user_id,
+               floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     * 100 + 0.5) / 100
+                 AS rolling_avg_3
+        FROM events
+    """,
+    "multikey_sort_limit": """
+        SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS totalprice
+        FROM orders
+        ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+        LIMIT 50
+    """,
+    "union_dedup": """
+        SELECT DISTINCT o_orderkey, o_orderstatus, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' OR o_orderstatus = 'F' OR o_totalprice > 300000
+    """,
+    "except_skipped": """
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "hierarchy_levels": """
+        WITH RECURSIVE nodes AS (
+            SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS INTEGER) AS key
+            FROM orders
+        ), edges AS (
+            SELECT key, CASE WHEN key >= 2 THEN key // 2 END AS parent FROM nodes
+        ), rec AS (
+            SELECT key, parent, 0 AS level FROM edges WHERE parent IS NULL
+            UNION ALL
+            SELECT e.key, e.parent, r.level + 1
+            FROM edges e JOIN rec r ON e.parent = r.key
+            WHERE r.level < 5
+        )
+        SELECT key, parent, level FROM rec
+    """,
+    "token_stats": """
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               round(len(list_filter(toks,
+                     x -> x IN ('the','a','of','and','to','in','is','it'))) / len(toks), 4)
+                 AS stopword_ratio,
+               round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                     / len(toks), 4) AS avg_token_len
+        FROM t
+    """,
+    "lang_breakdown": """
+        SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "doc_fingerprints": """
+        SELECT fp, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+        FROM (SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              FROM documents) t
+        GROUP BY fp
+    """,
+    "neardup_pairs_lsh": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
+                                         i -> array_to_string(t[i:i+2], ' '))
+                     ELSE [] END)) AS shingle
+            FROM toks
+        ), sigs AS (
+            SELECT doc_id,
+                   min(md5('0:'  || shingle)) AS mh_0,  min(md5('1:'  || shingle)) AS mh_1,
+                   min(md5('2:'  || shingle)) AS mh_2,  min(md5('3:'  || shingle)) AS mh_3,
+                   min(md5('4:'  || shingle)) AS mh_4,  min(md5('5:'  || shingle)) AS mh_5,
+                   min(md5('6:'  || shingle)) AS mh_6,  min(md5('7:'  || shingle)) AS mh_7,
+                   min(md5('8:'  || shingle)) AS mh_8,  min(md5('9:'  || shingle)) AS mh_9,
+                   min(md5('10:' || shingle)) AS mh_10, min(md5('11:' || shingle)) AS mh_11,
+                   min(md5('12:' || shingle)) AS mh_12, min(md5('13:' || shingle)) AS mh_13,
+                   min(md5('14:' || shingle)) AS mh_14, min(md5('15:' || shingle)) AS mh_15
+            FROM sh GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, 0 AS band, md5(concat_ws('|', mh_0,  mh_1,  mh_2,  mh_3))  AS band_key FROM sigs
+            UNION ALL
+            SELECT doc_id, 1, md5(concat_ws('|', mh_4,  mh_5,  mh_6,  mh_7))  FROM sigs
+            UNION ALL
+            SELECT doc_id, 2, md5(concat_ws('|', mh_8,  mh_9,  mh_10, mh_11)) FROM sigs
+            UNION ALL
+            SELECT doc_id, 3, md5(concat_ws('|', mh_12, mh_13, mh_14, mh_15)) FROM sigs
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ), jac AS (
+            SELECT doc_a, doc_b,
+                   round(n_inter / (za.n_sh + zb.n_sh - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes za ON za.doc_id = doc_a
+            JOIN sizes zb ON zb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+    "cosine_topk": """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+             q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
+        SELECT vec_id, label,
+               round(list_dot_product(emb, qe)
+                     / sqrt(list_dot_product(emb, emb) * list_dot_product(qe, qe)), 6)
+                 AS cos_sim
+        FROM e, q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """,
+    "ivf_topk": """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, emb AS ce FROM e ORDER BY vec_id LIMIT 16),
+        assigned AS (
+            SELECT vec_id, label, emb, cent_id AS cluster_id
+            FROM (SELECT e.vec_id, e.label, e.emb, c.cent_id,
+                         row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY list_dot_product(e.emb, c.ce)
+                                      / sqrt(list_dot_product(e.emb, e.emb)
+                                             * list_dot_product(c.ce, c.ce)) DESC,
+                                      c.cent_id) AS rn
+                  FROM e CROSS JOIN cents c) t
+            WHERE rn = 1
+        ), q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        qc AS (
+            SELECT cent_id FROM cents, q
+            ORDER BY list_dot_product(ce, qe)
+                     / sqrt(list_dot_product(ce, ce) * list_dot_product(qe, qe)) DESC,
+                     cent_id
+            LIMIT 4
+        )
+        SELECT vec_id, label,
+               round(list_dot_product(emb, qe)
+                     / sqrt(list_dot_product(emb, emb) * list_dot_product(qe, qe)), 6)
+                 AS cos_sim
+        FROM assigned, q
+        WHERE cluster_id IN (SELECT cent_id FROM qc) AND vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """,
+    "tumbling_hourly": """
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "sliding_windows": """
+        WITH e AS (
+            SELECT event_type,
+                   make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT))
+                     AS s1
+            FROM events
+        ), x AS (
+            SELECT event_type,
+                   unnest([s1, s1 - INTERVAL 30 MINUTE]) AS window_start
+            FROM e
+        )
+        SELECT window_start, event_type, count(*) AS n
+        FROM x GROUP BY 1, 2
+    """,
+    "sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR CAST(floor(epoch(ts)) AS BIGINT)
+                                - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sid AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               max(CAST(floor(epoch(ts)) AS BIGINT))
+                 - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec,
+               round(sum(value), 2) AS session_value
+        FROM sid GROUP BY user_id, session_seq
+    """,
+    "asof_last_error": """
+        SELECT event_id, user_id, ts, last_error_ts
+        FROM (SELECT event_id, user_id, ts, event_type,
+                     last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_error_ts
+              FROM events
+              WHERE event_type IN ('purchase', 'error')) t
+        WHERE event_type = 'purchase'
+    """,
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

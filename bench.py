@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Each query is fully materialized through the `noop` sink (computes every
+output row JVM-side, writes nothing) so column pruning can't short-circuit
+the measured work the way `.count()` would.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E
+from jira_cdc_git_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "predicate_scan_agg",
+    "join_revenue_by_nation",
+    "incremental_changes",
+    "topn_per_group",
+    "breakdown_grouping_sets",
+    "union_dedup",
+    "tumbling_hourly",
+    "sessionize",
+    "asof_last_error",
+    "doc_fingerprints",
+    "token_stats",
+    "neardup_pairs_lsh",
+    "simhash_signatures",
+    "cosine_topk",
+    "ivf_topk",
+    "hierarchy_levels",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="bench")
+    qs = E.queries()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

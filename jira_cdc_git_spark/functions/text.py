@@ -80,9 +80,11 @@ def simhash64(text: Column) -> Column:
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def bit_sum(j: int) -> Column:
+        # accumulator must be LONG: F.aggregate does not coerce the zero
+        # element, and the merge lambda yields BIGINT (xxhash64 is 64-bit).
         return F.aggregate(
             hashes,
-            F.lit(0),
+            F.lit(0).cast("long"),
             lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
         )
 

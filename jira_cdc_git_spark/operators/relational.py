@@ -375,10 +375,13 @@ def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-2, 0)
     )
+    # floor(x*100+0.5)/100 instead of F.round: Spark's round half-up-rounds
+    # the shortest-decimal repr ("34.285" → 34.29) where engines rounding the
+    # binary double (DuckDB) get 34.28; the floor form is engine-stable.
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 2).alias("rolling_avg_3"),
+        (F.floor(F.avg("value").over(w) * 100 + 0.5) / 100).alias("rolling_avg_3"),
     )
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -33,7 +34,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    rejects outright (PARQUET_TYPE_ILLEGAL). Read it as a long of
+    nanoseconds (runtime SQLConf) and truncate to microseconds — exactly
+    what DuckDB does when it coerces NANOS to its native µs timestamps, so
+    oracle comparisons line up bit-for-bit.
+
+    `ts div 1000` is integer division on the JVM side: no double round-trip,
+    no precision loss at 1.7e18-nanosecond magnitudes.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -1,0 +1,55 @@
+"""Known-answer and structural tests for operators beyond the oracle diff."""
+
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark.operators import graph as G
+from jira_cdc_git_spark.operators import text as T
+from jira_cdc_git_spark.operators import vectors as V
+
+
+def test_hierarchy_binary_tree_levels(spark, sf_dir):
+    # synthetic binary hierarchy: level L has 2^L nodes (until depth cap)
+    out = G.hierarchy_over_orders(spark, sf_dir)
+    counts = {r["level"]: r["n"] for r in out.groupBy("level").agg(F.count("*").alias("n")).collect()}
+    assert counts[0] == 1
+    for lvl in range(1, 6):
+        assert counts[lvl] == 2**lvl
+
+
+def test_hierarchy_levels_cycle_excluded(spark):
+    nodes = spark.createDataFrame(
+        [("a", None), ("b", "a"), ("c", "b"), ("x", "y"), ("y", "x")],
+        "key string, parent_key string",
+    )
+    out = G.hierarchy_levels(nodes).collect()
+    got = {r["key"]: r["level"] for r in out}
+    assert got == {"a": 0, "b": 1, "c": 2}  # cycle x<->y unreachable from root
+
+
+def test_broken_links(spark):
+    edges = spark.createDataFrame([("a", "b"), ("a", "zz")], "src_key string, dst_key string")
+    issues = spark.createDataFrame([("a",), ("b",)], "key string")
+    broken = G.broken_links(edges, issues).collect()
+    assert [(r["src_key"], r["dst_key"]) for r in broken] == [("a", "zz")]
+
+
+def test_lsh_pairs_have_high_jaccard(spark, sf_dir):
+    pairs = T.neardup_pairs_lsh(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    assert all(r["jaccard"] >= 0.8 for r in pairs)
+    assert all(r["doc_a"] < r["doc_b"] for r in pairs)
+
+
+def test_cosine_topk_scores_bounded(spark, sf_dir):
+    rows = V.cosine_topk(spark, sf_dir, k=5).collect()
+    assert len(rows) == 5
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_ivf_topk_recall_against_brute_force(spark, sf_dir):
+    exact = {r["vec_id"] for r in V.cosine_topk(spark, sf_dir, k=10).collect()}
+    approx = {r["vec_id"] for r in V.ivf_topk(spark, sf_dir, k=10).collect()}
+    # IVF probes 4/16 clusters; on this corpus recall should still be decent
+    assert len(exact & approx) >= 5
