@@ -245,7 +245,7 @@ _ORACLES: dict[str, str] = {
     """,
     "hierarchy_levels": """
         WITH RECURSIVE nodes AS (
-            SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS INTEGER) AS key
+            SELECT CAST(o_orderkey + 1 AS INTEGER) AS key
             FROM orders
         ), edges AS (
             SELECT key, CASE WHEN key >= 2 THEN key // 2 END AS parent FROM nodes

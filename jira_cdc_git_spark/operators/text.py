@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jira_cdc_git_spark.functions import text as TX
-from jira_cdc_git_spark.sources.registry import load_table
+from jira_cdc_git_spark.sources.registry import load_table, load_table_spread
 
 NUM_HASHES = 16
 BANDS = 4
@@ -53,7 +53,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
     return docs.select(
         "doc_id", F.explode(TX.shingles(F.col("text"), 3)).alias("shingle")
     )
@@ -75,7 +75,11 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     how MinHashLSH in spark.ml works internally — expressed here in pure
     SQL expressions so the DuckDB oracle can replay it bit-for-bit.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    # The shingle table feeds three consumers (signatures, set sizes, the
+    # intersection join) — persist it once instead of recomputing the
+    # explode+distinct three times. At 100 TB this materialization is the
+    # standard spill-to-disk intermediate (MEMORY_AND_DISK default).
+    sh = _doc_shingles(spark, sf_dir).persist()
     sigs = sh.groupBy("doc_id").agg(*TX.minhash_columns("shingle", NUM_HASHES))
 
     band_structs = F.array(
@@ -134,6 +138,29 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures per document (near-dup clustering by
     Hamming distance; xxhash64-based so Spark-only — no SQL oracle,
-    checked by pytest instead)."""
-    docs = load_table(spark, "documents", sf_dir)
-    return docs.select("doc_id", TX.simhash64(F.col("text")).alias("simhash"))
+    checked by pytest instead).
+
+    Formulation: explode tokens → hash each token ONCE → groupBy(doc_id)
+    with 64 bit-count sums (`2*sum(bit_j) - n > 0` ≡ the ±1 vote sum of
+    functions.text.simhash64 — same signature, verified by pytest). The
+    scalar-expression form re-evaluates xxhash64 per bit position (64×)
+    and its 64 nested folds blow past the whole-stage-codegen size limit
+    into interpreted eval — 30× slower. This shape is also the 100 TB
+    shape: one shuffle of (doc_id, hash) with map-side partial aggregation.
+    """
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    hashed = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    aggs = [
+        (2 * F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))) - F.count("*")).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(2**j if j < 63 else -(2**63)).cast("long")
+        )
+    return sums.select("doc_id", sig.alias("simhash"))

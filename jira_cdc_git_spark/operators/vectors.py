@@ -8,10 +8,10 @@ expressions (F.zip_with + F.aggregate fold, JVM-side), no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jira_cdc_git_spark.sources.registry import load_table
+from jira_cdc_git_spark.sources.registry import load_table, load_table_spread
 
 
 def _as_double(arr: Column) -> Column:
@@ -45,7 +45,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int 
     partition k + driver merge — no global sort). This brute-force scan IS
     the right baseline at any scale when k is small; the IVF variant below
     cuts the scored fraction."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_embedding")
     )
@@ -78,7 +78,7 @@ def ivf_topk(
     At 100 TB this is the real ANN path: the corpus is written partitioned
     by cluster_id, so a query prunes (n_probe / n_centroids) of the data at
     the parquet-partition level."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
     cents = (
         emb.orderBy("vec_id")
         .limit(n_centroids)
@@ -86,17 +86,29 @@ def ivf_topk(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
         )
     )
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("d", cosine(F.col("embedding"), F.col("cent_emb")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cent_id"))
+    # Assignment is a single NARROW pass: the n_centroids rows collapse into
+    # one array-of-structs row (broadcast), each vector scores all centroids
+    # inside a transform lambda and takes array_max. No row blowup, no
+    # window shuffle — at 100 TB the corpus is touched exactly once.
+    # array_max on struct(d, neg_cent_id) = lexicographic max ≡ highest
+    # cosine, ties to the LOWEST centroid id (matching the oracle's
+    # ORDER BY d DESC, cent_id).
+    cents_arr = cents.agg(
+        F.collect_list(F.struct("cent_id", "cent_emb")).alias("cs")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                cosine(F.col("embedding"), c.cent_emb).alias("d"),
+                (-c.cent_id).alias("neg_id"),
             ),
         )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", F.col("cent_id").alias("cluster_id"))
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents_arr))
+        .withColumn("cluster_id", -best.getField("neg_id"))
+        .select("vec_id", "label", "embedding", "cluster_id")
     )
     q = assigned.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_embedding")

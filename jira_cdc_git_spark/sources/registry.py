@@ -58,6 +58,26 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
 
 
+def load_table_spread(
+    spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR, key: str | None = None
+) -> DataFrame:
+    """Load a table and guarantee at least defaultParallelism partitions.
+
+    Small single-file parquet inputs (one row group) arrive as ONE scan
+    partition, which serializes CPU-heavy downstream work (md5 minhashes,
+    shingling, vector scoring) onto one core. Repartition by the given key
+    when — and only when — the scan is narrower than the cluster: on a real
+    100 TB table the scan already has thousands of splits and this is a
+    no-op, so the extra shuffle exists only in the small-file regime where
+    it is trivially cheap.
+    """
+    df = load_table(spark, name, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, key) if key else df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register all testdata tables as temp views for spark.sql queries."""
     for t in TABLES:
