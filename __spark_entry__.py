@@ -18,7 +18,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from jira_cdc_git_spark import fixtures as FX
 from jira_cdc_git_spark.operators import graph as G
+from jira_cdc_git_spark.operators import jira as J
 from jira_cdc_git_spark.operators import relational as R
 from jira_cdc_git_spark.operators import text as T
 from jira_cdc_git_spark.operators import timeseries as TS
@@ -76,6 +78,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_windows": TS.sliding_windows,
         "sessionize": TS.sessionize,
         "asof_last_error": TS.asof_last_error_before_purchase,
+        # --- JIRA-shaped surface over derived fixtures (FIXTURES.md) ---
+        "issue_flatten": J.issue_flatten,
+        "epic_custom_field": J.epic_custom_field,
+        "link_edges": J.link_edges,
+        "broken_link_edges": J.broken_link_edges,
+        "jql_project_active": J.jql_project_active,
+        "jql_epic_all": J.jql_epic_all,
+        "jql_epic_stories": J.jql_epic_stories,
+        "jql_recent_updates": J.jql_recent_updates,
+        "jql_my_sprint": J.jql_my_sprint,
+        "epic_members_by_type": J.epic_members_by_type,
+        "relationship_census": J.relationship_census,
+        "epic_completeness": J.epic_completeness,
+        "hybrid_discovery": J.hybrid_discovery,
+        "epic_hierarchy": J.epic_hierarchy,
+        "incremental_candidates": J.incremental_candidates,
+        "reconciliation_report": J.reconciliation_report,
+        "commit_messages": J.commit_messages,
+        "project_key_variants": J.project_key_variants,
+        "timestamp_multiformat": J.timestamp_multiformat,
     }
 
 
@@ -431,5 +453,208 @@ _ORACLES: dict[str, str] = {
 }
 
 
+# JIRA-fixture oracles: every query embeds the SAME flat-derivation CTE the
+# Spark side is built from (fixtures.flat_issues_sql — dialect-shared SQL).
+_I = FX.duckdb_issues_cte()
+_S = FX.duckdb_sync_state_cte()
+_FL = FX.duckdb_files_cte()
+
+_EDGES_SQL = """
+    SELECT key AS src_key, project_key, 'epic' AS link_type,
+           'outward' AS direction, epic_link AS dst_key,
+           CAST(NULL AS STRING) AS dst_summary
+    FROM issues_flat WHERE epic_link IS NOT NULL
+    UNION ALL
+    SELECT key, project_key, 'parent', 'outward', parent_issue, NULL
+    FROM issues_flat WHERE parent_issue IS NOT NULL
+    UNION ALL
+    SELECT key, project_key, 'subtask', 'outward', subtask_key, NULL
+    FROM issues_flat WHERE subtask_key IS NOT NULL
+    UNION ALL
+    SELECT key, project_key, 'subtask', 'outward', subtask_extra, NULL
+    FROM issues_flat WHERE subtask_extra IS NOT NULL
+    UNION ALL
+    SELECT key, project_key, lower(link_type), link_direction, link_dst,
+           link_dst_summary
+    FROM issues_flat WHERE link_type IS NOT NULL
+"""
+
+_USER_FMT = (
+    "CASE WHEN assignee_name IS NULL THEN 'Unassigned' "
+    "ELSE assignee_name || ' <' || assignee_email || '>' END"
+)
+
+_JIRA_ORACLES: dict[str, str] = {
+    "issue_flatten": f"""
+        WITH {_I}
+        SELECT key, status_name, {_USER_FMT} AS assignee_fmt,
+               lower(issuetype) AS type_category, priority
+        FROM issues_flat
+    """,
+    "epic_custom_field": f"""
+        WITH {_I}
+        SELECT key, epic_link AS cf_epic,
+               regexp_extract(epic_link, '^(.*)-(\\d+)$', 1) AS epic_project,
+               regexp_extract(epic_link, '^(.*)-(\\d+)$', 2) AS epic_num
+        FROM issues_flat WHERE epic_link IS NOT NULL
+    """,
+    "link_edges": f"WITH {_I} {_EDGES_SQL}",
+    "broken_link_edges": f"""
+        WITH {_I}, edges AS ({_EDGES_SQL})
+        SELECT src_key, link_type, dst_key FROM edges e
+        WHERE NOT EXISTS (SELECT 1 FROM issues_flat i WHERE i.key = e.dst_key)
+    """,
+    "jql_project_active": f"""
+        WITH {_I}
+        SELECT key, status_name, issuetype FROM issues_flat
+        WHERE project_key = 'MEM' AND status_name NOT IN ('Closed', 'Done')
+    """,
+    "jql_epic_all": f"""
+        WITH {_I}
+        SELECT key, epic_link, parent_issue FROM issues_flat
+        WHERE epic_link = 'PROJ-0'
+           OR parent_issue IN (SELECT key FROM issues_flat
+                               WHERE epic_link = 'PROJ-0')
+    """,
+    "jql_epic_stories": f"""
+        WITH {_I}
+        SELECT key, issuetype FROM issues_flat
+        WHERE epic_link = 'BENCH-20' AND issuetype = 'Story'
+    """,
+    "jql_recent_updates": f"""
+        WITH {_I}
+        SELECT key, updated FROM issues_flat
+        WHERE project_key = 'CONC'
+          AND updated >= TIMESTAMP '2000-01-01 00:00:00' - INTERVAL 90 DAY
+    """,
+    "jql_my_sprint": f"""
+        WITH {_I}
+        SELECT key, assignee_name FROM issues_flat
+        WHERE assignee_name = 'user7' AND block % 11 <= 1
+    """,
+    "epic_members_by_type": f"""
+        WITH {_I}
+        SELECT epic_link AS epic_key, lower(issuetype) AS member_type,
+               count(*) AS n,
+               array_to_string(list_sort(list(key)), ',') AS keys_sorted
+        FROM issues_flat WHERE epic_link IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    "relationship_census": f"""
+        WITH {_I}
+        SELECT count(epic_link) AS n_with_epic,
+               count(parent_issue) AS n_with_parent,
+               CAST(sum(CASE WHEN link_type IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS total_links,
+               CAST(sum((CASE WHEN subtask_key IS NOT NULL THEN 1 ELSE 0 END)
+                        + (CASE WHEN subtask_extra IS NOT NULL THEN 1 ELSE 0 END))
+                    AS BIGINT) AS total_subtasks
+        FROM issues_flat
+    """,
+    "epic_completeness": f"""
+        WITH {_I}, m AS (
+            SELECT epic_link AS epic_key, count(*) AS found_n,
+                   sum(CASE WHEN status_category = 'done' THEN 1 ELSE 0 END)
+                     AS done_n
+            FROM issues_flat WHERE epic_link IS NOT NULL GROUP BY 1
+        )
+        SELECT epic_key, 19 AS expected_n, found_n,
+               round(found_n / 19 * 100, 2) AS completeness_pct,
+               round(done_n / found_n * 100, 2) AS pct_done,
+               CASE WHEN round(done_n / found_n * 100, 2) < 50 THEN 'at-risk'
+                    ELSE 'on-track' END AS recommendation
+        FROM m
+    """,
+    "hybrid_discovery": f"""
+        WITH {_I}
+        SELECT key, issuetype FROM issues_flat
+        WHERE epic_link = 'PROJ-0'
+           OR parent_issue IN (SELECT key FROM issues_flat
+                               WHERE epic_link = 'PROJ-0')
+    """,
+    "epic_hierarchy": f"""
+        WITH RECURSIVE {_I}, nodes AS (
+            SELECT key, coalesce(parent_issue, epic_link) AS parent
+            FROM issues_flat
+        ), rec AS (
+            SELECT key, parent, 0 AS level FROM nodes WHERE parent IS NULL
+            UNION ALL
+            SELECT n.key, n.parent, r.level + 1
+            FROM nodes n JOIN rec r ON n.parent = r.key
+            WHERE r.level < 5
+        )
+        SELECT key, parent, level FROM rec
+    """,
+    "incremental_candidates": f"""
+        WITH {_I}, {_S}
+        SELECT i.key,
+               CASE WHEN s.key IS NULL THEN 'new' ELSE 'updated' END
+                 AS change_type
+        FROM issues_flat i LEFT JOIN sync_state s ON i.key = s.key
+        WHERE s.key IS NULL OR i.updated > s.last_synced
+    """,
+    "reconciliation_report": f"""
+        WITH {_S}, {_FL}
+        SELECT 'orphaned' AS problem, path FROM files f
+        WHERE NOT EXISTS (SELECT 1 FROM sync_state s WHERE s.file_path = f.path)
+        UNION ALL
+        SELECT 'missing', file_path FROM sync_state s
+        WHERE NOT EXISTS (SELECT 1 FROM files f WHERE f.path = s.file_path)
+        UNION ALL
+        SELECT 'drift', path FROM sync_state s JOIN files f
+          ON s.file_path = f.path
+        WHERE s.checksum <> f.sha256
+    """,
+    "commit_messages": f"""
+        WITH {_I}
+        SELECT key,
+               CASE lower(issuetype)
+                    WHEN 'epic' THEN 'feat' WHEN 'story' THEN 'feat'
+                    WHEN 'bug' THEN 'fix' WHEN 'task' THEN 'chore'
+                    WHEN 'sub-task' THEN 'chore'
+                    WHEN 'improvement' THEN 'refactor'
+                    WHEN 'documentation' THEN 'docs' WHEN 'test' THEN 'test'
+                    ELSE 'chore' END
+               || '(' || regexp_extract(key, '^(.*)-\\d+$', 1) || '): add issue '
+               || key || ' - ' || summary AS commit_subject,
+               {_USER_FMT} AS author
+        FROM issues_flat
+    """,
+    "project_key_variants": f"""
+        WITH {_I}
+        SELECT key,
+               regexp_extract(key, '^(.*)-\\d+$', 1) AS pk_regex,
+               split_part(key, '-', 1) AS pk_prefix,
+               regexp_extract(key, '^(.*)-\\d+$', 1) <> split_part(key, '-', 1)
+                 AS diverges
+        FROM issues_flat
+    """,
+    "timestamp_multiformat": f"""
+        WITH {_I}, s AS (
+            SELECT key,
+                   CASE WHEN k % 97 = 0 THEN 'not-a-date'
+                        WHEN k % 4 = 0
+                          THEN strftime(updated, '%Y-%m-%dT%H:%M:%S.%gZ')
+                        WHEN k % 4 = 1
+                          THEN strftime(updated, '%Y-%m-%d %H:%M:%S')
+                        WHEN k % 4 = 2 THEN strftime(updated, '%Y-%m-%d')
+                        ELSE strftime(updated, '%Y/%m/%d %H:%M') END AS ts_str
+            FROM issues_flat
+        )
+        SELECT key, ts_str,
+               CAST(try_strptime(ts_str,
+                    ['%Y-%m-%dT%H:%M:%S.%gZ', '%Y-%m-%dT%H:%M:%SZ',
+                     '%Y-%m-%d %H:%M:%S', '%Y/%m/%d %H:%M',
+                     '%Y-%m-%d', '%d/%m/%Y']) AS TIMESTAMP) AS parsed,
+               CAST(try_strptime(ts_str,
+                    ['%Y-%m-%dT%H:%M:%S.%gZ', '%Y-%m-%dT%H:%M:%SZ',
+                     '%Y-%m-%d %H:%M:%S', '%Y/%m/%d %H:%M',
+                     '%Y-%m-%d', '%d/%m/%Y']) AS TIMESTAMP) IS NULL
+                 AS quarantined
+        FROM s
+    """,
+}
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return {**_ORACLES, **_JIRA_ORACLES}

@@ -1,0 +1,611 @@
+"""JQL-subset → DataFrame compiler (SURVEY §2.2 P5-P18, §4.2).
+
+The reference never *parses* JQL — it generates it from templates
+(pkg/jql/builder.go:39-246, pkg/jql/jira_builder.go:61-162) and pushes the
+string to the JIRA server. Re-expressed on Spark, the server is us: this
+module parses exactly the JQL subset those templates emit and compiles it
+to a DataFrame transformation, after which Catalyst does the optimizing
+(predicate pushdown, CNF, OptimizeIn — the rewrites the reference hand-rolls
+at pkg/jql/jira_builder.go:195-234 come free).
+
+Supported surface (every emitted form, SURVEY §2.2):
+  =, !=, >, >=, <, <=, ~ (contains)        P5, P12
+  IN (...), NOT IN (...)                    P11
+  AND / OR / NOT, parentheses               P10
+  relative dates  -Nd / -Nw / -Nh           P13 (vs ctx.now, deterministic)
+  currentUser()                             P14 (ctx.current_user)
+  sprint in openSprints()                   P14 (ctx.open_sprint_member)
+  issuesInEpic("K") / linkedIssues("K")     P8, P9 (membership via joins)
+  IS EMPTY / IS NOT EMPTY                   null checks
+  ORDER BY field ASC|DESC [, ...]           W1, W2
+  quoted fields ("Epic Link"), cf[NNNN]     P2, P6
+
+Membership subqueries compile to LEFT-join boolean marker columns (not
+left_semi) so they compose under OR/NOT — `"Epic Link" = K OR parent in
+(issuesInEpic(K))` is a single plan with one broadcastable member-set join.
+
+Validation (F9 — pkg/jql/builder.go:267-321): balanced quotes (escape-aware),
+balanced parens, duplicated AND/OR. Exposed as ``validate()``; ``parse()``
+raises ``JQLError`` on the same conditions.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Field name → issues-table column mapping (SURVEY §1.3 / FIXTURES.md)
+# ---------------------------------------------------------------------------
+
+FIELD_MAP = {
+    "project": "project_key",
+    "key": "key",
+    "issuekey": "key",
+    "issue": "key",
+    "status": "status.name",
+    "statuscategory": "status.category",
+    "type": "issuetype",
+    "issuetype": "issuetype",
+    "priority": "priority",
+    "assignee": "assignee.name",
+    "reporter": "reporter.name",
+    "summary": "summary",
+    "description": "description",
+    "created": "created",
+    "updated": "updated",
+    "epic link": "epic_link",
+    "parent": "parent_issue",
+    "labels": "custom_fields",  # unused; placeholder
+}
+
+_DATE_FIELDS = {"created", "updated"}
+
+
+class JQLError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<cf>cf\[\d+\])
+  | (?P<op><=|>=|!=|=|<|>|~)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<comma>,)
+  | (?P<reldate>-\d+[dwh]\b)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_.@-]*)
+  | (?P<number>\d+(?:\.\d+)?)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def tokenize(s: str) -> list[Tok]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise JQLError(f"unexpected character at {i}: {s[i:i + 10]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Tok(kind, m.group()))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Validation lint (F9)
+# ---------------------------------------------------------------------------
+
+def _quotes_balanced(s: str) -> bool:
+    """Escape-aware quote scanner (mirrors areQuotesBalanced,
+    pkg/jql/builder.go:292-321)."""
+    in_q: str | None = None
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and in_q:
+            i += 2
+            continue
+        if in_q:
+            if c == in_q:
+                in_q = None
+        elif c in "\"'":
+            in_q = c
+        i += 1
+    return in_q is None
+
+
+def validate(jql: str) -> list[str]:
+    errors = []
+    if not jql or not jql.strip():
+        errors.append("empty query")
+        return errors
+    if not _quotes_balanced(jql):
+        errors.append("unbalanced quotes")
+    depth = 0
+    for c in jql:
+        depth += c == "("
+        depth -= c == ")"
+        if depth < 0:
+            errors.append("unbalanced parentheses")
+            break
+    if depth > 0:
+        errors.append("unbalanced parentheses")
+    if re.search(r"\b(AND\s+AND|OR\s+OR)\b", jql, re.IGNORECASE):
+        errors.append("duplicated boolean operator")
+    return errors
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Cmp:
+    fld: str
+    op: str
+    value: object  # str | float | ("func", name, arg) | ("reldate", text)
+
+
+@dataclass
+class InList:
+    fld: str
+    values: list
+    negated: bool = False
+
+
+@dataclass
+class Membership:  # field in issuesInEpic(K) / linkedIssues(K) / openSprints()
+    fld: str
+    func: str
+    arg: str | None
+    negated: bool = False
+
+
+@dataclass
+class Empty:
+    fld: str
+    negated: bool
+
+
+@dataclass
+class Not:
+    child: object
+
+
+@dataclass
+class Bool:
+    op: str  # "AND" | "OR"
+    children: list
+
+
+@dataclass
+class Query:
+    where: object | None
+    order_by: list[tuple[str, str]] = field(default_factory=list)
+
+
+_FUNCS = {"currentuser", "opensprints", "issuesinepic", "linkedissues"}
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise JQLError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def accept_word(self, *words: str) -> bool:
+        t = self.peek()
+        if t and t.kind == "word" and t.text.upper() in words:
+            self.i += 1
+            return True
+        return False
+
+    def parse(self) -> Query:
+        where = None
+        if self.peek() and not self._at_order_by():
+            where = self.or_expr()
+        order = []
+        if self._at_order_by():
+            self.i += 2
+            while True:
+                fld = self._field_name()
+                direction = "ASC"
+                if self.accept_word("ASC"):
+                    direction = "ASC"
+                elif self.accept_word("DESC"):
+                    direction = "DESC"
+                order.append((fld, direction))
+                t = self.peek()
+                if t and t.kind == "comma":
+                    self.i += 1
+                    continue
+                break
+        if self.peek() is not None:
+            raise JQLError(f"trailing tokens at {self.peek().text!r}")
+        return Query(where, order)
+
+    def _at_order_by(self) -> bool:
+        t = self.peek()
+        t2 = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        return bool(
+            t and t.kind == "word" and t.text.upper() == "ORDER"
+            and t2 and t2.kind == "word" and t2.text.upper() == "BY"
+        )
+
+    def or_expr(self):
+        left = self.and_expr()
+        children = [left]
+        while self.accept_word("OR"):
+            children.append(self.and_expr())
+        return children[0] if len(children) == 1 else Bool("OR", children)
+
+    def and_expr(self):
+        children = [self.not_expr()]
+        while self.accept_word("AND"):
+            children.append(self.not_expr())
+        return children[0] if len(children) == 1 else Bool("AND", children)
+
+    def not_expr(self):
+        if self.accept_word("NOT"):
+            return Not(self.not_expr())
+        return self.primary()
+
+    def primary(self):
+        t = self.peek()
+        if t and t.kind == "lparen":
+            self.i += 1
+            inner = self.or_expr()
+            if self.next().kind != "rparen":
+                raise JQLError("expected )")
+            return inner
+        return self.comparison()
+
+    def _field_name(self) -> str:
+        t = self.next()
+        if t.kind == "string":
+            return t.text[1:-1].lower()
+        if t.kind == "cf":
+            return t.text.lower()  # cf[12311140]
+        if t.kind == "word":
+            return t.text.lower()
+        raise JQLError(f"expected field name, got {t.text!r}")
+
+    def comparison(self):
+        fld = self._field_name()
+        t = self.peek()
+        if t is None:
+            raise JQLError(f"dangling field {fld!r}")
+        # IS [NOT] EMPTY
+        if t.kind == "word" and t.text.upper() == "IS":
+            self.i += 1
+            negated = self.accept_word("NOT")
+            if not self.accept_word("EMPTY", "NULL"):
+                raise JQLError("expected EMPTY after IS")
+            return Empty(fld, negated)
+        # [NOT] IN
+        negated = False
+        if t.kind == "word" and t.text.upper() == "NOT":
+            self.i += 1
+            negated = True
+            t = self.peek()
+        if t and t.kind == "word" and t.text.upper() == "IN":
+            self.i += 1
+            return self._in_rhs(fld, negated)
+        if negated:
+            raise JQLError("NOT must be followed by IN here")
+        # binary op
+        op_t = self.next()
+        if op_t.kind != "op":
+            raise JQLError(f"expected operator after {fld!r}, got {op_t.text!r}")
+        return Cmp(fld, op_t.text, self._value())
+
+    def _in_rhs(self, fld: str, negated: bool):
+        t = self.next()
+        if t.kind != "lparen":
+            raise JQLError("expected ( after IN")
+        # function membership: IN (issuesInEpic("K")) or IN (openSprints())
+        t = self.peek()
+        if t and t.kind == "word" and t.text.lower() in _FUNCS:
+            m = self._function()
+            if self.next().kind != "rparen":
+                raise JQLError("expected ) closing IN")
+            return Membership(fld, m[1], m[2], negated)
+        values = [self._value()]
+        while self.peek() and self.peek().kind == "comma":
+            self.i += 1
+            values.append(self._value())
+        if self.next().kind != "rparen":
+            raise JQLError("expected ) closing IN list")
+        return InList(fld, values, negated)
+
+    def _function(self):
+        name = self.next().text.lower()
+        if self.next().kind != "lparen":
+            raise JQLError(f"expected ( after function {name}")
+        arg = None
+        t = self.peek()
+        if t and t.kind in ("string", "word", "number"):
+            arg = self.next().text
+            if arg[0] in "\"'":
+                arg = arg[1:-1]
+        if self.next().kind != "rparen":
+            raise JQLError(f"expected ) closing {name}()")
+        return ("func", name, arg)
+
+    def _value(self):
+        t = self.next()
+        if t.kind == "string":
+            return t.text[1:-1].replace('\\"', '"').replace("\\'", "'")
+        if t.kind == "number":
+            return float(t.text)
+        if t.kind == "reldate":
+            return ("reldate", t.text)
+        if t.kind == "word":
+            if t.text.lower() in _FUNCS:
+                self.i -= 1
+                return self._function()
+            return t.text
+        raise JQLError(f"unexpected value token {t.text!r}")
+
+
+def parse(jql: str) -> Query:
+    errs = validate(jql)
+    if errs:
+        raise JQLError("; ".join(errs))
+    return _Parser(tokenize(jql)).parse()
+
+
+# ---------------------------------------------------------------------------
+# Compiler: AST → DataFrame transformation
+# ---------------------------------------------------------------------------
+
+@dataclass
+class JQLContext:
+    """Compile-time bindings for session functions and subqueries.
+
+    issues/links: frames backing issuesInEpic()/linkedIssues() membership.
+    now: the reference timestamp for relative dates (P13) — explicit so
+    results are deterministic/oracle-checkable (the reference implicitly
+    uses the JIRA server's clock).
+    open_sprint_member: boolean Column over issues standing in for
+    `sprint in openSprints()` (the reference delegates sprint state to the
+    server; we bind it to a dimension predicate).
+    """
+
+    issues: DataFrame | None = None
+    links: DataFrame | None = None
+    current_user: str | None = None
+    now: datetime | None = None
+    open_sprint_member: Column | None = None
+
+
+_REL_UNITS = {"d": "days", "w": "weeks", "h": "hours"}
+
+
+def _col(fld: str) -> Column:
+    if fld.startswith("cf["):
+        num = fld[3:-1]
+        return F.col("custom_fields").getItem(f"customfield_{num}")
+    mapped = FIELD_MAP.get(fld)
+    if mapped is None:
+        raise JQLError(f"unknown field {fld!r}")
+    return F.col(mapped)
+
+
+def _scalar(value, fld: str, ctx: JQLContext) -> Column:
+    if isinstance(value, tuple) and value[0] == "reldate":
+        if ctx.now is None:
+            raise JQLError("relative date used without ctx.now")
+        n = int(value[1][1:-1])
+        unit = _REL_UNITS[value[1][-1]]
+        return F.lit(ctx.now - timedelta(**{unit: n}))
+    if isinstance(value, tuple) and value[0] == "func":
+        if value[1] == "currentuser":
+            if ctx.current_user is None:
+                raise JQLError("currentUser() used without ctx.current_user")
+            return F.lit(ctx.current_user)
+        raise JQLError(f"function {value[1]}() not valid as scalar here")
+    return F.lit(value)
+
+
+class Plan:
+    """Compiled query: apply(df) → filtered+sorted DataFrame.
+
+    Membership terms become LEFT-join marker columns (composable under
+    OR/NOT), added once up front; the boolean expression then references
+    coalesce(marker, false); markers are dropped on output.
+    """
+
+    def __init__(self, q: Query, ctx: JQLContext):
+        self.q = q
+        self.ctx = ctx
+        self._markers: list[tuple[str, Membership]] = []
+        self._collect_memberships(q.where)
+
+    def _collect_memberships(self, node) -> None:
+        if isinstance(node, Membership) and node.func in ("issuesinepic", "linkedissues"):
+            self._markers.append((f"__jql_m{len(self._markers)}", node))
+        elif isinstance(node, Bool):
+            for c in node.children:
+                self._collect_memberships(c)
+        elif isinstance(node, Not):
+            self._collect_memberships(node.child)
+
+    def _member_set(self, m: Membership) -> DataFrame:
+        if m.func == "issuesinepic":
+            if self.ctx.issues is None:
+                raise JQLError("issuesInEpic() needs ctx.issues")
+            return (
+                self.ctx.issues.filter(F.col("epic_link") == m.arg)
+                .select(F.col("key").alias("__jql_k"))
+                .distinct()
+            )
+        if self.ctx.links is None:
+            raise JQLError("linkedIssues() needs ctx.links")
+        return (
+            self.ctx.links.filter(F.col("src_key") == m.arg)
+            .select(F.col("dst_key").alias("__jql_k"))
+            .distinct()
+        )
+
+    def _predicate(self, node, markers: dict[int, str]) -> Column:
+        if isinstance(node, Bool):
+            cols = [self._predicate(c, markers) for c in node.children]
+            out = cols[0]
+            for c in cols[1:]:
+                out = (out & c) if node.op == "AND" else (out | c)
+            return out
+        if isinstance(node, Not):
+            return ~self._predicate(node.child, markers)
+        if isinstance(node, Empty):
+            c = _col(node.fld)
+            return c.isNotNull() if node.negated else c.isNull()
+        if isinstance(node, InList):
+            c = _col(node.fld).isin(*[v for v in node.values])
+            return ~c if node.negated else c
+        if isinstance(node, Membership):
+            if node.func == "opensprints":
+                if self.ctx.open_sprint_member is None:
+                    raise JQLError("openSprints() needs ctx.open_sprint_member")
+                c = self.ctx.open_sprint_member
+            else:
+                c = F.coalesce(F.col(markers[id(node)]), F.lit(False))
+            return ~c if node.negated else c
+        if isinstance(node, Cmp):
+            lhs = _col(node.fld)
+            rhs = _scalar(node.value, node.fld, self.ctx)
+            op = node.op
+            if op == "=":
+                return lhs == rhs
+            if op == "!=":
+                return lhs != rhs
+            if op == "~":
+                return lhs.contains(rhs)
+            if op == ">":
+                return lhs > rhs
+            if op == ">=":
+                return lhs >= rhs
+            if op == "<":
+                return lhs < rhs
+            return lhs <= rhs
+        raise JQLError(f"unsupported node {node!r}")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = df
+        marker_names = {}
+        for name, m in self._markers:
+            members = self._member_set(m).withColumn(name, F.lit(True))
+            out = out.join(
+                F.broadcast(members),
+                _col(m.fld) == F.col("__jql_k"),
+                "left",
+            ).drop("__jql_k")
+            marker_names[id(m)] = name
+        if self.q.where is not None:
+            out = out.filter(self._predicate(self.q.where, marker_names))
+        out = out.drop(*[n for n, _ in self._markers])
+        if self.q.order_by:
+            sort_cols = [
+                _col(f).asc() if d == "ASC" else _col(f).desc()
+                for f, d in self.q.order_by
+            ]
+            out = out.orderBy(*sort_cols)
+        return out
+
+
+def compile_jql(jql: str, ctx: JQLContext | None = None) -> Plan:
+    return Plan(parse(jql), ctx or JQLContext())
+
+
+def run_jql(jql: str, df: DataFrame, ctx: JQLContext | None = None) -> DataFrame:
+    return compile_jql(jql, ctx).apply(df)
+
+
+# ---------------------------------------------------------------------------
+# Builtin templates (P18 — pkg/jql/builder.go:126-246; profile templates
+# pkg/profile/templates.go:10-)
+# ---------------------------------------------------------------------------
+
+TEMPLATES: dict[str, dict] = {
+    "epic-all-issues": {
+        "jql": '"Epic Link" = {epic} OR parent IN (issuesInEpic("{epic}")) ORDER BY key ASC',
+        "required": ["epic"],
+        "defaults": {},
+    },
+    "epic-stories-only": {
+        "jql": '"Epic Link" = {epic} AND type = Story ORDER BY key ASC',
+        "required": ["epic"],
+        "defaults": {},
+    },
+    "project-all-issues": {
+        "jql": "project = {project} ORDER BY key ASC",
+        "required": ["project"],
+        "defaults": {},
+    },
+    "project-active-issues": {
+        "jql": 'project = {project} AND status NOT IN ("Closed", "Done") ORDER BY key ASC',
+        "required": ["project"],
+        "defaults": {},
+    },
+    "recent-updates": {
+        "jql": "project = {project} AND updated >= -{days}d ORDER BY updated DESC",
+        "required": ["project"],
+        "defaults": {"days": "7"},
+    },
+    "my-current-sprint": {
+        "jql": "assignee = currentUser() AND sprint IN (openSprints()) ORDER BY key ASC",
+        "required": [],
+        "defaults": {},
+    },
+}
+
+
+def build_from_template(name: str, params: dict[str, str] | None = None) -> str:
+    """Instantiate a builtin JQL template (BuildFromTemplate,
+    pkg/jql/jira_builder.go:95-162): required-param check, defaults, then
+    substitution; the result is validated before return."""
+    tpl = TEMPLATES.get(name)
+    if tpl is None:
+        raise JQLError(f"unknown template {name!r}")
+    params = dict(params or {})
+    for p in tpl["required"]:
+        if p not in params:
+            raise JQLError(f"template {name!r} missing required param {p!r}")
+    merged = {**tpl["defaults"], **params}
+    try:
+        jql = tpl["jql"].format(**merged)
+    except KeyError as e:
+        raise JQLError(f"template {name!r} missing param {e}") from None
+    errs = validate(jql)
+    if errs:
+        raise JQLError(f"template produced invalid JQL: {'; '.join(errs)}")
+    return jql

@@ -1,0 +1,399 @@
+"""JIRA-shaped operators over the derived fixtures (SURVEY §2.2-§2.6 rows
+that need real issue-shaped data: P1-P4 projection/explode, the JQL template
+queries P5-P16/P18, epic analysis A2/A3/A6, hybrid discovery U1, broken
+links J2, CDC candidates J5/C1, reconciliation J3/J4/J6, commit formatting
+F6, timestamp parsing F4).
+
+Every operator consumes ``fixtures.issues()`` (nested) and has an exact
+DuckDB oracle built on ``fixtures.duckdb_issues_cte()`` (flat) — the same
+derivation SQL, so hash comparisons are meaningful.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark import fixtures as FX
+from jira_cdc_git_spark import jql as JQL
+from jira_cdc_git_spark.functions import scalar as SC
+from jira_cdc_git_spark.operators.graph import hierarchy_levels
+
+# deterministic "now" for relative-date queries (P13) — data spans 1995-2001
+FIXED_NOW = datetime(2000, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+
+
+# ---------------------------------------------------------------------------
+# Projections / reshaping (P1-P4)
+# ---------------------------------------------------------------------------
+
+def issue_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/F7/F8 — null-safe flatten of nested structs (convertJIRAIssue,
+    pkg/client/client.go:237-282) + formatUserInfo (git.go:361-372) +
+    case-insensitive categorization. Narrow projection, zero shuffle."""
+    iss = FX.issues(spark, sf_dir)
+    return iss.select(
+        "key",
+        F.col("status.name").alias("status_name"),
+        SC.format_user(F.col("assignee.name"), F.col("assignee.email")).alias(
+            "assignee_fmt"
+        ),
+        SC.type_category(F.col("issuetype")).alias("type_category"),
+        "priority",
+    )
+
+
+def epic_custom_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P6/F2 — map-key extraction of the epic-link custom field
+    (extractEpicLink, pkg/client/client.go:340-349; cf key configurable at
+    pkg/jql/builder.go:118) + parseEpicKey split (builder.go:249-264)."""
+    iss = FX.issues(spark, sf_dir)
+    cf = F.col("custom_fields").getItem("customfield_12311140")
+    return (
+        iss.select(
+            "key",
+            cf.alias("cf_epic"),
+            SC.epic_project(cf).alias("epic_project"),
+            SC.epic_number(cf).alias("epic_num"),
+        )
+        .filter(F.col("cf_epic").isNotNull())
+    )
+
+
+def link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P3/S9 — materialize ALL relationship edges of every issue
+    (CreateRelationshipLinks, pkg/links/links.go:33-95: epic_link, parent,
+    subtasks, typed issue links with lowercased type dirs links.go:277-289).
+    explode is narrow; unionByName is metadata-only."""
+    iss = FX.issues(spark, sf_dir)
+    epic = iss.filter(F.col("epic_link").isNotNull()).select(
+        F.col("key").alias("src_key"),
+        "project_key",
+        F.lit("epic").alias("link_type"),
+        F.lit("outward").alias("direction"),
+        F.col("epic_link").alias("dst_key"),
+        F.lit(None).cast("string").alias("dst_summary"),
+    )
+    parent = iss.filter(F.col("parent_issue").isNotNull()).select(
+        F.col("key").alias("src_key"),
+        "project_key",
+        F.lit("parent").alias("link_type"),
+        F.lit("outward").alias("direction"),
+        F.col("parent_issue").alias("dst_key"),
+        F.lit(None).cast("string").alias("dst_summary"),
+    )
+    sub = iss.select(
+        F.col("key").alias("src_key"),
+        "project_key",
+        F.explode("subtasks").alias("dst_key"),
+    ).select(
+        "src_key",
+        "project_key",
+        F.lit("subtask").alias("link_type"),
+        F.lit("outward").alias("direction"),
+        "dst_key",
+        F.lit(None).cast("string").alias("dst_summary"),
+    )
+    typed = iss.select(
+        F.col("key").alias("src_key"),
+        "project_key",
+        F.explode("issue_links").alias("l"),
+    ).select(
+        "src_key",
+        "project_key",
+        F.lower(F.col("l.type")).alias("link_type"),
+        F.col("l.direction").alias("direction"),
+        F.col("l.issue_key").alias("dst_key"),
+        F.col("l.summary").alias("dst_summary"),
+    )
+    return epic.unionByName(parent).unionByName(sub).unionByName(typed)
+
+
+def broken_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — edges whose target issue doesn't exist (validateCompleteness
+    pkg/epic/jira_analyzer.go:326-356). left_anti against the key set; AQE
+    broadcasts the build side when small."""
+    edges = link_edges(spark, sf_dir)
+    iss = FX.issues(spark, sf_dir).select(F.col("key").alias("__k"))
+    return (
+        edges.join(iss, edges.dst_key == F.col("__k"), "left_anti")
+        .select("src_key", "link_type", "dst_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JQL template queries (P5-P16, P18)
+# ---------------------------------------------------------------------------
+
+def _ctx(spark: SparkSession, sf_dir: str) -> JQL.JQLContext:
+    iss = FX.issues(spark, sf_dir)
+    # sprint membership stand-in: the issue's block is an "open sprint"
+    # when block % 11 <= 1 (deterministic; the reference delegates sprint
+    # state to the JIRA server, pkg/jql/builder.go:195)
+    block = F.floor(
+        F.regexp_extract(F.col("key"), r"-(\d+)$", 1).cast("bigint") / 20
+    ).cast("bigint")
+    return JQL.JQLContext(
+        issues=iss,
+        links=None,
+        current_user="user7",
+        now=FIXED_NOW,
+        open_sprint_member=(block % 11) <= 1,
+    )
+
+
+def jql_project_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/P12/P18 — the project-active-issues template
+    (pkg/profile/templates.go:114, pkg/jql/builder.go:174) compiled to a
+    Catalyst predicate; isin + != push down to the scan."""
+    jql = JQL.build_from_template("project-active-issues", {"project": "MEM"})
+    iss = FX.issues(spark, sf_dir)
+    out = JQL.run_jql(jql, iss, _ctx(spark, sf_dir))
+    return out.select("key", F.col("status.name").alias("status_name"), "issuetype")
+
+
+def jql_epic_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P9/P10/P18 — epic-all-issues: `"Epic Link" = K OR parent IN
+    (issuesInEpic(K))` (pkg/jql/builder.go:132, jira_builder.go:61-79).
+    The IN-subquery decorrelates to a broadcast member-set join marker."""
+    jql = JQL.build_from_template("epic-all-issues", {"epic": "PROJ-0"})
+    iss = FX.issues(spark, sf_dir)
+    out = JQL.run_jql(jql, iss, _ctx(spark, sf_dir))
+    return out.select("key", "epic_link", "parent_issue")
+
+
+def jql_epic_stories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P15/P18 — epic-stories-only template (pkg/jql/builder.go:153)."""
+    jql = JQL.build_from_template("epic-stories-only", {"epic": "BENCH-20"})
+    iss = FX.issues(spark, sf_dir)
+    out = JQL.run_jql(jql, iss, _ctx(spark, sf_dir))
+    return out.select("key", "issuetype")
+
+
+def jql_recent_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13/W2/P18 — recent-updates template with relative date
+    `updated >= -{days}d` (pkg/jql/builder.go:221) against the fixed
+    deterministic 'now'."""
+    jql = JQL.build_from_template(
+        "recent-updates", {"project": "CONC", "days": "90"}
+    )
+    iss = FX.issues(spark, sf_dir)
+    out = JQL.run_jql(jql, iss, _ctx(spark, sf_dir))
+    return out.select("key", "updated")
+
+
+def jql_my_sprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14/P18 — my-current-sprint template: currentUser() session binding +
+    openSprints() membership (pkg/jql/builder.go:195,
+    pkg/profile/templates.go:161)."""
+    jql = JQL.build_from_template("my-current-sprint")
+    iss = FX.issues(spark, sf_dir)
+    out = JQL.run_jql(jql, iss, _ctx(spark, sf_dir))
+    return out.select("key", F.col("assignee.name").alias("assignee_name"))
+
+
+# ---------------------------------------------------------------------------
+# Epic analysis aggregates (A2, A3, A6, U1)
+# ---------------------------------------------------------------------------
+
+def epic_members_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — IssuesByType per epic: group → sorted key list
+    (pkg/epic/jira_analyzer.go:223-247; sorted per W3
+    jira_analyzer.go:314-323). collect_list is bounded (≤19 members/epic);
+    one shuffle on (epic, type)."""
+    iss = FX.issues(spark, sf_dir)
+    return (
+        iss.filter(F.col("epic_link").isNotNull())
+        .groupBy(F.col("epic_link").alias("epic_key"), F.lower("issuetype").alias("member_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.concat_ws(",", F.sort_array(F.collect_list("key"))).alias("keys_sorted"),
+        )
+    )
+
+
+def relationship_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — relationship-type census (jira_analyzer.go:235-245):
+    count(epic_link present), count(parent present), sum(len(issue_links)),
+    sum(len(subtasks)). Single partial+final aggregate."""
+    iss = FX.issues(spark, sf_dir)
+    return iss.agg(
+        F.count(F.col("epic_link")).alias("n_with_epic"),
+        F.count(F.col("parent_issue")).alias("n_with_parent"),
+        F.sum(F.size("issue_links")).alias("total_links"),
+        F.sum(F.size("subtasks")).alias("total_subtasks"),
+    )
+
+
+def epic_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — completeness ratio + threshold recommendations
+    (jira_analyzer.go:326-375). Expected size is the fixture block size - 1;
+    the done-rate drives the recommendation rule."""
+    iss = FX.issues(spark, sf_dir)
+    members = (
+        iss.filter(F.col("epic_link").isNotNull())
+        .groupBy(F.col("epic_link").alias("epic_key"))
+        .agg(
+            F.count("*").alias("found_n"),
+            F.sum(
+                F.when(F.col("status.category") == "done", 1).otherwise(0)
+            ).alias("done_n"),
+        )
+    )
+    pct_done = F.round(F.col("done_n") / F.col("found_n") * 100, 2)
+    return members.select(
+        "epic_key",
+        F.lit(19).alias("expected_n"),
+        "found_n",
+        F.round(F.col("found_n") / 19 * 100, 2).alias("completeness_pct"),
+        pct_done.alias("pct_done"),
+        F.when(pct_done < 50, F.lit("at-risk")).otherwise(F.lit("on-track")).alias(
+            "recommendation"
+        ),
+    )
+
+
+def hybrid_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — hybrid epic discovery: union of epic-link, custom-field and
+    parent-membership strategies, dedup by key, sorted
+    (discoverByHybridStrategy, pkg/epic/jira_analyzer.go:184-220)."""
+    iss = FX.issues(spark, sf_dir)
+    epic = "PROJ-0"
+    s1 = iss.filter(F.col("epic_link") == epic)
+    s2 = iss.filter(
+        F.col("custom_fields").getItem("customfield_12311140") == epic
+    )
+    members = s1.select(F.col("key").alias("__k"))
+    s3 = iss.join(
+        F.broadcast(members), iss.parent_issue == F.col("__k"), "left_semi"
+    )
+    return (
+        s1.unionByName(s2)
+        .unionByName(s3)
+        .dropDuplicates(["key"])
+        .select("key", "issuetype")
+    )
+
+
+def epic_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 over real issue shape: parent = coalesce(parent_issue, epic_link),
+    roots are epics, iterative self-join to depth 5
+    (pkg/epic/jira_analyzer.go:250-311, cap pkg/epic/analyzer.go:91).
+    Dangling parents drop out (cycle/orphan exclusion)."""
+    iss = FX.issues(spark, sf_dir)
+    nodes = iss.select(
+        "key", F.coalesce("parent_issue", "epic_link").alias("parent_key")
+    )
+    out = hierarchy_levels(nodes, "key", "parent_key")
+    return out.select("key", "parent", "level")
+
+
+# ---------------------------------------------------------------------------
+# CDC / reconciliation over fixtures (J5/C1, J3/J4/J6)
+# ---------------------------------------------------------------------------
+
+def incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/C1 on the real shape — filterIssuesForSync
+    (internal/sync/incremental.go:298-363) + NeedsSync
+    (pkg/state/manager.go:444-454): new if absent from sync_state, else
+    sync iff updated > last_synced."""
+    iss = FX.issues(spark, sf_dir)
+    st = FX.sync_state(spark, sf_dir).select(
+        F.col("key").alias("state_key"), "last_synced"
+    )
+    joined = iss.join(st, iss.key == st.state_key, "left_outer")
+    return (
+        joined.filter(
+            F.col("state_key").isNull()
+            | (F.col("updated") > F.col("last_synced"))
+        )
+        .select(
+            "key",
+            F.when(F.col("state_key").isNull(), F.lit("new"))
+            .otherwise(F.lit("updated"))
+            .alias("change_type"),
+        )
+    )
+
+
+def reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J4/J6 — the recovery/validation sweep (pkg/state/manager.go:
+    473-591): orphaned files (on disk, not in state), missing files (in
+    state, not on disk), checksum drift (both, sha mismatch). Three
+    anti/inner joins unioned with a problem tag."""
+    st = FX.sync_state(spark, sf_dir)
+    fl = FX.files(spark, sf_dir)
+    orphaned = fl.join(
+        st, fl.path == st.file_path, "left_anti"
+    ).select(F.lit("orphaned").alias("problem"), F.col("path"))
+    missing = st.join(
+        fl, st.file_path == fl.path, "left_anti"
+    ).select(F.lit("missing").alias("problem"), F.col("file_path").alias("path"))
+    drift = (
+        st.join(fl, st.file_path == fl.path)
+        .filter(F.col("checksum") != F.col("sha256"))
+        .select(F.lit("drift").alias("problem"), F.col("path"))
+    )
+    return orphaned.unionByName(missing).unionByName(drift)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function parity queries (F1, F4, F6)
+# ---------------------------------------------------------------------------
+
+def commit_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7/F1/F8 — conventional-commit subject per issue
+    (pkg/git/git.go:293-358)."""
+    iss = FX.issues(spark, sf_dir)
+    return iss.select(
+        "key",
+        SC.commit_subject(F.col("key"), F.col("issuetype"), F.col("summary")).alias(
+            "commit_subject"
+        ),
+        SC.format_user(F.col("assignee.name"), F.col("assignee.email")).alias(
+            "author"
+        ),
+    )
+
+
+def project_key_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — BOTH reference extraction variants side by side; `diverges`
+    flags keys where the first-dash variant is wrong (multi-dash projects —
+    pkg/schema/yaml.go:126-134 vs pkg/links/links.go:335-341)."""
+    iss = FX.issues(spark, sf_dir)
+    rx = SC.project_key_regex(F.col("key"))
+    px = SC.project_key_prefix(F.col("key"))
+    return iss.select(
+        "key",
+        rx.alias("pk_regex"),
+        px.alias("pk_prefix"),
+        (rx != px).alias("diverges"),
+    )
+
+
+def timestamp_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — the 6-layout timestamp parse (parseJIRATime,
+    pkg/state/manager.go:679-702) with QUARANTINE semantics: unparseable
+    strings yield NULL (the reference silently maps them to zero-time —
+    manager.go:698-701 — which hides bad data; SURVEY §7 hardness item 5).
+    The fixture renders `updated` through 4 formats by k%4 plus a corrupt
+    string every 97th row."""
+    flat = FX.issues_flat(spark, sf_dir)
+    k = F.col("k")
+    ts_str = (
+        F.when(k % 97 == 0, F.lit("not-a-date"))
+        .when(k % 4 == 0, F.date_format("updated", SC.JIRA_TIME_FMT))
+        .when(k % 4 == 1, F.date_format("updated", "yyyy-MM-dd HH:mm:ss"))
+        .when(k % 4 == 2, F.date_format("updated", "yyyy-MM-dd"))
+        .otherwise(F.date_format("updated", "yyyy/MM/dd HH:mm"))
+    )
+    out = flat.select("key", ts_str.alias("ts_str"))
+    parsed = SC.parse_jira_time(F.col("ts_str"))
+    return out.select(
+        "key",
+        "ts_str",
+        parsed.alias("parsed"),
+        parsed.isNull().alias("quarantined"),
+    )

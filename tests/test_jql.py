@@ -1,0 +1,185 @@
+"""Unit tests for the JQL-subset compiler (parser, validator, templates,
+compilation semantics against a tiny in-memory issues frame)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark import jql as J
+
+
+# ---------------------------------------------------------------------------
+# Validation lint (F9 — quote/paren balance, dup operators)
+# ---------------------------------------------------------------------------
+
+def test_validate_clean():
+    assert J.validate('project = PROJ AND status != "Done"') == []
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ('status = "unclosed', "unbalanced quotes"),
+        ("(a = 1 AND (b = 2)", "unbalanced parentheses"),
+        ("a = 1) OR (b = 2", "unbalanced parentheses"),
+        ("a = 1 AND AND b = 2", "duplicated boolean operator"),
+        ("", "empty query"),
+    ],
+)
+def test_validate_rejects(bad, msg):
+    assert any(msg in e for e in J.validate(bad))
+
+
+def test_escaped_quote_is_balanced():
+    assert J.validate(r'summary ~ "say \"hi\""') == []
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+def test_parse_order_by():
+    q = J.parse("project = P ORDER BY key ASC, updated DESC")
+    assert q.order_by == [("key", "ASC"), ("updated", "DESC")]
+
+
+def test_parse_in_list():
+    q = J.parse('status IN ("To Do", "In Progress")')
+    assert isinstance(q.where, J.InList)
+    assert q.where.values == ["To Do", "In Progress"]
+
+
+def test_parse_not_in():
+    q = J.parse("status NOT IN (Closed, Done)")
+    assert q.where.negated
+
+
+def test_parse_membership_function():
+    q = J.parse('parent IN (issuesInEpic("PROJ-1"))')
+    assert isinstance(q.where, J.Membership)
+    assert q.where.func == "issuesinepic"
+    assert q.where.arg == "PROJ-1"
+
+
+def test_parse_quoted_field_and_cf():
+    q = J.parse('"Epic Link" = PROJ-1 AND cf[12311140] = PROJ-1')
+    assert isinstance(q.where, J.Bool)
+    assert q.where.children[0].fld == "epic link"
+    assert q.where.children[1].fld == "cf[12311140]"
+
+
+def test_parse_reldate():
+    q = J.parse("updated >= -30d")
+    assert q.where.value == ("reldate", "-30d")
+
+
+def test_parse_error_trailing():
+    with pytest.raises(J.JQLError):
+        J.parse("project = P garbage garbage")
+
+
+# ---------------------------------------------------------------------------
+# Templates (P18)
+# ---------------------------------------------------------------------------
+
+def test_template_instantiation():
+    jql = J.build_from_template("project-active-issues", {"project": "MEM"})
+    assert "project = MEM" in jql
+    assert "NOT IN" in jql
+
+
+def test_template_missing_required():
+    with pytest.raises(J.JQLError, match="missing required param"):
+        J.build_from_template("epic-all-issues")
+    with pytest.raises(J.JQLError, match="unknown template"):
+        J.build_from_template("nope")
+
+
+def test_template_defaults():
+    jql = J.build_from_template("recent-updates", {"project": "X"})
+    assert "-7d" in jql  # default days
+
+
+# ---------------------------------------------------------------------------
+# Compilation semantics on a tiny frame
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        ("P-1", "P", "Epic", "To Do", None, None, "alice"),
+        ("P-2", "P", "Story", "In Progress", "P-1", None, "bob"),
+        ("P-3", "P", "Story", "Done", "P-1", None, "alice"),
+        ("P-4", "P", "Sub-task", "To Do", None, "P-2", None),
+        ("Q-1", "Q", "Story", "Closed", None, None, "alice"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "key string, project_key string, issuetype string, sname string,"
+        "epic_link string, parent_issue string, aname string",
+    )
+    return df.select(
+        "key",
+        "project_key",
+        "issuetype",
+        F.struct(F.col("sname").alias("name"), F.lit("x").alias("category")).alias("status"),
+        "epic_link",
+        "parent_issue",
+        F.struct(F.col("aname").alias("name"), F.lit("e").alias("email")).alias("assignee"),
+    )
+
+
+def _keys(df):
+    return sorted(r["key"] for r in df.collect())
+
+
+def test_compile_equality_and_in(tiny):
+    out = J.run_jql('project = P AND status IN ("To Do", "Done")', tiny)
+    assert _keys(out) == ["P-1", "P-3", "P-4"]
+
+
+def test_compile_not_and_neq(tiny):
+    out = J.run_jql('project = P AND NOT status = "Done"', tiny)
+    assert _keys(out) == ["P-1", "P-2", "P-4"]
+
+
+def test_compile_or_with_membership(tiny):
+    ctx = J.JQLContext(issues=tiny)
+    out = J.run_jql(
+        '"Epic Link" = P-1 OR parent IN (issuesInEpic("P-1"))', tiny, ctx
+    )
+    # P-2, P-3 via epic link; P-4 via parent P-2 ∈ members
+    assert _keys(out) == ["P-2", "P-3", "P-4"]
+
+
+def test_compile_current_user(tiny):
+    ctx = J.JQLContext(current_user="alice")
+    out = J.run_jql("assignee = currentUser()", tiny, ctx)
+    assert _keys(out) == ["P-1", "P-3", "Q-1"]
+
+
+def test_compile_is_empty(tiny):
+    out = J.run_jql("assignee IS EMPTY", tiny)
+    assert _keys(out) == ["P-4"]
+    out = J.run_jql("epic IS NOT EMPTY".replace("epic", '"Epic Link"'), tiny)
+    assert _keys(out) == ["P-2", "P-3"]
+
+
+def test_compile_linked_issues(tiny, spark):
+    links = spark.createDataFrame(
+        [("P-1", "P-2"), ("P-1", "Q-1")], "src_key string, dst_key string"
+    )
+    ctx = J.JQLContext(links=links)
+    out = J.run_jql('issue IN (linkedIssues("P-1"))', tiny, ctx)
+    assert _keys(out) == ["P-2", "Q-1"]
+
+
+def test_compile_order_by(tiny):
+    out = J.run_jql("project = P ORDER BY key DESC", tiny)
+    assert [r["key"] for r in out.collect()] == ["P-4", "P-3", "P-2", "P-1"]
+
+
+def test_missing_context_errors(tiny):
+    with pytest.raises(J.JQLError, match="ctx.now"):
+        J.run_jql("updated >= -7d", tiny)
+    with pytest.raises(J.JQLError, match="current_user"):
+        J.run_jql("assignee = currentUser()", tiny)
