@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from jira_cdc_git_spark import fixtures as FX
 from jira_cdc_git_spark.operators import graph as G
 from jira_cdc_git_spark.operators import jira as J
+from jira_cdc_git_spark.operators import multimodal as MM
 from jira_cdc_git_spark.operators import relational as R
 from jira_cdc_git_spark.operators import text as T
 from jira_cdc_git_spark.operators import timeseries as TS
@@ -98,6 +99,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "commit_messages": J.commit_messages,
         "project_key_variants": J.project_key_variants,
         "timestamp_multiformat": J.timestamp_multiformat,
+        # --- multimodal columns (binary + Pandas-UDF plumbing) ---
+        "media_stats": MM.media_stats,
+        "media_decode_image": MM.decode_image,   # mapInPandas — rows-only check
+        "media_frame_sample": MM.frame_sample,   # mapInPandas — rows-only check
     }
 
 
@@ -628,6 +633,20 @@ _JIRA_ORACLES: dict[str, str] = {
                regexp_extract(key, '^(.*)-\\d+$', 1) <> split_part(key, '-', 1)
                  AS diverges
         FROM issues_flat
+    """,
+    "media_stats": """
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+        )
+        SELECT modality, count(*) AS n,
+               CAST(sum(nb) AS BIGINT) AS total_bytes,
+               round(avg(nb), 2) AS avg_bytes
+        FROM m GROUP BY 1
     """,
     "timestamp_multiformat": f"""
         WITH {_I}, s AS (

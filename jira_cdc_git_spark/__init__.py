@@ -12,13 +12,15 @@ columns) designed for 100 TB scale.
 Layout:
   session     SparkSession factory tuned for local[N] and cluster use
   schemas     StructTypes for the JIRA-shaped data model (SURVEY §1.3)
-  fixtures    deterministic generator of FIXTURES.md-shaped tables
-  sources     parquet/testdata registry + YAML-document edge ingest
-  functions   scalar function library (SURVEY §2.7) — all Column-returning
-  jql         JQL-subset parser + Catalyst compiler (SURVEY §2.2)
-  operators   relational + graph + extension operators (SURVEY §2.3–2.6)
-  streaming   incremental CDC core + Structured Streaming pipeline (§2.8)
-  plans       profiles / saved queries / job specs (§3)
+  fixtures    deterministic FIXTURES.md-shaped tables, dialect-shared SQL
+  sources     parquet/testdata registry (incl. nanos-timestamp handling)
+  functions   scalar function library (SURVEY §2.7 F1-F14)
+  jql         JQL-subset parser + compiler to DataFrame plans (§2.2, §4.2)
+  operators   relational/graph/jira/text/vectors/timeseries/multimodal
+  state       sync_state CDC store: versioned MERGE, history, reconcile
+  sinks       partitioned issues / edge table / commit-log writers (§2.1)
+  streaming   foreachBatch incremental sync + windowed streaming (§2.8)
+  plans       profiles, usage stats, job specs (§3)
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,141 @@
+"""Profiles, saved queries and job specs (SURVEY §2.4 A7-A9, §2.5 W8, §3;
+reference: pkg/profile, pkg/jobs).
+
+The reference persists named sync configurations with usage statistics in a
+YAML collection (pkg/profile/types.go:8-53) and turns API requests into
+Kubernetes Jobs (pkg/jobs/scheduler.go:49-88). Spark-first: profiles are a
+small DataFrame-backed table; a "job" is just a compiled query run whose
+status lands in a jobs table — no Kubernetes dependency (SURVEY §3.3
+restatement).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark import schemas
+from jira_cdc_git_spark.jql import TEMPLATES, build_from_template
+
+# the 7 builtin profile templates (pkg/profile/templates.go:10-) — each pairs
+# a JQL template with default run options
+PROFILE_TEMPLATES: list[dict] = [
+    {"name": "epic-sync", "jql_template": "epic-all-issues", "concurrency": 5, "tags": ["epic"]},
+    {"name": "epic-stories", "jql_template": "epic-stories-only", "concurrency": 5, "tags": ["epic"]},
+    {"name": "project-full", "jql_template": "project-all-issues", "concurrency": 8, "tags": ["project"]},
+    {"name": "project-active", "jql_template": "project-active-issues", "concurrency": 5, "tags": ["project"]},
+    {"name": "recent-changes", "jql_template": "recent-updates", "concurrency": 3, "tags": ["incremental"]},
+    {"name": "my-sprint", "jql_template": "my-current-sprint", "concurrency": 2, "tags": ["personal"]},
+    {"name": "single-issues", "jql_template": None, "concurrency": 1, "tags": ["adhoc"]},
+]
+
+
+def builtin_profiles(spark: SparkSession) -> DataFrame:
+    rows = []
+    for p in PROFILE_TEMPLATES:
+        jql = None
+        if p["jql_template"] and not TEMPLATES[p["jql_template"]]["required"]:
+            jql = build_from_template(p["jql_template"])
+        rows.append(
+            (
+                p["name"],
+                f"builtin profile for {p['jql_template'] or 'issue lists'}",
+                jql,
+                None,
+                None,
+                "repo",
+                p["concurrency"],
+                "500ms",
+                True,
+                False,
+                False,
+                True,
+                p["tags"],
+                0,
+                None,
+                None,
+                None,
+            )
+        )
+    return spark.createDataFrame(rows, schemas.PROFILES)
+
+
+def record_usage(
+    profiles: DataFrame, name: str, sync_ms: int, success: bool, at: datetime
+) -> DataFrame:
+    """A8 — per-profile usage statistics update (pkg/profile/manager.go:
+    423-463): times_used++, rolling average sync time, success rate as a
+    running mean. Pure column expressions; persist via overwrite of the
+    (tiny) profiles table."""
+    hit = F.col("name") == name
+    n = F.coalesce(F.col("times_used"), F.lit(0))
+    avg = F.coalesce(F.col("avg_sync_time_ms"), F.lit(0).cast("long"))
+    rate = F.coalesce(F.col("success_rate"), F.lit(0.0))
+    return profiles.select(
+        *[c for c in profiles.columns if c not in (
+            "times_used", "last_used", "avg_sync_time_ms", "success_rate")],
+        F.when(hit, n + 1).otherwise(n).cast("int").alias("times_used"),
+        F.when(hit, F.lit(at)).otherwise(F.col("last_used")).alias("last_used"),
+        F.when(hit, ((avg * n + sync_ms) / (n + 1)).cast("long"))
+        .otherwise(avg)
+        .alias("avg_sync_time_ms"),
+        F.when(hit, (rate * n + (1.0 if success else 0.0)) / (n + 1))
+        .otherwise(rate)
+        .alias("success_rate"),
+    )
+
+
+def most_used(profiles: DataFrame, k: int = 5) -> DataFrame:
+    """A9/W7 — GetMostUsedProfiles (manager.go:475-497)."""
+    return profiles.orderBy(
+        F.col("times_used").desc(), F.col("name")
+    ).limit(k)
+
+
+def sort_profiles(profiles: DataFrame, by: str = "name", desc: bool = False) -> DataFrame:
+    """W8 — dynamic multi-key profile sort (manager.go:663-697)."""
+    col = F.col(by)
+    return profiles.orderBy(col.desc() if desc else col.asc(), F.col("name"))
+
+
+# ---------------------------------------------------------------------------
+# Job specs (§3.2/§3.3 thin orchestration parity)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SyncJobSpec:
+    """JIRASyncSpec shape (internal/operator/types/types.go:12-67) kept as
+    the declarative job IR; no Kubernetes — the driver interprets it."""
+
+    sync_type: str  # single | jql | incremental | full
+    jql: str | None = None
+    issue_keys: list[str] = field(default_factory=list)
+    project_key: str | None = None
+    epic_key: str | None = None
+    destination: str = "repo"
+    concurrency: int = 5
+    dry_run: bool = False
+
+    def validate(self) -> list[str]:
+        """validateSyncSpec (jirasync_controller.go:713-741) + the
+        CLI's XOR rules (internal/cli/sync.go:96-107)."""
+        errors = []
+        if self.sync_type not in ("single", "jql", "incremental", "full"):
+            errors.append(f"unknown sync_type {self.sync_type!r}")
+        if bool(self.jql) == bool(self.issue_keys) and self.sync_type != "full":
+            errors.append("exactly one of jql / issue_keys required")
+        if not 1 <= self.concurrency <= 10:
+            errors.append("concurrency must be in 1..10")
+        return errors
+
+
+def queue_status(jobs: DataFrame) -> DataFrame:
+    """A7 — job counts by status pivoted to one row
+    (pkg/jobs/scheduler.go:244-271)."""
+    counted = jobs.groupBy("status").agg(F.count("*").alias("n"))
+    return counted.groupBy().pivot(
+        "status", ["pending", "running", "completed", "failed"]
+    ).sum("n")

@@ -1,0 +1,130 @@
+"""Structured Streaming incremental sync (SURVEY §2.8, §3.1 restatement).
+
+The reference's "CDC" is polling incremental sync (internal/sync/
+incremental.go); its per-batch semantics — C1 change filter against
+sync_state, write issues + edges + commit log, C5 state MERGE, C6 history —
+map onto ONE ``foreachBatch`` body here, shared by both execution modes:
+
+* ``Trigger.AvailableNow`` — the incremental batch kick (reference CLI
+  ``--incremental``; schedule via external cron per C9).
+* continuous micro-batches — ``processingTime`` trigger for a live feed.
+
+Exactly-once across the four writes (SURVEY §7 hardness item 1) is handled
+the reference's way, made rigorous: every write is idempotent — issues
+partition overwrite by key-derived path, commit ids deterministic
+(sha(key,updated)), state MERGE keyed by issue — so at-least-once delivery
+from checkpoint replay converges (C4: re-sync is safe by design).
+
+A streaming windowed aggregation over the events feed (tumbling 1h with
+watermark) shares its expressions with the batch operator
+(operators/timeseries.tumbling_hourly) per the batch/streaming-parity rule.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark import sinks
+from jira_cdc_git_spark.state import SyncStateStore
+
+
+def incremental_sync_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    store: SyncStateStore,
+    out_root: str,
+    now: datetime | None = None,
+    force: bool = False,
+    dry_run: bool = False,
+) -> dict[str, int]:
+    """The shared per-batch body (batch CLI path and foreachBatch both call
+    this). Returns the A4-style result counts.
+
+    dry_run (C8): compute the change set and counts, write NOTHING —
+    mirrors incremental.go:404-465 (fetch-only, fabricated paths).
+    """
+    now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+    start = now
+    changes = store.filter_changes(spark, batch, force=force)
+    # one pass over the (small) change set feeds three sinks + the MERGE —
+    # persist instead of recomputing the filter join four times
+    changes.persist()
+    try:
+        n = changes.count()
+        counts = {"total": n, "processed": 0 if dry_run else n,
+                  "successful": 0 if dry_run else n, "failed": 0,
+                  "skipped": 0, "errors": 0}
+        if dry_run or n == 0:
+            store.record_operation(
+                spark, "incremental", "completed", start, now, counts
+            )
+            return counts
+        issue_cols = changes.drop("change_type")
+        sinks.append_issue_deltas(issue_cols, f"{out_root}/issues")
+        sinks.append_commit_log(issue_cols, f"{out_root}/commit_log")
+        store.merge(spark, issue_cols, now)
+        store.record_operation(
+            spark, "incremental", "completed", start, now, counts
+        )
+        return counts
+    finally:
+        changes.unpersist()
+
+
+def run_incremental_stream(
+    spark: SparkSession,
+    changes_dir: str,
+    schema,
+    store: SyncStateStore,
+    out_root: str,
+    checkpoint_dir: str,
+    now: datetime | None = None,
+) -> None:
+    """File-source change feed → foreachBatch(incremental_sync_batch),
+    Trigger.AvailableNow (drains everything currently in the feed, then
+    stops — the streaming-native form of the reference's polling loop)."""
+    feed = spark.readStream.schema(schema).parquet(changes_dir)
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_sync_batch(spark, batch_df, store, out_root, now=now)
+
+    (
+        feed.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def streaming_tumbling_hourly(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+) -> None:
+    """Streaming twin of operators/timeseries.tumbling_hourly: 1-hour
+    tumbling event-time windows with a late-data watermark, complete-once
+    via AvailableNow to a parquet sink (append mode: only windows the
+    watermark has closed are emitted)."""
+    feed = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        feed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("hour_ts"), "event_type", "n", "total_value")
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

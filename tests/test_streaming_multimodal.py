@@ -1,0 +1,124 @@
+"""Structured Streaming pipeline and multimodal-column tests."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark import fixtures as FX
+from jira_cdc_git_spark import sinks
+from jira_cdc_git_spark.operators import multimodal as MM
+from jira_cdc_git_spark.state import SyncStateStore
+from jira_cdc_git_spark.streaming import pipeline as SP
+
+
+@pytest.fixture(scope="module")
+def change_feed(spark, sf_dir, tmp_path_factory):
+    """Two micro-batch files: a base snapshot, then updates to 20 issues
+    (strictly newer `updated`) plus 5 duplicate deliveries."""
+    root = tmp_path_factory.mktemp("feed")
+    feed_dir = str(root / "changes")
+    base = FX.issues(spark, sf_dir).limit(100).cache()
+    base.count()
+    base.coalesce(1).write.mode("append").parquet(feed_dir)
+    updates = (
+        base.filter(F.col("key").rlike("0$"))
+        .withColumn("updated", F.lit(datetime(2031, 6, 1)))
+    )
+    dups = base.filter(F.col("key").rlike("1$")).limit(5)  # replay, same ts
+    updates.unionByName(dups).coalesce(1).write.mode("append").parquet(feed_dir)
+    return feed_dir, base, updates.count()
+
+
+def test_available_now_stream_end_to_end(spark, change_feed, tmp_path):
+    feed_dir, base, n_updates = change_feed
+    store = SyncStateStore(str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    SP.run_incremental_stream(
+        spark, feed_dir, base.schema, store, out, ckpt, now=datetime(2032, 1, 1)
+    )
+    st = store.load(spark)
+    assert st.count() == base.count()
+    latest = sinks.latest_issues(spark, f"{out}/issues")
+    assert latest.count() == base.count()
+    assert (
+        latest.filter(F.col("updated") == datetime(2031, 6, 1)).count()
+        == n_updates
+    )
+    # restart with same checkpoint: nothing new to process, outputs stable
+    raw_before = spark.read.parquet(f"{out}/issues").count()
+    SP.run_incremental_stream(
+        spark, feed_dir, base.schema, store, out, ckpt, now=datetime(2032, 1, 2)
+    )
+    assert spark.read.parquet(f"{out}/issues").count() == raw_before
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    from jira_cdc_git_spark.operators.timeseries import tumbling_hourly
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    events_dir = str(tmp_path / "events_feed")
+    ev = load_table(spark, "events", sf_dir)
+    ev.write.parquet(events_dir)
+    out = str(tmp_path / "agg_out")
+    SP.streaming_tumbling_hourly(
+        spark, events_dir, ev.schema, str(tmp_path / "ck2"), out,
+        watermark="0 seconds",
+    )
+    got = spark.read.parquet(out)
+    want = tumbling_hourly(spark, sf_dir)
+    # append mode emits only watermark-closed windows; with watermark 0 and
+    # a drained AvailableNow run, the final window may be withheld
+    missing = want.join(got, ["hour_ts", "event_type"], "left_anti").count()
+    assert got.count() >= want.count() - 5
+    mismatched = (
+        got.join(want, ["hour_ts", "event_type"])
+        .filter(
+            (got["n"] != want["n"]) | (got["total_value"] != want["total_value"])
+        )
+        .count()
+    )
+    assert mismatched == 0 and missing <= 5
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def test_media_table_shape(spark, sf_dir):
+    m = MM.media_table(spark, sf_dir)
+    assert dict(m.dtypes)["content"] == "binary"
+    assert m.count() == 500
+    mods = {r["modality"] for r in m.select("modality").distinct().collect()}
+    assert mods == {"image", "audio", "video"}
+    r = m.filter(F.col("meta.n_bytes") <= 0).count()
+    assert r == 0
+
+
+def test_decode_image_deterministic(spark, sf_dir):
+    d1 = MM.decode_image(spark, sf_dir).orderBy("media_id").collect()
+    d2 = MM.decode_image(spark, sf_dir).orderBy("media_id").collect()
+    assert d1 == d2
+    assert all(r["decode_ok"] for r in d1)
+    assert all(16 <= r["width"] <= 255 and 1 <= r["n_channels"] <= 4 for r in d1)
+    assert d1[0]["decoder"] == "fake-deterministic"
+
+
+def test_frame_sample_fanout(spark, sf_dir):
+    media = MM.media_table(spark, sf_dir).filter(F.col("modality") == "video")
+    frames = MM.frame_sample(spark, sf_dir)
+    assert frames.count() >= media.count()  # ≥1 frame per video
+    per = frames.groupBy("media_id").agg(F.count("*").alias("n"))
+    assert per.filter(F.col("n") < 1).count() == 0
+    # frame indices are dense from 0
+    mins = per.join(
+        frames.groupBy("media_id").agg(F.min("frame_idx").alias("m")), "media_id"
+    )
+    assert mins.filter(F.col("m") != 0).count() == 0
+
+
+def test_media_stats_jvm_only(spark, sf_dir):
+    s = MM.media_stats(spark, sf_dir)
+    rows = {r["modality"]: r["n"] for r in s.collect()}
+    assert sum(rows.values()) == 500
