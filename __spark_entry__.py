@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconciliation_report": J.reconciliation_report,
         "commit_messages": J.commit_messages,
         "project_key_variants": J.project_key_variants,
+        "parse_issue_list": J.parse_issue_list,
         "timestamp_multiformat": J.timestamp_multiformat,
         # --- multimodal columns (binary + Pandas-UDF plumbing) ---
         "media_stats": MM.media_stats,
@@ -633,6 +634,21 @@ _JIRA_ORACLES: dict[str, str] = {
                regexp_extract(key, '^(.*)-\\d+$', 1) <> split_part(key, '-', 1)
                  AS diverges
         FROM issues_flat
+    """,
+    "parse_issue_list": f"""
+        WITH {_I}, items AS (
+            SELECT DISTINCT trim(item) AS issue_key
+            FROM (SELECT unnest(string_split(
+                      key || ' , ' || key || ','
+                      || CASE WHEN k % 31 = 0 THEN 'bad key!' ELSE key END,
+                      ',')) AS item
+                  FROM issues_flat) t
+            WHERE trim(item) <> ''
+        )
+        SELECT issue_key,
+               regexp_matches(issue_key, '^[A-Z][A-Z0-9]*(-[A-Z0-9]+)*-[0-9]+$')
+                 AS valid
+        FROM items
     """,
     "media_stats": """
         WITH m AS (

@@ -150,6 +150,28 @@ def job_id(job_type: Column, ts: Column, seed: Column) -> Column:
     )
 
 
+# --- C10: exponential backoff (pkg/ratelimit/ratelimit.go:193-210) ---------
+
+def backoff_ms(attempt: Column, base_ms: int = 1000, cap_ms: int = 30000) -> Column:
+    """`min(cap, base · 2^(n-1))` — the reference's 429 backoff curve with
+    its 1 s → 30 s defaults (pkg/config/config.go:20-23)."""
+    return F.least(
+        F.lit(cap_ms).cast("double"), base_ms * F.pow(F.lit(2.0), attempt - 1)
+    ).cast("long")
+
+
+# --- F13: JSON edge I/O (pkg/state/manager.go:113-123,154-161) -------------
+
+def row_to_json(*cols: str) -> Column:
+    """Serialize selected columns as a JSON document (state/profile edge
+    persistence; YAML stays at the file edge, sources/yaml_io.py)."""
+    return F.to_json(F.struct(*cols))
+
+
+def json_to_row(js: Column, schema: str) -> Column:
+    return F.from_json(js, schema)
+
+
 # --- F14: profile similarity (pkg/profile/manager.go:757-836) --------------
 
 def similarity_score(

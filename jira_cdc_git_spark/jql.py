@@ -377,11 +377,42 @@ class _Parser:
         raise JQLError(f"unexpected value token {t.text!r}")
 
 
+def _or_to_in(node):
+    """U5 — OR→IN consolidation (the reference only SUGGESTS this rewrite,
+    pkg/jql/builder.go:332-334, at ≥3 ORs; we APPLY it): ≥3 equality
+    comparisons on the same field under one OR collapse to an IN-list,
+    which Catalyst then pushes down as a single In predicate. Recursive
+    over the AST; non-equality siblings are preserved."""
+    if isinstance(node, Not):
+        return Not(_or_to_in(node.child))
+    if not isinstance(node, Bool):
+        return node
+    children = [_or_to_in(c) for c in node.children]
+    if node.op != "OR":
+        return Bool(node.op, children)
+    eq_by_field: dict[str, list] = {}
+    for c in children:
+        if isinstance(c, Cmp) and c.op == "=" and not isinstance(c.value, tuple):
+            eq_by_field.setdefault(c.fld, []).append(c)
+    rewritten: list = []
+    consumed: set[int] = set()
+    for fld, cmps in eq_by_field.items():
+        if len(cmps) >= 3:
+            rewritten.append(InList(fld, [c.value for c in cmps]))
+            consumed.update(id(c) for c in cmps)
+    rest = [c for c in children if id(c) not in consumed]
+    out = rewritten + rest
+    return out[0] if len(out) == 1 else Bool("OR", out)
+
+
 def parse(jql: str) -> Query:
     errs = validate(jql)
     if errs:
         raise JQLError("; ".join(errs))
-    return _Parser(tokenize(jql)).parse()
+    q = _Parser(tokenize(jql)).parse()
+    if q.where is not None:
+        q.where = _or_to_in(q.where)
+    return q
 
 
 # ---------------------------------------------------------------------------

@@ -373,6 +373,36 @@ def project_key_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parse_issue_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/P16/P17 — issue-list parse + dedup + validate
+    (parseIssueList/validateIssueList, internal/cli/sync.go:365-424 +
+    validateIssueKey sync.go:329-341): split a raw comma list, trim,
+    drop empties, dedup, and flag entries failing the key regex —
+    QUARANTINE (valid=false), not drop, per the P17 constraint-validation
+    posture. The fixture list carries whitespace, duplicates and a bad
+    entry every 31st row."""
+    flat = FX.issues_flat(spark, sf_dir)
+    raw = F.concat(
+        F.col("key"),
+        F.lit(" , "),
+        F.col("key"),
+        F.lit(","),
+        F.when(F.col("k") % 31 == 0, F.lit("bad key!")).otherwise(F.col("key")),
+    )
+    items = (
+        flat.select(F.explode(F.split(raw, ",")).alias("raw_item"))
+        .select(F.trim("raw_item").alias("issue_key"))
+        .filter(F.col("issue_key") != "")
+        .distinct()
+    )
+    return items.select(
+        "issue_key",
+        F.col("issue_key").rlike(r"^[A-Z][A-Z0-9]*(-[A-Z0-9]+)*-\d+$").alias(
+            "valid"
+        ),
+    )
+
+
 def timestamp_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 — the 6-layout timestamp parse (parseJIRATime,
     pkg/state/manager.go:679-702) with QUARANTINE semantics: unparseable

@@ -139,3 +139,41 @@ def queue_status(jobs: DataFrame) -> DataFrame:
     return counted.groupBy().pivot(
         "status", ["pending", "running", "completed", "failed"]
     ).sum("n")
+
+
+def run_job(
+    spark: SparkSession,
+    spec: SyncJobSpec,
+    issues: DataFrame,
+    store,
+    out_root: str,
+    jql_ctx=None,
+    now: datetime | None = None,
+) -> dict:
+    """S11 restatement — the job-launch sink without Kubernetes: validate
+    the spec (admission), select candidates (JQL-compiled or key list),
+    run the shared incremental batch body, return the job record
+    (scheduler.go:49-88 + generateContainerArgs 383-414 collapse into
+    this dispatch — there is no container to re-encode args for)."""
+    from jira_cdc_git_spark.jql import run_jql
+    from jira_cdc_git_spark.streaming.pipeline import incremental_sync_batch
+
+    errors = spec.validate()
+    if errors:
+        return {"status": "rejected", "errors": errors}
+    if spec.jql:
+        candidates = run_jql(spec.jql, issues, jql_ctx)
+    elif spec.issue_keys:
+        candidates = issues.filter(F.col("key").isin(spec.issue_keys))
+    else:
+        candidates = issues
+    counts = incremental_sync_batch(
+        spark,
+        candidates,
+        store,
+        out_root,
+        now=now,
+        force=spec.sync_type == "full",
+        dry_run=spec.dry_run,
+    )
+    return {"status": "completed", **counts}

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from jira_cdc_git_spark import sinks
@@ -49,14 +49,27 @@ def incremental_sync_batch(
     now = now or datetime.now(timezone.utc).replace(tzinfo=None)
     start = now
     changes = store.filter_changes(spark, batch, force=force)
+    # A10/C12 progress metrics: df.observe rides along with the count
+    # action — no extra pass (the Spark-native replacement for the
+    # reference's progress channel, internal/sync/batch.go:62-71,349-419)
+    obs = Observation("sync_progress")
+    changes = changes.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("change_type") == "new", 1).otherwise(0)).alias(
+            "new_rows"
+        ),
+    )
     # one pass over the (small) change set feeds three sinks + the MERGE —
     # persist instead of recomputing the filter join four times
     changes.persist()
     try:
         n = changes.count()
+        metrics = obs.get
         counts = {"total": n, "processed": 0 if dry_run else n,
                   "successful": 0 if dry_run else n, "failed": 0,
-                  "skipped": 0, "errors": 0}
+                  "skipped": 0, "errors": 0,
+                  "new": int(metrics.get("new_rows") or 0)}
         if dry_run or n == 0:
             store.record_operation(
                 spark, "incremental", "completed", start, now, counts
@@ -82,11 +95,21 @@ def run_incremental_stream(
     out_root: str,
     checkpoint_dir: str,
     now: datetime | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """File-source change feed → foreachBatch(incremental_sync_batch),
     Trigger.AvailableNow (drains everything currently in the feed, then
-    stops — the streaming-native form of the reference's polling loop)."""
-    feed = spark.readStream.schema(schema).parquet(changes_dir)
+    stops — the streaming-native form of the reference's polling loop).
+
+    max_files_per_trigger is the C10 backpressure knob: the source-side
+    throttle replacing the reference's token-delay rate limiter
+    (pkg/ratelimit/ratelimit.go:52-210) for the file-feed path; a live
+    JIRA connector would wrap its HTTP client with
+    functions/scalar.backoff_ms on 429s."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(changes_dir)
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:
         incremental_sync_batch(spark, batch_df, store, out_root, now=now)

@@ -1,0 +1,98 @@
+"""Physical-plan shape tests — lock in the scale properties the operators
+claim (pushdown, broadcast, TakeOrdered, partial aggregation, column
+pruning, OptimizeIn). A refactor that silently regresses one of these
+changes the 100 TB story even if results stay correct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark.operators import graph as G
+from jira_cdc_git_spark.operators import relational as R
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(R.predicate_scan_agg(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(R.explode_wordcount(spark, sf_dir))
+    # the documents scan must read ONLY the text column
+    read = plan.split("ReadSchema")[1][:120]
+    assert "text" in read and "lang" not in read and "source" not in read
+
+
+def test_small_dim_broadcasts(spark, sf_dir):
+    plan = _plan(R.join_revenue_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_join_broadcasts(spark, sf_dir):
+    plan = _plan(R.semi_join_segment(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(R.top_k(spark, sf_dir))
+    assert "TakeOrderedAndProject" in _plan(R.multikey_sort_limit(spark, sf_dir))
+
+
+def test_paged_scan_no_global_sort_before_limit(spark, sf_dir):
+    plan = _plan(R.paged_scan(spark, sf_dir))
+    # offset+limit compile into TakeOrderedAndProject (per-partition top-N);
+    # the only window left runs over the 20 surviving rows
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    plan = _plan(R.pricing_summary(spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_hierarchy_has_no_global_window(spark, sf_dir):
+    # the dense-key derivation replaced the row_number densification
+    plan = _plan(G.hierarchy_over_orders(spark, sf_dir))
+    assert "Window" not in plan
+
+
+def test_jql_or_chain_becomes_in(spark):
+    # U5 — the reference only SUGGESTS the OR→IN rewrite
+    # (pkg/jql/builder.go:332-334); our compiler APPLIES it at ≥3 terms
+    from jira_cdc_git_spark.jql import run_jql
+
+    df = spark.createDataFrame(
+        [("A-1", "A"), ("B-1", "B")], "key string, project_key string"
+    )
+    out = run_jql("project = A OR project = B OR project = C", df)
+    plan = _optimized(out)
+    assert "IN (" in plan.upper().replace("#", " ").replace("IN(", "IN (") or "INSET" in plan.upper()
+    assert out.count() == 2
+    # 2 terms stay as OR (below the reference's suggestion threshold)
+    out2 = run_jql("project = A OR project = B", df)
+    assert "OR" in _optimized(out2)
+
+
+def test_ivf_assignment_is_narrow(spark, sf_dir):
+    # centroid assignment must not shuffle the corpus: no Exchange between
+    # the embeddings scan and the cluster_id projection other than the
+    # spread repartition
+    from jira_cdc_git_spark.operators.vectors import ivf_topk
+
+    plan = _plan(ivf_topk(spark, sf_dir))
+    assert "Window" not in plan  # old formulation used row_number
+
+
+def test_incremental_changes_single_shuffle_join(spark, sf_dir):
+    plan = _plan(R.incremental_changes(spark, sf_dir))
+    # one join; no cartesian, no nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
