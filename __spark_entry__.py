@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_segment": R.semi_join_segment,
         "incremental_changes": R.incremental_changes,
         "drift_detection": R.drift_detection,
+        "config_drift": R.config_drift,
         # --- windows / sorts (W1-W8) ---
         "topn_per_group": R.topn_per_group,
         "last_event_per_user": R.last_event_per_user,
@@ -233,6 +234,28 @@ _ORACLES: dict[str, str] = {
                round(l_extendedprice - p_retailprice * l_quantity, 2) AS drift
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_extendedprice > 2 * (p_retailprice * l_quantity)
+    """,
+    "config_drift": """
+        WITH expected AS (
+            SELECT n_name AS cfg_key, CAST(n_regionkey AS BIGINT) AS expected_value
+            FROM nation
+        ),
+        actual AS (
+            SELECT n_name AS cfg_key,
+                   CAST(CASE WHEN n_nationkey % 5 = 0 THEN n_regionkey + 10
+                             ELSE n_regionkey END AS BIGINT) AS actual_value
+            FROM nation WHERE n_nationkey % 7 <> 0
+            UNION ALL
+            SELECT 'EXTRA_' || r_name, CAST(r_regionkey + 100 AS BIGINT)
+            FROM region
+        )
+        SELECT cfg_key,
+               expected_value, actual_value,
+               CASE WHEN expected_value IS NULL THEN 'unexpected'
+                    WHEN actual_value IS NULL THEN 'missing'
+                    WHEN expected_value <> actual_value THEN 'changed'
+                    ELSE 'in_sync' END AS drift_status
+        FROM expected e FULL OUTER JOIN actual a USING (cfg_key)
     """,
     "topn_per_group": """
         SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn

@@ -344,6 +344,55 @@ def drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def config_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — expected-vs-actual config diff via full-outer join + per-field
+    CASE columns (reference: detectConfigMapDrift / detectDeploymentDrift,
+    internal/operator/config/drift.go:73-303, compares a desired spec
+    against the live object field by field and emits typed drift records).
+
+    Expected config = one (cfg_key, cfg_value) row per nation; the "live"
+    side deterministically drops every 7th key (missing), perturbs every
+    5th value (changed), and injects region-derived extras (unexpected).
+    Full-outer on the key, then one `when` chain classifies each row —
+    the Spark restatement of the reference's three drift lists. nation and
+    region are tiny dims: both sides broadcast, zero shuffle at any SF."""
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir)
+    expected = nat.select(
+        F.col("n_name").alias("cfg_key"),
+        F.col("n_regionkey").cast("long").alias("expected_value"),
+    )
+    actual = (
+        nat.filter(F.col("n_nationkey") % 7 != 0)
+        .select(
+            F.col("n_name").alias("cfg_key"),
+            F.when(
+                F.col("n_nationkey") % 5 == 0, F.col("n_regionkey") + 10
+            )
+            .otherwise(F.col("n_regionkey"))
+            .cast("long")
+            .alias("actual_value"),
+        )
+        .unionByName(
+            reg.select(
+                F.concat(F.lit("EXTRA_"), F.col("r_name")).alias("cfg_key"),
+                (F.col("r_regionkey") + 100).cast("long").alias("actual_value"),
+            )
+        )
+    )
+    joined = expected.join(actual, "cfg_key", "full_outer")
+    return joined.select(
+        "cfg_key",
+        "expected_value",
+        "actual_value",
+        F.when(F.col("expected_value").isNull(), F.lit("unexpected"))
+        .when(F.col("actual_value").isNull(), F.lit("missing"))
+        .when(F.col("expected_value") != F.col("actual_value"), F.lit("changed"))
+        .otherwise(F.lit("in_sync"))
+        .alias("drift_status"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows (W4, W5, rolling frames, multi-key sort W8)
 # ---------------------------------------------------------------------------

@@ -3,6 +3,7 @@
 from pyspark.sql import functions as F
 
 from jira_cdc_git_spark.operators import graph as G
+from jira_cdc_git_spark.operators import relational as R
 from jira_cdc_git_spark.operators import text as T
 from jira_cdc_git_spark.operators import vectors as V
 
@@ -46,6 +47,23 @@ def test_cosine_topk_scores_bounded(spark, sf_dir):
     sims = [r["cos_sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_config_drift_classifies_all_four_states(spark, sf_dir):
+    rows = R.config_drift(spark, sf_dir).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["drift_status"], []).append(r)
+    assert set(by_status) == {"in_sync", "missing", "changed", "unexpected"}
+    # nationkeys 0,7,14,21 dropped from the live side -> 4 missing
+    assert len(by_status["missing"]) == 4
+    # 5 region-derived extras, none expected
+    assert len(by_status["unexpected"]) == 5
+    assert all(r["expected_value"] is None for r in by_status["unexpected"])
+    # changed rows differ by exactly the +10 perturbation
+    assert all(
+        r["actual_value"] - r["expected_value"] == 10 for r in by_status["changed"]
+    )
 
 
 def test_ivf_topk_recall_against_brute_force(spark, sf_dir):
