@@ -71,10 +71,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_breakdown": T.lang_breakdown,
         "doc_fingerprints": T.doc_fingerprints,
         "neardup_pairs_lsh": T.neardup_pairs_lsh,
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "quality_score": T.quality_score,
+        "winnow_fingerprints": T.winnow_fingerprints,
         "simhash_signatures": T.simhash_signatures,
         # --- vector similarity extension surface ---
         "cosine_topk": V.cosine_topk,
         "ivf_topk": V.ivf_topk,
+        "embedding_neardup": V.embedding_neardup,
         # --- event-time / windowing extension surface ---
         "tumbling_hourly": TS.tumbling_hourly,
         "sliding_windows": TS.sliding_windows,
@@ -382,6 +386,82 @@ _ORACLES: dict[str, str] = {
         )
         SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
     """,
+    "ngram_jaccard_pairs": """
+        WITH d AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN length(t) >= 5
+                     THEN list_transform(generate_series(1, CAST(length(t) AS INTEGER) - 4),
+                                         i -> substr(t, CAST(i AS INTEGER), 5))
+                     ELSE [] END)) AS sh
+            FROM d
+        ), blocks AS (
+            SELECT doc_id, unnest([min(md5('0:' || sh)), min(md5('1:' || sh))]) AS bk
+            FROM sh GROUP BY doc_id
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM blocks a JOIN blocks b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+            GROUP BY c.doc_a, c.doc_b
+        ), jac AS (
+            SELECT doc_a, doc_b,
+                   floor(n_inter / (za.n_sh + zb.n_sh - n_inter) * 10000 + 0.5) / 10000
+                     AS jaccard
+            FROM inter
+            JOIN sizes za ON za.doc_id = doc_a
+            JOIN sizes zb ON zb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+    "quality_score": """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                     / length(text) AS punct
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   least(len(toks) / 50.0, 1.0) AS len_score,
+                   punct,
+                   least(len(list_filter(toks,
+                         x -> x IN ('the','a','of','and','to','in','is','it')))
+                         * 1.0 / len(toks) * 4.0, 1.0) AS stop_score
+            FROM t
+        ), q AS (
+            SELECT doc_id,
+                   floor((0.4 * len_score + 0.3 * (1.0 - punct) + 0.3 * stop_score)
+                         * 1000 + 0.5) / 1000 AS quality
+            FROM s
+        )
+        SELECT doc_id, quality, quality >= 0.6 AS keep FROM q
+    """,
+    "winnow_fingerprints": """
+        WITH d AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, unnest(
+                CASE WHEN length(t) >= 8
+                     THEN list_transform(generate_series(1, CAST(length(t) AS INTEGER) - 7),
+                                         i -> {'pos': i,
+                                               'h': md5(substr(t, CAST(i AS INTEGER), 8))})
+                     ELSE [] END) AS g
+            FROM d
+        )
+        SELECT DISTINCT doc_id,
+               min(g.h) OVER (PARTITION BY doc_id ORDER BY g.pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+    """,
     "cosine_topk": """
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                    FROM embeddings),
@@ -426,6 +506,38 @@ _ORACLES: dict[str, str] = {
         WHERE cluster_id IN (SELECT cent_id FROM qc) AND vec_id <> 0
         ORDER BY cos_sim DESC, vec_id
         LIMIT 10
+    """,
+    "embedding_neardup": """
+        WITH clones AS (
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_prepend(CAST(embedding[1] + 0.01 AS FLOAT), embedding[2:])
+                     AS embedding
+            FROM embeddings WHERE vec_id % 10 = 0
+        ), corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id, embedding FROM clones
+        ), b AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   concat(
+                       CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END
+                   ) AS bucket
+            FROM corpus
+        ), pairs AS (
+            SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                   round(list_dot_product(a.emb, c.emb)
+                         / sqrt(list_dot_product(a.emb, a.emb)
+                                * list_dot_product(c.emb, c.emb)), 2) AS cos_sim
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        )
+        SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.99
     """,
     "tumbling_hourly": """
         SELECT date_trunc('hour', ts) AS hour_ts, event_type,

@@ -49,6 +49,42 @@ def avg_token_len(text: Column) -> Column:
     ) / F.size(toks)
 
 
+def normalize(text: Column) -> Column:
+    """Lowercase + collapse whitespace — the shared normalization step of
+    every fingerprint/shingle family here."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text (the finer-grained
+    shingle family for n-gram Jaccard dedup; word shingles miss
+    near-dups that differ by small intra-word edits)."""
+    t = normalize(text)
+    raw = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+        lambda i: F.substring(t, i, n),
+    )
+    return F.array_distinct(
+        F.when(F.length(t) >= n, raw).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are neither alphanumeric nor whitespace
+    — a classic boilerplate/garbage signal in LLM-corpus quality scoring."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.length(text)
+
+
+def round_half_up(col: Column, digits: int) -> Column:
+    """floor(x·10^d + 0.5)/10^d — identical half-up rounding of the binary
+    double in Spark AND DuckDB (Spark's F.round half-up-rounds the
+    shortest-decimal repr instead; DuckDB rounds the binary value — they
+    disagree one ulp from a .5 boundary)."""
+    p = 10 ** digits
+    return F.floor(col * p + F.lit(0.5)) / p
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized (lowercased,
     whitespace-collapsed) text — the SHA-256-checksum idea from

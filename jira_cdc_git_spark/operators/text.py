@@ -135,6 +135,123 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs — the finer-grained sibling
+    of `neardup_pairs_lsh` (word shingles miss near-dups that differ by
+    intra-word edits; char 5-grams catch them).
+
+    Scale shape: NOT all-pairs. Each doc lands in 2 blocks keyed by its
+    min-md5 char-shingle under 2 seeds (single-hash LSH: a pair with true
+    Jaccard j collides in ≥1 block with prob 1-(1-j)²); exact Jaccard is
+    then computed only for colliding pairs via a candidate-scoped shingle
+    intersection join. One shuffle on block key + one on (pair, shingle).
+    """
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    sh = docs.select(
+        "doc_id", F.explode(TX.char_shingles(F.col("text"), n)).alias("sh")
+    ).persist()
+    blocks = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))).alias("bk0"),
+            F.min(F.md5(F.concat(F.lit("1:"), F.col("sh")))).alias("bk1"),
+        )
+        .select("doc_id", F.explode(F.array("bk0", "bk1")).alias("bk"))
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(b, "bk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard",
+            TX.round_half_up(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score (LLM-corpus filtering): length,
+    punctuation ratio, and stopword-presence signals folded into one
+    [0,1] score with a keep/drop verdict. Pure narrow projection — zero
+    shuffle, embarrassingly parallel at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    len_score = F.least(TX.token_count(text) / 50.0, F.lit(1.0))
+    punct = TX.punct_ratio(text)
+    stop_score = F.least(TX.stopword_ratio(text) * 4.0, F.lit(1.0))
+    score = TX.round_half_up(
+        0.4 * len_score + 0.3 * (1.0 - punct) + 0.3 * stop_score, 3
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("quality"),
+        (score >= 0.6).alias("keep"),
+    )
+
+
+def winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash min-sampling, the
+    MOSS scheme): hash every char k-gram, slide a w-gram window, keep the
+    window minimum, dedup. ~1/w of the k-gram hashes survive as the doc's
+    fingerprint set — two docs sharing any fingerprint share a k-char run.
+
+    Everything is per-doc local: the only shuffle is the window's
+    partitionBy(doc_id). The hash family is md5 (lexicographic min), so
+    DuckDB replays it exactly."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    t = TX.normalize(F.col("text"))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.length(t) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - (k - 1)),
+                    lambda i: F.substring(t, i, k),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.md5(F.col("gram")).alias("h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.select("doc_id", F.min("h").over(win).alias("fp"))
+        .distinct()
+    )
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures per document (near-dup clustering by
     Hamming distance; xxhash64-based so Spark-only — no SQL oracle,

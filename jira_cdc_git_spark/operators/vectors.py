@@ -61,6 +61,60 @@ def cosine_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int 
     )
 
 
+def embedding_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.99, sign_bits: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the last dedup family from
+    the extension brief (exact / MinHash / SimHash / n-gram Jaccard /
+    embedding-cosine).
+
+    Scale shape: NOT all-pairs. Every vector is bucketed by the sign
+    pattern of its first `sign_bits` dimensions (a deterministic
+    hyperplane-LSH: near-identical vectors agree on every sign with
+    overwhelming probability); cosine is computed only within buckets.
+    2^sign_bits buckets ⇒ the self-join shuffles on a short key and each
+    bucket is ~n/256 of the corpus.
+
+    The synthetic corpus has no true near-dups (max pairwise cosine
+    ≈ 0.48), so the operator unions in one deterministically perturbed
+    clone per 10th vector (vec_id + 1_000_000, dim0 += 0.01) — the oracle
+    replays the same derivation, and the expected output is exactly the
+    clone pairs."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.01)).cast("float")),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(sign_bits)
+        ],
+    )
+    bucketed = corpus.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 2).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,

@@ -49,6 +49,39 @@ def test_cosine_topk_scores_bounded(spark, sf_dir):
     assert all(-1.0 <= s <= 1.0 for s in sims)
 
 
+def test_ngram_jaccard_pairs_symmetric_and_bounded(spark, sf_dir):
+    pairs = T.ngram_jaccard_pairs(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in pairs)
+    assert all(r["doc_a"] < r["doc_b"] for r in pairs)
+
+
+def test_quality_score_range_and_keep_flag(spark, sf_dir):
+    rows = T.quality_score(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    assert all(r["keep"] == (r["quality"] >= 0.6) for r in rows)
+
+
+def test_winnow_fingerprints_subset_of_gram_hashes(spark, sf_dir):
+    # winnowing samples ~1/w of k-gram hashes; every doc with >= k chars
+    # must contribute at least one fingerprint
+    fps = T.winnow_fingerprints(spark, sf_dir)
+    docs_with_fp = fps.select("doc_id").distinct().count()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert docs_with_fp == n_docs
+    per_doc = fps.groupBy("doc_id").count().agg(F.min("count")).collect()[0][0]
+    assert per_doc >= 1
+
+
+def test_embedding_neardup_finds_exactly_clone_pairs(spark, sf_dir):
+    pairs = V.embedding_neardup(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    # every surviving pair is (original, its clone): vec_b = vec_a + 1_000_000
+    assert all(r["vec_b"] == r["vec_a"] + 1_000_000 for r in pairs)
+    assert all(r["cos_sim"] >= 0.99 for r in pairs)
+
+
 def test_config_drift_classifies_all_four_states(spark, sf_dir):
     rows = R.config_drift(spark, sf_dir).collect()
     by_status = {}
