@@ -339,50 +339,44 @@ _ORACLES: dict[str, str] = {
     "neardup_pairs_lsh": """
         WITH toks AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-        ), sh AS (
-            SELECT doc_id, unnest(list_distinct(
+        ), sets AS (
+            SELECT doc_id, list_distinct(
                 CASE WHEN len(t) >= 3
                      THEN list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
                                          i -> array_to_string(t[i:i+2], ' '))
-                     ELSE [] END)) AS shingle
+                     ELSE [] END) AS shs
             FROM toks
         ), sigs AS (
-            SELECT doc_id,
-                   min(md5('0:'  || shingle)) AS mh_0,  min(md5('1:'  || shingle)) AS mh_1,
-                   min(md5('2:'  || shingle)) AS mh_2,  min(md5('3:'  || shingle)) AS mh_3,
-                   min(md5('4:'  || shingle)) AS mh_4,  min(md5('5:'  || shingle)) AS mh_5,
-                   min(md5('6:'  || shingle)) AS mh_6,  min(md5('7:'  || shingle)) AS mh_7,
-                   min(md5('8:'  || shingle)) AS mh_8,  min(md5('9:'  || shingle)) AS mh_9,
-                   min(md5('10:' || shingle)) AS mh_10, min(md5('11:' || shingle)) AS mh_11,
-                   min(md5('12:' || shingle)) AS mh_12, min(md5('13:' || shingle)) AS mh_13,
-                   min(md5('14:' || shingle)) AS mh_14, min(md5('15:' || shingle)) AS mh_15
-            FROM sh GROUP BY doc_id
+            SELECT doc_id, shs,
+                   list_min(list_transform(shs, x -> md5('0:' || x))) AS mh_0,
+                   list_min(list_transform(shs, x -> md5('1:' || x))) AS mh_1,
+                   list_min(list_transform(shs, x -> md5('2:' || x))) AS mh_2,
+                   list_min(list_transform(shs, x -> md5('3:' || x))) AS mh_3,
+                   list_min(list_transform(shs, x -> md5('4:' || x))) AS mh_4,
+                   list_min(list_transform(shs, x -> md5('5:' || x))) AS mh_5,
+                   list_min(list_transform(shs, x -> md5('6:' || x))) AS mh_6,
+                   list_min(list_transform(shs, x -> md5('7:' || x))) AS mh_7
+            FROM sets
         ), bands AS (
-            SELECT doc_id, 0 AS band, md5(concat_ws('|', mh_0,  mh_1,  mh_2,  mh_3))  AS band_key FROM sigs
+            SELECT doc_id, 0 AS band, md5(concat_ws('|', mh_0, mh_1)) AS band_key FROM sigs
             UNION ALL
-            SELECT doc_id, 1, md5(concat_ws('|', mh_4,  mh_5,  mh_6,  mh_7))  FROM sigs
+            SELECT doc_id, 1, md5(concat_ws('|', mh_2, mh_3)) FROM sigs
             UNION ALL
-            SELECT doc_id, 2, md5(concat_ws('|', mh_8,  mh_9,  mh_10, mh_11)) FROM sigs
+            SELECT doc_id, 2, md5(concat_ws('|', mh_4, mh_5)) FROM sigs
             UNION ALL
-            SELECT doc_id, 3, md5(concat_ws('|', mh_12, mh_13, mh_14, mh_15)) FROM sigs
+            SELECT doc_id, 3, md5(concat_ws('|', mh_6, mh_7)) FROM sigs
         ), cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-        ), inter AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-            FROM cand c
-            JOIN sh sa ON sa.doc_id = c.doc_a
-            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-            GROUP BY c.doc_a, c.doc_b
         ), jac AS (
-            SELECT doc_a, doc_b,
-                   round(n_inter / (za.n_sh + zb.n_sh - n_inter), 4) AS jaccard
-            FROM inter
-            JOIN sizes za ON za.doc_id = doc_a
-            JOIN sizes zb ON zb.doc_id = doc_b
+            SELECT c.doc_a, c.doc_b,
+                   round(len(list_intersect(sa.shs, sb.shs))
+                         / (len(sa.shs) + len(sb.shs)
+                            - len(list_intersect(sa.shs, sb.shs))), 4) AS jaccard
+            FROM cand c
+            JOIN sets sa ON sa.doc_id = c.doc_a
+            JOIN sets sb ON sb.doc_id = c.doc_b
         )
         SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
     """,
@@ -390,36 +384,38 @@ _ORACLES: dict[str, str] = {
         WITH d AS (
             SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
             FROM documents
-        ), sh AS (
-            SELECT doc_id, unnest(list_distinct(
-                CASE WHEN length(t) >= 5
-                     THEN list_transform(generate_series(1, CAST(length(t) AS INTEGER) - 4),
-                                         i -> substr(t, CAST(i AS INTEGER), 5))
-                     ELSE [] END)) AS sh
+        ), sets AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN length(t) >= 10
+                     THEN list_transform(generate_series(1, CAST(length(t) AS INTEGER) - 9),
+                                         i -> substr(t, CAST(i AS INTEGER), 10))
+                     ELSE [] END) AS shs
             FROM d
+        ), sigs AS (
+            SELECT doc_id, shs,
+                   list_min(list_transform(shs, x -> md5('0:' || x))) AS mh0,
+                   list_min(list_transform(shs, x -> md5('1:' || x))) AS mh1,
+                   list_min(list_transform(shs, x -> md5('2:' || x))) AS mh2,
+                   list_min(list_transform(shs, x -> md5('3:' || x))) AS mh3
+            FROM sets
         ), blocks AS (
-            SELECT doc_id, unnest([min(md5('0:' || sh)), min(md5('1:' || sh))]) AS bk
-            FROM sh GROUP BY doc_id
+            SELECT doc_id, unnest([md5(concat_ws('|', mh0, mh1)),
+                                   md5(concat_ws('|', mh2, mh3))]) AS bk
+            FROM sigs
         ), cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM blocks a JOIN blocks b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-        ), inter AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-            FROM cand c
-            JOIN sh sa ON sa.doc_id = c.doc_a
-            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-            GROUP BY c.doc_a, c.doc_b
         ), jac AS (
-            SELECT doc_a, doc_b,
-                   floor(n_inter / (za.n_sh + zb.n_sh - n_inter) * 10000 + 0.5) / 10000
-                     AS jaccard
-            FROM inter
-            JOIN sizes za ON za.doc_id = doc_a
-            JOIN sizes zb ON zb.doc_id = doc_b
+            SELECT c.doc_a, c.doc_b,
+                   floor(len(list_intersect(sa.shs, sb.shs))
+                         / (len(sa.shs) + len(sb.shs)
+                            - len(list_intersect(sa.shs, sb.shs)))
+                         * 10000 + 0.5) / 10000 AS jaccard
+            FROM cand c
+            JOIN sets sa ON sa.doc_id = c.doc_a
+            JOIN sets sb ON sb.doc_id = c.doc_b
         )
-        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7
     """,
     "quality_score": """
         WITH t AS (

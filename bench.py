@@ -48,6 +48,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = E.queries()
 
+    # untimed warmup: absorb JVM/codegen/parquet-footer startup so the first
+    # measured query reflects steady-state cost, not session bring-up
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]

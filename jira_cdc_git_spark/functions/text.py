@@ -92,6 +92,20 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def seeded_md5(seed: int):
+    """Return a ONE-argument lambda for F.transform that md5-hashes an
+    element under a seed prefix. Binding the seed via closure matters:
+    a `lambda x, s=s:` has arity 2, which F.transform silently treats as
+    the (element, index) form — the "seed" becomes the index Column and
+    every seed degenerates to the same hash family."""
+    prefix = f"{seed}:"
+
+    def _f(x: Column) -> Column:
+        return F.md5(F.concat(F.lit(prefix), x))
+
+    return _f
+
+
 def minhash_columns(shingle_col: str, num_hashes: int = 16) -> list[Column]:
     """One min-aggregate per hash seed: minhash_s = min(md5('s:' || shingle)).
 

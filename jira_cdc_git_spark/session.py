@@ -35,6 +35,15 @@ def get_spark(
     partition coalescing, Arrow transfers, UTC timestamps.
     """
     n = cpus or DEFAULT_CPUS
+    # driver memory must reach the JVM before it launches: the builder
+    # config below is a no-op in client mode once the gateway is up, so
+    # inject it via PYSPARK_SUBMIT_ARGS for the first session in a process
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    if (
+        SparkSession.getActiveSession() is None
+        and "PYSPARK_SUBMIT_ARGS" not in os.environ
+    ):
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
     builder = (
         SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
         .appName(app_name)
@@ -45,7 +54,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
