@@ -33,10 +33,14 @@ BENCH_QUERIES = [
     "asof_last_error",
     "doc_fingerprints",
     "token_stats",
+    "quality_score",
     "neardup_pairs_lsh",
+    "ngram_jaccard_pairs",
+    "winnow_fingerprints",
     "simhash_signatures",
     "cosine_topk",
     "ivf_topk",
+    "embedding_neardup",
     "hierarchy_levels",
 ]
 
