@@ -82,6 +82,24 @@ def test_embedding_neardup_finds_exactly_clone_pairs(spark, sf_dir):
     assert all(r["cos_sim"] >= 0.99 for r in pairs)
 
 
+def test_simhash_operator_equals_scalar_definition(spark, sf_dir):
+    # the packed 16-lane aggregation must reproduce the scalar simhash64
+    # bit-for-bit on every document
+    from jira_cdc_git_spark.functions import text as TX
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    scalar = docs.select("doc_id", TX.simhash64(F.col("text")).alias("simhash"))
+    packed = T.simhash_signatures(spark, sf_dir)
+    n_diff = (
+        packed.alias("p")
+        .join(scalar.alias("s"), "doc_id")
+        .filter(F.col("p.simhash") != F.col("s.simhash"))
+        .count()
+    )
+    assert n_diff == 0
+
+
 def test_config_drift_classifies_all_four_states(spark, sf_dir):
     rows = R.config_drift(spark, sf_dir).collect()
     by_status = {}
