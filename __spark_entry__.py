@@ -68,7 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_levels": G.hierarchy_over_orders,
         # --- text / dedup extension surface ---
         "token_stats": T.token_stats,
+        "bpe_token_estimate": T.bpe_token_estimate,
         "lang_breakdown": T.lang_breakdown,
+        "lang_id": T.lang_id,
         "doc_fingerprints": T.doc_fingerprints,
         "neardup_pairs_lsh": T.neardup_pairs_lsh,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
@@ -379,6 +381,49 @@ _ORACLES: dict[str, str] = {
             JOIN sets sb ON sb.doc_id = c.doc_b
         )
         SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+    "lang_id": """
+        WITH t AS (
+            SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit'))) * 1.0 / len(toks) AS s_de,
+                   len(list_filter(toks, x -> x IN ('the','and','of','is','to','in','it'))) * 1.0 / len(toks) AS s_en,
+                   len(list_filter(toks, x -> x IN ('el','los','las','y','es','que','por'))) * 1.0 / len(toks) AS s_es,
+                   len(list_filter(toks, x -> x IN ('le','les','et','est','que','pour','dans'))) * 1.0 / len(toks) AS s_fr,
+                   len(list_filter(toks, x -> x IN ('de5','shi4','le5','he2','zai4','you3','wo3'))) * 1.0 / len(toks) AS s_zh
+            FROM t
+        ), b AS (
+            SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+                   greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+            FROM s
+        ), d AS (
+            SELECT doc_id, lang,
+                   CASE WHEN s_de = best THEN 'de'
+                        WHEN s_en = best THEN 'en'
+                        WHEN s_es = best THEN 'es'
+                        WHEN s_fr = best THEN 'fr'
+                        WHEN s_zh = best THEN 'zh' END AS detected_lang,
+                   floor(best * 10000 + 0.5) / 10000 AS best_score
+            FROM b
+        )
+        SELECT doc_id, detected_lang, best_score,
+               lang = detected_lang AS agrees_with_tag
+        FROM d
+    """,
+    "bpe_token_estimate": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^\\sA-Za-z0-9]')) AS INTEGER)
+                     AS bpe_tokens
+            FROM documents
+        )
+        SELECT doc_id, ws_tokens, bpe_tokens,
+               floor(bpe_tokens * 1.0 / ws_tokens * 10000 + 0.5) / 10000
+                 AS subwords_per_word
+        FROM t
     """,
     "ngram_jaccard_pairs": """
         WITH d AS (

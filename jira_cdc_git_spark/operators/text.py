@@ -147,6 +147,76 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
+# per-language stopword profiles for the lang-ID heuristic (tiny and
+# deterministic on purpose — oracle-expressible in plain SQL)
+LANG_PROFILES = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+    "en": ["the", "and", "of", "is", "to", "in", "it"],
+    "es": ["el", "los", "las", "y", "es", "que", "por"],
+    "fr": ["le", "les", "et", "est", "que", "pour", "dans"],
+    "zh": ["de5", "shi4", "le5", "he2", "zai4", "you3", "wo3"],
+}
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID inference via stopword-profile scoring (the n-gram
+    heuristic family: score each language's closed-class word profile
+    against the token stream, take the argmax; ties break to the
+    alphabetically-first language). Emits the inferred language alongside
+    the corpus tag so downstream quality pipelines can quantify tag
+    drift. Pure narrow projection — zero shuffle at any scale.
+
+    (On this synthetic corpus every document is generated from the same
+    pseudo-English vocabulary, so inference legitimately returns 'en'
+    everywhere — the agreement column is the point.)"""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+
+    def profile_pred(words):
+        # one-arg closure: a default-arg lambda would have arity 2 and be
+        # misread by F.filter as the (element, index) form
+        def _f(t):
+            return t.isin(*words)
+
+        return _f
+
+    scores = {
+        lang: F.size(F.filter(toks, profile_pred(words))) / n
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    detected = F.lit(None).cast("string")
+    # chained first-match CASE in alphabetical order = deterministic ties
+    expr = None
+    for lang in sorted(LANG_PROFILES):
+        cond = scores[lang] == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        expr.alias("detected_lang"),
+        TX.round_half_up(best, 4).alias("best_score"),
+        (F.col("lang") == expr).alias("agrees_with_tag"),
+    )
+
+
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, twice: whitespace words and a BPE-ish subword
+    estimate (runs of ≤4 alphanumerics count as one subword, every other
+    non-space character is its own token — the shape of byte-pair vocab
+    segmentation without a vocab file). Narrow projection, zero shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    ws = TX.token_count(text)
+    bpe = F.regexp_count(text, F.lit(r"[A-Za-z0-9]{1,4}|[^\sA-Za-z0-9]"))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        TX.round_half_up(bpe / ws, 4).alias("subwords_per_word"),
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, n: int = 10, threshold: float = 0.7
 ) -> DataFrame:

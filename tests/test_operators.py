@@ -82,6 +82,28 @@ def test_embedding_neardup_finds_exactly_clone_pairs(spark, sf_dir):
     assert all(r["cos_sim"] >= 0.99 for r in pairs)
 
 
+def test_lang_id_detects_and_flags_agreement(spark, sf_dir):
+    rows = T.lang_id(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["detected_lang"] in T.LANG_PROFILES for r in rows)
+    # the synthetic corpus is pseudo-English: inference must say 'en'
+    # whenever any profile word is present at all
+    for r in rows:
+        if r["best_score"] > 0:
+            assert r["detected_lang"] == "en"
+    # corpus carries non-en tags, so agreement must be partial, not total
+    agrees = [r["agrees_with_tag"] for r in rows]
+    assert any(agrees) and not all(agrees)
+
+
+def test_bpe_estimate_at_least_ws_tokens(spark, sf_dir):
+    rows = T.bpe_token_estimate(spark, sf_dir).collect()
+    assert len(rows) > 0
+    # every whitespace word maps to >= 1 subword
+    assert all(r["bpe_tokens"] >= r["ws_tokens"] for r in rows)
+    assert all(r["subwords_per_word"] >= 1.0 for r in rows)
+
+
 def test_simhash_operator_equals_scalar_definition(spark, sf_dir):
     # the packed 16-lane aggregation must reproduce the scalar simhash64
     # bit-for-bit on every document
