@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- vector similarity extension surface ---
         "cosine_topk": V.cosine_topk,
         "ivf_topk": V.ivf_topk,
+        "ivf_topk_kmeans": V.ivf_topk_kmeans,  # iterative k-means — rows-only check
         "embedding_neardup": V.embedding_neardup,
         # --- event-time / windowing extension surface ---
         "tumbling_hourly": TS.tumbling_hourly,

@@ -61,6 +61,147 @@ def cosine_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int 
     )
 
 
+def _assign_clusters(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """One NARROW assignment pass: centroids collapse to a broadcast
+    array-of-structs; every vector scores all of them inside a transform
+    and takes the lexicographic array_max (highest cosine, ties to lowest
+    centroid id). The corpus is touched exactly once per call."""
+    cents_arr = cents.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cent_id"),
+                F.col("cent_emb"),
+                norm2(_as_double(F.col("cent_emb"))).alias("cent_n2"),
+            )
+        ).alias("cs")
+    )
+    e_n2 = norm2(_as_double(F.col("embedding")))
+    best = F.array_max(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                (
+                    dot(_as_double(F.col("embedding")), _as_double(c.cent_emb))
+                    / F.sqrt(F.col("e_n2") * c.cent_n2)
+                ).alias("d"),
+                (-c.cent_id).alias("neg_id"),
+            ),
+        )
+    )
+    return (
+        emb.withColumn("e_n2", e_n2)
+        .crossJoin(F.broadcast(cents_arr))
+        .withColumn("cluster_id", -best.getField("neg_id"))
+        .drop("cs", "e_n2")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame, k: int = 16, iters: int = 3
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the real
+    trainer behind the IVF index (replaces the first-k-by-id centroid
+    stand-in). Init = first k vectors by vec_id; each iteration is one
+    narrow assignment pass + one mean-update shuffle.
+
+    The mean update posexplodes embeddings to (cluster, dim, val) rows and
+    averages per (cluster, dim) — at 100 TB that is a dims× row blowup but
+    it is the standard distributed formulation: partial aggregation makes
+    the shuffle k×dims rows regardless of corpus size. Empty clusters keep
+    their previous centroid. Iterations localCheckpoint so lineage stays
+    flat (the driver loop is O(iters), like the hierarchy fixpoint J1)."""
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = _assign_clusters(emb, cents)
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode(_as_double(F.col("embedding")))
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                F.col("cluster_id").alias("cent_id"),
+                F.transform(
+                    F.col("pm"), lambda x: x.m.cast("float")
+                ).alias("cent_emb"),
+            )
+        )
+        # empty clusters: keep the previous centroid (left join fallback)
+        cents = (
+            cents.alias("old")
+            .join(means.alias("new"), "cent_id", "left_outer")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("new.cent_emb"), F.col("old.cent_emb")).alias(
+                    "cent_emb"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def ivf_topk_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_iters: int = 3,
+) -> DataFrame:
+    """IVF top-k over TRAINED k-means centroids — the production ANN path
+    (ivf_topk keeps the deterministic first-k centroids so its SQL oracle
+    stays replayable; this variant is the iterative-algorithm form the
+    driver checks rows-only). At 100 TB the corpus is written partitioned
+    by cluster_id so probes prune at the parquet-partition level."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    cents = kmeans_centroids(emb, n_centroids, train_iters)
+    assigned = _assign_clusters(emb, cents).select(
+        "vec_id", "label", "embedding", "cluster_id"
+    )
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("q_embedding"))
+        .localCheckpoint()
+    )
+    q_clusters = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("d", cosine(F.col("cent_emb"), F.col("q_embedding")))
+        .orderBy(F.col("d").desc(), F.col("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+        .localCheckpoint()
+    )
+    probe = assigned.join(
+        F.broadcast(q_clusters), assigned.cluster_id == q_clusters.cent_id, "left_semi"
+    )
+    return (
+        probe.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_neardup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.99, sign_bits: int = 8
 ) -> DataFrame:
@@ -151,42 +292,11 @@ def ivf_topk(
         .select(F.col("embedding").alias("q_embedding"))
         .localCheckpoint()
     )
-    # Assignment is a single NARROW pass: the n_centroids rows collapse into
-    # one array-of-structs row (broadcast), each vector scores all centroids
-    # inside a transform lambda and takes array_max. No row blowup, no
-    # window shuffle — at 100 TB the corpus is touched exactly once.
-    # Norms are hoisted: the corpus norm is folded once per ROW (not once
-    # per row×centroid) and centroid norms once per centroid.
-    # array_max on struct(d, neg_cent_id) = lexicographic max ≡ highest
-    # cosine, ties to the LOWEST centroid id (matching the oracle's
-    # ORDER BY d DESC, cent_id).
-    cents_arr = cents.agg(
-        F.collect_list(
-            F.struct(
-                F.col("cent_id"),
-                F.col("cent_emb"),
-                norm2(_as_double(F.col("cent_emb"))).alias("cent_n2"),
-            )
-        ).alias("cs")
-    )
-    e_n2 = norm2(_as_double(F.col("embedding")))
-    best = F.array_max(
-        F.transform(
-            F.col("cs"),
-            lambda c: F.struct(
-                (
-                    dot(_as_double(F.col("embedding")), _as_double(c.cent_emb))
-                    / F.sqrt(F.col("e_n2") * c.cent_n2)
-                ).alias("d"),
-                (-c.cent_id).alias("neg_id"),
-            ),
-        )
-    )
-    assigned = (
-        emb.withColumn("e_n2", e_n2)
-        .crossJoin(F.broadcast(cents_arr))
-        .withColumn("cluster_id", -best.getField("neg_id"))
-        .select("vec_id", "label", "embedding", "cluster_id")
+    # Assignment via _assign_clusters: one narrow pass, hoisted norms,
+    # lexicographic array_max ≡ highest cosine with ties to the LOWEST
+    # centroid id (matching the oracle's ORDER BY d DESC, cent_id).
+    assigned = _assign_clusters(emb, cents).select(
+        "vec_id", "label", "embedding", "cluster_id"
     )
     q_clusters = (
         cents.crossJoin(F.broadcast(q))
