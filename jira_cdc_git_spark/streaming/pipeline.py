@@ -123,6 +123,115 @@ def run_incremental_stream(
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+_SESSION_STATE_SCHEMA = (
+    "session_start timestamp, last_ts timestamp, n_events bigint, "
+    "total_value double"
+)
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> None:
+    """Custom stateful streaming operator: per-user sessionization with a
+    30-minute inactivity gap via ``applyInPandasWithState`` (the Spark
+    primitive for operators the built-in windowing can't express — the
+    streaming twin of operators/timeseries.sessionize, which does the same
+    with lag+cumsum in batch).
+
+    Per-user GroupState carries (session_start, last_ts, n_events,
+    total_value). A batch's events extend or close sessions; closed
+    sessions are emitted immediately, the open tail stays in state with an
+    event-time timeout at last_ts + gap, so watermark progress flushes
+    idle sessions exactly once. State size is O(active users), not
+    O(events) — the 100 TB-safe shape."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            ss, lt, n, tv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": ss,
+                        "session_end": lt,
+                        "n_events": n,
+                        "total_value": tv,
+                    }
+                ]
+            )
+            return
+        events = pd.concat(list(pdf_iter)).sort_values("ts")
+        if state.exists:
+            ss, lt, n, tv = state.get
+            ss, lt = pd.Timestamp(ss), pd.Timestamp(lt)
+        else:
+            ss = lt = None
+            n, tv = 0, 0.0
+        closed = []
+        for ts, value in zip(events["ts"], events["value"]):
+            ts = pd.Timestamp(ts)
+            if lt is not None and ts - lt > gap:
+                closed.append(
+                    {
+                        "user_id": user_id,
+                        "session_start": ss,
+                        "session_end": lt,
+                        "n_events": n,
+                        "total_value": tv,
+                    }
+                )
+                ss, n, tv = ts, 0, 0.0
+            if ss is None:
+                ss = ts
+            lt = ts
+            n += 1
+            tv += float(value)
+        state.update((ss, lt, n, tv))
+        state.setTimeoutTimestamp(int((lt + gap).timestamp() * 1000))
+        if closed:
+            yield pd.DataFrame(closed)
+
+    feed = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+    )
+    sessions = feed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def streaming_tumbling_hourly(
     spark: SparkSession,
     events_dir: str,

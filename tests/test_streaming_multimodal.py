@@ -86,6 +86,43 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
 # multimodal
 # ---------------------------------------------------------------------------
 
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions CLOSED by a later event
+    in the same run are emitted; each user's open tail stays in state."""
+    from datetime import timedelta
+
+    t0 = datetime(2030, 1, 1, 8, 0, 0)
+    rows = []
+    # user 1: two sessions (3 events, 70-min gap, 2 events)
+    for m in (0, 5, 10):
+        rows.append((1, t0 + timedelta(minutes=m), 1.0))
+    for m in (80, 85):
+        rows.append((1, t0 + timedelta(minutes=m), 2.0))
+    # user 2: one session only (never closed -> not emitted)
+    for m in (0, 20):
+        rows.append((2, t0 + timedelta(minutes=m), 5.0))
+    feed = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    events_dir = str(tmp_path / "events")
+    feed.coalesce(1).write.parquet(events_dir)
+
+    out_dir = str(tmp_path / "sessions")
+    SP.streaming_sessionize(
+        spark,
+        events_dir,
+        "user_id long, ts timestamp, value double",
+        str(tmp_path / "ckpt"),
+        out_dir,
+    )
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1
+    s = got[0]
+    assert s["user_id"] == 1
+    assert s["n_events"] == 3
+    assert s["total_value"] == 3.0
+    assert s["session_start"] == t0
+    assert s["session_end"] == t0 + timedelta(minutes=10)
+
+
 def test_media_table_shape(spark, sf_dir):
     m = MM.media_table(spark, sf_dir)
     assert dict(m.dtypes)["content"] == "binary"
