@@ -65,6 +65,33 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # E2E sync throughput at the reference's benchmark sizes (BASELINE.md:
+    # <30s @100, <120s @500, <300s @1000 issues; floor >= 0.5 issues/s).
+    # Full pipeline per batch: change-filter vs empty state, issues +
+    # commit-log sinks, state MERGE, history append.
+    import shutil
+    import tempfile
+
+    from jira_cdc_git_spark import fixtures as FX
+    from jira_cdc_git_spark.state import SyncStateStore
+    from jira_cdc_git_spark.streaming.pipeline import incremental_sync_batch
+
+    sync: dict[str, dict[str, float]] = {}
+    for n_issues in (100, 500, 1000):
+        tmp = tempfile.mkdtemp(prefix="bench_sync_")
+        try:
+            store = SyncStateStore(os.path.join(tmp, "state"))
+            batch = FX.issues(spark, sf_dir).limit(n_issues)
+            t0 = time.perf_counter()
+            incremental_sync_batch(spark, batch, store, os.path.join(tmp, "out"))
+            dt = time.perf_counter() - t0
+            sync[f"sync_{n_issues}"] = {
+                "sec": round(dt, 3),
+                "issues_per_sec": round(n_issues / dt, 1),
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -74,6 +101,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "sync": sync,
             }
         )
     )
