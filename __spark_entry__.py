@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": MM.media_stats,
         "media_decode_image": MM.decode_image,   # mapInPandas — rows-only check
         "media_frame_sample": MM.frame_sample,   # mapInPandas — rows-only check
+        "media_resize_image": MM.resize_image,   # mapInPandas — rows-only check
+        "media_audio_features": MM.audio_features,  # mapInPandas — rows-only check
     }
 
 

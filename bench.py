@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "tumbling_hourly",
     "sessionize",
     "asof_last_error",
+    "jql_project_active",
+    "incremental_candidates",
+    "epic_hierarchy",
     "doc_fingerprints",
     "token_stats",
     "quality_score",

@@ -136,6 +136,82 @@ def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataFram
     return media.mapInPandas(_sample, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id bigint, width int, height int, target_w int, target_h int,"
+    "resized_hash string"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id bigint, n_samples bigint, mean_amp double, std_amp double,"
+    "rms double"
+)
+
+
+def resize_image(
+    spark: SparkSession, sf_dir: str, target_w: int = 64, target_h: int = 64
+) -> DataFrame:
+    """Resize pass over image rows (mapInPandas, 1→1). The geometry is
+    real (aspect-preserving fit into target_w × target_h from the decoded
+    dims); the pixel resample itself is the stubbed codec step —
+    `resized_hash` stands in for the output payload."""
+    media = media_table(spark, sf_dir).filter(F.col("modality") == "image")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if _HAS_CODECS:  # pragma: no cover - real resample path
+                raise NotImplementedError(
+                    "real PIL resample goes here: img.resize((w, h))"
+                )
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "target_w", "target_h",
+                     "resized_hash")}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(b)
+                w0, h0, _ = _fake_decode(payload)
+                scale = min(target_w / w0, target_h / h0)
+                w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["target_w"].append(target_w)
+                rows["target_h"].append(target_h)
+                rows["resized_hash"].append(
+                    hashlib.md5(payload + f":{w}x{h}".encode()).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract pass over audio rows: byte-level amplitude stats
+    (n_samples, mean, std, RMS) computed with REAL vectorized numpy over
+    Arrow batches — the MFCC-shaped step of a real pipeline, minus the
+    codec (raw bytes stand in for PCM samples)."""
+    import numpy as np
+
+    media = media_table(spark, sf_dir).filter(F.col("modality") == "audio")
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "n_samples", "mean_amp", "std_amp", "rms")}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                samples = np.frombuffer(bytes(b), dtype=np.uint8).astype(
+                    np.float64
+                )
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(samples))
+                out["mean_amp"].append(float(samples.mean()))
+                out["std_amp"].append(float(samples.std()))
+                out["rms"].append(float(np.sqrt((samples**2).mean())))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_features, AUDIO_FEATURES_SCHEMA)
+
+
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-JVM metadata aggregation over the media table (no UDF): per
     modality, payload size stats — the triage query that runs BEFORE any

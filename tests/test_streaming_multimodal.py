@@ -155,6 +155,24 @@ def test_frame_sample_fanout(spark, sf_dir):
     assert mins.filter(F.col("m") != 0).count() == 0
 
 
+def test_resize_preserves_aspect_within_target(spark, sf_dir):
+    rows = MM.resize_image(spark, sf_dir, target_w=64, target_h=64).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r["width"] <= 64 and 1 <= r["height"] <= 64
+        assert max(r["width"], r["height"]) in (63, 64)  # fits the long side
+        assert len(r["resized_hash"]) == 32
+
+
+def test_audio_features_real_numpy_stats(spark, sf_dir):
+    rows = MM.audio_features(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_samples"] > 0
+        assert 0.0 <= r["mean_amp"] <= 255.0
+        assert r["rms"] >= r["mean_amp"] - 1e-9  # RMS >= mean for nonneg data
+
+
 def test_media_stats_jvm_only(spark, sf_dir):
     s = MM.media_stats(spark, sf_dir)
     rows = {r["modality"]: r["n"] for r in s.collect()}
