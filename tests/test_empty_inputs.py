@@ -1,0 +1,43 @@
+"""Empty-input hardening: every pipeline operator must return an empty
+result (not crash) when its source table has zero rows — the partition-
+without-data case every real 100 TB run hits."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark.operators import text as T
+from jira_cdc_git_spark.operators import vectors as V
+from jira_cdc_git_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("empty_sf")
+    for name in ("documents", "embeddings"):
+        df = load_table(spark, name, sf_dir)
+        df.filter(F.lit(False)).write.parquet(str(root / f"{name}.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        T.token_stats,
+        T.quality_score,
+        T.lang_id,
+        T.bpe_token_estimate,
+        T.doc_fingerprints,
+        T.neardup_pairs_lsh,
+        T.ngram_jaccard_pairs,
+        T.winnow_fingerprints,
+        T.simhash_signatures,
+        V.embedding_neardup,
+    ],
+)
+def test_operator_empty_input_yields_empty_output(fn, spark, empty_sf_dir):
+    assert fn(spark, empty_sf_dir).count() == 0
+
+
+def test_topk_empty_corpus(spark, empty_sf_dir):
+    # no query vector exists either — result must be empty, not an error
+    assert V.cosine_topk(spark, empty_sf_dir).count() == 0
