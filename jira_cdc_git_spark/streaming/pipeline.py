@@ -123,6 +123,72 @@ def run_incremental_stream(
     )
 
 
+class ProgressRecorder:
+    """C12/A10 streaming-native progress reporting: a
+    ``StreamingQueryListener`` that appends one JSON line per micro-batch
+    progress event (query id, batch id, rows/sec, input rows, sink) —
+    the Spark replacement for the reference's non-blocking progress
+    channel (internal/sync/batch.go:62-71,349-419). Driver-side file I/O
+    only; no executor involvement.
+
+    Usage:
+        rec = ProgressRecorder(path)
+        spark.streams.addListener(rec.listener)
+        ... run streaming queries ...
+        spark.streams.removeListener(rec.listener)
+    """
+
+    def __init__(self, out_path: str):
+        import os as _os
+
+        self.out_path = out_path
+        _os.makedirs(_os.path.dirname(out_path) or ".", exist_ok=True)
+        parent = self
+
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                parent._write(
+                    {"event": "started", "id": str(event.id), "name": event.name}
+                )
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                parent._write(
+                    {
+                        "event": "progress",
+                        "id": str(p.id),
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "processed_rows_per_second": p.processedRowsPerSecond,
+                    }
+                )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                parent._write({"event": "terminated", "id": str(event.id)})
+
+        self.listener = _L()
+
+    def _write(self, record: dict) -> None:
+        import json
+
+        with open(self.out_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def records(self) -> list[dict]:
+        import json
+        import os as _os
+
+        if not _os.path.exists(self.out_path):
+            return []
+        with open(self.out_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, total_value double"

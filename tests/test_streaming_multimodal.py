@@ -155,6 +155,37 @@ def test_frame_sample_fanout(spark, sf_dir):
     assert mins.filter(F.col("m") != 0).count() == 0
 
 
+def test_progress_recorder_captures_batches(spark, tmp_path):
+    from datetime import timedelta
+
+    rec = SP.ProgressRecorder(str(tmp_path / "progress.jsonl"))
+    spark.streams.addListener(rec.listener)
+    try:
+        t0 = datetime(2030, 1, 1, 8, 0, 0)
+        rows = [(1, "click", t0 + timedelta(minutes=m), 1.0) for m in range(5)]
+        schema = "user_id long, event_type string, ts timestamp, value double"
+        feed = spark.createDataFrame(rows, schema)
+        events_dir = str(tmp_path / "events")
+        feed.coalesce(1).write.parquet(events_dir)
+        SP.streaming_tumbling_hourly(
+            spark,
+            events_dir,
+            schema,
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "out"),
+        )
+        import time as _time
+
+        _time.sleep(2)  # listener events are delivered asynchronously
+        recs = rec.records()
+        assert any(r["event"] == "started" for r in recs)
+        assert any(
+            r["event"] == "progress" and r["num_input_rows"] == 5 for r in recs
+        )
+    finally:
+        spark.streams.removeListener(rec.listener)
+
+
 def test_resize_preserves_aspect_within_target(spark, sf_dir):
     rows = MM.resize_image(spark, sf_dir, target_w=64, target_h=64).collect()
     assert len(rows) > 0
