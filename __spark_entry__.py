@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pairs_lsh": T.neardup_pairs_lsh,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "quality_score": T.quality_score,
+        "corpus_retention": T.corpus_retention,
         "winnow_fingerprints": T.winnow_fingerprints,
         "simhash_signatures": T.simhash_signatures,
         # --- vector similarity extension surface ---
@@ -121,6 +122,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # match the Spark side exactly; integer-typed columns are cast where DuckDB's
 # default width differs from Spark's (row_number → INTEGER, window sum →
 # BIGINT) so the driver's schema check lines up.
+
+# Shared DuckDB CTE block for the word-shingle LSH near-dup pipeline —
+# consumed by both neardup_pairs_lsh and the composed corpus_retention.
+_LSH_CTES = """toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ), sets AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
+                                         i -> array_to_string(t[i:i+2], ' '))
+                     ELSE [] END) AS shs
+            FROM toks
+        ), sigs AS (
+            SELECT doc_id, shs,
+                   list_min(list_transform(shs, x -> md5('0:' || x))) AS mh_0,
+                   list_min(list_transform(shs, x -> md5('1:' || x))) AS mh_1,
+                   list_min(list_transform(shs, x -> md5('2:' || x))) AS mh_2,
+                   list_min(list_transform(shs, x -> md5('3:' || x))) AS mh_3,
+                   list_min(list_transform(shs, x -> md5('4:' || x))) AS mh_4,
+                   list_min(list_transform(shs, x -> md5('5:' || x))) AS mh_5,
+                   list_min(list_transform(shs, x -> md5('6:' || x))) AS mh_6,
+                   list_min(list_transform(shs, x -> md5('7:' || x))) AS mh_7
+            FROM sets
+        ), bands AS (
+            SELECT doc_id, 0 AS band, md5(concat_ws('|', mh_0, mh_1)) AS band_key FROM sigs
+            UNION ALL
+            SELECT doc_id, 1, md5(concat_ws('|', mh_2, mh_3)) FROM sigs
+            UNION ALL
+            SELECT doc_id, 2, md5(concat_ws('|', mh_4, mh_5)) FROM sigs
+            UNION ALL
+            SELECT doc_id, 3, md5(concat_ws('|', mh_6, mh_7)) FROM sigs
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ), jac AS (
+            SELECT c.doc_a, c.doc_b,
+                   round(len(list_intersect(sa.shs, sb.shs))
+                         / (len(sa.shs) + len(sb.shs)
+                            - len(list_intersect(sa.shs, sb.shs))), 4) AS jaccard
+            FROM cand c
+            JOIN sets sa ON sa.doc_id = c.doc_a
+            JOIN sets sb ON sb.doc_id = c.doc_b
+        )"""
+
+# Shared quality-score CTE block (quality_score and corpus_retention).
+_QUALITY_CTES = """qt AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                     / length(text) AS punct
+            FROM documents
+        ), qs AS (
+            SELECT doc_id,
+                   least(len(toks) / 50.0, 1.0) AS len_score,
+                   punct,
+                   least(len(list_filter(toks,
+                         x -> x IN ('the','a','of','and','to','in','is','it')))
+                         * 1.0 / len(toks) * 4.0, 1.0) AS stop_score
+            FROM qt
+        ), qq AS (
+            SELECT doc_id,
+                   floor((0.4 * len_score + 0.3 * (1.0 - punct) + 0.3 * stop_score)
+                         * 1000 + 0.5) / 1000 AS quality
+            FROM qs
+        )"""
+
 _ORACLES: dict[str, str] = {
     "point_lookup": """
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
@@ -341,49 +409,35 @@ _ORACLES: dict[str, str] = {
               FROM documents) t
         GROUP BY fp
     """,
-    "neardup_pairs_lsh": """
-        WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-        ), sets AS (
-            SELECT doc_id, list_distinct(
-                CASE WHEN len(t) >= 3
-                     THEN list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
-                                         i -> array_to_string(t[i:i+2], ' '))
-                     ELSE [] END) AS shs
-            FROM toks
-        ), sigs AS (
-            SELECT doc_id, shs,
-                   list_min(list_transform(shs, x -> md5('0:' || x))) AS mh_0,
-                   list_min(list_transform(shs, x -> md5('1:' || x))) AS mh_1,
-                   list_min(list_transform(shs, x -> md5('2:' || x))) AS mh_2,
-                   list_min(list_transform(shs, x -> md5('3:' || x))) AS mh_3,
-                   list_min(list_transform(shs, x -> md5('4:' || x))) AS mh_4,
-                   list_min(list_transform(shs, x -> md5('5:' || x))) AS mh_5,
-                   list_min(list_transform(shs, x -> md5('6:' || x))) AS mh_6,
-                   list_min(list_transform(shs, x -> md5('7:' || x))) AS mh_7
-            FROM sets
-        ), bands AS (
-            SELECT doc_id, 0 AS band, md5(concat_ws('|', mh_0, mh_1)) AS band_key FROM sigs
-            UNION ALL
-            SELECT doc_id, 1, md5(concat_ws('|', mh_2, mh_3)) FROM sigs
-            UNION ALL
-            SELECT doc_id, 2, md5(concat_ws('|', mh_4, mh_5)) FROM sigs
-            UNION ALL
-            SELECT doc_id, 3, md5(concat_ws('|', mh_6, mh_7)) FROM sigs
-        ), cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        ), jac AS (
-            SELECT c.doc_a, c.doc_b,
-                   round(len(list_intersect(sa.shs, sb.shs))
-                         / (len(sa.shs) + len(sb.shs)
-                            - len(list_intersect(sa.shs, sb.shs))), 4) AS jaccard
-            FROM cand c
-            JOIN sets sa ON sa.doc_id = c.doc_a
-            JOIN sets sb ON sb.doc_id = c.doc_b
-        )
+    "neardup_pairs_lsh": f"""
+        WITH {_LSH_CTES}
         SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+    "corpus_retention": f"""
+        WITH {_LSH_CTES}, {_QUALITY_CTES},
+        q AS (
+            SELECT doc_id, quality >= 0.6 AS q_ok FROM qq
+        ), fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        ), canon AS (
+            SELECT fp, min(doc_id) AS canon_id FROM fp GROUP BY fp
+        ), e AS (
+            SELECT doc_id, doc_id = canon_id AS e_ok
+            FROM fp JOIN canon USING (fp)
+        ), losers AS (
+            SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= 0.8
+        )
+        SELECT q.doc_id,
+               q_ok AND e_ok AND losers.doc_id IS NULL AS keep,
+               CASE WHEN NOT q_ok THEN 'low_quality'
+                    WHEN NOT e_ok THEN 'exact_dup'
+                    WHEN losers.doc_id IS NOT NULL THEN 'near_dup' END
+                 AS drop_reason
+        FROM q
+        JOIN e USING (doc_id)
+        LEFT JOIN losers ON losers.doc_id = q.doc_id
     """,
     "lang_id": """
         WITH t AS (
@@ -465,28 +519,9 @@ _ORACLES: dict[str, str] = {
         )
         SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7
     """,
-    "quality_score": """
-        WITH t AS (
-            SELECT doc_id,
-                   string_split_regex(trim(text), '\\s+') AS toks,
-                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
-                     / length(text) AS punct
-            FROM documents
-        ), s AS (
-            SELECT doc_id,
-                   least(len(toks) / 50.0, 1.0) AS len_score,
-                   punct,
-                   least(len(list_filter(toks,
-                         x -> x IN ('the','a','of','and','to','in','is','it')))
-                         * 1.0 / len(toks) * 4.0, 1.0) AS stop_score
-            FROM t
-        ), q AS (
-            SELECT doc_id,
-                   floor((0.4 * len_score + 0.3 * (1.0 - punct) + 0.3 * stop_score)
-                         * 1000 + 0.5) / 1000 AS quality
-            FROM s
-        )
-        SELECT doc_id, quality, quality >= 0.6 AS keep FROM q
+    "quality_score": f"""
+        WITH {_QUALITY_CTES}
+        SELECT doc_id, quality, quality >= 0.6 AS keep FROM qq
     """,
     "winnow_fingerprints": """
         WITH d AS (

@@ -341,6 +341,52 @@ def winnow_fingerprints(
     )
 
 
+def corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline — the flagship of the
+    extension surface: decide per document whether it survives
+
+      1. quality gate      (quality_score >= 0.6)
+      2. exact dedup       (keep only the min-doc_id copy of each md5
+                            fingerprint group)
+      3. near-dup removal  (of every LSH-verified pair with Jaccard >= 0.8,
+                            the higher doc_id loses)
+
+    and emit (doc_id, keep, drop_reason) with the FIRST failing stage as
+    the reason — the audit trail a 100 TB cleaning run must produce.
+    Every stage reuses the scale-shaped primitives above (banded LSH, one
+    hash-groupBy), so the composition inherits their shuffle story."""
+    quality = quality_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_ok")
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    exact_ok = fp.join(canon, "fp").select(
+        "doc_id", (F.col("doc_id") == F.col("canon_id")).alias("e_ok")
+    )
+    losers = (
+        neardup_pairs_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("n_lost", F.lit(True))
+    )
+    out = (
+        quality.join(exact_ok, "doc_id")
+        .join(losers, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            (F.col("q_ok") & F.col("e_ok") & F.col("n_lost").isNull()).alias(
+                "keep"
+            ),
+            F.when(~F.col("q_ok"), F.lit("low_quality"))
+            .when(~F.col("e_ok"), F.lit("exact_dup"))
+            .when(F.col("n_lost").isNotNull(), F.lit("near_dup"))
+            .alias("drop_reason"),
+        )
+    )
+    return out
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures per document (near-dup clustering by
     Hamming distance; xxhash64-based so Spark-only — no SQL oracle,

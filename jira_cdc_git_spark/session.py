@@ -38,7 +38,11 @@ def get_spark(
     # driver memory must reach the JVM before it launches: the builder
     # config below is a no-op in client mode once the gateway is up, so
     # inject it via PYSPARK_SUBMIT_ARGS for the first session in a process
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # local[N] is a single JVM: driver heap IS the executor heap. 8g starves
+    # a 32-thread run once cached/checkpointed blocks accumulate (GC stalls
+    # measured 10-20× on late queries in a long session); default higher and
+    # let small environments override down.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     if (
         SparkSession.getActiveSession() is None
         and "PYSPARK_SUBMIT_ARGS" not in os.environ

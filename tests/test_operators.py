@@ -82,6 +82,24 @@ def test_embedding_neardup_finds_exactly_clone_pairs(spark, sf_dir):
     assert all(r["cos_sim"] >= 0.99 for r in pairs)
 
 
+def test_corpus_retention_reasons_consistent(spark, sf_dir):
+    rows = T.corpus_retention(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs  # verdict for EVERY document
+    kept = [r for r in rows if r["keep"]]
+    dropped = [r for r in rows if not r["keep"]]
+    assert kept and dropped
+    assert all(r["drop_reason"] is None for r in kept)
+    assert all(
+        r["drop_reason"] in ("low_quality", "exact_dup", "near_dup")
+        for r in dropped
+    )
+    # near-dup losers recorded by the pipeline must be dropped here
+    losers = {r["doc_b"] for r in T.neardup_pairs_lsh(spark, sf_dir).collect()}
+    by_id = {r["doc_id"]: r for r in rows}
+    assert all(not by_id[d]["keep"] for d in losers)
+
+
 def test_lang_id_detects_and_flags_agreement(spark, sf_dir):
     rows = T.lang_id(spark, sf_dir).collect()
     assert len(rows) > 0
