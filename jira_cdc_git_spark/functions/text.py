@@ -106,18 +106,6 @@ def seeded_md5(seed: int):
     return _f
 
 
-def minhash_columns(shingle_col: str, num_hashes: int = 16) -> list[Column]:
-    """One min-aggregate per hash seed: minhash_s = min(md5('s:' || shingle)).
-
-    md5 as the hash family keeps the signature engine-portable (identical in
-    DuckDB), deterministic, and JVM-evaluated. 16 hashes / 4 bands is the
-    classic 0.8-threshold operating point."""
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col(shingle_col)))).alias(f"mh_{s}")
-        for s in range(num_hashes)
-    ]
-
-
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over whitespace tokens, built-ins only.
 
