@@ -89,6 +89,53 @@ class SyncStateStore:
             if name.startswith("v_") and int(name[2:]) < keep_from:
                 shutil.rmtree(os.path.join(self.state_dir, name))
 
+    # -- bucketed variant: co-located CDC join ----------------------------
+
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        table: str = "sync_state_bucketed",
+        buckets: int = 32,
+    ) -> None:
+        """Persist state as a BUCKETED catalog table (bucketBy key) — the
+        100 TB layout: the state side of every subsequent change-detection
+        join is read pre-partitioned, so ONLY the candidate side shuffles.
+        The versioned-parquet path stays the source of truth; this is the
+        serving layout (on Delta/Iceberg it'd be the same table)."""
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, "key")
+            .sortBy("key")
+            .saveAsTable(table)
+        )
+
+    def filter_changes_bucketed(
+        self,
+        spark: SparkSession,
+        candidates: DataFrame,
+        table: str = "sync_state_bucketed",
+    ) -> DataFrame:
+        """C1 change detection against the bucketed state table. Identical
+        semantics to filter_changes; the physical plan has NO Exchange on
+        the state side (verified by tests/test_plan_shapes)."""
+        st = spark.table(table).select(
+            F.col("key").alias("__sk"), F.col("last_synced").alias("__ls")
+        )
+        joined = candidates.join(st, candidates.key == F.col("__sk"), "left")
+        return (
+            joined.filter(
+                F.col("__sk").isNull() | (F.col("updated") > F.col("__ls"))
+            )
+            .withColumn(
+                "change_type",
+                F.when(F.col("__sk").isNull(), F.lit("new")).otherwise(
+                    F.lit("updated")
+                ),
+            )
+            .drop("__sk", "__ls")
+        )
+
     # -- C1 change detection (J5) -----------------------------------------
 
     def filter_changes(

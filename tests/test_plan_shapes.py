@@ -91,6 +91,39 @@ def test_ivf_assignment_is_narrow(spark, sf_dir):
     assert "Window" not in plan  # old formulation used row_number
 
 
+def test_bucketed_state_join_shuffles_candidates_only(spark, sf_dir, tmp_path):
+    # the 100 TB CDC layout: state bucketed by key => state side of the
+    # change join is read pre-partitioned, no Exchange above its scan
+    from jira_cdc_git_spark import fixtures as FX
+    from jira_cdc_git_spark.state import SyncStateStore
+
+    store = SyncStateStore(str(tmp_path / "state"))
+    issues = FX.issues(spark, sf_dir).limit(200).localCheckpoint()
+    state = issues.selectExpr(
+        "key", "project_key", "updated AS last_synced", "updated AS last_updated",
+        "1 AS version", "'p' AS file_path", "CAST(0 AS LONG) AS file_size",
+        "'c' AS checksum", "'success' AS sync_status",
+        "CAST(NULL AS STRING) AS error_message", "1 AS sync_count",
+    )
+    store.save_bucketed(state, table="t_bucket_plan", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the bucketing (not a broadcast) is what
+        # avoids the state-side shuffle — the realistic big-state regime
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = store.filter_changes_bucketed(spark, issues, table="t_bucket_plan")
+        plan = _plan(out)
+        assert "Bucketed: true" in plan
+        assert "SelectedBucketsCount" in plan
+        # exactly ONE Exchange: the candidate side; none above the bucketed scan
+        assert plan.count("Exchange hashpartitioning") == 1
+        # semantics: state == candidates (same updated), so nothing to sync
+        assert out.count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_plan")
+
+
 def test_incremental_changes_single_shuffle_join(spark, sf_dir):
     plan = _plan(R.incremental_changes(spark, sf_dir))
     # one join; no cartesian, no nested loop
