@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_discovery": J.hybrid_discovery,
         "epic_hierarchy": J.epic_hierarchy,
         "incremental_candidates": J.incremental_candidates,
+        "incremental_modified_only": J.incremental_modified_only,
+        "incremental_project_scoped": J.incremental_project_scoped,
         "reconciliation_report": J.reconciliation_report,
         "commit_messages": J.commit_messages,
         "project_key_variants": J.project_key_variants,
@@ -812,6 +814,21 @@ _JIRA_ORACLES: dict[str, str] = {
                  AS change_type
         FROM issues_flat i LEFT JOIN sync_state s ON i.key = s.key
         WHERE s.key IS NULL OR i.updated > s.last_synced
+    """,
+    "incremental_modified_only": f"""
+        WITH {_I}, {_S}
+        SELECT i.key, 'updated' AS change_type
+        FROM issues_flat i JOIN sync_state s ON i.key = s.key
+        WHERE i.updated > s.last_synced
+    """,
+    "incremental_project_scoped": f"""
+        WITH {_I}, {_S}
+        SELECT i.key, i.project_key,
+               CASE WHEN s.key IS NULL THEN 'new' ELSE 'updated' END
+                 AS change_type
+        FROM issues_flat i LEFT JOIN sync_state s ON i.key = s.key
+        WHERE i.project_key IN ('PROJ', 'MEM')
+          AND (s.key IS NULL OR i.updated > s.last_synced)
     """,
     "reconciliation_report": f"""
         WITH {_S}, {_FL}

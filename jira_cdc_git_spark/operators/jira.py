@@ -318,6 +318,53 @@ def incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_modified_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 candidate option IncludeNew=false (SyncCandidateOptions,
+    pkg/state/types.go:117-124 + getSyncCandidates manager.go:386-442):
+    only ALREADY-TRACKED issues whose updated beat the watermark; brand-new
+    keys are excluded. Same single-shuffle join as incremental_candidates
+    with the option folded into the predicate."""
+    iss = FX.issues(spark, sf_dir)
+    st = FX.sync_state(spark, sf_dir).select(
+        F.col("key").alias("state_key"), "last_synced"
+    )
+    joined = iss.join(st, iss.key == st.state_key, "left_outer")
+    return (
+        joined.filter(
+            F.col("state_key").isNotNull()
+            & (F.col("updated") > F.col("last_synced"))
+        )
+        .select("key", F.lit("updated").alias("change_type"))
+    )
+
+
+def incremental_project_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 candidate option Projects=[...] (types.go:117-124): the change
+    scan restricted to two projects. The project filter lands BEFORE the
+    join (predicate pushdown to the scan), so the join input shrinks
+    first — the option is a pruning predicate, not a post-filter."""
+    iss = FX.issues(spark, sf_dir).filter(
+        F.col("project_key").isin("PROJ", "MEM")
+    )
+    st = FX.sync_state(spark, sf_dir).select(
+        F.col("key").alias("state_key"), "last_synced"
+    )
+    joined = iss.join(st, iss.key == st.state_key, "left_outer")
+    return (
+        joined.filter(
+            F.col("state_key").isNull()
+            | (F.col("updated") > F.col("last_synced"))
+        )
+        .select(
+            "key",
+            "project_key",
+            F.when(F.col("state_key").isNull(), F.lit("new"))
+            .otherwise(F.lit("updated"))
+            .alias("change_type"),
+        )
+    )
+
+
 def reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/J4/J6 — the recovery/validation sweep (pkg/state/manager.go:
     473-591): orphaned files (on disk, not in state), missing files (in
