@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from jira_cdc_git_spark import fixtures as FX
+from jira_cdc_git_spark import plans as P
 from jira_cdc_git_spark.operators import graph as G
 from jira_cdc_git_spark.operators import jira as J
 from jira_cdc_git_spark.operators import multimodal as MM
@@ -49,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_rollup": R.stats_rollup,
         "top_k": R.top_k,
         "status_pivot": R.status_pivot,
+        "profile_usage_stats": P.profile_usage_stats,
+        "top_profiles": P.top_profiles,
         # --- joins (J2-J7) ---
         "join_revenue_by_nation": R.join_revenue_by_nation,
         "anti_join_no_orders": R.anti_join_no_orders,
@@ -278,6 +281,36 @@ _ORACLES: dict[str, str] = {
                count(*) FILTER (WHERE event_type = 'signup')   AS "signup",
                count(*) FILTER (WHERE event_type = 'error')    AS "error"
         FROM events
+    """,
+    "profile_usage_stats": """
+        WITH u AS (
+            SELECT (['epic-sync','epic-stories','project-full','project-active',
+                     'recent-changes','my-sprint','single-issues'])
+                       [CAST(o_orderkey % 7 AS INT) + 1] AS profile,
+                   floor(o_totalprice * 10) AS sync_ms,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ok
+            FROM orders
+        )
+        SELECT profile, CAST(count(*) AS INTEGER) AS times_used,
+               floor(avg(sync_ms) * 100 + 0.5) / 100 AS avg_sync_ms,
+               floor(avg(ok) * 10000 + 0.5) / 10000 AS success_rate
+        FROM u GROUP BY profile
+    """,
+    "top_profiles": """
+        WITH u AS (
+            SELECT (['epic-sync','epic-stories','project-full','project-active',
+                     'recent-changes','my-sprint','single-issues'])
+                       [CAST(o_orderkey % 7 AS INT) + 1] AS profile,
+                   floor(o_totalprice * 10) AS sync_ms,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ok
+            FROM orders
+        ), s AS (
+            SELECT profile, CAST(count(*) AS INTEGER) AS times_used,
+                   floor(avg(sync_ms) * 100 + 0.5) / 100 AS avg_sync_ms,
+                   floor(avg(ok) * 10000 + 0.5) / 10000 AS success_rate
+            FROM u GROUP BY profile
+        )
+        SELECT * FROM s ORDER BY times_used DESC, profile LIMIT 3
     """,
     "join_revenue_by_nation": """
         SELECT n_name,

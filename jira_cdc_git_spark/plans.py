@@ -101,6 +101,41 @@ def sort_profiles(profiles: DataFrame, by: str = "name", desc: bool = False) -> 
     return profiles.orderBy(col.desc() if desc else col.asc(), F.col("name"))
 
 
+def profile_usage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (aggregate-table form) — per-profile usage rollup over a
+    deterministic usage-event stream derived from orders (each order is one
+    profile run: profile by orderkey mod 7, duration from totalprice,
+    success = order fulfilled). One groupBy with partial aggregation —
+    the scale form of record_usage's row-at-a-time running means."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    names = F.array(*[F.lit(p["name"]) for p in PROFILE_TEMPLATES])
+    usage = orders.select(
+        F.element_at(names, (F.col("o_orderkey") % 7).cast("int") + 1).alias(
+            "profile"
+        ),
+        F.floor(F.col("o_totalprice") * 10).alias("sync_ms"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ok"),
+    )
+    return usage.groupBy("profile").agg(
+        F.count("*").cast("int").alias("times_used"),
+        round_half_up(F.avg("sync_ms"), 2).alias("avg_sync_ms"),
+        round_half_up(F.avg("ok"), 4).alias("success_rate"),
+    )
+
+
+def top_profiles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """A9/W7 — most-used profiles (GetMostUsedProfiles,
+    pkg/profile/manager.go:475-497) over the A8 rollup; deterministic
+    tie-break by name. TakeOrderedAndProject over 7 rows."""
+    stats = profile_usage_stats(spark, sf_dir)
+    return stats.orderBy(
+        F.col("times_used").desc(), F.col("profile")
+    ).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # Job specs (§3.2/§3.3 thin orchestration parity)
 # ---------------------------------------------------------------------------
