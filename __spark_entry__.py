@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_changes": R.incremental_changes,
         "drift_detection": R.drift_detection,
         "config_drift": R.config_drift,
+        "customer_similarity": R.customer_similarity,
         # --- windows / sorts (W1-W8) ---
         "topn_per_group": R.topn_per_group,
         "last_event_per_user": R.last_event_per_user,
@@ -368,6 +369,17 @@ _ORACLES: dict[str, str] = {
                     WHEN expected_value <> actual_value THEN 'changed'
                     ELSE 'in_sync' END AS drift_status
         FROM expected e FULL OUTER JOIN actual a USING (cfg_key)
+    """,
+    "customer_similarity": """
+        SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+               round(
+                   CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 0.3 ELSE 0 END
+                 + CASE WHEN a.c_nationkey = b.c_nationkey THEN 0.3 ELSE 0 END
+                 + CASE WHEN (a.c_acctbal >= 0) = (b.c_acctbal >= 0)
+                        THEN 0.2 ELSE 0 END
+                 + CASE WHEN floor(a.c_acctbal / 1000) = floor(b.c_acctbal / 1000)
+                        THEN 0.2 ELSE 0 END, 1) AS similarity
+        FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey
     """,
     "topn_per_group": """
         SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn

@@ -393,6 +393,34 @@ def config_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 — weighted field-equality similarity (calculateSimilarity,
+    pkg/profile/manager.go:757-836 weighs jql/epic/repo/options equality;
+    here: segment/nation/balance-sign/phone-prefix between each customer
+    and its successor key). Self-join on an arithmetic key — both sides
+    shuffle-partition on the same key, one exchange each, no window."""
+    from jira_cdc_git_spark.functions.scalar import similarity_score
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    paired = a.join(b, F.col("a.c_custkey") + 1 == F.col("b.c_custkey"))
+    score = similarity_score(
+        F.col("a.c_mktsegment") == F.col("b.c_mktsegment"),
+        F.col("a.c_nationkey") == F.col("b.c_nationkey"),
+        (F.col("a.c_acctbal") >= 0) == (F.col("b.c_acctbal") >= 0),
+        F.floor(F.col("a.c_acctbal") / 1000)
+        == F.floor(F.col("b.c_acctbal") / 1000),
+    )
+    return paired.select(
+        F.col("a.c_custkey").alias("cust_a"),
+        F.col("b.c_custkey").alias("cust_b"),
+        F.round(score, 1).alias("similarity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows (W4, W5, rolling frames, multi-key sort W8)
 # ---------------------------------------------------------------------------
