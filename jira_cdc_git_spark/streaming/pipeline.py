@@ -298,6 +298,44 @@ def streaming_sessionize(
     )
 
 
+def streaming_exact_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "1 hour",
+) -> None:
+    """Streaming twin of the batch exact-dedup (operators/text.
+    doc_fingerprints): md5-fingerprint each arriving document and emit
+    only first-seen fingerprints, via ``dropDuplicatesWithinWatermark`` —
+    dedup state is pruned as event time advances, so state size is
+    bounded by the watermark window instead of growing with the corpus
+    (the 100 TB-safe streaming dedup; unbounded dropDuplicates state is
+    the classic streaming OOM)."""
+    from jira_cdc_git_spark.functions.text import fingerprint
+
+    feed = (
+        spark.readStream.schema(schema)
+        .parquet(docs_dir)
+        .withWatermark("event_ts", watermark)
+    )
+    deduped = (
+        feed.withColumn("fp", fingerprint(F.col("text")))
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("doc_id", "fp", "event_ts")
+    )
+    (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def streaming_tumbling_hourly(
     spark: SparkSession,
     events_dir: str,

@@ -155,6 +155,32 @@ def test_frame_sample_fanout(spark, sf_dir):
     assert mins.filter(F.col("m") != 0).count() == 0
 
 
+def test_streaming_exact_dedup_matches_batch_fingerprints(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from jira_cdc_git_spark.operators.text import doc_fingerprints
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", F2.lit(datetime(2030, 1, 1)).alias("event_ts")
+    )
+    docs_dir = str(tmp_path / "docs")
+    docs.coalesce(2).write.parquet(docs_dir)
+    out_dir = str(tmp_path / "dedup")
+    SP.streaming_exact_dedup(
+        spark,
+        docs_dir,
+        "doc_id long, text string, event_ts timestamp",
+        str(tmp_path / "ckpt"),
+        out_dir,
+    )
+    got = spark.read.parquet(out_dir)
+    # one surviving row per distinct fingerprint, same as the batch dedup
+    n_batch = doc_fingerprints(spark, sf_dir).count()
+    assert got.count() == n_batch
+    assert got.select("fp").distinct().count() == n_batch
+
+
 def test_progress_recorder_captures_batches(spark, tmp_path):
     from datetime import timedelta
 
