@@ -298,6 +298,61 @@ def streaming_sessionize(
     )
 
 
+def streaming_topk(
+    spark: SparkSession,
+    queries_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    corpus_sf_dir: str,
+    k: int = 5,
+) -> None:
+    """Stream-static join: a stream of query vectors scored top-k against
+    the STATIC embedding corpus (the serving shape of the ANN surface —
+    operators/vectors.cosine_topk per arriving query). Each micro-batch of
+    queries broadcasts against the corpus scan; per-query top-k is a
+    rank window partitioned by query_id — the corpus is never shuffled."""
+    from pyspark.sql import Window
+
+    from jira_cdc_git_spark.operators.vectors import cosine
+    from jira_cdc_git_spark.sources.registry import load_table_spread
+
+    corpus = load_table_spread(spark, "embeddings", corpus_sf_dir, "vec_id")
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        q = batch_df.select(
+            F.col("query_id"), F.col("embedding").alias("q_embedding")
+        )
+        scored = corpus.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine(F.col("embedding"), F.col("q_embedding")), 6
+            ).alias("cos_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id")
+        )
+        (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    (
+        spark.readStream.schema(schema)
+        .parquet(queries_dir)
+        .writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def streaming_exact_dedup(
     spark: SparkSession,
     docs_dir: str,

@@ -155,6 +155,39 @@ def test_frame_sample_fanout(spark, sf_dir):
     assert mins.filter(F.col("m") != 0).count() == 0
 
 
+def test_streaming_topk_stream_static_join(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = (
+        emb.filter(F2.col("vec_id") < 3)
+        .select(F2.col("vec_id").alias("query_id"), "embedding")
+    )
+    qdir = str(tmp_path / "queries")
+    queries.coalesce(1).write.parquet(qdir)
+    out_dir = str(tmp_path / "topk")
+    SP.streaming_topk(
+        spark,
+        qdir,
+        queries.schema,
+        str(tmp_path / "ckpt"),
+        out_dir,
+        sf_dir,
+        k=5,
+    )
+    got = spark.read.parquet(out_dir)
+    assert got.select("query_id").distinct().count() == 3
+    per_q = {r["query_id"]: r["count"] for r in got.groupBy("query_id").count().collect()}
+    assert all(v == 5 for v in per_q.values())
+    # a query drawn from the corpus must rank itself first with cos ~ 1
+    self_hits = got.filter(
+        (F2.col("rank") == 1) & (F2.col("query_id") == F2.col("vec_id"))
+    )
+    assert self_hits.count() == 3
+
+
 def test_streaming_exact_dedup_matches_batch_fingerprints(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F2
 
