@@ -536,7 +536,7 @@ _ORACLES: dict[str, str] = {
         ), sets AS (
             SELECT doc_id, list_distinct(
                 CASE WHEN length(t) >= 10
-                     THEN list_transform(generate_series(1, CAST(length(t) AS INTEGER) - 9),
+                     THEN list_transform(generate_series(1, CAST(length(t) AS INTEGER) - 9, 2),
                                          i -> substr(t, CAST(i AS INTEGER), 10))
                      ELSE [] END) AS shs
             FROM d

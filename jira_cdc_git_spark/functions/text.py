@@ -55,13 +55,16 @@ def normalize(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
-def char_shingles(text: Column, n: int = 5) -> Column:
+def char_shingles(text: Column, n: int = 5, stride: int = 1) -> Column:
     """Distinct character n-grams of the normalized text (the finer-grained
     shingle family for n-gram Jaccard dedup; word shingles miss
-    near-dups that differ by small intra-word edits)."""
+    near-dups that differ by small intra-word edits). stride > 1 samples
+    every stride-th position — overlapping n-grams are highly redundant,
+    so Jaccard over the sampled set preserves the similarity ordering at
+    1/stride the hashing cost."""
     t = normalize(text)
     raw = F.transform(
-        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+        F.sequence(F.lit(1), F.length(t) - (n - 1), F.lit(stride)),
         lambda i: F.substring(t, i, n),
     )
     return F.array_distinct(

@@ -240,7 +240,7 @@ def ngram_jaccard_pairs(
     # re-derives the expensive shingling/hashing on each branch before the
     # cache wins the race — materializing once cuts the op ~3×
     sets = docs.select(
-        "doc_id", TX.char_shingles(F.col("text"), n).alias("shs")
+        "doc_id", TX.char_shingles(F.col("text"), n, stride=2).alias("shs")
     ).localCheckpoint()
     # min-hashes computed NARROWLY per row (array_min over a transform) —
     # no explode, no groupBy; the only shuffles are the block self-join and
