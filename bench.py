@@ -34,13 +34,20 @@ BENCH_QUERIES = [
     "jql_project_active",
     "incremental_candidates",
     "epic_hierarchy",
+    "config_drift",
+    "customer_similarity",
+    "profile_usage_stats",
     "doc_fingerprints",
     "token_stats",
     "quality_score",
+    "lang_id",
+    "bpe_token_estimate",
     "neardup_pairs_lsh",
     "ngram_jaccard_pairs",
     "winnow_fingerprints",
     "simhash_signatures",
+    "corpus_retention",
+    "media_stats",
     "cosine_topk",
     "ivf_topk",
     "embedding_neardup",
