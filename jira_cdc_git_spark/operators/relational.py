@@ -82,6 +82,27 @@ def paged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def paged_scan_keyset(
+    spark: SparkSession, sf_dir: str, after_key: int = 1000, n: int = 20
+) -> DataFrame:
+    """S3 keyset variant — `key > last_seen ORDER BY key LIMIT n`, the
+    scale-safe pagination the offset form (paged_scan) degrades into at deep
+    offsets: the key predicate reaches PushedFilters (row groups before the
+    cursor are never read) and the plan is TakeOrderedAndProject(limit=n)
+    with NO offset — per-partition work is O(n) regardless of page depth.
+    Reference parity: SearchIssuesWithPagination (pkg/client/client.go:
+    195-223) exposes startAt/maxResults because the JIRA API does; a cursor
+    on the ordered unique key is the same contract without the linear cost.
+    Plan shape locked by tests/test_plan_shapes.py."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.filter(F.col("o_orderkey") > after_key)
+        .orderBy("o_orderkey")
+        .limit(n)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projections / filters (P1, P4, P11, P12, P16)
 # ---------------------------------------------------------------------------

@@ -53,6 +53,17 @@ def test_paged_scan_no_global_sort_before_limit(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_paged_scan_keyset_pushes_cursor_predicate(spark, sf_dir):
+    # S3 keyset variant: the cursor predicate must reach the parquet scan
+    # and the limit must compile to TakeOrderedAndProject with NO offset —
+    # page depth never increases per-partition work
+    plan = _plan(R.paged_scan_keyset(spark, sf_dir, after_key=1000, n=20))
+    assert "PushedFilters: [" in plan
+    assert "o_orderkey" in plan.split("PushedFilters")[1][:200]
+    assert "TakeOrderedAndProject" in plan
+    assert "offset=" not in plan
+
+
 def test_aggregation_is_partial_then_final(spark, sf_dir):
     plan = _plan(R.pricing_summary(spark, sf_dir))
     assert "partial_sum" in plan  # map-side combine before the shuffle
