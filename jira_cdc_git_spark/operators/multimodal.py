@@ -3,12 +3,13 @@ columns with typed metadata, processed via Arrow-batched Pandas UDFs over
 ``mapInPandas``.
 
 The Spark-side plumbing — schema, partitioning, UDF signatures, batch
-shapes — is real and tested. The actual codec step is STUBBED behind
-``_HAS_CODECS`` (PIL/librosa/av are not in this container): when absent,
-``decode_image`` produces a DETERMINISTIC FAKE decode derived from the
-content hash, clearly marked, so the distributed pipeline is exercised
-end-to-end without the native libs. On a real cluster you flip in the
-import and nothing else changes.
+shapes — is real and tested. The codec step resolves AT RUNTIME inside
+each executor's Python worker: if PIL imports, payloads are really decoded
+(``decoder='pil'``); a payload PIL can't parse falls back per-row to a
+DETERMINISTIC FAKE derived from the content hash (``decoder='pil-fallback'``,
+``decode_ok=False``); with PIL absent (this container) every row takes the
+fake path (``decoder='fake-deterministic'``). No branch raises — a decode
+failure is data, not an exception (same quarantine posture as F4).
 
 At 100 TB the media table is partitioned by (modality, date-ish bucket);
 mapInPandas streams Arrow batches so peak executor memory is one batch of
@@ -25,12 +26,16 @@ from pyspark.sql import functions as F
 
 from jira_cdc_git_spark.sources.registry import load_table_spread
 
-try:  # pragma: no cover - codec libs are absent in this container
-    from PIL import Image  # noqa: F401
+def _pil():  # runtime lookup so executors decide independently of the driver
+    try:
+        from PIL import Image
 
-    _HAS_CODECS = True
-except ImportError:
-    _HAS_CODECS = False
+        return Image
+    except ImportError:
+        return None
+
+
+_HAS_CODECS = _pil() is not None  # driver-side info only; workers re-check
 
 MEDIA_SCHEMA = (
     "media_id bigint, modality string, mime string, content binary,"
@@ -82,27 +87,42 @@ def _fake_decode(content: bytes) -> tuple[int, int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4
 
 
+def _decode_one(Image, content: bytes) -> tuple[int, int, int, bool, str]:
+    """One payload → (width, height, channels, decode_ok, decoder). Never
+    raises: PIL absent → fake; PIL present but payload unparseable →
+    per-row fake fallback flagged decode_ok=False."""
+    import io
+
+    if Image is None:
+        w, h, ch = _fake_decode(content)
+        return w, h, ch, True, "fake-deterministic"
+    try:
+        img = Image.open(io.BytesIO(content))
+        return img.size[0], img.size[1], len(img.getbands()), True, "pil"
+    except Exception:
+        w, h, ch = _fake_decode(content)
+        return w, h, ch, False, "pil-fallback"
+
+
 def decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract pass over the image rows via mapInPandas
-    (Arrow batches of binary payloads). Real plumbing; stubbed codec."""
+    (Arrow batches of binary payloads). Plumbing is real; the codec runs
+    when PIL is importable in the worker, else the deterministic fake."""
     media = media_table(spark, sf_dir).filter(F.col("modality") == "image")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil()
         for pdf in batches:
-            if _HAS_CODECS:  # pragma: no cover - real decoder path
-                raise NotImplementedError(
-                    "real PIL decode goes here: Image.open(BytesIO(b))"
-                )
-            dims = [_fake_decode(bytes(b)) for b in pdf["content"]]
+            rows = [_decode_one(Image, bytes(b)) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "n_channels": [d[2] for d in dims],
-                    "decode_ok": True,
-                    "decoder": "fake-deterministic" if not _HAS_CODECS else "pil",
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_channels": [r[2] for r in rows],
+                    "decode_ok": [r[3] for r in rows],
+                    "decoder": [r[4] for r in rows],
                 }
             )
 
@@ -150,36 +170,47 @@ AUDIO_FEATURES_SCHEMA = (
 def resize_image(
     spark: SparkSession, sf_dir: str, target_w: int = 64, target_h: int = 64
 ) -> DataFrame:
-    """Resize pass over image rows (mapInPandas, 1→1). The geometry is
-    real (aspect-preserving fit into target_w × target_h from the decoded
-    dims); the pixel resample itself is the stubbed codec step —
-    `resized_hash` stands in for the output payload."""
+    """Resize pass over image rows (mapInPandas, 1→1). The geometry is real
+    (aspect-preserving fit into target_w × target_h from the decoded dims);
+    with PIL importable in the worker the pixel resample really runs
+    (img.resize + hash of the resampled bytes); otherwise — or when a
+    payload can't be parsed — the hash is computed over the source payload
+    plus the target geometry (deterministic fake). Never raises."""
     media = media_table(spark, sf_dir).filter(F.col("modality") == "image")
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io
 
+        Image = _pil()
         for pdf in batches:
-            if _HAS_CODECS:  # pragma: no cover - real resample path
-                raise NotImplementedError(
-                    "real PIL resample goes here: img.resize((w, h))"
-                )
             rows = {k: [] for k in
                     ("media_id", "width", "height", "target_w", "target_h",
                      "resized_hash")}
             for mid, b in zip(pdf["media_id"], pdf["content"]):
                 payload = bytes(b)
-                w0, h0, _ = _fake_decode(payload)
+                img = None
+                if Image is not None:
+                    try:
+                        img = Image.open(io.BytesIO(payload))
+                    except Exception:
+                        img = None
+                w0, h0 = img.size if img is not None else _fake_decode(payload)[:2]
                 scale = min(target_w / w0, target_h / h0)
                 w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+                if img is not None:
+                    resized = img.resize((w, h))
+                    digest = hashlib.md5(resized.tobytes()).hexdigest()
+                else:
+                    digest = hashlib.md5(
+                        payload + f":{w}x{h}".encode()
+                    ).hexdigest()
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["target_w"].append(target_w)
                 rows["target_h"].append(target_h)
-                rows["resized_hash"].append(
-                    hashlib.md5(payload + f":{w}x{h}".encode()).hexdigest()
-                )
+                rows["resized_hash"].append(digest)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_resize, RESIZED_SCHEMA)

@@ -267,3 +267,101 @@ def test_media_stats_jvm_only(spark, sf_dir):
     s = MM.media_stats(spark, sf_dir)
     rows = {r["modality"]: r["n"] for r in s.collect()}
     assert sum(rows.values()) == 500
+
+
+class _StubImage:
+    """Stands in for a PIL Image module: open() parses a trivial header
+    `IMG:{w}x{h}x{bands}:` and raises on anything else — lets the codec
+    dispatch (real / per-row fallback / no-PIL) be tested without PIL."""
+
+    class _Img:
+        def __init__(self, w, h, bands):
+            self.size = (w, h)
+            self._bands = bands
+
+        def getbands(self):
+            return tuple("RGBA"[: self._bands])
+
+        def resize(self, wh):
+            return _StubImage._Img(wh[0], wh[1], self._bands)
+
+        def tobytes(self):
+            return f"{self.size[0]}x{self.size[1]}".encode()
+
+    @staticmethod
+    def open(fp):
+        data = fp.read()
+        if not data.startswith(b"IMG:"):
+            raise ValueError("not a stub image")
+        w, h, bands = (int(x) for x in data[4:-1].split(b"x"))
+        return _StubImage._Img(w, h, bands)
+
+
+def test_decode_one_pil_present_success():
+    w, h, ch, ok, dec = MM._decode_one(_StubImage, b"IMG:640x480x3:")
+    assert (w, h, ch, ok, dec) == (640, 480, 3, True, "pil")
+
+
+def test_decode_one_pil_present_garbage_falls_back():
+    payload = b"definitely not an image"
+    w, h, ch, ok, dec = MM._decode_one(_StubImage, payload)
+    assert not ok and dec == "pil-fallback"
+    assert (w, h, ch) == MM._fake_decode(payload)  # deterministic dims
+
+
+def test_decode_one_pil_absent():
+    payload = b"anything"
+    w, h, ch, ok, dec = MM._decode_one(None, payload)
+    assert ok and dec == "fake-deterministic"
+    assert (w, h, ch) == MM._fake_decode(payload)
+
+
+def _register_stub_by_value():
+    # the stub lives in this test module, which Spark's Python workers can't
+    # import — ship it by value inside the pickled closure instead
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+def test_decode_image_with_stub_codec(spark, monkeypatch):
+    # end-to-end through mapInPandas with the codec "installed"; one
+    # parseable payload, one garbage payload → per-row outcomes
+    _register_stub_by_value()
+    monkeypatch.setattr(MM, "_pil", lambda: _StubImage)
+    try:
+        df = spark.createDataFrame(
+            [(1, "image", "image/png", bytearray(b"IMG:100x50x4:"),
+              ("t", 13)),
+             (2, "image", "image/png", bytearray(b"garbage"), ("t", 7))],
+            "media_id bigint, modality string, mime string, content binary,"
+            "meta struct<source:string, n_bytes:bigint>",
+        )
+        monkeypatch.setattr(
+            MM, "media_table", lambda _spark, _sf: df
+        )
+        rows = {r["media_id"]: r for r in MM.decode_image(spark, "-").collect()}
+        assert rows[1]["decode_ok"] and rows[1]["decoder"] == "pil"
+        assert (rows[1]["width"], rows[1]["height"], rows[1]["n_channels"]) \
+            == (100, 50, 4)
+        assert not rows[2]["decode_ok"] and rows[2]["decoder"] == "pil-fallback"
+    finally:
+        pass
+
+
+def test_resize_image_with_stub_codec(spark, monkeypatch):
+    _register_stub_by_value()
+    monkeypatch.setattr(MM, "_pil", lambda: _StubImage)
+    df = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(b"IMG:200x100x3:"), ("t", 14))],
+        "media_id bigint, modality string, mime string, content binary,"
+        "meta struct<source:string, n_bytes:bigint>",
+    )
+    monkeypatch.setattr(MM, "media_table", lambda _spark, _sf: df)
+    r = MM.resize_image(spark, "-", target_w=64, target_h=64).collect()[0]
+    assert (r["width"], r["height"]) == (64, 32)  # aspect-preserving
+    import hashlib
+
+    assert r["resized_hash"] == hashlib.md5(b"64x32").hexdigest()
