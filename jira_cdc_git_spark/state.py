@@ -5,15 +5,20 @@ The reference keeps one YAML state file per repo with atomic tmp+rename
 writes (manager.go:139-182), a 50-entry history ring (manager.go:22,149-152)
 and a validate/repair sweep (manager.go:473-591). Spark-first restatement:
 
-* state lives as a **versioned parquet table**: each save writes a new
-  ``v_NNNNN`` directory and atomically flips a ``_CURRENT`` pointer file —
-  the tmp+rename idea lifted to directories, which also gives free time
-  travel (S10 backup/restore = pointer moves, like Delta ``VERSION AS OF``
-  without the dependency).
-* MERGE is a full-outer join + coalesce rewrite (the join-based upsert for
-  plain parquet; on Delta/Iceberg this is a one-line ``MERGE INTO``). The
-  state table is small relative to the corpus (one row per issue), and at
-  100 TB it would be bucketed by key so only the delta side shuffles.
+* state lives as a **versioned, project-partitioned parquet table**: each
+  version is a ``v_NNNNN`` directory of ``project_key=...`` partitions and
+  a ``_CURRENT`` pointer file flips atomically — the tmp+rename idea lifted
+  to directories, which also gives free time travel (S10 backup/restore =
+  pointer moves, like Delta ``VERSION AS OF`` without the dependency).
+* MERGE is **partition-scoped**: only state partitions whose project
+  appears in the batch enter the full-outer-join rewrite and are physically
+  rewritten; untouched partitions are carried into the new version as hard
+  links (no data copied or shuffled). A 1-project batch therefore writes
+  O(that project's state), not O(all state) — the same write scoping a
+  live table gets from ``partitionOverwriteMode=dynamic``, kept versioned
+  here; on Delta/Iceberg this is a one-line ``MERGE INTO``. Invariant:
+  issue keys never move between projects (a JIRA key embeds its project),
+  so a key can't be duplicated across a rewritten and a linked partition.
 * history is an append table re-capped to the most recent 50 per save
   (W4 window).
 """
@@ -68,13 +73,31 @@ class SyncStateStore:
         v = self.current_version()
         if v == 0:
             return spark.createDataFrame([], schemas.SYNC_STATE)
-        return spark.read.parquet(self._version_path(v))
+        df = spark.read.schema(schemas.SYNC_STATE).parquet(self._version_path(v))
+        return df.select(*[f.name for f in schemas.SYNC_STATE.fields])
 
     def save(self, df: DataFrame) -> int:
+        """Full-table save (repair, bulk load). Partitioned by project_key
+        so subsequent project-scoped reads prune and merges stay
+        partition-scoped."""
         v = self.current_version() + 1
-        df.write.mode("overwrite").parquet(self._version_path(v))
+        (
+            df.write.mode("overwrite")
+            .partitionBy("project_key")
+            .parquet(self._version_path(v))
+        )
         self._flip(v)
         return v
+
+    def _link_partition(self, src: str, dst: str) -> None:
+        """Carry an untouched partition into the new version as hard links —
+        metadata-only, no data copy (vacuum of old versions stays safe:
+        links keep the inodes alive)."""
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            s, d = os.path.join(src, name), os.path.join(dst, name)
+            if os.path.isfile(s) and not os.path.exists(d):
+                os.link(s, d)
 
     # -- S10 backup / restore (time travel) -------------------------------
 
@@ -185,6 +208,15 @@ class SyncStateStore:
         FULL OUTER JOIN batch on key → coalesce per column. Deterministic
         and idempotent: re-merging the same batch only bumps sync_count.
 
+        PARTITION-SCOPED: only the state partitions whose project_key
+        appears in the batch are read into the join and rewritten; every
+        other partition is hard-linked from the previous version. Per
+        micro-batch cost is O(touched projects' state), not O(state) —
+        the write-amplification fix for the one-row-batch-rewrites-N-rows
+        regime (round-2 verdict #3). The touched-project list is a
+        collect() of the batch's distinct projects: bounded by the number
+        of JIRA projects, a few hundred rows at any scale.
+
         The batch is deduped to latest-per-key FIRST: one micro-batch can
         legitimately carry several versions of one issue plus duplicate
         deliveries (C4 at-least-once), and a multi-match key in a full-outer
@@ -211,7 +243,11 @@ class SyncStateStore:
                 F.lit(".yaml"),
             ).alias("u_path"),
         )
-        cur = self.load(spark)
+        touched = sorted(
+            r["u_project"]
+            for r in updates.select("u_project").distinct().collect()
+        )
+        cur = self.load(spark).filter(F.col("project_key").isin(touched))
         merged = cur.join(updates, cur.key == updates.u_key, "full_outer").select(
             F.coalesce(cur.key, F.col("u_key")).alias("key"),
             F.coalesce(F.col("u_project"), cur.project_key).alias("project_key"),
@@ -236,7 +272,24 @@ class SyncStateStore:
             .cast("int")
             .alias("sync_count"),
         )
-        return self.save(merged)
+        v_prev = self.current_version()
+        v = v_prev + 1
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("project_key")
+            .parquet(self._version_path(v))
+        )
+        if v_prev > 0:
+            touched_dirs = {f"project_key={p}" for p in touched}
+            prev_path = self._version_path(v_prev)
+            for name in os.listdir(prev_path):
+                if name.startswith("project_key=") and name not in touched_dirs:
+                    self._link_partition(
+                        os.path.join(prev_path, name),
+                        os.path.join(self._version_path(v), name),
+                    )
+        self._flip(v)
+        return v
 
     # -- C6 operation log / W4 history cap --------------------------------
 

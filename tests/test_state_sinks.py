@@ -187,3 +187,56 @@ def test_edge_sink_layout(spark, sf_dir, tmp_path):
     import os
 
     assert any(d.startswith("link_type=") for d in os.listdir(out))
+
+
+def test_merge_rewrites_only_touched_partitions(store, spark, issues):
+    import os
+
+    # v1: all projects
+    v1 = store.merge(spark, issues, T0)
+    projects = {
+        r["project_key"]
+        for r in issues.select("project_key").distinct().collect()
+    }
+    assert len(projects) > 1
+    # v2: a batch touching ONLY one project
+    one = sorted(projects)[0]
+    batch = issues.filter(F.col("project_key") == one).withColumn(
+        "updated", F.lit(T0 + timedelta(days=1))
+    )
+    v2 = store.merge(spark, batch, T0 + timedelta(days=2))
+
+    def part_files(v, proj):
+        d = os.path.join(store._version_path(v), f"project_key={proj}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    # touched partition: physically rewritten (new inodes)
+    assert set(part_files(v1, one).values()).isdisjoint(
+        set(part_files(v2, one).values())
+    )
+    # every untouched partition: identical inodes (hard links, zero copy)
+    for p in projects - {one}:
+        assert part_files(v1, p) == part_files(v2, p), p
+    # semantics unchanged: all rows present, touched project bumped
+    st = store.load(spark)
+    assert st.count() == issues.count()
+    assert (
+        st.filter(F.col("project_key") == one)
+        .filter(F.col("sync_count") != 2)
+        .count()
+        == 0
+    )
+    assert (
+        st.filter(F.col("project_key") != one)
+        .filter(F.col("sync_count") != 1)
+        .count()
+        == 0
+    )
+    # time travel still works across the linked version
+    store.restore(v1)
+    assert store.load(spark).filter(F.col("sync_count") != 1).count() == 0
+    store.restore(v2)
