@@ -1,0 +1,212 @@
+"""Rate-limited JIRA REST source tests (S2/S3/C10) against a local
+http.server fixture serving canned JIRA search JSON (response shape per the
+reference's test/api_validation_test.go)."""
+
+import json
+import threading
+import urllib.parse
+from datetime import datetime
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark.sources import jira_rest as JR
+
+N_ISSUES = 250
+
+
+def _mock_issue(i: int) -> dict:
+    key = f"PROJ-{i}"
+    fields = {
+        "summary": f"Issue {key}",
+        "description": None if i % 7 == 0 else f"Desc {key}",
+        "status": {"name": "In Progress", "statusCategory": {"key": "indeterminate"}},
+        "assignee": None
+        if i % 9 == 0
+        else {"displayName": f"user{i % 5}", "emailAddress": f"user{i % 5}@example.com"},
+        "reporter": {"displayName": "rep", "emailAddress": "rep@example.com"},
+        "created": "2024-01-01T10:00:00.000Z",
+        "updated": f"2024-02-0{1 + i % 9}T10:00:00.000+0000",
+        "priority": {"name": "High"},
+        "issuetype": {"name": "Story" if i % 2 else "Bug"},
+        "project": {"key": "PROJ"},
+        "subtasks": [{"key": f"PROJ-{i + 1000}"}] if i % 10 == 0 else [],
+        "issuelinks": [
+            {
+                "type": {"name": "Blocks"},
+                "outwardIssue": {"key": f"PROJ-{i + 1}", "fields": {"summary": "s"}},
+            }
+        ]
+        if i % 4 == 0
+        else [],
+        "customfield_12311140": f"PROJ-{(i // 20) * 20}" if i % 3 else None,
+    }
+    if i % 11 == 0:
+        fields["parent"] = {"key": f"PROJ-{i - 1}"}
+    return {"key": key, "fields": fields}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "MockJira/1.0"
+    state = None  # injected: dict(requests=[], fail_at=set())
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_GET(self):
+        parsed = urllib.parse.urlparse(self.path)
+        qs = urllib.parse.parse_qs(parsed.query)
+        start = int(qs.get("startAt", ["0"])[0])
+        maxr = int(qs.get("maxResults", ["100"])[0])
+        st = type(self).state
+        st["requests"].append((start, maxr, datetime.now()))
+        n_req = len(st["requests"])
+        if n_req in st["fail_at"]:
+            self.send_response(429)
+            self.send_header("Retry-After", "0")
+            self.end_headers()
+            self.wfile.write(b"rate limited")
+            return
+        issues = [_mock_issue(i) for i in range(start, min(start + maxr, N_ISSUES))]
+        body = json.dumps(
+            {"startAt": start, "maxResults": maxr, "total": N_ISSUES, "issues": issues}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture
+def mock_jira():
+    _Handler.state = {"requests": [], "fail_at": set()}
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_port}", _Handler.state
+    finally:
+        srv.shutdown()
+
+
+def _fast_limiter(delay_ms=5):
+    return JR.RateLimiter(delay_ms=delay_ms)
+
+
+def test_paginates_all_issues_into_schema(spark, mock_jira):
+    url, state = mock_jira
+    df = JR.search_issues(spark, url, "project = PROJ", limiter=_fast_limiter())
+    assert df.count() == N_ISSUES
+    # 3 pages of 100
+    assert [r[0] for r in state["requests"]] == [0, 100, 200]
+    # schema matches the engine's issues shape
+    from jira_cdc_git_spark import schemas
+
+    assert df.schema.fieldNames() == schemas.ISSUES.fieldNames()
+    # null-safe P1 flatten: unassigned rows land as NULL struct
+    assert df.filter(F.col("assignee").isNull()).count() == len(
+        [i for i in range(N_ISSUES) if i % 9 == 0]
+    )
+    # F4 quarantine: both timestamp layouts parsed (Z literal and +0000)
+    assert df.filter(F.col("created").isNull()).count() == 0
+    assert df.filter(F.col("updated").isNull()).count() == 0
+    assert df.filter(
+        F.col("updated") == datetime(2024, 2, 2, 10)
+    ).count() == len([i for i in range(N_ISSUES) if i % 9 == 1])
+
+
+def test_honors_retry_after_on_429(spark, mock_jira):
+    url, state = mock_jira
+    state["fail_at"] = {2}  # second request rate-limited once
+    df = JR.search_issues(spark, url, "project = PROJ", limiter=_fast_limiter())
+    assert df.count() == N_ISSUES
+    # 4 requests total: page0, 429, retried page100, page200
+    assert [r[0] for r in state["requests"]] == [0, 100, 100, 200]
+
+
+def test_429_gives_up_after_max_retries(spark, mock_jira):
+    url, state = mock_jira
+    state["fail_at"] = set(range(1, 20))  # everything rate-limited
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        JR.fetch_page(url, "q", 0, 100, _fast_limiter(), max_retries=2)
+    assert len(state["requests"]) == 3  # initial + 2 retries
+
+
+def test_token_delay_enforced():
+    sleeps = []
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+
+    def fake_clock():
+        clock["t"] += 0.001  # 1 ms of work between calls
+        return clock["t"]
+
+    rl = JR.RateLimiter(delay_ms=100, sleep=fake_sleep, clock=fake_clock)
+    for _ in range(3):
+        rl.wait()
+    assert len(sleeps) == 2  # first call free, next two delayed
+    assert all(0.09 < s <= 0.1 for s in sleeps)
+
+
+def test_backoff_curve_matches_reference():
+    sleeps = []
+    rl = JR.RateLimiter(sleep=sleeps.append)
+    for n in (1, 2, 3, 10):
+        rl.backoff(n)
+    assert sleeps == [1.0, 2.0, 4.0, 30.0]  # 1 s base, 30 s cap
+    rl.backoff(1, retry_after_s=7.5)
+    assert sleeps[-1] == 7.5  # Retry-After wins
+
+
+def test_projections_run_on_rest_result(spark, mock_jira):
+    """P1-P4 over the live-source frame: flatten, custom-field extraction,
+    link explode — the downstream operators accept the REST result as-is."""
+    url, _ = mock_jira
+    df = JR.search_issues(spark, url, "project = PROJ", limiter=_fast_limiter())
+    from jira_cdc_git_spark.functions import scalar as SC
+
+    flat = df.select(
+        "key",
+        F.col("status.name").alias("status_name"),
+        SC.format_user(F.col("assignee.name"), F.col("assignee.email")).alias(
+            "assignee_fmt"
+        ),
+        F.col("custom_fields").getItem("customfield_12311140").alias("cf_epic"),
+    )
+    assert flat.filter(F.col("assignee_fmt") == "Unassigned").count() > 0
+    assert flat.filter(F.col("cf_epic").isNotNull()).count() == len(
+        [i for i in range(N_ISSUES) if i % 3]
+    )
+    edges = df.select("key", F.explode("issue_links").alias("l")).select(
+        "key", F.lower("l.type").alias("t"), F.col("l.direction"), F.col("l.issue_key")
+    )
+    assert edges.count() == len([i for i in range(N_ISSUES) if i % 4 == 0])
+    assert {r["direction"] for r in edges.select("direction").distinct().collect()} == {
+        "outward"
+    }
+    subs = df.select(F.explode("subtasks").alias("s"))
+    assert subs.count() == len([i for i in range(N_ISSUES) if i % 10 == 0])
+
+
+def test_distributed_fetch_matches_driver_fetch(spark, mock_jira):
+    url, state = mock_jira
+    a = JR.search_issues(
+        spark, url, "project = PROJ", limiter=_fast_limiter()
+    ).orderBy("key")
+    rows_a = a.collect()
+    state["requests"].clear()
+    b = JR.search_issues_distributed(
+        spark, url, "project = PROJ", max_concurrent=3, delay_ms=5
+    ).orderBy("key")
+    rows_b = b.collect()
+    assert rows_a == rows_b
+    # probe with maxResults=0 + one request per page (any worker order)
+    starts = sorted(r[0] for r in state["requests"])
+    assert starts == [0, 0, 100, 200]
