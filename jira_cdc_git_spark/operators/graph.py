@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from jira_cdc_git_spark.sources.registry import load_table
 
+from jira_cdc_git_spark.materialize import materialize
+
 MAX_DEPTH = 5  # reference cap: pkg/epic/analyzer.go:91
 
 
@@ -33,7 +35,8 @@ def hierarchy_levels(
     (pkg/epic/jira_analyzer.go:250-311).
 
     Scale: each iteration joins the full edge set against the current
-    frontier. The frontier is localCheckpoint()ed per level — lineage stays
+    frontier. The frontier is materialized per level (strategy from
+    spark.jira_cdc_git.materialize — local/disk/checkpoint) — lineage stays
     flat (no O(depth²) recompute), storage is executor-local and freed on
     GC (no persist leak), and ONE materialization serves both the emptiness
     check and the next join. No forced broadcast: a level-1 frontier can be
@@ -44,9 +47,9 @@ def hierarchy_levels(
     # re-reading the source max_depth+1 times
     edges = nodes.select(
         F.col(key_col).alias("key"), F.col(parent_col).alias("parent")
-    ).localCheckpoint()
+    ).transform(materialize)
     frontier = edges.filter(F.col("parent").isNull()).withColumn("level", F.lit(0))
-    frontier = frontier.localCheckpoint()
+    frontier = frontier.transform(materialize)
     levels = [frontier]
     for _ in range(max_depth):
         parents = frontier.select(
@@ -56,7 +59,7 @@ def hierarchy_levels(
             edges.join(parents, edges.parent == parents.pk)
             .select("key", "parent", F.col("child_level").alias("level"))
         )
-        frontier = frontier.localCheckpoint()
+        frontier = frontier.transform(materialize)
         if frontier.isEmpty():
             break
         levels.append(frontier)

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from jira_cdc_git_spark.functions import text as TX
 from jira_cdc_git_spark.sources.registry import load_table, load_table_spread
 
+from jira_cdc_git_spark.materialize import materialize
+
 # 8 hashes in 4 bands of 2: for a pair with Jaccard j, P(candidate) =
 # 1-(1-j²)⁴ — 0.98 at j=0.8, ~4e-5 for this corpus's unrelated-pair mass
 # (word-3-gram j≈0.001). Better recall than the classic 16/4×4 point
@@ -83,12 +85,12 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     # and the intersection all derive from it without ever exploding to a
     # (doc, shingle) row table. The only shuffles in the whole pipeline are
     # the band self-join and the two candidate-scoped set lookups (cand is
-    # tiny → AQE broadcasts it). localCheckpoint (eager): four consumers
+    # tiny → AQE broadcasts it). materialize (eager, conf-selected): four consumers
     # share it, and a lazy cache re-derives the shingling per branch.
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
     sets = docs.select(
         "doc_id", TX.shingles(F.col("text"), 3).alias("shs")
-    ).localCheckpoint()
+    ).transform(materialize)
 
     # minhash signatures NARROWLY: mh_s = array_min(md5('s:' || shingle))
     # per row — same values as a groupBy-min over the exploded table, zero
@@ -116,7 +118,7 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     # checkpoint each side re-runs the 8 md5-minhash transforms
     bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    ).localCheckpoint()
+    ).transform(materialize)
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -127,7 +129,7 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
@@ -235,13 +237,13 @@ def ngram_jaccard_pairs(
     all-pairs — the band-of-2 squares it away.
     """
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
-    # localCheckpoint (eager) instead of persist: the shingle sets feed the
+    # materialize (eager, conf-selected) instead of bare persist: the shingle sets feed the
     # self-join (twice) plus both verify lookups, and a lazily-cached plan
     # re-derives the expensive shingling/hashing on each branch before the
     # cache wins the race — materializing once cuts the op ~3×
     sets = docs.select(
         "doc_id", TX.char_shingles(F.col("text"), n, stride=2).alias("shs")
-    ).localCheckpoint()
+    ).transform(materialize)
     # min-hashes computed NARROWLY per row (array_min over a transform) —
     # no explode, no groupBy; the only shuffles are the block self-join and
     # the candidate-scoped set lookups
@@ -256,7 +258,7 @@ def ngram_jaccard_pairs(
     # checkpoint each side re-runs the 4 md5-minhash transforms
     blocks = sets.select(
         "doc_id", F.explode(F.array(*bk)).alias("bk")
-    ).localCheckpoint()
+    ).transform(materialize)
     a = blocks.alias("a")
     b = blocks.alias("b")
     cand = (
@@ -264,7 +266,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from jira_cdc_git_spark.sources.registry import load_table, load_table_spread
 
+from jira_cdc_git_spark.materialize import materialize
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -108,7 +110,7 @@ def kmeans_centroids(
     averages per (cluster, dim) — at 100 TB that is a dims× row blowup but
     it is the standard distributed formulation: partial aggregation makes
     the shuffle k×dims rows regardless of corpus size. Empty clusters keep
-    their previous centroid. Iterations localCheckpoint so lineage stays
+    their previous centroid. Iterations materialize (conf-selected) so lineage stays
     flat (the driver loop is O(iters), like the hierarchy fixpoint J1)."""
     cents = (
         emb.orderBy("vec_id")
@@ -116,7 +118,7 @@ def kmeans_centroids(
         .select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     for _ in range(iters):
         assigned = _assign_clusters(emb, cents)
@@ -149,7 +151,7 @@ def kmeans_centroids(
                     "cent_emb"
                 ),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
     return cents
 
@@ -176,7 +178,7 @@ def ivf_topk_kmeans(
     q = (
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("q_embedding"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     q_clusters = (
         cents.crossJoin(F.broadcast(q))
@@ -184,7 +186,7 @@ def ivf_topk_kmeans(
         .orderBy(F.col("d").desc(), F.col("cent_id"))
         .limit(n_probe)
         .select("cent_id")
-        .localCheckpoint()
+        .transform(materialize)
     )
     probe = assigned.join(
         F.broadcast(q_clusters), assigned.cluster_id == q_clusters.cent_id, "left_semi"
@@ -275,7 +277,7 @@ def ivf_topk(
     the parquet-partition level."""
     emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
     # tiny frames (16 centroids, 1 query row) feed multiple consumers —
-    # localCheckpoint them so the corpus scan + sort behind each runs ONCE,
+    # materialize them so the corpus scan + sort behind each runs ONCE,
     # not once per consumer (the naive DAG re-derived the assignment pass
     # three times: 3 full corpus scans for one query)
     cents = (
@@ -285,12 +287,12 @@ def ivf_topk(
             F.col("vec_id").alias("cent_id"),
             F.col("embedding").alias("cent_emb"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     q = (
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("q_embedding"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     # Assignment via _assign_clusters: one narrow pass, hoisted norms,
     # lexicographic array_max ≡ highest cosine with ties to the LOWEST
@@ -304,7 +306,7 @@ def ivf_topk(
         .orderBy(F.col("d").desc(), F.col("cent_id"))
         .limit(n_probe)
         .select("cent_id")
-        .localCheckpoint()
+        .transform(materialize)
     )
     probe = assigned.join(
         F.broadcast(q_clusters), assigned.cluster_id == q_clusters.cent_id, "left_semi"
