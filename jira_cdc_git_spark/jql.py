@@ -141,13 +141,30 @@ def validate(jql: str) -> list[str]:
         return errors
     if not _quotes_balanced(jql):
         errors.append("unbalanced quotes")
+    # paren depth tracked OUTSIDE quoted regions only (escape-aware, same
+    # scanner discipline as _quotes_balanced): `summary ~ ":-)"` is valid —
+    # the reference's raw count-based check shares this false positive
+    # (pkg/jql/builder.go:267-290); we fix it rather than port it
     depth = 0
-    for c in jql:
-        depth += c == "("
-        depth -= c == ")"
-        if depth < 0:
-            errors.append("unbalanced parentheses")
-            break
+    in_q: str | None = None
+    i = 0
+    while i < len(jql):
+        c = jql[i]
+        if c == "\\" and in_q:
+            i += 2
+            continue
+        if in_q:
+            if c == in_q:
+                in_q = None
+        elif c in "\"'":
+            in_q = c
+        else:
+            depth += c == "("
+            depth -= c == ")"
+            if depth < 0:
+                errors.append("unbalanced parentheses")
+                break
+        i += 1
     if depth > 0:
         errors.append("unbalanced parentheses")
     if re.search(r"\b(AND\s+AND|OR\s+OR)\b", jql, re.IGNORECASE):

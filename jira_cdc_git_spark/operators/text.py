@@ -69,9 +69,10 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     """MinHash + LSH near-duplicate detection with exact-Jaccard
     verification — the scalable near-dedup pipeline:
 
-      shingle (word 3-grams, distinct)
-        → 16 md5 minhashes per doc (one groupBy, 16 min-aggregates)
-        → 4 bands of 4 hashes; band_key = md5(mh0|mh1|mh2|mh3)
+      shingle (word 3-grams, distinct, one array column per doc)
+        → 8 md5 minhashes per doc (narrow array_min over seeded md5 —
+          no explode, no groupBy)
+        → 4 bands of 2 hashes; band_key = md5(mh0|mh1) etc.
         → candidate pairs = self-join on (band, band_key)   [the LSH trick:
           no O(n²) compare; only docs colliding in a band meet]
         → verify candidates with exact shingle-set Jaccard ≥ threshold.

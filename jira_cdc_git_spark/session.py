@@ -24,6 +24,20 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem(cap_gb: int = 24, frac: float = 0.6) -> str:
+    """min(cap, ~60% of MemTotal), floor 2g. /proc/meminfo is Linux-only;
+    anywhere it can't be read the cap is used (the design box has 128 GiB)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(cap_gb, int(total_gb * frac)))}g"
+    except OSError:
+        pass
+    return f"{cap_gb}g"
+
+
 def get_spark(
     app_name: str = "jira_cdc_git_spark",
     cpus: int | None = None,
@@ -40,9 +54,10 @@ def get_spark(
     # inject it via PYSPARK_SUBMIT_ARGS for the first session in a process
     # local[N] is a single JVM: driver heap IS the executor heap. 8g starves
     # a 32-thread run once cached/checkpointed blocks accumulate (GC stalls
-    # measured 10-20× on late queries in a long session); default higher and
-    # let small environments override down.
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # measured 10-20× on late queries in a long session). Default to
+    # min(24g, ~60% of physical RAM) so hosts smaller than the 128 GiB
+    # design box still launch; SPARK_GRAFT_DRIVER_MEM overrides either way.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
     if (
         SparkSession.getActiveSession() is None
         and "PYSPARK_SUBMIT_ARGS" not in os.environ

@@ -55,16 +55,19 @@ def latest_issues(spark: SparkSession, path: str) -> DataFrame:
 
 def compact_issues(spark: SparkSession, path: str) -> None:
     """Rewrite the delta log to its latest-wins snapshot (run periodically;
-    bounds read amplification)."""
-    snap = latest_issues(spark, path)
-    tmp = path + ".compact"
-    snap.write.mode("overwrite").partitionBy("project_key").parquet(tmp)
+    bounds read amplification). Crash-safe swap: tmp → live aside (.bak) →
+    tmp into place → drop .bak — no window where the table is absent."""
+    import os
     import shutil
 
-    shutil.rmtree(path)
-    import os
-
+    snap = latest_issues(spark, path)
+    tmp, bak = path + ".compact", path + ".bak"
+    snap.write.mode("overwrite").partitionBy("project_key").parquet(tmp)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+    os.replace(path, bak)
     os.replace(tmp, path)
+    shutil.rmtree(bak)
 
 
 def write_edges(edges: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -49,8 +49,21 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ts div 1000` is integer division on the JVM side: no double round-trip,
     no precision loss at 1.7e18-nanosecond magnitudes.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # force schema resolution while the flag is live; the runtime read
+        # path re-resolves from this analyzed plan, not from the conf
+        raw.schema
+    finally:
+        # restore so an unrelated later read of real NANOS parquet in the
+        # same session still fails loudly instead of silently widening
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 

@@ -37,6 +37,32 @@ from jira_cdc_git_spark import schemas
 HISTORY_CAP = 50  # pkg/state/manager.go:22
 
 
+def _swap_dir_atomic(df: DataFrame, live: str) -> None:
+    """Replace a directory-backed table with a new snapshot such that a
+    crash at ANY point leaves a recoverable table: write tmp → rename live
+    aside (.bak) → rename tmp into place → drop .bak. The old rmtree-then-
+    rename had a window with no live directory at all (the module's
+    atomicity claim held only for the state pointer, not history)."""
+    tmp, bak = live + ".tmp", live + ".bak"
+    df.write.mode("overwrite").parquet(tmp)
+    for stale in (bak,):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    if os.path.isdir(live):
+        os.replace(live, bak)
+    os.replace(tmp, live)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+
+
+def _recover_dir(live: str) -> None:
+    """Post-crash read path: if only the .bak survives (crash between the
+    two renames), restore it."""
+    bak = live + ".bak"
+    if not os.path.isdir(live) and os.path.isdir(bak):
+        os.replace(bak, live)
+
+
 class SyncStateStore:
     """Versioned parquet-backed sync_state + sync_history store."""
 
@@ -332,13 +358,10 @@ class SyncStateStore:
             .filter(F.col("__rn") <= HISTORY_CAP)
             .drop("__rn")
         )
-        tmp = self.history_dir + ".tmp"
-        capped.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(self.history_dir):
-            shutil.rmtree(self.history_dir)
-        os.replace(tmp, self.history_dir)
+        _swap_dir_atomic(capped, self.history_dir)
 
     def history(self, spark: SparkSession) -> DataFrame:
+        _recover_dir(self.history_dir)
         if not os.path.isdir(self.history_dir):
             return spark.createDataFrame([], schemas.SYNC_HISTORY)
         return spark.read.parquet(self.history_dir)

@@ -33,6 +33,18 @@ def test_escaped_quote_is_balanced():
     assert J.validate(r'summary ~ "say \"hi\""') == []
 
 
+def test_parens_inside_quotes_ignored():
+    # the reference's raw count-based check rejects these (builder.go:267-290
+    # counts parens inside strings); our scanner skips quoted regions
+    assert J.validate('summary ~ ":-)"') == []
+    assert J.validate("summary ~ '((('") == []
+    assert J.validate('(summary ~ ")") AND project = P') == []
+    # still rejects genuine imbalance around quoted parens
+    assert any(
+        "parentheses" in e for e in J.validate('(summary ~ ":-)"')
+    )
+
+
 # ---------------------------------------------------------------------------
 # Parser
 # ---------------------------------------------------------------------------
