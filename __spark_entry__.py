@@ -131,6 +131,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_event_per_user": R.last_event_per_user,
         "union_dedup": R.union_dedup,
         "hierarchy_levels": G.hierarchy_over_orders,
+        "epic_discovery_epic_link": lambda s, d: J.discover_epic_members(
+            s, d, "PROJ-0", "epic_link"
+        ),
+        "epic_discovery_custom_field": lambda s, d: J.discover_epic_members(
+            s, d, "PROJ-0", "custom_field"
+        ),
+        "epic_discovery_parent": lambda s, d: J.discover_epic_members(
+            s, d, "PROJ-13", "parent"
+        ),
+        "epic_discovery_links": lambda s, d: J.discover_epic_members(
+            s, d, "PROJ-0", "issue_links"
+        ),
+        "epic_discovery_hybrid": lambda s, d: J.discover_epic_members(
+            s, d, "PROJ-0", "hybrid"
+        ),
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
         "ivf_topk_kmeans": V.ivf_topk_kmeans,  # iterative k-means — rows-only
         "media_decode_image": MM.decode_image,   # mapInPandas — rows-only
@@ -946,6 +961,31 @@ _JIRA_ORACLES: dict[str, str] = {
                regexp_matches(issue_key, '^[A-Z][A-Z0-9]*(-[A-Z0-9]+)*-[0-9]+$')
                  AS valid
         FROM items
+    """,
+    "epic_discovery_epic_link": f"""
+        WITH {_I}
+        SELECT key, issuetype FROM issues_flat WHERE epic_link = 'PROJ-0'
+    """,
+    "epic_discovery_custom_field": f"""
+        WITH {_I}
+        SELECT key, issuetype FROM issues_flat WHERE epic_link = 'PROJ-0'
+    """,
+    "epic_discovery_parent": f"""
+        WITH {_I}
+        SELECT key, issuetype FROM issues_flat WHERE parent_issue = 'PROJ-13'
+    """,
+    "epic_discovery_links": f"""
+        WITH {_I}
+        SELECT key, issuetype FROM issues_flat
+        WHERE key IN (SELECT link_dst FROM issues_flat
+                      WHERE key = 'PROJ-0' AND link_type IS NOT NULL)
+    """,
+    "epic_discovery_hybrid": f"""
+        WITH {_I}
+        SELECT key, issuetype FROM issues_flat
+        WHERE epic_link = 'PROJ-0'
+           OR key IN (SELECT link_dst FROM issues_flat
+                      WHERE key = 'PROJ-0' AND link_type IS NOT NULL)
     """,
     "media_stats": """
         WITH m AS (

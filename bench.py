@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "sessionize",
     "asof_last_error",
     "jql_project_active",
+    "validate_requests",
+    "paged_scan_keyset",
     "incremental_candidates",
     "epic_hierarchy",
     "config_drift",

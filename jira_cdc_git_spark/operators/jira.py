@@ -277,6 +277,65 @@ def hybrid_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPIC_STRATEGIES = ("epic_link", "custom_field", "parent", "issue_links", "hybrid")
+
+# The exact JQL strings the reference's strategies emit
+# (pkg/epic/jira_analyzer.go:158-181).
+_STRATEGY_JQL = {
+    "epic_link": '"Epic Link" = {epic}',
+    "custom_field": "cf[12311140] = {epic}",
+    "parent": "parent = {epic}",
+    "issue_links": 'issue IN (linkedIssues("{epic}"))',
+}
+
+
+def _typed_links(iss: DataFrame) -> DataFrame:
+    """Edge frame backing linkedIssues(): typed issue_links only (epic/
+    parent/subtask relations have their own predicates)."""
+    return iss.select(
+        F.col("key").alias("src_key"), F.explode("issue_links").alias("l")
+    ).select("src_key", F.col("l.issue_key").alias("dst_key"))
+
+
+def discover_epic_members(
+    spark: SparkSession,
+    sf_dir: str,
+    epic_key: str = "PROJ-0",
+    strategy: str = "epic_link",
+    include_linked: bool = True,
+) -> DataFrame:
+    """Epic discovery strategy dispatcher (DiscoverEpicIssues,
+    pkg/epic/jira_analyzer.go:95-110). Each concrete strategy builds the
+    same JQL string the reference emits (jira_analyzer.go:158-181) and
+    compiles it through the JQL-subset compiler, so strategy selection is
+    pure config — exactly the reference's shape. Unknown strategies fall
+    back to epic_link (the reference's default branch).
+
+    "hybrid" unions epic_link + custom_field (+ issue_links when
+    include_linked — the IncludeLinkedIssues option, jira_analyzer.go:
+    183-218) and dedups by key. Member sets are per-epic small, so the
+    compiler's marker joins broadcast; the dedup shuffles only the few
+    matched rows, never the corpus.
+
+    linkedIssues(K) follows the compiler's edge semantics: targets of
+    typed-link rows recorded on K (src_key = K)."""
+    iss = FX.issues(spark, sf_dir)
+    if strategy == "hybrid":
+        parts = ["epic_link", "custom_field"]
+        if include_linked:
+            parts.append("issue_links")
+        out = None
+        for s in parts:
+            nxt = discover_epic_members(spark, sf_dir, epic_key, s)
+            out = nxt if out is None else out.unionByName(nxt)
+        return out.dropDuplicates(["key"])
+    jql = _STRATEGY_JQL.get(strategy, _STRATEGY_JQL["epic_link"]).format(
+        epic=epic_key
+    )
+    ctx = JQL.JQLContext(issues=iss, links=_typed_links(iss))
+    return JQL.run_jql(jql, iss, ctx).select("key", "issuetype")
+
+
 def epic_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 over real issue shape: parent = coalesce(parent_issue, epic_link),
     roots are epics, iterative self-join to depth 5

@@ -352,12 +352,13 @@ class SyncStateStore:
             hist = spark.read.parquet(self.history_dir).unionByName(df)
         else:
             hist = df
-        w = Window.orderBy(F.col("start_time").desc(), F.col("id").desc())
-        capped = (
-            hist.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= HISTORY_CAP)
-            .drop("__rn")
-        )
+        # Keep the most recent HISTORY_CAP rows. orderBy+limit compiles to
+        # TakeOrderedAndProject (per-partition top-K, then driver merge of K
+        # rows) — no single-partition WindowExec, no skew warning, and the
+        # plan holds at any history size.
+        capped = hist.orderBy(
+            F.col("start_time").desc(), F.col("id").desc()
+        ).limit(HISTORY_CAP)
         _swap_dir_atomic(capped, self.history_dir)
 
     def history(self, spark: SparkSession) -> DataFrame:

@@ -185,3 +185,28 @@ def test_kmeans_centroids_deterministic_and_complete(spark, sf_dir):
     assert r1.keys() == r2.keys()
     for k_ in r1:
         assert r1[k_] == r2[k_]
+
+
+def test_epic_discovery_dispatcher(spark, sf_dir):
+    from jira_cdc_git_spark.operators import jira as J
+
+    # unknown strategy falls back to epic_link (reference default branch,
+    # pkg/epic/jira_analyzer.go:107-109)
+    by_link = {r["key"] for r in
+               J.discover_epic_members(spark, sf_dir, "PROJ-0", "epic_link").collect()}
+    fallback = {r["key"] for r in
+                J.discover_epic_members(spark, sf_dir, "PROJ-0", "bogus").collect()}
+    assert by_link and fallback == by_link
+
+    # hybrid is the union of its parts; include_linked=False drops the
+    # linkedIssues contribution (IncludeLinkedIssues option)
+    linked = {r["key"] for r in
+              J.discover_epic_members(spark, sf_dir, "PROJ-0", "issue_links").collect()}
+    hybrid = {r["key"] for r in
+              J.discover_epic_members(spark, sf_dir, "PROJ-0", "hybrid").collect()}
+    narrow = {r["key"] for r in
+              J.discover_epic_members(spark, sf_dir, "PROJ-0", "hybrid",
+                                      include_linked=False).collect()}
+    assert hybrid == by_link | linked
+    assert narrow == by_link  # custom_field mirrors epic_link in the fixture
+    assert linked - by_link   # linkedIssues adds a member epic_link misses
