@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epic_discovery_hybrid": lambda s, d: J.discover_epic_members(
             s, d, "PROJ-0", "hybrid"
         ),
+        "simhash_neardup_pairs": T.simhash_neardup_pairs,
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
         "ivf_topk_kmeans": V.ivf_topk_kmeans,  # iterative k-means — rows-only
         "media_decode_image": MM.decode_image,   # mapInPandas — rows-only
@@ -226,7 +227,46 @@ _QUALITY_CTES = """qt AS (
             FROM qs
         )"""
 
+# md5-based SimHash oracle (simhash_neardup_pairs): same signature definition
+# as operators/text._simhash_md5_sigs — 64 per-bit vote sums over the two
+# 32-bit md5 halves. DuckDB verifies all-pairs (the sf0.01 corpus is trivial
+# for it); the Spark side must produce the identical pair set through its
+# banded join — so the banding's exactness is itself under test.
+def _simhash_pairs_oracle() -> str:
+    lo_sums = ", ".join(f"sum((lo >> {j}) & 1) AS l{j}" for j in range(32))
+    hi_sums = ", ".join(f"sum((hi >> {j}) & 1) AS h{j}" for j in range(32))
+    lo_sig = " + ".join(
+        f"(CASE WHEN 2*l{j} > n THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    hi_sig = " + ".join(
+        f"(CASE WHEN 2*h{j} > n THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), h AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                           ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+            FROM toks
+        ), sums AS (
+            SELECT doc_id, count(*) AS n, {lo_sums}, {hi_sums}
+            FROM h GROUP BY doc_id
+        ), sigs AS (
+            SELECT doc_id, {lo_sig} AS lo_sig, {hi_sig} AS hi_sig FROM sums
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.lo_sig, b.lo_sig))
+                    + bit_count(xor(a.hi_sig, b.hi_sig)) AS INTEGER) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo_sig, b.lo_sig))
+              + bit_count(xor(a.hi_sig, b.hi_sig)) <= 3
+    """
+
+
 _ORACLES: dict[str, str] = {
+    "simhash_neardup_pairs": _simhash_pairs_oracle(),
     "point_lookup": """
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
         FROM orders WHERE o_orderkey = 1

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "winnow_fingerprints",
     "simhash_signatures",
+    "simhash_neardup_pairs",
     "corpus_retention",
     "media_stats",
     "cosine_topk",

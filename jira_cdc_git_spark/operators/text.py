@@ -439,3 +439,127 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(2**j if j < 63 else -(2**63)).cast("long")
         )
     return sums.select("doc_id", sig.alias("simhash"))
+
+
+def _simhash_md5_sigs(docs: DataFrame) -> DataFrame:
+    """64-bit md5-based SimHash per doc, carried as two 32-bit halves
+    (lo_sig/hi_sig) so every intermediate stays in signed-long-safe range
+    in BOTH engines — this is the oracle-checkable twin of
+    ``simhash_signatures`` (xxhash64 has no DuckDB equivalent; md5 does).
+
+    Same packed-lane shape as simhash_signatures: one (doc_id, hi, lo)
+    shuffle with map-side partial agg, 16 packed 16-bit-lane sums instead
+    of 64 scalar sums so the hash-aggregate stays inside codegen. Lane
+    overflow needs >= 65,536 tokens in one document; chunk upstream at that
+    point."""
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    m = F.md5("tok")
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+    def lane_packs(col, base):
+        return [
+            F.sum(
+                sum(
+                    (
+                        F.shiftleft(
+                            F.shiftright(col, g * 4 + slot).bitwiseAND(F.lit(1)),
+                            16 * slot,
+                        )
+                        for slot in range(1, 4)
+                    ),
+                    F.shiftright(col, g * 4).bitwiseAND(F.lit(1)),
+                )
+            ).alias(f"p{base + g}")
+            for g in range(8)
+        ]
+
+    sums = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *lane_packs(F.col("lo"), 0),
+        *lane_packs(F.col("hi"), 8),
+    )
+
+    def sig(base):
+        s = F.lit(0).cast("long")
+        for j in range(32):
+            g, slot = j // 4, j % 4
+            cnt = F.shiftright(F.col(f"p{base + g}"), 16 * slot).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            s = s.bitwiseOR(
+                F.when(2 * cnt - F.col("n") > 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                * F.lit(2**j).cast("long")
+            )
+        return s
+
+    return sums.select("doc_id", sig(0).alias("lo_sig"), sig(8).alias("hi_sig"))
+
+
+def simhash_neardup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs via Hamming banding (Manku et al., WWW'07
+    shape). 4 bands of 16 bits: by pigeonhole, any pair with Hamming
+    distance <= 3 agrees on at least one full band, so the band join is
+    EXACT for the threshold — never all-pairs. The verify step computes
+    the true Hamming distance on band-collision candidates only.
+
+    100 TB shape: signatures are one narrow shuffle; the band self-join
+    keys on (band_idx, band_val) — 4 rows/doc, 2^16 values per band, so
+    bucket sizes stay bounded and the join shuffles only 4x the doc count.
+    Signatures are materialized once (strategy-configurable) and reused by
+    the candidate and verify stages."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    sigs = materialize(_simhash_md5_sigs(docs))
+    band_exprs = [
+        (
+            F.shiftright(F.col(half), shift).bitwiseAND(F.lit(0xFFFF))
+            + F.lit(idx * 65536)
+        ).cast("long")
+        for idx, (half, shift) in enumerate(
+            [("lo_sig", 0), ("lo_sig", 16), ("hi_sig", 0), ("hi_sig", 16)]
+        )
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lo_sig").alias("lo_a"),
+        F.col("hi_sig").alias("hi_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lo_sig").alias("lo_b"),
+        F.col("hi_sig").alias("hi_b"),
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

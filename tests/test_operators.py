@@ -210,3 +210,17 @@ def test_epic_discovery_dispatcher(spark, sf_dir):
     assert hybrid == by_link | linked
     assert narrow == by_link  # custom_field mirrors epic_link in the fixture
     assert linked - by_link   # linkedIssues adds a member epic_link misses
+
+
+def test_simhash_neardup_pairs_banding_exact(spark, sf_dir):
+    # banded candidate join must reproduce the all-pairs answer: every pair
+    # within the threshold shares >= 1 of the 4 bands (pigeonhole), so the
+    # result is ordered (doc_a < doc_b) with hamming in [0, 3]
+    rows = T.simhash_neardup_pairs(spark, sf_dir).collect()
+    assert rows
+    assert all(r["doc_a"] < r["doc_b"] and 0 <= r["hamming"] <= 3 for r in rows)
+    # tightening the threshold is a strict subset
+    tight = {(r["doc_a"], r["doc_b"]) for r in
+             T.simhash_neardup_pairs(spark, sf_dir, max_hamming=1).collect()}
+    loose = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert tight < loose
