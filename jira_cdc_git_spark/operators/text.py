@@ -528,38 +528,31 @@ def simhash_neardup_pairs(
             [("lo_sig", 0), ("lo_sig", 16), ("hi_sig", 0), ("hi_sig", 16)]
         )
     ]
+    # Band rows CARRY the signature halves (16 extra bytes/row), so the
+    # verify step is a projection on the joined row — no second/third join
+    # back to the signature table.
     bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("band_key")
+        "doc_id",
+        "lo_sig",
+        "hi_sig",
+        F.explode(F.array(*band_exprs)).alias("band_key"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    ham = (
+        F.bit_count(F.col("a.lo_sig").bitwiseXOR(F.col("b.lo_sig")))
+        + F.bit_count(F.col("a.hi_sig").bitwiseXOR(F.col("b.hi_sig")))
+    ).cast("int")
+    return (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lo_sig").alias("lo_a"),
-        F.col("hi_sig").alias("hi_a"),
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lo_sig").alias("lo_b"),
-        F.col("hi_sig").alias("hi_b"),
-    )
-    ham = (
-        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-    ).cast("int")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

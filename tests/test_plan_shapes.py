@@ -140,3 +140,22 @@ def test_incremental_changes_single_shuffle_join(spark, sf_dir):
     # one join; no cartesian, no nested loop
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    # the band self-join must be an equi-join on band_key — a regression to
+    # CartesianProduct/NestedLoop would make the candidate stage all-pairs
+    plan = _plan(T.simhash_neardup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_epic_discovery_membership_broadcasts(spark, sf_dir):
+    from jira_cdc_git_spark.operators import jira as J
+
+    # the linkedIssues member set is per-epic tiny; the compiler's marker
+    # join must broadcast it, never shuffle the corpus
+    plan = _plan(J.discover_epic_members(spark, sf_dir, "PROJ-0", "issue_links"))
+    assert "BroadcastHashJoin" in plan
