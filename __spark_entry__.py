@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, "PROJ-0", "hybrid"
         ),
         "simhash_neardup_pairs": T.simhash_neardup_pairs,
+        "bigram_surprisal": T.bigram_surprisal,
+        "tfidf_topk": T.tfidf_topk,
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
         "ivf_topk_kmeans": V.ivf_topk_kmeans,  # iterative k-means — rows-only
         "media_decode_image": MM.decode_image,   # mapInPandas — rows-only
@@ -267,6 +269,55 @@ def _simhash_pairs_oracle() -> str:
 
 _ORACLES: dict[str, str] = {
     "simhash_neardup_pairs": _simhash_pairs_oracle(),
+    "bigram_surprisal": """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), bgr AS (
+            SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(1, CAST(len(toks) AS INTEGER) - 1),
+                             i -> struct_pack(w1 := toks[i], w2 := toks[i+1])))
+                           AS b
+                  FROM t WHERE len(toks) >= 2) x
+        ), bc AS (
+            SELECT w1, w2, count(*) AS c_bg FROM bgr GROUP BY 1, 2
+        ), uc AS (
+            SELECT tok AS w1, count(*) AS c_ug
+            FROM (SELECT unnest(toks) AS tok FROM t) u GROUP BY 1
+        ), v AS (SELECT count(*) AS v FROM uc)
+        SELECT doc_id, count(*) AS n_bigrams,
+               floor(avg(-ln((c_bg + 1.0) / (c_ug + v))) * 10000 + 0.5) / 10000
+                 AS mean_surprisal
+        FROM bgr JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+        GROUP BY doc_id
+    """,
+    "tfidf_topk": """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(toks) AS tok FROM t
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        s AS (
+            SELECT doc_id, tok, tf,
+                   floor(tf * ln(n_docs * 1.0 / df) * 10000 + 0.5) / 10000
+                     AS tfidf
+            FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        ), r AS (
+            SELECT doc_id, tok, tf, tfidf,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, tok) AS INTEGER)
+                     AS rank
+            FROM s
+        )
+        SELECT doc_id, rank, tok, tf, tfidf FROM r WHERE rank <= 5
+    """,
     "point_lookup": """
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
         FROM orders WHERE o_orderkey = 1

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "simhash_signatures",
     "simhash_neardup_pairs",
+    "bigram_surprisal",
+    "tfidf_topk",
     "corpus_retention",
     "media_stats",
     "cosine_topk",

@@ -556,3 +556,95 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _bigram_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) bigram rows via array slicing — arrays_zip of the
+    token array against its own shift. Narrow (no window, no self-join);
+    the per-doc work is linear in tokens."""
+    arr = TX.tokens(F.col("text"))
+    n = F.size(arr)
+    pairs = F.arrays_zip(
+        F.slice(arr, F.lit(1), n - 1).alias("w1"),
+        F.slice(arr, F.lit(2), n - 1).alias("w2"),
+    )
+    return (
+        docs.select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring: per-doc mean surprisal
+    -ln p(w_i | w_{i-1}) under the corpus's own add-1-smoothed bigram
+    model. Low mean surprisal = the doc looks like the corpus (fluent /
+    in-domain); high = anomalous. The LLM-pipeline filter that catches
+    boilerplate and noise that length/stopword heuristics miss.
+
+    100 TB shape: two count aggregations (bigram + unigram vocab, both
+    bounded by observed vocabulary, not corpus size) and one shuffle join
+    of doc-bigrams against the bigram stats; the vocabulary scalar rides a
+    1-row broadcast. All built-ins, zero UDFs."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    bg = _bigram_frame(docs)
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    ug_counts = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_ug"))
+    )
+    vocab = ug_counts.agg(F.count("*").cast("long").alias("v"))
+    scored = (
+        bg.join(bg_counts, ["w1", "w2"])
+        .join(ug_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (-F.log((F.col("c_bg") + 1) / (F.col("c_ug") + F.col("v")))).alias(
+                "s"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        TX.round_half_up(F.avg("s"), 4).alias("mean_surprisal"),
+    )
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Per-doc top-k keywords by TF-IDF (tf raw count; idf = ln(N/df)).
+    Deterministic tie-break on the token. Keyword extraction for corpus
+    exploration / topic labeling in a training-data pipeline.
+
+    100 TB shape: tf = one (doc, token) count agg; df = token-keyed count
+    agg bounded by vocabulary; N rides a 1-row broadcast; top-k is a
+    row_number window partitioned BY DOC (never global)."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            TX.round_half_up(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", "tf", "tfidf")
+    )

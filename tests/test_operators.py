@@ -224,3 +224,22 @@ def test_simhash_neardup_pairs_banding_exact(spark, sf_dir):
              T.simhash_neardup_pairs(spark, sf_dir, max_hamming=1).collect()}
     loose = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert tight < loose
+
+
+def test_bigram_surprisal_positive_and_complete(spark, sf_dir):
+    rows = T.bigram_surprisal(spark, sf_dir).collect()
+    assert rows
+    # smoothed probabilities are < 1, so surprisal is strictly positive
+    assert all(r["mean_surprisal"] > 0 and r["n_bigrams"] >= 1 for r in rows)
+
+
+def test_tfidf_topk_ranks_contiguous_and_sorted(spark, sf_dir):
+    rows = T.tfidf_topk(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in doc_rows] == list(range(1, len(doc_rows) + 1))
+        scores = [r["tfidf"] for r in doc_rows]
+        assert scores == sorted(scores, reverse=True)
