@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simhash_neardup_pairs": T.simhash_neardup_pairs,
         "bigram_surprisal": T.bigram_surprisal,
+        "kmv_distinct_estimate": T.kmv_distinct_estimate,
         "tfidf_topk": T.tfidf_topk,
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
         "ivf_topk_kmeans": V.ivf_topk_kmeans,  # iterative k-means — rows-only
@@ -269,6 +270,40 @@ def _simhash_pairs_oracle() -> str:
 
 _ORACLES: dict[str, str] = {
     "simhash_neardup_pairs": _simhash_pairs_oracle(),
+    "kmv_distinct_estimate": """
+        WITH t AS (
+            SELECT lang, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT lang, shingle
+            FROM (SELECT lang,
+                         unnest(CASE WHEN len(toks) >= 3
+                             THEN list_transform(
+                                 generate_series(1, CAST(len(toks) AS INTEGER) - 2),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+                             ELSE [] END) AS shingle
+                  FROM t) x
+        ), exact AS (
+            SELECT lang, count(*) AS n_exact FROM sh GROUP BY lang
+        ), hashed AS (
+            SELECT lang,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                     / 1152921504606846976.0 AS h
+            FROM sh
+        ), kth AS (
+            SELECT lang, h AS h_k
+            FROM (SELECT lang, h,
+                         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+                  FROM hashed) r
+            WHERE rn = 64
+        )
+        SELECT lang, n_exact,
+               floor(coalesce(63.0 / h_k, n_exact * 1.0) * 100 + 0.5) / 100
+                 AS est_distinct,
+               floor(abs(coalesce(63.0 / h_k, n_exact * 1.0) - n_exact)
+                     / n_exact * 10000 + 0.5) / 10000 AS rel_error
+        FROM exact LEFT JOIN kth USING (lang)
+    """,
     "bigram_surprisal": """
         WITH t AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "simhash_signatures",
     "simhash_neardup_pairs",
     "bigram_surprisal",
+    "kmv_distinct_estimate",
     "tfidf_topk",
     "corpus_retention",
     "media_stats",

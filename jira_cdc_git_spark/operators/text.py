@@ -648,3 +648,51 @@ def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "tok", "tf", "tfidf")
     )
+
+
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str, k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per language over word
+    3-gram shingles, reported against the exact count. Estimate =
+    (k-1)/h_(k) where h_(k) is the k-th smallest md5-derived hash mapped
+    uniformly into (0,1); when a group holds fewer than k distinct values
+    the sketch is exact by construction (Bar-Yossef et al., RANDOM'02).
+
+    Because the hash is md5 (not a random seed), the sketch is fully
+    deterministic — the DuckDB oracle reproduces the ESTIMATE bit-for-bit,
+    so even the approximation path is under differential test. The 100 TB
+    story is the point of KMV: the per-group state is k hashes regardless
+    of cardinality, and the shuffle carries only per-partition candidate
+    minima (row_number prunes to k after one shuffle; a mergeable-sketch
+    refinement would pre-prune per partition)."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    sh = docs.select(
+        "lang", F.explode(TX.shingles(F.col("text"), 3)).alias("shingle")
+    ).distinct()
+    exact = sh.groupBy("lang").agg(F.count("*").alias("n_exact"))
+    # 15 hex chars = 60 bits -> uniform double in (0,1), sign-safe in both
+    # engines (same construction as the simhash halves)
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = Window.partitionBy("lang").orderBy("h")
+    kth = (
+        sh.select("lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select("lang", F.col("h").alias("h_k"))
+    )
+    est = F.coalesce((F.lit(k - 1) / F.col("h_k")), F.col("n_exact").cast("double"))
+    return (
+        exact.join(kth, "lang", "left")
+        .select(
+            "lang",
+            "n_exact",
+            TX.round_half_up(est, 2).alias("est_distinct"),
+            TX.round_half_up(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_error"),
+        )
+    )

@@ -243,3 +243,14 @@ def test_tfidf_topk_ranks_contiguous_and_sorted(spark, sf_dir):
         assert [r["rank"] for r in doc_rows] == list(range(1, len(doc_rows) + 1))
         scores = [r["tfidf"] for r in doc_rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_kmv_estimate_within_sketch_error(spark, sf_dir):
+    rows = T.kmv_distinct_estimate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # KMV std error is ~1/sqrt(k-2) ~= 12.6% at k=64; allow 4 sigma
+        assert r["rel_error"] <= 0.5, r
+        # groups smaller than k are exact by construction
+        if r["n_exact"] < 64:
+            assert r["rel_error"] == 0.0
