@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": T.simhash_neardup_pairs,
         "bigram_surprisal": T.bigram_surprisal,
         "kmv_distinct_estimate": T.kmv_distinct_estimate,
+        "dataset_splits": T.dataset_splits,
+        "ivf_recall_report": V.ivf_recall_report,
         "tfidf_topk": T.tfidf_topk,
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
         "ivf_topk_kmeans": V.ivf_topk_kmeans,  # iterative k-means — rows-only
@@ -270,6 +272,15 @@ def _simhash_pairs_oracle() -> str:
 
 _ORACLES: dict[str, str] = {
     "simhash_neardup_pairs": _simhash_pairs_oracle(),
+    "dataset_splits": """
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 < 98 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 = 98 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
     "kmv_distinct_estimate": """
         WITH t AS (
             SELECT lang, string_split_regex(trim(text), '\\s+') AS toks
@@ -880,6 +891,16 @@ _ORACLES: dict[str, str] = {
         WHERE event_type = 'purchase'
     """,
 }
+
+
+# Recall report composes the exact and approximate top-k oracles verbatim
+# as subqueries — the recall number is itself differential-tested.
+_ORACLES["ivf_recall_report"] = f"""
+    SELECT CAST(10 AS INTEGER) AS k, count(*) AS n_hits,
+           count(*) / 10.0 AS recall
+    FROM ({_ORACLES["cosine_topk"]}) e
+    WHERE vec_id IN (SELECT vec_id FROM ({_ORACLES["ivf_topk"]}) a)
+"""
 
 
 # JIRA-fixture oracles: every query embeds the SAME flat-derivation CTE the

@@ -696,3 +696,22 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str, k: int = 64) -> Data
             ).alias("rel_error"),
         )
     )
+
+
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket (98/1/1):
+    bucket = md5(doc_id) mod 100. Hash-based splits are the
+    training-data-pipeline standard — stable under corpus growth and
+    re-runs (a doc never migrates between splits), no coordination, no
+    stored split table. Pure narrow projection."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 98, F.lit("train"))
+        .when(bucket == 98, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

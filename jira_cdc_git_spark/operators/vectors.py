@@ -322,3 +322,22 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ivf_recall_report(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Recall@k of the IVF approximate top-k against the brute-force exact
+    top-k — the evaluation harness for tuning n_probe/n_centroids (more
+    probes = higher recall = more scored fraction). One scalar row:
+    (k, n_hits, recall).
+
+    Scale shape: inherits both operands' plans (broadcast query + ANN
+    probe pruning); the comparison itself is a left-semi join of two
+    k-row frames."""
+    exact = cosine_topk(spark, sf_dir, k=k)
+    approx = ivf_topk(spark, sf_dir, k=k)
+    hits = exact.join(approx.select("vec_id"), "vec_id", "left_semi")
+    return hits.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count("*").alias("n_hits"),
+        (F.count("*") / F.lit(float(k))).alias("recall"),
+    )

@@ -254,3 +254,25 @@ def test_kmv_estimate_within_sketch_error(spark, sf_dir):
         # groups smaller than k are exact by construction
         if r["n_exact"] < 64:
             assert r["rel_error"] == 0.0
+
+
+def test_dataset_splits_deterministic_and_total(spark, sf_dir):
+    a = {(r["doc_id"], r["split"]) for r in T.dataset_splits(spark, sf_dir).collect()}
+    b = {(r["doc_id"], r["split"]) for r in T.dataset_splits(spark, sf_dir).collect()}
+    assert a == b and a  # stable across runs
+    census = {}
+    for _, s in a:
+        census[s] = census.get(s, 0) + 1
+    # hash buckets: train dominates, every split name is legal
+    assert set(census) <= {"train", "val", "test"}
+    assert census["train"] > 0.9 * len(a)
+
+
+def test_ivf_recall_report_bounds(spark, sf_dir):
+    from jira_cdc_git_spark.operators import vectors as V
+
+    r = V.ivf_recall_report(spark, sf_dir).collect()[0]
+    assert r["k"] == 10 and 0 <= r["n_hits"] <= 10
+    assert abs(r["recall"] - r["n_hits"] / 10) < 1e-12
+    # the probe covers 1/4 of centroids; a sane IVF should still catch most
+    assert r["recall"] >= 0.5
