@@ -131,6 +131,25 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # Real git materialization (the reference's output contract: one YAML
+    # file + one conventional commit per issue; its gate is <100 ms per git
+    # op => 1000 issues in <=100 s). fast-import lands the same batch in
+    # one streaming process.
+    from jira_cdc_git_spark import sinks_git
+
+    tmp = tempfile.mkdtemp(prefix="bench_git_")
+    try:
+        batch = FX.issues(spark, sf_dir).limit(1000).localCheckpoint()
+        t0 = time.perf_counter()
+        n = sinks_git.materialize_fast_import(batch, os.path.join(tmp, "repo"))
+        dt = time.perf_counter() - t0
+        sync["git_materialize_1000"] = {
+            "sec": round(dt, 3),
+            "issues_per_sec": round(n / dt, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
