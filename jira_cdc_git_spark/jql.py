@@ -433,6 +433,115 @@ def parse(jql: str) -> Query:
 
 
 # ---------------------------------------------------------------------------
+# Emitter + OptimizeQuery (§4.1 — pkg/jql/jira_builder.go:195-234)
+# ---------------------------------------------------------------------------
+
+_FUNC_CASE = {
+    "currentuser": "currentUser",
+    "opensprints": "openSprints",
+    "issuesinepic": "issuesInEpic",
+    "linkedissues": "linkedIssues",
+}
+
+# a value may be emitted bare ONLY if the lexer re-reads it as one `word`
+# token: word-shaped (no leading digit — digits lex as numbers), not a
+# keyword, not a function name
+_BARE_VALUE_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.@-]*$")
+_RESERVED = {"AND", "OR", "NOT", "IN", "IS", "ORDER", "BY", "EMPTY", "NULL"}
+
+
+def _emit_value(v) -> str:
+    if isinstance(v, tuple):
+        if v[0] == "reldate":
+            return v[1]
+        name = _FUNC_CASE[v[1]]
+        return f'{name}("{v[2]}")' if v[2] is not None else f"{name}()"
+    if isinstance(v, float):
+        return str(int(v)) if v == int(v) else str(v)
+    if (
+        _BARE_VALUE_RE.match(v)
+        and v.upper() not in _RESERVED
+        and v.lower() not in _FUNCS
+    ):
+        return v
+    return '"' + v.replace('"', '\\"') + '"'
+
+
+def _emit_field(fld: str) -> str:
+    return f'"{fld}"' if " " in fld else fld
+
+
+def _emit(node) -> str:
+    if isinstance(node, Bool):
+        parts = [
+            f"({_emit(c)})" if isinstance(c, Bool) else _emit(c)
+            for c in node.children
+        ]
+        return f" {node.op} ".join(parts)
+    if isinstance(node, Not):
+        inner = _emit(node.child)
+        return f"NOT ({inner})" if isinstance(node.child, Bool) else f"NOT {inner}"
+    if isinstance(node, Empty):
+        return f"{_emit_field(node.fld)} IS {'NOT ' if node.negated else ''}EMPTY"
+    if isinstance(node, InList):
+        vals = ", ".join(_emit_value(v) for v in node.values)
+        kw = "NOT IN" if node.negated else "IN"
+        return f"{_emit_field(node.fld)} {kw} ({vals})"
+    if isinstance(node, Membership):
+        name = _FUNC_CASE[node.func]
+        arg = f'"{node.arg}"' if node.arg is not None else ""
+        kw = "NOT IN" if node.negated else "IN"
+        return f"{_emit_field(node.fld)} {kw} ({name}({arg}))"
+    if isinstance(node, Cmp):
+        return f"{_emit_field(node.fld)} {node.op} {_emit_value(node.value)}"
+    raise JQLError(f"cannot emit {node!r}")
+
+
+def emit(q: Query) -> str:
+    """Serialize an AST back to JQL (round-trips through parse())."""
+    parts = []
+    if q.where is not None:
+        parts.append(_emit(q.where))
+    if q.order_by:
+        parts.append(
+            "ORDER BY " + ", ".join(f"{_emit_field(f)} {d}" for f, d in q.order_by)
+        )
+    return " ".join(parts)
+
+
+def optimize_query(jql: str) -> tuple[str, list[str]]:
+    """OptimizeQuery parity (pkg/jql/jira_builder.go:195-234): move a
+    top-level `project =` conjunct to the front (the reference's
+    hand-rolled selectivity heuristic — a no-op for Catalyst's pushdown,
+    kept so emitted JQL matches the reference's), append a deterministic
+    `ORDER BY key ASC` when the query has no sort (jira_builder.go:
+    222-225), and report the rewrites. OR→IN consolidation (which
+    builder.go:332-334 merely suggests at >= 3 ORs) is APPLIED by our
+    parser; when it fires, the note records it. Idempotent."""
+    q = parse(jql)
+    notes: list[str] = []
+    if isinstance(q.where, Bool) and q.where.op == "AND":
+        proj = [
+            c
+            for c in q.where.children
+            if isinstance(c, Cmp) and c.fld == "project" and c.op == "="
+        ]
+        if proj and q.where.children[0] is not proj[0]:
+            rest = [c for c in q.where.children if c is not proj[0]]
+            q.where.children = [proj[0], *rest]
+            notes.append("moved project filter first")
+    if not q.order_by:
+        q.order_by = [("key", "ASC")]
+        notes.append("appended ORDER BY key ASC")
+    out = emit(q)
+    if len(re.findall(r"\bOR\b", jql, re.IGNORECASE)) >= 2 and re.search(
+        r"\bIN \(", out
+    ) and not re.search(r"\bIN\s*\(", jql, re.IGNORECASE):
+        notes.append("consolidated OR chain into IN")
+    return out, notes
+
+
+# ---------------------------------------------------------------------------
 # Compiler: AST → DataFrame transformation
 # ---------------------------------------------------------------------------
 

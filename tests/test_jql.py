@@ -195,3 +195,43 @@ def test_missing_context_errors(tiny):
         J.run_jql("updated >= -7d", tiny)
     with pytest.raises(J.JQLError, match="current_user"):
         J.run_jql("assignee = currentUser()", tiny)
+
+
+# --- emit / optimize_query (§4.1 OptimizeQuery parity) ---------------------
+
+def test_optimize_moves_project_first_and_appends_order():
+    out, notes = J.optimize_query('status = Done AND project = PROJ')
+    assert out == "project = PROJ AND status = Done ORDER BY key ASC"
+    assert "moved project filter first" in notes
+    assert "appended ORDER BY key ASC" in notes
+
+
+def test_optimize_keeps_existing_order_and_position():
+    out, notes = J.optimize_query("project = P AND status = Done ORDER BY updated DESC")
+    assert out == "project = P AND status = Done ORDER BY updated DESC"
+    assert notes == []
+
+
+def test_optimize_applies_or_to_in_with_note():
+    out, notes = J.optimize_query("status = A OR status = B OR status = C")
+    assert out == "status IN (A, B, C) ORDER BY key ASC"
+    assert "consolidated OR chain into IN" in notes
+
+
+def test_optimize_idempotent():
+    out1, _ = J.optimize_query('"Epic Link" = PROJ-0 OR parent IN (issuesInEpic("PROJ-0"))')
+    out2, notes2 = J.optimize_query(out1)
+    assert out1 == out2
+    assert notes2 == []
+
+
+def test_emit_round_trips_through_parse():
+    for jql in [
+        'project = MEM AND status NOT IN ("Closed", "Done")',
+        '"Epic Link" = P-1 OR parent IN (issuesInEpic("P-1"))',
+        "assignee = currentUser() AND sprint IN (openSprints())",
+        "updated >= -30d AND NOT (status = Done OR priority = Low) ORDER BY updated DESC, key ASC",
+        "summary ~ \"needs space\" AND description IS NOT EMPTY",
+    ]:
+        q = J.parse(jql)
+        assert J.parse(J.emit(q)) == q

@@ -114,3 +114,23 @@ def test_order_by_roundtrip(keys):
     assert [(f, d.lower()) for f, d in q.order_by] == [
         (f, d.lower()) for f, d in keys
     ]
+
+
+@given(jql_expr())
+@settings(max_examples=200, deadline=None)
+def test_emit_parse_fixpoint(expr):
+    # emit is a right inverse of parse: parse(emit(q)) == q, and the emitted
+    # string is a fixpoint (emit(parse(emit(q))) == emit(q))
+    q = J.parse(expr)
+    out = J.emit(q)
+    assert J.parse(out) == q
+    assert J.emit(J.parse(out)) == out
+
+
+@given(jql_expr())
+@settings(max_examples=100, deadline=None)
+def test_optimize_query_idempotent_and_parseable(expr):
+    out1, _ = J.optimize_query(expr)
+    out2, notes2 = J.optimize_query(out1)
+    assert out1 == out2 and notes2 == []
+    assert J.parse(out1).order_by  # deterministic sort always present
