@@ -87,21 +87,65 @@ def _fake_decode(content: bytes) -> tuple[int, int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4
 
 
+def _sniff_dimensions(content: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) from PNG/GIF/BMP/JPEG headers — pure
+    struct reads, zero codec dependency (this is all a lazy ``Image.open``
+    does for ``.size`` anyway). Returns None when no known magic matches;
+    never raises."""
+    import struct
+
+    try:
+        if (
+            len(content) >= 26
+            and content[:8] == b"\x89PNG\r\n\x1a\n"
+            and content[12:16] == b"IHDR"
+        ):
+            w, h = struct.unpack(">II", content[16:24])
+            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(content[25], 3)
+            return w, h, ch
+        if len(content) >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", content[6:10])
+            return w, h, 3
+        if len(content) >= 30 and content[:2] == b"BM":
+            hdr = struct.unpack("<I", content[14:18])[0]
+            if hdr >= 40:
+                w, h = struct.unpack("<ii", content[18:26])
+                bpp = struct.unpack("<H", content[28:30])[0]
+                return w, abs(h), {32: 4, 24: 3}.get(bpp, 1)
+        if len(content) >= 4 and content[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(content) and content[i] == 0xFF:
+                marker = content[i + 1]
+                seg = struct.unpack(">H", content[i + 2 : i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                    return w, h, content[i + 9]
+                i += 2 + seg
+    except Exception:
+        return None
+    return None
+
+
 def _decode_one(Image, content: bytes) -> tuple[int, int, int, bool, str]:
     """One payload → (width, height, channels, decode_ok, decoder). Never
-    raises: PIL absent → fake; PIL present but payload unparseable →
-    per-row fake fallback flagged decode_ok=False."""
+    raises. Decoder ladder: PIL when importable → header sniffer (real
+    metadata decode, no dependency) → deterministic fake flagged by name
+    (and decode_ok=False when a real codec was expected to work)."""
     import io
 
+    if Image is not None:
+        try:
+            img = Image.open(io.BytesIO(content))
+            return img.size[0], img.size[1], len(img.getbands()), True, "pil"
+        except Exception:
+            pass
+    sniffed = _sniff_dimensions(content)
+    if sniffed is not None:
+        return *sniffed, True, "header-sniff"
+    w, h, ch = _fake_decode(content)
     if Image is None:
-        w, h, ch = _fake_decode(content)
         return w, h, ch, True, "fake-deterministic"
-    try:
-        img = Image.open(io.BytesIO(content))
-        return img.size[0], img.size[1], len(img.getbands()), True, "pil"
-    except Exception:
-        w, h, ch = _fake_decode(content)
-        return w, h, ch, False, "pil-fallback"
+    return w, h, ch, False, "pil-fallback"
 
 
 def decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +239,12 @@ def resize_image(
                         img = Image.open(io.BytesIO(payload))
                     except Exception:
                         img = None
-                w0, h0 = img.size if img is not None else _fake_decode(payload)[:2]
+                if img is not None:
+                    w0, h0 = img.size
+                else:
+                    w0, h0 = (
+                        _sniff_dimensions(payload) or _fake_decode(payload)
+                    )[:2]
                 scale = min(target_w / w0, target_h / h0)
                 w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
                 if img is not None:

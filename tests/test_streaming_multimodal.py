@@ -365,3 +365,61 @@ def test_resize_image_with_stub_codec(spark, monkeypatch):
     import hashlib
 
     assert r["resized_hash"] == hashlib.md5(b"64x32").hexdigest()
+
+
+# --- header sniffer: real metadata decode without any codec dependency -----
+
+def _png(w, h, color_type=6):
+    import struct, zlib
+    ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))
+
+
+def _gif(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+
+
+def _bmp(w, h, bpp=24):
+    import struct
+    return (b"BM" + b"\x00" * 12
+            + struct.pack("<I", 40) + struct.pack("<ii", w, h)
+            + struct.pack("<H", 1) + struct.pack("<H", bpp) + b"\x00" * 8)
+
+
+def _jpeg(w, h, ncomp=3):
+    import struct
+    sof = struct.pack(">H", 8 + 3 * ncomp) + bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    return b"\xff\xd8\xff\xc0" + sof + b"\x00" * 16
+
+
+def test_sniffer_reads_real_headers():
+    from jira_cdc_git_spark.operators.multimodal import _sniff_dimensions
+
+    assert _sniff_dimensions(_png(640, 480)) == (640, 480, 4)
+    assert _sniff_dimensions(_png(10, 20, color_type=0)) == (10, 20, 1)
+    assert _sniff_dimensions(_gif(320, 200)) == (320, 200, 3)
+    assert _sniff_dimensions(_bmp(800, 600)) == (800, 600, 3)
+    assert _sniff_dimensions(_jpeg(1024, 768)) == (1024, 768, 3)
+    assert _sniff_dimensions(b"not an image at all") is None
+    assert _sniff_dimensions(b"") is None
+
+
+def test_decode_ladder_prefers_real_metadata():
+    from jira_cdc_git_spark.operators.multimodal import _decode_one, _pil
+
+    # with no codec importable, a real PNG payload still decodes for real
+    w, h, ch, ok, decoder = _decode_one(None, _png(64, 32))
+    assert (w, h, ch, ok) == (64, 32, 4, True)
+    assert decoder == "header-sniff"
+    # non-image bytes fall through to the documented deterministic fake
+    w, h, ch, ok, decoder = _decode_one(None, b"\x00\x01\x02")
+    assert ok and decoder == "fake-deterministic"
+    # if PIL IS available here, it wins and never raises
+    Image = _pil()
+    if Image is not None:
+        _, _, _, ok, decoder = _decode_one(Image, _png(8, 8))
+        assert decoder in ("pil", "header-sniff")
