@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epic_discovery_hybrid": lambda s, d: J.discover_epic_members(
             s, d, "PROJ-0", "hybrid"
         ),
+        "jql_preview_breakdowns": J.jql_preview_breakdowns,
         "paged_scan_keyset": R.paged_scan_keyset,
         "bigram_surprisal": T.bigram_surprisal,
         "kmv_distinct_estimate": T.kmv_distinct_estimate,
@@ -1138,6 +1139,19 @@ _JIRA_ORACLES: dict[str, str] = {
         WHERE epic_link = 'PROJ-0'
            OR key IN (SELECT link_dst FROM issues_flat
                       WHERE key = 'PROJ-0' AND link_type IS NOT NULL)
+    """,
+    "jql_preview_breakdowns": f"""
+        WITH {_I}, f AS (
+            SELECT * FROM issues_flat
+            WHERE project_key = 'MEM'
+              AND status_name NOT IN ('Closed', 'Done')
+        )
+        SELECT coalesce(project_key, 'ALL') AS project,
+               coalesce(status_name, 'ALL') AS status,
+               coalesce(issuetype, 'ALL') AS issuetype,
+               count(*) AS n
+        FROM f
+        GROUP BY GROUPING SETS ((project_key), (status_name), (issuetype), ())
     """,
     "media_stats": """
         WITH m AS (

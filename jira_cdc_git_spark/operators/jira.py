@@ -533,3 +533,46 @@ def timestamp_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.alias("parsed"),
         parsed.isNull().alias("quarantined"),
     )
+
+
+def preview_query(
+    spark: SparkSession, sf_dir: str, jql: str | None = None, sample_n: int = 10
+) -> dict:
+    """PreviewQuery parity (pkg/jql/jira_builder.go:237-269): before running
+    a full sync, report the result's total count, a deterministic sample
+    page, and per-project/status/type breakdowns for a JQL string. Returns
+    {"breakdowns": DataFrame, "sample": DataFrame} — the breakdowns frame
+    carries the total as the all-NULL grouping-sets row, so the whole
+    preview costs ONE aggregation shuffle plus a TakeOrdered sample (the
+    reference runs three separate counting passes + a paged fetch).
+
+    The JQL string goes through optimize_query first — exactly the
+    reference's flow (PreviewQuery calls OptimizeQuery before executing)."""
+    jql = jql or JQL.build_from_template(
+        "project-active-issues", {"project": "MEM"}
+    )
+    optimized, _notes = JQL.optimize_query(jql)
+    iss = FX.issues(spark, sf_dir)
+    plan = JQL.compile_jql(optimized, _ctx(spark, sf_dir))
+    filtered = plan.apply(iss)
+    filtered.createOrReplaceTempView("_preview_filtered")
+    breakdowns = spark.sql(
+        """
+        SELECT coalesce(project_key, 'ALL') AS project,
+               coalesce(status.name, 'ALL') AS status,
+               coalesce(issuetype, 'ALL') AS issuetype,
+               count(*) AS n
+        FROM _preview_filtered
+        GROUP BY GROUPING SETS ((project_key), (status.name), (issuetype), ())
+        """
+    )
+    sample = filtered.orderBy("key").limit(sample_n).select(
+        "key", F.col("status.name").alias("status_name"), "issuetype"
+    )
+    return {"breakdowns": breakdowns, "sample": sample}
+
+
+def jql_preview_breakdowns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of preview_query: the one-pass breakdown frame for the
+    project-active template (P18 + A1 composed through the optimizer)."""
+    return preview_query(spark, sf_dir)["breakdowns"]

@@ -276,3 +276,20 @@ def test_ivf_recall_report_bounds(spark, sf_dir):
     assert abs(r["recall"] - r["n_hits"] / 10) < 1e-12
     # the probe covers 1/4 of centroids; a sane IVF should still catch most
     assert r["recall"] >= 0.5
+
+
+def test_preview_query_sample_and_total_consistent(spark, sf_dir):
+    from jira_cdc_git_spark.operators import jira as J
+
+    p = J.preview_query(spark, sf_dir, sample_n=5)
+    sample = p["sample"].collect()
+    assert 0 < len(sample) <= 5
+    rows = p["breakdowns"].collect()
+    # the all-ALL grouping-sets row is the grand total and must equal the
+    # sum of any single dimension's rows
+    total = [r["n"] for r in rows
+             if (r["project"], r["status"], r["issuetype"]) == ("ALL", "ALL", "ALL")]
+    assert len(total) == 1
+    by_status = sum(r["n"] for r in rows
+                    if r["status"] != "ALL")
+    assert by_status == total[0]
