@@ -31,6 +31,11 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.ngram_jaccard_pairs,
         T.winnow_fingerprints,
         T.simhash_signatures,
+        T.simhash_neardup_pairs,
+        T.bigram_surprisal,
+        T.tfidf_topk,
+        T.kmv_distinct_estimate,
+        T.dataset_splits,
         V.embedding_neardup,
     ],
 )
