@@ -342,3 +342,27 @@ def search_issues_distributed(
         StorageLevel.MEMORY_AND_DISK
     )
     return parse_search_payloads(pages)
+
+
+def search_query(
+    spark: SparkSession,
+    base_url: str,
+    query,
+    distributed: bool = False,
+    **kw,
+):
+    """Predicate pushdown INTO the JIRA server — the reference's actual
+    execution model (the JQL runs remotely; the client only pages,
+    client.go:150-191). Accepts a raw JQL string or a parsed ``jql.Query``
+    AST, runs it through ``optimize_query`` (project-conjunct-first +
+    deterministic ORDER BY — exactly what BuildEpicQuery/OptimizeQuery do
+    before every push, jira_builder.go:195-234), and fetches through the
+    rate-limited reader. One AST drives both backends: ``jql.run_jql``
+    filters parquet tables locally, ``search_query`` ships the same query
+    to a live server."""
+    from jira_cdc_git_spark import jql as _jql
+
+    jql_str = _jql.emit(query) if isinstance(query, _jql.Query) else query
+    optimized, _notes = _jql.optimize_query(jql_str)
+    fetch = search_issues_distributed if distributed else search_issues
+    return fetch(spark, base_url, optimized, **kw)

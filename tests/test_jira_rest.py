@@ -61,6 +61,7 @@ class _Handler(BaseHTTPRequestHandler):
         maxr = int(qs.get("maxResults", ["100"])[0])
         st = type(self).state
         st["requests"].append((start, maxr, datetime.now()))
+        st["jql"] = qs.get("jql", [""])[0]
         n_req = len(st["requests"])
         if n_req in st["fail_at"]:
             self.send_response(429)
@@ -210,3 +211,19 @@ def test_distributed_fetch_matches_driver_fetch(spark, mock_jira):
     # probe with maxResults=0 + one request per page (any worker order)
     starts = sorted(r[0] for r in state["requests"])
     assert starts == [0, 0, 100, 200]
+
+
+def test_search_query_pushes_optimized_jql(spark, mock_jira):
+    from jira_cdc_git_spark import jql as J
+
+    url, state = mock_jira
+    df = JR.search_query(
+        spark, url, 'status = Done AND project = PROJ', limiter=_fast_limiter()
+    )
+    assert df.count() == N_ISSUES
+    # the server received the OPTIMIZED form: project first + ORDER BY
+    assert state["jql"] == "project = PROJ AND status = Done ORDER BY key ASC"
+    # a parsed AST pushes identically to its string form
+    q = J.parse('status = Done AND project = PROJ')
+    JR.search_query(spark, url, q, limiter=_fast_limiter()).count()
+    assert state["jql"] == "project = PROJ AND status = Done ORDER BY key ASC"
