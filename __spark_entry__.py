@@ -26,7 +26,7 @@ incremental_candidates, hierarchy_levels ⊂ epic_hierarchy,
 paged_scan_keyset ⊂ paged_scan's S3, the per-strategy epic_discovery_*
 ⊂ hybrid_discovery's dispatcher), (b) a round-3 extension operator
 (bigram_surprisal, tfidf_topk, kmv_distinct_estimate, dataset_splits,
-ivf_recall_report), or (c) a rows-only/no-oracle entry whose driver
+doc_length_quantiles, ivf_recall_report, jql_preview_breakdowns), or (c) a rows-only/no-oracle entry whose driver
 check is weak anyway; ALL of them remain covered by the repo's own
 DuckDB-differential pytest suite (tests/test_oracle_parity.py replays
 the driver comparison over the full registry).
@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": T.bigram_surprisal,
         "kmv_distinct_estimate": T.kmv_distinct_estimate,
         "dataset_splits": T.dataset_splits,
+        "doc_length_quantiles": T.doc_length_quantiles,
         "ivf_recall_report": V.ivf_recall_report,
         "tfidf_topk": T.tfidf_topk,
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
@@ -278,6 +279,20 @@ def _simhash_pairs_oracle() -> str:
 
 _ORACLES: dict[str, str] = {
     "simhash_neardup_pairs": _simhash_pairs_oracle(),
+    "doc_length_quantiles": """
+        WITH t AS (
+            SELECT lang,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        )
+        SELECT lang,
+               floor(quantile_cont(n_tokens, 0.5)  * 100 + 0.5) / 100 AS p50_tokens,
+               floor(quantile_cont(n_tokens, 0.9)  * 100 + 0.5) / 100 AS p90_tokens,
+               floor(quantile_cont(n_tokens, 0.99) * 100 + 0.5) / 100 AS p99_tokens,
+               CAST(max(n_tokens) AS INTEGER) AS max_tokens,
+               count(*) AS n_docs
+        FROM t GROUP BY lang
+    """,
     "dataset_splits": """
         SELECT doc_id,
                CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -715,3 +715,35 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution: exact p50/p90/p99 (linear
+    interpolation — Spark's percentile() and DuckDB's quantile_cont()
+    share the R-7 definition, so the values differentially verify), plus
+    max and count. The corpus-curation view that picks truncation/packing
+    lengths for a training run.
+
+    Exact percentile sorts within each language group — fine while group
+    counts are modest; at 100 TB switch to percentile_approx (t-digest,
+    mergeable, bounded memory) and drop the oracle to tolerance-based."""
+    docs = load_table(spark, "documents", sf_dir)
+    stats = (
+        docs.select("lang", TX.token_count(F.col("text")).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.expr(
+                "percentile(n_tokens, array(0.5D, 0.9D, 0.99D))"
+            ).alias("q"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+    return stats.select(
+        "lang",
+        TX.round_half_up(F.col("q")[0], 2).alias("p50_tokens"),
+        TX.round_half_up(F.col("q")[1], 2).alias("p90_tokens"),
+        TX.round_half_up(F.col("q")[2], 2).alias("p99_tokens"),
+        "max_tokens",
+        "n_docs",
+    )
