@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_estimate": T.kmv_distinct_estimate,
         "dataset_splits": T.dataset_splits,
         "doc_length_quantiles": T.doc_length_quantiles,
+        "neardup_clusters": G.neardup_clusters,
         "ivf_recall_report": V.ivf_recall_report,
         "tfidf_topk": T.tfidf_topk,
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
@@ -653,6 +654,24 @@ _ORACLES: dict[str, str] = {
     "neardup_pairs_lsh": f"""
         WITH {_LSH_CTES}
         SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+    "neardup_clusters": f"""
+        WITH RECURSIVE {_LSH_CTES},
+        p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+        e AS (
+            SELECT doc_a AS u, doc_b AS v FROM p
+            UNION
+            SELECT doc_b, doc_a FROM p
+        ),
+        reach AS (
+            SELECT u AS node, u AS r FROM e
+            UNION
+            SELECT e.u AS node, reach.r
+            FROM e JOIN reach ON reach.node = e.v
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id,
+               node = min(r) AS is_canonical
+        FROM reach GROUP BY node
     """,
     "corpus_retention": f"""
         WITH {_LSH_CTES}, {_QUALITY_CTES},

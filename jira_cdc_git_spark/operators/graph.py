@@ -101,3 +101,80 @@ def broken_links(edges: DataFrame, issues: DataFrame, dst_col: str = "dst_key") 
         edges[dst_col] == F.col("__k"),
         "left_anti",
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 15,
+) -> DataFrame:
+    """Undirected connected components by iterative min-label propagation:
+    every node starts labeled with itself; each round, a node adopts the
+    minimum label in its closed neighborhood; converged when a round
+    changes nothing (checked with a 1-row count, not a collect). Returns
+    (node, component) where component = min node id in the component.
+
+    This is the pairs→clusters step every near-dup pipeline needs: LSH
+    emits PAIRS, retention decisions need GROUPS with one canonical
+    member. Scale shape: each round is one groupBy(node) over the edge
+    list — the standard large-graph CC loop (GraphFrames does the same
+    with pointer-jumping); rounds ≈ component diameter, and near-dup
+    components are dense little cliques, so 2-3 rounds converge. Labels
+    are materialized per round (strategy-configurable) to keep lineage
+    flat."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .transform(materialize)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
+                    "__changed"
+                ),
+            )
+            .transform(materialize)
+        )
+        changed = updated.filter(F.col("__changed")).isEmpty()
+        labels = updated.drop("__changed")
+        if changed:
+            break
+    return labels
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters from the LSH pair list: connected
+    components + canonical member (the component id IS the minimum
+    doc_id, so `keep = doc_id == cluster_id` is the retention rule).
+    Only docs that appear in some pair are emitted — every other doc is
+    trivially its own cluster."""
+    from jira_cdc_git_spark.operators.text import neardup_pairs_lsh
+
+    pairs = neardup_pairs_lsh(spark, sf_dir).transform(materialize)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

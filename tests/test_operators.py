@@ -293,3 +293,26 @@ def test_preview_query_sample_and_total_consistent(spark, sf_dir):
     by_status = sum(r["n"] for r in rows
                     if r["status"] != "ALL")
     assert by_status == total[0]
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3 — needs multiple propagation rounds),
+    # island pair 10-11, singleton edges never emitted
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r["node"]: r["component"]
+           for r in G.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_neardup_clusters_consistent_with_pairs(spark, sf_dir):
+    pairs = T.neardup_pairs_lsh(spark, sf_dir).collect()
+    clusters = {r["doc_id"]: r["cluster_id"]
+                for r in G.neardup_clusters(spark, sf_dir).collect()}
+    # every paired doc is clustered, pair members share a cluster, and the
+    # canonical member is the cluster id itself
+    for p in pairs:
+        assert clusters[p["doc_a"]] == clusters[p["doc_b"]]
+    assert all(cid in clusters and clusters[cid] == cid
+               for cid in set(clusters.values()))
