@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_splits": T.dataset_splits,
         "doc_length_quantiles": T.doc_length_quantiles,
         "neardup_clusters": G.neardup_clusters,
+        "corpus_retention_clustered": T.corpus_retention_clustered,
         "ivf_recall_report": V.ivf_recall_report,
         "tfidf_topk": T.tfidf_topk,
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
@@ -698,6 +699,44 @@ _ORACLES: dict[str, str] = {
         FROM q
         JOIN e USING (doc_id)
         LEFT JOIN losers ON losers.doc_id = q.doc_id
+    """,
+    "corpus_retention_clustered": f"""
+        WITH RECURSIVE {_LSH_CTES}, {_QUALITY_CTES},
+        q AS (
+            SELECT doc_id, quality >= 0.6 AS q_ok FROM qq
+        ), fpx AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        ), canonx AS (
+            SELECT fp, min(doc_id) AS canon_id FROM fpx GROUP BY fp
+        ), ex AS (
+            SELECT doc_id, doc_id = canon_id AS e_ok
+            FROM fpx JOIN canonx USING (fp)
+        ), p AS (
+            SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8
+        ), ed AS (
+            SELECT doc_a AS u, doc_b AS v FROM p
+            UNION
+            SELECT doc_b, doc_a FROM p
+        ), reach AS (
+            SELECT u AS node, u AS r FROM ed
+            UNION
+            SELECT ed.u AS node, reach.r
+            FROM ed JOIN reach ON reach.node = ed.v
+        ), cl AS (
+            SELECT node AS doc_id FROM reach
+            GROUP BY node HAVING node <> min(r)
+        )
+        SELECT q.doc_id,
+               q_ok AND e_ok AND cl.doc_id IS NULL AS keep,
+               CASE WHEN NOT q_ok THEN 'low_quality'
+                    WHEN NOT e_ok THEN 'exact_dup'
+                    WHEN cl.doc_id IS NOT NULL THEN 'near_dup' END
+                 AS drop_reason
+        FROM q
+        JOIN ex USING (doc_id)
+        LEFT JOIN cl ON cl.doc_id = q.doc_id
     """,
     "lang_id": """
         WITH t AS (

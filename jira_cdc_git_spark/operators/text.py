@@ -747,3 +747,43 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_tokens",
         "n_docs",
     )
+
+
+def corpus_retention_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_retention with the near-dup stage upgraded from pairwise
+    loser-picking to CONNECTED-COMPONENT canonical selection: in a chain
+    A~B~C the pairwise rule can drop B yet keep both A and C (who never
+    paired); clustering keeps exactly one doc (the min id) per component.
+    Same output contract: (doc_id, keep, drop_reason), first failing
+    stage wins. Inherits the banded-LSH + min-label-propagation shapes."""
+    from jira_cdc_git_spark.operators.graph import neardup_clusters
+
+    quality = quality_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_ok")
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    exact_ok = fp.join(canon, "fp").select(
+        "doc_id", (F.col("doc_id") == F.col("canon_id")).alias("e_ok")
+    )
+    cluster_losers = (
+        neardup_clusters(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+        .withColumn("n_lost", F.lit(True))
+    )
+    return (
+        quality.join(exact_ok, "doc_id")
+        .join(cluster_losers, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            (F.col("q_ok") & F.col("e_ok") & F.col("n_lost").isNull()).alias(
+                "keep"
+            ),
+            F.when(~F.col("q_ok"), F.lit("low_quality"))
+            .when(~F.col("e_ok"), F.lit("exact_dup"))
+            .when(F.col("n_lost").isNotNull(), F.lit("near_dup"))
+            .alias("drop_reason"),
+        )
+    )

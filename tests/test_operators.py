@@ -316,3 +316,17 @@ def test_neardup_clusters_consistent_with_pairs(spark, sf_dir):
         assert clusters[p["doc_a"]] == clusters[p["doc_b"]]
     assert all(cid in clusters and clusters[cid] == cid
                for cid in set(clusters.values()))
+
+
+def test_clustered_retention_keeps_one_per_component(spark, sf_dir):
+    clusters = G.neardup_clusters(spark, sf_dir).collect()
+    kept = {r["doc_id"] for r in
+            T.corpus_retention_clustered(spark, sf_dir).filter("keep").collect()}
+    by_comp = {}
+    for r in clusters:
+        by_comp.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for comp, members in by_comp.items():
+        survivors = kept & set(members)
+        # at most the canonical member survives (it may still fail quality
+        # or exact-dedup), and any survivor IS the canonical one
+        assert survivors <= {comp}
