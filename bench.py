@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "kmv_distinct_estimate",
     "tfidf_topk",
     "corpus_retention",
+    "neardup_clusters",
+    "corpus_retention_clustered",
+    "doc_length_quantiles",
     "media_stats",
     "cosine_topk",
     "ivf_topk",

@@ -21,6 +21,11 @@ RISKY = [
     "ivf_topk",
     "ivf_topk_kmeans",
     "corpus_retention",
+    "simhash_neardup_pairs",
+    "neardup_clusters",
+    "corpus_retention_clustered",
+    "kmv_distinct_estimate",
+    "dataset_splits",
 ]
 
 
