@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": T.doc_length_quantiles,
         "neardup_clusters": G.neardup_clusters,
         "corpus_retention_clustered": T.corpus_retention_clustered,
+        "sequence_packing": T.sequence_packing,
         "ivf_recall_report": V.ivf_recall_report,
         "tfidf_topk": T.tfidf_topk,
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
@@ -294,6 +295,26 @@ _ORACLES: dict[str, str] = {
                CAST(max(n_tokens) AS INTEGER) AS max_tokens,
                count(*) AS n_docs
         FROM t GROUP BY lang
+    """,
+    "sequence_packing": """
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                     AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        )
+        SELECT doc_id, lang, n_tokens,
+               cum - n_tokens AS start_offset,
+               CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS first_chunk,
+               CAST(floor((cum - 1) / 2048) AS BIGINT) AS last_chunk,
+               CAST(floor((cum - 1) / 2048)
+                    - floor((cum - n_tokens) / 2048) + 1 AS BIGINT) AS n_chunks
+        FROM c
     """,
     "dataset_splits": """
         SELECT doc_id,

@@ -787,3 +787,62 @@ def corpus_retention_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drop_reason"),
         )
     )
+
+
+def sequence_packing(
+    spark: SparkSession, sf_dir: str, window: int = 2048, block: int = 256
+) -> DataFrame:
+    """Concat-then-chunk packing map (what GPT-style pretraining actually
+    does to documents): per language, documents are concatenated in
+    doc_id order and cut into fixed `window`-token chunks; emit each
+    doc's global token offset and the chunk range it lands in.
+
+    The running offset is a DISTRIBUTED prefix sum — never a global
+    single-partition window: docs cumsum inside bounded blocks of
+    `block` docs (a partitioned window), per-block totals roll up to a
+    tiny blocks frame whose prefix is another partitioned window over
+    n_docs/block rows, and the block prefix joins back. Both passes
+    shuffle bounded groups; the plan survives any corpus size. The
+    DuckDB oracle computes the same offsets with one flat cumsum —
+    algebraic equivalence of the two-pass decomposition is exactly
+    what's under test."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / block).cast("long").alias("block_id"),
+    )
+    w_in = Window.partitionBy("lang", "block_id").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = t.withColumn("local_cum", F.sum("n_tokens").over(w_in))
+    totals = t.groupBy("lang", "block_id").agg(
+        F.sum("n_tokens").alias("block_total")
+    )
+    w_blk = Window.partitionBy("lang").orderBy("block_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefixes = totals.select(
+        "lang",
+        "block_id",
+        F.coalesce(F.sum("block_total").over(w_blk), F.lit(0)).alias(
+            "block_prefix"
+        ),
+    )
+    out = local.join(prefixes, ["lang", "block_id"])
+    end = F.col("block_prefix") + F.col("local_cum")
+    start = end - F.col("n_tokens")
+    first = F.floor(start / window).cast("long")
+    last = F.floor((end - 1) / window).cast("long")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        start.alias("start_offset"),
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    )

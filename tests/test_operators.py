@@ -330,3 +330,19 @@ def test_clustered_retention_keeps_one_per_component(spark, sf_dir):
         # at most the canonical member survives (it may still fail quality
         # or exact-dedup), and any survivor IS the canonical one
         assert survivors <= {comp}
+
+
+def test_sequence_packing_offsets_contiguous(spark, sf_dir):
+    rows = T.sequence_packing(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang_rows in by_lang.values():
+        lang_rows.sort(key=lambda r: r["doc_id"])
+        expected_start = 0
+        for r in lang_rows:
+            # concat-then-chunk: each doc starts where the previous ended
+            assert r["start_offset"] == expected_start
+            expected_start += r["n_tokens"]
+            assert r["first_chunk"] == r["start_offset"] // 2048
+            assert r["n_chunks"] >= 1
