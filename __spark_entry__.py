@@ -26,7 +26,8 @@ incremental_candidates, hierarchy_levels ⊂ epic_hierarchy,
 paged_scan_keyset ⊂ paged_scan's S3, the per-strategy epic_discovery_*
 ⊂ hybrid_discovery's dispatcher), (b) a round-3 extension operator
 (bigram_surprisal, tfidf_topk, kmv_distinct_estimate, dataset_splits,
-doc_length_quantiles, ivf_recall_report, jql_preview_breakdowns), or (c) a rows-only/no-oracle entry whose driver
+doc_length_quantiles, ivf_recall_report, jql_preview_breakdowns,
+neardup_clusters, corpus_retention_clustered, sequence_packing), or (c) a rows-only/no-oracle entry whose driver
 check is weak anyway; ALL of them remain covered by the repo's own
 DuckDB-differential pytest suite (tests/test_oracle_parity.py replays
 the driver comparison over the full registry).

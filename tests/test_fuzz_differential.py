@@ -72,3 +72,71 @@ def test_random_predicate_matches_duckdb(cached_issues, ddb, expr):
         f"WITH {FX.duckdb_issues_cte()} SELECT key FROM issues_flat WHERE {sql}"
     ).fetchall()
     assert spark_keys == {r[0] for r in oracle}, jql
+
+
+# --- second generator: the harder compiler paths ---------------------------
+# relative dates (P13, needs ctx.now), IS [NOT] EMPTY, and `~` contains.
+
+@st.composite
+def hard_predicate(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        kind = draw(st.sampled_from(["reldate", "empty", "contains", "eq"]))
+        if kind == "reldate":
+            n = draw(st.sampled_from([7, 30, 90, 365]))
+            op = draw(st.sampled_from([">=", "<"]))
+            return (
+                f"updated {op} -{n}d",
+                f"updated {op} TIMESTAMP '2000-01-01 00:00:00' - INTERVAL {n} DAY",
+            )
+        if kind == "empty":
+            fld, col = draw(
+                st.sampled_from(
+                    [("epic link", "epic_link"), ("parent", "parent_issue"),
+                     ("assignee", "assignee_name")]
+                )
+            )
+            neg = draw(st.booleans())
+            jql_fld = f'"{fld}"' if " " in fld else fld
+            return (
+                f"{jql_fld} IS {'NOT ' if neg else ''}EMPTY",
+                f"{col} IS {'NOT ' if neg else ''}NULL",
+            )
+        if kind == "contains":
+            needle = draw(st.sampled_from(["Epic", "Issue", "PROJ", "zzz"]))
+            return (
+                f'summary ~ "{needle}"',
+                f"contains(summary, '{needle}')",
+            )
+        fld, col, domain = draw(st.sampled_from(ATOMS))
+        val = draw(st.sampled_from(domain))
+        return f'{fld} = "{val}"', f"{col} = '{val}'"
+    left_j, left_s = draw(hard_predicate(depth=depth + 1))
+    right_j, right_s = draw(hard_predicate(depth=depth + 1))
+    op = draw(st.sampled_from(["AND", "OR"]))
+    return f"({left_j} {op} {right_j})", f"({left_s} {op} {right_s})"
+
+
+@pytest.fixture(scope="module")
+def cached_issues_full(spark, sf_dir):
+    return FX.issues(spark, sf_dir).localCheckpoint()
+
+
+@given(hard_predicate())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hard_predicate_matches_duckdb(cached_issues_full, ddb, expr):
+    from jira_cdc_git_spark.operators.jira import FIXED_NOW
+
+    jql, sql = expr
+    ctx = J.JQLContext(now=FIXED_NOW)
+    spark_keys = {
+        r["key"]
+        for r in J.run_jql(jql, cached_issues_full, ctx).select("key").collect()
+    }
+    oracle = ddb.execute(
+        f"WITH {FX.duckdb_issues_cte()} SELECT key FROM issues_flat WHERE {sql}"
+    ).fetchall()
+    assert spark_keys == {r[0] for r in oracle}, jql
