@@ -7,9 +7,10 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every registered query aliases its computed columns identically in the
 Spark code and the oracle SQL, and rounds floating aggregates so the
-value-hash is engine-stable. Queries with no oracle entry
-(simhash_signatures — xxhash64 has no DuckDB equivalent) get the
-driver's weaker rows-only check.
+value-hash is engine-stable. Queries with no oracle entry (e.g.
+simhash_signatures — xxhash64 has no DuckDB equivalent; iterative
+k-means; mapInPandas media passes) get the driver's weaker rows-only
+check.
 
 REGISTRY ORDER IS DELIBERATE: the driver checks at most the first 50
 entries (CORRECTNESS_r02 contained exactly the registry's first 50 —
