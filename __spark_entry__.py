@@ -164,6 +164,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": T.sequence_packing,
         "ivf_recall_report": V.ivf_recall_report,
         "tfidf_topk": T.tfidf_topk,
+        "repetition_metrics": T.repetition_metrics,
+        "boilerplate_ngrams": T.boilerplate_ngrams,
+        "decontaminate": T.decontaminate,
+        "pii_scrub": T.pii_scrub,
+        "stratified_sample": T.stratified_sample,
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
         "ivf_topk_kmeans": V.ivf_topk_kmeans,  # iterative k-means — rows-only
         "media_decode_image": MM.decode_image,   # mapInPandas — rows-only
@@ -409,6 +414,138 @@ _ORACLES: dict[str, str] = {
             FROM s
         )
         SELECT doc_id, rank, tok, tf, tfidf FROM r WHERE rank <= 5
+    """,
+    "repetition_metrics": """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, CAST(len(toks) AS INTEGER) - 1),
+                       i -> array_to_string(toks[i:i+1], ' '))) AS gram
+            FROM t WHERE len(toks) >= 2
+        ), c AS (
+            SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2
+        ), m AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(max(c) AS BIGINT) AS top_c,
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                     AS dup_occ
+            FROM c GROUP BY 1
+        )
+        SELECT doc_id, n_bigrams,
+               floor(top_c * 1.0 / n_bigrams * 10000 + 0.5) / 10000
+                 AS top_bigram_frac,
+               floor(dup_occ * 1.0 / n_bigrams * 10000 + 0.5) / 10000
+                 AS dup_bigram_frac,
+               (top_c * 1.0 / n_bigrams > 0.08
+                OR dup_occ * 1.0 / n_bigrams > 0.2) AS flag_repetitive
+        FROM m
+    """,
+    "boilerplate_ngrams": """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), shs AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 5
+                     THEN list_transform(
+                         generate_series(1, CAST(len(toks) AS INTEGER) - 4),
+                         i -> array_to_string(toks[i:i+4], ' '))
+                     ELSE [] END) AS grams
+            FROM t
+        ), g AS (
+            SELECT doc_id, unnest(grams) AS gram FROM shs
+        ), boiler AS (
+            SELECT gram FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 3
+        ), pd AS (
+            SELECT g.doc_id, count(*) AS n_boiler
+            FROM g JOIN boiler USING (gram) GROUP BY 1
+        )
+        SELECT s.doc_id,
+               CAST(len(s.grams) AS INTEGER) AS n_grams,
+               coalesce(pd.n_boiler, 0) AS n_boiler,
+               CASE WHEN len(s.grams) > 0
+                    THEN floor(coalesce(pd.n_boiler, 0) * 1.0 / len(s.grams)
+                               * 10000 + 0.5) / 10000
+                    END AS boiler_frac
+        FROM shs s LEFT JOIN pd ON s.doc_id = pd.doc_id
+    """,
+    "decontaminate": """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), shs AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 6
+                     THEN list_transform(
+                         generate_series(1, CAST(len(toks) AS INTEGER) - 5),
+                         i -> array_to_string(toks[i:i+5], ' '))
+                     ELSE [] END) AS grams
+            FROM t
+        ), g AS (
+            SELECT doc_id, unnest(grams) AS gram FROM shs
+        ), bench AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0
+        ), hits AS (
+            SELECT g.doc_id, count(*) AS n_shared
+            FROM g JOIN bench USING (gram)
+            WHERE g.doc_id % 10 != 0 GROUP BY 1
+        )
+        SELECT h.doc_id,
+               CAST(len(s.grams) AS INTEGER) AS n_grams,
+               h.n_shared,
+               floor(h.n_shared * 1.0 / len(s.grams) * 10000 + 0.5) / 10000
+                 AS contam_frac
+        FROM hits h JOIN shs s ON h.doc_id = s.doc_id
+    """,
+    "pii_scrub": """
+        WITH inj AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com now' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' call 555-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                           ELSE '' END AS txt
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(txt,
+                   '\\b555-[0-9]{4}\\b')) AS INTEGER) AS n_phones,
+               CAST(len(regexp_extract_all(txt,
+                   '\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                   AS INTEGER) AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\b555-[0-9]{4}\\b', '<PHONE>', 'g'),
+                   '\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                   '<IP>', 'g')) AS clean_fp
+        FROM inj
+    """,
+    "stratified_sample": """
+        WITH b AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 AS bucket,
+                   CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8
+                        ELSE 1.0 END AS rate
+            FROM documents
+        )
+        SELECT doc_id, lang, bucket FROM b WHERE bucket < rate * 10000
     """,
     "point_lookup": """
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority

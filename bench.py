@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "simhash_signatures",
     "simhash_neardup_pairs",
     "bigram_surprisal",
+    "repetition_metrics",
+    "boilerplate_ngrams",
+    "decontaminate",
+    "pii_scrub",
+    "stratified_sample",
     "kmv_distinct_estimate",
     "tfidf_topk",
     "corpus_retention",

@@ -846,3 +846,238 @@ def sequence_packing(
         last.alias("last_chunk"),
         (last - first + 1).alias("n_chunks"),
     )
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition rules (Rae et al. 2021,
+    "Scaling Language Models", table A1): per-doc fraction of bigram
+    occurrences covered by the most frequent bigram and by any duplicated
+    bigram. High values mark degenerate/boilerplate text that
+    length/stopword heuristics pass. Flag thresholds follow the paper's
+    top-2-gram cut, tightened to this corpus's tail (p90 ≈ 0.07).
+
+    100 TB shape: explode bigrams → two hash aggregations, (doc, gram)
+    then doc. Both partial-aggregate map-side; no window, no self-join.
+    """
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    per_gram = (
+        _bigram_frame(docs)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_c"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_occ"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            TX.round_half_up(
+                F.col("top_c") / F.col("n_bigrams"), 4
+            ).alias("top_bigram_frac"),
+            TX.round_half_up(
+                F.col("dup_occ") / F.col("n_bigrams"), 4
+            ).alias("dup_bigram_frac"),
+            (
+                (F.col("top_c") / F.col("n_bigrams") > 0.08)
+                | (F.col("dup_occ") / F.col("n_bigrams") > 0.2)
+            ).alias("flag_repetitive"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    spark: SparkSession, sf_dir: str, n: int = 5, min_docs: int = 3
+) -> DataFrame:
+    """Corpus-level boilerplate detection (the CCNet/RefinedWeb shared-
+    paragraph rule, re-expressed over n-grams): a word n-gram occurring in
+    >= min_docs distinct documents is boilerplate; report per-doc how much
+    of its distinct n-gram mass is boilerplate. The cross-document
+    complement of repetition_metrics (which is intra-doc only).
+
+    100 TB shape: distinct (doc, gram) explode → gram doc-frequency
+    aggregation → join doc-grams against the (much smaller) boilerplate
+    gram set — AQE broadcasts it when it fits, shuffle-joins when a truly
+    boilerplate-heavy corpus makes it large. Left join keeps clean docs.
+    """
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    grams = docs.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), n)).alias("gram")
+    )
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    per_doc_boiler = (
+        grams.join(boiler, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    base = docs.select(
+        "doc_id", F.size(TX.shingles(F.col("text"), n)).alias("n_grams")
+    )
+    return (
+        base.join(per_doc_boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            TX.round_half_up(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce("n_boiler", F.lit(0)) / F.col("n_grams"),
+                ),
+                4,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+def decontaminate(
+    spark: SparkSession, sf_dir: str, n: int = 6, bench_mod: int = 10
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C n-gram rule): flag
+    training documents sharing any word n-gram with the held-out
+    benchmark set. The benchmark here is the deterministic doc_id %
+    bench_mod == 0 slice — in production it would be the eval suites.
+    Returns the contaminated docs with shared-gram counts; dropping them
+    is the caller's one-line anti-join.
+
+    100 TB shape: benchmark n-gram sets are small by nature (eval suites,
+    not corpora) — explicit broadcast, so the corpus side never shuffles:
+    scan → explode → broadcast-hash semi-ish join → per-doc count.
+    """
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    grams = docs.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), n)).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % bench_mod == 0)
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % bench_mod != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    base = docs.select(
+        "doc_id", F.size(TX.shingles(F.col("text"), n)).alias("n_grams")
+    )
+    return hits.join(base, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        TX.round_half_up(F.col("n_shared") / F.col("n_grams"), 4).alias(
+            "contam_frac"
+        ),
+    )
+
+
+# PII patterns shared by pii_scrub's count and replace steps. Kept to the
+# regex subset with identical semantics in Java regex (Spark) and RE2
+# (DuckDB) so the oracle replays bit-for-bit: character classes, bounded
+# repetition, \b word boundaries — no backrefs, no lookaround.
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b555-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def _pii_injected_text() -> "F.Column":
+    """Deterministic PII injection derived from doc_id — the fixture
+    corpus is synthetic word-soup with no real PII, so the scrub operates
+    on planted markers (doc_id % {7,11,13} select which docs carry an
+    email / phone / IP)."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 11 == 0,
+        F.concat(
+            F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0")
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 13 == 0,
+        F.concat(
+            F.lit(" from 10.0."), (d % 256).cast("string"),
+            F.lit("."), ((d * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: count and replace
+    emails, phone numbers, and internal IPs with typed placeholder
+    tokens, emitting per-doc match counts and a fingerprint of the
+    scrubbed text (so the oracle verifies the *redacted bytes*, not just
+    the counts). Narrow projection — scales embarrassingly; regexes run
+    JVM-side inside whole-stage codegen.
+    """
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    txt = _pii_injected_text()
+    counts = [
+        F.regexp_count(txt, F.lit(pat)).alias(f"n_{name}s")
+        for name, pat, _ in _PII_PATTERNS
+    ]
+    clean = txt
+    for _, pat, token in _PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.md5(clean).alias("clean_fp"),
+    )
+
+
+# Training-mixture sampling rates per language: downsample the dominant
+# language, keep the tails — the rebalancing step of corpus assembly.
+_MIXTURE_RATES = [("en", 0.5), ("zh", 0.8), ("de", 1.0), ("fr", 1.0), ("es", 1.0)]
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language stratum: keep a doc
+    iff its salted md5 bucket falls under the stratum's mixture rate.
+    Hash-based (not Bernoulli) so re-runs and corpus growth never change
+    a doc's fate — the same stability argument as dataset_splits, with
+    per-stratum rates. Unlisted languages default to rate 1.0.
+
+    100 TB shape: the rate table is a tiny broadcast dim; the corpus side
+    is a narrow scan+filter — no shuffle at all.
+    """
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    rates = F.broadcast(
+        spark.createDataFrame(_MIXTURE_RATES, "lang string, rate double")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        docs.join(rates, "lang", "left")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.coalesce(F.col("rate"), F.lit(1.0)) * 10000)
+        .select("doc_id", "lang", "bucket")
+    )

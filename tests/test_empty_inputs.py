@@ -36,6 +36,11 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.tfidf_topk,
         T.kmv_distinct_estimate,
         T.dataset_splits,
+        T.repetition_metrics,
+        T.boilerplate_ngrams,
+        T.decontaminate,
+        T.pii_scrub,
+        T.stratified_sample,
         V.embedding_neardup,
     ],
 )
