@@ -1059,9 +1059,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stratum rates. Unlisted languages default to rate 1.0.
 
     100 TB shape: the rate table is a tiny broadcast dim; the corpus side
-    is a narrow scan+filter — no shuffle at all.
+    is a narrow scan+filter — no shuffle at all (plain load_table: a
+    hash-and-compare filter is too cheap to justify the small-file spread
+    repartition the CPU-heavy operators use).
     """
-    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    docs = load_table(spark, "documents", sf_dir)
     rates = F.broadcast(
         spark.createDataFrame(_MIXTURE_RATES, "lang string, rate double")
     )

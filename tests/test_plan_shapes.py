@@ -159,3 +159,49 @@ def test_epic_discovery_membership_broadcasts(spark, sf_dir):
     # join must broadcast it, never shuffle the corpus
     plan = _plan(J.discover_epic_members(spark, sf_dir, "PROJ-0", "issue_links"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    # benchmark n-gram sets are small by nature — the corpus side must
+    # meet them via broadcast-hash join, never a shuffle on gram
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # column pruning: the documents scan reads doc_id+text only
+    read = plan.split("ReadSchema")[1][:120]
+    assert "text" in read and "lang" not in read and "source" not in read
+
+
+def test_stratified_sample_no_shuffle(spark, sf_dir):
+    # rate table is a broadcast dim; the corpus side is scan+filter —
+    # a shuffle exchange anywhere means the sampling stopped being narrow
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.stratified_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_repetition_metrics_partial_aggregation(spark, sf_dir):
+    # both hash aggregations must partial-aggregate map-side before the
+    # doc_id shuffle (the map-side-combine contract of the Gopher rules)
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.repetition_metrics(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+
+
+def test_pii_scrub_is_narrow_projection(spark, sf_dir):
+    # detect+redact is one codegen'd projection: no join, and no shuffle
+    # beyond the loader's small-file spread (hashpartitioning on doc_id —
+    # a no-op on a real many-split table)
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.pii_scrub(spark, sf_dir))
+    assert "Join" not in plan
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert all("doc_id" in ln for ln in shuffles), shuffles
