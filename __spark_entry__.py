@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": T.decontaminate,
         "pii_scrub": T.pii_scrub,
         "stratified_sample": T.stratified_sample,
+        "token_examples_salted": T.token_examples_salted,
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
         "ivf_topk_kmeans": V.ivf_topk_kmeans,  # iterative k-means — rows-only
         "media_decode_image": MM.decode_image,   # mapInPandas — rows-only
@@ -535,6 +536,20 @@ _ORACLES: dict[str, str] = {
                    '\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
                    '<IP>', 'g')) AS clean_fp
         FROM inj
+    """,
+    "token_examples_salted": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+            FROM documents
+        ), p AS (
+            SELECT doc_id, unnest(toks) AS tok FROM t
+        )
+        SELECT tok,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               array_to_string(list_sort(array_agg(doc_id))[1:3], ',')
+                 AS examples
+        FROM p GROUP BY tok
     """,
     "stratified_sample": """
         WITH b AS (

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "pii_scrub",
     "stratified_sample",
+    "token_examples_salted",
     "kmv_distinct_estimate",
     "tfidf_topk",
     "corpus_retention",

@@ -1083,3 +1083,50 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.coalesce(F.col("rate"), F.lit(1.0)) * 10000)
         .select("doc_id", "lang", "bucket")
     )
+
+
+def token_examples_salted(
+    spark: SparkSession, sf_dir: str, k: int = 3, n_salts: int = 8
+) -> DataFrame:
+    """Per-token example documents (the inverted-index sampling step of
+    corpus tooling: for every vocabulary token, the k lowest doc_ids
+    containing it) via SALTED two-phase collection — the skew-mitigation
+    pattern for aggregates with no map-side combine.
+
+    A naive groupBy(tok).collect_list(doc_id) sends EVERY row of a hot
+    token ("the" occurs in ~all docs) to one reduce task — collect_list
+    has no partial aggregation, so AQE cannot split it and the task OOMs
+    at corpus scale. Salting by pmod(doc_id, n_salts) splits each token's
+    mass across n_salts independent groups; phase 1 collects and slices
+    k per (tok, salt), phase 2 merges n_salts bounded slices per token.
+    Taking the k smallest per salt bucket then the k smallest of the
+    merge is exact (any global top-k element is top-k within its bucket).
+    Peak per-task state drops from O(hot_key_rows) to O(hot_key_rows /
+    n_salts) in phase 1 and O(n_salts * k) in phase 2; n_salts scales
+    with the cluster.
+
+    Per-doc token dedup happens narrowly (array_distinct before the
+    explode), so the exploded table is already (doc, tok)-unique without
+    a distinct shuffle.
+    """
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok"),
+    )
+    salted = pairs.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(n_salts)))
+    p1 = salted.groupBy("tok", "salt").agg(
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, k).alias("part"),
+        F.count("*").alias("c"),
+    )
+    p2 = p1.groupBy("tok").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("part"))), 1, k
+        ).alias("ex"),
+        F.sum("c").alias("n_docs"),
+    )
+    return p2.select(
+        "tok",
+        "n_docs",
+        F.concat_ws(",", F.col("ex").cast("array<string>")).alias("examples"),
+    )

@@ -41,6 +41,7 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.decontaminate,
         T.pii_scrub,
         T.stratified_sample,
+        T.token_examples_salted,
         V.embedding_neardup,
     ],
 )

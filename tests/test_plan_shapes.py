@@ -205,3 +205,16 @@ def test_pii_scrub_is_narrow_projection(spark, sf_dir):
         if "Exchange" in ln and "BroadcastExchange" not in ln
     ]
     assert all("doc_id" in ln for ln in shuffles), shuffles
+
+
+def test_salted_collect_shuffles_on_token_and_salt(spark, sf_dir):
+    # phase 1 must group on (tok, salt) — the skew split — before the
+    # per-token merge; a plan whose first collect groups on tok alone has
+    # silently dropped the salting and reintroduced the hot-key task
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.token_examples_salted(spark, sf_dir))
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert any("tok" in ln and "salt" in ln for ln in shuffles), shuffles
