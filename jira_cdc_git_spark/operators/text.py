@@ -1130,3 +1130,67 @@ def token_examples_salted(
         "n_docs",
         F.concat_ws(",", F.col("ex").cast("array<string>")).alias("examples"),
     )
+
+
+def benchmark_grams(docs: DataFrame, n: int = 6, bench_mod: int = 10) -> DataFrame:
+    """The static benchmark-gram side of decontamination: distinct word
+    n-grams of the held-out doc_id % bench_mod == 0 slice. Split out so
+    batch `decontaminate` and the streaming curation twin join against
+    the identical set."""
+    return (
+        docs.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode(TX.shingles(F.col("text"), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def curate_frame(docs: DataFrame, bench_grams: DataFrame, n: int = 6) -> DataFrame:
+    """One-pass curation body over an arbitrary documents frame: the
+    quality score (same expression as quality_score), PII detect+redact
+    (same patterns as pii_scrub, applied to the text as given), and
+    decontamination flags vs a static benchmark-gram table. Shared by
+    the batch registry queries and streaming_curation — the twin IS this
+    function, so batch/stream parity holds by construction.
+
+    Shape: narrow projection + one broadcast join (benchmark grams are
+    small by nature) + a per-doc count aggregation of the gram hits —
+    nothing here grows state with corpus size.
+    """
+    text = F.col("text")
+    len_score = F.least(TX.token_count(text) / 50.0, F.lit(1.0))
+    stop_score = F.least(TX.stopword_ratio(text) * 4.0, F.lit(1.0))
+    quality = TX.round_half_up(
+        0.4 * len_score + 0.3 * (1.0 - TX.punct_ratio(text)) + 0.3 * stop_score,
+        3,
+    )
+    clean = text
+    n_pii = F.lit(0)
+    for _, pat, token in _PII_PATTERNS:
+        n_pii = n_pii + F.regexp_count(text, F.lit(pat))
+        clean = F.regexp_replace(clean, pat, token)
+    scored = docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        n_pii.alias("n_pii"),
+        F.md5(clean).alias("clean_fp"),
+        TX.shingles(text, n).alias("_grams"),
+    )
+    hits = (
+        scored.select("doc_id", F.explode("_grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        scored.drop("_grams")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            (F.col("quality") >= 0.6).alias("keep_quality"),
+            "n_pii",
+            "clean_fp",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("flag_contaminated"),
+        )
+    )

@@ -419,3 +419,38 @@ def streaming_tumbling_hourly(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_curation(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    bench_grams: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """Streaming twin of the corpus-curation stack: as documents arrive,
+    score quality, detect+redact PII, and flag benchmark contamination
+    via a stream-static join against the (small, static) benchmark-gram
+    table. The per-batch body IS operators/text.curate_frame — the same
+    expressions the batch registry queries run, applied inside
+    foreachBatch (the standard pattern for stream-static join + per-doc
+    aggregation without unbounded streaming state: every document's rows
+    live within one micro-batch, so the gram-hit count is exact and no
+    watermark state accrues)."""
+    from jira_cdc_git_spark.operators.text import curate_frame
+
+    feed = spark.readStream.schema(schema).parquet(docs_dir)
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        curate_frame(batch_df, bench_grams).write.mode("append").parquet(
+            out_dir
+        )
+
+    (
+        feed.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

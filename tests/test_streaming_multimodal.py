@@ -423,3 +423,50 @@ def test_decode_ladder_prefers_real_metadata():
     if Image is not None:
         _, _, _, ok, decoder = _decode_one(Image, _png(8, 8))
         assert decoder in ("pil", "header-sniff")
+
+
+def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from jira_cdc_git_spark.operators.text import (
+        _pii_injected_text,
+        benchmark_grams,
+        curate_frame,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    # inject deterministic PII so the scrub stage does real work
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", _pii_injected_text().alias("text"))
+        .localCheckpoint()
+    )
+    bench = benchmark_grams(docs).localCheckpoint()
+    docs_dir = str(tmp_path / "docs")
+    docs.coalesce(3).write.parquet(docs_dir)  # 3 files => micro-batching
+    out_dir = str(tmp_path / "curated")
+    SP.streaming_curation(
+        spark,
+        docs_dir,
+        "doc_id long, text string",
+        bench,
+        str(tmp_path / "ckpt"),
+        out_dir,
+    )
+    got = spark.read.parquet(out_dir)
+    want = curate_frame(docs, bench)
+    assert got.count() == want.count()
+    # exact row-level parity: anti-join both ways is empty
+    cols = want.columns
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+    # the injected PII was found and scrubbed
+    n_pii_docs = got.filter(F2.col("n_pii") > 0).count()
+    assert n_pii_docs == docs.filter(
+        (F2.col("doc_id") % 7 == 0)
+        | (F2.col("doc_id") % 11 == 0)
+        | (F2.col("doc_id") % 13 == 0)
+    ).count()
+    # contamination flags fire (benchmark docs flag themselves — correct:
+    # a benchmark doc arriving in the training feed IS contamination)
+    assert got.filter(F2.col("flag_contaminated")).count() > 0
