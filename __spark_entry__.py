@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": T.pii_scrub,
         "stratified_sample": T.stratified_sample,
         "token_examples_salted": T.token_examples_salted,
+        "corpus_shards": T.corpus_shards,
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
         "ivf_topk_kmeans": V.ivf_topk_kmeans,  # iterative k-means — rows-only
         "media_decode_image": MM.decode_image,   # mapInPandas — rows-only
@@ -536,6 +537,19 @@ _ORACLES: dict[str, str] = {
                    '\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
                    '<IP>', 'g')) AS clean_fp
         FROM inj
+    """,
+    "corpus_shards": """
+        WITH h AS (
+            SELECT doc_id,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS h,
+                   ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 8 AS shard
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY h)
+                    AS INTEGER) AS pos
+        FROM h
     """,
     "token_examples_salted": """
         WITH t AS (

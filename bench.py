@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "stratified_sample",
     "token_examples_salted",
+    "corpus_shards",
     "kmv_distinct_estimate",
     "tfidf_topk",
     "corpus_retention",

@@ -1194,3 +1194,30 @@ def curate_frame(docs: DataFrame, bench_grams: DataFrame, n: int = 6) -> DataFra
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("flag_contaminated"),
         )
     )
+
+
+def corpus_shards(spark: SparkSession, sf_dir: str, n_shards: int = 8) -> DataFrame:
+    """Deterministic global shuffle + sharding — the final assembly step
+    of a training corpus: every doc gets a shard and a position such that
+    the read order is a fixed pseudo-random permutation, stable across
+    runs and cluster sizes (no rand(), no partition-order dependence).
+
+    shard = md5 bucket of doc_id; position = rank of the doc's salted
+    hash within its shard. Shards are hash-balanced, and the rank window
+    partitions BY SHARD — at 100 TB each window sorts ~corpus/n_shards
+    rows with n_shards sized to the cluster, never a single global sort.
+    (A writer would repartition(shard).sortWithinPartitions(pos) — same
+    plan shape.)"""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("h")
+    return (
+        docs.select("doc_id", h.alias("h"), shard)
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shard", "pos")
+    )

@@ -42,6 +42,7 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.pii_scrub,
         T.stratified_sample,
         T.token_examples_salted,
+        T.corpus_shards,
         V.embedding_neardup,
     ],
 )

@@ -218,3 +218,14 @@ def test_salted_collect_shuffles_on_token_and_salt(spark, sf_dir):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert any("tok" in ln and "salt" in ln for ln in shuffles), shuffles
+
+
+def test_corpus_shards_window_partitions_by_shard(spark, sf_dir):
+    # the rank window must partition by shard — a global (empty-partition)
+    # window would funnel the whole corpus through one task
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.corpus_shards(spark, sf_dir))
+    assert "Window" in plan
+    win = [ln for ln in plan.splitlines() if "Window" in ln][0]
+    assert "shard" in win, win
