@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": T.stratified_sample,
         "token_examples_salted": T.token_examples_salted,
         "corpus_shards": T.corpus_shards,
+        "curation_report": T.curation_report,
         "simhash_signatures": T.simhash_signatures,  # no_oracle by design
         "ivf_topk_kmeans": V.ivf_topk_kmeans,  # iterative k-means — rows-only
         "media_decode_image": MM.decode_image,   # mapInPandas — rows-only
@@ -537,6 +538,76 @@ _ORACLES: dict[str, str] = {
                    '\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
                    '<IP>', 'g')) AS clean_fp
         FROM inj
+    """,
+    "curation_report": """
+        WITH inj AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com now' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' call 555-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                           ELSE '' END AS text
+            FROM documents
+        ), qt AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                     / length(text) AS punct
+            FROM inj
+        ), qq AS (
+            SELECT doc_id,
+                   floor((0.4 * least(len(toks) / 50.0, 1.0)
+                          + 0.3 * (1.0 - punct)
+                          + 0.3 * least(len(list_filter(toks,
+                                x -> x IN ('the','a','of','and','to','in','is','it')))
+                                * 1.0 / len(toks) * 4.0, 1.0))
+                         * 1000 + 0.5) / 1000 AS quality
+            FROM qt
+        ), pii AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(text, '\\b555-[0-9]{4}\\b'))
+                     + len(regexp_extract_all(text,
+                       '\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                     AS INTEGER) AS n_pii,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b555-[0-9]{4}\\b', '<PHONE>', 'g'),
+                       '\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IP>', 'g')) AS clean_fp
+            FROM inj
+        ), shs AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 6
+                     THEN list_transform(
+                         generate_series(1, CAST(len(toks) AS INTEGER) - 5),
+                         i -> array_to_string(toks[i:i+5], ' '))
+                     ELSE [] END) AS grams
+            FROM qt
+        ), g AS (
+            SELECT doc_id, unnest(grams) AS gram FROM shs
+        ), bench AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0
+        ), hits AS (
+            SELECT g.doc_id, count(*) AS n_shared
+            FROM g JOIN bench USING (gram) GROUP BY 1
+        )
+        SELECT q.doc_id, q.quality, q.quality >= 0.6 AS keep_quality,
+               p.n_pii, p.clean_fp,
+               coalesce(h.n_shared, 0) AS n_shared,
+               coalesce(h.n_shared, 0) > 0 AS flag_contaminated
+        FROM qq q
+        JOIN pii p ON q.doc_id = p.doc_id
+        LEFT JOIN hits h ON q.doc_id = h.doc_id
     """,
     "corpus_shards": """
         WITH h AS (

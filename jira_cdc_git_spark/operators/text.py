@@ -1221,3 +1221,14 @@ def corpus_shards(spark: SparkSession, sf_dir: str, n_shards: int = 8) -> DataFr
         .withColumn("pos", F.row_number().over(w).cast("int"))
         .select("doc_id", "shard", "pos")
     )
+
+
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper giving the shared batch/streaming curation body
+    (curate_frame — the exact foreachBatch body of
+    streaming.pipeline.streaming_curation) a driver-checkable oracle row:
+    PII-injected corpus, curated against its own benchmark-gram slice."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        "doc_id", _pii_injected_text().alias("text")
+    )
+    return curate_frame(docs, benchmark_grams(docs))
