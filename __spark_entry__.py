@@ -14,24 +14,18 @@ check.
 
 REGISTRY ORDER IS DELIBERATE: the driver checks at most the first 50
 entries (CORRECTNESS_r02 contained exactly the registry's first 50 —
-round-2 verdict finding #1). The first 50 slots are therefore a
-maximum-coverage set over SURVEY §2 components + one per extension
-family: the JIRA/CDC/template family first (previously fell past the
-cap), then the relational and extension queries that are each the sole
-oracle-checked cover of a component (simhash_neardup_pairs holds the
-SimHash family's slot — the xxhash64 signature entry is no-oracle by
-nature). Entries past slot 50 are still real, tested operators — each
-is (a) redundant coverage of a component already green via an earlier
-slot (anti_join_no_orders ⊂ broken_link_edges, incremental_changes ⊂
-incremental_candidates, hierarchy_levels ⊂ epic_hierarchy,
-paged_scan_keyset ⊂ paged_scan's S3, the per-strategy epic_discovery_*
-⊂ hybrid_discovery's dispatcher), (b) a round-3 extension operator
-(bigram_surprisal, tfidf_topk, kmv_distinct_estimate, dataset_splits,
-doc_length_quantiles, ivf_recall_report, jql_preview_breakdowns,
-neardup_clusters, corpus_retention_clustered, sequence_packing), or (c) a rows-only/no-oracle entry whose driver
-check is weak anyway; ALL of them remain covered by the repo's own
-DuckDB-differential pytest suite (tests/test_oracle_parity.py replays
-the driver comparison over the full registry).
+round-2 verdict finding #1). Coverage is therefore ROTATED across
+rounds so the union of CORRECTNESS_r{N} files spans the registry:
+slots 1-50 this round are exactly the 50 queries with no CORRECTNESS
+row from rounds 1-2 (the JIRA/JQL/CDC fixture family that fell past
+the round-2 cap, plus every round-3 extension operator); slots 51-100
+are the 50 queries already green (rows+schema+hash) in
+CORRECTNESS_r02. Six entries are no-oracle by nature (xxhash64-based
+simhash signatures; iterative k-means; the four mapInPandas media
+passes) and get the driver's weaker rows-only check. Regardless of
+slot, ALL 100 queries are covered by the repo's own DuckDB-differential
+pytest suite (tests/test_oracle_parity.py replays the driver comparison
+over the full registry on every pytest run).
 """
 
 from __future__ import annotations
@@ -59,8 +53,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ============== slots 1-50: driver-checked (see module docstring) ==
-        # --- JIRA-shaped surface over derived fixtures (FIXTURES.md) ---
+        # ===== slots 1-50: driver-checked this round (see docstring) =====
+        # Every query that had NO CORRECTNESS row in rounds 1-2: the
+        # JIRA/JQL/CDC fixture family that fell past the round-2 cap, plus
+        # all round-3 extension operators. Union with CORRECTNESS_r02 (its
+        # 50 green rows are exactly slots 51-100 below) covers the whole
+        # registry.
         "broken_link_edges": J.broken_link_edges,
         "jql_project_active": J.jql_project_active,
         "jql_epic_all": J.jql_epic_all,
@@ -83,61 +81,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": MM.media_stats,
         "validate_requests": SEC.validate_requests,
         "simhash_neardup_pairs": T.simhash_neardup_pairs,
-        "issue_flatten": J.issue_flatten,
-        "epic_custom_field": J.epic_custom_field,
-        "link_edges": J.link_edges,
-        # --- relational core (S1-S3, A1, A4/A5, A8/A9, J5-J8, W1-W8, U3) ---
-        "point_lookup": R.point_lookup,
-        "predicate_scan_agg": R.predicate_scan_agg,
-        "paged_scan": R.paged_scan,
-        "breakdown_grouping_sets": R.breakdown_grouping_sets,
-        "pricing_summary": R.pricing_summary,
-        "stats_rollup": R.stats_rollup,
-        "profile_usage_stats": P.profile_usage_stats,
-        "top_k": R.top_k,
-        "config_drift": R.config_drift,
-        "customer_similarity": R.customer_similarity,
-        "topn_per_group": R.topn_per_group,
-        "multikey_sort_limit": R.multikey_sort_limit,
-        # --- text / dedup extension surface ---
-        "doc_fingerprints": T.doc_fingerprints,
-        "neardup_pairs_lsh": T.neardup_pairs_lsh,
-        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
-        "quality_score": T.quality_score,
-        "winnow_fingerprints": T.winnow_fingerprints,
-        "bpe_token_estimate": T.bpe_token_estimate,
-        "lang_id": T.lang_id,
-        # --- vector similarity extension surface ---
-        "cosine_topk": V.cosine_topk,
-        "ivf_topk": V.ivf_topk,
-        "embedding_neardup": V.embedding_neardup,
-        # --- event-time / windowing extension surface ---
-        "tumbling_hourly": TS.tumbling_hourly,
-        "sessionize": TS.sessionize,
-        "asof_last_error": TS.asof_last_error_before_purchase,
-        # ===== slots 51+: past the driver's 50-entry check cap ==============
-        # Redundant coverage of already-green components, or no-oracle
-        # rows-only entries; all replayed by tests/test_oracle_differential.
-        "status_pivot": R.status_pivot,
-        "except_skipped": R.except_skipped,
-        "sliding_windows": TS.sliding_windows,
-        "corpus_retention": T.corpus_retention,
-        "token_stats": T.token_stats,
-        "lang_breakdown": T.lang_breakdown,
-        "semi_join_segment": R.semi_join_segment,
-        "in_list_filter": R.in_list_filter,
-        "rolling_stats": R.rolling_stats,
-        "top_profiles": P.top_profiles,
-        "projection_reshape": R.projection_reshape,
-        "explode_wordcount": R.explode_wordcount,
-        "regex_filter": R.regex_filter,
-        "join_revenue_by_nation": R.join_revenue_by_nation,
-        "anti_join_no_orders": R.anti_join_no_orders,
-        "incremental_changes": R.incremental_changes,
-        "drift_detection": R.drift_detection,
-        "last_event_per_user": R.last_event_per_user,
-        "union_dedup": R.union_dedup,
-        "hierarchy_levels": G.hierarchy_over_orders,
         "epic_discovery_epic_link": lambda s, d: J.discover_epic_members(
             s, d, "PROJ-0", "epic_link"
         ),
@@ -172,12 +115,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_examples_salted": T.token_examples_salted,
         "corpus_shards": T.corpus_shards,
         "curation_report": T.curation_report,
-        "simhash_signatures": T.simhash_signatures,  # no_oracle by design
-        "ivf_topk_kmeans": V.ivf_topk_kmeans,  # iterative k-means — rows-only
         "media_decode_image": MM.decode_image,   # mapInPandas — rows-only
         "media_frame_sample": MM.frame_sample,   # mapInPandas — rows-only
         "media_resize_image": MM.resize_image,   # mapInPandas — rows-only
         "media_audio_features": MM.audio_features,  # mapInPandas — rows-only
+        # ===== slots 51-100: green in CORRECTNESS_r02 (rows+schema+hash) =
+        # Past the driver 50-entry cap this round; still replayed by
+        # tests/test_oracle_parity.py against DuckDB on every pytest run.
+        "issue_flatten": J.issue_flatten,
+        "epic_custom_field": J.epic_custom_field,
+        "link_edges": J.link_edges,
+        "point_lookup": R.point_lookup,
+        "predicate_scan_agg": R.predicate_scan_agg,
+        "paged_scan": R.paged_scan,
+        "breakdown_grouping_sets": R.breakdown_grouping_sets,
+        "pricing_summary": R.pricing_summary,
+        "stats_rollup": R.stats_rollup,
+        "profile_usage_stats": P.profile_usage_stats,
+        "top_k": R.top_k,
+        "config_drift": R.config_drift,
+        "customer_similarity": R.customer_similarity,
+        "topn_per_group": R.topn_per_group,
+        "multikey_sort_limit": R.multikey_sort_limit,
+        "doc_fingerprints": T.doc_fingerprints,
+        "neardup_pairs_lsh": T.neardup_pairs_lsh,
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "quality_score": T.quality_score,
+        "winnow_fingerprints": T.winnow_fingerprints,
+        "bpe_token_estimate": T.bpe_token_estimate,
+        "lang_id": T.lang_id,
+        "cosine_topk": V.cosine_topk,
+        "ivf_topk": V.ivf_topk,
+        "embedding_neardup": V.embedding_neardup,
+        "tumbling_hourly": TS.tumbling_hourly,
+        "sessionize": TS.sessionize,
+        "asof_last_error": TS.asof_last_error_before_purchase,
+        "status_pivot": R.status_pivot,
+        "except_skipped": R.except_skipped,
+        "sliding_windows": TS.sliding_windows,
+        "corpus_retention": T.corpus_retention,
+        "token_stats": T.token_stats,
+        "lang_breakdown": T.lang_breakdown,
+        "semi_join_segment": R.semi_join_segment,
+        "in_list_filter": R.in_list_filter,
+        "rolling_stats": R.rolling_stats,
+        "top_profiles": P.top_profiles,
+        "projection_reshape": R.projection_reshape,
+        "explode_wordcount": R.explode_wordcount,
+        "regex_filter": R.regex_filter,
+        "join_revenue_by_nation": R.join_revenue_by_nation,
+        "anti_join_no_orders": R.anti_join_no_orders,
+        "incremental_changes": R.incremental_changes,
+        "drift_detection": R.drift_detection,
+        "last_event_per_user": R.last_event_per_user,
+        "union_dedup": R.union_dedup,
+        "hierarchy_levels": G.hierarchy_over_orders,
+        "simhash_signatures": T.simhash_signatures,  # no_oracle by design
+        "ivf_topk_kmeans": V.ivf_topk_kmeans,  # iterative k-means — rows-only
     }
 
 

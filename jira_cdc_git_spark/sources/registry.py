@@ -40,20 +40,31 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    rejects outright (PARQUET_TYPE_ILLEGAL). Read it as a long of
-    nanoseconds (runtime SQLConf) and truncate to microseconds — exactly
-    what DuckDB does when it coerces NANOS to its native µs timestamps, so
-    oracle comparisons line up bit-for-bit.
+    """events.parquet has shipped `ts` as either parquet TIMESTAMP(MICROS)
+    (reads natively) or TIMESTAMP(NANOS), which Spark 4 rejects outright
+    (PARQUET_TYPE_ILLEGAL). Handle both: sniff the footer schema cheaply
+    via pyarrow; on the NANOS layout read `ts` as a long of nanoseconds
+    (runtime SQLConf) and truncate to microseconds — exactly what DuckDB
+    does when it coerces NANOS to its native µs timestamps, so oracle
+    comparisons line up bit-for-bit.
 
     `ts div 1000` is integer division on the JVM side: no double round-trip,
     no precision loss at 1.7e18-nanosecond magnitudes.
     """
+    path = os.path.join(sf_dir, "events.parquet")
+    if not _events_ts_is_nanos(path):
+        raw = spark.read.parquet(path)
+        # parquet µs-without-timezone arrives as TIMESTAMP_NTZ; normalize to
+        # the session type every operator and oracle was validated against.
+        # Session tz is pinned to UTC (session.py) so the cast is value-exact.
+        if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "true")
     try:
-        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        raw = spark.read.parquet(path)
         # force schema resolution while the flag is live; the runtime read
         # path re-resolves from this analyzed plan, not from the conf
         raw.schema
@@ -65,6 +76,25 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(key, prev)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Footer-only sniff of the `ts` physical unit (no data read; on object
+    storage this is one ranged GET of the footer, same as Spark's own
+    schema discovery)."""
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+            if not parts:
+                return False
+            target = os.path.join(path, parts[0])
+        field = pq.read_schema(target).field("ts")
+        return getattr(field.type, "unit", None) == "ns"
+    except Exception:
+        return False
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
