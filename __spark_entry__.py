@@ -68,7 +68,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epic_members_by_type": J.epic_members_by_type,
         "relationship_census": J.relationship_census,
         "epic_completeness": J.epic_completeness,
-        "hybrid_discovery": J.hybrid_discovery,
         "epic_hierarchy": J.epic_hierarchy,
         "incremental_candidates": J.incremental_candidates,
         "incremental_modified_only": J.incremental_modified_only,
@@ -84,17 +83,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epic_discovery_epic_link": lambda s, d: J.discover_epic_members(
             s, d, "PROJ-0", "epic_link"
         ),
-        "epic_discovery_custom_field": lambda s, d: J.discover_epic_members(
-            s, d, "PROJ-0", "custom_field"
-        ),
         "epic_discovery_parent": lambda s, d: J.discover_epic_members(
             s, d, "PROJ-13", "parent"
         ),
         "epic_discovery_links": lambda s, d: J.discover_epic_members(
             s, d, "PROJ-0", "issue_links"
-        ),
-        "epic_discovery_hybrid": lambda s, d: J.discover_epic_members(
-            s, d, "PROJ-0", "hybrid"
         ),
         "jql_preview_breakdowns": J.jql_preview_breakdowns,
         "paged_scan_keyset": R.paged_scan_keyset,
@@ -115,13 +108,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_examples_salted": T.token_examples_salted,
         "corpus_shards": T.corpus_shards,
         "curation_report": T.curation_report,
+        "gopher_quality_filters": T.gopher_quality_filters,
+        "perplexity_buckets": T.perplexity_buckets,
+        "source_cap_sample": T.source_cap_sample,
+        "token_budget_sample": T.token_budget_sample,
+        "pmi_topk": T.pmi_topk,
+        "minhash_accuracy_report": T.minhash_accuracy_report,
+        "semdedup": V.semdedup,
+        # ===== slots 51+: past the driver 50-entry cap this round =====
+        # First the entries demoted to make room for the seven new
+        # operators above: the four mapInPandas media passes (rows-only
+        # checks by nature — behavioral pytest is their real gate) and
+        # three discovery variants whose oracle SQL is IDENTICAL to a
+        # slotted twin (epic_discovery_custom_field ≡ _epic_link,
+        # hybrid_discovery ≡ jql_epic_all, epic_discovery_hybrid ≡ the
+        # same family) — a green row for the twin is a green row for the
+        # same SQL. All are still replayed by tests/test_oracle_parity.py
+        # against DuckDB on every pytest run, as is everything below
+        # (green in CORRECTNESS_r02, rows+schema+hash).
         "media_decode_image": MM.decode_image,   # mapInPandas — rows-only
         "media_frame_sample": MM.frame_sample,   # mapInPandas — rows-only
         "media_resize_image": MM.resize_image,   # mapInPandas — rows-only
         "media_audio_features": MM.audio_features,  # mapInPandas — rows-only
-        # ===== slots 51-100: green in CORRECTNESS_r02 (rows+schema+hash) =
-        # Past the driver 50-entry cap this round; still replayed by
-        # tests/test_oracle_parity.py against DuckDB on every pytest run.
+        "epic_discovery_custom_field": lambda s, d: J.discover_epic_members(
+            s, d, "PROJ-0", "custom_field"
+        ),
+        "epic_discovery_hybrid": lambda s, d: J.discover_epic_members(
+            s, d, "PROJ-0", "hybrid"
+        ),
+        "hybrid_discovery": J.hybrid_discovery,
         "issue_flatten": J.issue_flatten,
         "epic_custom_field": J.epic_custom_field,
         "link_edges": J.link_edges,
@@ -1225,6 +1240,190 @@ _ORACLES: dict[str, str] = {
     """,
 }
 
+
+_ORACLES["gopher_quality_filters"] = """
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               floor(list_sum(list_transform(toks,
+                         x -> CAST(length(x) AS DOUBLE))) / len(toks)
+                     * 10000 + 0.5) / 10000 AS mean_token_len,
+               floor(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                     * 1.0 / len(toks) * 10000 + 0.5) / 10000 AS alpha_ratio,
+               floor(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                     * 1.0 / len(toks) * 10000 + 0.5) / 10000 AS symbol_ratio,
+               CAST(len(list_intersect(list_distinct(toks),
+                        ['the','a','of','and','to','in','is','it']))
+                    AS INTEGER) AS n_stopwords
+        FROM t
+    )
+    SELECT doc_id, n_tokens, mean_token_len, alpha_ratio, symbol_ratio,
+           n_stopwords,
+           n_tokens BETWEEN 20 AND 100000 AS ok_token_count,
+           mean_token_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+           alpha_ratio >= 0.8 AS ok_alpha,
+           symbol_ratio <= 0.1 AS ok_symbol,
+           n_stopwords >= 2 AS ok_stopwords,
+           (n_tokens BETWEEN 20 AND 100000)
+           AND (mean_token_len BETWEEN 3.0 AND 10.0)
+           AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1
+           AND n_stopwords >= 2 AS keep
+    FROM m
+"""
+
+# Perplexity bucketing composes the bigram-surprisal oracle verbatim —
+# the score AND the tercile assignment are both differential-tested.
+_ORACLES["perplexity_buckets"] = f"""
+    WITH s AS ({_ORACLES["bigram_surprisal"]}),
+    j AS (
+        SELECT s.doc_id, d.lang, s.mean_surprisal
+        FROM s JOIN documents d ON s.doc_id = d.doc_id
+    ), b AS (
+        SELECT doc_id, lang, mean_surprisal,
+               CAST(ntile(3) OVER (PARTITION BY lang
+                                   ORDER BY mean_surprisal, doc_id)
+                    AS INTEGER) AS bucket
+        FROM j
+    )
+    SELECT doc_id, lang, mean_surprisal, bucket,
+           (['head','middle','tail'])[bucket] AS bucket_name
+    FROM b
+"""
+
+_ORACLES["source_cap_sample"] = """
+    WITH h AS (
+        SELECT doc_id, source,
+               md5('cap:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    )
+    SELECT doc_id, source, pos
+    FROM (SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                                         ORDER BY h, doc_id) AS INTEGER)
+                   AS pos
+          FROM h) t
+    WHERE pos <= 10
+"""
+
+_ORACLES["token_budget_sample"] = """
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens,
+               md5('bud:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 2500
+"""
+
+_ORACLES["pmi_topk"] = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), bgr AS (
+        SELECT b.w1 AS w1, b.w2 AS w2
+        FROM (SELECT unnest(list_transform(
+                  generate_series(1, CAST(len(toks) AS INTEGER) - 1),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+              FROM t WHERE len(toks) >= 2) x
+    ), bc AS (
+        SELECT w1, w2, count(*) AS c_bg FROM bgr GROUP BY 1, 2
+    ), uc AS (
+        SELECT tok AS w, count(*) AS c_w
+        FROM (SELECT unnest(toks) AS tok FROM t) u GROUP BY 1
+    ), tot AS (
+        SELECT (SELECT sum(c_bg) * 1.0 FROM bc) AS t_bg,
+               (SELECT sum(c_w) * 1.0 FROM uc) AS t_ug
+    )
+    SELECT w1, w2, c_bg,
+           floor(ln((c_bg / t_bg)
+                    / ((u1.c_w / t_ug) * (u2.c_w / t_ug)))
+                 * 10000 + 0.5) / 10000 AS pmi
+    FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+    CROSS JOIN tot
+    WHERE c_bg >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50
+"""
+
+# Accuracy report reuses the LSH CTE chain; est/exact are rounded only in
+# the outer select so abs_err is computed on the unrounded values, same
+# as the Spark side.
+_ORACLES["minhash_accuracy_report"] = f"""
+    WITH {_LSH_CTES.split(", jac AS")[0]},
+    raw AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.shs, sb.shs)) * 1.0
+                 / (len(sa.shs) + len(sb.shs)
+                    - len(list_intersect(sa.shs, sb.shs))) AS exact,
+               ((CASE WHEN ga.mh_0 = gb.mh_0 THEN 1 ELSE 0 END)
+                + (CASE WHEN ga.mh_1 = gb.mh_1 THEN 1 ELSE 0 END)
+                + (CASE WHEN ga.mh_2 = gb.mh_2 THEN 1 ELSE 0 END)
+                + (CASE WHEN ga.mh_3 = gb.mh_3 THEN 1 ELSE 0 END)
+                + (CASE WHEN ga.mh_4 = gb.mh_4 THEN 1 ELSE 0 END)
+                + (CASE WHEN ga.mh_5 = gb.mh_5 THEN 1 ELSE 0 END)
+                + (CASE WHEN ga.mh_6 = gb.mh_6 THEN 1 ELSE 0 END)
+                + (CASE WHEN ga.mh_7 = gb.mh_7 THEN 1 ELSE 0 END)) / 8.0
+                 AS est
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.doc_a
+        JOIN sets sb ON sb.doc_id = c.doc_b
+        JOIN sigs ga ON ga.doc_id = c.doc_a
+        JOIN sigs gb ON gb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           floor(exact * 10000 + 0.5) / 10000 AS jaccard_exact,
+           floor(est * 10000 + 0.5) / 10000 AS jaccard_est,
+           floor(abs(est - exact) * 10000 + 0.5) / 10000 AS abs_err
+    FROM raw
+"""
+
+_ORACLES["semdedup"] = """
+    WITH clones AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_prepend(CAST(embedding[1] + 0.01 AS FLOAT), embedding[2:])
+                 AS embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id, embedding FROM clones
+    ), e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM corpus
+    ), cents AS (
+        SELECT vec_id AS cent_id, emb AS ce FROM e ORDER BY vec_id LIMIT 16
+    ), assigned AS (
+        SELECT vec_id, emb, cent_id AS cluster_id
+        FROM (SELECT e.vec_id, e.emb, c.cent_id,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.emb, c.ce)
+                                  / sqrt(list_dot_product(e.emb, e.emb)
+                                         * list_dot_product(c.ce, c.ce)) DESC,
+                                  c.cent_id) AS rn
+              FROM e CROSS JOIN cents c) t
+        WHERE rn = 1
+    ), losers AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.emb, b.emb)
+                    / sqrt(list_dot_product(a.emb, a.emb)
+                           * list_dot_product(b.emb, b.emb)), 4) >= 0.95
+    )
+    SELECT a.vec_id, a.cluster_id, l.vec_id IS NULL AS keep
+    FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
+"""
 
 # Recall report composes the exact and approximate top-k oracles verbatim
 # as subqueries — the recall number is itself differential-tested.

@@ -55,6 +55,13 @@ BENCH_QUERIES = [
     "decontaminate",
     "pii_scrub",
     "stratified_sample",
+    "gopher_quality_filters",
+    "perplexity_buckets",
+    "source_cap_sample",
+    "token_budget_sample",
+    "pmi_topk",
+    "minhash_accuracy_report",
+    "semdedup",
     "token_examples_salted",
     "corpus_shards",
     "kmv_distinct_estimate",

@@ -586,6 +586,12 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     of doc-bigrams against the bigram stats; the vocabulary scalar rides a
     1-row broadcast. All built-ins, zero UDFs."""
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    return _surprisal_frame(docs)
+
+
+def _surprisal_frame(docs: DataFrame) -> DataFrame:
+    """Shared body of bigram_surprisal / perplexity_buckets: per-doc
+    (n_bigrams, mean_surprisal) under the corpus's own add-1 bigram LM."""
     bg = _bigram_frame(docs)
     bg_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
     ug_counts = (
@@ -1232,3 +1238,302 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _pii_injected_text().alias("text")
     )
     return curate_frame(docs, benchmark_grams(docs))
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021 "Scaling Language Models:
+# Gopher", Table A1). The word-count floor is lowered from the paper's 50
+# to 20 so the rule DISCRIMINATES on this corpus's 10-99-token documents
+# instead of rejecting half of it; every other bound is the published one.
+GOPHER_RULES = {
+    "min_tokens": 20,
+    "max_tokens": 100_000,
+    "min_mean_token_len": 3.0,
+    "max_mean_token_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "min_alpha_ratio": 0.8,
+    "min_distinct_stopwords": 2,
+}
+
+
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality rules — the published heuristic
+    filter battery LLM pipelines run before any model-based scoring:
+    token-count bounds, mean-token-length bounds, symbol-to-word ratio
+    ('#' and '...' marks), alphabetic-word ratio, and distinct-stopword
+    presence. Emits every rule verdict plus the conjunction, so the audit
+    question "why was this doc dropped" is answerable per rule (same
+    first-fail posture as corpus_retention).
+
+    100 TB shape: a single narrow projection — per-doc array math only, no
+    shuffle, no UDF; scales embarrassingly like token_stats."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    mean_len = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / n
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
+    symbol = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.")) / n
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in TX.STOPWORDS]),
+        )
+    )
+    g = GOPHER_RULES
+    out = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        TX.round_half_up(mean_len, 4).alias("mean_token_len"),
+        TX.round_half_up(alpha, 4).alias("alpha_ratio"),
+        TX.round_half_up(symbol, 4).alias("symbol_ratio"),
+        n_stop.alias("n_stopwords"),
+    )
+    r_count = F.col("n_tokens").between(g["min_tokens"], g["max_tokens"])
+    r_mean = F.col("mean_token_len").between(
+        g["min_mean_token_len"], g["max_mean_token_len"]
+    )
+    r_alpha = F.col("alpha_ratio") >= g["min_alpha_ratio"]
+    r_symbol = F.col("symbol_ratio") <= g["max_symbol_ratio"]
+    r_stop = F.col("n_stopwords") >= g["min_distinct_stopwords"]
+    return out.select(
+        "*",
+        r_count.alias("ok_token_count"),
+        r_mean.alias("ok_mean_len"),
+        r_alpha.alias("ok_alpha"),
+        r_symbol.alias("ok_symbol"),
+        r_stop.alias("ok_stopwords"),
+        (r_count & r_mean & r_alpha & r_symbol & r_stop).alias("keep"),
+    )
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+    split documents into head/middle/tail terciles by language-model score
+    — here the corpus's own bigram mean surprisal (bigram_surprisal), the
+    same role CCNet's KenLM perplexity plays. head = most fluent third;
+    tail is what gets dropped or down-sampled in the mixture.
+
+    100 TB shape: inherits bigram_surprisal's bounded-vocabulary aggs;
+    the tercile assignment is ntile over a PER-LANGUAGE window ordered by
+    the (rounded) score with doc_id tie-break — deterministic across
+    engines, partitioned by lang so no global sort. Docs with fewer than
+    2 tokens have no bigrams and are excluded by construction."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    scored = _surprisal_frame(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("mean_surprisal", "doc_id")
+    bucket = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "mean_surprisal",
+        bucket.cast("int").alias("bucket"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket
+        ).alias("bucket_name"),
+    )
+
+
+def source_cap_sample(spark: SparkSession, sf_dir: str, cap: int = 10) -> DataFrame:
+    """Per-source document cap — the domain-balancing step of web-corpus
+    curation (cap documents per registered domain so no single crawl
+    source dominates the mixture). Which docs survive is decided by a
+    salted-hash order, not doc_id, so the kept set is an unbiased sample
+    of the source, stable across runs and corpus growth.
+
+    100 TB shape: rank window partitioned BY SOURCE (never global). A
+    pathological mega-source still funnels one source's rows through one
+    task before the cap cuts it; the keyset fix at that scale is a
+    hash-threshold pre-filter sized from per-source counts — documented
+    residual, same class as paged_scan's deep-offset note."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= cap)
+        .select("doc_id", "source", "pos")
+    )
+
+
+def token_budget_sample(
+    spark: SparkSession, sf_dir: str, budget: int = 2500, block: int = 256
+) -> DataFrame:
+    """Per-language token-budget selection — build a mixture by filling
+    each language's token budget greedily in salted-hash order (the
+    deterministic equivalent of "shuffle, then take docs until the budget
+    is full"). A doc is kept iff its whole token count fits in what
+    remains of its language's budget at its position.
+
+    100 TB shape: the running token total is the same DISTRIBUTED two-pass
+    prefix sum as sequence_packing (bounded hash-block windows + tiny
+    block-prefix rollup joined back) — never a global single-partition
+    cumsum. The hash order also makes the selection independent of
+    storage order."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    h = F.md5(F.concat(F.lit("bud:"), F.col("doc_id").cast("string")))
+    t = docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        h.alias("h"),
+        # hash-prefix block id: preserves h-order across blocks so the
+        # two-pass prefix sum composes to the exact flat cumsum in h order
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("block_id"),
+    )
+    w_in = (
+        Window.partitionBy("lang", "block_id")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("local_cum", F.sum("n_tokens").over(w_in))
+    totals = t.groupBy("lang", "block_id").agg(
+        F.sum("n_tokens").alias("block_total")
+    )
+    w_blk = (
+        Window.partitionBy("lang")
+        .orderBy("block_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = totals.select(
+        "lang",
+        "block_id",
+        F.coalesce(F.sum("block_total").over(w_blk), F.lit(0)).alias(
+            "block_prefix"
+        ),
+    )
+    cum = (F.col("block_prefix") + F.col("local_cum")).alias("cum_tokens")
+    return (
+        local.join(prefixes, ["lang", "block_id"])
+        .select("doc_id", "lang", "n_tokens", cum)
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def pmi_topk(
+    spark: SparkSession, sf_dir: str, k: int = 50, min_count: int = 5
+) -> DataFrame:
+    """Corpus-level collocation mining: top-k bigrams by pointwise mutual
+    information, PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ), restricted to
+    bigrams seen ≥ min_count times (raw PMI is maximal for hapax pairs —
+    the min-count floor is the standard fix, Church & Hanks 1990). The
+    vocabulary-discovery / tokenizer-merge-candidate primitive.
+
+    100 TB shape: bigram + unigram count aggs (bounded by vocabulary, with
+    map-side combine), two joins keyed on tokens, totals ride a 1-row
+    broadcast; global top-k is TakeOrderedAndProject, never a full sort."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    bg = _bigram_frame(docs)
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    ug = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    tot = bgc.agg(
+        F.sum("c_bg").cast("double").alias("t_bg")
+    ).crossJoin(ug.agg(F.sum("c_w").cast("double").alias("t_ug")))
+    u1 = ug.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    u2 = ug.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    scored = (
+        bgc.filter(F.col("c_bg") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_bg",
+            TX.round_half_up(
+                F.log(
+                    (F.col("c_bg") / F.col("t_bg"))
+                    / ((F.col("c_w1") / F.col("t_ug")) * (F.col("c_w2") / F.col("t_ug")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
+
+
+def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation for the MinHash family: on every LSH
+    candidate pair, the signature-estimated Jaccard (matching components
+    / NUM_HASHES) against the exact shingle-set Jaccard, with the absolute
+    error — the harness for sizing NUM_HASHES (E[est] = j, Var = j(1-j)/H;
+    8 hashes ⇒ ±0.17 σ at j=0.5), same eval role as ivf_recall_report
+    for the IVF index.
+
+    100 TB shape: inherits neardup_pairs_lsh's banded candidate join; the
+    estimate is per-pair array math over the 8 carried signature columns
+    — candidate-scoped, never all-pairs."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    sets = docs.select(
+        "doc_id", TX.shingles(F.col("text"), 3).alias("shs")
+    ).transform(materialize)
+    mh = [
+        F.array_min(F.transform(F.col("shs"), TX.seeded_md5(s))).alias(f"mh_{s}")
+        for s in range(NUM_HASHES)
+    ]
+    sigs = sets.select("doc_id", F.array(*mh).alias("sig")).transform(materialize)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1)
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key").transform(materialize)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    ga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    gb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    exact = n_inter / (F.size("shs_a") + F.size("shs_b") - n_inter)
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = matches / F.lit(NUM_HASHES)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            TX.round_half_up(exact, 4).alias("jaccard_exact"),
+            TX.round_half_up(est, 4).alias("jaccard_est"),
+            TX.round_half_up(F.abs(est - exact), 4).alias("abs_err"),
+        )
+    )

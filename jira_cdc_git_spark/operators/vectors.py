@@ -341,3 +341,73 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
         F.count("*").alias("n_hits"),
         (F.count("*") / F.lit(float(k))).alias("recall"),
     )
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, compare pairs ONLY within a cluster, and drop the
+    higher-id member of every pair above the cosine threshold. Clustering
+    is what makes semantic dedup tractable — the candidate set shrinks
+    from O(n²) to Σ O(n_c²) with n_c ≈ n/k, and SemDeDup's observation is
+    that true semantic duplicates land in the same cluster essentially
+    always.
+
+    Centroids are the deterministic first-n_centroids-by-vec_id stand-in
+    (same as ivf_topk; swap kmeans_centroids in for trained clusters) and
+    assignment is the narrow broadcast pass of _assign_clusters. Like
+    embedding_neardup, the synthetic corpus has no true near-dups, so one
+    perturbed clone per 10th vector is unioned in; the expected drops are
+    exactly the clones.
+
+    Output: one row per corpus vector with its cluster and keep verdict —
+    corpus_retention's audit posture, for embeddings.
+
+    100 TB shape: one narrow assignment pass (centroids broadcast), one
+    self-join shuffled on cluster_id (bounded groups, AQE-splittable),
+    one aggregated drop-set anti-joined back. Never all-pairs."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.01)).cast("float")),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    cents = (
+        corpus.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+        .transform(materialize)
+    )
+    assigned = _assign_clusters(corpus, cents).select(
+        "vec_id", "embedding", "cluster_id"
+    ).transform(materialize)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    losers = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+            >= threshold
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(losers.withColumn("lost", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(~F.col("lost"), F.lit(True)).alias("keep"),
+        )
+    )

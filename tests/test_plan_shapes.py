@@ -229,3 +229,69 @@ def test_corpus_shards_window_partitions_by_shard(spark, sf_dir):
     assert "Window" in plan
     win = [ln for ln in plan.splitlines() if "Window" in ln][0]
     assert "shard" in win, win
+
+
+def test_gopher_filters_narrow_projection(spark, sf_dir):
+    # the rule battery is per-doc array math: no join, no shuffle at all
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.gopher_quality_filters(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_perplexity_buckets_window_is_per_lang(spark, sf_dir):
+    # the tercile window must partition by lang — a global ntile would be
+    # the single-partition scale-killer class
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.perplexity_buckets(spark, sf_dir))
+    assert "ntile" in plan
+    w = plan.split("Window")[1][:300]
+    assert "lang" in w
+
+
+def test_source_cap_window_is_per_source(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.source_cap_sample(spark, sf_dir))
+    w = plan.split("Window")[1][:300]
+    assert "source" in w
+
+
+def test_token_budget_no_global_window(spark, sf_dir):
+    # both prefix-sum passes must partition by (lang[, block]) — never a
+    # single global cumsum window
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.token_budget_sample(spark, sf_dir))
+    for seg in plan.split("Window")[1:]:
+        assert "lang" in seg[:400]
+
+
+def test_pmi_topk_take_ordered_and_partial_agg(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.pmi_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # global top-k, never full sort
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_minhash_accuracy_candidate_scoped(spark, sf_dir):
+    # inherits the LSH shape: equi-join on band_key, no all-pairs
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.minhash_accuracy_report(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_semdedup_cluster_scoped(spark, sf_dir):
+    # the pair join must be an equi-join on cluster_id (SemDeDup's whole
+    # point); assignment must stay window-free (narrow broadcast pass)
+    from jira_cdc_git_spark.operators import vectors as V
+
+    plan = _plan(V.semdedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "Window" not in plan
