@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "sessionize",
     "asof_last_error",
     "jql_project_active",
+    "jql_was_open_after",
     "validate_requests",
     "paged_scan_keyset",
     "incremental_candidates",

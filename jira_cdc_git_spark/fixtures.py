@@ -169,6 +169,63 @@ def sync_state_sql(orders: str, dialect: str) -> str:
     """
 
 
+def changelog_sql(orders: str) -> str:
+    """Issue changelog (the JIRA `changelog.histories` surface backing JQL
+    WAS / CHANGED — Atlassian JQL history operators). One row per field
+    transition: (key, field, from_value, to_value, changed_at, author).
+
+    Unlike a real JIRA changelog, a CREATION row (from_value NULL,
+    to_value = initial value, changed_at = created) is materialized per
+    (key, field) so the value-interval timeline is self-contained: the
+    value held during [changed_at, next changed_at) is to_value, no join
+    back to issues needed. WAS scans all rows; CHANGED excludes creation
+    rows (from_value IS NULL is not a transition).
+
+    Derivation (deterministic, dialect-shared like every fixture here):
+      status: every issue is created 'Open'; k%2=0 issues jump straight
+        to their current status at created + (k%12+1) hours; odd-k issues
+        pass through an intermediate ('In Progress', or 'In Review' when
+        the current status IS 'In Progress') before landing on the
+        current status (k%5+1) days later. Authors: reporter for the
+        first hop, assignee (or 'user0') for the second.
+      assignee: k%6=3 issues (with a non-null assignee) were reassigned
+        from 'user<(k+13)%50>' one-to-three days after creation.
+    """
+    fi = f"({flat_issues_sql(orders)}) fi"
+    t1 = "created + INTERVAL 1 HOUR * (k % 12 + 1)"
+    t2 = f"{t1} + INTERVAL 1 DAY * (k % 5 + 1)"
+    mid = ("CASE WHEN status_name = 'In Progress' THEN 'In Review' "
+           "ELSE 'In Progress' END")
+    return f"""
+        SELECT key, 'status' AS field, CAST(NULL AS STRING) AS from_value,
+               'Open' AS to_value, created AS changed_at,
+               reporter_name AS author
+        FROM {fi}
+        UNION ALL
+        SELECT key, 'status', 'Open', status_name, {t1}, reporter_name
+        FROM {fi} WHERE k % 2 = 0
+        UNION ALL
+        SELECT key, 'status', 'Open', {mid}, {t1}, reporter_name
+        FROM {fi} WHERE k % 2 = 1
+        UNION ALL
+        SELECT key, 'status', {mid}, status_name, {t2},
+               CASE WHEN assignee_name IS NULL THEN 'user0'
+                    ELSE assignee_name END
+        FROM {fi} WHERE k % 2 = 1
+        UNION ALL
+        SELECT key, 'assignee', CAST(NULL AS STRING),
+               'user' || CAST((k + 13) % 50 AS STRING),
+               created, reporter_name
+        FROM {fi} WHERE k % 6 = 3 AND assignee_name IS NOT NULL
+        UNION ALL
+        SELECT key, 'assignee',
+               'user' || CAST((k + 13) % 50 AS STRING),
+               assignee_name, created + INTERVAL 1 DAY * (k % 3 + 1),
+               reporter_name
+        FROM {fi} WHERE k % 6 = 3 AND assignee_name IS NOT NULL
+    """
+
+
 def files_sql(orders: str, dialect: str) -> str:
     """Simulated directory listing: state paths minus missing plus orphans."""
     sha = _sha(_CONTENT, dialect)
@@ -266,6 +323,11 @@ def files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(files_sql("{orders}", "spark"), orders=orders)
 
 
+def changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return spark.sql(changelog_sql("{orders}"), orders=orders)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB-side CTE fragments for oracle SQL (driver pre-registers `orders`)
 # ---------------------------------------------------------------------------
@@ -280,3 +342,7 @@ def duckdb_sync_state_cte() -> str:
 
 def duckdb_files_cte() -> str:
     return f"files AS ({files_sql('orders', 'duckdb')})"
+
+
+def duckdb_changelog_cte() -> str:
+    return f"changelog AS ({changelog_sql('orders')})"

@@ -19,6 +19,10 @@ Supported surface (every emitted form, SURVEY §2.2):
   IS EMPTY / IS NOT EMPTY                   null checks
   ORDER BY field ASC|DESC [, ...]           W1, W2
   quoted fields ("Epic Link"), cf[NNNN]     P2, P6
+  WAS [NOT] v / WAS [NOT] IN (...)          history (changelog semi-join)
+    [BY u] [AFTER d] [BEFORE d]
+  CHANGED [FROM a] [TO b] [BY u]            history (transition rows)
+    [AFTER d] [BEFORE d]
 
 Membership subqueries compile to LEFT-join boolean marker columns (not
 left_semi) so they compose under OR/NOT — `"Epic Link" = K OR parent in
@@ -205,6 +209,25 @@ class Empty:
 
 
 @dataclass
+class History:
+    """JQL history operators (Atlassian JQL WAS / CHANGED — the changelog
+    surface). `values` holds the WAS right-hand side (1 value, or the
+    WAS IN list); CHANGED uses the from/to qualifiers instead. after/
+    before/by are the shared time/author qualifiers; each is a plain
+    value or a ("reldate", text) tuple resolved against ctx.now."""
+
+    fld: str
+    mode: str  # "was" | "changed"
+    values: list | None = None
+    negated: bool = False
+    from_value: object | None = None
+    to_value: object | None = None
+    by: object | None = None
+    after: object | None = None
+    before: object | None = None
+
+
+@dataclass
 class Not:
     child: object
 
@@ -328,6 +351,13 @@ class _Parser:
             if not self.accept_word("EMPTY", "NULL"):
                 raise JQLError("expected EMPTY after IS")
             return Empty(fld, negated)
+        # history operators: WAS [NOT] [IN] ... / CHANGED [FROM|TO ...]
+        if t.kind == "word" and t.text.upper() == "WAS":
+            self.i += 1
+            return self._was_rhs(fld)
+        if t.kind == "word" and t.text.upper() == "CHANGED":
+            self.i += 1
+            return self._changed_rhs(fld)
         # [NOT] IN
         negated = False
         if t.kind == "word" and t.text.upper() == "NOT":
@@ -363,6 +393,56 @@ class _Parser:
         if self.next().kind != "rparen":
             raise JQLError("expected ) closing IN list")
         return InList(fld, values, negated)
+
+    _HIST_QUALS = ("BY", "AFTER", "BEFORE")
+
+    def _hist_quals(self, h: "History") -> None:
+        """Zero or more BY/AFTER/BEFORE qualifiers, each at most once."""
+        while True:
+            t = self.peek()
+            if not (t and t.kind == "word" and t.text.upper() in self._HIST_QUALS):
+                return
+            name = self.next().text.lower()
+            if getattr(h, name) is not None:
+                raise JQLError(f"duplicate {name.upper()} qualifier")
+            setattr(h, name, self._value())
+
+    def _was_rhs(self, fld: str) -> "History":
+        h = History(fld, "was")
+        h.negated = self.accept_word("NOT")
+        if self.accept_word("IN"):
+            t = self.next()
+            if t.kind != "lparen":
+                raise JQLError("expected ( after WAS IN")
+            h.values = [self._value()]
+            while self.peek() and self.peek().kind == "comma":
+                self.i += 1
+                h.values.append(self._value())
+            if self.next().kind != "rparen":
+                raise JQLError("expected ) closing WAS IN list")
+        else:
+            h.values = [self._value()]
+        self._hist_quals(h)
+        return h
+
+    def _changed_rhs(self, fld: str) -> "History":
+        h = History(fld, "changed")
+        while True:
+            t = self.peek()
+            if t and t.kind == "word" and t.text.upper() == "FROM":
+                self.i += 1
+                if h.from_value is not None:
+                    raise JQLError("duplicate FROM qualifier")
+                h.from_value = self._value()
+            elif t and t.kind == "word" and t.text.upper() == "TO":
+                self.i += 1
+                if h.to_value is not None:
+                    raise JQLError("duplicate TO qualifier")
+                h.to_value = self._value()
+            elif t and t.kind == "word" and t.text.upper() in self._HIST_QUALS:
+                self._hist_quals(h)
+            else:
+                return h
 
     def _function(self):
         name = self.next().text.lower()
@@ -447,7 +527,10 @@ _FUNC_CASE = {
 # token: word-shaped (no leading digit — digits lex as numbers), not a
 # keyword, not a function name
 _BARE_VALUE_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.@-]*$")
-_RESERVED = {"AND", "OR", "NOT", "IN", "IS", "ORDER", "BY", "EMPTY", "NULL"}
+_RESERVED = {
+    "AND", "OR", "NOT", "IN", "IS", "ORDER", "BY", "EMPTY", "NULL",
+    "WAS", "CHANGED", "FROM", "TO", "AFTER", "BEFORE",
+}
 
 
 def _emit_value(v) -> str:
@@ -494,6 +577,31 @@ def _emit(node) -> str:
         return f"{_emit_field(node.fld)} {kw} ({name}({arg}))"
     if isinstance(node, Cmp):
         return f"{_emit_field(node.fld)} {node.op} {_emit_value(node.value)}"
+    if isinstance(node, History):
+        parts = [_emit_field(node.fld)]
+        if node.mode == "was":
+            parts.append("WAS")
+            if node.negated:
+                parts.append("NOT")
+            if len(node.values) > 1:
+                parts.append(
+                    "IN (" + ", ".join(_emit_value(v) for v in node.values) + ")"
+                )
+            else:
+                parts.append(_emit_value(node.values[0]))
+        else:
+            parts.append("CHANGED")
+            if node.from_value is not None:
+                parts.append(f"FROM {_emit_value(node.from_value)}")
+            if node.to_value is not None:
+                parts.append(f"TO {_emit_value(node.to_value)}")
+        if node.by is not None:
+            parts.append(f"BY {_emit_value(node.by)}")
+        if node.after is not None:
+            parts.append(f"AFTER {_emit_value(node.after)}")
+        if node.before is not None:
+            parts.append(f"BEFORE {_emit_value(node.before)}")
+        return " ".join(parts)
     raise JQLError(f"cannot emit {node!r}")
 
 
@@ -563,6 +671,9 @@ class JQLContext:
     current_user: str | None = None
     now: datetime | None = None
     open_sprint_member: Column | None = None
+    # (key, field, from_value, to_value, changed_at, author) — the JIRA
+    # changelog.histories surface backing WAS / CHANGED (fixtures.changelog)
+    changelog: DataFrame | None = None
 
 
 _REL_UNITS = {"d": "days", "w": "weeks", "h": "hours"}
@@ -611,11 +722,71 @@ class Plan:
     def _collect_memberships(self, node) -> None:
         if isinstance(node, Membership) and node.func in ("issuesinepic", "linkedissues"):
             self._markers.append((f"__jql_m{len(self._markers)}", node))
+        elif isinstance(node, History):
+            self._markers.append((f"__jql_m{len(self._markers)}", node))
         elif isinstance(node, Bool):
             for c in node.children:
                 self._collect_memberships(c)
         elif isinstance(node, Not):
             self._collect_memberships(node.child)
+
+    def _hist_time(self, v) -> Column:
+        """AFTER/BEFORE qualifier value → timestamp Column (plain literal
+        or a -Nd/-Nw/-Nh relative date against ctx.now)."""
+        if isinstance(v, tuple) and v[0] == "reldate":
+            if self.ctx.now is None:
+                raise JQLError("relative date used without ctx.now")
+            n = int(v[1][1:-1])
+            unit = _REL_UNITS[v[1][-1]]
+            return F.lit(self.ctx.now - timedelta(**{unit: n}))
+        return F.lit(v).cast("timestamp")
+
+    def _member_set_history(self, h: History) -> DataFrame:
+        """Issue-key member set for a WAS / CHANGED term over the
+        changelog. The changelog's creation rows make the value timeline
+        self-contained: the value held during [changed_at, lead(changed_at))
+        is to_value, so
+          WAS v            ⟺ ∃ row: to_value = v
+          WAS v AFTER d    ⟺ ∃ row: to_value = v ∧ interval end > d
+          WAS v BEFORE d   ⟺ ∃ row: to_value = v ∧ changed_at < d
+          CHANGED …        ⟺ ∃ NON-creation row matching FROM/TO/BY/time.
+        The only window (the AFTER interval-end lead) partitions by
+        (key, field) — bounded per-issue groups, never global."""
+        if self.ctx.changelog is None:
+            raise JQLError("WAS/CHANGED needs ctx.changelog")
+        cl = self.ctx.changelog.filter(F.col("field") == h.fld)
+        if h.mode == "was":
+            if h.after is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("key", "field").orderBy("changed_at")
+                cl = cl.withColumn("__end", F.lead("changed_at").over(w))
+            eqs = [
+                F.col("to_value") == _scalar(v, h.fld, self.ctx)
+                for v in h.values
+            ]
+            cond = eqs[0]
+            for e in eqs[1:]:
+                cond = cond | e
+            if h.after is not None:
+                cond &= F.col("__end").isNull() | (
+                    F.col("__end") > self._hist_time(h.after)
+                )
+        else:
+            cond = F.col("from_value").isNotNull()
+            if h.from_value is not None:
+                cond &= F.col("from_value") == _scalar(
+                    h.from_value, h.fld, self.ctx
+                )
+            if h.to_value is not None:
+                cond &= F.col("to_value") == _scalar(h.to_value, h.fld, self.ctx)
+            if h.after is not None:
+                cond &= F.col("changed_at") > self._hist_time(h.after)
+        if h.by is not None:
+            cond &= F.col("author") == _scalar(h.by, h.fld, self.ctx)
+        if h.before is not None:
+            cond &= F.col("changed_at") < self._hist_time(h.before)
+        return cl.filter(cond).select(F.col("key").alias("__jql_k")).distinct()
 
     def _member_set(self, m: Membership) -> DataFrame:
         if m.func == "issuesinepic":
@@ -657,6 +828,9 @@ class Plan:
             else:
                 c = F.coalesce(F.col(markers[id(node)]), F.lit(False))
             return ~c if node.negated else c
+        if isinstance(node, History):
+            c = F.coalesce(F.col(markers[id(node)]), F.lit(False))
+            return ~c if node.negated else c
         if isinstance(node, Cmp):
             lhs = _col(node.fld)
             rhs = _scalar(node.value, node.fld, self.ctx)
@@ -680,12 +854,24 @@ class Plan:
         out = df
         marker_names = {}
         for name, m in self._markers:
-            members = self._member_set(m).withColumn(name, F.lit(True))
-            out = out.join(
-                F.broadcast(members),
-                _col(m.fld) == F.col("__jql_k"),
-                "left",
-            ).drop("__jql_k")
+            if isinstance(m, History):
+                # history member sets are ISSUE-KEY sets (the changelog is
+                # keyed by issue), joined on the issue key — and NOT
+                # broadcast unconditionally: at scale the set is corpus-
+                # sized (changelog ≈ issues), so AQE picks the strategy
+                members = self._member_set_history(m).withColumn(
+                    name, F.lit(True)
+                )
+                out = out.join(
+                    members, F.col("key") == F.col("__jql_k"), "left"
+                ).drop("__jql_k")
+            else:
+                members = self._member_set(m).withColumn(name, F.lit(True))
+                out = out.join(
+                    F.broadcast(members),
+                    _col(m.fld) == F.col("__jql_k"),
+                    "left",
+                ).drop("__jql_k")
             marker_names[id(m)] = name
         if self.q.where is not None:
             out = out.filter(self._predicate(self.q.where, marker_names))

@@ -141,6 +141,7 @@ def _ctx(spark: SparkSession, sf_dir: str) -> JQL.JQLContext:
         current_user="user7",
         now=FIXED_NOW,
         open_sprint_member=(block % 11) <= 1,
+        changelog=FX.changelog(spark, sf_dir),
     )
 
 
@@ -192,6 +193,47 @@ def jql_my_sprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     iss = FX.issues(spark, sf_dir)
     out = JQL.run_jql(jql, iss, _ctx(spark, sf_dir))
     return out.select("key", F.col("assignee.name").alias("assignee_name"))
+
+
+def jql_was_in_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JQL history operator WAS (Atlassian JQL changelog surface; the
+    reference pushes such queries to the JIRA server — here the server is
+    us, so WAS compiles to a semi-join against the changelog fixture's
+    to_value rows). Basic form: ever-held-value membership."""
+    iss = FX.issues(spark, sf_dir)
+    out = JQL.run_jql(
+        'project = "PROJ" AND status WAS "In Progress"',
+        iss,
+        _ctx(spark, sf_dir),
+    )
+    return out.select("key", F.col("status.name").alias("status_name"))
+
+
+def jql_changed_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JQL CHANGED with FROM/TO/AFTER qualifiers: transition-row filter
+    over the changelog (creation rows excluded by from_value IS NOT
+    NULL)."""
+    iss = FX.issues(spark, sf_dir)
+    out = JQL.run_jql(
+        'status CHANGED FROM "In Progress" TO "Done" AFTER "1995-06-01"',
+        iss,
+        _ctx(spark, sf_dir),
+    )
+    return out.select("key", F.col("status.name").alias("status_name"))
+
+
+def jql_was_open_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JQL WAS with the AFTER interval qualifier: the value must still be
+    HELD after the cutoff, which needs the interval end (lead(changed_at)
+    over the per-issue timeline) — the windowed branch of the history
+    compiler."""
+    iss = FX.issues(spark, sf_dir)
+    out = JQL.run_jql(
+        'status WAS "Open" AFTER "1997-06-01" AND project IN ("PROJ", "MEM")',
+        iss,
+        _ctx(spark, sf_dir),
+    )
+    return out.select("key", "created")
 
 
 # ---------------------------------------------------------------------------

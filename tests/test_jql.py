@@ -235,3 +235,110 @@ def test_emit_round_trips_through_parse():
     ]:
         q = J.parse(jql)
         assert J.parse(J.emit(q)) == q
+
+
+# ---------------------------------------------------------------------------
+# History operators (WAS / CHANGED over the changelog)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hist(spark, tiny):
+    """Hand-built changelog for the tiny issues frame: P-2 went
+    Open -> In Progress (2021, by alice); P-3 went Open -> In Progress
+    (2020) -> Done (2022, by bob); everything else only has its creation
+    row (value 'Open' from 2020 until its first transition or forever)."""
+    from datetime import datetime
+
+    rows = [
+        ("P-1", "status", None, "Open", datetime(2020, 1, 1), "alice"),
+        ("P-2", "status", None, "Open", datetime(2020, 1, 1), "alice"),
+        ("P-2", "status", "Open", "In Progress", datetime(2021, 1, 1), "alice"),
+        ("P-3", "status", None, "Open", datetime(2020, 1, 1), "alice"),
+        ("P-3", "status", "Open", "In Progress", datetime(2020, 6, 1), "bob"),
+        ("P-3", "status", "In Progress", "Done", datetime(2022, 1, 1), "bob"),
+        ("P-4", "status", None, "Open", datetime(2020, 1, 1), "alice"),
+        ("Q-1", "status", None, "Open", datetime(2020, 1, 1), "alice"),
+        ("Q-1", "assignee", None, "carol", datetime(2020, 1, 1), "alice"),
+        ("Q-1", "assignee", "carol", "alice", datetime(2021, 6, 1), "carol"),
+    ]
+    cl = spark.createDataFrame(
+        rows,
+        "key string, field string, from_value string, to_value string,"
+        "changed_at timestamp, author string",
+    )
+    return J.JQLContext(issues=tiny, changelog=cl)
+
+
+def test_was_basic(tiny, hist):
+    out = J.run_jql('status WAS "In Progress"', tiny, hist)
+    assert _keys(out) == ["P-2", "P-3"]
+
+
+def test_was_not(tiny, hist):
+    out = J.run_jql('status WAS NOT "In Progress"', tiny, hist)
+    assert _keys(out) == ["P-1", "P-4", "Q-1"]
+
+
+def test_was_in_list_and_compose(tiny, hist):
+    out = J.run_jql('status WAS IN ("Done", "In Progress") AND project = P', tiny, hist)
+    assert _keys(out) == ["P-2", "P-3"]
+
+
+def test_was_by(tiny, hist):
+    out = J.run_jql('status WAS "In Progress" BY bob', tiny, hist)
+    assert _keys(out) == ["P-3"]
+
+
+def test_was_before_uses_interval_start(tiny, hist):
+    # P-2 reached In Progress only in 2021 — a BEFORE 2020-12-31 cutoff
+    # must keep P-3 (reached 2020-06-01) and drop P-2
+    out = J.run_jql('status WAS "In Progress" BEFORE "2020-12-31"', tiny, hist)
+    assert _keys(out) == ["P-3"]
+
+
+def test_was_after_uses_interval_end(tiny, hist):
+    # "still Open after 2020-09-01": P-3 left Open on 2020-06-01 — out;
+    # P-2 left on 2021-01-01, everyone else holds Open forever — in
+    out = J.run_jql('status WAS "Open" AFTER "2020-09-01"', tiny, hist)
+    assert _keys(out) == ["P-1", "P-2", "P-4", "Q-1"]
+
+
+def test_changed_any(tiny, hist):
+    out = J.run_jql("status CHANGED", tiny, hist)
+    assert _keys(out) == ["P-2", "P-3"]
+
+
+def test_changed_from_to_after(tiny, hist):
+    out = J.run_jql(
+        'status CHANGED FROM "In Progress" TO "Done" AFTER "2021-06-01"',
+        tiny,
+        hist,
+    )
+    assert _keys(out) == ["P-3"]
+    none = J.run_jql(
+        'status CHANGED TO "Done" AFTER "2022-06-01"', tiny, hist
+    )
+    assert _keys(none) == []
+
+
+def test_changed_other_field(tiny, hist):
+    out = J.run_jql("assignee CHANGED", tiny, hist)
+    assert _keys(out) == ["Q-1"]
+
+
+def test_history_emit_roundtrip():
+    for q in [
+        'status WAS "In Progress" BY bob AFTER "2020-01-01"',
+        'status WAS NOT IN (Done, Closed) BEFORE "2021-01-01"',
+        "status CHANGED FROM Open TO Done BY alice",
+        "assignee CHANGED AFTER -30d",
+    ]:
+        once = J.emit(J.parse(q))
+        assert J.emit(J.parse(once)) == once
+
+
+def test_history_errors(tiny, hist):
+    with pytest.raises(J.JQLError, match="duplicate AFTER"):
+        J.parse('status CHANGED AFTER "2020-01-01" AFTER "2021-01-01"')
+    with pytest.raises(J.JQLError, match="needs ctx.changelog"):
+        J.run_jql("status CHANGED", tiny, J.JQLContext(issues=tiny))
