@@ -1362,7 +1362,7 @@ def source_cap_sample(spark: SparkSession, sf_dir: str, cap: int = 10) -> DataFr
 
 
 def token_budget_sample(
-    spark: SparkSession, sf_dir: str, budget: int = 2500, block: int = 256
+    spark: SparkSession, sf_dir: str, budget: int = 2500
 ) -> DataFrame:
     """Per-language token-budget selection — build a mixture by filling
     each language's token budget greedily in salted-hash order (the

@@ -43,7 +43,14 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.stratified_sample,
         T.token_examples_salted,
         T.corpus_shards,
+        T.gopher_quality_filters,
+        T.perplexity_buckets,
+        T.source_cap_sample,
+        T.token_budget_sample,
+        T.pmi_topk,
+        T.minhash_accuracy_report,
         V.embedding_neardup,
+        V.semdedup,
     ],
 )
 def test_operator_empty_input_yields_empty_output(fn, spark, empty_sf_dir):
