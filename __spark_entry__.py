@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jql_was_in_progress": J.jql_was_in_progress,
         "jql_changed_status": J.jql_changed_status,
         "jql_was_open_after": J.jql_was_open_after,
+        "media_image_dhash": MM.image_dhash,          # mapInPandas — rows-only
+        "phash_neardup_pairs": MM.phash_neardup_pairs,  # mapInPandas — rows-only
         # First the entries demoted to make room for the seven new
         # operators above: the four mapInPandas media passes (rows-only
         # checks by nature — behavioral pytest is their real gate) and

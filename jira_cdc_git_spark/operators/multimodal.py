@@ -302,3 +302,120 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("meta.n_bytes").alias("total_bytes"),
         F.round(F.avg("meta.n_bytes"), 2).alias("avg_bytes"),
     )
+
+
+PHASH_SCHEMA = "media_id bigint, dhash long, decoder string"
+
+
+def _dhash_grid(content: bytes, Image) -> tuple[int, str]:
+    """64-bit difference hash (dHash) of an image payload. With PIL the
+    payload is really decoded, grayscaled and resized to 9x8; otherwise
+    the FIRST 72 PAYLOAD BYTES stand in for the pixel grid (deterministic
+    fake 'decode', flagged by decoder name). The fake is deliberately
+    LOCALITY-PRESERVING — raw bytes, not a hash of them — so a
+    near-identical payload still yields a near-identical dhash, which is
+    the property the downstream Hamming banding exploits."""
+    import io
+
+    pixels = None
+    decoder = "fake-deterministic"
+    if Image is not None:
+        try:
+            img = Image.open(io.BytesIO(content)).convert("L").resize((9, 8))
+            pixels = list(img.getdata())
+            decoder = "pil"
+        except Exception:
+            decoder = "pil-fallback"
+    if pixels is None:
+        raw = (content or b"\x00") * (72 // max(1, len(content or b"\x00")) + 1)
+        pixels = list(raw[:72])
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if pixels[r * 9 + c] < pixels[r * 9 + c + 1]:
+                bits |= 1 << (r * 8 + c)
+    if bits >= 1 << 63:  # store as signed 64-bit (Spark LongType)
+        bits -= 1 << 64
+    return bits, decoder
+
+
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 64-bit dHash via one Arrow-batched mapInPandas pass —
+    the signature half of perceptual near-dup detection. Like the rest of
+    the media family, the corpus unions in one clone per 10th image with
+    a single perturbed payload byte (near-identical, NOT exact-equal), so
+    the near-dup surface exists even on the synthetic corpus."""
+    media = media_table(spark, sf_dir).filter(F.col("modality") == "image")
+    clones = media.filter(F.col("media_id") % 30 == 0).select(
+        (F.col("media_id") + 1_000_000).alias("media_id"),
+        "modality",
+        "mime",
+        # flip one byte near the middle of the payload
+        F.concat(
+            F.substring("content", 1, 8),
+            F.lit(b"\xff"),
+            F.expr("substring(content, 10, octet_length(content) - 9)"),
+        ).alias("content"),
+        "meta",
+    )
+    corpus = media.unionByName(clones)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil()
+        for pdf in batches:
+            out = [
+                _dhash_grid(bytes(b), Image) for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [h for h, _ in out],
+                    "decoder": [d for _, d in out],
+                }
+            )
+
+    return corpus.mapInPandas(_hash, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash signatures + the same
+    exact Hamming banding as simhash_neardup_pairs, specialized to 8-bit
+    bands — by pigeonhole a pair within Hamming distance 6 agrees on at
+    least one of 8 bands (d < bands), so the band join loses nothing.
+
+    100 TB shape: the codec pass is Arrow-batched mapInPandas (one batch
+    of payloads in memory, never a partition); signatures are 8 bytes/row;
+    the self-join keys on (band_idx, band_val) — never all-pairs; verify
+    is a projection on the joined row (signatures are carried, no join
+    back)."""
+    from jira_cdc_git_spark.materialize import materialize
+
+    sigs = materialize(image_dhash(spark, sf_dir).select("media_id", "dhash"))
+    band_exprs = [
+        (
+            F.shiftright(F.col("dhash"), 8 * i).bitwiseAND(F.lit(0xFF))
+            + F.lit(i * 256)
+        ).cast("long")
+        for i in range(8)
+    ]
+    bands = sigs.select(
+        "media_id", "dhash", F.explode(F.array(*band_exprs)).alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

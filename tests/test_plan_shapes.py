@@ -295,3 +295,13 @@ def test_semdedup_cluster_scoped(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
     assert "Window" not in plan
+
+
+def test_phash_neardup_candidate_scoped(spark, sf_dir):
+    # the perceptual-hash pair join must key on band_val — a regression to
+    # CartesianProduct would make image dedup all-pairs
+    from jira_cdc_git_spark.operators import multimodal as MM
+
+    plan = _plan(MM.phash_neardup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan

@@ -470,3 +470,40 @@ def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
     # contamination flags fire (benchmark docs flag themselves — correct:
     # a benchmark doc arriving in the training feed IS contamination)
     assert got.filter(F2.col("flag_contaminated")).count() > 0
+
+
+def test_image_dhash_clone_pairs(spark, sf_dir):
+    from jira_cdc_git_spark.operators import multimodal as MM
+
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in MM.phash_neardup_pairs(spark, sf_dir).collect()
+    }
+    # every injected clone (one perturbed payload byte) must pair with its
+    # original at tiny Hamming distance — the locality property of the
+    # fake decode and the exactness of the 8x8-bit banding together
+    expected = [
+        r["media_id"]
+        for r in MM.media_table(spark, sf_dir)
+        .filter((F.col("modality") == "image") & (F.col("media_id") % 30 == 0))
+        .select("media_id")
+        .collect()
+    ]
+    assert expected, "fixture should contain clone sources"
+    for mid in expected:
+        assert (mid, mid + 1_000_000) in pairs, f"missing clone pair {mid}"
+        assert pairs[(mid, mid + 1_000_000)] <= 1
+    # any extra pair must still satisfy the Hamming contract
+    assert all(h <= 6 for h in pairs.values())
+
+
+def test_image_dhash_deterministic(spark, sf_dir):
+    from jira_cdc_git_spark.operators import multimodal as MM
+
+    a = sorted(
+        (r["media_id"], r["dhash"]) for r in MM.image_dhash(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r["media_id"], r["dhash"]) for r in MM.image_dhash(spark, sf_dir).collect()
+    )
+    assert a == b and len(a) > 0
