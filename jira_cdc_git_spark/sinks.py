@@ -113,3 +113,42 @@ def append_commit_log(issues: DataFrame, path: str) -> None:
 
 def read_commit_log(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_corpus_shards(
+    spark: SparkSession, sf_dir: str, path: str, n_shards: int = 8
+) -> None:
+    """Training-corpus assembly sink: materialize operators.text.
+    corpus_shards' deterministic permutation as parquet PARTITIONED BY
+    shard, each shard's rows physically sorted by pos — so a training
+    loader streams shard directories in order and reads the corpus in the
+    fixed pseudo-random order with zero further shuffling.
+
+    Plan shape: one repartition on shard (the only shuffle) +
+    sortWithinPartitions(pos) — the exact write pattern corpus_shards'
+    docstring promises; repartition(n_shards, shard) gives one file per
+    shard directory."""
+    from jira_cdc_git_spark.operators.text import corpus_shards
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    assignment = corpus_shards(spark, sf_dir, n_shards=n_shards)
+    docs = load_table(spark, "documents", sf_dir)
+    (
+        docs.join(assignment, "doc_id")
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def read_corpus_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
+    """Read ONE shard partition in training order (partition pruning keeps
+    the scan to that directory; pos order is the file's physical order,
+    re-asserted here so the contract survives multi-file shards)."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("shard") == shard)
+        .orderBy("pos")
+    )

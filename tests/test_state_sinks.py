@@ -240,3 +240,29 @@ def test_merge_rewrites_only_touched_partitions(store, spark, issues):
     store.restore(v1)
     assert store.load(spark).filter(F.col("sync_count") != 1).count() == 0
     store.restore(v2)
+
+
+def test_corpus_shard_sink_roundtrip(spark, sf_dir, tmp_path):
+    import os
+
+    from jira_cdc_git_spark import sinks as S
+    from jira_cdc_git_spark.operators.text import corpus_shards
+
+    path = str(tmp_path / "corpus")
+    S.write_corpus_shards(spark, sf_dir, path, n_shards=4)
+    # partition layout: one directory per shard
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    # read-back of one shard is exactly the assignment's pos order
+    assignment = {
+        (r["doc_id"]): (r["shard"], r["pos"])
+        for r in corpus_shards(spark, sf_dir, n_shards=4).collect()
+    }
+    got = S.read_corpus_shard(spark, path, 2).select("doc_id", "pos").collect()
+    assert len(got) > 0
+    assert [r["pos"] for r in got] == sorted(r["pos"] for r in got)
+    for r in got:
+        assert assignment[r["doc_id"]] == (2, r["pos"])
+    # full union covers every document exactly once
+    total = spark.read.parquet(path).count()
+    assert total == len(assignment)
