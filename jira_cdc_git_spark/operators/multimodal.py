@@ -339,6 +339,43 @@ def _dhash_grid(content: bytes, Image) -> tuple[int, str]:
     return bits, decoder
 
 
+def dhash_frame(media: DataFrame) -> DataFrame:
+    """(media_id, content, ...) → (media_id, dhash, decoder) via one
+    Arrow-batched mapInPandas pass. Shared by the batch pair operator and
+    the streaming dedup twin (same body, same decoder ladder)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil()
+        for pdf in batches:
+            out = [_dhash_grid(bytes(b), Image) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [h for h, _ in out],
+                    "decoder": [d for _, d in out],
+                }
+            )
+
+    return media.mapInPandas(_hash, PHASH_SCHEMA)
+
+
+def dhash_bands(sigs: DataFrame) -> DataFrame:
+    """Explode a (media_id, dhash) frame into 8 Hamming-band rows — by
+    pigeonhole, pairs within Hamming distance <= 6 share at least one
+    8-bit band (d < bands), so a band equi-join is exact for that
+    threshold."""
+    band_exprs = [
+        (
+            F.shiftright(F.col("dhash"), 8 * i).bitwiseAND(F.lit(0xFF))
+            + F.lit(i * 256)
+        ).cast("long")
+        for i in range(8)
+    ]
+    return sigs.select(
+        "media_id", "dhash", F.explode(F.array(*band_exprs)).alias("band_key")
+    )
+
+
 def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image 64-bit dHash via one Arrow-batched mapInPandas pass —
     the signature half of perceptual near-dup detection. Like the rest of
@@ -358,23 +395,7 @@ def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
         "meta",
     )
-    corpus = media.unionByName(clones)
-
-    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Image = _pil()
-        for pdf in batches:
-            out = [
-                _dhash_grid(bytes(b), Image) for b in pdf["content"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "dhash": [h for h, _ in out],
-                    "decoder": [d for _, d in out],
-                }
-            )
-
-    return corpus.mapInPandas(_hash, PHASH_SCHEMA)
+    return dhash_frame(media.unionByName(clones))
 
 
 def phash_neardup_pairs(
@@ -393,16 +414,7 @@ def phash_neardup_pairs(
     from jira_cdc_git_spark.materialize import materialize
 
     sigs = materialize(image_dhash(spark, sf_dir).select("media_id", "dhash"))
-    band_exprs = [
-        (
-            F.shiftright(F.col("dhash"), 8 * i).bitwiseAND(F.lit(0xFF))
-            + F.lit(i * 256)
-        ).cast("long")
-        for i in range(8)
-    ]
-    bands = sigs.select(
-        "media_id", "dhash", F.explode(F.array(*band_exprs)).alias("band_key")
-    )
+    bands = dhash_bands(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))).cast("int")
     return (

@@ -454,3 +454,70 @@ def streaming_curation(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_phash_dedup(
+    spark: SparkSession,
+    media_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    corpus_sf_dir: str,
+    max_hamming: int = 6,
+) -> None:
+    """Streaming twin of perceptual image dedup: as new media payloads
+    arrive, dHash each micro-batch (the SAME Arrow-batched body as
+    operators/multimodal.dhash_frame) and band-join it against the STATIC
+    corpus signature table — 'is this newly-crawled image a near-dup of
+    anything we already hold'. The corpus bands are derived once outside
+    the stream; each batch shuffles only its own band rows (the corpus
+    side is a static frame AQE can broadcast when small), and matches
+    append (new_media_id, corpus_media_id, hamming) rows.
+
+    No streaming state accrues: dedup-vs-corpus is a pure stream-static
+    join, so there is no watermark to manage (contrast
+    streaming_exact_dedup, which dedups WITHIN the stream)."""
+    from jira_cdc_git_spark.operators.multimodal import (
+        dhash_bands,
+        dhash_frame,
+        image_dhash,
+    )
+
+    corpus_bands = dhash_bands(
+        image_dhash(spark, corpus_sf_dir).select("media_id", "dhash")
+    ).select(
+        F.col("media_id").alias("corpus_media_id"),
+        F.col("dhash").alias("corpus_dhash"),
+        "band_key",
+    )
+
+    feed = spark.readStream.schema(schema).parquet(media_dir)
+
+    def _match(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sigs = dhash_frame(batch_df).select("media_id", "dhash")
+        bands = dhash_bands(sigs)
+        ham = F.bit_count(
+            F.col("dhash").bitwiseXOR(F.col("corpus_dhash"))
+        ).cast("int")
+        (
+            bands.join(corpus_bands, "band_key")
+            .select(
+                F.col("media_id").alias("new_media_id"),
+                "corpus_media_id",
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    (
+        feed.writeStream.foreachBatch(_match)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

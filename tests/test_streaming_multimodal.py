@@ -507,3 +507,54 @@ def test_image_dhash_deterministic(spark, sf_dir):
         (r["media_id"], r["dhash"]) for r in MM.image_dhash(spark, sf_dir).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_streaming_phash_dedup_matches_corpus(spark, sf_dir, tmp_path):
+    from jira_cdc_git_spark.operators import multimodal as MM
+    from jira_cdc_git_spark.streaming.pipeline import streaming_phash_dedup
+
+    # feed: perturbed clones of three corpus images (one flipped byte,
+    # offset ids) plus one payload unlike anything in the corpus
+    corpus = MM.media_table(spark, sf_dir).filter(F.col("modality") == "image")
+    clones = (
+        corpus.orderBy("media_id")
+        .limit(3)
+        .select(
+            (F.col("media_id") + 5_000_000).alias("media_id"),
+            "modality",
+            "mime",
+            F.concat(
+                F.substring("content", 1, 8),
+                F.lit(b"\xff"),
+                F.expr("substring(content, 10, octet_length(content) - 9)"),
+            ).alias("content"),
+            "meta",
+        )
+    )
+    novel = spark.createDataFrame(
+        [(9_999_999, "image", "image/png", bytes(range(97, 169)), ("x", 72))],
+        MM.MEDIA_SCHEMA,
+    )
+    media_dir = str(tmp_path / "feed")
+    clones.unionByName(novel).write.parquet(media_dir)
+
+    out_dir = str(tmp_path / "matches")
+    streaming_phash_dedup(
+        spark,
+        media_dir,
+        MM.MEDIA_SCHEMA,
+        str(tmp_path / "ckpt"),
+        out_dir,
+        sf_dir,
+    )
+    got = {
+        (r["new_media_id"], r["corpus_media_id"]): r["hamming"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    originals = [r["media_id"] for r in corpus.orderBy("media_id").limit(3).collect()]
+    for mid in originals:
+        assert (mid + 5_000_000, mid) in got
+        assert got[(mid + 5_000_000, mid)] <= 1
+    # the novel payload (strictly increasing bytes -> all-ones dhash rows,
+    # nothing similar in text-derived signatures) must not match
+    assert not any(a == 9_999_999 for a, _ in got)
