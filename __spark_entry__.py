@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jql_was_open_after": J.jql_was_open_after,
         "media_image_dhash": MM.image_dhash,          # mapInPandas — rows-only
         "phash_neardup_pairs": MM.phash_neardup_pairs,  # mapInPandas — rows-only
+        "range_join_concurrency": TS.range_join_concurrency,
         # First the entries demoted to make room for the seven new
         # operators above: the four mapInPandas media passes (rows-only
         # checks by nature — behavioral pytest is their real gate) and
@@ -1238,6 +1239,42 @@ _ORACLES: dict[str, str] = {
                  - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec,
                round(sum(value), 2) AS session_value
         FROM sid GROUP BY user_id, session_seq
+    """,
+    # oracle executes the range join NAIVELY (inequality join — trivial for
+    # DuckDB at sf0.01); the Spark side must reproduce it through the
+    # bucketed equi-join decomposition, so the bucketing's exactness is
+    # itself under test.
+    "range_join_concurrency": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR CAST(floor(epoch(ts)) AS BIGINT)
+                                - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                                > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sid AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_session)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM flagged
+        ), sess AS (
+            SELECT user_id, session_seq,
+                   min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_s,
+                   max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_s
+            FROM sid GROUP BY 1, 2
+        ), p AS (
+            SELECT event_id, user_id, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               count(s.user_id) AS n_concurrent
+        FROM p LEFT JOIN sess s
+          ON s.user_id <> p.user_id AND p.es >= s.start_s AND p.es <= s.end_s
+        GROUP BY 1, 2, 3
     """,
     "asof_last_error": """
         SELECT event_id, user_id, ts, last_error_ts

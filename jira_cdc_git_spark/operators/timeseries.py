@@ -48,6 +48,24 @@ def sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_session_ids(ev: DataFrame, gap_minutes: int) -> DataFrame:
+    """Shared session-id pass (sessionize + the range-join interval
+    builder): lag + cumulative-sum-of-gap-flags over one user-key
+    shuffle."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: split each user's event stream on inactivity gaps
     > gap_minutes (batch analog of `session_window`; SURVEY §2.8 note).
@@ -55,18 +73,7 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
     user-key shuffle. At 100 TB: partition by user bucket; per-user data
     fits easily (sessions are short)."""
     ev = load_table(spark, "events", sf_dir)
-    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
-    )
-    with_sid = flagged.withColumn(
-        "session_seq",
-        F.sum("new_session").over(
-            by_user.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    with_sid = _with_session_ids(ev, gap_minutes)
     return (
         with_sid.groupBy("user_id", "session_seq")
         .agg(
@@ -101,4 +108,73 @@ def asof_last_error_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return carried.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "last_error_ts"
+    )
+
+
+def range_join_concurrency(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_minutes: int = 60,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Bucketed RANGE JOIN — the interval-overlap join Spark has no native
+    operator for (Databricks exposes it as a range-join hint; open-source
+    Spark executes a naive ts-between join as BroadcastNestedLoop or a
+    cartesian). For every purchase event, count how many OTHER users had
+    a session interval covering that instant ("site concurrency at
+    purchase time").
+
+    The trick: sessions explode into coarse time buckets
+    (floor(start/B)..floor(end/B)); each event joins on ITS bucket only —
+    an EQUI-join on the bucket key — then the exact start<=ts<=end
+    predicate refines the candidates. A session covering the event's
+    instant covers the event's bucket exactly once, so no post-join dedup
+    is needed. Bucket width B trades explode factor (span/B rows per
+    session) against candidate density (events x sessions per bucket);
+    hot buckets are ordinary shuffle skew that AQE splits.
+
+    100 TB shape: one user-key shuffle for sessionization, one bucket-key
+    shuffle for the join — never a nested-loop; the per-bucket candidate
+    product is the tunable cost knob."""
+    ev = load_table(spark, "events", sf_dir)
+    b = bucket_minutes * 60
+    sess = (
+        _with_session_ids(ev, gap_minutes)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("start_s"),
+            F.max(F.col("ts").cast("long")).alias("end_s"),
+        )
+    )
+    buckets = sess.select(
+        F.col("user_id").alias("s_user"),
+        "start_s",
+        "end_s",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_s") / b), F.floor(F.col("end_s") / b)
+            )
+        ).alias("bucket"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts").cast("long").alias("es"),
+        F.floor(F.col("ts").cast("long") / b).alias("bucket"),
+    )
+    cand = p.join(buckets, "bucket").filter(
+        (F.col("s_user") != F.col("user_id"))
+        & (F.col("es") >= F.col("start_s"))
+        & (F.col("es") <= F.col("end_s"))
+    )
+    counts = cand.groupBy("event_id").agg(F.count("*").alias("n"))
+    return (
+        p.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_concurrent"),
+        )
     )

@@ -273,3 +273,18 @@ def test_semdedup_random_params(spark, ddb, sf_dir, threshold, n_centroids):
         FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
     """).fetchdf()
     _check(f"semdedup(t={threshold},k={n_centroids})", sdf, odf)
+
+
+@given(bucket_minutes=st.sampled_from([5, 17, 60, 240, 1440]))
+@settings(**_SETTINGS)
+def test_range_join_bucket_width_invariant(spark, sf_dir, bucket_minutes):
+    # the bucket width is a pure cost knob — ANY width must produce the
+    # identical join result (exactness of the bucketed decomposition)
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    base = TS.range_join_concurrency(spark, sf_dir, bucket_minutes=60)
+    other = TS.range_join_concurrency(
+        spark, sf_dir, bucket_minutes=bucket_minutes
+    )
+    assert other.exceptAll(base).count() == 0
+    assert base.exceptAll(other).count() == 0

@@ -305,3 +305,14 @@ def test_phash_neardup_candidate_scoped(spark, sf_dir):
     plan = _plan(MM.phash_neardup_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the whole point of the bucketed decomposition: the interval-overlap
+    # join must execute as an equi-join on the bucket key, never a
+    # BroadcastNestedLoopJoin/cartesian over the raw range predicate
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    plan = _plan(TS.range_join_concurrency(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
