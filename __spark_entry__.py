@@ -22,13 +22,15 @@ plus every round-3 extension operator), ALL of them value-hash
 oracle-checked; slots 51+ hold (a) three discovery variants whose
 oracle SQL is identical to a slotted twin, (b) the four mapInPandas
 media passes (rows-only checks by nature), and (c) the 50 queries
-already green (rows+schema+hash) in CORRECTNESS_r02. Six of the 107
+already green (rows+schema+hash) in CORRECTNESS_r02, and (d) queries
+added later in round 3 (JQL history, perceptual dedup, range join,
+sketch report) that rotate into the window next round. Nine of the 114
 entries are no-oracle by nature (xxhash64-based simhash signatures;
-iterative k-means; the four media passes) and get rows-only checks
-wherever slotted. Regardless of slot, all 101 oracle-backed queries
-are covered by the repo's own DuckDB-differential pytest suite
-(tests/test_oracle_parity.py replays the driver comparison over the
-full registry on every pytest run).
+iterative k-means; the mapInPandas media passes; the HLL sketch
+report) and get rows-only checks wherever slotted. Regardless of slot,
+all 105 oracle-backed queries are covered by the repo's own
+DuckDB-differential pytest suite (tests/test_oracle_parity.py replays
+the driver comparison over the full registry on every pytest run).
 """
 
 from __future__ import annotations
@@ -129,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_dhash": MM.image_dhash,          # mapInPandas — rows-only
         "phash_neardup_pairs": MM.phash_neardup_pairs,  # mapInPandas — rows-only
         "range_join_concurrency": TS.range_join_concurrency,
+        "sketch_accuracy_report": T.sketch_accuracy_report,  # HLL — rows-only
         # First the entries demoted to make room for the seven new
         # operators above: the four mapInPandas media passes (rows-only
         # checks by nature — behavioral pytest is their real gate) and

@@ -1537,3 +1537,58 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX.round_half_up(F.abs(est - exact), 4).alias("abs_err"),
         )
     )
+
+
+def sketch_accuracy_report(
+    spark: SparkSession, sf_dir: str, k: int = 64, rsd: float = 0.05
+) -> DataFrame:
+    """Side-by-side sketch evaluation per language over 3-gram shingles:
+    exact distinct count vs the md5-KMV estimate (kmv_distinct_estimate's
+    formulation) vs Spark's built-in HyperLogLog++
+    (approx_count_distinct at the given relative standard deviation),
+    with relative errors for both — the harness for choosing a
+    cardinality sketch (KMV: oracle-replayable, k-hash state; HLL++:
+    mergeable constant 2^p registers, the one to ship at 100 TB).
+
+    No DuckDB oracle: DuckDB cannot replay Spark's HLL++ register values
+    (its approx_count_distinct is a different implementation); the KMV
+    column is oracle-checked via kmv_distinct_estimate, and a pytest
+    bounds both rel_errors. Deterministic across runs — both sketches are
+    hash-based, no RNG."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    sh = docs.select(
+        "lang", F.explode(TX.shingles(F.col("text"), 3)).alias("shingle")
+    ).distinct()
+    base = sh.groupBy("lang").agg(
+        F.count("*").alias("n_exact"),
+        F.approx_count_distinct("shingle", rsd).alias("hll_est"),
+    )
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = Window.partitionBy("lang").orderBy("h")
+    kth = (
+        sh.select("lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select("lang", F.col("h").alias("h_k"))
+    )
+    kmv = F.coalesce(F.lit(k - 1) / F.col("h_k"), F.col("n_exact").cast("double"))
+    return (
+        base.join(kth, "lang", "left")
+        .select(
+            "lang",
+            "n_exact",
+            TX.round_half_up(kmv, 2).alias("kmv_est"),
+            TX.round_half_up(
+                F.abs(kmv - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("kmv_rel_error"),
+            "hll_est",
+            TX.round_half_up(
+                F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("hll_rel_error"),
+        )
+    )

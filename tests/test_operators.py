@@ -346,3 +346,16 @@ def test_sequence_packing_offsets_contiguous(spark, sf_dir):
             expected_start += r["n_tokens"]
             assert r["first_chunk"] == r["start_offset"] // 2048
             assert r["n_chunks"] >= 1
+
+
+def test_sketch_accuracy_report_bounds(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    rows = T.sketch_accuracy_report(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # KMV at k=64: expected rel error ~ 1/sqrt(k-2) ~ 0.13
+        assert r["kmv_rel_error"] < 0.35, r
+        # HLL++ at rsd=0.05 — generous 4-sigma bound
+        assert r["hll_rel_error"] < 0.20, r
+        assert r["hll_est"] > 0 and r["kmv_est"] > 0

@@ -316,3 +316,18 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = _plan(TS.range_join_concurrency(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_cartesian_in_any_registry_query(spark, sf_dir):
+    # blanket scale guarantee over the WHOLE registry: no query may plan a
+    # CartesianProduct. (BroadcastNestedLoopJoin is allowed — the 1-row
+    # scalar broadcasts use it legitimately; an unbounded cartesian is
+    # never legitimate.)
+    import __spark_entry__ as E
+
+    offenders = []
+    for name, fn in E.queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian product in: {offenders}"
