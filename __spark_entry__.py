@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup_pairs": MM.phash_neardup_pairs,  # mapInPandas — rows-only
         "range_join_concurrency": TS.range_join_concurrency,
         "sketch_accuracy_report": T.sketch_accuracy_report,  # HLL — rows-only
+        "value_anomalies": TS.value_anomalies,
+        "pagerank_links": G.pagerank_links,
         # First the entries demoted to make room for the seven new
         # operators above: the four mapInPandas media passes (rows-only
         # checks by nature — behavioral pytest is their real gate) and
@@ -1279,6 +1281,19 @@ _ORACLES: dict[str, str] = {
           ON s.user_id <> p.user_id AND p.es >= s.start_s AND p.es <= s.end_s
         GROUP BY 1, 2, 3
     """,
+    "value_anomalies": """
+        WITH s AS (
+            SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sigma
+            FROM events GROUP BY user_id
+        )
+        SELECT event_id, e.user_id, value,
+               CASE WHEN sigma > 0
+                    THEN floor((value - mu) / sigma * 10000 + 0.5) / 10000
+                    END AS zscore,
+               CASE WHEN sigma > 0 THEN abs((value - mu) / sigma) > 3.0
+                    ELSE FALSE END AS is_anomaly
+        FROM events e JOIN s ON e.user_id = s.user_id
+    """,
     "asof_last_error": """
         SELECT event_id, user_id, ts, last_error_ts
         FROM (SELECT event_id, user_id, ts, event_type,
@@ -1518,6 +1533,46 @@ _USER_FMT = (
     "CASE WHEN assignee_name IS NULL THEN 'Unassigned' "
     "ELSE assignee_name || ' <' || assignee_email || '>' END"
 )
+
+# PageRank oracle: the SAME iters iterations as the Spark loop, UNROLLED as
+# stacked CTEs (pr0..pr{iters}). Ranks ride as integer nano-units so the
+# only order-dependent op (the contribution SUM) adds exact integers —
+# identical across engines; see operators/graph.pagerank_links.
+def _pagerank_oracle(iters: int = 3, alpha: float = 0.85) -> str:
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""pr{i} AS (
+            SELECT nodes.key,
+                   CAST(floor((1 - {alpha}) * 1000000000.0 / n.n
+                              + {alpha} * coalesce(s.c, 0) + 0.5)
+                        AS DOUBLE) AS pr_u
+            FROM nodes CROSS JOIN n
+            LEFT JOIN (SELECT e.dst_key AS key,
+                              CAST(sum(floor(p.pr_u / d.d)) AS DOUBLE) AS c
+                       FROM edges e
+                       JOIN pr{i - 1} p ON e.src_key = p.key
+                       JOIN deg d ON d.src_key = e.src_key
+                       GROUP BY 1) s
+              ON s.key = nodes.key
+        )""")
+    return f"""
+        WITH {_I}, all_edges AS ({_EDGES_SQL}),
+        nodes AS (SELECT DISTINCT key FROM issues_flat),
+        edges AS (
+            SELECT src_key, dst_key FROM all_edges
+            WHERE dst_key IN (SELECT key FROM nodes)
+        ),
+        deg AS (SELECT src_key, count(*) AS d FROM edges GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        pr0 AS (
+            SELECT key,
+                   CAST(floor(1000000000.0 / n.n + 0.5) AS DOUBLE) AS pr_u
+            FROM nodes CROSS JOIN n
+        ),
+        {", ".join(steps)}
+        SELECT key, pr_u / 1000000000.0 AS pr FROM pr{iters}
+    """
+
 
 _JIRA_ORACLES: dict[str, str] = {
     "issue_flatten": f"""
@@ -1808,6 +1863,7 @@ _JIRA_ORACLES: dict[str, str] = {
 from jira_cdc_git_spark.operators import security as _SEC_MOD
 
 _JIRA_ORACLES["validate_requests"] = _SEC_MOD.oracle(_I)
+_JIRA_ORACLES["pagerank_links"] = _pagerank_oracle()
 
 
 def oracle_sql() -> dict[str, str]:

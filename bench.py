@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "asof_last_error",
     "jql_project_active",
     "jql_was_open_after",
+    "pagerank_links",
+    "range_join_concurrency",
+    "value_anomalies",
     "validate_requests",
     "paged_scan_keyset",
     "incremental_candidates",

@@ -178,3 +178,86 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+def pagerank_links(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = 3,
+    alpha: float = 0.85,
+) -> DataFrame:
+    """PageRank over the issue-link graph — the iterative-algorithm shape
+    (loop of join + groupBy with a materialized frontier) that recursive
+    engines express as fixpoint recursion. Scores identify hub issues the
+    same way domain authority identifies hub pages in a crawl corpus.
+
+    Formulation: nodes = all issue keys; edges = every typed relationship
+    (epic/parent/subtask/link) whose target exists; dangling-node mass is
+    dropped (documented simple variant); PR_{t+1}(v) = (1-a)/N +
+    a·Σ_{u→v} PR_t(u)/deg(u).
+
+    CROSS-ENGINE DETERMINISM: ranks are carried as INTEGER NANO-UNITS
+    (pr·1e9). Per-edge contributions floor-divide to integers, so the one
+    order-dependent operation per iteration — the contribution SUM — adds
+    exact integers and is identical under any execution order/engine;
+    every remaining op is a per-row IEEE op with a fixed expression
+    shape. (A plain double fixpoint drifts: at sf0.01, 68/15000 values
+    landed on opposite sides of a 1e-9 rounding boundary between Spark
+    and DuckDB.) The oracle runs the same `iters` iterations UNROLLED as
+    stacked CTEs, so the iterative Spark loop is differential-tested
+    end-to-end, floor-truncation variant and all.
+
+    100 TB shape: per iteration one src-key join (rank → edges), one
+    dst-key aggregation (map-side partial, exact integer), and a
+    nodes-left-join; the frontier is materialized per the session
+    strategy, bounding lineage. Degrees and N are computed once."""
+    from jira_cdc_git_spark import fixtures as FX
+    from jira_cdc_git_spark.operators.jira import link_edges
+
+    nodes = materialize(
+        FX.issues_flat(spark, sf_dir).select("key").distinct()
+    )
+    edges = materialize(
+        link_edges(spark, sf_dir)
+        .select("src_key", "dst_key")
+        .join(
+            nodes.select(F.col("key").alias("dst_key")), "dst_key", "left_semi"
+        )
+    )
+    deg = materialize(
+        edges.groupBy("src_key").agg(F.count("*").alias("d"))
+    )
+    n1 = nodes.agg(F.count("*").cast("double").alias("n"))
+    unit = 1_000_000_000.0
+    pr = materialize(
+        nodes.crossJoin(F.broadcast(n1)).select(
+            "key",
+            F.floor(F.lit(unit) / F.col("n") + 0.5).cast("double").alias("pr_u"),
+        )
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges.src_key == pr.key)
+            .join(deg, "src_key")
+            .select(
+                F.col("dst_key").alias("key"),
+                F.floor(F.col("pr_u") / F.col("d")).alias("c"),
+            )
+            .groupBy("key")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        pr = materialize(
+            nodes.join(contrib, "key", "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "key",
+                F.floor(
+                    (1 - alpha) * unit / F.col("n")
+                    + alpha * F.coalesce(F.col("s"), F.lit(0.0))
+                    + 0.5
+                )
+                .cast("double")
+                .alias("pr_u"),
+            )
+        )
+    return pr.select("key", (F.col("pr_u") / unit).alias("pr"))

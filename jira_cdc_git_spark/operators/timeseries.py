@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from jira_cdc_git_spark.functions.text import round_half_up as TX_round
 from jira_cdc_git_spark.sources.registry import load_table
 
 
@@ -176,5 +177,39 @@ def range_join_concurrency(
             "user_id",
             "ts",
             F.coalesce(F.col("n"), F.lit(0)).alias("n_concurrent"),
+        )
+    )
+
+
+def value_anomalies(
+    spark: SparkSession, sf_dir: str, z_threshold: float = 3.0
+) -> DataFrame:
+    """Per-user z-score anomaly detection over event values — the
+    monitoring primitive behind alerting on a metrics stream: flag events
+    whose value sits more than z_threshold population-standard-deviations
+    from the user's own mean. Users with zero variance (or a single
+    event) produce no defined score and are never flagged.
+
+    100 TB shape: one user-key aggregation (map-side partial) broadcast
+    back... no — joined back on user_id: the stats frame is
+    users-cardinality, the join shuffles on the same key as the agg, and
+    AQE broadcasts it when small. All built-ins, one shuffle key."""
+    ev = load_table(spark, "events", sf_dir)
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+        F.count("*").alias("n_events"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(stats, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.when(F.col("sigma") > 0, TX_round(z, 4)).alias("zscore"),
+            F.when(
+                F.col("sigma") > 0, F.abs(z) > z_threshold
+            ).otherwise(F.lit(False)).alias("is_anomaly"),
         )
     )
