@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy_report": T.sketch_accuracy_report,  # HLL — rows-only
         "value_anomalies": TS.value_anomalies,
         "pagerank_links": G.pagerank_links,
+        "funnel_conversion": TS.funnel_conversion,
+        "key_skew_report": R.key_skew_report,
         # First the entries demoted to make room for the seven new
         # operators above: the four mapInPandas media passes (rows-only
         # checks by nature — behavioral pytest is their real gate) and
@@ -1280,6 +1282,66 @@ _ORACLES: dict[str, str] = {
         FROM p LEFT JOIN sess s
           ON s.user_id <> p.user_id AND p.es >= s.start_s AND p.es <= s.end_s
         GROUP BY 1, 2, 3
+    """,
+    "funnel_conversion": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR CAST(floor(epoch(ts)) AS BIGINT)
+                                - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                                > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sid AS (
+            SELECT user_id, ts, event_type,
+                   CAST(sum(new_session)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, session_seq, count(*) AS n_events
+            FROM sid GROUP BY 1, 2
+        ), v AS (
+            SELECT user_id, session_seq, min(ts) AS view_ts
+            FROM sid WHERE event_type = 'view' GROUP BY 1, 2
+        ), c AS (
+            SELECT sid.user_id, sid.session_seq, min(ts) AS click_ts
+            FROM sid JOIN v USING (user_id, session_seq)
+            WHERE event_type = 'click' AND ts > view_ts
+            GROUP BY 1, 2
+        ), pch AS (
+            SELECT sid.user_id, sid.session_seq, min(ts) AS purchase_ts
+            FROM sid JOIN c USING (user_id, session_seq)
+            WHERE event_type = 'purchase' AND ts > click_ts
+            GROUP BY 1, 2
+        )
+        SELECT s.user_id, s.session_seq, s.n_events,
+               v.view_ts, c.click_ts, pch.purchase_ts,
+               CAST(CASE WHEN pch.purchase_ts IS NOT NULL THEN 3
+                         WHEN c.click_ts IS NOT NULL THEN 2
+                         WHEN v.view_ts IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS funnel_depth
+        FROM sessions s
+        LEFT JOIN v USING (user_id, session_seq)
+        LEFT JOIN c USING (user_id, session_seq)
+        LEFT JOIN pch USING (user_id, session_seq)
+    """,
+    "key_skew_report": """
+        WITH counts AS (
+            SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_rows) AS DOUBLE) AS total_rows,
+                   CAST(count(*) AS DOUBLE) AS n_keys
+            FROM counts
+        )
+        SELECT user_id, n_rows,
+               floor(n_rows / total_rows * 1000000 + 0.5) / 1000000 AS share,
+               floor(n_rows / (total_rows / n_keys) * 10000 + 0.5) / 10000
+                 AS x_mean
+        FROM counts CROSS JOIN tot
+        ORDER BY n_rows DESC, user_id
+        LIMIT 10
     """,
     "value_anomalies": """
         WITH s AS (

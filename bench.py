@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "pagerank_links",
     "range_join_concurrency",
     "value_anomalies",
+    "funnel_conversion",
     "validate_requests",
     "paged_scan_keyset",
     "incremental_candidates",

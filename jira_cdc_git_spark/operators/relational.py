@@ -540,3 +540,40 @@ def except_skipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     requested = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
     processed = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
     return requested.exceptAll(processed).distinct()
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str, top: int = 10) -> DataFrame:
+    """Shuffle-key skew diagnostic over the events user_id key: the top-N
+    heaviest keys with their share of all rows, against the mean
+    rows-per-key — the number you read BEFORE deciding to salt a join or
+    lean on AQE skew splitting (a top share ≫ mean/total says one task
+    will eat the group). Pipeline-ops tooling, same family as
+    sketch_accuracy_report.
+
+    100 TB shape: one count aggregation (map-side partial) bounded by key
+    cardinality; the scalar totals ride a 1-row broadcast; top-N is
+    TakeOrderedAndProject."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").cast("double").alias("total_rows"),
+        F.count("*").cast("double").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            round_half_up(F.col("n_rows") / F.col("total_rows"), 6).alias(
+                "share"
+            ),
+            round_half_up(
+                F.col("n_rows") / (F.col("total_rows") / F.col("n_keys")), 4
+            ).alias("x_mean"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("user_id"))
+        .limit(top)
+    )

@@ -213,3 +213,65 @@ def value_anomalies(
             ).otherwise(F.lit(False)).alias("is_anomaly"),
         )
     )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis per session: view → click → purchase, each
+    stage counted only when it happens strictly AFTER the previous stage
+    completed (the product-analytics operator warehouses ship as
+    `windowFunnel`). Emits one row per session with the stage timestamps
+    and the depth reached.
+
+    Implementation: within each session (the shared _with_session_ids
+    pass), stage 1 = earliest view; stage 2 = earliest click after stage
+    1; stage 3 = earliest purchase after stage 2 — three conditional
+    min-aggregations over one (user, session) grouping; the ordering
+    constraint is expressed with min(CASE WHEN ts > prior_stage) via a
+    self-join-free double aggregation (two grouped passes joined on the
+    session key, both shuffling on the same key).
+
+    100 TB shape: two aggregations and one join, all keyed on
+    (user_id, session_seq) — a single shuffle key end-to-end."""
+    ev = load_table(spark, "events", sf_dir)
+    sid = _with_session_ids(ev, 30).select(
+        "user_id", "session_seq", "event_type", "ts"
+    )
+    keys = ["user_id", "session_seq"]
+    first_view = sid.filter(F.col("event_type") == "view").groupBy(*keys).agg(
+        F.min("ts").alias("view_ts")
+    )
+    after_view = (
+        sid.join(first_view, keys)
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    after_click = (
+        sid.join(after_view, keys)
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts"))
+        )
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    sessions = sid.groupBy(*keys).agg(F.count("*").alias("n_events"))
+    depth = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("view_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        sessions.join(first_view, keys, "left")
+        .join(after_view, keys, "left")
+        .join(after_click, keys, "left")
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            depth.cast("int").alias("funnel_depth"),
+        )
+    )
