@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_links": G.pagerank_links,
         "funnel_conversion": TS.funnel_conversion,
         "key_skew_report": R.key_skew_report,
+        "scd2_status_history": J.scd2_status_history,
+        "fuzzy_match_entities": R.fuzzy_match_entities,
         # First the entries demoted to make room for the seven new
         # operators above: the four mapInPandas media passes (rows-only
         # checks by nature — behavioral pytest is their real gate) and
@@ -1343,6 +1345,29 @@ _ORACLES: dict[str, str] = {
         ORDER BY n_rows DESC, user_id
         LIMIT 10
     """,
+    "fuzzy_match_entities": """
+        WITH cust AS (
+            SELECT c_custkey, c_name FROM customer
+        ), imported AS (
+            SELECT c_custkey + 1000000 AS import_id,
+                   substring(c_name, 1, 9) || 'O' || substring(c_name, 11)
+                     AS import_name
+            FROM cust WHERE c_custkey % 20 = 0
+        ), cand AS (
+            SELECT i.import_id, i.import_name, c.c_custkey, c.c_name,
+                   CAST(levenshtein(i.import_name, c.c_name) AS INTEGER)
+                     AS distance
+            FROM imported i JOIN cust c
+              ON right(i.import_name, 4) = right(c.c_name, 4)
+            WHERE levenshtein(i.import_name, c.c_name) <= 2
+        )
+        SELECT import_id, import_name,
+               c_custkey AS matched_custkey, c_name AS matched_name, distance
+        FROM (SELECT *, row_number() OVER (PARTITION BY import_id
+                                           ORDER BY distance, c_custkey) AS rn
+              FROM cand) t
+        WHERE rn = 1
+    """,
     "value_anomalies": """
         WITH s AS (
             SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sigma
@@ -1842,6 +1867,17 @@ _JIRA_ORACLES: dict[str, str] = {
                         AND iv.to_value = 'Open'
                         AND (iv.end_at IS NULL
                              OR iv.end_at > TIMESTAMP '1997-06-01'))
+    """,
+    "scd2_status_history": f"""
+        WITH {_CL}
+        SELECT key, to_value AS status_value,
+               changed_at AS valid_from,
+               lead(changed_at) OVER (PARTITION BY key, field
+                                      ORDER BY changed_at) AS valid_to,
+               lead(changed_at) OVER (PARTITION BY key, field
+                                      ORDER BY changed_at) IS NULL
+                 AS is_current
+        FROM changelog WHERE field = 'status'
     """,
     "epic_discovery_epic_link": f"""
         WITH {_I}

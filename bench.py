@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "range_join_concurrency",
     "value_anomalies",
     "funnel_conversion",
+    "fuzzy_match_entities",
+    "scd2_status_history",
     "validate_requests",
     "paged_scan_keyset",
     "incremental_candidates",

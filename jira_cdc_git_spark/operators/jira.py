@@ -618,3 +618,28 @@ def jql_preview_breakdowns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry face of preview_query: the one-pass breakdown frame for the
     project-active template (P18 + A1 composed through the optimizer)."""
     return preview_query(spark, sf_dir)["breakdowns"]
+
+
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 view of the status changelog: one
+    row per (issue, held value) with its validity interval
+    [valid_from, valid_to) and an is_current flag — the warehouse
+    modeling of the CDC feed (valid_to NULL = open interval). This is
+    the materialized form of the interval timeline the JQL WAS compiler
+    derives on the fly; persisting it partitioned by project turns every
+    history predicate into a pruned interval scan.
+
+    100 TB shape: one lead() window partitioned by (key, field) —
+    bounded per-issue groups, never global."""
+    from pyspark.sql import Window
+
+    cl = FX.changelog(spark, sf_dir).filter(F.col("field") == "status")
+    w = Window.partitionBy("key", "field").orderBy("changed_at")
+    nxt = F.lead("changed_at").over(w)
+    return cl.select(
+        "key",
+        F.col("to_value").alias("status_value"),
+        F.col("changed_at").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -577,3 +577,58 @@ def key_skew_report(spark: SparkSession, sf_dir: str, top: int = 10) -> DataFram
         .orderBy(F.col("n_rows").desc(), F.col("user_id"))
         .limit(top)
     )
+
+
+def fuzzy_match_entities(
+    spark: SparkSession, sf_dir: str, max_distance: int = 2
+) -> DataFrame:
+    """Blocked fuzzy entity resolution — match a 'dirty import' of
+    customer records (every 20th customer with one corrupted name
+    character, offset ids) back to the master table by Levenshtein
+    distance, with CANDIDATE BLOCKING on the last-4-characters key so the
+    comparison is block-local, never all-pairs (the record-linkage
+    standard: block, compare within block, rank, take best).
+
+    Best match per import = lowest distance, ties to lowest custkey —
+    a per-import row_number window (bounded by block size).
+
+    100 TB shape: the join is an equi-join on the blocking key; block
+    sizes are data-dependent (the skew knob of entity resolution — a
+    too-coarse key degenerates toward all-pairs, which key_skew_report
+    quantifies); the expensive levenshtein() runs only inside blocks."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name"
+    )
+    dirty_name = F.concat(
+        F.substring("c_name", 1, 9),
+        F.lit("O"),
+        F.expr("substring(c_name, 11)"),
+    )
+    imported = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("import_id"),
+        dirty_name.alias("import_name"),
+    )
+    block_i = F.expr("right(import_name, 4)")
+    block_c = F.expr("right(c_name, 4)")
+    cand = (
+        imported.withColumn("bk", block_i)
+        .join(cust.withColumn("bk", block_c), "bk")
+        .withColumn(
+            "distance", F.levenshtein("import_name", "c_name")
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+    w = Window.partitionBy("import_id").orderBy("distance", "c_custkey")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select(
+            "import_id",
+            "import_name",
+            F.col("c_custkey").alias("matched_custkey"),
+            F.col("c_name").alias("matched_name"),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )
