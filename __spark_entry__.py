@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": R.key_skew_report,
         "scd2_status_history": J.scd2_status_history,
         "fuzzy_match_entities": R.fuzzy_match_entities,
+        "winsorized_stats": TS.winsorized_stats,
+        "lsh_recall_report": T.lsh_recall_report,
         # First the entries demoted to make room for the seven new
         # operators above: the four mapInPandas media passes (rows-only
         # checks by nature — behavioral pytest is their real gate) and
@@ -1368,6 +1370,25 @@ _ORACLES: dict[str, str] = {
               FROM cand) t
         WHERE rn = 1
     """,
+    "winsorized_stats": """
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS p05,
+                   quantile_cont(value, 0.95) AS p95
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               floor(any_value(p05) * 10000 + 0.5) / 10000 AS p05,
+               floor(any_value(p95) * 10000 + 0.5) / 10000 AS p95,
+               floor(avg(value) * 10000 + 0.5) / 10000 AS mean_raw,
+               floor(avg(least(greatest(value, p05), p95)) * 10000 + 0.5)
+                 / 10000 AS mean_winsorized,
+               CAST(sum(CASE WHEN value < p05 OR value > p95
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM events e JOIN q ON e.event_type = q.event_type
+        GROUP BY e.event_type
+    """,
     "value_anomalies": """
         WITH s AS (
             SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sigma
@@ -1508,6 +1529,39 @@ _ORACLES["pmi_topk"] = """
     WHERE c_bg >= 5
     ORDER BY pmi DESC, w1, w2
     LIMIT 50
+"""
+
+# Candidate-recall eval: truth recovered via the inverted-index equi-join
+# (no cartesian), found = the banded pipeline's pairs (same CTE chain).
+_ORACLES["lsh_recall_report"] = f"""
+    WITH {_LSH_CTES},
+    found AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+    inv AS (SELECT doc_id, unnest(shs) AS shingle FROM sets),
+    tcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+        SELECT c.doc_a, c.doc_b
+        FROM tcand c
+        JOIN sets sa ON sa.doc_id = c.doc_a
+        JOIN sets sb ON sb.doc_id = c.doc_b
+        WHERE round(len(list_intersect(sa.shs, sb.shs))
+                    / (len(sa.shs) + len(sb.shs)
+                       - len(list_intersect(sa.shs, sb.shs))), 4) >= 0.8
+    ),
+    h AS (
+        SELECT count(*) AS n_found FROM truth t
+        WHERE EXISTS (SELECT 1 FROM found f
+                      WHERE f.doc_a = t.doc_a AND f.doc_b = t.doc_b)
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           h.n_found,
+           floor(CASE WHEN (SELECT count(*) FROM truth) > 0
+                      THEN h.n_found * 1.0 / (SELECT count(*) FROM truth)
+                      ELSE 1.0 END * 10000 + 0.5) / 10000 AS recall
+    FROM h
 """
 
 # Accuracy report reuses the LSH CTE chain; est/exact are rounded only in

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "fuzzy_match_entities",
     "scd2_status_history",
+    "winsorized_stats",
     "validate_requests",
     "paged_scan_keyset",
     "incremental_candidates",

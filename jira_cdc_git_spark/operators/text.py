@@ -1592,3 +1592,69 @@ def sketch_accuracy_report(
             ).alias("hll_rel_error"),
         )
     )
+
+
+def lsh_recall_report(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Candidate-recall evaluation of the banded MinHash LSH: ground
+    truth = EVERY pair at exact Jaccard >= threshold, recovered without a
+    cartesian via the inverted-index trick (any pair with positive
+    Jaccard shares >= 1 shingle, so an equi-self-join on the exploded
+    (doc, shingle) table reaches all of them); found = the pairs the
+    4x2-banded pipeline reports. One scalar row: truth size, found size,
+    recall — the eval that justifies the band parameters, completing the
+    harness trio (ivf_recall_report: ANN; minhash_accuracy_report:
+    estimate error; this: candidate recall).
+
+    At 100 TB the inverted index is itself the scale hazard (hot
+    shingles explode the pair count) — the production form samples docs
+    or frequency-caps shingles first; exact truth here is the point of
+    an eval. The LSH side under test keeps its banded shape."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    sets = docs.select(
+        "doc_id", TX.shingles(F.col("text"), 3).alias("shs")
+    ).transform(materialize)
+    inv = sets.select("doc_id", F.explode("shs").alias("shingle"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    truth = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.round(
+                n_inter / (F.size("shs_a") + F.size("shs_b") - n_inter), 4
+            )
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+    found = neardup_pairs_lsh(spark, sf_dir, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    hits = truth.join(found, ["doc_a", "doc_b"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(F.broadcast(hits.agg(F.count("*").alias("n_found"))))
+        .select(
+            "n_truth",
+            "n_found",
+            TX.round_half_up(
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_found") / F.col("n_truth"),
+                ).otherwise(F.lit(1.0)),
+                4,
+            ).alias("recall"),
+        )
+    )

@@ -275,3 +275,42 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             depth.cast("int").alias("funnel_depth"),
         )
     )
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type statistics: exact p05/p95 (R-7 interpolation
+    — differentially verifiable against quantile_cont), the winsorized
+    mean (values clipped into [p05, p95] before averaging), and the
+    trimmed count outside the fences — the outlier-robust aggregation a
+    metrics pipeline uses where plain avg() is skew-dominated.
+
+    100 TB shape: two grouped passes on the same key (percentiles, then
+    clip+avg with the tiny percentile frame joined back — AQE broadcasts
+    it); swap percentile() for percentile_approx at extreme group sizes,
+    as doc_length_quantiles documents."""
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.05D, 0.95D))").alias("q")
+    ).select(
+        "event_type",
+        F.col("q")[0].alias("p05"),
+        F.col("q")[1].alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(q, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            TX_round(F.first("p05"), 4).alias("p05"),
+            TX_round(F.first("p95"), 4).alias("p95"),
+            TX_round(F.avg("value"), 4).alias("mean_raw"),
+            TX_round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("p05"))
+                    | (F.col("value") > F.col("p95"))
+                ).cast("long")
+            ).alias("n_clipped"),
+        )
+    )
