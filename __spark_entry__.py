@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match_entities": R.fuzzy_match_entities,
         "winsorized_stats": TS.winsorized_stats,
         "lsh_recall_report": T.lsh_recall_report,
+        "ivm_status_counts": R.ivm_status_counts,
+        "unpivot_pricing": R.unpivot_pricing,
+        "value_histogram": R.value_histogram,
         # First the entries demoted to make room for the seven new
         # operators above: the four mapInPandas media passes (rows-only
         # checks by nature — behavioral pytest is their real gate) and
@@ -1370,6 +1373,44 @@ _ORACLES: dict[str, str] = {
               FROM cand) t
         WHERE rn = 1
     """,
+    "unpivot_pricing": """
+        WITH wide AS (
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_extendedprice), 2) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, 'sum_qty' AS measure,
+               sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, 'sum_base_price',
+               sum_base_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, 'avg_price', avg_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, 'count_order',
+               CAST(count_order AS DOUBLE) FROM wide
+    """,
+    "value_histogram": """
+        WITH ext AS (
+            SELECT min(value) AS lo, max(value) AS hi FROM events
+        ), b AS (
+            SELECT event_type,
+                   CAST(least(floor((value - lo) / ((hi - lo) / 20)), 19)
+                        AS INTEGER) AS bucket,
+                   lo, hi
+            FROM events CROSS JOIN ext
+        )
+        SELECT event_type, bucket, count(*) AS n,
+               floor((any_value(lo)
+                      + bucket * (any_value(hi) - any_value(lo)) / 20)
+                     * 10000 + 0.5) / 10000 AS bucket_lo
+        FROM b GROUP BY event_type, bucket
+    """,
     "winsorized_stats": """
         WITH q AS (
             SELECT event_type,
@@ -1921,6 +1962,15 @@ _JIRA_ORACLES: dict[str, str] = {
                         AND iv.to_value = 'Open'
                         AND (iv.end_at IS NULL
                              OR iv.end_at > TIMESTAMP '1997-06-01'))
+    """,
+    # the oracle is the FULL RECOMPUTE over all issues; the Spark side
+    # merges base (k%3<>2) + delta (k%3=2) partial counts — the
+    # differential gate proves merge == recompute (the IVM contract)
+    "ivm_status_counts": f"""
+        WITH {_I}
+        SELECT project_key, status_name, count(*) AS n_issues
+        FROM issues_flat
+        GROUP BY project_key, status_name
     """,
     "scd2_status_history": f"""
         WITH {_CL}

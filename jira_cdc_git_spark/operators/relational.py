@@ -632,3 +632,97 @@ def fuzzy_match_entities(
             F.col("distance").cast("int").alias("distance"),
         )
     )
+
+
+def ivm_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a grouped count: the (project,
+    status) census is maintained as BASE counts (the already-synced
+    subset, k%3<>2 — the sync_state population) merged with DELTA counts
+    (the unsynced remainder) by algebraic addition — never a recompute
+    over the full corpus. The DuckDB oracle IS the full recompute, so
+    the differential gate proves merge == recompute, which is the whole
+    IVM contract (counts are an abelian-group aggregate; the same merge
+    maintains sums/min/max, not medians).
+
+    100 TB shape: the base counts frame is group-cardinality-sized and
+    persists between syncs; each delta batch aggregates map-side and the
+    merge is a tiny full-outer union-sum — the CDC path never touches
+    historical rows."""
+    from jira_cdc_git_spark import fixtures as FX
+
+    flat = FX.issues_flat(spark, sf_dir)
+    keys = ["project_key", "status_name"]
+    base = (
+        flat.filter(F.col("k") % 3 != 2)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+    )
+    delta = (
+        flat.filter(F.col("k") % 3 == 2)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy(*keys)
+        .agg(F.sum("n").alias("n_issues"))
+    )
+
+
+def unpivot_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (the inverse of status_pivot): the wide pricing
+    summary's measure columns become (measure, value) rows via stack() —
+    the long format BI layers and ML feature stores expect. Narrow: the
+    expansion is per-row, no shuffle beyond the source aggregation."""
+    wide = pricing_summary(spark, sf_dir)
+    return wide.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr(
+            "stack(4, 'sum_qty', sum_qty, 'sum_base_price', sum_base_price,"
+            " 'avg_price', avg_price, 'count_order', CAST(count_order AS DOUBLE))"
+            " AS (measure, value)"
+        ),
+    )
+
+
+def value_histogram(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 20
+) -> DataFrame:
+    """Equi-width histogram of event values per type: global [min, max]
+    fences, bucket = floor((v - min) / width) clamped to the last bucket
+    — the profiling primitive behind data-quality dashboards. Two passes:
+    a 1-row extent aggregate broadcast back, then one grouped count.
+    All-narrow except the two aggregations."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    ext = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / n_buckets
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(ext))
+        .select("event_type", bucket.alias("bucket"), "lo", "hi")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            round_half_up(
+                F.col("lo")
+                + F.col("bucket") * (F.col("hi") - F.col("lo")) / n_buckets,
+                4,
+            ).alias("bucket_lo"),
+        )
+    )
