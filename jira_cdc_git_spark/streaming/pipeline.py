@@ -521,3 +521,64 @@ def streaming_phash_dedup(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_ivm_counts(
+    spark: SparkSession,
+    issues_dir: str,
+    schema,
+    checkpoint_dir: str,
+    counts_dir: str,
+) -> None:
+    """Streaming twin of ivm_status_counts: each micro-batch of issues
+    folds its partial (project, status) counts into the persistent counts
+    table by algebraic merge — read current, union the batch's partials,
+    re-aggregate, atomically swap (the crash-safe .bak rotation from
+    state._swap_dir_atomic). The maintained table equals a full recompute
+    over everything streamed so far at every trigger — the IVM contract,
+    asserted by the batch-parity test.
+
+    100 TB shape: per batch the expensive aggregation touches ONLY the
+    batch (map-side partial); the merge re-reads a group-cardinality-
+    sized table, not history. (On Delta/Iceberg the swap becomes a MERGE;
+    the parquet-dir swap is the dependency-free equivalent.)"""
+    import os
+
+    from jira_cdc_git_spark.state import _swap_dir_atomic
+
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file: the
+        # fold is exercised repeatedly, not collapsed into one batch
+        .parquet(issues_dir)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keys = ["project_key", "status_name"]
+        partial = (
+            batch_df.select(
+                "project_key", F.col("status.name").alias("status_name")
+            )
+            .groupBy(*keys)
+            .agg(F.count("*").alias("n_issues"))
+        )
+        if os.path.isdir(counts_dir):
+            current = spark.read.parquet(counts_dir)
+            merged = (
+                current.unionByName(partial)
+                .groupBy(*keys)
+                .agg(F.sum("n_issues").alias("n_issues"))
+            )
+        else:
+            merged = partial
+        _swap_dir_atomic(merged.localCheckpoint(), counts_dir)
+
+    (
+        feed.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -558,3 +558,39 @@ def test_streaming_phash_dedup_matches_corpus(spark, sf_dir, tmp_path):
     # the novel payload (strictly increasing bytes -> all-ones dhash rows,
     # nothing similar in text-derived signatures) must not match
     assert not any(a == 9_999_999 for a, _ in got)
+
+
+def test_streaming_ivm_counts_matches_recompute(spark, sf_dir, tmp_path):
+    from jira_cdc_git_spark import fixtures as FX
+    from jira_cdc_git_spark.streaming.pipeline import streaming_ivm_counts
+
+    iss = FX.issues(spark, sf_dir).select(
+        "key", "project_key", "status", "issuetype"
+    )
+    feed_dir = str(tmp_path / "feed")
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        iss.filter(F.crc32(F.col("key")) % 3 == i).write.mode("append").parquet(
+            feed_dir
+        )
+    counts_dir = str(tmp_path / "counts")
+    streaming_ivm_counts(
+        spark,
+        feed_dir,
+        iss.schema,
+        str(tmp_path / "ckpt"),
+        counts_dir,
+    )
+    got = {
+        (r["project_key"], r["status_name"]): r["n_issues"]
+        for r in spark.read.parquet(counts_dir).collect()
+    }
+    want = {
+        (r["project_key"], r["status_name"]): r["n"]
+        for r in iss.groupBy(
+            "project_key", F.col("status.name").alias("status_name")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
