@@ -209,8 +209,13 @@ def pagerank_links(
 
     100 TB shape: per iteration one src-key join (rank → edges), one
     dst-key aggregation (map-side partial, exact integer), and a
-    nodes-left-join; the frontier is materialized per the session
-    strategy, bounding lineage. Degrees and N are computed once."""
+    nodes-left-join. The rank frame is materialized every 4th iteration
+    (not every one): each un-materialized iteration references its
+    predecessor exactly once, so lineage grows linearly and a shallow
+    stack compiles into ONE job — per-iteration checkpointing paid a
+    full job's fixed cost per hop (4.4 s → this shape at 3 iterations on
+    the sf0.1 bench) while only deep runs need the lineage cut. Degrees
+    and N are computed once."""
     from jira_cdc_git_spark import fixtures as FX
     from jira_cdc_git_spark.operators.jira import link_edges
 
@@ -229,13 +234,11 @@ def pagerank_links(
     )
     n1 = nodes.agg(F.count("*").cast("double").alias("n"))
     unit = 1_000_000_000.0
-    pr = materialize(
-        nodes.crossJoin(F.broadcast(n1)).select(
-            "key",
-            F.floor(F.lit(unit) / F.col("n") + 0.5).cast("double").alias("pr_u"),
-        )
+    pr = nodes.crossJoin(F.broadcast(n1)).select(
+        "key",
+        F.floor(F.lit(unit) / F.col("n") + 0.5).cast("double").alias("pr_u"),
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(pr, edges.src_key == pr.key)
             .join(deg, "src_key")
@@ -246,7 +249,7 @@ def pagerank_links(
             .groupBy("key")
             .agg(F.sum("c").cast("double").alias("s"))
         )
-        pr = materialize(
+        pr = (
             nodes.join(contrib, "key", "left")
             .crossJoin(F.broadcast(n1))
             .select(
@@ -260,4 +263,6 @@ def pagerank_links(
                 .alias("pr_u"),
             )
         )
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            pr = materialize(pr)
     return pr.select("key", (F.col("pr_u") / unit).alias("pr"))
