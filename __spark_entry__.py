@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_status_counts": R.ivm_status_counts,
         "unpivot_pricing": R.unpivot_pricing,
         "value_histogram": R.value_histogram,
+        "dq_report": R.dq_report,
+        "jql_start_of_week": J.jql_start_of_week,
         # First the entries demoted to make room for the seven new
         # operators above: the four mapInPandas media passes (rows-only
         # checks by nature — behavioral pytest is their real gate) and
@@ -1374,6 +1376,38 @@ _ORACLES: dict[str, str] = {
               FROM cand) t
         WHERE rn = 1
     """,
+    "dq_report": """
+        WITH agg AS (
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT o_orderkey) AS n_distinct_keys,
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS custkey_not_null,
+                   CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS status_in_set,
+                   CAST(sum(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS totalprice_in_range,
+                   CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                     '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS priority_format,
+                   CAST(sum(CASE WHEN o_orderdate NOT BETWEEN
+                                     TIMESTAMP '1990-01-01'
+                                     AND TIMESTAMP '2000-01-01'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS orderdate_in_range
+            FROM orders
+        )
+        SELECT rule, n_violations, n_violations = 0 AS passed
+        FROM (
+            SELECT 'custkey_not_null' AS rule, custkey_not_null AS n_violations FROM agg
+            UNION ALL SELECT 'status_in_set', status_in_set FROM agg
+            UNION ALL SELECT 'totalprice_in_range', totalprice_in_range FROM agg
+            UNION ALL SELECT 'priority_format', priority_format FROM agg
+            UNION ALL SELECT 'orderdate_in_range', orderdate_in_range FROM agg
+            UNION ALL SELECT 'orderkey_unique', n_rows - n_distinct_keys FROM agg
+        ) t
+    """,
     "unpivot_pricing": """
         WITH wide AS (
             SELECT l_returnflag, l_linestatus,
@@ -1931,6 +1965,12 @@ _JIRA_ORACLES: dict[str, str] = {
                regexp_matches(issue_key, '^[A-Z][A-Z0-9]*(-[A-Z0-9]+)*-[0-9]+$')
                  AS valid
         FROM items
+    """,
+    "jql_start_of_week": f"""
+        WITH {_I}
+        SELECT key, updated FROM issues_flat
+        WHERE project_key = 'BENCH'
+          AND updated >= TIMESTAMP '1998-01-26 00:00:00'
     """,
     "jql_was_in_progress": f"""
         WITH {_I}, {_CL}

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "fuzzy_match_entities",
     "scd2_status_history",
     "winsorized_stats",
+    "dq_report",
     "validate_requests",
     "paged_scan_keyset",
     "incremental_candidates",

@@ -245,6 +245,12 @@ class Query:
 
 
 _FUNCS = {"currentuser", "opensprints", "issuesinepic", "linkedissues"}
+# JQL date functions (value position): truncate ctx.now, then apply the
+# optional "-Nd"/"-Nw"/"-Nh" offset argument — startOfDay("-1d") is the
+# start of yesterday. Week boundary = Monday 00:00 (ISO; JIRA's default
+# is locale-dependent — documented choice).
+_DATE_FUNCS = {"startofday", "endofday", "startofweek", "endofweek"}
+_FUNCS = _FUNCS | _DATE_FUNCS
 
 
 class _Parser:
@@ -521,6 +527,10 @@ _FUNC_CASE = {
     "opensprints": "openSprints",
     "issuesinepic": "issuesInEpic",
     "linkedissues": "linkedIssues",
+    "startofday": "startOfDay",
+    "endofday": "endOfDay",
+    "startofweek": "startOfWeek",
+    "endofweek": "endOfWeek",
 }
 
 # a value may be emitted bare ONLY if the lexer re-reads it as one `word`
@@ -678,6 +688,28 @@ class JQLContext:
 
 _REL_UNITS = {"d": "days", "w": "weeks", "h": "hours"}
 
+_OFFSET_RE = re.compile(r"^([+-]?\d+)([dwh])$")
+
+
+def _resolve_date_func(name: str, arg: str | None, ctx: "JQLContext") -> datetime:
+    """startOfDay/endOfDay/startOfWeek/endOfWeek against ctx.now:
+    truncate, apply the optional offset, and for end* add the period
+    minus one second (JIRA's inclusive end-of-period)."""
+    if ctx.now is None:
+        raise JQLError(f"{_FUNC_CASE[name]}() used without ctx.now")
+    base = ctx.now.replace(hour=0, minute=0, second=0, microsecond=0)
+    if name.endswith("ofweek"):
+        base = base - timedelta(days=base.weekday())  # Monday 00:00
+    if name.startswith("endof"):
+        period = timedelta(days=7 if name.endswith("ofweek") else 1)
+        base = base + period - timedelta(seconds=1)
+    if arg:
+        m = _OFFSET_RE.match(arg)
+        if not m:
+            raise JQLError(f"bad offset {arg!r} for {_FUNC_CASE[name]}()")
+        base = base + timedelta(**{_REL_UNITS[m.group(2)]: int(m.group(1))})
+    return base
+
 
 def _col(fld: str) -> Column:
     if fld.startswith("cf["):
@@ -701,6 +733,8 @@ def _scalar(value, fld: str, ctx: JQLContext) -> Column:
             if ctx.current_user is None:
                 raise JQLError("currentUser() used without ctx.current_user")
             return F.lit(ctx.current_user)
+        if value[1] in _DATE_FUNCS:
+            return F.lit(_resolve_date_func(value[1], value[2], ctx))
         raise JQLError(f"function {value[1]}() not valid as scalar here")
     return F.lit(value)
 

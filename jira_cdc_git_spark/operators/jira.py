@@ -195,6 +195,20 @@ def jql_my_sprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", F.col("assignee.name").alias("assignee_name"))
 
 
+def jql_start_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JQL date functions (startOfDay/endOfDay/startOfWeek/endOfWeek with
+    offsets — the Atlassian date-function surface beyond bare relative
+    dates): resolved against the deterministic ctx.now at compile time,
+    so the predicate pushes down as a plain timestamp literal."""
+    iss = FX.issues(spark, sf_dir)
+    out = JQL.run_jql(
+        'updated >= startOfWeek("-100w") AND project = "BENCH"',
+        iss,
+        _ctx(spark, sf_dir),
+    )
+    return out.select("key", "updated")
+
+
 def jql_was_in_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JQL history operator WAS (Atlassian JQL changelog surface; the
     reference pushes such queries to the JIRA server — here the server is

@@ -726,3 +726,57 @@ def value_histogram(
             ).alias("bucket_lo"),
         )
     )
+
+
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation report: evaluate a declarative rule suite
+    (not-null, value-set, range, referential key-format, uniqueness) over
+    orders in a single scan — every rule is a conditional count in ONE
+    aggregation, plus one count-distinct for the uniqueness rule; the
+    output is one row per rule with its violation count and pass flag
+    (the dbt-test / expectations contract: the suite gates the pipeline,
+    the report is the audit artifact).
+
+    100 TB shape: conditional counts all ride the same map-side partial
+    aggregate; the uniqueness check is the only shuffle (count distinct).
+    Adding a rule adds a column, not a pass."""
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    o = load_table(spark, "orders", sf_dir)
+    rules: dict[str, F.Column] = {
+        "custkey_not_null": F.col("o_custkey").isNull(),
+        "status_in_set": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        "totalprice_in_range": ~F.col("o_totalprice").between(0, 1_000_000),
+        "priority_format": ~F.col("o_orderpriority").rlike(r"^[1-5]-[A-Z ]+$"),
+        "orderdate_in_range": ~F.col("o_orderdate").between(
+            F.lit("1990-01-01").cast("timestamp"),
+            F.lit("2000-01-01").cast("timestamp"),
+        ),
+    }
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("o_orderkey")).alias("n_distinct_keys"),
+        *[
+            F.sum(pred.cast("long")).alias(name)
+            for name, pred in rules.items()
+        ],
+    )
+    per_rule = [
+        F.struct(
+            F.lit(name).alias("rule"), F.col(name).alias("n_violations")
+        )
+        for name in rules
+    ] + [
+        F.struct(
+            F.lit("orderkey_unique").alias("rule"),
+            (F.col("n_rows") - F.col("n_distinct_keys")).alias("n_violations"),
+        )
+    ]
+    return (
+        agg.select(F.explode(F.array(*per_rule)).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.n_violations").alias("n_violations"),
+            (F.col("r.n_violations") == 0).alias("passed"),
+        )
+    )

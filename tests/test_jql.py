@@ -342,3 +342,37 @@ def test_history_errors(tiny, hist):
         J.parse('status CHANGED AFTER "2020-01-01" AFTER "2021-01-01"')
     with pytest.raises(J.JQLError, match="needs ctx.changelog"):
         J.run_jql("status CHANGED", tiny, J.JQLContext(issues=tiny))
+
+
+def test_date_functions_resolve():
+    from datetime import datetime
+
+    ctx = J.JQLContext(now=datetime(2000, 1, 1, 15, 30))
+    assert J._resolve_date_func("startofday", None, ctx) == datetime(2000, 1, 1)
+    assert J._resolve_date_func("endofday", None, ctx) == datetime(
+        2000, 1, 1, 23, 59, 59
+    )
+    # 2000-01-01 is a Saturday -> Monday 1999-12-27
+    assert J._resolve_date_func("startofweek", None, ctx) == datetime(
+        1999, 12, 27
+    )
+    assert J._resolve_date_func("endofweek", None, ctx) == datetime(
+        2000, 1, 2, 23, 59, 59
+    )
+    assert J._resolve_date_func("startofday", "-1d", ctx) == datetime(
+        1999, 12, 31
+    )
+    with pytest.raises(J.JQLError, match="bad offset"):
+        J._resolve_date_func("startofday", "tomorrow", ctx)
+    with pytest.raises(J.JQLError, match="without ctx.now"):
+        J._resolve_date_func("startofday", None, J.JQLContext())
+
+
+def test_date_function_emit_roundtrip():
+    for q in [
+        'updated >= startOfWeek("-2w")',
+        "created < endOfDay()",
+        'updated >= startOfDay("-1d") AND project = P',
+    ]:
+        once = J.emit(J.parse(q))
+        assert J.emit(J.parse(once)) == once
