@@ -22,7 +22,7 @@ Supported surface (every emitted form, SURVEY §2.2):
   WAS [NOT] v / WAS [NOT] IN (...)          history (changelog semi-join)
     [BY u] [AFTER d] [BEFORE d]
   CHANGED [FROM a] [TO b] [BY u]            history (transition rows)
-    [AFTER d] [BEFORE d]
+    [AFTER d] [BEFORE d] [DURING (a, b)]
 
 Membership subqueries compile to LEFT-join boolean marker columns (not
 left_semi) so they compose under OR/NOT — `"Epic Link" = K OR parent in
@@ -225,6 +225,7 @@ class History:
     by: object | None = None
     after: object | None = None
     before: object | None = None
+    during: tuple | None = None  # (d1, d2): interval-overlap qualifier
 
 
 @dataclass
@@ -400,10 +401,11 @@ class _Parser:
             raise JQLError("expected ) closing IN list")
         return InList(fld, values, negated)
 
-    _HIST_QUALS = ("BY", "AFTER", "BEFORE")
+    _HIST_QUALS = ("BY", "AFTER", "BEFORE", "DURING")
 
     def _hist_quals(self, h: "History") -> None:
-        """Zero or more BY/AFTER/BEFORE qualifiers, each at most once."""
+        """Zero or more BY/AFTER/BEFORE/DURING qualifiers, each at most
+        once; DURING takes a parenthesized (d1, d2) pair."""
         while True:
             t = self.peek()
             if not (t and t.kind == "word" and t.text.upper() in self._HIST_QUALS):
@@ -411,7 +413,18 @@ class _Parser:
             name = self.next().text.lower()
             if getattr(h, name) is not None:
                 raise JQLError(f"duplicate {name.upper()} qualifier")
-            setattr(h, name, self._value())
+            if name == "during":
+                if self.next().kind != "lparen":
+                    raise JQLError("expected ( after DURING")
+                d1 = self._value()
+                if self.next().kind != "comma":
+                    raise JQLError("expected , in DURING (d1, d2)")
+                d2 = self._value()
+                if self.next().kind != "rparen":
+                    raise JQLError("expected ) closing DURING")
+                h.during = (d1, d2)
+            else:
+                setattr(h, name, self._value())
 
     def _was_rhs(self, fld: str) -> "History":
         h = History(fld, "was")
@@ -611,6 +624,11 @@ def _emit(node) -> str:
             parts.append(f"AFTER {_emit_value(node.after)}")
         if node.before is not None:
             parts.append(f"BEFORE {_emit_value(node.before)}")
+        if node.during is not None:
+            parts.append(
+                f"DURING ({_emit_value(node.during[0])},"
+                f" {_emit_value(node.during[1])})"
+            )
         return " ".join(parts)
     raise JQLError(f"cannot emit {node!r}")
 
@@ -783,14 +801,16 @@ class Plan:
           WAS v            ⟺ ∃ row: to_value = v
           WAS v AFTER d    ⟺ ∃ row: to_value = v ∧ interval end > d
           WAS v BEFORE d   ⟺ ∃ row: to_value = v ∧ changed_at < d
-          CHANGED …        ⟺ ∃ NON-creation row matching FROM/TO/BY/time.
+          WAS v DURING (a,b) ⟺ interval overlaps [a,b]: start <= b ∧ end > a
+          CHANGED …        ⟺ ∃ NON-creation row matching FROM/TO/BY/time
+                             (DURING: a <= changed_at <= b).
         The only window (the AFTER interval-end lead) partitions by
         (key, field) — bounded per-issue groups, never global."""
         if self.ctx.changelog is None:
             raise JQLError("WAS/CHANGED needs ctx.changelog")
         cl = self.ctx.changelog.filter(F.col("field") == h.fld)
         if h.mode == "was":
-            if h.after is not None:
+            if h.after is not None or h.during is not None:
                 from pyspark.sql import Window
 
                 w = Window.partitionBy("key", "field").orderBy("changed_at")
@@ -806,6 +826,12 @@ class Plan:
                 cond &= F.col("__end").isNull() | (
                     F.col("__end") > self._hist_time(h.after)
                 )
+            if h.during is not None:
+                d1, d2 = h.during
+                cond &= F.col("changed_at") <= self._hist_time(d2)
+                cond &= F.col("__end").isNull() | (
+                    F.col("__end") > self._hist_time(d1)
+                )
         else:
             cond = F.col("from_value").isNotNull()
             if h.from_value is not None:
@@ -816,6 +842,10 @@ class Plan:
                 cond &= F.col("to_value") == _scalar(h.to_value, h.fld, self.ctx)
             if h.after is not None:
                 cond &= F.col("changed_at") > self._hist_time(h.after)
+            if h.during is not None:
+                d1, d2 = h.during
+                cond &= F.col("changed_at") >= self._hist_time(d1)
+                cond &= F.col("changed_at") <= self._hist_time(d2)
         if h.by is not None:
             cond &= F.col("author") == _scalar(h.by, h.fld, self.ctx)
         if h.before is not None:

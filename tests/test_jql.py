@@ -376,3 +376,30 @@ def test_date_function_emit_roundtrip():
     ]:
         once = J.emit(J.parse(q))
         assert J.emit(J.parse(once)) == once
+
+
+def test_was_during_interval_overlap(tiny, hist):
+    # "held In Progress at some point during 2020": P-3 (from 2020-06-01);
+    # P-2 only reached it in 2021 — out
+    out = J.run_jql(
+        'status WAS "In Progress" DURING ("2020-01-01", "2020-12-31")',
+        tiny,
+        hist,
+    )
+    assert _keys(out) == ["P-3"]
+    # a window covering both transitions finds both
+    both = J.run_jql(
+        'status WAS "In Progress" DURING ("2020-01-01", "2021-06-01")',
+        tiny,
+        hist,
+    )
+    assert _keys(both) == ["P-2", "P-3"]
+
+
+def test_changed_during(tiny, hist):
+    out = J.run_jql(
+        'status CHANGED DURING ("2021-06-01", "2022-06-01")', tiny, hist
+    )
+    assert _keys(out) == ["P-3"]
+    with pytest.raises(J.JQLError, match="expected , in DURING"):
+        J.parse('status CHANGED DURING ("2021-06-01")')
