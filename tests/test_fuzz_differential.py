@@ -140,3 +140,127 @@ def test_hard_predicate_matches_duckdb(cached_issues_full, ddb, expr):
         f"WITH {FX.duckdb_issues_cte()} SELECT key FROM issues_flat WHERE {sql}"
     ).fetchall()
     assert spark_keys == {r[0] for r in oracle}, jql
+
+
+# --- third generator: history operators (WAS / CHANGED) --------------------
+# Random history predicates vs an independently-written SQL translation
+# over the same changelog derivation — the interval semantics (lead-based
+# end_at, creation rows, qualifier combinations) is exactly where a
+# compiler bug would hide.
+
+_HIST_DATES = [
+    "1993-06-01", "1995-01-01", "1996-06-15", "1998-01-01", "2000-01-01",
+]
+_STATUS_VALUES = [
+    "Open", "In Progress", "In Review", "To Do", "Done", "Closed", "Ghost",
+]
+_AUTHORS = ["user0", "user7", "user12", "user31", "nobody"]
+
+_IV_CTE = (
+    "iv AS (SELECT key, field, from_value, to_value, author, changed_at, "
+    "lead(changed_at) OVER (PARTITION BY key, field ORDER BY changed_at) "
+    "AS end_at FROM changelog)"
+)
+
+
+@st.composite
+def history_predicate(draw):
+    mode = draw(st.sampled_from(["was", "changed"]))
+    negated = draw(st.booleans()) if mode == "was" else False
+    by = draw(st.sampled_from([None, *_AUTHORS]))
+    after = draw(st.sampled_from([None, *_HIST_DATES]))
+    before = draw(st.sampled_from([None, *_HIST_DATES]))
+    during = None
+    if draw(st.booleans()):
+        d1, d2 = sorted(draw(
+            st.lists(st.sampled_from(_HIST_DATES), min_size=2, max_size=2,
+                     unique=True)
+        ))
+        during = (d1, d2)
+    quals_j, conds = [], ["iv.field = 'status'"]
+    if by:
+        quals_j.append(f'BY "{by}"')
+        conds.append(f"iv.author = '{by}'")
+    if after:
+        quals_j.append(f'AFTER "{after}"')
+    if before:
+        quals_j.append(f'BEFORE "{before}"')
+        conds.append(f"iv.changed_at < TIMESTAMP '{before}'")
+    if during:
+        quals_j.append(f'DURING ("{during[0]}", "{during[1]}")')
+    if mode == "was":
+        vals = draw(
+            st.lists(st.sampled_from(_STATUS_VALUES), min_size=1, max_size=3,
+                     unique=True)
+        )
+        conds.append(
+            "(" + " OR ".join(f"iv.to_value = '{v}'" for v in vals) + ")"
+        )
+        if after:
+            conds.append(
+                f"(iv.end_at IS NULL OR iv.end_at > TIMESTAMP '{after}')"
+            )
+        if during:
+            conds.append(f"iv.changed_at <= TIMESTAMP '{during[1]}'")
+            conds.append(
+                f"(iv.end_at IS NULL OR iv.end_at > TIMESTAMP '{during[0]}')"
+            )
+        rhs = (
+            "IN (" + ", ".join(f'"{v}"' for v in vals) + ")"
+            if len(vals) > 1
+            else f'"{vals[0]}"'
+        )
+        jql = f"status WAS {'NOT ' if negated else ''}{rhs}"
+    else:
+        conds.append("iv.from_value IS NOT NULL")
+        frm = draw(st.sampled_from([None, *_STATUS_VALUES]))
+        to = draw(st.sampled_from([None, *_STATUS_VALUES]))
+        jql = "status CHANGED"
+        if frm:
+            jql += f' FROM "{frm}"'
+            conds.append(f"iv.from_value = '{frm}'")
+        if to:
+            jql += f' TO "{to}"'
+            conds.append(f"iv.to_value = '{to}'")
+        if after:
+            conds.append(f"iv.changed_at > TIMESTAMP '{after}'")
+        if during:
+            conds.append(f"iv.changed_at >= TIMESTAMP '{during[0]}'")
+            conds.append(f"iv.changed_at <= TIMESTAMP '{during[1]}'")
+    if quals_j:
+        jql += " " + " ".join(quals_j)
+    ex = (
+        "EXISTS (SELECT 1 FROM iv WHERE iv.key = i.key AND "
+        + " AND ".join(conds)
+        + ")"
+    )
+    return jql, (f"NOT {ex}" if negated else ex)
+
+
+@pytest.fixture(scope="module")
+def hist_ctx(spark, sf_dir, cached_issues):
+    return J.JQLContext(
+        issues=cached_issues,
+        changelog=FX.changelog(spark, sf_dir).localCheckpoint(),
+    )
+
+
+@given(history_predicate())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_history_predicate_matches_duckdb(
+    cached_issues, hist_ctx, ddb, expr
+):
+    jql, sql = expr
+    spark_keys = {
+        r["key"]
+        for r in J.run_jql(jql, cached_issues, hist_ctx).select("key").collect()
+    }
+    oracle = ddb.execute(
+        f"WITH {FX.duckdb_issues_cte()}, {FX.duckdb_changelog_cte()},"
+        f" {_IV_CTE} SELECT key FROM issues_flat i WHERE {sql}"
+    ).fetchall()
+    assert spark_keys == {r[0] for r in oracle}, jql
