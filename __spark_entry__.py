@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": R.value_histogram,
         "dq_report": R.dq_report,
         "jql_start_of_week": J.jql_start_of_week,
+        "asof_within_tolerance": TS.asof_within_tolerance,
+        "funnel_summary": TS.funnel_summary,
+        "compression_ratio": T.compression_ratio,  # zlib — rows-only
         # First the entries demoted to make room for the seven new
         # operators above: the four mapInPandas media passes (rows-only
         # checks by nature — behavioral pytest is their real gate) and
@@ -1465,6 +1468,26 @@ _ORACLES: dict[str, str] = {
         FROM events e JOIN q ON e.event_type = q.event_type
         GROUP BY e.event_type
     """,
+    "funnel_summary": None,  # composed below from the funnel_conversion oracle
+    "asof_within_tolerance": """
+        SELECT event_id, user_id, ts,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(last_error_ts)) AS BIGINT)
+                         <= 3600
+                    THEN last_error_ts END AS recent_error_ts,
+               coalesce(CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(last_error_ts)) AS BIGINT)
+                        <= 3600, FALSE) AS has_recent_error
+        FROM (SELECT event_id, user_id, ts, event_type,
+                     last_value(CASE WHEN event_type = 'error' THEN ts END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_error_ts
+              FROM events
+              WHERE event_type IN ('purchase', 'error')) t
+        WHERE event_type = 'purchase'
+    """,
     "value_anomalies": """
         WITH s AS (
             SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sigma
@@ -1707,6 +1730,31 @@ _ORACLES["semdedup"] = """
     )
     SELECT a.vec_id, a.cluster_id, l.vec_id IS NULL AS keep
     FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
+"""
+
+# Funnel rollup composes the per-session funnel oracle verbatim.
+_ORACLES["funnel_summary"] = f"""
+    WITH f AS ({_ORACLES["funnel_conversion"]}),
+    agg AS (
+        SELECT count(*) AS n_sessions,
+               CAST(sum(CASE WHEN funnel_depth >= 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN funnel_depth >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN funnel_depth >= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase
+        FROM f
+    )
+    SELECT n_sessions, n_view, n_click, n_purchase,
+           floor(n_view * 1.0 / n_sessions * 10000 + 0.5) / 10000
+             AS view_rate,
+           CASE WHEN n_view > 0
+                THEN floor(n_click * 1.0 / n_view * 10000 + 0.5) / 10000
+                END AS click_through,
+           CASE WHEN n_click > 0
+                THEN floor(n_purchase * 1.0 / n_click * 10000 + 0.5) / 10000
+                END AS purchase_through
+    FROM agg
 """
 
 # Recall report composes the exact and approximate top-k oracles verbatim

@@ -1658,3 +1658,47 @@ def lsh_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: zlib-compressed size over raw
+    size per document — highly compressible text is repetitive/templated
+    (the Gopher/CCNet-adjacent heuristic that catches boilerplate which
+    token statistics miss; ratios near 1.0 are incompressible natural
+    text or noise, ratios near 0 are degenerate repetition).
+
+    Python-side by necessity (no JVM zlib expression), but Arrow-batched
+    mapInPandas — the same batched-UDF shape as the media codecs, never
+    row-at-a-time. No DuckDB oracle (zlib output is library-defined);
+    determinism + bound tests cover it (zlib level 6 is deterministic for
+    a given input across runs and platforms)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        "doc_id", "text"
+    )
+
+    def _ratio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            n = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "n_compressed": comp,
+                    "ratio": [
+                        round(c / b, 4) if b else None
+                        for c, b in zip(comp, n)
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(
+        _ratio,
+        "doc_id bigint, n_bytes int, n_compressed int, ratio double",
+    )

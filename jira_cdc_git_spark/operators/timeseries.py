@@ -314,3 +314,58 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_clipped"),
         )
     )
+
+
+def asof_within_tolerance(
+    spark: SparkSession, sf_dir: str, tolerance_minutes: int = 60
+) -> DataFrame:
+    """As-of join with a staleness tolerance: the matched error timestamp
+    only counts when it is within `tolerance_minutes` of the purchase —
+    otherwise NULL (the sensor-fusion form of as-of: a reading older
+    than the tolerance is no reading). Same single user-key shuffle as
+    asof_last_error_before_purchase; the tolerance is a post-hoc
+    projection, not a join-condition change."""
+    base = asof_last_error_before_purchase(spark, sf_dir)
+    fresh = (
+        F.col("ts").cast("long") - F.col("last_error_ts").cast("long")
+        <= tolerance_minutes * 60
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("last_error_ts")).alias("recent_error_ts"),
+        F.coalesce(fresh, F.lit(False)).alias("has_recent_error"),
+    )
+
+
+def funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level funnel conversion table: session counts per reached
+    stage and step conversion rates — the one-screen rollup of
+    funnel_conversion (stage N rate = sessions reaching N / sessions
+    reaching N-1). One extra tiny aggregation over the per-session
+    frame."""
+    per_session = funnel_conversion(spark, sf_dir)
+    agg = per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("funnel_depth") >= 1).cast("long")).alias("n_view"),
+        F.sum((F.col("funnel_depth") >= 2).cast("long")).alias("n_click"),
+        F.sum((F.col("funnel_depth") >= 3).cast("long")).alias("n_purchase"),
+    )
+    return agg.select(
+        "n_sessions",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        TX_round(F.col("n_view") / F.col("n_sessions"), 4).alias("view_rate"),
+        TX_round(
+            F.when(F.col("n_view") > 0, F.col("n_click") / F.col("n_view")),
+            4,
+        ).alias("click_through"),
+        TX_round(
+            F.when(
+                F.col("n_click") > 0, F.col("n_purchase") / F.col("n_click")
+            ),
+            4,
+        ).alias("purchase_through"),
+    )

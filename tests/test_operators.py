@@ -359,3 +359,18 @@ def test_sketch_accuracy_report_bounds(spark, sf_dir):
         # HLL++ at rsd=0.05 — generous 4-sigma bound
         assert r["hll_rel_error"] < 0.20, r
         assert r["hll_est"] > 0 and r["kmv_est"] > 0
+
+
+def test_compression_ratio_bounds_and_determinism(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    rows = {r["doc_id"]: r for r in T.compression_ratio(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 < r["ratio"] < 1.5
+        assert r["n_compressed"] > 0
+    again = {
+        r["doc_id"]: r["ratio"]
+        for r in T.compression_ratio(spark, sf_dir).collect()
+    }
+    assert again == {k: v["ratio"] for k, v in rows.items()}
