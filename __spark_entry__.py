@@ -25,13 +25,13 @@ media passes (rows-only checks by nature), and (c) the 50 queries
 already green (rows+schema+hash) in CORRECTNESS_r02, and (d) queries
 added later in round 3 (JQL history, perceptual dedup, range join,
 PageRank, funnel, IVM, entity resolution, eval reports) that rotate
-into the window next round. Nine of the 125 entries are no-oracle by
+into the window next round. Ten of the 130 entries are no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the
-mapInPandas media passes; the HLL sketch report) and get rows-only
-checks wherever slotted. Regardless of slot, all 116 oracle-backed
-queries are covered by the repo's own DuckDB-differential pytest suite
-(tests/test_oracle_parity.py replays the driver comparison over the
-full registry on every pytest run).
+mapInPandas media passes; the HLL sketch report; the zlib compression
+ratio) and get rows-only checks wherever slotted. Regardless of slot,
+all 120 oracle-backed queries are covered by the repo's own
+DuckDB-differential pytest suite (tests/test_oracle_parity.py replays
+the driver comparison over the full registry on every pytest run).
 """
 
 from __future__ import annotations
