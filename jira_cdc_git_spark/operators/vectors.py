@@ -411,3 +411,90 @@ def semdedup(
             F.coalesce(~F.col("lost"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def write_ivf_index(
+    spark: SparkSession, sf_dir: str, path: str, n_centroids: int = 16
+) -> None:
+    """Materialize the IVF index the way ivf_topk's docstring promises it
+    ships at scale: the corpus written PARTITIONED BY cluster_id (one
+    narrow assignment pass against broadcast deterministic centroids),
+    so a query's n_probe clusters prune at the parquet-partition level —
+    the scan never opens the other (n_centroids - n_probe)/n_centroids
+    of the data."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+        .transform(materialize)
+    )
+    (
+        _assign_clusters(emb, cents)
+        .select("vec_id", "label", "embedding", "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k over the MATERIALIZED index: probe clusters are picked
+    from the (tiny, re-derived) centroid table, then the scan reads ONLY
+    those cluster_id partitions — the cluster_id IN (...) literal filter
+    lands in the parquet source's PartitionFilters (asserted by a plan
+    test), which is the entire point of the partitioned layout. Produces
+    the same result as the in-memory ivf_topk."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+        .transform(materialize)
+    )
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("q_embedding"))
+        .transform(materialize)
+    )
+    probe_ids = [
+        r["cent_id"]
+        for r in (
+            cents.crossJoin(F.broadcast(q))
+            .withColumn("d", cosine(F.col("cent_emb"), F.col("q_embedding")))
+            .orderBy(F.col("d").desc(), F.col("cent_id"))
+            .limit(n_probe)
+            .select("cent_id")
+            .collect()
+        )
+    ]
+    idx = spark.read.parquet(index_path).filter(
+        F.col("cluster_id").isin(probe_ids)
+    )
+    return (
+        idx.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

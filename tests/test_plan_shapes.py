@@ -331,3 +331,23 @@ def test_no_cartesian_in_any_registry_query(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian product in: {offenders}"
+
+
+def test_ivf_indexed_prunes_partitions(spark, sf_dir, tmp_path):
+    # the materialized IVF layout's contract: the probe filter lands in
+    # PartitionFilters (directory-level pruning), and the indexed query
+    # returns exactly the in-memory ivf_topk result
+    from jira_cdc_git_spark.operators import vectors as V
+
+    path = str(tmp_path / "ivf_index")
+    V.write_ivf_index(spark, sf_dir, path)
+    out = V.ivf_topk_indexed(spark, sf_dir, path)
+    plan = _plan(out)
+    pf = plan.split("PartitionFilters: [")[1][:200]
+    assert "cluster_id" in pf
+    expected = [
+        (r["vec_id"], r["cos_sim"])
+        for r in V.ivf_topk(spark, sf_dir).collect()
+    ]
+    got = [(r["vec_id"], r["cos_sim"]) for r in out.collect()]
+    assert got == expected
