@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_within_tolerance": TS.asof_within_tolerance,
         "funnel_summary": TS.funnel_summary,
         "compression_ratio": T.compression_ratio,  # zlib — rows-only
+        "quality_by_source": T.quality_by_source,
         # First the entries demoted to make room for the seven new
         # operators above: the four mapInPandas media passes (rows-only
         # checks by nature — behavioral pytest is their real gate) and
@@ -1730,6 +1731,22 @@ _ORACLES["semdedup"] = """
     )
     SELECT a.vec_id, a.cluster_id, l.vec_id IS NULL AS keep
     FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
+"""
+
+# Per-source quality rollup composes the gopher + quality oracles verbatim.
+_ORACLES["quality_by_source"] = f"""
+    WITH g AS ({_ORACLES["gopher_quality_filters"]}),
+    q AS ({_ORACLES["quality_score"]})
+    SELECT d.source,
+           count(*) AS n_docs,
+           floor(avg(CASE WHEN g.keep THEN 1.0 ELSE 0.0 END) * 10000 + 0.5)
+             / 10000 AS gopher_keep_rate,
+           floor(avg(q.quality) * 10000 + 0.5) / 10000 AS mean_quality,
+           CAST(sum(g.n_tokens) AS BIGINT) AS total_tokens
+    FROM documents d
+    JOIN g ON d.doc_id = g.doc_id
+    JOIN q ON d.doc_id = q.doc_id
+    GROUP BY d.source
 """
 
 # Funnel rollup composes the per-session funnel oracle verbatim.

@@ -1702,3 +1702,27 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio,
         "doc_id bigint, n_bytes int, n_compressed int, ratio double",
     )
+
+
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality drilldown: Gopher keep-rate, mean quality score
+    and token stats grouped by crawl source — the report that decides
+    which sources to up/down-weight in the mixture (the reporting rollup
+    over gopher_quality_filters + quality_score). One extra shuffle on
+    source over the narrow per-doc frames."""
+    g = gopher_quality_filters(spark, sf_dir).select("doc_id", "keep", "n_tokens")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return (
+        docs.join(g, "doc_id")
+        .join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            TX.round_half_up(F.avg(F.col("keep").cast("double")), 4).alias(
+                "gopher_keep_rate"
+            ),
+            TX.round_half_up(F.avg("quality"), 4).alias("mean_quality"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )

@@ -582,3 +582,61 @@ def streaming_ivm_counts(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_anomalies(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    baseline_sf_dir: str,
+    z_threshold: float = 3.0,
+) -> None:
+    """Streaming twin of value_anomalies: arriving events are scored
+    against the STATIC per-user baseline (mean/sigma learned from the
+    historical corpus) — the standard serving split for anomaly
+    detection: train offline, score online. A pure stream-static join
+    (baseline is user-cardinality, AQE broadcasts when small), no
+    streaming state, flagged rows append to the sink."""
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    hist = load_table(spark, "events", baseline_sf_dir)
+    baseline = (
+        hist.groupBy("user_id")
+        .agg(
+            F.avg("value").alias("mu"),
+            F.stddev_pop("value").alias("sigma"),
+        )
+        .localCheckpoint()
+    )
+
+    feed = spark.readStream.schema(schema).parquet(events_dir)
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from jira_cdc_git_spark.functions.text import round_half_up
+
+        z = (F.col("value") - F.col("mu")) / F.col("sigma")
+        (
+            batch_df.join(baseline, "user_id")
+            .filter((F.col("sigma") > 0) & (F.abs(z) > z_threshold))
+            .select(
+                "event_id",
+                "user_id",
+                "value",
+                # round_half_up, same as the batch operator — bit-exact parity
+                round_half_up(z, 4).alias("zscore"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    (
+        feed.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

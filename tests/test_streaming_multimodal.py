@@ -594,3 +594,28 @@ def test_streaming_ivm_counts_matches_recompute(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_anomalies_matches_batch(spark, sf_dir, tmp_path):
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_anomalies
+
+    ev = load_table(spark, "events", sf_dir)
+    feed_dir = str(tmp_path / "feed")
+    ev.write.parquet(feed_dir)
+    out_dir = str(tmp_path / "anom")
+    streaming_anomalies(
+        spark, feed_dir, ev.schema, str(tmp_path / "ckpt"), out_dir, sf_dir
+    )
+    got = {
+        (r["event_id"], r["zscore"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch reference: the registry operator's flagged subset
+    from jira_cdc_git_spark.operators.timeseries import value_anomalies
+
+    want = {
+        (r["event_id"], r["zscore"])
+        for r in value_anomalies(spark, sf_dir).filter("is_anomaly").collect()
+    }
+    assert got == want and len(want) > 0
