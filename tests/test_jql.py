@@ -403,3 +403,26 @@ def test_changed_during(tiny, hist):
     assert _keys(out) == ["P-3"]
     with pytest.raises(J.JQLError, match="expected , in DURING"):
         J.parse('status CHANGED DURING ("2021-06-01")')
+
+
+def test_optimize_query_preserves_history_terms():
+    # the project-first rewrite must move the project conjunct ahead of a
+    # history term without dropping its qualifiers, and stay idempotent
+    out, notes = J.optimize_query(
+        'status WAS "Done" BY bob DURING ("2020-01-01", "2021-01-01")'
+        " AND project = PROJ"
+    )
+    assert out.startswith("project = PROJ AND status WAS Done")
+    assert 'DURING ("2020-01-01", "2021-01-01")' in out
+    assert "BY bob" in out
+    assert "ORDER BY key ASC" in out
+    again, _ = J.optimize_query(out)
+    assert again == out
+
+
+def test_optimize_query_preserves_date_functions():
+    out, _ = J.optimize_query('updated >= startOfWeek("-2w") AND project = MEM')
+    assert out.startswith("project = MEM AND")
+    assert 'startOfWeek("-2w")' in out
+    again, _ = J.optimize_query(out)
+    assert again == out
