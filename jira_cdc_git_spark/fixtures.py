@@ -257,13 +257,19 @@ def files_sql(orders: str, dialect: str) -> str:
 # every consumer after the first the read-a-table cost instead of the
 # derive-from-orders cost — same values (materialize() cuts the plan after
 # the deterministic derivation), so oracle parity is unaffected.
-_FRAME_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_FRAME_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cached_frame(spark: SparkSession, name: str, sf_dir: str, build) -> DataFrame:
     from jira_cdc_git_spark.materialize import materialize
 
-    key = (id(spark), name, sf_dir)
+    # Keyed by applicationId (stable per SparkSession, never recycled the way
+    # id() can be after GC) so a new session never sees frames bound to a
+    # stopped one; stale sessions' entries are evicted on sight.
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _FRAME_CACHE if k[0] != app_id]:
+        del _FRAME_CACHE[k]
+    key = (app_id, name, sf_dir)
     df = _FRAME_CACHE.get(key)
     if df is None:
         df = materialize(build())

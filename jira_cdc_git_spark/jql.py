@@ -552,7 +552,7 @@ _FUNC_CASE = {
 _BARE_VALUE_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.@-]*$")
 _RESERVED = {
     "AND", "OR", "NOT", "IN", "IS", "ORDER", "BY", "EMPTY", "NULL",
-    "WAS", "CHANGED", "FROM", "TO", "AFTER", "BEFORE",
+    "WAS", "CHANGED", "FROM", "TO", "AFTER", "BEFORE", "DURING",
 }
 
 

@@ -34,7 +34,16 @@ def compare(name, sdf, odf):
     a, b = normalize(sdf), normalize(odf)
     bad = []
     for c in a.columns:
-        if pd.api.types.is_float_dtype(a[c]):
+        # The driver's value-hash is dtype-sensitive: a DuckDB HUGEINT that
+        # lands in pandas as float64 hashes differently from Spark's int64
+        # even when every value is numerically identical (round-3 red row on
+        # sequence_packing). Flag any float-vs-integer class mismatch.
+        if pd.api.types.is_float_dtype(a[c]) != pd.api.types.is_float_dtype(b[c]):
+            bad.append(
+                f"{c}: DTYPE class mismatch spark={a[c].dtype} oracle={b[c].dtype}"
+                " (driver value-hash would differ)"
+            )
+        elif pd.api.types.is_float_dtype(a[c]):
             eq = np.isclose(a[c].fillna(np.nan), b[c].fillna(np.nan), rtol=0, atol=1e-9, equal_nan=True)
             exact = (a[c].fillna(-1.5) == b[c].fillna(-1.5))
             if not eq.all():

@@ -1,0 +1,71 @@
+"""Registry-rotation invariant (round-3 verdict task 7).
+
+The driver checks at most the first 50 ``queries()`` entries per round
+(observed: CORRECTNESS_r02 == registry slots 1-50 at the time). To make
+the cross-round rotation mechanical instead of comment-enforced, this
+test loads every CORRECTNESS_r*.json committed so far and asserts that
+every registry entry WITHOUT a fully-green (rows+schema+hash — or, for
+no-oracle entries, rows-only) driver row sits inside slots 1-50, i.e.
+will be checked by the next driver run.
+"""
+
+import glob
+import json
+import os
+
+import __spark_entry__ as E
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER_WINDOW = 50
+
+
+def _rows():
+    out = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(f) as fh:
+            for name, row in json.load(fh).items():
+                out.setdefault(name, []).append(row)
+    return out
+
+
+def _proven(name, rows, oracle_backed):
+    for row in rows:
+        if row.get("err"):
+            continue
+        if oracle_backed:
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                return True
+        else:
+            # Rows-only entries can never hash-match; any clean driver row
+            # (the driver's weaker check) counts as their proof.
+            if row.get("rows_match") or row.get("hash_match") is None:
+                return True
+    return False
+
+
+def test_unproven_entries_fit_driver_window():
+    names = list(E.queries())
+    oracles = set(E.oracle_sql())
+    rows = _rows()
+    unproven = [
+        n for n in names if not _proven(n, rows.get(n, []), n in oracles)
+    ]
+    assert len(unproven) <= DRIVER_WINDOW, (
+        f"{len(unproven)} unproven entries exceed the {DRIVER_WINDOW}-slot "
+        f"driver window; rotation cannot finish in one round: {unproven}"
+    )
+    window = set(names[:DRIVER_WINDOW])
+    stranded = [n for n in unproven if n not in window]
+    assert not stranded, (
+        "registry entries lacking a green CORRECTNESS row must occupy "
+        f"slots 1-{DRIVER_WINDOW} so the next driver run proves them; "
+        f"stranded past the window: {stranded}"
+    )
+
+
+def test_registry_counts_match_docstring():
+    names = list(E.queries())
+    oracles = set(E.oracle_sql())
+    assert len(names) == 131
+    assert len(oracles) == 121
+    assert set(oracles) <= set(names)
