@@ -31,6 +31,25 @@ from jira_cdc_git_spark import sinks
 from jira_cdc_git_spark.state import SyncStateStore
 
 
+def _append_batch_idempotent(df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """foreachBatch delivers at-least-once: after a crash between the sink
+    write and the checkpoint commit, the same batch_id re-runs against a
+    sink that already holds its rows. A plain mode("append") then
+    duplicates them (round-3 advice). Writing each batch to its own
+    ``batch_id=`` partition with overwrite makes the replay rewrite that
+    partition in place — the Structured Streaming guide's documented
+    idempotent-sink recipe. ``spark.read.parquet(out_dir)`` still works:
+    partition discovery surfaces batch_id as one extra int column (and a
+    1000-executor deployment gets replay-scoped partition pruning free)."""
+    df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+
+def read_append_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read an ``_append_batch_idempotent`` sink without the bookkeeping
+    partition column."""
+    return spark.read.parquet(out_dir).drop("batch_id")
+
+
 def incremental_sync_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -335,11 +354,11 @@ def streaming_topk(
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), F.col("vec_id")
         )
-        (
+        _append_batch_idempotent(
             scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .write.mode("append")
-            .parquet(out_dir)
+            .filter(F.col("rank") <= k),
+            out_dir,
+            batch_id,
         )
 
     (
@@ -443,8 +462,8 @@ def streaming_curation(
     feed = spark.readStream.schema(schema).parquet(docs_dir)
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:
-        curate_frame(batch_df, bench_grams).write.mode("append").parquet(
-            out_dir
+        _append_batch_idempotent(
+            curate_frame(batch_df, bench_grams), out_dir, batch_id
         )
 
     (
@@ -501,7 +520,7 @@ def streaming_phash_dedup(
         ham = F.bit_count(
             F.col("dhash").bitwiseXOR(F.col("corpus_dhash"))
         ).cast("int")
-        (
+        _append_batch_idempotent(
             bands.join(corpus_bands, "band_key")
             .select(
                 F.col("media_id").alias("new_media_id"),
@@ -509,9 +528,9 @@ def streaming_phash_dedup(
                 ham.alias("hamming"),
             )
             .filter(F.col("hamming") <= max_hamming)
-            .distinct()
-            .write.mode("append")
-            .parquet(out_dir)
+            .distinct(),
+            out_dir,
+            batch_id,
         )
 
     (
@@ -537,6 +556,15 @@ def streaming_ivm_counts(
     state._swap_dir_atomic). The maintained table equals a full recompute
     over everything streamed so far at every trigger — the IVM contract,
     asserted by the batch-parity test.
+
+    Replay-safe (round-3 advice): the fold is NOT naturally idempotent —
+    re-folding a batch after a crash between the swap and the checkpoint
+    commit would double-count — so the table carries the last applied
+    batch_id in an `applied_batch_id` column. Because the marker rides
+    inside the atomically-swapped directory, data and marker commit as one
+    unit; a replayed batch (id <= marker) is skipped. Batch ids are
+    monotonic per checkpoint, and a fresh checkpoint restarts at 0, whose
+    replays are likewise <= the stored marker.
 
     100 TB shape: per batch the expensive aggregation touches ONLY the
     batch (map-side partial); the merge re-reads a group-cardinality-
@@ -566,13 +594,18 @@ def streaming_ivm_counts(
         )
         if os.path.isdir(counts_dir):
             current = spark.read.parquet(counts_dir)
+            last_applied = current.agg(F.max("applied_batch_id")).first()[0]
+            if last_applied is not None and batch_id <= last_applied:
+                return  # at-least-once replay of an already-folded batch
             merged = (
-                current.unionByName(partial)
+                current.drop("applied_batch_id")
+                .unionByName(partial)
                 .groupBy(*keys)
                 .agg(F.sum("n_issues").alias("n_issues"))
             )
         else:
             merged = partial
+        merged = merged.withColumn("applied_batch_id", F.lit(batch_id))
         _swap_dir_atomic(merged.localCheckpoint(), counts_dir)
 
     (
@@ -619,7 +652,7 @@ def streaming_anomalies(
         from jira_cdc_git_spark.functions.text import round_half_up
 
         z = (F.col("value") - F.col("mu")) / F.col("sigma")
-        (
+        _append_batch_idempotent(
             batch_df.join(baseline, "user_id")
             .filter((F.col("sigma") > 0) & (F.abs(z) > z_threshold))
             .select(
@@ -628,9 +661,9 @@ def streaming_anomalies(
                 "value",
                 # round_half_up, same as the batch operator — bit-exact parity
                 round_half_up(z, 4).alias("zscore"),
-            )
-            .write.mode("append")
-            .parquet(out_dir)
+            ),
+            out_dir,
+            batch_id,
         )
 
     (

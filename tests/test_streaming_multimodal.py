@@ -619,3 +619,62 @@ def test_streaming_anomalies_matches_batch(spark, sf_dir, tmp_path):
         for r in value_anomalies(spark, sf_dir).filter("is_anomaly").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_ivm_counts_replay_is_noop(spark, sf_dir, tmp_path):
+    """At-least-once replay safety (round-3 advice): re-running the whole
+    feed under a FRESH checkpoint replays batch ids 0..2 against the
+    already-folded table; the applied_batch_id marker (atomic with the
+    swap) must skip every one, leaving the counts bit-identical."""
+    from jira_cdc_git_spark import fixtures as FX
+    from jira_cdc_git_spark.streaming.pipeline import streaming_ivm_counts
+
+    iss = FX.issues(spark, sf_dir).select(
+        "key", "project_key", "status", "issuetype"
+    )
+    feed_dir = str(tmp_path / "feed")
+    for i in range(3):
+        iss.filter(F.crc32(F.col("key")) % 3 == i).write.mode("append").parquet(
+            feed_dir
+        )
+    counts_dir = str(tmp_path / "counts")
+    streaming_ivm_counts(
+        spark, feed_dir, iss.schema, str(tmp_path / "ckpt1"), counts_dir
+    )
+
+    def snap():
+        return {
+            (r["project_key"], r["status_name"]): r["n_issues"]
+            for r in spark.read.parquet(counts_dir).collect()
+        }
+
+    first = snap()
+    streaming_ivm_counts(
+        spark, feed_dir, iss.schema, str(tmp_path / "ckpt2"), counts_dir
+    )
+    assert snap() == first
+
+
+def test_streaming_anomalies_replay_no_duplicates(spark, sf_dir, tmp_path):
+    """Replaying the append sink (fresh checkpoint, same feed, same batch
+    ids) must overwrite each batch_id partition in place, not duplicate."""
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        read_append_sink,
+        streaming_anomalies,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    feed_dir = str(tmp_path / "feed")
+    ev.write.parquet(feed_dir)
+    out_dir = str(tmp_path / "anom")
+    streaming_anomalies(
+        spark, feed_dir, ev.schema, str(tmp_path / "ck1"), out_dir, sf_dir
+    )
+    n_first = read_append_sink(spark, out_dir).count()
+    streaming_anomalies(
+        spark, feed_dir, ev.schema, str(tmp_path / "ck2"), out_dir, sf_dir
+    )
+    after = read_append_sink(spark, out_dir)
+    assert after.count() == n_first
+    assert after.select("event_id").distinct().count() == n_first
