@@ -176,6 +176,33 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # Per-project fan-out (the scale path: one fast-import per project
+    # inside executors; driver cost is one small aggregate).
+    tmp = tempfile.mkdtemp(prefix="bench_git_fan_")
+    try:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("project_key").orderBy("key")
+        batch = (
+            FX.issues(spark, sf_dir)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 200)
+            .drop("__rn")
+            .localCheckpoint()
+        )
+        n = batch.count()
+        t0 = time.perf_counter()
+        counts = sinks_git.materialize_fan_out(batch, os.path.join(tmp, "repos"))
+        dt = time.perf_counter() - t0
+        sync["git_fan_out"] = {
+            "sec": round(dt, 3),
+            "issues_per_sec": round(n / dt, 1),
+            "n_repos": len(counts),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

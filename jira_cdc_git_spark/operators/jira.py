@@ -67,7 +67,13 @@ def link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CreateRelationshipLinks, pkg/links/links.go:33-95: epic_link, parent,
     subtasks, typed issue links with lowercased type dirs links.go:277-289).
     explode is narrow; unionByName is metadata-only."""
-    iss = FX.issues(spark, sf_dir)
+    return link_edges_frame(FX.issues(spark, sf_dir))
+
+
+def link_edges_frame(iss: DataFrame) -> DataFrame:
+    """Frame-level edge builder behind link_edges — the live-sync pipeline
+    feeds it the REST-parsed change batch (same schemas.ISSUES shape) so
+    each incremental sync appends only ITS issues' edges."""
     epic = iss.filter(F.col("epic_link").isNotNull()).select(
         F.col("key").alias("src_key"),
         "project_key",

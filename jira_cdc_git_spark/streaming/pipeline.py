@@ -58,12 +58,22 @@ def incremental_sync_batch(
     now: datetime | None = None,
     force: bool = False,
     dry_run: bool = False,
+    edges_dir: str | None = None,
+    git_repos_root: str | None = None,
 ) -> dict[str, int]:
     """The shared per-batch body (batch CLI path and foreachBatch both call
     this). Returns the A4-style result counts.
 
     dry_run (C8): compute the change set and counts, write NOTHING —
     mirrors incremental.go:404-465 (fetch-only, fabricated paths).
+
+    edges_dir: when set, the change set's relationship edges (S9,
+    pkg/links/links.go:33-95) append there alongside issues/commit log —
+    the full per-batch write set of the reference's sync loop.
+
+    git_repos_root: when set, the change set also materializes as real git
+    commits, one repo per project (S8 fan-out, sinks_git.materialize_fan_out)
+    — the reference's complete output contract in one batch body.
     """
     now = now or datetime.now(timezone.utc).replace(tzinfo=None)
     start = now
@@ -97,6 +107,16 @@ def incremental_sync_batch(
         issue_cols = changes.drop("change_type")
         sinks.append_issue_deltas(issue_cols, f"{out_root}/issues")
         sinks.append_commit_log(issue_cols, f"{out_root}/commit_log")
+        if edges_dir is not None:
+            from jira_cdc_git_spark.operators.jira import link_edges_frame
+
+            sinks.write_edges(
+                link_edges_frame(issue_cols), edges_dir, mode="append"
+            )
+        if git_repos_root is not None:
+            from jira_cdc_git_spark.sinks_git import materialize_fan_out
+
+            materialize_fan_out(issue_cols, git_repos_root)
         store.merge(spark, issue_cols, now)
         store.record_operation(
             spark, "incremental", "completed", start, now, counts
@@ -104,6 +124,67 @@ def incremental_sync_batch(
         return counts
     finally:
         changes.unpersist()
+
+
+def run_incremental_sync(
+    spark: SparkSession,
+    base_url: str,
+    jql: str,
+    store: SyncStateStore,
+    out_root: str,
+    *,
+    distributed: bool = False,
+    page_size: int | None = None,
+    limiter=None,
+    token: str | None = None,
+    max_concurrent: int | None = None,
+    delay_ms: int | None = None,
+    now: datetime | None = None,
+    force: bool = False,
+    dry_run: bool = False,
+    write_edges: bool = True,
+    git_repos_root: str | None = None,
+) -> dict[str, int]:
+    """The reference's whole incremental loop composed end-to-end
+    (internal/sync/incremental.go:298-363 driving pkg/client/client.go:
+    150-191): rate-limited REST fetch of the JQL's issues → C1 change
+    filter against sync state → partitioned issue deltas + S9 edges + S8
+    commit log + C5 state MERGE + C6 history, all through the shared
+    ``incremental_sync_batch`` body. Re-running with unchanged upstream
+    syncs nothing; bumping N issues' ``updated`` syncs exactly N (C4).
+
+    distributed=True fetches pages inside executors (the 100 TB-ingest
+    shape: fetch parallelism == ``max_concurrent`` partitioned tasks);
+    the default driver-paged path matches the reference's single client.
+    The JQL string is pushed through ``optimize_query`` before hitting
+    the server, exactly as BuildEpicQuery does (jira_builder.go:195-234).
+    """
+    from jira_cdc_git_spark.sources import jira_rest as JR
+
+    kw: dict = {"token": token}
+    if page_size is not None:
+        kw["page_size"] = page_size
+    if distributed:
+        if max_concurrent is not None:
+            kw["max_concurrent"] = max_concurrent
+        if delay_ms is not None:
+            kw["delay_ms"] = delay_ms
+    elif limiter is not None:
+        kw["limiter"] = limiter
+    issues = JR.search_query(
+        spark, base_url, jql, distributed=distributed, **kw
+    )
+    return incremental_sync_batch(
+        spark,
+        issues,
+        store,
+        out_root,
+        now=now,
+        force=force,
+        dry_run=dry_run,
+        edges_dir=f"{out_root}/edges" if write_edges else None,
+        git_repos_root=git_repos_root,
+    )
 
 
 def run_incremental_stream(

@@ -80,3 +80,59 @@ def test_yaml_round_trip_from_materialized_repo(spark, fifty, tmp_path):
     keys_out = {r["key"] for r in back.select("key").collect()}
     assert keys_in == keys_out
     assert back.filter(F.col("status_name").isNull()).count() == 0
+
+
+def test_fan_out_one_repo_per_project(spark, sf_dir, tmp_path):
+    """Round-3 verdict task 4: per-project git fan-out. A multi-project
+    batch materializes into one repo per project via executor-side
+    fast-import; per-repo git log counts match per-project issue counts."""
+    import os
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("project_key").orderBy("key")
+    df = (
+        FX.issues(spark, sf_dir)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 20)
+        .drop("__rn")
+        .cache()
+    )
+    df.count()
+    per_project = {
+        r["project_key"]: r["n"]
+        for r in df.groupBy("project_key").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(per_project) >= 2, "fixture must span several projects"
+    root = str(tmp_path / "repos")
+    counts = sinks_git.materialize_fan_out(df, root)
+    assert counts == per_project
+    for project, n in per_project.items():
+        repo = os.path.join(root, project)
+        subjects = sinks_git.git_log_subjects(repo)
+        assert len(subjects) == n
+        assert all(SUBJECT_RE.match(s) for s in subjects), subjects[:3]
+        # every commit in this repo belongs to this project
+        assert all(f"({project})" in s for s in subjects)
+    df.unpersist()
+
+
+def test_fan_out_rerun_appends(spark, sf_dir, tmp_path):
+    """Incremental batches APPEND: a second fan-out run grafts onto each
+    repo's branch tip instead of fast-import refusing the rewrite."""
+    df = FX.issues(spark, sf_dir).orderBy("key").cache()
+    first = df.limit(30)
+    second = (
+        df.join(first.select("key").withColumnRenamed("key", "__k"),
+                F.col("key") == F.col("__k"), "left_anti")
+        .limit(20)
+    )
+    root = str(tmp_path / "repos")
+    c1 = sinks_git.materialize_fan_out(first, root)
+    c2 = sinks_git.materialize_fan_out(second, root)
+    import os
+
+    for project in set(c1) | set(c2):
+        got = len(sinks_git.git_log_subjects(os.path.join(root, project)))
+        assert got == c1.get(project, 0) + c2.get(project, 0)
+    df.unpersist()

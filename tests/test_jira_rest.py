@@ -16,7 +16,7 @@ from jira_cdc_git_spark.sources import jira_rest as JR
 N_ISSUES = 250
 
 
-def _mock_issue(i: int) -> dict:
+def _mock_issue(i: int, bumped=()) -> dict:
     key = f"PROJ-{i}"
     fields = {
         "summary": f"Issue {key}",
@@ -27,7 +27,9 @@ def _mock_issue(i: int) -> dict:
         else {"displayName": f"user{i % 5}", "emailAddress": f"user{i % 5}@example.com"},
         "reporter": {"displayName": "rep", "emailAddress": "rep@example.com"},
         "created": "2024-01-01T10:00:00.000Z",
-        "updated": f"2024-02-0{1 + i % 9}T10:00:00.000+0000",
+        "updated": "2024-03-01T09:00:00.000+0000"
+        if i in bumped
+        else f"2024-02-0{1 + i % 9}T10:00:00.000+0000",
         "priority": {"name": "High"},
         "issuetype": {"name": "Story" if i % 2 else "Bug"},
         "project": {"key": "PROJ"},
@@ -69,7 +71,10 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(b"rate limited")
             return
-        issues = [_mock_issue(i) for i in range(start, min(start + maxr, N_ISSUES))]
+        issues = [
+            _mock_issue(i, st.get("bumped", ()))
+            for i in range(start, min(start + maxr, N_ISSUES))
+        ]
         body = json.dumps(
             {"startAt": start, "maxResults": maxr, "total": N_ISSUES, "issues": issues}
         ).encode()
@@ -227,3 +232,65 @@ def test_search_query_pushes_optimized_jql(spark, mock_jira):
     q = J.parse('status = Done AND project = PROJ')
     JR.search_query(spark, url, q, limiter=_fast_limiter()).count()
     assert state["jql"] == "project = PROJ AND status = Done ORDER BY key ASC"
+
+
+def test_run_incremental_sync_end_to_end(spark, mock_jira, tmp_path):
+    """Round-3 verdict task 3: the composed live-sync loop. First run syncs
+    all 250 mock issues; an unchanged re-run syncs 0; bumping 10 issues'
+    `updated` upstream syncs exactly those 10 (state-filtered). Issues,
+    edges, commit log and sync history all reflect the runs."""
+    from datetime import datetime as DT
+
+    from jira_cdc_git_spark.sinks import latest_issues, read_commit_log
+    from jira_cdc_git_spark.state import SyncStateStore
+    from jira_cdc_git_spark.streaming.pipeline import run_incremental_sync
+
+    url, state = mock_jira
+    store = SyncStateStore(str(tmp_path / "state"))
+    out_root = str(tmp_path / "out")
+
+    repos_root = str(tmp_path / "repos")
+    c1 = run_incremental_sync(
+        spark, url, "project = PROJ", store, out_root,
+        limiter=_fast_limiter(), now=DT(2024, 2, 15),
+        git_repos_root=repos_root,
+    )
+    assert c1["total"] == N_ISSUES and c1["new"] == N_ISSUES
+    assert latest_issues(spark, f"{out_root}/issues").count() == N_ISSUES
+    assert read_commit_log(spark, f"{out_root}/commit_log").count() == N_ISSUES
+    # edges: every issue with an epic_link / parent / subtask / typed link
+    edges = spark.read.parquet(f"{out_root}/edges")
+    assert edges.filter(F.col("link_type") == "epic").count() > 0
+    assert edges.filter(F.col("link_type") == "blocks").count() > 0
+    # the JQL was optimized before being pushed to the server
+    assert "ORDER BY" in state["jql"]
+
+    # unchanged upstream → nothing to sync
+    c2 = run_incremental_sync(
+        spark, url, "project = PROJ", store, out_root,
+        limiter=_fast_limiter(), now=DT(2024, 2, 16),
+    )
+    assert c2["total"] == 0
+
+    # bump 10 issues server-side → exactly those 10 sync as 'updated'
+    state["bumped"] = set(range(0, 100, 10))
+    c3 = run_incremental_sync(
+        spark, url, "project = PROJ", store, out_root,
+        limiter=_fast_limiter(), now=DT(2024, 3, 2),
+        git_repos_root=repos_root,
+    )
+    assert c3["total"] == 10 and c3["new"] == 0
+    # S8: the per-project repo holds one commit per synced issue-version
+    from jira_cdc_git_spark.sinks_git import git_log_subjects
+
+    assert len(git_log_subjects(f"{repos_root}/PROJ")) == N_ISSUES + 10
+    assert read_commit_log(spark, f"{out_root}/commit_log").count() == N_ISSUES + 10
+    # latest-wins view still one row per key, with the bumped timestamps
+    latest = latest_issues(spark, f"{out_root}/issues")
+    assert latest.count() == N_ISSUES
+    assert (
+        latest.filter(F.col("updated") == DT(2024, 3, 1, 9, 0, 0)).count() == 10
+    )
+    # C6 history: three completed incremental ops recorded
+    hist = store.history(spark).filter(F.col("type") == "incremental")
+    assert hist.count() == 3
