@@ -225,7 +225,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Shared DuckDB CTE block for the word-shingle LSH near-dup pipeline —
 # consumed by both neardup_pairs_lsh and the composed corpus_retention.
-_LSH_CTES = """toks AS (
+# The minhash/band stanzas are GENERATED from the operator's own
+# NUM_HASHES/BANDS/ROWS_PER_BAND constants so retuning the banding
+# (r4: 4×2 → 8×4 after the sf1 scale probe showed quadratic candidate
+# growth) changes Spark and oracle in lockstep.
+_MH_COLS = ",\n                   ".join(
+    f"list_min(list_transform(shs, x -> md5('{s}:' || x))) AS mh_{s}"
+    for s in range(T.NUM_HASHES)
+)
+_BAND_SELECTS = "\n            UNION ALL\n            ".join(
+    "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_key"
+    " FROM sigs".format(
+        b=b,
+        cols=", ".join(
+            f"mh_{b * T.ROWS_PER_BAND + r}" for r in range(T.ROWS_PER_BAND)
+        ),
+    )
+    for b in range(T.BANDS)
+)
+_LSH_CTES = f"""toks AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
         ), sets AS (
             SELECT doc_id, list_distinct(
@@ -236,23 +254,10 @@ _LSH_CTES = """toks AS (
             FROM toks
         ), sigs AS (
             SELECT doc_id, shs,
-                   list_min(list_transform(shs, x -> md5('0:' || x))) AS mh_0,
-                   list_min(list_transform(shs, x -> md5('1:' || x))) AS mh_1,
-                   list_min(list_transform(shs, x -> md5('2:' || x))) AS mh_2,
-                   list_min(list_transform(shs, x -> md5('3:' || x))) AS mh_3,
-                   list_min(list_transform(shs, x -> md5('4:' || x))) AS mh_4,
-                   list_min(list_transform(shs, x -> md5('5:' || x))) AS mh_5,
-                   list_min(list_transform(shs, x -> md5('6:' || x))) AS mh_6,
-                   list_min(list_transform(shs, x -> md5('7:' || x))) AS mh_7
+                   {_MH_COLS}
             FROM sets
         ), bands AS (
-            SELECT doc_id, 0 AS band, md5(concat_ws('|', mh_0, mh_1)) AS band_key FROM sigs
-            UNION ALL
-            SELECT doc_id, 1, md5(concat_ws('|', mh_2, mh_3)) FROM sigs
-            UNION ALL
-            SELECT doc_id, 2, md5(concat_ws('|', mh_4, mh_5)) FROM sigs
-            UNION ALL
-            SELECT doc_id, 3, md5(concat_ws('|', mh_6, mh_7)) FROM sigs
+            {_BAND_SELECTS}
         ), cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
@@ -1668,14 +1673,10 @@ _ORACLES["minhash_accuracy_report"] = f"""
                len(list_intersect(sa.shs, sb.shs)) * 1.0
                  / (len(sa.shs) + len(sb.shs)
                     - len(list_intersect(sa.shs, sb.shs))) AS exact,
-               ((CASE WHEN ga.mh_0 = gb.mh_0 THEN 1 ELSE 0 END)
-                + (CASE WHEN ga.mh_1 = gb.mh_1 THEN 1 ELSE 0 END)
-                + (CASE WHEN ga.mh_2 = gb.mh_2 THEN 1 ELSE 0 END)
-                + (CASE WHEN ga.mh_3 = gb.mh_3 THEN 1 ELSE 0 END)
-                + (CASE WHEN ga.mh_4 = gb.mh_4 THEN 1 ELSE 0 END)
-                + (CASE WHEN ga.mh_5 = gb.mh_5 THEN 1 ELSE 0 END)
-                + (CASE WHEN ga.mh_6 = gb.mh_6 THEN 1 ELSE 0 END)
-                + (CASE WHEN ga.mh_7 = gb.mh_7 THEN 1 ELSE 0 END)) / 8.0
+               ({" + ".join(
+                   f"(CASE WHEN ga.mh_{s} = gb.mh_{s} THEN 1 ELSE 0 END)"
+                   for s in range(T.NUM_HASHES)
+               )}) / {T.NUM_HASHES}.0
                  AS est
         FROM cand c
         JOIN sets sa ON sa.doc_id = c.doc_a
@@ -1703,7 +1704,10 @@ _ORACLES["semdedup"] = """
     ), e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM corpus
     ), cents AS (
-        SELECT vec_id AS cent_id, emb AS ce FROM e ORDER BY vec_id LIMIT 16
+        -- K = ceil(sqrt(N/2)): same adaptive centroid count as the Spark
+        -- side (semdedup docstring — N^1.5 total work instead of N²)
+        SELECT vec_id AS cent_id, emb AS ce FROM e ORDER BY vec_id
+        LIMIT (SELECT CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT) FROM corpus)
     ), assigned AS (
         SELECT vec_id, emb, cent_id AS cluster_id
         FROM (SELECT e.vec_id, e.emb, c.cent_id,

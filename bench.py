@@ -203,6 +203,21 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # ---- sf1 scale probe (VERDICT r3 task 6) ----------------------------
+    # Replicate the bench SF 10× with key-shifted tenants + Caesar-rotated
+    # text (scaleprobe.build_scaled_dir) and run the heavy / pair-
+    # generating queries once each. `ratio` is sf1_sec / sf0.1_sec on 10×
+    # data — linear scaling shows as <=10 (fixed overheads amortize, so
+    # healthy operators land 2-4×); anything >10 is superlinear candidate
+    # growth. sf1 timings are single-run (the sf-dir timings above are
+    # min-of-2), so ratios carry ~1s of codegen noise and read high.
+    scale_probe: dict[str, object] = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        try:
+            scale_probe = _run_scale_probe(spark, sf_dir, sf, timings)
+        except Exception as exc:  # never let the probe sink the bench
+            scale_probe = {"error": f"{type(exc).__name__}: {exc}"}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -213,9 +228,70 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "sync": sync,
+                "sf1": scale_probe,
             }
         )
     )
+
+
+#: heavy / pair-generating / iterative queries probed at 10× scale
+SCALE_PROBE_QUERIES = [
+    "pricing_summary",
+    "neardup_pairs_lsh",
+    "ngram_jaccard_pairs",
+    "simhash_neardup_pairs",
+    "boilerplate_ngrams",
+    "pmi_topk",
+    "minhash_accuracy_report",
+    "neardup_clusters",
+    "corpus_retention_clustered",
+    "tfidf_topk",
+    "sessionize",
+    "range_join_concurrency",
+    "pagerank_links",
+    "cosine_topk",
+    "semdedup",
+    "embedding_neardup",
+    "fuzzy_match_entities",
+    "epic_hierarchy",
+]
+
+
+def _run_scale_probe(spark, sf_dir: str, sf, timings: dict[str, float]) -> dict:
+    import time as _t
+
+    from jira_cdc_git_spark.scaleprobe import build_scaled_dir
+
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    out_dir = f"/tmp/spark_graft_scaleprobe_sf{sf}x{factor}"
+    marker = os.path.join(out_dir, "_SCALEPROBE_OK")
+    t0 = _t.perf_counter()
+    if not os.path.exists(marker):
+        build_scaled_dir(spark, sf_dir, out_dir, factor=factor)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    gen_sec = round(_t.perf_counter() - t0, 3)
+
+    qs = E.queries()
+    probed: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    for name in SCALE_PROBE_QUERIES:
+        spark.catalog.clearCache()
+        t0 = _t.perf_counter()
+        qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+        dt = round(_t.perf_counter() - t0, 3)
+        probed[name] = dt
+        base = timings.get(name)
+        if base:
+            ratios[name] = round(dt / base, 2)
+    return {
+        "sf": (sf or 0) * factor,
+        "factor": factor,
+        "gen_sec": gen_sec,
+        "queries": probed,
+        "ratio_vs_base": ratios,
+        "max_ratio": max(ratios.values()) if ratios else None,
+    }
 
 
 if __name__ == "__main__":

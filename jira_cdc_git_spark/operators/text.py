@@ -16,12 +16,18 @@ from jira_cdc_git_spark.sources.registry import load_table, load_table_spread
 
 from jira_cdc_git_spark.materialize import materialize
 
-# 8 hashes in 4 bands of 2: for a pair with Jaccard j, P(candidate) =
-# 1-(1-j²)⁴ — 0.98 at j=0.8, ~4e-5 for this corpus's unrelated-pair mass
-# (word-3-gram j≈0.001). Better recall than the classic 16/4×4 point
-# (0.88 at j=0.8) at HALF the hashing cost.
-NUM_HASHES = 8
-BANDS = 4
+# 32 hashes in 8 bands of 4: for a pair with Jaccard j, P(candidate) =
+# 1-(1-j⁴)⁸ — 0.985 at j=0.8 (recall ≥ the old 4×2 config's 0.983), but
+# far more selective below the threshold: j=0.5 collides at 0.40 vs
+# 0.68 for 4×2, j=0.3 at 0.063 vs 0.31. On THIS synthetic corpus both
+# configs grow candidates linearly (sf1 probe: 1.5k→14.5k for 4×2,
+# 1.8k→18.3k for 8×4 on 10× docs); the 4-row keys are for the real-
+# corpus case, where boilerplate-heavy moderate-j (0.4-0.6) pair mass
+# dominates and a 68%-per-pair collision rate degenerates toward
+# all-pairs. Hashing cost is 4× but stays a narrow per-row transform
+# over the materialized shingle arrays.
+NUM_HASHES = 32
+BANDS = 8
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
@@ -70,9 +76,10 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     verification — the scalable near-dedup pipeline:
 
       shingle (word 3-grams, distinct, one array column per doc)
-        → 8 md5 minhashes per doc (narrow array_min over seeded md5 —
-          no explode, no groupBy)
-        → 4 bands of 2 hashes; band_key = md5(mh0|mh1) etc.
+        → NUM_HASHES md5 minhashes per doc (narrow array_min over
+          seeded md5 — no explode, no groupBy)
+        → BANDS bands of ROWS_PER_BAND hashes;
+          band_key = md5(mh0|..|mh{r-1}) etc.
         → candidate pairs = self-join on (band, band_key)   [the LSH trick:
           no O(n²) compare; only docs colliding in a band meet]
         → verify candidates with exact shingle-set Jaccard ≥ threshold.

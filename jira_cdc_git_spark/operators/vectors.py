@@ -347,7 +347,7 @@ def semdedup(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space, compare pairs ONLY within a cluster, and drop the
@@ -369,7 +369,20 @@ def semdedup(
 
     100 TB shape: one narrow assignment pass (centroids broadcast), one
     self-join shuffled on cluster_id (bounded groups, AQE-splittable),
-    one aggregated drop-set anti-joined back. Never all-pairs."""
+    one aggregated drop-set anti-joined back. Never all-pairs.
+
+    K SCALES WITH THE CORPUS: n_centroids defaults to ceil(sqrt(N/2)) —
+    the balance point where assignment cost O(N·K) equals within-cluster
+    pairwise cost O(N²/K), so total work grows as N^1.5 (≈3.2× per 10×
+    data) instead of N². The r4 sf1 scale probe caught the fixed-K=16
+    version at 69× on 10× vectors: cluster populations grew linearly
+    with the corpus and the pairwise join went quadratic. (SemDeDup
+    itself scales K with corpus size — 50k clusters for 134M
+    embeddings.) The one count() this costs is a parquet-metadata scan;
+    the DuckDB oracle mirrors the same ceil(sqrt(count/2)) in a
+    LIMIT-subquery so both engines derive identical centroids."""
+    import math
+
     emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
     clones = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -379,6 +392,17 @@ def semdedup(
         ).alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    if n_centroids is None:
+        # N from the RAW table (one narrow vec_id scan — counting the
+        # spread/repartitioned corpus frame would pay a full shuffle)
+        raw = load_table(spark, "embeddings", sf_dir)
+        c = raw.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("vec_id") % 10 == 0).cast("long")).alias("clones"),
+        ).collect()[0]
+        n_centroids = max(
+            1, math.ceil(math.sqrt((c["n"] + c["clones"]) / 2.0))
+        )
     cents = (
         corpus.orderBy("vec_id")
         .limit(n_centroids)

@@ -70,6 +70,40 @@ def compact_issues(spark: SparkSession, path: str) -> None:
     shutil.rmtree(bak)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str] | None = None,
+    n_buckets: int = 16,
+) -> None:
+    """Bucketed + sorted external parquet table — the co-located-join
+    layout for the CDC hot path at 100 TB.
+
+    The incremental loop joins issues ⋈ sync_state on ``key`` every
+    batch (J5, state.py); with both sides written through this sink at
+    the SAME bucket count, Catalyst plans that join as a SortMergeJoin
+    with ZERO Exchange on either side (bucket pruning also applies to
+    point lookups on the bucket column). At 100 TB that deletes the
+    largest recurring shuffle in the pipeline — each batch re-reads
+    co-located buckets instead of re-hashing the full issue corpus.
+    Locked by tests/test_plan_shapes.py::test_bucketed_join_no_shuffle.
+
+    Bucketing metadata lives in the session catalog (saveAsTable), but
+    the data is external parquet at ``path`` — dropping the catalog
+    entry keeps the files readable as a plain parquet directory.
+    """
+    cols = bucket_cols or ["key"]
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, cols[0], *cols[1:])
+        .sortBy(cols[0], *cols[1:])
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_edges(edges: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S9 — edge table partitioned like the symlink tree."""
     edges.write.mode(mode).partitionBy("link_type", "direction").parquet(path)

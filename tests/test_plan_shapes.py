@@ -351,3 +351,35 @@ def test_ivf_indexed_prunes_partitions(spark, sf_dir, tmp_path):
     ]
     got = [(r["vec_id"], r["cos_sim"]) for r in out.collect()]
     assert got == expected
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    # write_bucketed_table's contract: issues ⋈ state on `key`, both
+    # sides bucketed at the same count, plans as a SortMergeJoin with
+    # ZERO Exchange (the CDC hot path's recurring shuffle, deleted).
+    # Broadcast is disabled inside the test so the tiny sf0.001 tables
+    # can't hide bucketing behind a BroadcastHashJoin.
+    from jira_cdc_git_spark import fixtures as FX
+    from jira_cdc_git_spark.sinks import write_bucketed_table
+
+    issues = FX.issues_flat(spark, sf_dir).select("key", "updated", "status_name")
+    state = FX.sync_state(spark, sf_dir).select("key", "last_synced")
+    write_bucketed_table(issues, "bkt_issues", str(tmp_path / "bi"), n_buckets=8)
+    write_bucketed_table(state, "bkt_state", str(tmp_path / "bs"), n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_issues").join(spark.table("bkt_state"), "key")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # data contract intact: external files stay plain parquet
+        n_cat = j.count()
+        n_plain = (
+            issues.join(state, "key").count()
+        )
+        assert n_cat == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_issues")
+        spark.sql("DROP TABLE IF EXISTS bkt_state")

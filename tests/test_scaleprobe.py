@@ -1,0 +1,94 @@
+"""Scale-probe generator invariants (scaleprobe.build_scaled_dir):
+replica counts, key disjointness/join consistency, and text/embedding
+divergence across replicas — the properties the sf1 bench section
+depends on for honest ratios (a buggy replicator that clones text
+verbatim reads as quadratic candidate growth in the pair operators).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark.scaleprobe import STRIDE, build_scaled_dir
+
+SRC = "/root/testdata/sf0.001"
+FACTOR = 3
+
+
+@pytest.fixture(scope="module")
+def scaled_dir(spark):
+    out = tempfile.mkdtemp(prefix="scaleprobe_test_")
+    build_scaled_dir(spark, SRC, out, factor=FACTOR)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_fact_tables_replicate_dims_do_not(spark, scaled_dir):
+    for t in ("orders", "lineitem", "documents", "embeddings", "events"):
+        n_src = spark.read.parquet(f"{SRC}/{t}.parquet").count()
+        n_out = spark.read.parquet(f"{scaled_dir}/{t}.parquet").count()
+        assert n_out == FACTOR * n_src, t
+    for t in ("region", "nation"):
+        n_src = spark.read.parquet(f"{SRC}/{t}.parquet").count()
+        n_out = spark.read.parquet(f"{scaled_dir}/{t}.parquet").count()
+        assert n_out == n_src, t
+
+
+def test_keys_stay_unique_and_joins_stay_consistent(spark, scaled_dir):
+    orders = spark.read.parquet(f"{scaled_dir}/orders.parquet")
+    assert orders.select("o_orderkey").distinct().count() == orders.count()
+    # every lineitem still finds its order, and only within its replica
+    li = spark.read.parquet(f"{scaled_dir}/lineitem.parquet")
+    orphans = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+    assert orphans.count() == 0
+    # every order still finds its customer
+    cust = spark.read.parquet(f"{scaled_dir}/customer.parquet")
+    assert (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti").count()
+        == 0
+    )
+
+
+def test_replica_text_diverges_but_structure_survives(spark, scaled_dir):
+    docs = spark.read.parquet(f"{scaled_dir}/documents.parquet")
+    base = docs.withColumn("base_id", F.col("doc_id") % STRIDE).withColumn(
+        "replica", (F.col("doc_id") / STRIDE).cast("long")
+    )
+    # same base doc: equal length in every replica (Caesar is 1:1) ...
+    per_base = base.groupBy("base_id").agg(
+        F.countDistinct("n_chars").alias("n_lens"),
+        F.countDistinct("text").alias("n_texts"),
+        F.count("*").alias("n"),
+    )
+    assert per_base.filter(F.col("n_lens") != 1).count() == 0
+    # ... but the text itself differs in every replica (no cloned twins)
+    assert per_base.filter(
+        (F.col("n") == FACTOR) & (F.col("n_texts") != FACTOR)
+    ).count() == 0
+
+
+def test_embeddings_rotate_but_keep_norm(spark, scaled_dir):
+    emb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        )
+    )
+    base = emb.withColumn("base_id", F.col("vec_id") % STRIDE).withColumn(
+        "n2", F.round(norm, 4)
+    )
+    per_base = base.groupBy("base_id").agg(
+        F.countDistinct("n2").alias("n_norms"),
+        F.countDistinct(F.col("embedding").cast("string")).alias("n_vecs"),
+        F.count("*").alias("n"),
+    )
+    # rotation preserves the norm exactly ...
+    assert per_base.filter(F.col("n_norms") != 1).count() == 0
+    # ... and decorrelates the replicas (distinct vectors per replica)
+    assert per_base.filter(
+        (F.col("n") == FACTOR) & (F.col("n_vecs") != FACTOR)
+    ).count() == 0
