@@ -63,6 +63,34 @@ def _recover_dir(live: str) -> None:
         os.replace(bak, live)
 
 
+def merge_updates(synced: DataFrame) -> DataFrame:
+    """Latest-per-key dedup + the MERGE update projection (u_key /
+    u_project / u_updated / u_checksum / u_path) — shared by the
+    join-rewrite MERGE below and the Delta ``MERGE INTO`` backend
+    (state_delta.py), so both upsert byte-identical values."""
+    w = Window.partitionBy("key").orderBy(F.col("updated").desc())
+    synced = (
+        synced.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return synced.select(
+        F.col("key").alias("u_key"),
+        F.col("project_key").alias("u_project"),
+        F.col("updated").alias("u_updated"),
+        F.sha2(
+            F.concat_ws("|", "key", "summary", F.col("status.name")), 256
+        ).alias("u_checksum"),
+        F.concat(
+            F.lit("projects/"),
+            F.col("project_key"),
+            F.lit("/issues/"),
+            F.col("key"),
+            F.lit(".yaml"),
+        ).alias("u_path"),
+    )
+
+
 class SyncStateStore:
     """Versioned parquet-backed sync_state + sync_history store."""
 
@@ -248,27 +276,7 @@ class SyncStateStore:
         deliveries (C4 at-least-once), and a multi-match key in a full-outer
         join would fan the state row out.
         """
-        w = Window.partitionBy("key").orderBy(F.col("updated").desc())
-        synced = (
-            synced.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        updates = synced.select(
-            F.col("key").alias("u_key"),
-            F.col("project_key").alias("u_project"),
-            F.col("updated").alias("u_updated"),
-            F.sha2(
-                F.concat_ws("|", "key", "summary", F.col("status.name")), 256
-            ).alias("u_checksum"),
-            F.concat(
-                F.lit("projects/"),
-                F.col("project_key"),
-                F.lit("/issues/"),
-                F.col("key"),
-                F.lit(".yaml"),
-            ).alias("u_path"),
-        )
+        updates = merge_updates(synced)
         touched = sorted(
             r["u_project"]
             for r in updates.select("u_project").distinct().collect()
