@@ -229,9 +229,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # NUM_HASHES/BANDS/ROWS_PER_BAND constants so retuning the banding
 # (r4: 4×2 → 8×4 after the sf1 scale probe showed quadratic candidate
 # growth) changes Spark and oracle in lockstep.
+from jira_cdc_git_spark.functions.text import MINHASH_PRIME, minhash_ab
+
+
+def _mh_col(s: int) -> str:
+    """One affine minhash column over the pre-digested xs array — the
+    DuckDB mirror of functions.text.affine_min (same a/b/p constants)."""
+    a, b = minhash_ab(s)
+    return (
+        f"list_min(list_transform(xs, v -> (v * {a} + {b})"
+        f" % {MINHASH_PRIME})) AS mh_{s}"
+    )
+
+
+#: one md5 digest per shingle folded to 32 bits — mirror of hex32
+_XS_EXPR = (
+    "list_transform(shs, x -> (('0x' || substr(md5(x), 1, 8)))::BIGINT)"
+)
+
 _MH_COLS = ",\n                   ".join(
-    f"list_min(list_transform(shs, x -> md5('{s}:' || x))) AS mh_{s}"
-    for s in range(T.NUM_HASHES)
+    _mh_col(s) for s in range(T.NUM_HASHES)
 )
 _BAND_SELECTS = "\n            UNION ALL\n            ".join(
     "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_key"
@@ -246,12 +263,13 @@ _BAND_SELECTS = "\n            UNION ALL\n            ".join(
 _LSH_CTES = f"""toks AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
         ), sets AS (
-            SELECT doc_id, list_distinct(
+            SELECT doc_id, shs, {_XS_EXPR} AS xs
+            FROM (SELECT doc_id, list_distinct(
                 CASE WHEN len(t) >= 3
                      THEN list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
                                          i -> array_to_string(t[i:i+2], ' '))
                      ELSE [] END) AS shs
-            FROM toks
+            FROM toks) s0
         ), sigs AS (
             SELECT doc_id, shs,
                    {_MH_COLS}
@@ -1083,23 +1101,24 @@ _ORACLES: dict[str, str] = {
                  AS subwords_per_word
         FROM t
     """,
-    "ngram_jaccard_pairs": """
+    "ngram_jaccard_pairs": f"""
         WITH d AS (
             SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
             FROM documents
         ), sets AS (
-            SELECT doc_id, list_distinct(
+            SELECT doc_id, shs, {_XS_EXPR} AS xs
+            FROM (SELECT doc_id, list_distinct(
                 CASE WHEN length(t) >= 10
                      THEN list_transform(generate_series(1, CAST(length(t) AS INTEGER) - 9, 2),
                                          i -> substr(t, CAST(i AS INTEGER), 10))
                      ELSE [] END) AS shs
-            FROM d
+            FROM d) s0
         ), sigs AS (
             SELECT doc_id, shs,
-                   list_min(list_transform(shs, x -> md5('0:' || x))) AS mh0,
-                   list_min(list_transform(shs, x -> md5('1:' || x))) AS mh1,
-                   list_min(list_transform(shs, x -> md5('2:' || x))) AS mh2,
-                   list_min(list_transform(shs, x -> md5('3:' || x))) AS mh3
+                   {_mh_col(0).replace(" AS mh_0", " AS mh0")},
+                   {_mh_col(1).replace(" AS mh_1", " AS mh1")},
+                   {_mh_col(2).replace(" AS mh_2", " AS mh2")},
+                   {_mh_col(3).replace(" AS mh_3", " AS mh3")}
             FROM sets
         ), blocks AS (
             SELECT doc_id, unnest([md5(concat_ws('|', mh0, mh1)),

@@ -95,6 +95,40 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+#: modulus of the affine minhash family (Mersenne prime 2^31-1)
+MINHASH_PRIME = 2147483647
+
+
+def hex32(x: Column) -> Column:
+    """First 8 hex chars of md5(x) as a BIGINT in [0, 2^32): ONE digest
+    per element, from which the entire minhash family derives by affine
+    arithmetic (minhash_ab) — 32 hash functions for the price of one
+    md5. DuckDB mirror: ``(('0x' || substr(md5(x),1,8)))::BIGINT``."""
+    return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+
+
+def minhash_ab(seed: int) -> tuple[int, int]:
+    """Deterministic per-seed affine params for h_s(x) = (a·x + b) mod p
+    (Carter-Wegman universal hashing — the standard minhash family).
+    a is odd and < 2^30 so a·x + b stays inside int64 for x < 2^32;
+    the Knuth multiplier spreads consecutive seeds."""
+    a = ((2654435761 * (seed + 1)) % (1 << 30)) | 1
+    b = (40503 * (seed + 7)) % MINHASH_PRIME
+    return a, b
+
+
+def affine_min(xs: Column, seed: int) -> Column:
+    """array_min of the seed-th affine hash over a pre-digested BIGINT
+    array (see hex32) — the narrow per-row minhash with no repeated
+    digesting."""
+    a, b = minhash_ab(seed)
+
+    def _h(v: Column) -> Column:
+        return (v * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    return F.array_min(F.transform(xs, _h))
+
+
 def seeded_md5(seed: int):
     """Return a ONE-argument lambda for F.transform that md5-hashes an
     element under a seed prefix. Binding the seed via closure matters:

@@ -76,8 +76,9 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     verification — the scalable near-dedup pipeline:
 
       shingle (word 3-grams, distinct, one array column per doc)
-        → NUM_HASHES md5 minhashes per doc (narrow array_min over
-          seeded md5 — no explode, no groupBy)
+        → one md5 digest per shingle (32-bit fold), then NUM_HASHES
+          affine minhashes per doc (narrow array_min over (a·x+b) mod p
+          — no explode, no groupBy, no repeated digesting)
         → BANDS bands of ROWS_PER_BAND hashes;
           band_key = md5(mh0|..|mh{r-1}) etc.
         → candidate pairs = self-join on (band, band_key)   [the LSH trick:
@@ -96,15 +97,22 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     # tiny → AQE broadcasts it). materialize (eager, conf-selected): four consumers
     # share it, and a lazy cache re-derives the shingling per branch.
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    # xs = ONE md5 digest per shingle, folded to a 32-bit int and carried
+    # in the materialized frame — all NUM_HASHES minhashes then derive by
+    # affine arithmetic (TX.minhash_ab), so hashing cost is one digest
+    # per shingle instead of NUM_HASHES digests (32× less at this config)
     sets = docs.select(
-        "doc_id", TX.shingles(F.col("text"), 3).alias("shs")
-    ).transform(materialize)
+        "doc_id",
+        TX.shingles(F.col("text"), 3).alias("shs"),
+    ).withColumn("xs", F.transform(F.col("shs"), TX.hex32)).transform(
+        materialize
+    )
 
-    # minhash signatures NARROWLY: mh_s = array_min(md5('s:' || shingle))
+    # minhash signatures NARROWLY: mh_s = array_min((a_s·x + b_s) mod p)
     # per row — same values as a groupBy-min over the exploded table, zero
-    # shuffle. Bands fold 4 hashes each into one md5 band key.
+    # shuffle. Bands fold ROWS_PER_BAND hashes each into one md5 band key.
     mh = [
-        F.array_min(F.transform(F.col("shs"), TX.seeded_md5(s))).alias(f"mh_{s}")
+        TX.affine_min(F.col("xs"), s).alias(f"mh_{s}")
         for s in range(NUM_HASHES)
     ]
     sigs = sets.select("doc_id", *mh)
@@ -251,13 +259,14 @@ def ngram_jaccard_pairs(
     # cache wins the race — materializing once cuts the op ~3×
     sets = docs.select(
         "doc_id", TX.char_shingles(F.col("text"), n, stride=2).alias("shs")
-    ).transform(materialize)
-    # min-hashes computed NARROWLY per row (array_min over a transform) —
+    ).withColumn("xs", F.transform(F.col("shs"), TX.hex32)).transform(
+        materialize
+    )
+    # min-hashes computed NARROWLY per row (array_min over a transform,
+    # one md5 digest per shingle + affine family — see neardup_pairs_lsh);
     # no explode, no groupBy; the only shuffles are the block self-join and
     # the candidate-scoped set lookups
-    mh = [
-        F.array_min(F.transform(F.col("shs"), TX.seeded_md5(s))) for s in range(4)
-    ]
+    mh = [TX.affine_min(F.col("xs"), s) for s in range(4)]
     bk = [
         F.md5(F.concat_ws("|", mh[0], mh[1])),
         F.md5(F.concat_ws("|", mh[2], mh[3])),
@@ -1483,10 +1492,13 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     — candidate-scoped, never all-pairs."""
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
     sets = docs.select(
-        "doc_id", TX.shingles(F.col("text"), 3).alias("shs")
-    ).transform(materialize)
+        "doc_id",
+        TX.shingles(F.col("text"), 3).alias("shs"),
+    ).withColumn("xs", F.transform(F.col("shs"), TX.hex32)).transform(
+        materialize
+    )
     mh = [
-        F.array_min(F.transform(F.col("shs"), TX.seeded_md5(s))).alias(f"mh_{s}")
+        TX.affine_min(F.col("xs"), s).alias(f"mh_{s}")
         for s in range(NUM_HASHES)
     ]
     sigs = sets.select("doc_id", F.array(*mh).alias("sig")).transform(materialize)

@@ -400,8 +400,9 @@ def semdedup(
             F.count("*").alias("n"),
             F.sum((F.col("vec_id") % 10 == 0).cast("long")).alias("clones"),
         ).collect()[0]
+        # sum() over an empty table is NULL — treat as zero clones
         n_centroids = max(
-            1, math.ceil(math.sqrt((c["n"] + c["clones"]) / 2.0))
+            1, math.ceil(math.sqrt((c["n"] + (c["clones"] or 0)) / 2.0))
         )
     cents = (
         corpus.orderBy("vec_id")
