@@ -123,24 +123,14 @@ def affine_min(xs: Column, seed: int) -> Column:
     digesting."""
     a, b = minhash_ab(seed)
 
+    # a/b bound via CLOSURE on purpose: a `lambda v, a=a, b=b:` has
+    # arity 3 and F.transform silently treats ≥2-arg callables as the
+    # (element, index) form — the constants would become the index
+    # Column and every seed would degenerate to the same hash family.
     def _h(v: Column) -> Column:
         return (v * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
 
     return F.array_min(F.transform(xs, _h))
-
-
-def seeded_md5(seed: int):
-    """Return a ONE-argument lambda for F.transform that md5-hashes an
-    element under a seed prefix. Binding the seed via closure matters:
-    a `lambda x, s=s:` has arity 2, which F.transform silently treats as
-    the (element, index) form — the "seed" becomes the index Column and
-    every seed degenerates to the same hash family."""
-    prefix = f"{seed}:"
-
-    def _f(x: Column) -> Column:
-        return F.md5(F.concat(F.lit(prefix), x))
-
-    return _f
 
 
 def simhash64(text: Column) -> Column:
