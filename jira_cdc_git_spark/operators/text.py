@@ -71,6 +71,51 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_sets_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, shs, xs) from a (doc_id, text, ...) frame: distinct word
+    3-gram shingle sets plus their per-shingle 32-bit digests (TX.hex32,
+    ONE md5 per shingle — the whole minhash family derives from xs by
+    affine arithmetic). Shared by the batch LSH pipeline and its
+    stream-static twin so both hash identically."""
+    return docs.select(
+        "doc_id",
+        TX.shingles(F.col("text"), 3).alias("shs"),
+    ).withColumn("xs", F.transform(F.col("shs"), TX.hex32))
+
+
+def lsh_bands_frame(sets: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) rows from a shingle_sets_frame: NUM_HASHES
+    affine minhashes folded into BANDS md5 band keys. Narrow per-row
+    expressions — zero shuffle until someone joins on the band key."""
+    mh = [
+        TX.affine_min(F.col("xs"), s).alias(f"mh_{s}")
+        for s in range(NUM_HASHES)
+    ]
+    sigs = sets.select("doc_id", *mh)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
     """MinHash + LSH near-duplicate detection with exact-Jaccard
     verification — the scalable near-dedup pipeline:
@@ -97,44 +142,15 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.8) 
     # tiny → AQE broadcasts it). materialize (eager, conf-selected): four consumers
     # share it, and a lazy cache re-derives the shingling per branch.
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
-    # xs = ONE md5 digest per shingle, folded to a 32-bit int and carried
-    # in the materialized frame — all NUM_HASHES minhashes then derive by
-    # affine arithmetic (TX.minhash_ab), so hashing cost is one digest
-    # per shingle instead of NUM_HASHES digests (32× less at this config)
-    sets = docs.select(
-        "doc_id",
-        TX.shingles(F.col("text"), 3).alias("shs"),
-    ).withColumn("xs", F.transform(F.col("shs"), TX.hex32)).transform(
-        materialize
-    )
-
-    # minhash signatures NARROWLY: mh_s = array_min((a_s·x + b_s) mod p)
-    # per row — same values as a groupBy-min over the exploded table, zero
-    # shuffle. Bands fold ROWS_PER_BAND hashes each into one md5 band key.
-    mh = [
-        TX.affine_min(F.col("xs"), s).alias(f"mh_{s}")
-        for s in range(NUM_HASHES)
-    ]
-    sigs = sets.select("doc_id", *mh)
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(BANDS)
-        ]
-    )
+    # xs = ONE md5 digest per shingle carried in the materialized frame —
+    # all NUM_HASHES minhashes derive from it by affine arithmetic
+    # (shingle_sets_frame); minhash signatures stay NARROW per-row
+    # (array_min) — same values as a groupBy-min over the exploded table,
+    # zero shuffle. Bands fold ROWS_PER_BAND hashes into one md5 key.
+    sets = shingle_sets_frame(docs).transform(materialize)
     # eager: the self-join consumes bands on BOTH sides — without the
-    # checkpoint each side re-runs the 8 md5-minhash transforms
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    ).transform(materialize)
+    # checkpoint each side re-runs the minhash transforms
+    bands = lsh_bands_frame(sets).transform(materialize)
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -1491,12 +1507,7 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate is per-pair array math over the 8 carried signature columns
     — candidate-scoped, never all-pairs."""
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
-    sets = docs.select(
-        "doc_id",
-        TX.shingles(F.col("text"), 3).alias("shs"),
-    ).withColumn("xs", F.transform(F.col("shs"), TX.hex32)).transform(
-        materialize
-    )
+    sets = shingle_sets_frame(docs).transform(materialize)
     mh = [
         TX.affine_min(F.col("xs"), s).alias(f"mh_{s}")
         for s in range(NUM_HASHES)

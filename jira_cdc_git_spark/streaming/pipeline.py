@@ -754,3 +754,107 @@ def streaming_anomalies(
         .start()
         .awaitTermination()
     )
+
+
+def lsh_match_frame(
+    new_sets: DataFrame,
+    corpus_sets: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Shared body of stream-static LSH near-dup: band-join NEW shingle
+    sets (operators.text.shingle_sets_frame) against the STATIC corpus
+    bands, then verify candidates with exact shingle-set Jaccard.
+    Returns (new_doc_id, corpus_doc_id, jaccard). Used by both the
+    foreachBatch twin below and its batch-parity test, so streaming and
+    batch hash and verify identically."""
+    from jira_cdc_git_spark.operators.text import lsh_bands_frame
+
+    new_bands = lsh_bands_frame(new_sets)
+    cand = (
+        new_bands.join(corpus_bands, ["band", "band_key"])
+        .select(
+            new_bands["doc_id"].alias("new_doc_id"),
+            F.col("corpus_doc_id"),
+        )
+        .distinct()
+    )
+    sa = new_sets.select(
+        F.col("doc_id").alias("new_doc_id"), F.col("shs").alias("shs_a")
+    )
+    sb = corpus_sets.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("shs").alias("shs_b")
+    )
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        cand.join(sa, "new_doc_id")
+        .join(sb, "corpus_doc_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                n_inter / (F.size("shs_a") + F.size("shs_b") - n_inter), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc_id", "corpus_doc_id", "jaccard")
+    )
+
+
+def streaming_lsh_neardup(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    corpus_sf_dir: str,
+    threshold: float = 0.8,
+) -> None:
+    """Streaming twin of neardup_pairs_lsh, stream-static flavor: as new
+    documents arrive, shingle+minhash each micro-batch with the SAME
+    expressions as the batch pipeline (shingle_sets_frame /
+    lsh_bands_frame) and band-join it against the STATIC corpus band
+    table — 'is this newly-crawled document a near-dup of anything we
+    already hold', the incremental-curation gate that runs before a new
+    crawl batch is admitted to the training corpus.
+
+    The corpus sets/bands are derived once outside the stream and reused
+    across micro-batches; each batch shuffles only its own band rows
+    (the corpus side is a static frame AQE broadcasts when small). No
+    streaming state accrues — pure stream-static join, no watermark
+    (contrast streaming_exact_dedup, which dedups WITHIN the stream).
+    Matches append idempotently under replay (batch_id-deterministic
+    paths)."""
+    from jira_cdc_git_spark.materialize import materialize
+    from jira_cdc_git_spark.operators.text import (
+        lsh_bands_frame,
+        shingle_sets_frame,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    corpus_docs = load_table(spark, "documents", corpus_sf_dir)
+    corpus_sets = materialize(shingle_sets_frame(corpus_docs))
+    corpus_bands = materialize(
+        lsh_bands_frame(corpus_sets).withColumnRenamed(
+            "doc_id", "corpus_doc_id"
+        )
+    )
+
+    feed = spark.readStream.schema(schema).parquet(docs_dir)
+
+    def _match(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_sets = shingle_sets_frame(batch_df)
+        _append_batch_idempotent(
+            lsh_match_frame(new_sets, corpus_sets, corpus_bands, threshold),
+            out_dir,
+            batch_id,
+        )
+
+    (
+        feed.writeStream.foreachBatch(_match)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -678,3 +678,70 @@ def test_streaming_anomalies_replay_no_duplicates(spark, sf_dir, tmp_path):
     after = read_append_sink(spark, out_dir)
     assert after.count() == n_first
     assert after.select("event_id").distinct().count() == n_first
+
+
+def test_streaming_lsh_neardup_matches_corpus_and_batch_body(spark, sf_dir, tmp_path):
+    from pyspark.sql import types as ST
+
+    from jira_cdc_git_spark.materialize import materialize
+    from jira_cdc_git_spark.operators.text import (
+        lsh_bands_frame,
+        shingle_sets_frame,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        lsh_match_frame,
+        streaming_lsh_neardup,
+    )
+
+    # feed: 3 corpus docs with one word appended (still near-dups of the
+    # originals) + one novel word-soup document nothing resembles
+    corpus = load_table(spark, "documents", sf_dir)
+    clones = (
+        corpus.orderBy("doc_id")
+        .limit(3)
+        .select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extrasuffixword")).alias("text"),
+        )
+    )
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("text", ST.StringType()),
+        ]
+    )
+    novel = spark.createDataFrame(
+        [(9_999_999, "zzq qqz zqz " * 40)], schema
+    )
+    feed_df = clones.unionByName(novel)
+    docs_dir = str(tmp_path / "feed")
+    feed_df.write.parquet(docs_dir)
+
+    out_dir = str(tmp_path / "matches")
+    streaming_lsh_neardup(
+        spark, docs_dir, schema, str(tmp_path / "ckpt"), out_dir, sf_dir
+    )
+    got = {
+        (r["new_doc_id"], r["corpus_doc_id"]): r["jaccard"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # every clone matches its original with high jaccard...
+    for did in [r["doc_id"] for r in corpus.orderBy("doc_id").limit(3).collect()]:
+        assert (did + 5_000_000, did) in got
+        assert got[(did + 5_000_000, did)] >= 0.8
+    # ...and the novel doc matches nothing
+    assert not any(a == 9_999_999 for a, _ in got)
+
+    # batch parity: the stream's output equals the shared body run in batch
+    corpus_sets = materialize(shingle_sets_frame(corpus))
+    corpus_bands = lsh_bands_frame(corpus_sets).withColumnRenamed(
+        "doc_id", "corpus_doc_id"
+    )
+    expect = {
+        (r["new_doc_id"], r["corpus_doc_id"]): r["jaccard"]
+        for r in lsh_match_frame(
+            shingle_sets_frame(feed_df), corpus_sets, corpus_bands
+        ).collect()
+    }
+    assert got == expect
