@@ -446,7 +446,14 @@ def write_ivf_index(
     narrow assignment pass against broadcast deterministic centroids),
     so a query's n_probe clusters prune at the parquet-partition level —
     the scan never opens the other (n_centroids - n_probe)/n_centroids
-    of the data."""
+    of the data.
+
+    The centroid table is persisted INSIDE the index at ``_centroids``
+    (underscore-prefixed paths are invisible to Spark's data discovery,
+    so reads of ``path`` see only cluster partitions): the index is
+    self-describing, and upserts/queries use the exact centroids the
+    index was built with instead of re-deriving them from a corpus that
+    may have since grown."""
     emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
     cents = (
         emb.orderBy("vec_id")
@@ -464,6 +471,62 @@ def write_ivf_index(
         .partitionBy("cluster_id")
         .parquet(path)
     )
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def read_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
+    """The centroid table an index was built with (see write_ivf_index)."""
+    return spark.read.parquet(f"{path}/_centroids")
+
+
+def ivf_index_upsert(
+    spark: SparkSession, new_vectors: DataFrame, path: str
+) -> int:
+    """Incremental IVF index maintenance: assign a batch of NEW vectors
+    (vec_id, embedding[, label]) to the index's own stored centroids and
+    APPEND them to their cluster partitions — no rebuild, no touching
+    existing rows. This is how the ANN index keeps up with streaming
+    corpus admission (streaming_lsh_neardup's accepted docs): index
+    growth is one narrow assignment pass + an append into the handful
+    of touched partition directories.
+
+    IDEMPOTENT per batch: vec_ids already present in their target
+    cluster are anti-joined away first, so at-least-once delivery can't
+    duplicate index rows. The existence check is partition-scoped — it
+    reads ONLY the clusters this batch lands in (partition pruning on
+    the cluster_id IN (...) filter), never the whole index.
+
+    Returns the number of rows appended. New vectors do not shift
+    centroids — standard IVF posture (FAISS add() semantics); re-train
+    + rebuild with write_ivf_index when drift warrants it."""
+    cents = materialize(read_ivf_centroids(spark, path))
+    cols = ["vec_id", "label", "embedding", "cluster_id"]
+    batch = new_vectors
+    if "label" not in batch.columns:
+        batch = batch.withColumn("label", F.lit(None).cast("int"))
+    assigned = materialize(
+        _assign_clusters(batch, cents).select(*cols)
+    )
+    touched = [
+        r["cluster_id"]
+        for r in assigned.select("cluster_id").distinct().collect()
+    ]
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster_id").isin(touched))
+        .select("vec_id", "cluster_id")
+    )
+    fresh = materialize(
+        assigned.join(existing, ["vec_id", "cluster_id"], "left_anti")
+    )
+    n = fresh.count()
+    if n:
+        (
+            fresh.write.mode("append")
+            .partitionBy("cluster_id")
+            .parquet(path)
+        )
+    return n
 
 
 def ivf_topk_indexed(
@@ -472,25 +535,18 @@ def ivf_topk_indexed(
     index_path: str,
     query_vec_id: int = 0,
     k: int = 10,
-    n_centroids: int = 16,
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF top-k over the MATERIALIZED index: probe clusters are picked
-    from the (tiny, re-derived) centroid table, then the scan reads ONLY
+    from the (tiny, stored) centroid table, then the scan reads ONLY
     those cluster_id partitions — the cluster_id IN (...) literal filter
     lands in the parquet source's PartitionFilters (asserted by a plan
-    test), which is the entire point of the partitioned layout. Produces
-    the same result as the in-memory ivf_topk."""
+    test), which is the entire point of the partitioned layout. Probe
+    selection uses the centroids STORED WITH the index (the ones rows
+    were actually assigned under — immune to corpus growth since the
+    build); produces the same result as the in-memory ivf_topk."""
     emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
-    cents = (
-        emb.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_emb"),
-        )
-        .transform(materialize)
-    )
+    cents = materialize(read_ivf_centroids(spark, index_path))
     q = (
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("q_embedding"))

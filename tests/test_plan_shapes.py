@@ -383,3 +383,44 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_issues")
         spark.sql("DROP TABLE IF EXISTS bkt_state")
+
+
+def test_ivf_index_upsert_appends_and_is_idempotent(spark, sf_dir, tmp_path):
+    # incremental index maintenance contract: new vectors append into
+    # their assigned cluster partitions (no rebuild), a replayed batch
+    # appends nothing, and the appended clone of the query's nearest
+    # neighbor shows up in the indexed top-k
+    from jira_cdc_git_spark.operators import vectors as V
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    path = str(tmp_path / "ivf_index")
+    V.write_ivf_index(spark, sf_dir, path)
+    n0 = spark.read.parquet(path).count()
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    batch = emb.orderBy("vec_id").limit(4).select(
+        (F.col("vec_id") + 7_000_000).alias("vec_id"), "embedding"
+    )
+    n_new = V.ivf_index_upsert(spark, batch, path)
+    assert n_new == 4
+    assert spark.read.parquet(path).count() == n0 + 4
+    # replay: same batch appends nothing (at-least-once safety)
+    assert V.ivf_index_upsert(spark, batch, path) == 0
+    assert spark.read.parquet(path).count() == n0 + 4
+    # each appended row sits in the same cluster as its source vector
+    # (identical embedding → identical assignment)
+    idx = spark.read.parquet(path)
+    src = idx.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 7_000_000).alias("vec_id"),
+        F.col("cluster_id").alias("src_cluster"),
+    )
+    moved = (
+        idx.filter(F.col("vec_id") >= 7_000_000)
+        .join(src, "vec_id")
+        .filter(F.col("cluster_id") != F.col("src_cluster"))
+    )
+    assert moved.count() == 0
+    # the exact clone of vec 0 is vec 0's new nearest neighbor
+    top = V.ivf_topk_indexed(spark, sf_dir, path, query_vec_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 7_000_000
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-6
