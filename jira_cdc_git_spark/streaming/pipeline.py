@@ -858,3 +858,126 @@ def streaming_lsh_neardup(
         .start()
         .awaitTermination()
     )
+
+
+def admission_frame(
+    batch: DataFrame,
+    bench_grams: DataFrame,
+    corpus_sets: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Shared body of the corpus-admission gate: one verdict row per
+    candidate document, composing the two static-side checks every new
+    crawl batch must clear before touching the training corpus —
+
+      curate_frame   quality score + PII count + benchmark-contamination
+                     flags (stream-static broadcast join vs bench grams)
+      lsh_match_frame near-dup-vs-held-corpus (stream-static band join +
+                     exact-Jaccard verify)
+
+    admit = quality ∧ ¬contaminated ∧ ¬near_dup; rejects carry all three
+    flags plus a first-match reason, so the reject table doubles as the
+    curation audit (corpus_retention's posture, applied at the door).
+    Used verbatim by streaming_corpus_admission and its parity test."""
+    from jira_cdc_git_spark.operators.text import (
+        curate_frame,
+        shingle_sets_frame,
+    )
+
+    cur = curate_frame(batch, bench_grams)
+    dup = (
+        lsh_match_frame(
+            shingle_sets_frame(batch), corpus_sets, corpus_bands, threshold
+        )
+        .groupBy("new_doc_id")
+        .agg(F.max("jaccard").alias("max_corpus_jaccard"))
+        .withColumnRenamed("new_doc_id", "doc_id")
+    )
+    flag_dup = F.col("max_corpus_jaccard").isNotNull()
+    admit = (
+        F.col("keep_quality") & ~F.col("flag_contaminated") & ~flag_dup
+    )
+    return (
+        cur.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            "keep_quality",
+            "n_pii",
+            "flag_contaminated",
+            flag_dup.alias("flag_neardup"),
+            "max_corpus_jaccard",
+            admit.alias("admit"),
+            F.when(~F.col("keep_quality"), F.lit("low_quality"))
+            .when(F.col("flag_contaminated"), F.lit("contaminated"))
+            .when(flag_dup, F.lit("near_dup"))
+            .alias("reject_reason"),
+        )
+    )
+
+
+def streaming_corpus_admission(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    corpus_sf_dir: str,
+    bench_grams: DataFrame,
+    threshold: float = 0.8,
+) -> None:
+    """The end-to-end streaming admission pipeline for a training corpus:
+    new documents stream in, each micro-batch runs the composed gate
+    (admission_frame: quality + PII + decontamination + near-dup-vs-
+    corpus), and two idempotent sinks record the outcome —
+    ``{out_root}/verdicts`` (every candidate with flags and reason, the
+    audit trail) and ``{out_root}/admitted`` (the surviving documents,
+    ready for sharding/packing and ANN-index upsert).
+
+    All static sides (benchmark grams, corpus shingle sets, corpus
+    bands) are derived ONCE outside the stream; per batch the only
+    shuffles are the batch's own band join and gram-hit aggregation. No
+    watermark state — every check is stream-static, so replay safety is
+    purely the batch_id-deterministic append paths."""
+    from jira_cdc_git_spark.materialize import materialize
+    from jira_cdc_git_spark.operators.text import (
+        lsh_bands_frame,
+        shingle_sets_frame,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    corpus_docs = load_table(spark, "documents", corpus_sf_dir)
+    corpus_sets = materialize(shingle_sets_frame(corpus_docs))
+    corpus_bands = materialize(
+        lsh_bands_frame(corpus_sets).withColumnRenamed(
+            "doc_id", "corpus_doc_id"
+        )
+    )
+    bench_grams = materialize(bench_grams)
+
+    feed = spark.readStream.schema(schema).parquet(docs_dir)
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint()
+        verdicts = admission_frame(
+            batch_df, bench_grams, corpus_sets, corpus_bands, threshold
+        ).localCheckpoint()
+        _append_batch_idempotent(verdicts, f"{out_root}/verdicts", batch_id)
+        _append_batch_idempotent(
+            batch_df.join(
+                verdicts.filter("admit").select("doc_id"), "doc_id"
+            ),
+            f"{out_root}/admitted",
+            batch_id,
+        )
+
+    (
+        feed.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -745,3 +745,95 @@ def test_streaming_lsh_neardup_matches_corpus_and_batch_body(spark, sf_dir, tmp_
         ).collect()
     }
     assert got == expect
+
+
+def test_streaming_corpus_admission_gates_and_parity(spark, sf_dir, tmp_path):
+    from pyspark.sql import types as ST
+
+    from jira_cdc_git_spark.materialize import materialize
+    from jira_cdc_git_spark.operators.text import (
+        lsh_bands_frame,
+        shingle_sets_frame,
+    )
+    from jira_cdc_git_spark.functions import text as TXF
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        admission_frame,
+        streaming_corpus_admission,
+    )
+
+    corpus = load_table(spark, "documents", sf_dir)
+    # benchmark grams: one held-out corpus doc's word 6-grams
+    bench_doc = corpus.orderBy("doc_id").limit(1)
+    bench_grams = (
+        bench_doc.select(F.explode(TXF.shingles(F.col("text"), 6)).alias("gram"))
+        .distinct()
+    )
+    bench_words = bench_doc.collect()[0]["text"].split()
+
+    # candidates: a clone of a quality corpus doc (near-dup reject), a
+    # two-char junk doc (quality reject), a decent doc that quotes 8
+    # consecutive benchmark words (contamination reject), and a clean
+    # stopword-rich invented-vocab doc (admit)
+    clone_src = corpus.orderBy(F.desc("n_chars")).limit(1).collect()[0]
+    contaminated = (
+        "the zib and the vorn is to quar in it " * 6
+        + " ".join(bench_words[:8])
+    )
+    clean = "the zorp and a blick is to flarn in it of " * 8
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("text", ST.StringType()),
+        ]
+    )
+    feed_df = spark.createDataFrame(
+        [
+            (6_000_001, clone_src["text"] + " tailword"),
+            (6_000_002, "x."),
+            (6_000_003, contaminated),
+            (6_000_004, clean),
+        ],
+        schema,
+    )
+    docs_dir = str(tmp_path / "feed")
+    feed_df.write.parquet(docs_dir)
+
+    out_root = str(tmp_path / "admission")
+    streaming_corpus_admission(
+        spark,
+        docs_dir,
+        schema,
+        str(tmp_path / "ckpt"),
+        out_root,
+        sf_dir,
+        bench_grams,
+    )
+    from jira_cdc_git_spark.streaming.pipeline import read_append_sink
+
+    v = {
+        r["doc_id"]: r
+        for r in read_append_sink(spark, f"{out_root}/verdicts").collect()
+    }
+    assert len(v) == 4
+    assert v[6_000_001]["flag_neardup"] and not v[6_000_001]["admit"]
+    assert not v[6_000_002]["keep_quality"] and not v[6_000_002]["admit"]
+    assert v[6_000_002]["reject_reason"] == "low_quality"
+    assert v[6_000_003]["flag_contaminated"] and not v[6_000_003]["admit"]
+    assert v[6_000_004]["admit"] and v[6_000_004]["reject_reason"] is None
+    admitted = spark.read.parquet(f"{out_root}/admitted")
+    assert [r["doc_id"] for r in admitted.collect()] == [6_000_004]
+
+    # parity: streaming verdicts == the shared body run in batch
+    corpus_sets = materialize(shingle_sets_frame(corpus))
+    corpus_bands = lsh_bands_frame(corpus_sets).withColumnRenamed(
+        "doc_id", "corpus_doc_id"
+    )
+    expect = {
+        r["doc_id"]: r
+        for r in admission_frame(
+            feed_df, bench_grams, corpus_sets, corpus_bands
+        ).collect()
+    }
+    for did, row in v.items():
+        assert row == expect[did]
