@@ -579,3 +579,79 @@ def ivf_topk_indexed(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def semdedup_gate(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    index_path: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-side admission gate: SemDeDup applied AT THE DOOR. A
+    batch of candidate vectors is assigned to the index's stored
+    centroids and compared ONLY against held corpus vectors in the same
+    cluster (the SemDeDup observation — true semantic duplicates share a
+    cluster); candidates within ``threshold`` cosine of anything already
+    held are flagged. One verdict row per candidate.
+
+    Scale shape mirrors ivf_index_upsert: narrow broadcast assignment,
+    then a join that reads ONLY the touched cluster partitions of the
+    index (partition pruning on cluster_id IN (...)) — the comparison
+    cost is batch × avg-cluster-population, never batch × corpus."""
+    cents = materialize(read_ivf_centroids(spark, index_path))
+    batch = new_vectors.select("vec_id", "embedding")
+    assigned = materialize(
+        _assign_clusters(batch, cents).select(
+            "vec_id", "embedding", "cluster_id"
+        )
+    )
+    touched = [
+        r["cluster_id"]
+        for r in assigned.select("cluster_id").distinct().collect()
+    ]
+    held = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cluster_id").isin(touched))
+        .select(
+            F.col("vec_id").alias("corpus_vec_id"),
+            F.col("embedding").alias("corpus_emb"),
+            "cluster_id",
+        )
+    )
+    matches = (
+        assigned.join(held, "cluster_id")
+        .withColumn(
+            "cos", F.round(cosine(F.col("embedding"), F.col("corpus_emb")), 4)
+        )
+        .filter(F.col("cos") >= threshold)
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_corpus_cos"))
+    )
+    is_dup = F.col("max_corpus_cos").isNotNull()
+    return assigned.join(matches, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        "max_corpus_cos",
+        is_dup.alias("flag_neardup"),
+        (~is_dup).alias("admit"),
+    )
+
+
+def admit_vectors(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    index_path: str,
+    threshold: float = 0.95,
+) -> dict[str, int]:
+    """Gate + grow in one call: run semdedup_gate over the batch and
+    upsert only the admitted vectors into the index (ivf_index_upsert —
+    append-only, partition-scoped, idempotent). The document-side twin
+    is streaming_corpus_admission; this is the embedding side of the
+    same admission story. Returns {'admitted': n, 'rejected': m}."""
+    verdicts = materialize(semdedup_gate(spark, new_vectors, index_path, threshold))
+    admitted_ids = verdicts.filter("admit").select("vec_id")
+    n = ivf_index_upsert(
+        spark, new_vectors.join(admitted_ids, "vec_id"), index_path
+    )
+    rejected = verdicts.filter("flag_neardup").count()
+    return {"admitted": n, "rejected": rejected}

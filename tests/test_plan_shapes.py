@@ -424,3 +424,47 @@ def test_ivf_index_upsert_appends_and_is_idempotent(spark, sf_dir, tmp_path):
     top = V.ivf_topk_indexed(spark, sf_dir, path, query_vec_id=0, k=3).collect()
     assert top[0]["vec_id"] == 7_000_000
     assert abs(top[0]["cos_sim"] - 1.0) < 1e-6
+
+
+def test_semdedup_gate_and_admit_vectors(spark, sf_dir, tmp_path):
+    # embedding-side admission: a clone of a held vector is rejected, a
+    # decorrelated vector is admitted and lands in the index; a replay of
+    # the same batch admits nothing new (idempotent growth)
+    from jira_cdc_git_spark.operators import vectors as V
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    path = str(tmp_path / "ivf_index")
+    V.write_ivf_index(spark, sf_dir, path)
+    n0 = spark.read.parquet(path).count()
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(8_000_001).alias("vec_id"), "embedding"
+    )
+    # cyclic rotation decorrelates (same trick as the scale probe)
+    novel = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(8_000_002).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 9, F.size("embedding") - 8),
+            F.slice("embedding", 1, 8),
+        ).alias("embedding"),
+    )
+    batch = clone.unionByName(novel)
+
+    verdicts = {
+        r["vec_id"]: r for r in V.semdedup_gate(spark, batch, path).collect()
+    }
+    assert verdicts[8_000_001]["flag_neardup"]
+    assert verdicts[8_000_001]["max_corpus_cos"] >= 0.95
+    assert verdicts[8_000_002]["admit"]
+
+    res = V.admit_vectors(spark, batch, path)
+    assert res == {"admitted": 1, "rejected": 1}
+    idx = spark.read.parquet(path)
+    assert idx.count() == n0 + 1
+    assert idx.filter(F.col("vec_id") == 8_000_002).count() == 1
+    # replay: the admitted vector is now held, so the clone-of-itself
+    # check rejects it and the upsert appends nothing
+    res2 = V.admit_vectors(spark, batch, path)
+    assert res2["admitted"] == 0
+    assert idx.count() == n0 + 1
