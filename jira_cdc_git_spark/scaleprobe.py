@@ -30,6 +30,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jira_cdc_git_spark.sources.registry import load_table
+
 #: per-replica key offset — far above any real key at the SFs we probe
 STRIDE = 10_000_000
 
@@ -74,13 +76,17 @@ def build_scaled_dir(
     """
     os.makedirs(out_dir, exist_ok=True)
 
+    # read through load_table, not raw spark.read: events.parquet may ship
+    # as TIMESTAMP(NANOS), which a raw read rejects — load_table sniffs
+    # and normalizes, and the scaled copy is written back as plain MICROS
+    # timestamps every operator reads natively.
     for t in _DIMS:
-        spark.read.parquet(f"{src_dir}/{t}.parquet").write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/{t}.parquet")
+        load_table(spark, t, src_dir).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
 
     for t, keys in _KEY_SHIFTS.items():
-        df = _replicate(spark.read.parquet(f"{src_dir}/{t}.parquet"), factor)
+        df = _replicate(load_table(spark, t, src_dir), factor)
         for k in keys:
             df = df.withColumn(k, F.col(k) + F.col("__r") * F.lit(STRIDE))
 

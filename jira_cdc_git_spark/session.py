@@ -72,6 +72,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Write session-zoned timestamps as INT64 MICROS, not the legacy
+        # INT96 default: INT96 is deprecated, bloats scans, and pyarrow
+        # reports it as timestamp[ns] — which fooled the events-nanos
+        # footer sniff (sources/registry) on our own round-tripped files.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")

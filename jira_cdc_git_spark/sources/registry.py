@@ -92,7 +92,15 @@ def _events_ts_is_nanos(path: str) -> bool:
                 return False
             target = os.path.join(path, parts[0])
         field = pq.read_schema(target).field("ts")
-        return getattr(field.type, "unit", None) == "ns"
+        if getattr(field.type, "unit", None) != "ns":
+            return False
+        # pyarrow reports legacy INT96 timestamps as timestamp[ns] too,
+        # but INT96 reads natively in Spark (it is NOT the
+        # TIMESTAMP(NANOS) INT64 layout the nanosAsLong branch handles):
+        # require physical INT64 before taking the nanos path.
+        pf = pq.ParquetFile(target)
+        idx = pf.schema_arrow.get_field_index("ts")
+        return pf.schema.column(idx).physical_type == "INT64"
     except Exception:
         return False
 
