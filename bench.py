@@ -274,6 +274,18 @@ def main() -> None:
     )
 
 
+#: operators whose cost curve is documented superlinear BY DESIGN — the
+#: probe reports their ratio but excludes them from max_ratio (which is
+#: the "should be linear" gauge). Each entry names the curve and the
+#: linear-scale alternative a 100 TB deployment would switch to.
+SUPERLINEAR_BY_DESIGN = {
+    "semdedup": (
+        "N^1.5: K=ceil(sqrt(N/2)) balances O(N*K) assignment vs O(N^2/K) "
+        "within-cluster pairwise (exact SemDeDup semantics); the linear-"
+        "scale path is embedding_neardup (hyperplane buckets, ratio ~3x)"
+    ),
+}
+
 #: heavy / pair-generating / iterative queries probed at 10× scale
 SCALE_PROBE_QUERIES = [
     "pricing_summary",
@@ -336,13 +348,23 @@ def _run_scale_probe(spark, sf_dir: str, sf, timings: dict[str, float]) -> dict:
         probed[name] = dt
         if base:
             ratios[name] = round(dt / base, 2)
+    linear_ratios = {
+        k: v for k, v in ratios.items() if k not in SUPERLINEAR_BY_DESIGN
+    }
     return {
         "sf": (sf or 0) * factor,
         "factor": factor,
         "gen_sec": gen_sec,
         "queries": probed,
         "ratio_vs_base": ratios,
-        "max_ratio": max(ratios.values()) if ratios else None,
+        # max over operators EXPECTED to scale linearly; documented
+        # superlinear-by-design curves are reported separately
+        "max_ratio": max(linear_ratios.values()) if linear_ratios else None,
+        "superlinear_by_design": {
+            k: {"ratio": ratios.get(k), "why": why}
+            for k, why in SUPERLINEAR_BY_DESIGN.items()
+            if k in ratios
+        },
     }
 
 

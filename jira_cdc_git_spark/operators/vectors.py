@@ -373,8 +373,15 @@ def semdedup(
 
     K SCALES WITH THE CORPUS: n_centroids defaults to ceil(sqrt(N/2)) —
     the balance point where assignment cost O(N·K) equals within-cluster
-    pairwise cost O(N²/K), so total work grows as N^1.5 (≈3.2× per 10×
-    data) instead of N². The r4 sf1 scale probe caught the fixed-K=16
+    pairwise cost O(N²/K), so total work grows as N^1.5 instead of N².
+    That is still superlinear — ~31.6× work per 10× data once compute
+    dominates (the sf1 probe measures ~13× at bench scale; bench.py
+    reports it under superlinear_by_design) — but it is the exact-
+    semantics SemDeDup trade: nearest-centroid clusters, every within-
+    cluster pair verified. The LINEAR-scale path at 100 TB is
+    embedding_neardup's hyperplane bucketing (bits grown with the
+    corpus), which approximates the clustering but keeps per-bucket
+    populations bounded. The r4 sf1 scale probe caught the fixed-K=16
     version at 69× on 10× vectors: cluster populations grew linearly
     with the corpus and the pairwise join went quadratic. (SemDeDup
     itself scales K with corpus size — 50k clusters for 134M
