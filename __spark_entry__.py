@@ -25,8 +25,8 @@ sequence_packing (red-on-hash in r03 through a DuckDB
 HUGEINT→float64 oracle typing artifact; the oracle now CASTs to
 BIGINT) plus the 10 rows-only-by-nature entries — backfilled to 50
 with r02/r03-green entries. After this round the union of
-CORRECTNESS files covers all 131 entries. The registry has 131
-entries: 121 oracle-backed (value-hash checked) and 10 no-oracle by
+CORRECTNESS files covers every pre-r4 entry. The registry has 132
+entries: 122 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -53,6 +53,7 @@ from jira_cdc_git_spark.operators import security as SEC
 from jira_cdc_git_spark.operators import text as T
 from jira_cdc_git_spark.operators import timeseries as TS
 from jira_cdc_git_spark.operators import vectors as V
+from jira_cdc_git_spark.streaming import pipeline as SP
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -70,7 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CAST to BIGINT) and the 10 rows-only-by-nature entries
         # (mapInPandas media passes, HLL sketch, zlib ratio, xxhash64
         # simhash sigs, iterative k-means). Union of CORRECTNESS_r01-r04
-        # then spans all 131 entries.
+        # then spans all oracle-backed entries.
         "sequence_packing": T.sequence_packing,
         "jql_was_in_progress": J.jql_was_in_progress,
         "jql_changed_status": J.jql_changed_status,
@@ -125,9 +126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_project_scoped": J.incremental_project_scoped,
         "reconciliation_report": J.reconciliation_report,
         "commit_messages": J.commit_messages,
-        "project_key_variants": J.project_key_variants,
+        # r4 addition, never driver-checked → takes the last window slot
+        # (displacing r03-green project_key_variants to 51+)
+        "admission_report": SP.admission_report,
         # ===== slots 51+: green in a prior round (r02/r03), replayed
         # by tests/test_oracle_parity.py on every pytest run =====
+        "project_key_variants": J.project_key_variants,
         "parse_issue_list": J.parse_issue_list,
         "timestamp_multiformat": J.timestamp_multiformat,
         "media_stats": MM.media_stats,
@@ -2189,6 +2193,104 @@ from jira_cdc_git_spark.operators import security as _SEC_MOD
 
 _JIRA_ORACLES["validate_requests"] = _SEC_MOD.oracle(_I)
 _JIRA_ORACLES["pagerank_links"] = _pagerank_oracle()
+
+# The composed admission gate (streaming/pipeline.admission_frame) in its
+# deterministic batch split: candidates = doc_id % 10 == 3 posing as a
+# new crawl batch, corpus = the rest, bench grams = the % 100 == 0 slice.
+# Quality/PII/contamination arms mirror curation_report; the near-dup arm
+# is the generated LSH chain with the self-join replaced by a
+# candidates × corpus band join (same minhash family constants).
+_ORACLES["admission_report"] = f"""
+    WITH toks AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ), qq AS (
+        SELECT doc_id,
+               floor((0.4 * least(len(t) / 50.0, 1.0)
+                      + 0.3 * (1.0 - length(regexp_replace(text,
+                            '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length(text))
+                      + 0.3 * least(len(list_filter(t,
+                            x -> x IN ('the','a','of','and','to','in','is','it')))
+                            * 1.0 / len(t) * 4.0, 1.0))
+                     * 1000 + 0.5) / 1000 AS quality
+        FROM toks WHERE doc_id % 10 = 3
+    ), pii AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                 + len(regexp_extract_all(text, '\\b555-[0-9]{{4}}\\b'))
+                 + len(regexp_extract_all(text,
+                   '\\b10\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+                 AS INTEGER) AS n_pii
+        FROM documents WHERE doc_id % 10 = 3
+    ), shs6 AS (
+        SELECT doc_id, list_distinct(
+            CASE WHEN len(t) >= 6
+                 THEN list_transform(
+                     generate_series(1, CAST(len(t) AS INTEGER) - 5),
+                     i -> array_to_string(t[i:i+5], ' '))
+                 ELSE [] END) AS grams
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT gram
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM shs6)
+        WHERE doc_id % 100 = 0
+    ), hits AS (
+        SELECT g.doc_id, count(*) AS n_shared
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM shs6
+              WHERE doc_id % 10 = 3) g
+        JOIN bench USING (gram) GROUP BY 1
+    ), sets AS (
+        SELECT doc_id, shs, {_XS_EXPR} AS xs
+        FROM (SELECT doc_id, list_distinct(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(generate_series(1, CAST(len(t) AS INTEGER) - 2),
+                                     i -> array_to_string(t[i:i+2], ' '))
+                 ELSE [] END) AS shs
+        FROM toks) s0
+    ), csigs AS (
+        SELECT doc_id, shs,
+               {_MH_COLS}
+        FROM sets WHERE doc_id % 10 = 3
+    ), psigs AS (
+        SELECT doc_id, shs,
+               {_MH_COLS}
+        FROM sets WHERE doc_id % 10 != 3
+    ), cbands AS (
+        {_BAND_SELECTS.replace("FROM sigs", "FROM csigs")}
+    ), pbands AS (
+        {_BAND_SELECTS.replace("FROM sigs", "FROM psigs")}
+    ), dcand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+        FROM cbands a JOIN pbands b
+          ON a.band = b.band AND a.band_key = b.band_key
+    ), jac AS (
+        SELECT c.new_id,
+               round(len(list_intersect(sa.shs, sb.shs))
+                     / (len(sa.shs) + len(sb.shs)
+                        - len(list_intersect(sa.shs, sb.shs))), 4) AS j
+        FROM dcand c
+        JOIN sets sa ON sa.doc_id = c.new_id
+        JOIN sets sb ON sb.doc_id = c.corpus_id
+    ), dup AS (
+        SELECT new_id AS doc_id, max(j) AS max_corpus_jaccard
+        FROM jac WHERE j >= 0.8 GROUP BY 1
+    )
+    SELECT q.doc_id, q.quality, q.quality >= 0.6 AS keep_quality, p.n_pii,
+           coalesce(h.n_shared, 0) > 0 AS flag_contaminated,
+           d.max_corpus_jaccard IS NOT NULL AS flag_neardup,
+           d.max_corpus_jaccard,
+           (q.quality >= 0.6 AND coalesce(h.n_shared, 0) = 0
+            AND d.max_corpus_jaccard IS NULL) AS admit,
+           CASE WHEN NOT q.quality >= 0.6 THEN 'low_quality'
+                WHEN coalesce(h.n_shared, 0) > 0 THEN 'contaminated'
+                WHEN d.max_corpus_jaccard IS NOT NULL THEN 'near_dup'
+                END AS reject_reason
+    FROM qq q
+    JOIN pii p USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    LEFT JOIN dup d USING (doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -981,3 +981,38 @@ def streaming_corpus_admission(
         .start()
         .awaitTermination()
     )
+
+
+def admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable batch form of the admission gate: the documents
+    table is deterministically split into CANDIDATES (doc_id % 10 == 3,
+    posing as a newly-crawled batch) and the HELD CORPUS (the rest);
+    candidates run through the full admission_frame verdict body —
+    quality + PII + decontamination (bench grams = word 6-grams of the
+    doc_id % 100 == 0 slice) + near-dup-vs-corpus. One verdict row per
+    candidate, value-compared against a DuckDB replay of the identical
+    algebra (the flagship composed pipeline, under the driver's
+    value-hash gate)."""
+    from jira_cdc_git_spark.functions import text as TXF
+    from jira_cdc_git_spark.materialize import materialize
+    from jira_cdc_git_spark.operators.text import (
+        lsh_bands_frame,
+        shingle_sets_frame,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    candidates = docs.filter(F.col("doc_id") % 10 == 3)
+    corpus = docs.filter(F.col("doc_id") % 10 != 3)
+    bench_grams = materialize(
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode(TXF.shingles(F.col("text"), 6)).alias("gram"))
+        .distinct()
+    )
+    corpus_sets = materialize(shingle_sets_frame(corpus))
+    corpus_bands = materialize(
+        lsh_bands_frame(corpus_sets).withColumnRenamed(
+            "doc_id", "corpus_doc_id"
+        )
+    )
+    return admission_frame(candidates, bench_grams, corpus_sets, corpus_bands)
