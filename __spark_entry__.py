@@ -25,12 +25,12 @@ sequence_packing (red-on-hash in r03 through a DuckDB
 HUGEINT→float64 oracle typing artifact; the oracle now CASTs to
 BIGINT) plus the 10 rows-only-by-nature entries — backfilled to 50
 with r02/r03-green entries. After this round the union of
-CORRECTNESS files covers every pre-r4 entry. The registry has 132
-entries: 122 oracle-backed (value-hash checked) and 10 no-oracle by
+CORRECTNESS files covers every pre-r4 entry. The registry has 139
+entries: 129 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
-slot, all 121 oracle-backed queries are covered by the repo's own
+slot, all 129 oracle-backed queries are covered by the repo's own
 DuckDB-differential pytest suite (tests/test_oracle_parity.py replays
 the driver comparison over the full registry on every pytest run;
 tests/test_registry_rotation.py asserts the rotation invariant
@@ -47,6 +47,7 @@ from jira_cdc_git_spark import fixtures as FX
 from jira_cdc_git_spark import plans as P
 from jira_cdc_git_spark.operators import graph as G
 from jira_cdc_git_spark.operators import jira as J
+from jira_cdc_git_spark.operators import layout as LY
 from jira_cdc_git_spark.operators import multimodal as MM
 from jira_cdc_git_spark.operators import relational as R
 from jira_cdc_git_spark.operators import security as SEC
@@ -118,6 +119,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jql_recent_updates": J.jql_recent_updates,
         "jql_my_sprint": J.jql_my_sprint,
         "epic_members_by_type": J.epic_members_by_type,
+        "commit_messages": J.commit_messages,
+        # r4 additions, never driver-checked → take the remaining window
+        # slots (displacing r03-green entries to 51+): the admission
+        # gate, the duplicated-span (substring-dedup) family, the
+        # broadcast-Bloom decontamination arm, mixture weights, SQ8
+        # quantized ANN + its recall harness, and the Z-order
+        # file-skipping layout report.
+        "admission_report": SP.admission_report,
+        "duplicate_spans": T.duplicate_spans,
+        "strip_duplicate_spans": T.strip_duplicate_spans,
+        "bloom_decontaminate": T.bloom_decontaminate,
+        "domain_mixture_weights": T.domain_mixture_weights,
+        "sq8_topk": V.sq8_topk,
+        "sq8_recall_report": V.sq8_recall_report,
+        "zorder_skipping_report": LY.zorder_skipping_report,
+        # ===== slots 51+: green in a prior round (r02/r03), replayed
+        # by tests/test_oracle_parity.py on every pytest run =====
         "relationship_census": J.relationship_census,
         "epic_completeness": J.epic_completeness,
         "epic_hierarchy": J.epic_hierarchy,
@@ -125,12 +143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_modified_only": J.incremental_modified_only,
         "incremental_project_scoped": J.incremental_project_scoped,
         "reconciliation_report": J.reconciliation_report,
-        "commit_messages": J.commit_messages,
-        # r4 addition, never driver-checked → takes the last window slot
-        # (displacing r03-green project_key_variants to 51+)
-        "admission_report": SP.admission_report,
-        # ===== slots 51+: green in a prior round (r02/r03), replayed
-        # by tests/test_oracle_parity.py on every pytest run =====
         "project_key_variants": J.project_key_variants,
         "parse_issue_list": J.parse_issue_list,
         "timestamp_multiformat": J.timestamp_multiformat,
@@ -2290,6 +2302,234 @@ _ORACLES["admission_report"] = f"""
     JOIN pii p USING (doc_id)
     LEFT JOIN hits h USING (doc_id)
     LEFT JOIN dup d USING (doc_id)
+"""
+
+
+# ---- duplicated-span (substring-dedup) family ------------------------
+# The span CTE chain is generated from the operator's own SPAN_WIDTH so
+# retuning the window width changes Spark and oracle in lockstep. The
+# oracle's keep-first rule uses row_number over (doc_id, pos) — the
+# relational twin of Spark's min(struct(doc_id, pos)).
+_W = T.SPAN_WIDTH
+_SPAN_CTES = f"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+    g AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                 md5(array_to_string(toks[pos:pos+{_W - 1}], ' ')) AS gram
+          FROM t, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - {_W - 1}))
+                    AS u(pos)
+          WHERE len(toks) >= {_W}),
+    o AS (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY gram) AS n_occ,
+                 row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+          FROM g),
+    d AS (SELECT doc_id, pos FROM o WHERE n_occ > 1 AND rn > 1),
+    i AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + {_W - 1}) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          -{_W}) + 1
+                      THEN 1 ELSE 0 END AS new_island
+          FROM d),
+    j AS (SELECT doc_id, pos,
+                 sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM i),
+    spans AS (SELECT doc_id,
+                     min(pos) AS span_start,
+                     max(pos) + {_W - 1} AS span_end,
+                     max(pos) + {_W - 1} - min(pos) + 1 AS span_tokens
+              FROM j GROUP BY doc_id, island)"""
+
+_ORACLES["duplicate_spans"] = f"""
+    WITH {_SPAN_CTES}
+    SELECT doc_id, CAST(span_start AS INTEGER) AS span_start,
+           CAST(span_end AS INTEGER) AS span_end,
+           CAST(span_tokens AS INTEGER) AS span_tokens
+    FROM spans
+"""
+
+_ORACLES["strip_duplicate_spans"] = f"""
+    WITH {_SPAN_CTES},
+    per_doc AS (SELECT doc_id, sum(span_tokens) AS n_tokens_removed
+                FROM spans GROUP BY doc_id),
+    toks2 AS (SELECT doc_id, toks, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos
+              FROM t),
+    kept AS (SELECT t2.doc_id, t2.pos, t2.tok
+             FROM toks2 t2
+             WHERE NOT EXISTS (SELECT 1 FROM spans s
+                               WHERE s.doc_id = t2.doc_id
+                                 AND t2.pos BETWEEN s.span_start AND s.span_end)),
+    fp AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS dedup_fp
+           FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INTEGER) AS n_tokens,
+           CAST(coalesce(p.n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+           coalesce(fp.dedup_fp, md5('')) AS dedup_fp
+    FROM t LEFT JOIN per_doc p USING (doc_id) LEFT JOIN fp USING (doc_id)
+"""
+
+# ---- broadcast blocked-Bloom decontamination -------------------------
+# Bit streams mirror operators/text._bloom_mask: both derive from the one
+# hex32 digest per gram via the same affine constants.
+_BA1, _BB1 = minhash_ab(101)
+_BA2, _BB2 = minhash_ab(202)
+_BLOOM_MASK = (
+    f"(1::BIGINT << CAST((h * {_BA1} + {_BB1}) % {MINHASH_PRIME}"
+    f" % {T.BLOOM_BITS} AS INTEGER))"
+    f" | (1::BIGINT << CAST((h * {_BA2} + {_BB2}) % {MINHASH_PRIME}"
+    f" % {T.BLOOM_BITS} AS INTEGER))"
+)
+_ORACLES["bloom_decontaminate"] = f"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    grams AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(toks) >= 6
+                       THEN list_transform(
+                           generate_series(1, CAST(len(toks) AS INTEGER) - 5),
+                           i -> array_to_string(toks[i:i+5], ' '))
+                       ELSE [] END)) AS gram
+              FROM t),
+    hashed AS (SELECT doc_id, gram,
+                      (('0x' || substr(md5(gram), 1, 8)))::BIGINT AS h
+               FROM grams),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+    bench_h AS (SELECT (('0x' || substr(md5(gram), 1, 8)))::BIGINT AS h
+                FROM bench),
+    bloom AS (SELECT CAST(h % {T.BLOOM_BLOCKS} AS INTEGER) AS block,
+                     bit_or({_BLOOM_MASK}) AS bits
+              FROM bench_h GROUP BY 1),
+    train AS (SELECT doc_id, gram, h,
+                     CAST(h % {T.BLOOM_BLOCKS} AS INTEGER) AS block,
+                     {_BLOOM_MASK} AS mask
+              FROM hashed WHERE doc_id % 10 <> 0),
+    tested AS (SELECT tr.doc_id,
+                      coalesce((b.bits & tr.mask) = tr.mask, FALSE) AS maybe
+               FROM train tr LEFT JOIN bloom b USING (block)),
+    exact AS (SELECT DISTINCT tr.doc_id FROM train tr JOIN bench USING (gram)),
+    agg AS (SELECT doc_id, max(maybe) AS bloom_hit,
+                   CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_maybe_grams
+            FROM tested GROUP BY doc_id)
+    SELECT a.doc_id, a.bloom_hit, a.n_maybe_grams,
+           (e.doc_id IS NOT NULL) AS exact_hit,
+           (a.bloom_hit AND e.doc_id IS NULL) AS false_positive
+    FROM agg a LEFT JOIN exact e USING (doc_id)
+"""
+
+_ORACLES["domain_mixture_weights"] = f"""
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY source
+    ), w AS (
+        SELECT source, n_docs, n_tokens,
+               n_tokens * 1.0 / sum(n_tokens) OVER () AS p,
+               pow(n_tokens * 1.0 / sum(n_tokens) OVER (),
+                   {T.MIXTURE_ALPHA}) AS wr
+        FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           floor(p * 1e6 + 0.5) / 1e6 AS token_share,
+           floor(wr / sum(wr) OVER () * 1e6 + 0.5) / 1e6 AS mix_weight,
+           floor(wr / sum(wr) OVER () / p * 1e4 + 0.5) / 1e4 AS oversample_x
+    FROM w
+"""
+
+# ---- SQ8 scalar-quantized ANN ----------------------------------------
+# Quantize-reconstruct expression mirrors vectors._sq8_dequantized; the
+# left-fold list_sum matches Spark's F.aggregate accumulation order.
+_SQ8_CTES = f"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+    pd AS (SELECT d, min(x) AS mn, max(x) AS mx
+           FROM (SELECT unnest(emb) AS x, generate_subscripts(emb, 1) AS d
+                 FROM e)
+           GROUP BY d),
+    st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+           FROM pd),
+    dq AS (SELECT vec_id, label,
+                  list_transform(list_zip(emb, mns, mxs),
+                      s -> CASE WHEN s[3] = s[2] THEN s[2]
+                           ELSE s[2] + floor((s[1] - s[2]) / (s[3] - s[2])
+                                             * {V.SQ8_LEVELS} + 0.5)
+                                       * (s[3] - s[2]) / {V.SQ8_LEVELS} END) AS v
+           FROM e, st),
+    q AS (SELECT v AS qv FROM dq WHERE vec_id = 0),
+    sq8 AS (SELECT vec_id, label,
+                   round(list_sum(list_transform(list_zip(v, qv),
+                             s -> s[1] * s[2]))
+                         / sqrt(list_sum(list_transform(v, x -> x * x))
+                                * list_sum(list_transform(qv, x -> x * x))), 6)
+                     AS sq_cos_sim
+            FROM dq, q
+            WHERE vec_id <> 0
+            ORDER BY sq_cos_sim DESC, vec_id
+            LIMIT 10)"""
+
+_ORACLES["sq8_topk"] = f"WITH {_SQ8_CTES} SELECT * FROM sq8"
+
+_ORACLES["sq8_recall_report"] = f"""
+    WITH {_SQ8_CTES},
+    exact AS (
+        SELECT vec_id,
+               round(list_dot_product(emb, qe)
+                     / sqrt(list_dot_product(emb, emb)
+                            * list_dot_product(qe, qe)), 6) AS cos_sim
+        FROM e, (SELECT emb AS qe FROM e WHERE vec_id = 0) q0
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10)
+    SELECT CAST(10 AS INTEGER) AS k,
+           count(*) AS n_hits,
+           count(*) / 10.0 AS recall
+    FROM exact WHERE vec_id IN (SELECT vec_id FROM sq8)
+"""
+
+# ---- Z-order layout skipping report ----------------------------------
+# Morton expression + geometry generated from operators/layout constants.
+from jira_cdc_git_spark.operators.layout import ZBITS as _ZBITS
+from jira_cdc_git_spark.operators.layout import ZBOX as _ZBOX
+from jira_cdc_git_spark.operators.layout import ZFILES as _ZFILES
+from jira_cdc_git_spark.operators.layout import morton_sql as _morton_sql
+
+_ZN = 1 << _ZBITS
+_ZCPF = (1 << (2 * _ZBITS)) // _ZFILES
+_ORACLES["zorder_skipping_report"] = f"""
+    WITH b0 AS (
+        SELECT event_id,
+               CAST(least({_ZN - 1}, floor(percent_rank() OVER (
+                   ORDER BY user_id, event_id) * {_ZN})) AS INTEGER) AS bx,
+               CAST(least({_ZN - 1}, floor(percent_rank() OVER (
+                   ORDER BY value, event_id) * {_ZN})) AS INTEGER) AS by,
+               ntile({_ZFILES}) OVER (ORDER BY ts, event_id) AS file_linear
+        FROM events
+    ), b AS (
+        SELECT *, CAST(floor(({_morton_sql('bx', 'by')}) / {_ZCPF})
+                       AS INTEGER) AS file_zorder
+        FROM b0
+    ), fz AS (
+        SELECT count(*) AS n_files_zorder,
+               CAST(sum(CASE WHEN mn_x < {_ZBOX} AND mn_y < {_ZBOX}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS files_zorder
+        FROM (SELECT file_zorder, min(bx) AS mn_x, min(by) AS mn_y
+              FROM b GROUP BY 1)
+    ), fl AS (
+        SELECT count(*) AS n_files_linear,
+               CAST(sum(CASE WHEN mn_x < {_ZBOX} AND mn_y < {_ZBOX}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS files_linear
+        FROM (SELECT file_linear, min(bx) AS mn_x, min(by) AS mn_y
+              FROM b GROUP BY 1)
+    ), m AS (
+        SELECT count(*) AS n_rows_match FROM b
+        WHERE bx < {_ZBOX} AND by < {_ZBOX}
+    )
+    SELECT n_rows_match, n_files_zorder, files_zorder,
+           n_files_linear, files_linear,
+           round((1 - files_zorder * 1.0 / n_files_zorder) * 100, 2)
+             AS skip_pct_zorder,
+           round((1 - files_linear * 1.0 / n_files_linear) * 100, 2)
+             AS skip_pct_linear
+    FROM fz, fl, m
 """
 
 

@@ -84,6 +84,13 @@ BENCH_QUERIES = [
     "ivf_topk",
     "embedding_neardup",
     "hierarchy_levels",
+    "duplicate_spans",
+    "strip_duplicate_spans",
+    "bloom_decontaminate",
+    "domain_mixture_weights",
+    "sq8_topk",
+    "zorder_skipping_report",
+    "admission_report",
 ]
 
 
@@ -306,6 +313,8 @@ SCALE_PROBE_QUERIES = [
     "embedding_neardup",
     "fuzzy_match_entities",
     "epic_hierarchy",
+    "duplicate_spans",
+    "bloom_decontaminate",
 ]
 
 

@@ -1756,3 +1756,260 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+#: width (in words) of the exact duplicated-span windows. The published
+#: rule (Lee et al. 2021, "Deduplicating Training Data Makes Language
+#: Models Better") uses 50 BPE tokens over a suffix array; on the short
+#: synthetic docs 8 words is the same idea at the corpus's phrase scale.
+SPAN_WIDTH = 8
+
+
+def _gram_occurrences(docs: DataFrame, width: int) -> DataFrame:
+    """(doc_id, pos, gram) for every `width`-word window. The gram is the
+    md5 of the space-joined window so the shuffle key is 16 bytes no
+    matter the window width."""
+    toks = TX.tokens(F.col("text"))
+    win = F.when(
+        F.size(toks) >= width,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (width - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, width))).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    return docs.select("doc_id", F.explode(win).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    )
+
+
+def duplicate_spans(
+    spark: SparkSession, sf_dir: str, width: int = SPAN_WIDTH
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — the distributed shape of
+    suffix-array substring dedup (Lee et al. 2021): every `width`-word
+    window whose hash occurs more than once in the corpus marks a span;
+    the globally FIRST occurrence of each window (min (doc_id, pos)) is
+    exempt so one copy of every phrase survives; overlapping/adjacent
+    marks merge per doc (gaps-and-islands over a per-doc window).
+
+    100 TB shape: one shuffle on the 16-byte gram hash (count + global
+    first), a candidate-scoped join back (only duplicated windows
+    return), and a per-doc island merge — no all-pairs, no global sort;
+    the per-doc window partitions by doc_id, whose cardinality grows
+    with the corpus, so no single partition ever concentrates."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    occ = _gram_occurrences(docs, width)
+    dup = occ.groupBy("gram").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+    ).filter(F.col("n_occ") > 1)
+    marks = (
+        occ.join(dup, "gram")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("pos") == F.col("first_occ.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (width - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marks.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (width - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    spark: SparkSession, sf_dir: str, width: int = SPAN_WIDTH
+) -> DataFrame:
+    """The cut step of substring dedup: drop every word inside a merged
+    duplicated span (keep-first rule from duplicate_spans) and report
+    per-doc shrinkage with a fingerprint of the surviving text.
+
+    Shape: the spans table is tiny relative to the corpus (bounded by
+    total duplicated mass); it joins back on doc_id and the cut itself
+    is a narrow array filter — positions are tested against the doc's
+    own (bounded) span list, never exploded against the corpus."""
+    spans = duplicate_spans(spark, sf_dir, width)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans"),
+        F.sum("span_tokens").cast("long").alias("n_tokens_removed"),
+    )
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    joined = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks")).join(
+        per_doc, "doc_id", "left"
+    )
+    empty = F.array().cast("array<struct<span_start:int,span_end:int>>")
+    indexed = F.transform(
+        F.col("toks"), lambda t, i: F.struct((i + 1).alias("pos"), t.alias("tok"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            F.coalesce(F.col("spans"), empty),
+            lambda s: (x["pos"] >= s["span_start"]) & (x["pos"] <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.coalesce("n_tokens_removed", F.lit(0)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda x: x["tok"]))).alias(
+            "dedup_fp"
+        ),
+    )
+
+
+#: blocked-Bloom geometry for bloom_decontaminate: 4096 one-BIGINT blocks
+#: (32 KB total), 2 bits per gram within its block. Sized for the
+#: DOC-level decision: a doc with g grams is a false positive if ANY
+#: gram false-hits, so per-gram FP must be ≪ 1/g — ~250 K bits against
+#: the few-thousand benchmark grams gives per-gram FP ~4e-4 and per-doc
+#: ~2%. Both hash streams derive from the one md5 digest per gram
+#: (functions/text.hex32 + affine rehash) so the filter is bit-identical
+#: in Spark and DuckDB.
+BLOOM_BLOCKS = 4096
+BLOOM_BITS = 62  # stay clear of the BIGINT sign bit
+
+
+def _bloom_block(h: "F.Column") -> "F.Column":
+    return (h % BLOOM_BLOCKS).cast("int")
+
+
+def _bloom_mask(h: "F.Column") -> "F.Column":
+    # F.shiftleft's python signature only takes a literal int shift; the
+    # SQL function itself accepts a column — call it by name.
+    one = F.lit(1).cast("long")
+    a1, b1 = TX.minhash_ab(101)
+    a2, b2 = TX.minhash_ab(202)
+    bit1 = ((h * a1 + b1) % TX.MINHASH_PRIME % BLOOM_BITS).cast("int")
+    bit2 = ((h * a2 + b2) % TX.MINHASH_PRIME % BLOOM_BITS).cast("int")
+    return F.call_function("shiftleft", one, bit1).bitwiseOR(
+        F.call_function("shiftleft", one, bit2)
+    )
+
+
+def bloom_decontaminate(
+    spark: SparkSession, sf_dir: str, n: int = 6, bench_mod: int = 10
+) -> DataFrame:
+    """Decontamination via a BROADCAST blocked Bloom filter — the 100 TB
+    form of the benchmark n-gram rule when even the distinct benchmark
+    gram set is too wide to broadcast raw: the filter compresses it to
+    BLOOM_BLOCKS BIGINTs (2 KB here; MBs in production) with zero false
+    negatives. Per doc: bloom_hit (filter says maybe-contaminated),
+    exact_hit (the precise gram join, the rule bloom approximates) —
+    bloom_hit ⊇ exact_hit always; the gap IS the filter's false-positive
+    cost, reported so the deployment can size BLOOM_BLOCKS.
+
+    Shape: building the filter aggregates the (small) benchmark grams to
+    256 rows; the corpus side is a narrow per-gram bit test against the
+    broadcast blocks + a per-doc any() — the corpus never shuffles on
+    gram for the bloom arm (the exact arm stays candidate-scoped via the
+    broadcast gram join, as in decontaminate)."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    grams = docs.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), n)).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % bench_mod == 0).select("gram").distinct()
+    )
+    h = TX.hex32(F.col("gram"))
+    bloom = (
+        bench.select(_bloom_block(h).alias("block"), _bloom_mask(h).alias("mask"))
+        .groupBy("block")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    train = grams.filter(F.col("doc_id") % bench_mod != 0)
+    tested = (
+        train.select("doc_id", "gram", _bloom_block(h).alias("block"),
+                     _bloom_mask(h).alias("mask"))
+        .join(F.broadcast(bloom), "block", "left")
+        .withColumn(
+            "maybe",
+            F.coalesce(F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"),
+                       F.lit(False)),
+        )
+    )
+    exact = (
+        train.join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(True))
+    )
+    return (
+        tested.groupBy("doc_id")
+        .agg(
+            F.max("maybe").alias("bloom_hit"),
+            F.sum(F.col("maybe").cast("long")).cast("long").alias("n_maybe_grams"),
+        )
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            "n_maybe_grams",
+            F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"),
+            (F.col("bloom_hit") & ~F.coalesce("exact_hit", F.lit(False))).alias(
+                "false_positive"
+            ),
+        )
+    )
+
+
+#: mixture temperature for domain_mixture_weights — the multilingual-LM
+#: sampling rule p_i ∝ share_i^ALPHA (alpha < 1 upweights small sources).
+MIXTURE_ALPHA = 0.7
+
+
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights: per crawl source, the
+    token share p, the alpha-smoothed sampling weight w ∝ p^ALPHA
+    (normalized to 1), and the implied oversampling factor w/p (the
+    expected epochs of that source under the mixture). The standard
+    mixture-balancing step between curation and sequence packing.
+
+    Shape: one groupBy(source) over a narrow projection, then a window
+    total over the (tiny, one-row-per-source) aggregate — corpus-scale
+    work is a single partial-aggregated shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(tot)
+    w_raw = F.pow(p, F.lit(MIXTURE_ALPHA))
+    w = w_raw / F.sum(w_raw).over(tot)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        TX.round_half_up(p, 6).alias("token_share"),
+        TX.round_half_up(w, 6).alias("mix_weight"),
+        TX.round_half_up(w / p, 4).alias("oversample_x"),
+    )

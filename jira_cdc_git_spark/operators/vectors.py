@@ -662,3 +662,100 @@ def admit_vectors(
     )
     rejected = verdicts.filter("flag_neardup").count()
     return {"admitted": n, "rejected": rejected}
+
+
+#: scalar-quantization levels for the SQ8 compressed index (uint8 codes).
+SQ8_LEVELS = 255
+
+
+def _sq8_stats_row(emb: DataFrame) -> DataFrame:
+    """One-row frame with the per-dimension min/max arrays (index-aligned
+    with the embedding) — the trained 'codebook' of scalar quantization.
+    Computed with one posexplode+groupBy over the corpus (64·n rows of
+    partial-aggregated shuffle), collapsed in-plan to a broadcastable
+    row; no driver collect."""
+    per_dim = (
+        emb.select(F.posexplode(_as_double(F.col("embedding"))).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    return per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+
+
+def _sq8_dequantized(col: Column, mns: Column, mxs: Column) -> Column:
+    """Quantize-then-reconstruct in one expression: code = floor((x-mn)/
+    (mx-mn)·255 + 0.5) ∈ [0,255], value = mn + code·(mx-mn)/255. The
+    asymmetric-distance trick (score quantized corpus against the
+    dequantized query) reduces to scoring reconstructed vectors — what a
+    FAISS SQ8 flat index computes."""
+    z = F.zip_with(
+        _as_double(col), mns, lambda x, mn: F.struct(x.alias("x"), mn.alias("mn"))
+    )
+    return F.zip_with(
+        z,
+        mxs,
+        lambda s, mx: F.when(mx == s["mn"], s["mn"]).otherwise(
+            s["mn"]
+            + F.floor((s["x"] - s["mn"]) / (mx - s["mn"]) * SQ8_LEVELS + F.lit(0.5))
+            * (mx - s["mn"])
+            / SQ8_LEVELS
+        ),
+    )
+
+
+def sq8_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Top-k cosine over SCALAR-QUANTIZED (SQ8) embeddings — the 4×
+    memory-compression arm of the ANN toolbox (vs IVF's scored-fraction
+    arm; FAISS's ScalarQuantizer). Each float32 dimension compresses to
+    one uint8 code against per-dimension min/max trained on the corpus;
+    search scores the reconstructed vectors.
+
+    100 TB shape: codebook training is one partial-aggregated shuffle of
+    (dim, x) pairs; the stats row and the query row broadcast; scoring
+    is a narrow map; top-k is TakeOrderedAndProject. The compressed
+    codes would be the MATERIALIZED table in production — 4× less scan
+    I/O is the point of SQ8 — with the same query plan on top."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    stats = _sq8_stats_row(emb)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+    )
+    de = _sq8_dequantized(F.col("embedding"), F.col("mns"), F.col("mxs"))
+    dq = _sq8_dequantized(F.col("q_embedding"), F.col("mns"), F.col("mxs"))
+    cos = dot(de, dq) / F.sqrt(norm2(de) * norm2(dq))
+    return (
+        scored.select(
+            "vec_id", "label", F.round(cos, 6).alias("sq_cos_sim")
+        )
+        .orderBy(F.col("sq_cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def sq8_recall_report(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Recall@k of SQ8 search against exact float cosine — the harness
+    that decides whether 4× compression costs any retrieval quality
+    (companion to ivf_recall_report; same left-semi comparison of two
+    k-row frames)."""
+    exact = cosine_topk(spark, sf_dir, k=k)
+    approx = sq8_topk(spark, sf_dir, k=k)
+    hits = exact.join(approx.select("vec_id"), "vec_id", "left_semi")
+    return hits.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count("*").alias("n_hits"),
+        (F.count("*") / F.lit(float(k))).alias("recall"),
+    )

@@ -1,0 +1,148 @@
+"""Behavioral tests for the round-4 additions: duplicated-span dedup
+(keep-first semantics), blocked-Bloom decontamination (no false
+negatives), SQ8 quantized ANN (code bounds + recall), Z-order layout
+(skipping advantage + the materialized write), and mixture weights
+(normalization + alpha direction). Value-level parity vs DuckDB is
+covered by test_oracle_parity for every one of these; here we pin the
+SEMANTICS the oracle comparison alone would not explain."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from jira_cdc_git_spark.operators import layout as L
+from jira_cdc_git_spark.operators import text as T
+from jira_cdc_git_spark.operators import vectors as V
+
+
+# ---------- duplicated spans ----------
+
+
+def test_duplicate_spans_keep_first_and_merge(spark, sf_dir):
+    spans = T.duplicate_spans(spark, sf_dir).collect()
+    assert spans, "synthetic corpus plants repeated phrases; spans expected"
+    for r in spans:
+        assert r.span_tokens == r.span_end - r.span_start + 1
+        assert r.span_tokens >= T.SPAN_WIDTH
+    # islands are disjoint and non-adjacent per doc (else they'd have merged)
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for doc, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1 + 1, f"doc {doc}: spans {ss} should have merged"
+
+
+def test_strip_spans_keeps_one_copy_of_every_gram(spark, sf_dir):
+    """After the cut, re-running detection on the surviving text must find
+    (almost) nothing: every duplicated window kept exactly one copy.
+    Boundary effect: cutting interior words can CREATE a new window by
+    gluing the left and right remnants together — allow only such glued
+    windows, i.e. re-detected mass must be < 10% of the original."""
+    stripped = T.strip_duplicate_spans(spark, sf_dir)
+    agg = stripped.agg(
+        F.sum("n_tokens").alias("total"),
+        F.sum("n_tokens_removed").alias("removed"),
+    ).first()
+    assert 0 < agg.removed < agg.total * 0.5
+    # docs that lost nothing keep their original fingerprint
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5(F.concat_ws(" ", F.split(F.trim("text"), r"\s+"))).alias("orig_fp")
+    )
+    both = stripped.join(docs, "doc_id")
+    untouched = both.filter(F.col("n_tokens_removed") == 0)
+    assert untouched.filter(F.col("dedup_fp") != F.col("orig_fp")).count() == 0
+    touched = both.filter(F.col("n_tokens_removed") > 0)
+    assert touched.filter(F.col("dedup_fp") == F.col("orig_fp")).count() == 0
+
+
+# ---------- blocked bloom ----------
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    df = T.bloom_decontaminate(spark, sf_dir)
+    # exact_hit ⇒ bloom_hit, always — the Bloom guarantee
+    assert df.filter(F.col("exact_hit") & ~F.col("bloom_hit")).count() == 0
+    stats = df.agg(
+        F.sum(F.col("bloom_hit").cast("int")).alias("bloom"),
+        F.sum(F.col("exact_hit").cast("int")).alias("exact"),
+        F.sum(F.col("false_positive").cast("int")).alias("fp"),
+        F.count("*").alias("n"),
+    ).first()
+    assert stats.bloom == stats.exact + stats.fp
+    # the filter is sized for the doc-level ANY() decision (see
+    # BLOOM_BLOCKS docstring): per-doc FP should be a few percent
+    assert stats.fp < stats.n * 0.2
+
+
+# ---------- SQ8 ----------
+
+
+def test_sq8_recall_and_agreement(spark, sf_dir):
+    rep = V.sq8_recall_report(spark, sf_dir).first()
+    assert rep.k == 10
+    assert rep.recall >= 0.8, "8-bit quantization should barely disturb top-10"
+
+
+def test_sq8_scores_close_to_exact(spark, sf_dir):
+    exact = {r.vec_id: r.cos_sim for r in V.cosine_topk(spark, sf_dir).collect()}
+    approx = {r.vec_id: r.sq_cos_sim for r in V.sq8_topk(spark, sf_dir).collect()}
+    common = set(exact) & set(approx)
+    assert common
+    for vid in common:
+        assert abs(exact[vid] - approx[vid]) < 0.01
+
+
+# ---------- z-order ----------
+
+
+def test_zorder_beats_linear_layout(spark, sf_dir):
+    rep = L.zorder_skipping_report(spark, sf_dir).first()
+    # sparse tables can leave Morton file buckets empty; linear ntile
+    # always fills all ZFILES
+    assert rep.n_files_zorder <= L.ZFILES
+    assert rep.n_files_linear == L.ZFILES
+    assert rep.files_zorder < rep.files_linear
+    assert rep.skip_pct_zorder > 90.0
+    assert rep.skip_pct_zorder > rep.skip_pct_linear
+    assert rep.n_rows_match > 0
+
+
+def test_write_zorder_layout_narrows_file_stats(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "zordered")
+    L.write_zorder_layout(ev, out, n_files=8)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 4  # range partitioner may coalesce empty tails
+    # per-file user_id spread under z-order must be far below the global
+    # spread in at least half the files — that's what enables skipping
+    glo = ev.agg((F.max("user_id") - F.min("user_id")).alias("s")).first().s
+    narrow = 0
+    for f in files:
+        st = spark.read.parquet(f).agg(
+            (F.max("user_id") - F.min("user_id")).alias("s")
+        ).first()
+        if st.s is not None and st.s <= glo * 0.6:
+            narrow += 1
+    assert narrow >= len(files) // 2
+    # round-trip: no rows lost, schema preserved
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert set(back.columns) == set(ev.columns)
+
+
+# ---------- mixture weights ----------
+
+
+def test_mixture_weights_normalize_and_flatten(spark, sf_dir):
+    df = T.domain_mixture_weights(spark, sf_dir)
+    rows = df.collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    # alpha < 1 compresses the distribution: the largest source is
+    # downweighted (oversample < 1), the smallest upweighted (> 1)
+    big = max(rows, key=lambda r: r.n_tokens)
+    small = min(rows, key=lambda r: r.n_tokens)
+    assert big.oversample_x <= 1.0 <= small.oversample_x
