@@ -25,12 +25,12 @@ sequence_packing (red-on-hash in r03 through a DuckDB
 HUGEINT→float64 oracle typing artifact; the oracle now CASTs to
 BIGINT) plus the 10 rows-only-by-nature entries — backfilled to 50
 with r02/r03-green entries. After this round the union of
-CORRECTNESS files covers every pre-r4 entry. The registry has 139
-entries: 129 oracle-backed (value-hash checked) and 10 no-oracle by
+CORRECTNESS files covers every pre-r4 entry. The registry has 143
+entries: 133 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
-slot, all 129 oracle-backed queries are covered by the repo's own
+slot, all 133 oracle-backed queries are covered by the repo's own
 DuckDB-differential pytest suite (tests/test_oracle_parity.py replays
 the driver comparison over the full registry on every pytest run;
 tests/test_registry_rotation.py asserts the rotation invariant
@@ -116,10 +116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jql_project_active": J.jql_project_active,
         "jql_epic_all": J.jql_epic_all,
         "jql_epic_stories": J.jql_epic_stories,
-        "jql_recent_updates": J.jql_recent_updates,
-        "jql_my_sprint": J.jql_my_sprint,
-        "epic_members_by_type": J.epic_members_by_type,
-        "commit_messages": J.commit_messages,
         # r4 additions, never driver-checked → take the remaining window
         # slots (displacing r03-green entries to 51+): the admission
         # gate, the duplicated-span (substring-dedup) family, the
@@ -134,8 +130,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk": V.sq8_topk,
         "sq8_recall_report": V.sq8_recall_report,
         "zorder_skipping_report": LY.zorder_skipping_report,
+        "mixture_resample": T.mixture_resample,
+        "pq_topk": V.pq_topk,
+        "pq_recall_report": V.pq_recall_report,
+        "pq_rerank_topk": V.pq_rerank_topk,
         # ===== slots 51+: green in a prior round (r02/r03), replayed
         # by tests/test_oracle_parity.py on every pytest run =====
+        "jql_recent_updates": J.jql_recent_updates,
+        "jql_my_sprint": J.jql_my_sprint,
+        "epic_members_by_type": J.epic_members_by_type,
+        "commit_messages": J.commit_messages,
         "relationship_census": J.relationship_census,
         "epic_completeness": J.epic_completeness,
         "epic_hierarchy": J.epic_hierarchy,
@@ -2530,6 +2534,120 @@ _ORACLES["zorder_skipping_report"] = f"""
            round((1 - files_linear * 1.0 / n_files_linear) * 100, 2)
              AS skip_pct_linear
     FROM fz, fl, m
+"""
+
+
+_ORACLES["mixture_resample"] = f"""
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY source
+    ), w AS (
+        SELECT source,
+               n_tokens * 1.0 / sum(n_tokens) OVER () AS p,
+               pow(n_tokens * 1.0 / sum(n_tokens) OVER (),
+                   {T.MIXTURE_ALPHA}) AS wr
+        FROM per_src
+    ), ox AS (
+        SELECT source,
+               floor(wr / sum(wr) OVER () / p * 1e4 + 0.5) / 1e4
+                 AS oversample_x
+        FROM w
+    )
+    SELECT d.doc_id, d.source,
+           CAST(floor(o.oversample_x)
+                + CASE WHEN (('0x' || substr(md5(d.doc_id || '|mix'), 1, 8)))::BIGINT
+                            / 4294967296.0
+                          < o.oversample_x - floor(o.oversample_x)
+                       THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+    FROM documents d JOIN ox o USING (source)
+"""
+
+
+# ---- product quantization ANN ----------------------------------------
+# Mirrors vectors.pq_topk: codebook = subvector slices of train vecs
+# 1..PQ_K; encoding argmin of -2·dot+n2 with ties to the lowest code
+# (row_number ↔ Spark's struct array_min); the per-subspace sums fold in
+# j-order via list(... ORDER BY j) so float accumulation matches
+# Spark's unrolled j-loop exactly.
+_PQM, _PQK = V.PQ_M, V.PQ_K
+_PQ_DSUB = 64 // _PQM
+_PQ_CTES = f"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+    cells AS (
+        SELECT j, CAST(vec_id - 1 AS INTEGER) AS c,
+               list_slice(emb, j * {_PQ_DSUB} + 1, j * {_PQ_DSUB} + {_PQ_DSUB})
+                 AS cent
+        FROM e, unnest(generate_series(0, {_PQM - 1})) AS u(j)
+        WHERE vec_id BETWEEN 1 AND {_PQK}
+    ), cellsn AS (
+        SELECT j, c, cent,
+               list_sum(list_transform(cent, x -> x * x)) AS n2
+        FROM cells
+    ), qrow AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+        SELECT v.vec_id, v.label, cl.j, cl.c, cl.n2,
+               -2 * list_sum(list_transform(
+                      list_zip(list_slice(v.emb, cl.j * {_PQ_DSUB} + 1,
+                                          cl.j * {_PQ_DSUB} + {_PQ_DSUB}),
+                               cl.cent), s -> s[1] * s[2])) + cl.n2 AS dist,
+               list_sum(list_transform(
+                      list_zip(list_slice(q.qv, cl.j * {_PQ_DSUB} + 1,
+                                          cl.j * {_PQ_DSUB} + {_PQ_DSUB}),
+                               cl.cent), s -> s[1] * s[2])) AS qdot
+        FROM e v, cellsn cl, qrow q
+        WHERE v.vec_id <> 0
+    ), pick AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY dist, c) AS rn
+        FROM cand
+    ), agg AS (
+        SELECT p.vec_id, p.label,
+               list_sum(list(p.qdot ORDER BY p.j)) AS approx_dot,
+               list_sum(list(p.n2 ORDER BY p.j)) AS recon_n2
+        FROM pick p WHERE p.rn = 1
+        GROUP BY p.vec_id, p.label
+    ), qn AS (
+        SELECT list_sum(list_transform(qv, x -> x * x)) AS qn2 FROM qrow
+    ), pq AS (
+        SELECT vec_id, label,
+               round(approx_dot / sqrt(recon_n2 * qn2), 6) AS pq_cos_sim
+        FROM agg, qn
+        ORDER BY pq_cos_sim DESC, vec_id
+        LIMIT 10)"""
+
+_ORACLES["pq_topk"] = f"WITH {_PQ_CTES} SELECT * FROM pq"
+
+_ORACLES["pq_recall_report"] = f"""
+    WITH {_PQ_CTES},
+    exact AS (
+        SELECT vec_id,
+               round(list_dot_product(emb, qe)
+                     / sqrt(list_dot_product(emb, emb)
+                            * list_dot_product(qe, qe)), 6) AS cos_sim
+        FROM e, (SELECT emb AS qe FROM e WHERE vec_id = 0) q0
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10)
+    SELECT CAST(10 AS INTEGER) AS k,
+           count(*) AS n_hits,
+           count(*) / 10.0 AS recall
+    FROM exact WHERE vec_id IN (SELECT vec_id FROM pq)
+"""
+
+
+_ORACLES["pq_rerank_topk"] = f"""
+    WITH {_PQ_CTES.replace("LIMIT 10", "LIMIT 50")}
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(e.emb, q0.qe)
+                 / sqrt(list_dot_product(e.emb, e.emb)
+                        * list_dot_product(q0.qe, q0.qe)), 6) AS cos_sim
+    FROM e
+    JOIN pq ON pq.vec_id = e.vec_id,
+    (SELECT emb AS qe FROM e WHERE vec_id = 0) q0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
 """
 
 

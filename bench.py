@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "bloom_decontaminate",
     "domain_mixture_weights",
     "sq8_topk",
+    "pq_topk",
+    "pq_rerank_topk",
+    "mixture_resample",
     "zorder_skipping_report",
     "admission_report",
 ]

@@ -2013,3 +2013,36 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.round_half_up(w, 6).alias("mix_weight"),
         TX.round_half_up(w / p, 4).alias("oversample_x"),
     )
+
+
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the mixture: turn domain_mixture_weights' oversample
+    factors into a concrete per-doc copy count — floor(x) guaranteed
+    epochs plus one extra copy for a deterministic salted-hash fraction
+    of docs (P = frac(x)), so every source's EXPECTED token mass matches
+    its target weight exactly while the choice of which docs repeat (or
+    drop, for x < 1) is stable across runs. The output is the sampling
+    manifest a training-data writer joins against before sharding.
+
+    Shape: the 1-row-per-source weight table broadcasts; the corpus side
+    is one narrow projection (hash + arithmetic) — no shuffle beyond
+    the weights aggregation itself."""
+    weights = domain_mixture_weights(spark, sf_dir).select(
+        "source", "oversample_x"
+    )
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    # salted uniform in [0,1) from the doc's own digest — mirror of the
+    # oracle's ('0x'||substr(md5(...),1,8))::BIGINT / 2^32
+    u = TX.hex32(F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))) / F.lit(
+        float(1 << 32)
+    )
+    joined = docs.select("doc_id", "source").join(
+        F.broadcast(weights), "source"
+    )
+    n_full = F.floor(F.col("oversample_x")).cast("int")
+    frac = F.col("oversample_x") - n_full
+    return joined.select(
+        "doc_id",
+        "source",
+        (n_full + (u < frac).cast("int")).alias("n_copies"),
+    )

@@ -111,7 +111,12 @@ def test_zorder_beats_linear_layout(spark, sf_dir):
 
 
 def test_write_zorder_layout_narrows_file_stats(spark, sf_dir, tmp_path):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # events.parquet stores TIMESTAMP(NANOS) — readable only through
+    # load_table (sets nanosAsLong + converts); a raw read would crash
+    # when this test runs first in a session
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    ev = load_table(spark, "events", sf_dir)
     out = str(tmp_path / "zordered")
     L.write_zorder_layout(ev, out, n_files=8)
     files = sorted(glob.glob(f"{out}/part-*.parquet"))
@@ -146,3 +151,54 @@ def test_mixture_weights_normalize_and_flatten(spark, sf_dir):
     big = max(rows, key=lambda r: r.n_tokens)
     small = min(rows, key=lambda r: r.n_tokens)
     assert big.oversample_x <= 1.0 <= small.oversample_x
+
+
+def test_mixture_resample_mass(spark, sf_dir):
+    """Copy counts respect the floor/ceil envelope per source and land
+    the corpus-level token mass near the mixture target."""
+    rs = T.mixture_resample(spark, sf_dir)
+    w = {r.source: r for r in T.domain_mixture_weights(spark, sf_dir).collect()}
+    per_src = {
+        r.source: r
+        for r in rs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_copies").alias("copies"))
+        .collect()
+    }
+    assert set(per_src) == set(w)
+    import math
+
+    for src, row in per_src.items():
+        x = w[src].oversample_x
+        assert row.n * math.floor(x) <= row.copies <= row.n * math.ceil(x)
+        # expected copies = n·x; salted-hash choice should stay within
+        # binomial-ish noise of that
+        assert abs(row.copies - row.n * x) <= max(3.0, 0.35 * row.n)
+
+
+# ---------- product quantization ----------
+
+
+def test_pq_tradeoff_and_rerank_recovery(spark, sf_dir):
+    """Raw 4-bit PQ loses recall on this unstructured corpus; the
+    shortlist+exact-rerank deployment recovers most of it. Both
+    documented by the recall family."""
+    raw = V.pq_recall_report(spark, sf_dir).first()
+    assert raw.k == 10 and 0.0 <= raw.recall <= 1.0
+    exact_ids = {r.vec_id for r in V.cosine_topk(spark, sf_dir).collect()}
+    rerank_ids = {r.vec_id for r in V.pq_rerank_topk(spark, sf_dir).collect()}
+    rerank_recall = len(exact_ids & rerank_ids) / 10.0
+    assert rerank_recall >= raw.recall
+    assert rerank_recall >= 0.5, "50-candidate rerank should recover recall"
+
+
+def test_pq_codes_are_valid(spark, sf_dir):
+    """Every corpus vector encodes to PQ_M cells with codes in [0,PQ_K);
+    implied by construction, pinned against codebook regressions."""
+    from jira_cdc_git_spark.sources.registry import load_table_spread
+
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    cb = V._pq_codebook_row(emb, 64).first().cb
+    assert len(cb) == V.PQ_M * V.PQ_K
+    assert {s.j for s in cb} == set(range(V.PQ_M))
+    assert {s.c for s in cb} == set(range(V.PQ_K))
+    assert all(len(s.cent) == 64 // V.PQ_M for s in cb)
