@@ -23,9 +23,13 @@ IVM, funnel pair, anomalies, winsorized stats, entity resolution,
 dq/eval reports, the three epic-discovery variants) plus
 sequence_packing (red-on-hash in r03 through a DuckDB
 HUGEINT→float64 oracle typing artifact; the oracle now CASTs to
-BIGINT) plus the 10 rows-only-by-nature entries — backfilled to 50
-with r02/r03-green entries. After this round the union of
-CORRECTNESS files covers every pre-r4 entry. The registry has 143
+BIGINT) plus the 10 rows-only-by-nature entries plus the round-4
+wave (admission_report, the duplicated-span family, Bloom
+decontamination, mixture weights/resample, SQ8 + PQ ANN, Z-order
+report) — backfilled to 50 with r02/r03-green entries. After this
+round the union of CORRECTNESS files covers every pre-r4 entry; the
+r4 wave rotates via the same mechanism next round if any slot misses.
+The registry has 143
 entries: 133 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
