@@ -29,12 +29,12 @@ decontamination, mixture weights/resample, SQ8 + PQ ANN, Z-order
 report) — backfilled to 50 with r02/r03-green entries. After this
 round the union of CORRECTNESS files covers every pre-r4 entry; the
 r4 wave rotates via the same mechanism next round if any slot misses.
-The registry has 143
-entries: 133 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 144
+entries: 134 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
-slot, all 133 oracle-backed queries are covered by the repo's own
+slot, all 134 oracle-backed queries are covered by the repo's own
 DuckDB-differential pytest suite (tests/test_oracle_parity.py replays
 the driver comparison over the full registry on every pytest run;
 tests/test_registry_rotation.py asserts the rotation invariant
@@ -119,7 +119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broken_link_edges": J.broken_link_edges,
         "jql_project_active": J.jql_project_active,
         "jql_epic_all": J.jql_epic_all,
-        "jql_epic_stories": J.jql_epic_stories,
         # r4 additions, never driver-checked → take the remaining window
         # slots (displacing r03-green entries to 51+): the admission
         # gate, the duplicated-span (substring-dedup) family, the
@@ -138,8 +137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": V.pq_topk,
         "pq_recall_report": V.pq_recall_report,
         "pq_rerank_topk": V.pq_rerank_topk,
+        "curation_funnel_report": T.curation_funnel_report,
         # ===== slots 51+: green in a prior round (r02/r03), replayed
         # by tests/test_oracle_parity.py on every pytest run =====
+        "jql_epic_stories": J.jql_epic_stories,
         "jql_recent_updates": J.jql_recent_updates,
         "jql_my_sprint": J.jql_my_sprint,
         "epic_members_by_type": J.epic_members_by_type,
@@ -2652,6 +2653,91 @@ _ORACLES["pq_rerank_topk"] = f"""
     (SELECT emb AS qe FROM e WHERE vec_id = 0) q0
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT 10
+"""
+
+
+# ---- curation funnel (flagship composition) --------------------------
+# Stage algebra: s1 = quality, s2 = s1 ∧ exact-canonical, s3 = retention
+# keep (s2 ∧ not a near-dup cluster loser), s4 = s3 ∧ not benchmark-
+# contaminated — the same first-failing-stage semantics as the Spark
+# side's drop_reason unrolling. Sums CAST to BIGINT (DuckDB HUGEINT
+# would hash-mismatch Spark's int64 — the round-3 sequence_packing red).
+_ORACLES["curation_funnel_report"] = f"""
+    WITH RECURSIVE {_LSH_CTES}, {_QUALITY_CTES},
+    q AS (
+        SELECT doc_id, quality >= 0.6 AS q_ok FROM qq
+    ), fpx AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), canonx AS (
+        SELECT fp, min(doc_id) AS canon_id FROM fpx GROUP BY fp
+    ), ex AS (
+        SELECT doc_id, doc_id = canon_id AS e_ok
+        FROM fpx JOIN canonx USING (fp)
+    ), p AS (
+        SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8
+    ), ed AS (
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION
+        SELECT doc_b, doc_a FROM p
+    ), reach AS (
+        SELECT u AS node, u AS r FROM ed
+        UNION
+        SELECT ed.u AS node, reach.r
+        FROM ed JOIN reach ON reach.node = ed.v
+    ), cl AS (
+        SELECT node AS doc_id FROM reach
+        GROUP BY node HAVING node <> min(r)
+    ), sh6 AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(t) >= 6
+                 THEN list_transform(
+                     generate_series(1, CAST(len(t) AS INTEGER) - 5),
+                     i -> array_to_string(t[i:i+5], ' '))
+                 ELSE [] END)) AS gram
+        FROM toks
+    ), benchf AS (
+        SELECT DISTINCT gram FROM sh6 WHERE doc_id % 10 = 0
+    ), contam AS (
+        SELECT DISTINCT s.doc_id FROM sh6 s JOIN benchf USING (gram)
+        WHERE s.doc_id % 10 != 0
+    ), v AS (
+        SELECT q.doc_id,
+               CAST(len(tk.t) AS BIGINT) AS n_tok,
+               q.q_ok AS s1,
+               q.q_ok AND ex.e_ok AS s2,
+               q.q_ok AND ex.e_ok AND cl.doc_id IS NULL AS s3,
+               q.q_ok AND ex.e_ok AND cl.doc_id IS NULL
+                 AND co.doc_id IS NULL AS s4
+        FROM q
+        JOIN ex USING (doc_id)
+        JOIN toks tk ON tk.doc_id = q.doc_id
+        LEFT JOIN cl ON cl.doc_id = q.doc_id
+        LEFT JOIN contam co ON co.doc_id = q.doc_id
+    ), counters AS (
+        SELECT count(*) AS d0, sum(n_tok) AS t0,
+               sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS d1,
+               sum(CASE WHEN s1 THEN n_tok ELSE 0 END) AS t1,
+               sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS d2,
+               sum(CASE WHEN s2 THEN n_tok ELSE 0 END) AS t2,
+               sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS d3,
+               sum(CASE WHEN s3 THEN n_tok ELSE 0 END) AS t3,
+               sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS d4,
+               sum(CASE WHEN s4 THEN n_tok ELSE 0 END) AS t4
+        FROM v
+    )
+    SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage,
+           CAST(d0 AS BIGINT) AS n_docs, CAST(t0 AS BIGINT) AS n_tokens
+    FROM counters
+    UNION ALL SELECT 1, 'quality', CAST(d1 AS BIGINT), CAST(t1 AS BIGINT)
+    FROM counters
+    UNION ALL SELECT 2, 'exact_dedup', CAST(d2 AS BIGINT), CAST(t2 AS BIGINT)
+    FROM counters
+    UNION ALL SELECT 3, 'neardup_dedup', CAST(d3 AS BIGINT), CAST(t3 AS BIGINT)
+    FROM counters
+    UNION ALL SELECT 4, 'decontaminated', CAST(d4 AS BIGINT), CAST(t4 AS BIGINT)
+    FROM counters
 """
 
 

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "mixture_resample",
     "zorder_skipping_report",
     "admission_report",
+    "curation_funnel_report",
 ]
 
 

@@ -2046,3 +2046,68 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (n_full + (u < frac).cast("int")).alias("n_copies"),
     )
+
+
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE funnel: survivor doc and token
+    counts after each stage — raw → quality → exact-dedup canonical →
+    near-dup cluster canonical → decontaminated — the report a data lead
+    reads before a training run ("we started with X tokens and shipped
+    Y; stage Z ate the difference"). Stages compose the already-proven
+    operators: corpus_retention_clustered's first-failing-stage verdict
+    supplies quality/exact/near survivorship, decontaminate supplies the
+    benchmark-overlap drop.
+
+    Shape: inherits the banded-LSH / min-label-propagation / broadcast-
+    bench shapes of its parts; the funnel itself is one conditional
+    aggregation over the joined verdict frame plus a 5-row unpivot —
+    nothing new shuffles at corpus scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    ret = corpus_retention_clustered(spark, sf_dir)
+    contaminated = decontaminate(spark, sf_dir).select("doc_id").withColumn(
+        "contam", F.lit(True)
+    )
+    j = (
+        ret.join(toks, "doc_id")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "n_tok",
+            (F.col("drop_reason").isNull()
+             | (F.col("drop_reason") != "low_quality")).alias("s1"),
+            F.coalesce(
+                ~F.col("drop_reason").isin("low_quality", "exact_dup"),
+                F.lit(True),
+            ).alias("s2"),
+            F.col("keep").alias("s3"),
+            (F.col("keep") & F.col("contam").isNull()).alias("s4"),
+        )
+    )
+
+    stages = [
+        ("raw", F.lit(True)),
+        ("quality", F.col("s1")),
+        ("exact_dedup", F.col("s2")),
+        ("neardup_dedup", F.col("s3")),
+        ("decontaminated", F.col("s4")),
+    ]
+    # ONE aggregation pass (the verdict frame is computed once), then a
+    # 5-row stack unpivot of the counters
+    aggs = []
+    for i, (_, cond) in enumerate(stages):
+        aggs.append(F.sum(cond.cast("long")).alias(f"d{i}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_tok")).otherwise(0)).alias(f"t{i}")
+        )
+    one = j.agg(*aggs)
+    cells = ", ".join(
+        f"{i}, '{name}', d{i}, t{i}" for i, (name, _) in enumerate(stages)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(stages)}, {cells})"
+            " as (stage_idx, stage, n_docs, n_tokens)"
+        )
+    )

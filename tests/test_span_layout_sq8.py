@@ -202,3 +202,17 @@ def test_pq_codes_are_valid(spark, sf_dir):
     assert {s.j for s in cb} == set(range(V.PQ_M))
     assert {s.c for s in cb} == set(range(V.PQ_K))
     assert all(len(s.cent) == 64 // V.PQ_M for s in cb)
+
+
+# ---------- curation funnel ----------
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    rows = {r.stage: r for r in T.curation_funnel_report(spark, sf_dir).collect()}
+    order = ["raw", "quality", "exact_dedup", "neardup_dedup", "decontaminated"]
+    assert list(rows) and set(rows) == set(order)
+    for a, b in zip(order, order[1:]):
+        assert rows[b].n_docs <= rows[a].n_docs
+        assert rows[b].n_tokens <= rows[a].n_tokens
+    assert rows["decontaminated"].n_docs > 0, "pipeline must ship something"
+    assert rows["raw"].n_docs > rows["decontaminated"].n_docs
