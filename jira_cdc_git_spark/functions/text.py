@@ -138,25 +138,43 @@ def simhash64(text: Column) -> Column:
 
     Each token votes +1/-1 on 64 bit positions according to the bits of
     xxhash64(token); the signature bit is 1 where the sum is positive.
-    Computed as: for each bit j, sign of sum over tokens of
-    (2*bit_j(hash)-1). Expressed with transform/aggregate so it stays in
-    codegen."""
+    ONE fold over the token hashes with a 64-wide accumulator array —
+    every token is hashed exactly once and the array is traversed once
+    (the earlier 64-separate-folds form re-evaluated the hash transform
+    per bit position: 64× the hashing for the same result). Bit 63's
+    shiftleft wraps to Long.MIN_VALUE, which is exactly the sign-bit
+    pattern wanted."""
     toks = tokens(text)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_sum(j: int) -> Column:
-        # accumulator must be LONG: F.aggregate does not coerce the zero
-        # element, and the merge lambda yields BIGINT (xxhash64 is 64-bit).
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    out = F.lit(0).cast("long")
-    for j in range(64):
-        out = out.bitwiseOR(
-            F.when(bit_sum(j) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            * F.lit(2 ** j if j < 63 else -(2 ** 63)).cast("long")
-        )
-    return out
+    idx = F.sequence(F.lit(0), F.lit(63))
+    # accumulator must be LONG: F.aggregate does not coerce the zero
+    # element, and the vote arithmetic yields BIGINT (xxhash64 is 64-bit).
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    sums = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                idx,
+                # F.shiftright's python arg must be a literal int; the SQL
+                # function takes a column — call it by name
+                lambda j: F.call_function("shiftright", h, j.cast("int"))
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1,
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    bits = F.zip_with(
+        sums,
+        idx,
+        lambda s, j: F.when(
+            s > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), j.cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x)
+    )

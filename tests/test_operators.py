@@ -123,14 +123,11 @@ def test_bpe_estimate_at_least_ws_tokens(spark, sf_dir):
 
 
 def test_simhash_operator_equals_scalar_definition(spark, sf_dir):
-    # the packed 16-lane aggregation must reproduce the scalar simhash64
-    # bit-for-bit on every document
-    from jira_cdc_git_spark.functions import text as TX
-    from jira_cdc_git_spark.sources.registry import load_table
-
-    docs = load_table(spark, "documents", sf_dir)
-    scalar = docs.select("doc_id", TX.simhash64(F.col("text")).alias("simhash"))
-    packed = T.simhash_signatures(spark, sf_dir)
+    # two independent formulations must agree bit-for-bit on every
+    # document: the narrow single-fold operator (simhash_signatures) and
+    # the explode+groupBy lane-packed aggregation (_simhash_packed_sigs)
+    scalar = T.simhash_signatures(spark, sf_dir)
+    packed = T._simhash_packed_sigs(spark, sf_dir)
     n_diff = (
         packed.alias("p")
         .join(scalar.alias("s"), "doc_id")
