@@ -178,3 +178,39 @@ def simhash64(text: Column) -> Column:
     return F.aggregate(
         bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x)
     )
+
+
+def affine_min_vec(xs: Column, n_hashes: int) -> Column:
+    """All n_hashes affine minhashes in ONE fold over the pre-digested
+    array: accumulator = n_hashes-wide vector of running minima, each
+    lane applying its own (a, b) from minhash_ab. Numerically identical
+    to [affine_min(xs, s) for s in range(n_hashes)] (same constants,
+    same mod arithmetic) but traverses xs once instead of n_hashes
+    times — the simhash64 single-fold lesson applied to minhash."""
+    a_arr = F.array(
+        *[F.lit(minhash_ab(s)[0]).cast("long") for s in range(n_hashes)]
+    )
+    b_arr = F.array(
+        *[F.lit(minhash_ab(s)[1]).cast("long") for s in range(n_hashes)]
+    )
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), n_hashes)
+    ab = F.zip_with(
+        a_arr, b_arr, lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+    )
+    folded = F.aggregate(
+        xs,
+        init,
+        lambda acc, v: F.zip_with(
+            acc,
+            ab,
+            lambda m, c: F.least(
+                m, (v * c["a"] + c["b"]) % F.lit(MINHASH_PRIME)
+            ),
+        ),
+    )
+    # empty shingle set → NULL lanes, matching array_min(empty) = NULL in
+    # the per-seed form (band keys of shingle-less docs must not collide
+    # on a fold-identity value)
+    return F.when(F.size(xs) > 0, folded).otherwise(
+        F.array_repeat(F.lit(None).cast("long"), n_hashes)
+    )

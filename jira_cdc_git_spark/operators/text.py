@@ -86,12 +86,13 @@ def shingle_sets_frame(docs: DataFrame) -> DataFrame:
 def lsh_bands_frame(sets: DataFrame) -> DataFrame:
     """(doc_id, band, band_key) rows from a shingle_sets_frame: NUM_HASHES
     affine minhashes folded into BANDS md5 band keys. Narrow per-row
-    expressions — zero shuffle until someone joins on the band key."""
-    mh = [
-        TX.affine_min(F.col("xs"), s).alias(f"mh_{s}")
-        for s in range(NUM_HASHES)
-    ]
-    sigs = sets.select("doc_id", *mh)
+    expressions — zero shuffle until someone joins on the band key.
+    All NUM_HASHES minima come from ONE fold over xs (affine_min_vec);
+    the per-seed form traversed the digest array 32 times for the same
+    values."""
+    sigs = sets.select(
+        "doc_id", TX.affine_min_vec(F.col("xs"), NUM_HASHES).alias("mh")
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -100,7 +101,7 @@ def lsh_bands_frame(sets: DataFrame) -> DataFrame:
                     F.concat_ws(
                         "|",
                         *[
-                            F.col(f"mh_{b * ROWS_PER_BAND + r}")
+                            F.element_at("mh", b * ROWS_PER_BAND + r + 1)
                             for r in range(ROWS_PER_BAND)
                         ],
                     )
@@ -1519,11 +1520,9 @@ def minhash_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     — candidate-scoped, never all-pairs."""
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
     sets = shingle_sets_frame(docs).transform(materialize)
-    mh = [
-        TX.affine_min(F.col("xs"), s).alias(f"mh_{s}")
-        for s in range(NUM_HASHES)
-    ]
-    sigs = sets.select("doc_id", F.array(*mh).alias("sig")).transform(materialize)
+    sigs = sets.select(
+        "doc_id", TX.affine_min_vec(F.col("xs"), NUM_HASHES).alias("sig")
+    ).transform(materialize)
 
     band_structs = F.array(
         *[

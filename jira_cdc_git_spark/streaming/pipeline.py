@@ -829,9 +829,11 @@ def streaming_lsh_neardup(
         lsh_bands_frame,
         shingle_sets_frame,
     )
-    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.sources.registry import load_table_spread
 
-    corpus_docs = load_table(spark, "documents", corpus_sf_dir)
+    # spread across cores: the shingle+minhash transforms below are the
+    # static-side cost, and a one-file parquet read plans one partition
+    corpus_docs = load_table_spread(spark, "documents", corpus_sf_dir, "doc_id")
     corpus_sets = materialize(shingle_sets_frame(corpus_docs))
     corpus_bands = materialize(
         lsh_bands_frame(corpus_sets).withColumnRenamed(
@@ -945,9 +947,11 @@ def streaming_corpus_admission(
         lsh_bands_frame,
         shingle_sets_frame,
     )
-    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.sources.registry import load_table_spread
 
-    corpus_docs = load_table(spark, "documents", corpus_sf_dir)
+    # spread across cores: the shingle+minhash transforms below are the
+    # static-side cost, and a one-file parquet read plans one partition
+    corpus_docs = load_table_spread(spark, "documents", corpus_sf_dir, "doc_id")
     corpus_sets = materialize(shingle_sets_frame(corpus_docs))
     corpus_bands = materialize(
         lsh_bands_frame(corpus_sets).withColumnRenamed(
@@ -999,9 +1003,9 @@ def admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bands_frame,
         shingle_sets_frame,
     )
-    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.sources.registry import load_table_spread
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
     candidates = docs.filter(F.col("doc_id") % 10 == 3)
     corpus = docs.filter(F.col("doc_id") % 10 != 3)
     bench_grams = materialize(
