@@ -29,12 +29,12 @@ decontamination, mixture weights/resample, SQ8 + PQ ANN, Z-order
 report) — backfilled to 50 with r02/r03-green entries. After this
 round the union of CORRECTNESS files covers every pre-r4 entry; the
 r4 wave rotates via the same mechanism next round if any slot misses.
-The registry has 144
-entries: 134 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 145
+entries: 135 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
-slot, all 134 oracle-backed queries are covered by the repo's own
+slot, all 135 oracle-backed queries are covered by the repo's own
 DuckDB-differential pytest suite (tests/test_oracle_parity.py replays
 the driver comparison over the full registry on every pytest run;
 tests/test_registry_rotation.py asserts the rotation invariant
@@ -118,7 +118,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- backfill to 50: already green in CORRECTNESS_r02/r03 --
         "broken_link_edges": J.broken_link_edges,
         "jql_project_active": J.jql_project_active,
-        "jql_epic_all": J.jql_epic_all,
         # r4 additions, never driver-checked → take the remaining window
         # slots (displacing r03-green entries to 51+): the admission
         # gate, the duplicated-span (substring-dedup) family, the
@@ -138,8 +137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_report": V.pq_recall_report,
         "pq_rerank_topk": V.pq_rerank_topk,
         "curation_funnel_report": T.curation_funnel_report,
+        "bpe_train_merges": T.bpe_train_merges,
         # ===== slots 51+: green in a prior round (r02/r03), replayed
         # by tests/test_oracle_parity.py on every pytest run =====
+        "jql_epic_all": J.jql_epic_all,
         "jql_epic_stories": J.jql_epic_stories,
         "jql_recent_updates": J.jql_recent_updates,
         "jql_my_sprint": J.jql_my_sprint,
@@ -2739,6 +2740,48 @@ _ORACLES["curation_funnel_report"] = f"""
     UNION ALL SELECT 4, 'decontaminated', CAST(d4 AS BIGINT), CAST(t4 AS BIGINT)
     FROM counters
 """
+
+
+# ---- BPE merge training (iteration-unrolled oracle) ------------------
+# Chained CTE per round, generated from the operator's own BPE_MERGES —
+# each round recomputes the corpus-wide top pair IN SQL (independent of
+# the Spark side's collected argmax) and rewrites sequences with the
+# same greedy left-to-right fold (DuckDB list_reduce seeds the
+# accumulator with the first element; Spark's empty-seed fold appends
+# it unmerged first — identical traces).
+def _bpe_oracle(n_merges: int) -> str:
+    parts = [
+        "s0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')"
+        " AS syms FROM documents)"
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""p{i} AS (SELECT syms[i] AS l, syms[i+1] AS r
+            FROM s{i}, unnest(generate_series(1, CAST(len(syms) AS INTEGER) - 1)) u(i)
+            WHERE len(syms) >= 2)"""
+        )
+        parts.append(
+            f"""t{i} AS (SELECT l, r, count(*) AS c FROM p{i}
+            GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1)"""
+        )
+        parts.append(
+            f"""s{i + 1} AS (SELECT doc_id,
+            list_reduce(list_transform(syms, t -> [t]),
+                (a, b) -> CASE WHEN a[-1] = t{i}.l AND b[1] = t{i}.r
+                               THEN list_concat(a[1:len(a)-1],
+                                                [t{i}.l || chr(183) || t{i}.r])
+                               ELSE list_concat(a, b) END) AS syms
+            FROM s{i}, t{i})"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_idx, l AS left_sym,"
+        f" r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",\n".join(parts) + "\n    " + finals
+
+
+_ORACLES["bpe_train_merges"] = _bpe_oracle(T.BPE_MERGES)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "zorder_skipping_report",
     "admission_report",
     "curation_funnel_report",
+    "bpe_train_merges",
 ]
 
 

@@ -2121,3 +2121,83 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (stage_idx, stage, n_docs, n_tokens)"
         )
     )
+
+
+#: number of BPE merge rounds trained by bpe_train_merges.
+BPE_MERGES = 8
+#: separator inside a merged symbol (middle dot — cannot appear in the
+#: whitespace-tokenized corpus, so merged symbols never collide with raw
+#: tokens).
+BPE_SEP = "·"
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Distributed BPE merge TRAINING (the tokenizer-building step, not
+    the estimate of bpe_token_estimate): n_merges rounds of "count all
+    adjacent symbol pairs corpus-wide, adopt the most frequent as a new
+    merged symbol, rewrite every sequence greedily left-to-right".
+    Symbols start as whitespace words, so this trains phrase merges —
+    the algorithm is byte-pair encoding's exactly (Sennrich et al.
+    2016), one level up. Output: the learned merge table
+    (merge_idx, left_sym, right_sym, pair_count) — the artifact a
+    tokenizer ships.
+
+    The greedy rewrite is ONE fold per document: keep the running output
+    array; if its last element is `l` and the next symbol is `r`, pop
+    and push the merged symbol (chained overlaps like "a a a" resolve
+    left-to-right because the merged symbol no longer equals `l`).
+
+    100 TB shape: each round = one partial-aggregated pair-count shuffle
+    + a 1-row driver collect (the argmax IS the trained parameter —
+    collecting it is the point) + a narrow per-doc rewrite, with the
+    rewritten corpus materialized per round (the iterative-loop
+    discipline of pagerank/neardup_clusters). Rounds are inherently
+    sequential — that's BPE.
+    """
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    seqs = docs.select("doc_id", TX.tokens(F.col("text")).alias("syms"))
+    out_rows = []
+    for idx in range(n_merges):
+        pairs = seqs.select(
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .count()
+            .orderBy(F.col("count").desc(), "l", "r")
+            .first()
+        )
+        if top is None:
+            break
+        l, r, cnt = top["l"], top["r"], top["count"]
+        merged_sym = l + BPE_SEP + r
+        out_rows.append((idx, l, r, int(cnt)))
+        rewrite = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, t: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (t == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged_sym))
+                ),
+            ).otherwise(F.concat(acc, F.array(t))),
+        )
+        seqs = seqs.select("doc_id", rewrite.alias("syms")).transform(materialize)
+    return spark.createDataFrame(
+        out_rows, "merge_idx int, left_sym string, right_sym string, pair_count long"
+    )

@@ -216,3 +216,20 @@ def test_curation_funnel_monotone(spark, sf_dir):
         assert rows[b].n_tokens <= rows[a].n_tokens
     assert rows["decontaminated"].n_docs > 0, "pipeline must ship something"
     assert rows["raw"].n_docs > rows["decontaminated"].n_docs
+
+
+# ---------- BPE merge training ----------
+
+
+def test_bpe_merges_monotone_and_effective(spark, sf_dir):
+    """Pair counts are non-increasing round over round (the most frequent
+    pair is consumed each time), merged symbols compose, and applying
+    the merges strictly shrinks the corpus symbol count by each round's
+    pair_count."""
+    merges = T.bpe_train_merges(spark, sf_dir, n_merges=4).collect()
+    assert [m.merge_idx for m in merges] == [0, 1, 2, 3]
+    counts = [m.pair_count for m in merges]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert all(m.pair_count >= 1 for m in merges)
+    # distinct merge rules
+    assert len({(m.left_sym, m.right_sym) for m in merges}) == 4
