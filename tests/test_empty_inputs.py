@@ -49,8 +49,17 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.token_budget_sample,
         T.pmi_topk,
         T.minhash_accuracy_report,
+        T.duplicate_spans,
+        T.strip_duplicate_spans,
+        T.bloom_decontaminate,
+        T.domain_mixture_weights,
+        T.mixture_resample,
+        T.bpe_train_merges,
         V.embedding_neardup,
         V.semdedup,
+        V.sq8_topk,
+        V.pq_topk,
+        V.pq_rerank_topk,
     ],
 )
 def test_operator_empty_input_yields_empty_output(fn, spark, empty_sf_dir):
