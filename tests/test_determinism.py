@@ -26,6 +26,15 @@ RISKY = [
     "corpus_retention_clustered",
     "kmv_distinct_estimate",
     "dataset_splits",
+    "duplicate_spans",
+    "strip_duplicate_spans",
+    "bloom_decontaminate",
+    "mixture_resample",
+    "sq8_topk",
+    "pq_topk",
+    "pq_rerank_topk",
+    "bpe_train_merges",
+    "zorder_skipping_report",
 ]
 
 
