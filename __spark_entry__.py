@@ -2710,7 +2710,7 @@ _ORACLES["curation_funnel_report"] = f"""
                q.q_ok AND ex.e_ok AS s2,
                q.q_ok AND ex.e_ok AND cl.doc_id IS NULL AS s3,
                q.q_ok AND ex.e_ok AND cl.doc_id IS NULL
-                 AND co.doc_id IS NULL AS s4
+                 AND co.doc_id IS NULL AND q.doc_id % 10 != 0 AS s4
         FROM q
         JOIN ex USING (doc_id)
         JOIN toks tk ON tk.doc_id = q.doc_id

@@ -320,6 +320,7 @@ SCALE_PROBE_QUERIES = [
     "epic_hierarchy",
     "duplicate_spans",
     "bloom_decontaminate",
+    "curation_funnel_report",
 ]
 
 

@@ -46,13 +46,12 @@ def _issues_to_jql(issues: str) -> str:
     internal/cli/sync.go:365-424): split, trim, drop empties, validate."""
     import re
 
-    # P16 key shape (internal/cli/sync.go:329-341), same pattern the
-    # parse_issue_list operator applies column-side
-    key_re = r"[A-Z][A-Z0-9]*(-[A-Z0-9]+)*-\d+"
+    from jira_cdc_git_spark.functions.scalar import ISSUE_KEY_PATTERN
+
     keys = [k.strip() for k in issues.split(",") if k.strip()]
     if not keys:
         raise SystemExit("--issues: no keys given")
-    bad = [k for k in keys if not re.fullmatch(key_re, k)]
+    bad = [k for k in keys if not re.fullmatch(ISSUE_KEY_PATTERN, k)]
     if bad:
         raise SystemExit(f"--issues: invalid keys {bad}")
     return "key in (" + ", ".join(keys) + ")"
@@ -64,6 +63,10 @@ def cmd_sync(args: argparse.Namespace) -> int:
     if args.incremental and args.force:
         raise SystemExit("--incremental and --force are mutually exclusive")
     jql = args.jql or _issues_to_jql(args.issues)
+    # engine select (sync.go:174): --incremental = state-filtered CDC;
+    # plain and --force both run the full BatchSyncEngine sweep (sync
+    # everything the JQL matches, state refreshed as a side effect)
+    force = args.force or not args.incremental
     from jira_cdc_git_spark.state import SyncStateStore
     from jira_cdc_git_spark.streaming.pipeline import run_incremental_sync
 
@@ -78,7 +81,7 @@ def cmd_sync(args: argparse.Namespace) -> int:
         distributed=args.distributed,
         max_concurrent=args.concurrency if args.distributed else None,
         token=args.token,
-        force=args.force,
+        force=force,
         dry_run=args.dry_run,
         git_repos_root=args.git_root,
     )
@@ -93,6 +96,9 @@ def cmd_query(args: argparse.Namespace) -> int:
 
     if bool(args.jql) == bool(args.template):
         raise SystemExit("exactly one of --jql / --template is required")
+    bad = [p for p in args.param or [] if "=" not in p]
+    if bad:
+        raise SystemExit(f"--param expects k=v, got: {bad}")
     params = dict(p.split("=", 1) for p in args.param or [])
     jql = args.jql or build_from_template(args.template, params)
     spark = _spark()
@@ -124,9 +130,22 @@ def cmd_template(args: argparse.Namespace) -> int:
     return 0
 
 
+def _require(args: argparse.Namespace, *flags: str) -> None:
+    missing = [f for f in flags if getattr(args, f, None) is None]
+    if missing:
+        raise SystemExit(
+            f"{args.cmd} {args.action}: missing required "
+            + ", ".join(f"--{f}" for f in missing)
+        )
+
+
 def cmd_profile(args: argparse.Namespace) -> int:
     from jira_cdc_git_spark.profile_store import ProfileStore
 
+    if args.action in ("show", "delete"):
+        _require(args, "name")
+    elif args.action == "create":
+        _require(args, "spec")
     store = ProfileStore(args.store)
     if args.action == "list":
         for n in store.list_names():
@@ -143,6 +162,10 @@ def cmd_profile(args: argparse.Namespace) -> int:
 def cmd_saved(args: argparse.Namespace) -> int:
     from jira_cdc_git_spark.query_store import SavedQueryStore
 
+    if args.action == "save":
+        _require(args, "name", "jql")
+    elif args.action in ("run", "delete"):
+        _require(args, "name")
     store = SavedQueryStore(args.store)
     if args.action == "save":
         store.save(args.name, args.description or "", args.jql)

@@ -8,6 +8,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: P16 issue-key shape (internal/cli/sync.go:329-341) — the single
+#: executable copy; the CLI's --issues validation and the
+#: parse_issue_list operator both reference it.
+ISSUE_KEY_PATTERN = r"[A-Z][A-Z0-9]*(-[A-Z0-9]+)*-\d+"
+
 # --- F1: project-key extraction — BOTH reference variants ------------------
 # The reference diverges: pkg/schema/yaml.go:126-134 strips the trailing
 # numeric segment (multi-dash-safe), while pkg/links/links.go:335-341,

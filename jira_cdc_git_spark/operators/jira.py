@@ -565,7 +565,7 @@ def parse_issue_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return items.select(
         "issue_key",
-        F.col("issue_key").rlike(r"^[A-Z][A-Z0-9]*(-[A-Z0-9]+)*-\d+$").alias(
+        F.col("issue_key").rlike("^" + SC.ISSUE_KEY_PATTERN + "$").alias(
             "valid"
         ),
     )

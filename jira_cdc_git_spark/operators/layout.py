@@ -131,18 +131,32 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantile_bucket(col_name: str, cuts: list[float]) -> Column:
+    """0-based bucket id of col against sorted cut points — a chain of
+    comparisons against broadcast literals; purely narrow."""
+    out = F.lit(0)
+    for c in cuts:
+        out = out + (F.col(col_name) > F.lit(float(c))).cast("int")
+    return out
+
+
 def write_zorder_layout(
     ev: DataFrame, out_dir: str, n_files: int = 64
 ) -> None:
-    """Materialize the Morton layout: range-partition on the Morton key
-    (sampled range partitioner — the scalable stand-in for a global
-    sort), sort within partitions, one file per partition. Readers then
-    skip files via parquet min/max on BOTH user_id and value."""
+    """Materialize the Morton layout the way a production OPTIMIZE
+    ZORDER does: rank-bucket boundaries come from approxQuantile (one
+    sampling pass, boundaries broadcast into a narrow bucketize
+    expression — NO global-sort window anywhere), then range-partition
+    on the Morton key (sampled range partitioner), sort within
+    partitions, one file per partition. Readers then skip files via
+    parquet min/max on BOTH user_id and value. The exact-percent_rank
+    form lives only in the oracle-checked DIAGNOSTIC report above."""
     n = 1 << ZBITS
-    w_u = Window.orderBy("user_id", "event_id")
-    w_v = Window.orderBy("value", "event_id")
-    bx = F.least(F.lit(n - 1), F.floor(F.percent_rank().over(w_u) * n)).cast("int")
-    by = F.least(F.lit(n - 1), F.floor(F.percent_rank().over(w_v) * n)).cast("int")
+    probs = [i / n for i in range(1, n)]
+    cuts_u = ev.approxQuantile("user_id", probs, 0.001)
+    cuts_v = ev.approxQuantile("value", probs, 0.001)
+    bx = _quantile_bucket("user_id", cuts_u).cast("int")
+    by = _quantile_bucket("value", cuts_v).cast("int")
     keyed = ev.withColumn("_z", morton_code(bx, by))
     (
         keyed.repartitionByRange(n_files, "_z")

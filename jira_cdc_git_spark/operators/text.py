@@ -1929,14 +1929,14 @@ def bloom_decontaminate(
     """Decontamination via a BROADCAST blocked Bloom filter — the 100 TB
     form of the benchmark n-gram rule when even the distinct benchmark
     gram set is too wide to broadcast raw: the filter compresses it to
-    BLOOM_BLOCKS BIGINTs (2 KB here; MBs in production) with zero false
+    BLOOM_BLOCKS BIGINTs (32 KB here; MBs in production) with zero false
     negatives. Per doc: bloom_hit (filter says maybe-contaminated),
     exact_hit (the precise gram join, the rule bloom approximates) —
     bloom_hit ⊇ exact_hit always; the gap IS the filter's false-positive
     cost, reported so the deployment can size BLOOM_BLOCKS.
 
     Shape: building the filter aggregates the (small) benchmark grams to
-    256 rows; the corpus side is a narrow per-gram bit test against the
+    at most BLOOM_BLOCKS rows; the corpus side is a narrow per-gram bit test against the
     broadcast blocks + a per-doc any() — the corpus never shuffles on
     gram for the bloom arm (the exact arm stays candidate-scoped via the
     broadcast gram join, as in decontaminate)."""
@@ -2065,8 +2065,9 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads before a training run ("we started with X tokens and shipped
     Y; stage Z ate the difference"). Stages compose the already-proven
     operators: corpus_retention_clustered's first-failing-stage verdict
-    supplies quality/exact/near survivorship, decontaminate supplies the
-    benchmark-overlap drop.
+    supplies quality/exact/near survivorship; the final stage drops both
+    decontaminate's flagged docs AND the held-out benchmark slice itself
+    (eval data is never shipped as training mass).
 
     Shape: inherits the banded-LSH / min-label-propagation / broadcast-
     bench shapes of its parts; the funnel itself is one conditional
@@ -2080,6 +2081,11 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = decontaminate(spark, sf_dir).select("doc_id").withColumn(
         "contam", F.lit(True)
     )
+    # the decontamination stage drops BOTH the flagged training docs and
+    # the held-out benchmark slice itself (doc_id % 10 == 0): the slice
+    # stands in for the eval suites, which are never shipped as training
+    # data — counting them as "decontaminated" tokens would be the exact
+    # leakage the stage exists to prevent
     j = (
         ret.join(toks, "doc_id")
         .join(contaminated, "doc_id", "left")
@@ -2092,7 +2098,11 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(True),
             ).alias("s2"),
             F.col("keep").alias("s3"),
-            (F.col("keep") & F.col("contam").isNull()).alias("s4"),
+            (
+                F.col("keep")
+                & F.col("contam").isNull()
+                & (F.col("doc_id") % 10 != 0)
+            ).alias("s4"),
         )
     )
 

@@ -768,6 +768,14 @@ PQ_M = 8
 PQ_K = 16
 
 
+def _embedding_dim(emb: DataFrame) -> int:
+    """Dimension of the embedding column, from one bounded row lookup
+    (0 for an empty corpus). Slicing with a wrong hardcoded dim would
+    silently score truncated subvectors — fail loudly instead."""
+    row = emb.select(F.size("embedding").alias("d")).first()
+    return int(row["d"]) if row is not None else 0
+
+
 def _pq_codebook_row(emb: DataFrame, dim: int) -> DataFrame:
     """One-row broadcastable codebook: array of {j, c, cent, n2} structs —
     subspace j's centroid c is the j-th slice of training vector c+1
@@ -818,7 +826,13 @@ def pq_topk(
     TakeOrderedAndProject. In production the codes are the materialized
     column and encoding runs once at ingest."""
     emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
-    dim = 64
+    dim = _embedding_dim(emb)
+    if dim == 0:
+        return emb.select(
+            "vec_id", "label", F.lit(0.0).alias("pq_cos_sim")
+        ).limit(0)
+    if dim % PQ_M != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by PQ_M={PQ_M}")
     d_sub = dim // PQ_M
     cb = _pq_codebook_row(emb, dim).transform(materialize)
     q = emb.filter(F.col("vec_id") == query_vec_id).select(

@@ -145,3 +145,18 @@ def test_cli_sync_end_to_end(capsys, spark, tmp_path, mock_jira):  # noqa: F811
 def test_version(capsys):
     rc, out, _ = run(capsys, "version")
     assert rc == 0 and out.strip() == cli.ENGINE_VERSION
+
+
+def test_cli_sync_plain_mode_is_full_sweep(capsys, spark, tmp_path, mock_jira):  # noqa: F811
+    """No mode flag = the reference's plain BatchSyncEngine: every run
+    syncs everything the JQL matches (no state filtering)."""
+    url, _ = mock_jira
+    out_dir = str(tmp_path / "out")
+    for _ in range(2):
+        rc, out, _ = run(
+            capsys, "sync", "--jql", "project = PROJ",
+            "--base-url", url, "--out", out_dir,
+        )
+        assert rc == 0
+        result = json.loads(out.strip().splitlines()[-1])
+        assert result["total"] > 0
