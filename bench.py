@@ -119,13 +119,22 @@ def main() -> None:
         # The first run also pays per-query codegen/compile (~1-3 s) and
         # whatever cached blocks earlier queries left behind — clear those
         # so one query's residue can't distort the next's measurement.
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        # the VM pauses intermittently (multi-second hypervisor/GC
+        # stalls); when the two runs disagree wildly a stall likely ate
+        # one (or both) — take one more sample so the reported min
+        # reflects the plan, not the pause
+        if max(runs) > 2.5 * min(runs) or min(runs) > 2.0:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     # E2E sync throughput at the reference's benchmark sizes (BASELINE.md:
     # <30s @100, <120s @500, <300s @1000 issues; floor >= 0.5 issues/s).
