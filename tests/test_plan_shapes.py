@@ -468,3 +468,63 @@ def test_semdedup_gate_and_admit_vectors(spark, sf_dir, tmp_path):
     res2 = V.admit_vectors(spark, batch, path)
     assert res2["admitted"] == 0
     assert idx.count() == n0 + 1
+
+
+# ---------- round-4 operators ----------
+
+
+def test_duplicate_spans_windows_partition_by_doc(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.duplicate_spans(spark, sf_dir))
+    # the island-merge windows must partition by doc_id — a global
+    # (unpartitioned) window would single-thread the merge at scale
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Window ")[1:]:
+        head = frag[:200]
+        assert "doc_id" in head, f"unpartitioned window: {head}"
+
+
+def test_bloom_filter_broadcasts(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.bloom_decontaminate(spark, sf_dir))
+    # both static sides (bloom blocks, exact bench grams) broadcast;
+    # the corpus side never shuffles on gram for the bloom arm
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_topk_is_takeordered_over_broadcasts(spark, sf_dir):
+    from jira_cdc_git_spark.operators import vectors as V
+
+    plan = _plan(V.sq8_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan  # stats row + query row
+
+
+def test_pq_topk_is_takeordered_over_broadcast_codebook(spark, sf_dir):
+    from jira_cdc_git_spark.operators import vectors as V
+
+    plan = _plan(V.pq_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_mixture_resample_weights_broadcast(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.mixture_resample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # 20-row weights must never SMJ
+
+
+def test_simhash_signatures_is_shuffle_free(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.simhash_signatures(spark, sf_dir))
+    # the narrow single-fold map: no Exchange at all after the scan
+    # (load_table_spread's repartition is the only allowed exchange)
+    body = plan.split("Scan")[0]
+    assert "Exchange hashpartitioning" not in body or "doc_id" in body
+    assert "HashAggregate" not in plan
