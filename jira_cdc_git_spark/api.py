@@ -1,0 +1,569 @@
+"""REST API facade — the reference's second user surface (SURVEY §3.2)
+mapped onto the Spark engine with ONLY the standard library.
+
+The reference runs an HTTP server that turns sync requests into
+Kubernetes Jobs (internal/api/server.go:115-173 route table,
+handlers_sync.go:143-164 JQL handler, handlers_jobs.go job status /
+logs / queue endpoints). Here the same routes front the repo's job
+IR (plans.SyncJobSpec) and the composed incremental sync loop
+(streaming.pipeline.run_incremental_sync): a POST validates the
+request exactly as validateJQLSyncRequest / validateBatchSyncRequest
+do (handlers_sync.go:208-244 — jql >= 5 chars, parallelism 0..10,
+concurrency 0..10, incremental XOR force), creates a job row, and a
+worker thread drives the REST fetch → change filter → issues + edges +
+commit-log + state MERGE pipeline. Status polling, logs, queue counts
+and the response envelope ({success, data, error, meta} —
+server.go:262-301) all match the reference's shapes.
+
+Spark-first posture: the server is a THIN control plane (SURVEY §3.3);
+every data-touching step inside a job is a Spark job. The job table is
+exposed as a DataFrame (jobs_frame) so the A7 queue-status pivot
+(plans.queue_status) runs over the live queue.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+import urllib.parse
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame, SparkSession
+
+API_VERSION = "0.5.0-spark"
+
+#: job lifecycle (pkg/jobs JobStatus*; the repo's A7 pivot vocabulary)
+PENDING, RUNNING, COMPLETED, FAILED, CANCELLED = (
+    "pending", "running", "completed", "failed", "cancelled",
+)
+
+_ISSUE_KEY_RE = re.compile(r".+-[0-9]+$")
+
+
+def _valid_issue_key(key: str) -> bool:
+    """isValidIssueKey (handlers_sync.go:247-263): PROJECT-NUMBER with a
+    numeric tail, non-empty, < 50 chars."""
+    return bool(key) and len(key) < 50 and bool(_ISSUE_KEY_RE.fullmatch(key))
+
+
+def validate_jql_sync_request(req: dict) -> str | None:
+    """validateJQLSyncRequest (handlers_sync.go:208-227): first failing
+    rule's message, None when valid."""
+    jql = req.get("jql") or ""
+    if not jql:
+        return "jql is required"
+    if not req.get("repository"):
+        return "repository is required"
+    if len(jql) < 5:
+        return "JQL query too short, minimum 5 characters"
+    if not 0 <= int(req.get("parallelism") or 0) <= 10:
+        return "parallelism must be between 0 and 10"
+    return _validate_sync_options(req.get("options"))
+
+
+def validate_batch_sync_request(req: dict) -> str | None:
+    """validateBatchSyncRequest (handlers_sync.go:184-206)."""
+    keys = req.get("issue_keys") or []
+    if not keys:
+        return "issue_keys is required and cannot be empty"
+    if not req.get("repository"):
+        return "repository is required"
+    for key in keys:
+        if not _valid_issue_key(key):
+            return f"invalid issue key format: {key}"
+    if not 0 <= int(req.get("parallelism") or 0) <= 10:
+        return "parallelism must be between 0 and 10"
+    return _validate_sync_options(req.get("options"))
+
+
+def validate_single_sync_request(req: dict) -> str | None:
+    """validateSingleSyncRequest (handlers_sync.go:167-182)."""
+    key = req.get("issue_key") or ""
+    if not key:
+        return "issue_key is required"
+    if not req.get("repository"):
+        return "repository is required"
+    if not _valid_issue_key(key):
+        return f"invalid issue key format: {key}"
+    return _validate_sync_options(req.get("options"))
+
+
+def _validate_sync_options(options: dict | None) -> str | None:
+    """validateSyncOptions (handlers_sync.go:229-244)."""
+    if not options:
+        return None
+    if not 0 <= int(options.get("concurrency") or 0) <= 10:
+        return "concurrency must be between 0 and 10"
+    if options.get("incremental") and options.get("force"):
+        return "incremental and force options are mutually exclusive"
+    return None
+
+
+class JobManager:
+    """In-process job queue replacing the reference's Kubernetes Job
+    dispatch (pkg/jobs/scheduler.go:49-88): one worker thread drains a
+    FIFO of SyncJobSpec-shaped requests, each executed as the composed
+    Spark sync (run_incremental_sync). Single worker by design — the
+    Spark driver serializes job submission anyway; *within* a job the
+    parallelism knob maps to distributed fetch tasks, which is where
+    the reference's per-job parallelism actually buys throughput."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_url: str,
+        out_root: str,
+        *,
+        token: str | None = None,
+        limiter=None,
+    ):
+        self.spark = spark
+        self.base_url = base_url
+        self.out_root = out_root
+        self.token = token
+        self.limiter = limiter
+        self._jobs: dict[str, dict] = {}
+        self._order: list[str] = []
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._n = 0
+        self._stop = False
+        self._worker = threading.Thread(target=self._run_loop, daemon=True)
+        self._worker.start()
+
+    # -- submission ----------------------------------------------------
+
+    def submit(
+        self,
+        job_type: str,
+        jql: str,
+        repository: str,
+        req: dict,
+        issue_keys: list[str] | None = None,
+    ) -> dict:
+        opts = req.get("options") or {}
+        with self._lock:
+            self._n += 1
+            job_id = f"sync-job-{self._n:05d}"
+            job = {
+                "job_id": job_id,
+                "type": job_type,
+                "status": PENDING,
+                "jql": jql,
+                "issue_keys": issue_keys or [],
+                "repository": repository,
+                "parallelism": int(req.get("parallelism") or 0),
+                "dry_run": bool(opts.get("dry_run")),
+                "incremental": bool(opts.get("incremental")),
+                "force": bool(opts.get("force")),
+                "created_at": _now_iso(),
+                "started_at": None,
+                "completed_at": None,
+                "total_issues": 0,
+                "processed_issues": 0,
+                "successful_sync": 0,
+                "failed_sync": 0,
+                "errors": [],
+                "logs": [f"job {job_id} created ({job_type}): {jql}"],
+            }
+            self._jobs[job_id] = job
+            self._order.append(job_id)
+            self._wake.notify()
+        return job
+
+    # -- worker --------------------------------------------------------
+
+    def _next_pending(self) -> dict | None:
+        for jid in self._order:
+            if self._jobs[jid]["status"] == PENDING:
+                return self._jobs[jid]
+        return None
+
+    def _run_loop(self) -> None:
+        while True:
+            with self._lock:
+                job = self._next_pending()
+                while job is None and not self._stop:
+                    self._wake.wait(timeout=0.5)
+                    job = self._next_pending()
+                if self._stop:
+                    return
+                job["status"] = RUNNING
+                job["started_at"] = _now_iso()
+                job["logs"].append("sync started")
+            try:
+                counts = self._execute(job)
+                with self._lock:
+                    job.update(
+                        status=COMPLETED,
+                        completed_at=_now_iso(),
+                        total_issues=counts["total"],
+                        processed_issues=counts["processed"],
+                        successful_sync=counts["successful"],
+                        failed_sync=counts["failed"],
+                    )
+                    job["logs"].append(
+                        "sync completed: "
+                        + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+                    )
+            except Exception as exc:  # job-scoped failure, server stays up
+                with self._lock:
+                    job.update(status=FAILED, completed_at=_now_iso())
+                    job["errors"].append(f"{type(exc).__name__}: {exc}")
+                    job["logs"].append(f"sync failed: {exc}")
+
+    def _execute(self, job: dict) -> dict:
+        from pyspark.sql import functions as F
+
+        from jira_cdc_git_spark.sources import jira_rest as JR
+        from jira_cdc_git_spark.state import SyncStateStore
+        from jira_cdc_git_spark.streaming.pipeline import incremental_sync_batch
+
+        out = f"{self.out_root}/{job['repository']}"
+        store = SyncStateStore(f"{out}/state")
+        # engine select parity (internal/cli/sync.go:174 via the job
+        # container args): force sweeps everything; plain incremental and
+        # dry-run preview both run state-filtered
+        force = job["force"] or not (job["incremental"] or job["dry_run"])
+        kw: dict = {"token": self.token}
+        if job["parallelism"] > 0:
+            kw.update(distributed=True, max_concurrent=job["parallelism"])
+        elif self.limiter is not None:
+            kw["limiter"] = self.limiter
+        job["logs"].append(f"fetching: {job['jql']}")
+        issues = JR.search_query(
+            self.spark,
+            self.base_url,
+            job["jql"],
+            distributed=job["parallelism"] > 0,
+            **kw,
+        )
+        if job["issue_keys"]:
+            # single/batch jobs sync EXACTLY the listed keys (the
+            # reference fetches them one by one, batch_test.go posture) —
+            # enforced engine-side even if the server over-returns
+            issues = issues.filter(F.col("key").isin(job["issue_keys"]))
+        return incremental_sync_batch(
+            self.spark,
+            issues,
+            store,
+            out,
+            force=force,
+            dry_run=job["dry_run"],
+            edges_dir=f"{out}/edges",
+        )
+
+    # -- queries -------------------------------------------------------
+
+    def get(self, job_id: str) -> dict | None:
+        with self._lock:
+            return dict(self._jobs[job_id]) if job_id in self._jobs else None
+
+    def list(self, statuses=None, types=None, limit: int = 20) -> list[dict]:
+        with self._lock:
+            rows = [dict(self._jobs[j]) for j in self._order]
+        if statuses:
+            rows = [r for r in rows if r["status"] in statuses]
+        if types:
+            rows = [r for r in rows if r["type"] in types]
+        return rows[:limit]
+
+    def cancel(self, job_id: str) -> bool:
+        """Cancel a job that has not started (a running Spark action is
+        not interruptible from here — matching the reference, which can
+        only delete the Kubernetes Job object)."""
+        with self._lock:
+            job = self._jobs.get(job_id)
+            if job is None or job["status"] != PENDING:
+                return False
+            job["status"] = CANCELLED
+            job["completed_at"] = _now_iso()
+            job["logs"].append("job cancelled")
+            return True
+
+    def delete(self, job_id: str) -> bool:
+        with self._lock:
+            if job_id not in self._jobs or self._jobs[job_id]["status"] in (
+                PENDING, RUNNING,
+            ):
+                return False
+            del self._jobs[job_id]
+            self._order.remove(job_id)
+            return True
+
+    def queue_counts(self) -> dict:
+        """QueueStatusResponse (handlers_jobs.go:36-43)."""
+        with self._lock:
+            st = [self._jobs[j]["status"] for j in self._order]
+        return {
+            "total_jobs": len(st),
+            "pending_jobs": st.count(PENDING),
+            "running_jobs": st.count(RUNNING),
+            "completed_jobs": st.count(COMPLETED),
+            "failed_jobs": st.count(FAILED),
+        }
+
+    def jobs_frame(self, spark: SparkSession) -> DataFrame:
+        """The queue as a Spark DataFrame — feeds plans.queue_status
+        (A7 pivot) and any job-table analytics."""
+        with self._lock:
+            rows = [
+                (j["job_id"], j["type"], j["status"], j["jql"],
+                 j["repository"], j["total_issues"])
+                for j in (self._jobs[jid] for jid in self._order)
+            ]
+        return spark.createDataFrame(
+            rows,
+            "job_id string, type string, status string, jql string,"
+            " repository string, total_issues long",
+        )
+
+    def wait(self, job_id: str, timeout_s: float = 120.0) -> dict:
+        """Block until the job reaches a terminal status (test helper —
+        HTTP clients poll GET /api/v1/jobs/{id})."""
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            job = self.get(job_id)
+            if job is None or job["status"] in (COMPLETED, FAILED, CANCELLED):
+                return job
+            time.sleep(0.05)
+        raise TimeoutError(f"job {job_id} still {self.get(job_id)['status']}")
+
+    def shutdown(self) -> None:
+        with self._lock:
+            self._stop = True
+            self._wake.notify_all()
+        self._worker.join(timeout=5)
+
+
+def _now_iso() -> str:
+    return datetime.now(timezone.utc).isoformat()
+
+
+def _job_response(job: dict) -> dict:
+    """JobResponse (handlers_jobs.go:10-25) — logs stay behind /logs."""
+    return {k: v for k, v in job.items() if k != "logs"}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "jira-sync-api/" + API_VERSION
+    manager: JobManager = None  # injected by SyncAPIServer
+
+    def log_message(self, *a):  # quiet; the job log is the record
+        pass
+
+    # -- envelope (server.go:262-301) ----------------------------------
+
+    def _write(self, status: int, data=None, error: dict | None = None) -> None:
+        body = json.dumps(
+            {
+                "success": status < 400,
+                "data": data,
+                "error": error,
+                "meta": {"timestamp": _now_iso(), "version": API_VERSION},
+            }
+        ).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, status: int, code: str, message: str, details: str = "") -> None:
+        self._write(
+            status, error={"code": code, "message": message, "details": details}
+        )
+
+    def _body_json(self) -> dict | None:
+        try:
+            n = int(self.headers.get("Content-Length") or 0)
+            return json.loads(self.rfile.read(n) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            return None
+
+    # -- routing (server.go:148-173) -----------------------------------
+
+    def do_GET(self):
+        path = urllib.parse.urlparse(self.path).path.rstrip("/")
+        parts = path.strip("/").split("/")
+        if path == "/api/v1/health":
+            self._write(200, {"status": "healthy"})
+        elif path == "/api/v1/system/info":
+            self._write(200, {"version": API_VERSION, "engine": "pyspark"})
+        elif path == "/api/v1/jobs/queue/status":
+            self._write(200, self.manager.queue_counts())
+        elif path == "/api/v1/jobs":
+            qs = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            statuses = (qs.get("status", [""])[0] or None) and set(
+                s.strip() for s in qs["status"][0].split(",")
+            )
+            types = (qs.get("type", [""])[0] or None) and set(
+                t.strip() for t in qs["type"][0].split(",")
+            )
+            try:
+                page_size = int(qs.get("page_size", ["20"])[0])
+            except ValueError:
+                return self._error(
+                    400, "INVALID_PARAMETER", "Invalid page_size parameter"
+                )
+            if not 1 <= page_size <= 100:
+                page_size = 20
+            jobs = [
+                _job_response(j)
+                for j in self.manager.list(statuses, types, page_size)
+            ]
+            self._write(
+                200,
+                {
+                    "jobs": jobs,
+                    "total_count": len(jobs),
+                    "page": 1,
+                    "page_size": page_size,
+                    "has_more": len(jobs) == page_size,
+                },
+            )
+        elif len(parts) == 4 and parts[:3] == ["api", "v1", "jobs"]:
+            job = self.manager.get(parts[3])
+            if job is None:
+                return self._error(404, "JOB_NOT_FOUND", "Job not found")
+            self._write(200, _job_response(job))
+        elif (
+            len(parts) == 5
+            and parts[:3] == ["api", "v1", "jobs"]
+            and parts[4] == "logs"
+        ):
+            job = self.manager.get(parts[3])
+            if job is None:
+                return self._error(404, "JOB_NOT_FOUND", "Job not found")
+            self._write(200, {"job_id": job["job_id"], "logs": job["logs"]})
+        else:
+            self._error(404, "NOT_FOUND", f"no route for GET {path}")
+
+    def do_POST(self):
+        path = urllib.parse.urlparse(self.path).path.rstrip("/")
+        parts = path.strip("/").split("/")
+        req = self._body_json()
+        if req is None:
+            return self._error(400, "INVALID_REQUEST", "Invalid JSON request body")
+        if path == "/api/v1/sync/jql":
+            err = validate_jql_sync_request(req)
+            if err:
+                return self._error(
+                    400, "VALIDATION_ERROR", "Request validation failed", err
+                )
+            job = self.manager.submit("jql", req["jql"], req["repository"], req)
+            self._write(202, self._sync_response(job))
+        elif path == "/api/v1/sync/batch":
+            err = validate_batch_sync_request(req)
+            if err:
+                return self._error(
+                    400, "VALIDATION_ERROR", "Request validation failed", err
+                )
+            jql = "key in (" + ", ".join(req["issue_keys"]) + ")"
+            job = self.manager.submit(
+                "batch", jql, req["repository"], req, req["issue_keys"]
+            )
+            self._write(202, self._sync_response(job))
+        elif path == "/api/v1/sync/single":
+            err = validate_single_sync_request(req)
+            if err:
+                return self._error(
+                    400, "VALIDATION_ERROR", "Request validation failed", err
+                )
+            jql = f"key = {req['issue_key']}"
+            job = self.manager.submit(
+                "single", jql, req["repository"], req, [req["issue_key"]]
+            )
+            if req.get("async"):
+                return self._write(202, self._sync_response(job))
+            # small single-issue syncs run synchronously (handlers_sync.go
+            # :97-115): wait for the worker and return the result inline
+            done = self.manager.wait(job["job_id"])
+            resp = self._sync_response(done)
+            resp["result"] = {
+                "total_issues": done["total_issues"],
+                "processed_issues": done["processed_issues"],
+                "successful_sync": done["successful_sync"],
+                "failed_sync": done["failed_sync"],
+            }
+            self._write(200 if done["status"] == COMPLETED else 500, resp)
+        elif (
+            len(parts) == 5
+            and parts[:3] == ["api", "v1", "jobs"]
+            and parts[4] == "cancel"
+        ):
+            if not self.manager.cancel(parts[3]):
+                return self._error(
+                    500, "JOB_CANCEL_ERROR", "Failed to cancel job"
+                )
+            self._write(
+                200, {"message": "Job cancelled successfully", "job_id": parts[3]}
+            )
+        else:
+            self._error(404, "NOT_FOUND", f"no route for POST {path}")
+
+    def do_DELETE(self):
+        parts = self.path.rstrip("/").strip("/").split("/")
+        if len(parts) == 4 and parts[:3] == ["api", "v1", "jobs"]:
+            if not self.manager.delete(parts[3]):
+                return self._error(500, "JOB_DELETE_ERROR", "Failed to delete job")
+            self._write(
+                200, {"message": "Job deleted successfully", "job_id": parts[3]}
+            )
+        else:
+            self._error(404, "NOT_FOUND", "no route")
+
+    @staticmethod
+    def _sync_response(job: dict) -> dict:
+        """SyncResponse (handlers_sync.go:56-63)."""
+        return {
+            "job_id": job["job_id"],
+            "status": job["status"],
+            "created_at": job["created_at"],
+            "started_at": job["started_at"],
+        }
+
+
+class SyncAPIServer:
+    """The bound HTTP server: construct, .start(), drive with any HTTP
+    client, .stop(). Port 0 picks a free port (test posture — the same
+    one the repo's mock JIRA fixture uses)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        jira_base_url: str,
+        out_root: str,
+        *,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        token: str | None = None,
+        limiter=None,
+    ):
+        self.manager = JobManager(
+            spark, jira_base_url, out_root, token=token, limiter=limiter
+        )
+        handler = type("_BoundHandler", (_Handler,), {"manager": self.manager})
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "SyncAPIServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+        self.manager.shutdown()

@@ -63,10 +63,12 @@ def cmd_sync(args: argparse.Namespace) -> int:
     if args.incremental and args.force:
         raise SystemExit("--incremental and --force are mutually exclusive")
     jql = args.jql or _issues_to_jql(args.issues)
-    # engine select (sync.go:174): --incremental = state-filtered CDC;
-    # plain and --force both run the full BatchSyncEngine sweep (sync
+    # engine select (sync.go:174, `incremental || force || dryRun`):
+    # --incremental and --dry-run both route to the state-filtered CDC
+    # engine (dry-run previews the INCREMENTAL change set, Force=false);
+    # plain and --force run the full BatchSyncEngine sweep (sync
     # everything the JQL matches, state refreshed as a side effect)
-    force = args.force or not args.incremental
+    force = args.force or not (args.incremental or args.dry_run)
     from jira_cdc_git_spark.state import SyncStateStore
     from jira_cdc_git_spark.streaming.pipeline import run_incremental_sync
 

@@ -1,0 +1,286 @@
+"""REST API facade tests (SURVEY §3.2) — validation parity with the
+reference's test/api_validation_test.go plus the e2e job lifecycle the
+round-4 verdict specified: POST creates a job row, the job runs the
+composed incremental sync against the mock JIRA server, status
+transitions pending→running→completed with A7 counts, and a second
+POST with unchanged upstream syncs 0."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from test_jira_rest import N_ISSUES, _Handler, mock_jira  # noqa: F401
+
+from jira_cdc_git_spark import api as A
+
+
+# ---------------------------------------------------------------------------
+# pure validation (no server needed) — api_validation_test.go parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "req,msg",
+    [
+        ({}, "jql is required"),
+        ({"jql": "project = X"}, "repository is required"),
+        ({"jql": "a=b", "repository": "r"}, "JQL query too short"),
+        (
+            {"jql": "project = X", "repository": "r", "parallelism": 11},
+            "parallelism must be between 0 and 10",
+        ),
+        (
+            {"jql": "project = X", "repository": "r", "parallelism": -1},
+            "parallelism must be between 0 and 10",
+        ),
+        (
+            {
+                "jql": "project = X",
+                "repository": "r",
+                "options": {"concurrency": 11},
+            },
+            "concurrency must be between 0 and 10",
+        ),
+        (
+            {
+                "jql": "project = X",
+                "repository": "r",
+                "options": {"incremental": True, "force": True},
+            },
+            "incremental and force options are mutually exclusive",
+        ),
+    ],
+)
+def test_jql_request_validation(req, msg):
+    err = A.validate_jql_sync_request(req)
+    assert err is not None and msg in err
+
+
+def test_jql_request_valid():
+    assert (
+        A.validate_jql_sync_request(
+            {"jql": "project = PROJ", "repository": "repo", "parallelism": 5}
+        )
+        is None
+    )
+
+
+@pytest.mark.parametrize(
+    "req,msg",
+    [
+        ({}, "issue_keys is required"),
+        ({"issue_keys": ["PROJ-1"]}, "repository is required"),
+        (
+            {"issue_keys": ["PROJ-1", "not a key"], "repository": "r"},
+            "invalid issue key format: not a key",
+        ),
+        (
+            {"issue_keys": ["PROJ-"], "repository": "r"},
+            "invalid issue key format",
+        ),
+    ],
+)
+def test_batch_request_validation(req, msg):
+    err = A.validate_batch_sync_request(req)
+    assert err is not None and msg in err
+
+
+def test_single_request_validation():
+    assert "issue_key is required" in A.validate_single_sync_request({})
+    assert A.validate_single_sync_request(
+        {"issue_key": "PROJ-7", "repository": "r"}
+    ) is None
+    assert "invalid issue key" in A.validate_single_sync_request(
+        {"issue_key": "nodash", "repository": "r"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTTP round trips against the live facade + mock JIRA
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def api_server(spark, mock_jira, tmp_path):  # noqa: F811
+    url, state = mock_jira
+    from test_jira_rest import _fast_limiter
+
+    srv = A.SyncAPIServer(
+        spark, url, str(tmp_path / "repos"), limiter=_fast_limiter()
+    ).start()
+    try:
+        yield srv, state
+    finally:
+        srv.stop()
+
+
+def _req(method, url, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    r = urllib.request.Request(url, data=data, method=method)
+    if data:
+        r.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(r, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_validation_and_envelope(api_server):
+    srv, _ = api_server
+    status, body = _req(
+        "POST", f"{srv.url}/api/v1/sync/jql", {"jql": "abc", "repository": "r"}
+    )
+    assert status == 400
+    assert body["success"] is False
+    assert body["error"]["code"] == "VALIDATION_ERROR"
+    assert "minimum 5 characters" in body["error"]["details"]
+    assert "timestamp" in body["meta"]
+
+    # malformed JSON body
+    r = urllib.request.Request(
+        f"{srv.url}/api/v1/sync/jql", data=b"{not json", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(r, timeout=30)
+    assert ei.value.code == 400
+    assert json.loads(ei.value.read())["error"]["code"] == "INVALID_REQUEST"
+
+    status, body = _req("GET", f"{srv.url}/api/v1/health")
+    assert (status, body["data"]["status"]) == (200, "healthy")
+
+    status, body = _req("GET", f"{srv.url}/api/v1/jobs/nope-1")
+    assert (status, body["error"]["code"]) == (404, "JOB_NOT_FOUND")
+
+
+def test_jql_sync_job_lifecycle(api_server, spark):
+    srv, state = api_server
+    status, body = _req(
+        "POST",
+        f"{srv.url}/api/v1/sync/jql",
+        {"jql": "project = PROJ", "repository": "main-repo"},
+    )
+    assert status == 202 and body["success"]
+    job_id = body["data"]["job_id"]
+    assert body["data"]["status"] in (A.PENDING, A.RUNNING)
+
+    done = srv.manager.wait(job_id)
+    assert done["status"] == A.COMPLETED
+
+    # GET /jobs/{id}: JobResponse counts reflect the full first sync
+    status, body = _req("GET", f"{srv.url}/api/v1/jobs/{job_id}")
+    assert status == 200
+    job = body["data"]
+    assert job["total_issues"] == N_ISSUES
+    assert job["successful_sync"] == N_ISSUES
+    assert job["failed_sync"] == 0
+    assert job["started_at"] and job["completed_at"]
+    assert "logs" not in job  # logs live behind /logs
+
+    # the optimized JQL reached the JIRA server (the sync really ran)
+    assert "ORDER BY" in state["jql"]
+
+    # GET /jobs/{id}/logs
+    status, body = _req("GET", f"{srv.url}/api/v1/jobs/{job_id}/logs")
+    assert status == 200
+    logs = body["data"]["logs"]
+    assert any("created" in line for line in logs)
+    assert any("completed" in line for line in logs)
+
+    # queue status (handlers_jobs.go:229-) + the A7 pivot over jobs_frame
+    status, body = _req("GET", f"{srv.url}/api/v1/jobs/queue/status")
+    assert status == 200
+    assert body["data"]["completed_jobs"] == 1
+    assert body["data"]["total_jobs"] == 1
+    from jira_cdc_git_spark.plans import queue_status
+
+    pivot = queue_status(srv.manager.jobs_frame(spark)).collect()[0]
+    assert pivot["completed"] == 1 and pivot["pending"] is None
+
+    # second POST, unchanged upstream → incremental sync of 0 (C4 via API)
+    status, body = _req(
+        "POST",
+        f"{srv.url}/api/v1/sync/jql",
+        {
+            "jql": "project = PROJ",
+            "repository": "main-repo",
+            "options": {"incremental": True},
+        },
+    )
+    assert status == 202
+    done2 = srv.manager.wait(body["data"]["job_id"])
+    assert done2["status"] == A.COMPLETED
+    assert done2["total_issues"] == 0
+
+    # GET /jobs list filtered by status
+    status, body = _req(
+        "GET", f"{srv.url}/api/v1/jobs?status=completed&page_size=50"
+    )
+    assert status == 200
+    assert {j["job_id"] for j in body["data"]["jobs"]} == {
+        job_id, done2["job_id"],
+    }
+
+
+def test_single_sync_synchronous(api_server):
+    srv, _ = api_server
+    status, body = _req(
+        "POST",
+        f"{srv.url}/api/v1/sync/single",
+        {"issue_key": "PROJ-3", "repository": "single-repo"},
+    )
+    assert status == 200 and body["success"]
+    assert body["data"]["status"] == A.COMPLETED
+    assert body["data"]["result"]["total_issues"] == 1
+    assert body["data"]["result"]["successful_sync"] == 1
+
+
+def test_batch_sync_and_cancel_delete(api_server):
+    srv, _ = api_server
+    status, body = _req(
+        "POST",
+        f"{srv.url}/api/v1/sync/batch",
+        {"issue_keys": ["PROJ-1", "PROJ-2"], "repository": "batch-repo"},
+    )
+    assert status == 202
+    jid = body["data"]["job_id"]
+    done = srv.manager.wait(jid)
+    assert done["status"] == A.COMPLETED and done["total_issues"] == 2
+
+    # cancel only works on pending jobs — this one already finished
+    status, body = _req("POST", f"{srv.url}/api/v1/jobs/{jid}/cancel")
+    assert (status, body["error"]["code"]) == (500, "JOB_CANCEL_ERROR")
+
+    # delete a terminal job, then it 404s
+    status, body = _req("DELETE", f"{srv.url}/api/v1/jobs/{jid}")
+    assert status == 200
+    status, body = _req("GET", f"{srv.url}/api/v1/jobs/{jid}")
+    assert status == 404
+
+
+def test_dry_run_previews_incremental_change_set(api_server, spark):
+    """ADVICE r4 #1 (engine-select parity, applied API-side too): dry-run
+    WITHOUT force routes to the state-filtered incremental engine — after
+    a full sync, a dry-run previews 0 pending changes and writes nothing."""
+    srv, _ = api_server
+    _, body = _req(
+        "POST",
+        f"{srv.url}/api/v1/sync/jql",
+        {"jql": "project = PROJ", "repository": "dr-repo"},
+    )
+    first = srv.manager.wait(body["data"]["job_id"])
+    assert first["total_issues"] == N_ISSUES
+
+    _, body = _req(
+        "POST",
+        f"{srv.url}/api/v1/sync/jql",
+        {
+            "jql": "project = PROJ",
+            "repository": "dr-repo",
+            "options": {"dry_run": True},
+        },
+    )
+    preview = srv.manager.wait(body["data"]["job_id"])
+    assert preview["status"] == A.COMPLETED
+    # incremental preview: nothing changed upstream → 0 candidates
+    assert preview["total_issues"] == 0
+    assert preview["processed_issues"] == 0
