@@ -29,8 +29,8 @@ decontamination, mixture weights/resample, SQ8 + PQ ANN, Z-order
 report) — backfilled to 50 with r02/r03-green entries. After this
 round the union of CORRECTNESS files covers every pre-r4 entry; the
 r4 wave rotates via the same mechanism next round if any slot misses.
-The registry has 145
-entries: 135 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 147
+entries: 137 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -69,6 +69,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ===== slots 1-50: driver-checked this round =====
+        # Round-5 rotation: every pre-r5 entry is green in the union of
+        # CORRECTNESS_r01-r04, so the whole window is free — r5
+        # additions go first (verdict task 9), backfilled with prior-
+        # green entries.
+        "bpe_subword_train_merges": T.bpe_subword_train_merges,
+        "bpe_subword_encode": T.bpe_subword_encode,
         # Round-4 rotation: every entry lacking a fully-green
         # (rows+schema+hash) row in CORRECTNESS_r01..r03 — the 24
         # oracle-backed round-3 late additions (incl. sequence_packing,
@@ -2782,6 +2788,70 @@ def _bpe_oracle(n_merges: int) -> str:
 
 
 _ORACLES["bpe_train_merges"] = _bpe_oracle(T.BPE_MERGES)
+
+
+# ---- subword (character-level) BPE + encode --------------------------
+# Same unrolled-iteration scheme, one level down: the vocabulary CTE
+# carries (word, weight, syms=chars+</w>); pair counts are weighted by
+# word frequency, and the encode arm joins each doc's words to the
+# final vocabulary state to report tokens-per-doc. sum(weight) is
+# HUGEINT in DuckDB — CAST to BIGINT (the r3 sequence_packing lesson).
+def _bpe_subword_ctes(n_merges: int) -> str:
+    parts = [
+        """v0 AS (SELECT word, count(*) AS weight FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+            FROM documents) GROUP BY word)""",
+        f"""s0 AS (SELECT word, weight,
+            list_append(list_transform(
+                generate_series(1, CAST(len(word) AS INTEGER)),
+                i -> word[i:i]), '{T.BPE_EOW}') AS syms FROM v0)""",
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""p{i} AS (SELECT weight, syms[i] AS l, syms[i+1] AS r
+            FROM s{i}, unnest(generate_series(1, CAST(len(syms) AS INTEGER) - 1)) u(i)
+            WHERE len(syms) >= 2)"""
+        )
+        parts.append(
+            f"""t{i} AS (SELECT l, r, CAST(sum(weight) AS BIGINT) AS c
+            FROM p{i} GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1)"""
+        )
+        parts.append(
+            f"""s{i + 1} AS (SELECT word, weight,
+            list_reduce(list_transform(syms, t -> [t]),
+                (a, b) -> CASE WHEN a[-1] = t{i}.l AND b[1] = t{i}.r
+                               THEN list_concat(a[1:len(a)-1],
+                                                [t{i}.l || chr(183) || t{i}.r])
+                               ELSE list_concat(a, b) END) AS syms
+            FROM s{i}, t{i})"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_subword_oracle(n_merges: int) -> str:
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_idx, l AS left_sym,"
+        f" r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + _bpe_subword_ctes(n_merges) + "\n    " + finals
+
+
+def _bpe_subword_encode_oracle(n_merges: int) -> str:
+    return f"""WITH {_bpe_subword_ctes(n_merges)},
+    wl AS (SELECT word, len(syms) AS n_sub FROM s{n_merges}),
+    dw AS (SELECT doc_id,
+                  unnest(string_split_regex(trim(text), '\\s+')) AS word
+           FROM documents)
+    SELECT d.doc_id, CAST(count(*) AS INTEGER) AS n_words,
+           CAST(sum(w.n_sub) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(w.n_sub) AS DOUBLE) / count(*) * 10000 + 0.5)
+               / 10000 AS tokens_per_word
+    FROM dw d JOIN wl w USING (word) GROUP BY d.doc_id"""
+
+
+_ORACLES["bpe_subword_train_merges"] = _bpe_subword_oracle(T.BPE_MERGES)
+_ORACLES["bpe_subword_encode"] = _bpe_subword_encode_oracle(T.BPE_MERGES)
 
 
 def oracle_sql() -> dict[str, str]:
