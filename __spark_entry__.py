@@ -29,8 +29,8 @@ decontamination, mixture weights/resample, SQ8 + PQ ANN, Z-order
 report) — backfilled to 50 with r02/r03-green entries. After this
 round the union of CORRECTNESS files covers every pre-r4 entry; the
 r4 wave rotates via the same mechanism next round if any slot misses.
-The registry has 147
-entries: 137 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 149
+entries: 139 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green entries.
         "bpe_subword_train_merges": T.bpe_subword_train_merges,
         "bpe_subword_encode": T.bpe_subword_encode,
+        "ivfpq_topk": V.ivfpq_topk,
+        "ivfpq_recall_report": V.ivfpq_recall_report,
         # Round-4 rotation: every entry lacking a fully-green
         # (rows+schema+hash) row in CORRECTNESS_r01..r03 — the 24
         # oracle-backed round-3 late additions (incl. sequence_packing,
@@ -2584,7 +2586,11 @@ _ORACLES["mixture_resample"] = f"""
 # j-order via list(... ORDER BY j) so float accumulation matches
 # Spark's unrolled j-loop exactly.
 _PQM, _PQK = V.PQ_M, V.PQ_K
-_PQ_DSUB = 64 // _PQM
+# subspace width from the SHARED fixture-dim constant (r4 advice #2):
+# the Spark side derives the dim from data and raises on mismatch, so a
+# fixture change breaks loudly there instead of silently slicing wrong
+# subvectors here.
+_PQ_DSUB = V.EMBEDDING_DIM // _PQM
 _PQ_CTES = f"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
           FROM embeddings),
     cells AS (
@@ -2660,6 +2666,93 @@ _ORACLES["pq_rerank_topk"] = f"""
     (SELECT emb AS qe FROM e WHERE vec_id = 0) q0
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT 10
+"""
+
+
+# ---- IVF×PQ composed ANN (the deployed FAISS form) -------------------
+# Prepend the IVF pruning CTEs (same centroid/assignment/probe algebra
+# as the ivf_topk oracle, renamed to avoid collisions) right after qrow,
+# restrict PQ candidate scoring to the probed clusters, widen the PQ
+# stage to the 50-row shortlist, then exact-rerank — mirroring
+# vectors.ivfpq_topk stage for stage.
+_IVF_PRUNE_CTES = """ivfc AS (SELECT vec_id AS cent_id, emb AS ce
+           FROM e ORDER BY vec_id LIMIT 16),
+    iasg AS (
+        SELECT vec_id, cent_id AS cluster_id
+        FROM (SELECT e.vec_id, c.cent_id,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.emb, c.ce)
+                                  / sqrt(list_dot_product(e.emb, e.emb)
+                                         * list_dot_product(c.ce, c.ce)) DESC,
+                                  c.cent_id) AS rn
+              FROM e CROSS JOIN ivfc c) t
+        WHERE rn = 1
+    ),
+    iqc AS (
+        SELECT cent_id FROM ivfc, qrow
+        ORDER BY list_dot_product(ce, qv)
+                 / sqrt(list_dot_product(ce, ce)
+                        * list_dot_product(qv, qv)) DESC,
+                 cent_id
+        LIMIT 4
+    ),
+    probed AS (SELECT vec_id FROM iasg
+               WHERE cluster_id IN (SELECT cent_id FROM iqc))"""
+
+_IVFPQ_CTES = (
+    _PQ_CTES.replace(
+        "qrow AS (SELECT emb AS qv FROM e WHERE vec_id = 0),",
+        "qrow AS (SELECT emb AS qv FROM e WHERE vec_id = 0),\n    "
+        + _IVF_PRUNE_CTES + ",",
+    )
+    .replace(
+        "WHERE v.vec_id <> 0",
+        "WHERE v.vec_id <> 0"
+        " AND v.vec_id IN (SELECT vec_id FROM probed)",
+    )
+    .replace("LIMIT 10)", "LIMIT 50)")
+)
+
+_ORACLES["ivfpq_topk"] = f"""
+    WITH {_IVFPQ_CTES}
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(e.emb, q0.qe)
+                 / sqrt(list_dot_product(e.emb, e.emb)
+                        * list_dot_product(q0.qe, q0.qe)), 6) AS cos_sim
+    FROM e
+    JOIN pq ON pq.vec_id = e.vec_id,
+    (SELECT emb AS qe FROM e WHERE vec_id = 0) q0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+"""
+
+_ORACLES["ivfpq_recall_report"] = f"""
+    WITH {_IVFPQ_CTES},
+    rerank AS (
+        SELECT e.vec_id,
+               round(list_dot_product(e.emb, q0.qe)
+                     / sqrt(list_dot_product(e.emb, e.emb)
+                            * list_dot_product(q0.qe, q0.qe)), 6) AS cos_sim
+        FROM e
+        JOIN pq ON pq.vec_id = e.vec_id,
+        (SELECT emb AS qe FROM e WHERE vec_id = 0) q0
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT 10
+    ),
+    exact AS (
+        SELECT vec_id,
+               round(list_dot_product(emb, qe)
+                     / sqrt(list_dot_product(emb, emb)
+                            * list_dot_product(qe, qe)), 6) AS cos_sim
+        FROM e, (SELECT emb AS qe FROM e WHERE vec_id = 0) q0
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10)
+    SELECT CAST(10 AS INTEGER) AS k,
+           count(*) AS n_hits,
+           count(*) / 10.0 AS recall
+    FROM exact WHERE vec_id IN (SELECT vec_id FROM rerank)
 """
 
 

@@ -353,6 +353,39 @@ def test_ivf_indexed_prunes_partitions(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_ivfpq_indexed_prunes_and_broadcasts_in_one_plan(spark, sf_dir, tmp_path):
+    # the composed IVF×PQ contract (r4 verdict task 3): ONE plan holding
+    # BOTH the partition-pruned index scan (probe clusters only) AND the
+    # broadcast PQ codebook/query; and the indexed result equals the
+    # in-memory composition's
+    from jira_cdc_git_spark.operators import vectors as V
+
+    path = str(tmp_path / "ivfpq_index")
+    V.write_ivf_index(spark, sf_dir, path)
+    out = V.ivfpq_topk_indexed(spark, sf_dir, path)
+    plan = _plan(out)
+    pf = plan.split("PartitionFilters: [")[1][:200]
+    assert "cluster_id" in pf
+    assert "BroadcastExchange" in plan
+    expected = [
+        (r["vec_id"], r["cos_sim"])
+        for r in V.ivfpq_topk(spark, sf_dir).collect()
+    ]
+    got = [(r["vec_id"], r["cos_sim"]) for r in out.collect()]
+    assert got == expected
+    # the composition's shortlist really came from PQ scores within the
+    # probed clusters: rerank can only return probed vectors (k bounded
+    # by the corpus size — a giant literal limit allocates by value in
+    # TakeOrderedAndProject and can sink the JVM)
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    n = load_table(spark, "embeddings", sf_dir).count()
+    probed = {
+        r["vec_id"] for r in V.ivf_topk(spark, sf_dir, k=n, n_probe=4).collect()
+    }
+    assert {v for v, _ in got} <= probed
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     # write_bucketed_table's contract: issues ⋈ state on `key`, both
     # sides bucketed at the same count, plans as a SortMergeJoin with
