@@ -928,6 +928,7 @@ def streaming_corpus_admission(
     corpus_sf_dir: str,
     bench_grams: DataFrame,
     threshold: float = 0.8,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """The end-to-end streaming admission pipeline for a training corpus:
     new documents stream in, each micro-batch runs the composed gate
@@ -960,7 +961,13 @@ def streaming_corpus_admission(
     )
     bench_grams = materialize(bench_grams)
 
-    feed = spark.readStream.schema(schema).parquet(docs_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        # C10 backpressure (same knob as run_incremental_stream): bound
+        # each micro-batch — and give crash-recovery tests real batch
+        # boundaries to die between
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(docs_dir)
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -837,3 +837,79 @@ def test_streaming_corpus_admission_gates_and_parity(spark, sf_dir, tmp_path):
     }
     for did, row in v.items():
         assert row == expect[did]
+
+
+def test_streaming_admission_crash_resume(spark, sf_dir, tmp_path, monkeypatch):
+    """C2/C4 under a REAL mid-stream failure (r4 verdict task 7): the
+    admission query dies after >=1 committed batch — in the worst spot,
+    after a batch's verdicts append but before its admitted append —
+    then restarts on the same checkpoint. The replayed batch must not
+    duplicate verdicts (batch_id-partition overwrite) and the final
+    sinks must hold exactly the full candidate set."""
+    from pyspark.sql import types as ST
+
+    from jira_cdc_git_spark.functions import text as TXF
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming import pipeline as SP
+
+    corpus = load_table(spark, "documents", sf_dir)
+    bench_grams = (
+        corpus.orderBy("doc_id")
+        .limit(1)
+        .select(F.explode(TXF.shingles(F.col("text"), 6)).alias("gram"))
+        .distinct()
+    )
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("text", ST.StringType()),
+        ]
+    )
+    clean = "the zorp and a blick is to flarn in it of "
+    cands = [(7_000_000 + i, clean * (8 + i)) for i in range(4)]
+    docs_dir = str(tmp_path / "feed")
+    # four files -> four micro-batches under maxFilesPerTrigger=1
+    for did, text in cands:
+        spark.createDataFrame([(did, text)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(docs_dir)
+
+    out_root = str(tmp_path / "admission")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_append = SP._append_batch_idempotent
+    calls = {"n": 0}
+
+    def flaky_append(df, out_dir, batch_id):
+        calls["n"] += 1
+        # calls 1-2 = batch 1 (verdicts+admitted), call 3 = batch 2's
+        # verdicts; die before batch 2's admitted lands — a torn batch
+        if calls["n"] == 4:
+            raise RuntimeError("injected crash after partial batch write")
+        real_append(df, out_dir, batch_id)
+
+    monkeypatch.setattr(SP, "_append_batch_idempotent", flaky_append)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        SP.streaming_corpus_admission(
+            spark, docs_dir, schema, ckpt, out_root, sf_dir, bench_grams,
+            max_files_per_trigger=1,
+        )
+    # at least one batch committed before the crash, but not all four
+    v_partial = SP.read_append_sink(spark, f"{out_root}/verdicts")
+    assert 1 <= v_partial.count() < 4
+
+    # restart on the SAME checkpoint with the fault removed
+    monkeypatch.setattr(SP, "_append_batch_idempotent", real_append)
+    SP.streaming_corpus_admission(
+        spark, docs_dir, schema, ckpt, out_root, sf_dir, bench_grams,
+        max_files_per_trigger=1,
+    )
+
+    verdicts = SP.read_append_sink(spark, f"{out_root}/verdicts").collect()
+    want_ids = {did for did, _ in cands}
+    assert sorted(r["doc_id"] for r in verdicts) == sorted(want_ids)  # no dups
+    assert all(r["admit"] for r in verdicts)
+    admitted = SP.read_append_sink(spark, f"{out_root}/admitted").collect()
+    assert sorted(r["doc_id"] for r in admitted) == sorted(want_ids)
