@@ -29,8 +29,8 @@ decontamination, mixture weights/resample, SQ8 + PQ ANN, Z-order
 report) — backfilled to 50 with r02/r03-green entries. After this
 round the union of CORRECTNESS files covers every pre-r4 entry; the
 r4 wave rotates via the same mechanism next round if any slot misses.
-The registry has 149
-entries: 139 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 151
+entries: 141 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_subword_encode": T.bpe_subword_encode,
         "ivfpq_topk": V.ivfpq_topk,
         "ivfpq_recall_report": V.ivfpq_recall_report,
+        "salted_epic_join": J.skewed_epic_join,
+        "skewed_epic_join_unsalted": J.skewed_epic_join_unsalted,
         # Round-4 rotation: every entry lacking a fully-green
         # (rows+schema+hash) row in CORRECTNESS_r01..r03 — the 24
         # oracle-backed round-3 late additions (incl. sequence_packing,
@@ -2220,6 +2222,26 @@ _JIRA_ORACLES: dict[str, str] = {
 
 
 from jira_cdc_git_spark.operators import security as _SEC_MOD
+
+# Skew-salted join demo: salting is invisible in RESULTS (that is the
+# parity claim), so both variants share one oracle — the plain join over
+# the deliberately-skewed edge set.
+_SKEWED_JOIN_SQL = f"""
+    WITH {_I},
+    edges AS (
+        SELECT key AS member_key,
+               CASE WHEN k % 2 = 0 THEN 'PROJ-0' ELSE epic_link END AS epic_key
+        FROM issues_flat WHERE epic_link IS NOT NULL
+    ),
+    epics AS (
+        SELECT key AS epic_key, status_name AS epic_status
+        FROM issues_flat WHERE issuetype = 'Epic'
+    )
+    SELECT member_key, epic_key, epic_status
+    FROM edges JOIN epics USING (epic_key)
+"""
+_JIRA_ORACLES["salted_epic_join"] = _SKEWED_JOIN_SQL
+_JIRA_ORACLES["skewed_epic_join_unsalted"] = _SKEWED_JOIN_SQL
 
 _JIRA_ORACLES["validate_requests"] = _SEC_MOD.oracle(_I)
 _JIRA_ORACLES["pagerank_links"] = _pagerank_oracle()

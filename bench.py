@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "ivfpq_topk",
     "bpe_subword_train_merges",
     "bpe_subword_encode",
+    # skew mitigation pair: same skewed fixture, with/without the salt
+    # stage — the bench line IS the comparison
+    "salted_epic_join",
+    "skewed_epic_join_unsalted",
 ]
 
 

@@ -663,3 +663,72 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted CDC join (SURVEY §4.2 "salting for mega-epics"; J5/J7 family)
+# ---------------------------------------------------------------------------
+
+#: salt fan-out for the skewed links⋈issues join demo — the hot key's
+#: rows spread across this many shuffle partitions.
+SALT_BUCKETS = 16
+
+
+def _skewed_epic_edges(flat: DataFrame) -> DataFrame:
+    """DELIBERATELY skewed member→epic edges: every even-numbered issue
+    reports to the one mega-epic PROJ-0 (≈50% of all edges on a single
+    join key — the mega-epic shape SURVEY §4.2 warns about), the rest
+    keep their block epic. The skew is the fixture's point; the join
+    operators below are the mitigation under test."""
+    return flat.filter(F.col("epic_link").isNotNull()).select(
+        F.col("key").alias("member_key"),
+        F.when(F.col("k") % 2 == 0, F.lit("PROJ-0"))
+        .otherwise(F.col("epic_link"))
+        .alias("epic_key"),
+    )
+
+
+def skewed_epic_join(
+    spark: SparkSession, sf_dir: str, salted: bool = True,
+    n_salts: int = SALT_BUCKETS,
+) -> DataFrame:
+    """The links⋈issues enrichment join under a mega-epic hot key, with
+    the two-phase SALT mitigation (SURVEY §4.2): the big skewed side
+    gets a deterministic salt in [0, n_salts) hashed from its OWN key,
+    the epic dimension side is replicated once per salt value, and the
+    join runs on (epic_key, salt) — the hot key's rows land on n_salts
+    shuffle partitions instead of one. Results are identical to the
+    unsalted join (salted=False), which is the oracle-parity claim.
+
+    Both variants force a shuffle join (shuffle_hash hint): at this
+    fixture size Spark would rightly broadcast the dimension and no
+    skew could exist — salting is the play when BOTH sides are too big
+    to broadcast, so the demo pins the plan a 100 TB run would get.
+    AQE's skewedJoin covers sort-merge joins at runtime; explicit
+    salting is the portable form that also covers shuffle-hash joins
+    and grouped aggregations."""
+    flat = FX.issues_flat(spark, sf_dir)
+    edges = _skewed_epic_edges(flat)
+    epics = flat.filter(F.col("issuetype") == "Epic").select(
+        F.col("key").alias("epic_key"),
+        F.col("status_name").alias("epic_status"),
+    )
+    if not salted:
+        joined = edges.join(epics.hint("shuffle_hash"), "epic_key")
+    else:
+        salted_edges = edges.withColumn(
+            "salt", F.pmod(F.xxhash64("member_key"), F.lit(n_salts)).cast("int")
+        )
+        replicated = epics.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        joined = salted_edges.join(
+            replicated.hint("shuffle_hash"), ["epic_key", "salt"]
+        ).drop("salt")
+    return joined.select("member_key", "epic_key", "epic_status")
+
+
+def skewed_epic_join_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same join WITHOUT the salt stage — the bench baseline the
+    salted variant is compared against on the skewed fixture."""
+    return skewed_epic_join(spark, sf_dir, salted=False)

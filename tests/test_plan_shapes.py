@@ -386,6 +386,38 @@ def test_ivfpq_indexed_prunes_and_broadcasts_in_one_plan(spark, sf_dir, tmp_path
     assert {v for v, _ in got} <= probed
 
 
+def test_salted_join_plan_and_parity(spark, sf_dir):
+    # SURVEY §4.2 mega-epic salting (r4 verdict task 8): the salted
+    # variant's shuffle keys include the salt column (the hot key's rows
+    # spread over SALT_BUCKETS partitions), the dimension side carries
+    # the explode replication, no broadcast hides the shuffle — and the
+    # result set is EXACTLY the unsalted join's
+    from jira_cdc_git_spark.operators import jira as J
+
+    salted = J.skewed_epic_join(spark, sf_dir, salted=True)
+    plan = _plan(salted)
+    assert "BroadcastHashJoin" not in plan
+    assert "salt" in plan and "Generate explode" in plan
+    # the join's partitioning carries both keys
+    import re as _re
+
+    assert _re.search(r"hashpartitioning\(epic_key[^)]*salt", plan), plan
+    a = {tuple(r) for r in salted.collect()}
+    b = {tuple(r) for r in J.skewed_epic_join_unsalted(spark, sf_dir).collect()}
+    assert a == b
+    # the fixture really is skewed: the mega-epic holds ~half the edges
+    from pyspark.sql import functions as F2
+
+    top = (
+        J._skewed_epic_edges(__import__("jira_cdc_git_spark.fixtures", fromlist=["x"]).issues_flat(spark, sf_dir))
+        .groupBy("epic_key")
+        .count()
+        .orderBy(F2.desc("count"))
+        .first()
+    )
+    assert top["epic_key"] == "PROJ-0"
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     # write_bucketed_table's contract: issues ⋈ state on `key`, both
     # sides bucketed at the same count, plans as a SortMergeJoin with
