@@ -343,14 +343,67 @@ def _now_iso() -> str:
     return datetime.now(timezone.utc).isoformat()
 
 
+def _json_safe(obj: dict) -> dict:
+    return {
+        k: (v.isoformat() if isinstance(v, datetime) else v)
+        for k, v in obj.items()
+    }
+
+
+def validate_create_profile_request(req: dict) -> str | None:
+    """validateCreateProfileRequest (handlers_profiles.go:172-196): name +
+    repository required, EXACTLY one sync method (epic_key | jql |
+    issue_keys). Unlike the reference — whose profile handlers stop at
+    501 NOT_IMPLEMENTED after validating — the routes here are live
+    against ProfileStore."""
+    if not req.get("name"):
+        return "name is required"
+    if not req.get("repository"):
+        return "repository is required"
+    methods = sum(
+        1
+        for m in (req.get("epic_key"), req.get("jql"), req.get("issue_keys"))
+        if m
+    )
+    if methods == 0:
+        return "at least one sync method is required (epic_key, jql, or issue_keys)"
+    if methods > 1:
+        return "only one sync method may be specified"
+    return None
+
+
 def _job_response(job: dict) -> dict:
     """JobResponse (handlers_jobs.go:10-25) — logs stay behind /logs."""
     return {k: v for k, v in job.items() if k != "logs"}
 
 
+#: route inventory served by GET /api/v1/docs (handleAPIDocs parity,
+#: internal/api/server.go:150-172 — same table, Kubernetes-free).
+API_ROUTES = [
+    "GET /api/v1/health",
+    "GET /api/v1/system/info",
+    "GET /api/v1/docs",
+    "POST /api/v1/sync/single",
+    "POST /api/v1/sync/batch",
+    "POST /api/v1/sync/jql",
+    "GET /api/v1/jobs",
+    "GET /api/v1/jobs/{id}",
+    "DELETE /api/v1/jobs/{id}",
+    "POST /api/v1/jobs/{id}/cancel",
+    "GET /api/v1/jobs/{id}/logs",
+    "GET /api/v1/jobs/queue/status",
+    "GET /api/v1/profiles",
+    "GET /api/v1/profiles/{name}",
+    "POST /api/v1/profiles",
+    "PUT /api/v1/profiles/{name}",
+    "DELETE /api/v1/profiles/{name}",
+]
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "jira-sync-api/" + API_VERSION
     manager: JobManager = None  # injected by SyncAPIServer
+    profiles = None  # injected ProfileStore
 
     def log_message(self, *a):  # quiet; the job log is the record
         pass
@@ -393,6 +446,24 @@ class _Handler(BaseHTTPRequestHandler):
             self._write(200, {"status": "healthy"})
         elif path == "/api/v1/system/info":
             self._write(200, {"version": API_VERSION, "engine": "pyspark"})
+        elif path == "/api/v1/docs":
+            self._write(200, {"version": API_VERSION, "routes": API_ROUTES})
+        elif path == "/api/v1/profiles":
+            names = self.profiles.list_names()
+            self._write(
+                200,
+                {
+                    "profiles": [
+                        _json_safe(self.profiles.get(n)) for n in names
+                    ],
+                    "count": len(names),
+                },
+            )
+        elif len(parts) == 4 and parts[:3] == ["api", "v1", "profiles"]:
+            try:
+                self._write(200, _json_safe(self.profiles.get(parts[3])))
+            except KeyError:
+                self._error(404, "PROFILE_NOT_FOUND", "Profile not found")
         elif path == "/api/v1/jobs/queue/status":
             self._write(200, self.manager.queue_counts())
         elif path == "/api/v1/jobs":
@@ -502,8 +573,37 @@ class _Handler(BaseHTTPRequestHandler):
             self._write(
                 200, {"message": "Job cancelled successfully", "job_id": parts[3]}
             )
+        elif path == "/api/v1/profiles":
+            err = validate_create_profile_request(req)
+            if err:
+                return self._error(
+                    400, "VALIDATION_ERROR", "Request validation failed", err
+                )
+            try:
+                self.profiles.create(req)
+            except ValueError as exc:
+                return self._error(
+                    409, "PROFILE_EXISTS", "Profile already exists", str(exc)
+                )
+            self._write(201, _json_safe(self.profiles.get(req["name"])))
         else:
             self._error(404, "NOT_FOUND", f"no route for POST {path}")
+
+    def do_PUT(self):
+        parts = self.path.rstrip("/").strip("/").split("/")
+        if len(parts) == 4 and parts[:3] == ["api", "v1", "profiles"]:
+            req = self._body_json()
+            if req is None:
+                return self._error(
+                    400, "INVALID_REQUEST", "Invalid JSON request body"
+                )
+            try:
+                self.profiles.update(parts[3], req)
+            except KeyError:
+                return self._error(404, "PROFILE_NOT_FOUND", "Profile not found")
+            self._write(200, _json_safe(self.profiles.get(parts[3])))
+        else:
+            self._error(404, "NOT_FOUND", "no route")
 
     def do_DELETE(self):
         parts = self.path.rstrip("/").strip("/").split("/")
@@ -512,6 +612,15 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(500, "JOB_DELETE_ERROR", "Failed to delete job")
             self._write(
                 200, {"message": "Job deleted successfully", "job_id": parts[3]}
+            )
+        elif len(parts) == 4 and parts[:3] == ["api", "v1", "profiles"]:
+            try:
+                self.profiles.delete(parts[3])
+            except KeyError:
+                return self._error(404, "PROFILE_NOT_FOUND", "Profile not found")
+            self._write(
+                200,
+                {"message": "Profile deleted successfully", "name": parts[3]},
             )
         else:
             self._error(404, "NOT_FOUND", "no route")
@@ -543,10 +652,17 @@ class SyncAPIServer:
         token: str | None = None,
         limiter=None,
     ):
+        from jira_cdc_git_spark.profile_store import ProfileStore
+
         self.manager = JobManager(
             spark, jira_base_url, out_root, token=token, limiter=limiter
         )
-        handler = type("_BoundHandler", (_Handler,), {"manager": self.manager})
+        self.profiles = ProfileStore(f"{out_root}/profiles")
+        handler = type(
+            "_BoundHandler",
+            (_Handler,),
+            {"manager": self.manager, "profiles": self.profiles},
+        )
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: threading.Thread | None = None
 

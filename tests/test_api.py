@@ -284,3 +284,56 @@ def test_dry_run_previews_incremental_change_set(api_server, spark):
     # incremental preview: nothing changed upstream → 0 candidates
     assert preview["total_issues"] == 0
     assert preview["processed_issues"] == 0
+
+
+def test_profile_crud_over_http(api_server):
+    """Profile routes (server.go:166-172): the reference registers them
+    but answers 501 NOT_IMPLEMENTED after validation
+    (handlers_profiles.go:103,121); here the same routes + the same
+    validation rules are live against ProfileStore."""
+    srv, _ = api_server
+    # validation parity with validateCreateProfileRequest
+    status, body = _req("POST", f"{srv.url}/api/v1/profiles", {"name": "p"})
+    assert (status, body["error"]["code"]) == (400, "VALIDATION_ERROR")
+    assert "repository is required" in body["error"]["details"]
+    status, body = _req(
+        "POST",
+        f"{srv.url}/api/v1/profiles",
+        {"name": "p", "repository": "r"},
+    )
+    assert status == 400 and "sync method" in body["error"]["details"]
+    status, body = _req(
+        "POST",
+        f"{srv.url}/api/v1/profiles",
+        {"name": "p", "repository": "r", "jql": "project = X",
+         "epic_key": "PROJ-1"},
+    )
+    assert status == 400 and "only one sync method" in body["error"]["details"]
+
+    # create / list / get / update / delete round trip
+    spec = {"name": "epics", "repository": "r", "epic_key": "PROJ-0"}
+    status, body = _req("POST", f"{srv.url}/api/v1/profiles", spec)
+    assert status == 201 and body["data"]["name"] == "epics"
+    status, body = _req("POST", f"{srv.url}/api/v1/profiles", spec)
+    assert (status, body["error"]["code"]) == (409, "PROFILE_EXISTS")
+    status, body = _req("GET", f"{srv.url}/api/v1/profiles")
+    assert status == 200 and body["data"]["count"] == 1
+    status, body = _req("GET", f"{srv.url}/api/v1/profiles/epics")
+    assert status == 200 and body["data"]["epic_key"] == "PROJ-0"
+    status, body = _req(
+        "PUT", f"{srv.url}/api/v1/profiles/epics", {"epic_key": "PROJ-20"}
+    )
+    assert status == 200 and body["data"]["epic_key"] == "PROJ-20"
+    status, body = _req("DELETE", f"{srv.url}/api/v1/profiles/epics")
+    assert status == 200
+    status, body = _req("GET", f"{srv.url}/api/v1/profiles/epics")
+    assert status == 404
+    status, body = _req("PUT", f"{srv.url}/api/v1/profiles/ghost", {})
+    assert (status, body["error"]["code"]) == (404, "PROFILE_NOT_FOUND")
+
+    # docs route lists the full table
+    status, body = _req("GET", f"{srv.url}/api/v1/docs")
+    assert status == 200
+    from jira_cdc_git_spark.api import API_ROUTES
+
+    assert body["data"]["routes"] == API_ROUTES
