@@ -29,8 +29,8 @@ decontamination, mixture weights/resample, SQ8 + PQ ANN, Z-order
 report) — backfilled to 50 with r02/r03-green entries. After this
 round the union of CORRECTNESS files covers every pre-r4 entry; the
 r4 wave rotates via the same mechanism next round if any slot misses.
-The registry has 151
-entries: 141 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 152
+entries: 142 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green entries.
         "bpe_subword_train_merges": T.bpe_subword_train_merges,
         "bpe_subword_encode": T.bpe_subword_encode,
+        "bpe_vocab": T.bpe_vocab,
         "ivfpq_topk": V.ivfpq_topk,
         "ivfpq_recall_report": V.ivfpq_recall_report,
         "salted_epic_join": J.skewed_epic_join,
@@ -2967,6 +2968,28 @@ def _bpe_subword_encode_oracle(n_merges: int) -> str:
 
 _ORACLES["bpe_subword_train_merges"] = _bpe_subword_oracle(T.BPE_MERGES)
 _ORACLES["bpe_subword_encode"] = _bpe_subword_encode_oracle(T.BPE_MERGES)
+
+
+def _bpe_vocab_oracle(n_merges: int) -> str:
+    merge_rows = " UNION ALL ".join(
+        f"SELECT {i} AS merge_idx, l, r FROM t{i}" for i in range(n_merges)
+    )
+    return f"""WITH {_bpe_subword_ctes(n_merges)},
+    base AS (SELECT DISTINCT sym AS symbol
+             FROM (SELECT unnest(syms) AS sym FROM s0)),
+    nb AS (SELECT count(*) AS nb FROM base),
+    m AS ({merge_rows})
+    SELECT CAST(row_number() OVER (ORDER BY symbol) - 1 AS INTEGER)
+               AS token_id,
+           symbol, 'base' AS kind
+    FROM base
+    UNION ALL
+    SELECT CAST(nb.nb + m.merge_idx AS INTEGER),
+           m.l || chr(183) || m.r, 'merge'
+    FROM m, nb"""
+
+
+_ORACLES["bpe_vocab"] = _bpe_vocab_oracle(T.BPE_MERGES)
 
 
 def oracle_sql() -> dict[str, str]:

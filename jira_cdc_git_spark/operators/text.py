@@ -2295,6 +2295,43 @@ def bpe_subword_train_merges(
     )
 
 
+def bpe_vocab(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """The shippable tokenizer VOCABULARY (GPT-2 layout): base symbols
+    (every distinct character + </w> in the corpus, ids assigned in
+    lexicographic order) followed by the learned merges in training
+    order. (token_id, symbol, kind) — with bpe_subword_train_merges
+    (the merges) and bpe_subword_encode (the application) this is the
+    complete artifact set a trained BPE tokenizer consists of.
+
+    Scale shape: the symbol alphabet is tiny (bounded by the charset),
+    so the id-assignment window runs over dozens of rows; the only
+    corpus-scale work is the shared vocabulary aggregation + training
+    loop."""
+    from pyspark.sql import Window
+
+    vocab = _subword_vocab(spark, sf_dir)
+    base = vocab.select(F.explode("syms").alias("symbol")).distinct()
+    w = Window.orderBy("symbol")
+    base_ids = base.select(
+        (F.row_number().over(w) - 1).alias("token_id"),
+        "symbol",
+        F.lit("base").alias("kind"),
+    )
+    rows, _ = _bpe_train_loop(vocab, n_merges)
+    merges = spark.createDataFrame(
+        rows, "merge_idx int, left_sym string, right_sym string, pair_count long"
+    )
+    nb = base.agg(F.count("*").cast("int").alias("nb"))
+    merge_ids = merges.crossJoin(F.broadcast(nb)).select(
+        (F.col("nb") + F.col("merge_idx")).cast("int").alias("token_id"),
+        F.concat_ws(BPE_SEP, "left_sym", "right_sym").alias("symbol"),
+        F.lit("merge").alias("kind"),
+    )
+    return base_ids.unionByName(merge_ids)
+
+
 def bpe_subword_encode(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
 ) -> DataFrame:
