@@ -16,19 +16,13 @@ REGISTRY ORDER IS DELIBERATE: the driver checks at most the first 50
 entries (CORRECTNESS_r02 contained exactly the registry's first 50 —
 round-2 verdict finding #1). Coverage is therefore ROTATED across
 rounds so the union of CORRECTNESS_r{N} files spans the registry.
-Round-4 rotation: slots 1-50 are every entry WITHOUT a fully-green
-(rows+schema+hash) row in CORRECTNESS_r01..r03 — the 24 oracle-backed
-round-3 late additions (JQL history trio, PageRank, range join, SCD2,
-IVM, funnel pair, anomalies, winsorized stats, entity resolution,
-dq/eval reports, the three epic-discovery variants) plus
-sequence_packing (red-on-hash in r03 through a DuckDB
-HUGEINT→float64 oracle typing artifact; the oracle now CASTs to
-BIGINT) plus the 10 rows-only-by-nature entries plus the round-4
-wave (admission_report, the duplicated-span family, Bloom
-decontamination, mixture weights/resample, SQ8 + PQ ANN, Z-order
-report) — backfilled to 50 with r02/r03-green entries. After this
-round the union of CORRECTNESS files covers every pre-r4 entry; the
-r4 wave rotates via the same mechanism next round if any slot misses.
+After CORRECTNESS_r04 the union of r01-r04 proves EVERY pre-r5 entry
+(135/135 oracle-backed fully green, 10/10 rows-only clean), so the
+whole window is free. Round-5 rotation: the r5 additions (subword BPE
+train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
+pair) occupy the leading slots; the rest of 1-50 is prior-green
+backfill. tests/test_registry_rotation.py enforces the invariant
+mechanically.
 The registry has 152
 entries: 142 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
