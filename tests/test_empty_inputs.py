@@ -55,11 +55,15 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.domain_mixture_weights,
         T.mixture_resample,
         T.bpe_train_merges,
+        T.bpe_subword_train_merges,
+        T.bpe_subword_encode,
+        T.bpe_vocab,
         V.embedding_neardup,
         V.semdedup,
         V.sq8_topk,
         V.pq_topk,
         V.pq_rerank_topk,
+        V.ivfpq_topk,
     ],
 )
 def test_operator_empty_input_yields_empty_output(fn, spark, empty_sf_dir):
