@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 152
-entries: 142 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 153
+entries: 143 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall_report": V.ivfpq_recall_report,
         "salted_epic_join": J.skewed_epic_join,
         "skewed_epic_join_unsalted": J.skewed_epic_join_unsalted,
+        "knn_join": V.knn_join,
         # Round-4 rotation: every entry lacking a fully-green
         # (rows+schema+hash) row in CORRECTNESS_r01..r03 — the 24
         # oracle-backed round-3 late additions (incl. sequence_packing,
@@ -2683,6 +2684,26 @@ _ORACLES["pq_rerank_topk"] = f"""
     (SELECT emb AS qe FROM e WHERE vec_id = 0) q0
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT 10
+"""
+
+
+# ---- batch k-NN join (hard-negative-mining retrieval shape) ----------
+_ORACLES["knn_join"] = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               round(list_dot_product(e.emb, q.qe)
+                     / sqrt(list_dot_product(e.emb, e.emb)
+                            * list_dot_product(q.qe, q.qe)), 6) AS cos_sim
+        FROM e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, label, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored) t
+    WHERE rn <= 5
 """
 
 

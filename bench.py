@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     # stage — the bench line IS the comparison
     "salted_epic_join",
     "skewed_epic_join_unsalted",
+    "knn_join",
 ]
 
 

@@ -1127,3 +1127,51 @@ def ivfpq_topk_indexed(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def knn_join(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Batch k-NN JOIN: exact top-k corpus neighbors for EACH of a set
+    of query vectors in one plan — the retrieval shape of hard-negative
+    mining and embedding-based curation, where every training example
+    is a query (vs cosine_topk's single query). Queries are the
+    vec_id < n_queries block; output one row per (query, neighbor)
+    with the per-query rank.
+
+    100 TB shape: the query block broadcasts (n_queries·dim floats);
+    scoring is a narrow map emitting n_queries scored rows per corpus
+    row; the per-query top-k is a row_number window that Spark plans
+    with WindowGroupLimit(Partial) BEFORE the exchange (plan-locked) —
+    each map task forwards at most k rows per query, so the shuffle
+    carries O(tasks·n_queries·k) rows, never the full scored cross
+    product."""
+    from pyspark.sql import Window
+
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .transform(materialize)
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

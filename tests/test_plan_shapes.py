@@ -386,6 +386,30 @@ def test_ivfpq_indexed_prunes_and_broadcasts_in_one_plan(spark, sf_dir, tmp_path
     assert {v for v, _ in got} <= probed
 
 
+def test_knn_join_partial_group_limit(spark, sf_dir):
+    # batch k-NN join contract: the per-query top-k rank filter plans as
+    # WindowGroupLimit BEFORE the exchange (map tasks forward at most k
+    # rows per query), so the shuffle never carries the full scored
+    # cross product; the query block broadcasts
+    from jira_cdc_git_spark.operators import vectors as V
+
+    plan = _plan(V.knn_join(spark, sf_dir))
+    pre_exchange = plan.split("+- Exchange")[-1]
+    assert "WindowGroupLimit" in pre_exchange, plan
+    assert "BroadcastExchange" in plan
+    # 8 queries × top-5, query 0's nearest matches the single-query op
+    rows = V.knn_join(spark, sf_dir).collect()
+    assert len(rows) == 40
+    q0 = sorted(
+        ((r["rank"], r["vec_id"]) for r in rows if r["query_id"] == 0)
+    )
+    single = [
+        (i + 1, r["vec_id"])
+        for i, r in enumerate(V.cosine_topk(spark, sf_dir, k=5).collect())
+    ]
+    assert q0 == single
+
+
 def test_salted_join_plan_and_parity(spark, sf_dir):
     # SURVEY §4.2 mega-epic salting (r4 verdict task 8): the salted
     # variant's shuffle keys include the salt column (the hot key's rows
