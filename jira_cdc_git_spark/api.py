@@ -131,8 +131,67 @@ class JobManager:
         self._wake = threading.Condition(self._lock)
         self._n = 0
         self._stop = False
+        self._reload()
         self._worker = threading.Thread(target=self._run_loop, daemon=True)
         self._worker.start()
+
+    # -- durability ----------------------------------------------------
+    # The reference's job state lives in Kubernetes objects and survives
+    # an api-server restart; here each job row journals to one JSON file
+    # under {out_root}/_jobs so a restarted server answers GET
+    # /api/v1/jobs/{id} for jobs run before the restart. Pending jobs
+    # found on reload were never executed — they resume automatically
+    # (the worker scans in submission order).
+
+    @property
+    def _jobs_dir(self) -> str:
+        import os
+
+        return os.path.join(self.out_root, "_jobs")
+
+    def _journal(self, job: dict) -> None:
+        import os
+
+        os.makedirs(self._jobs_dir, exist_ok=True)
+        tmp = os.path.join(self._jobs_dir, f".{job['job_id']}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(job, fh)
+        os.replace(tmp, os.path.join(self._jobs_dir, f"{job['job_id']}.json"))
+
+    def _unjournal(self, job_id: str) -> None:
+        import contextlib
+        import os
+
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(self._jobs_dir, f"{job_id}.json"))
+
+    def _reload(self) -> None:
+        import glob
+        import os
+
+        for path in sorted(glob.glob(os.path.join(self._jobs_dir, "*.json"))):
+            try:
+                with open(path) as fh:
+                    job = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if job.get("status") == RUNNING:
+                # died mid-run before the journal caught the outcome —
+                # surfaced as failed, the honest at-most-once answer
+                job["status"] = FAILED
+                job["errors"] = job.get("errors", []) + [
+                    "server restarted while job was running"
+                ]
+            self._jobs[job["job_id"]] = job
+            self._order.append(job["job_id"])
+        # next id continues past the highest seen (ids stay unique even
+        # when earlier jobs were deleted and the count is sparse)
+        suffixes = [
+            int(m.group(1))
+            for j in self._order
+            if (m := re.search(r"(\d+)$", j))
+        ]
+        self._n = max(suffixes, default=0)
 
     # -- submission ----------------------------------------------------
 
@@ -171,6 +230,7 @@ class JobManager:
             }
             self._jobs[job_id] = job
             self._order.append(job_id)
+            self._journal(job)
             self._wake.notify()
         return job
 
@@ -194,6 +254,7 @@ class JobManager:
                 job["status"] = RUNNING
                 job["started_at"] = _now_iso()
                 job["logs"].append("sync started")
+                self._journal(job)
             try:
                 counts = self._execute(job)
                 with self._lock:
@@ -209,11 +270,13 @@ class JobManager:
                         "sync completed: "
                         + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
                     )
+                    self._journal(job)
             except Exception as exc:  # job-scoped failure, server stays up
                 with self._lock:
                     job.update(status=FAILED, completed_at=_now_iso())
                     job["errors"].append(f"{type(exc).__name__}: {exc}")
                     job["logs"].append(f"sync failed: {exc}")
+                    self._journal(job)
 
     def _execute(self, job: dict) -> dict:
         from pyspark.sql import functions as F
@@ -282,6 +345,7 @@ class JobManager:
             job["status"] = CANCELLED
             job["completed_at"] = _now_iso()
             job["logs"].append("job cancelled")
+            self._journal(job)
             return True
 
     def delete(self, job_id: str) -> bool:
@@ -292,6 +356,7 @@ class JobManager:
                 return False
             del self._jobs[job_id]
             self._order.remove(job_id)
+            self._unjournal(job_id)
             return True
 
     def queue_counts(self) -> dict:

@@ -187,6 +187,26 @@ def cmd_saved(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    """The reference's second binary (cmd/api-server) as a CLI verb:
+    bind the REST facade and serve until interrupted."""
+    from jira_cdc_git_spark.api import SyncAPIServer
+
+    srv = SyncAPIServer(
+        _spark(), args.base_url, args.out,
+        host=args.host, port=args.port, token=args.token,
+    ).start()
+    print(srv.url, flush=True)
+    try:
+        while True:
+            import time
+
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="jira-sync", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -236,6 +256,14 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--data", default="/root/testdata/sf0.001")
     sv.add_argument("--limit", type=int, default=20)
     sv.set_defaults(fn=cmd_saved)
+
+    sr = sub.add_parser("serve", help="run the REST API server (SURVEY §3.2)")
+    sr.add_argument("--base-url", required=True)
+    sr.add_argument("--out", required=True)
+    sr.add_argument("--host", default="127.0.0.1")
+    sr.add_argument("--port", type=int, default=8080)
+    sr.add_argument("--token")
+    sr.set_defaults(fn=cmd_serve)
 
     ver = sub.add_parser("version")
     ver.set_defaults(fn=lambda a: (print(ENGINE_VERSION), 0)[1])

@@ -337,3 +337,46 @@ def test_profile_crud_over_http(api_server):
     from jira_cdc_git_spark.api import API_ROUTES
 
     assert body["data"]["routes"] == API_ROUTES
+
+
+def test_job_state_survives_server_restart(spark, mock_jira, tmp_path):
+    """The reference's job objects live in Kubernetes and outlive an
+    api-server restart; our journal gives the same property — a
+    restarted server answers GET /jobs/{id} for pre-restart jobs, and
+    new ids never collide with journaled ones."""
+    from test_jira_rest import _fast_limiter
+
+    url, _ = mock_jira
+    out = str(tmp_path / "repos")
+    srv = A.SyncAPIServer(spark, url, out, limiter=_fast_limiter()).start()
+    try:
+        _, body = _req(
+            "POST",
+            f"{srv.url}/api/v1/sync/jql",
+            {"jql": "project = PROJ", "repository": "r1"},
+        )
+        jid = body["data"]["job_id"]
+        done = srv.manager.wait(jid)
+        assert done["status"] == A.COMPLETED
+    finally:
+        srv.stop()
+
+    srv2 = A.SyncAPIServer(spark, url, out, limiter=_fast_limiter()).start()
+    try:
+        status, body = _req("GET", f"{srv2.url}/api/v1/jobs/{jid}")
+        assert status == 200
+        assert body["data"]["status"] == A.COMPLETED
+        assert body["data"]["total_issues"] == N_ISSUES
+        status, body = _req("GET", f"{srv2.url}/api/v1/jobs/queue/status")
+        assert body["data"]["completed_jobs"] == 1
+        # a new submission continues the id sequence past the journal
+        _, body = _req(
+            "POST",
+            f"{srv2.url}/api/v1/sync/jql",
+            {"jql": "project = PROJ", "repository": "r2"},
+        )
+        jid2 = body["data"]["job_id"]
+        assert jid2 != jid
+        assert srv2.manager.wait(jid2)["status"] == A.COMPLETED
+    finally:
+        srv2.stop()
