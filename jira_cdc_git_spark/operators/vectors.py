@@ -1146,8 +1146,6 @@ def knn_join(
     each map task forwards at most k rows per query, so the shuffle
     carries O(tasks·n_queries·k) rows, never the full scored cross
     product."""
-    from pyspark.sql import Window
-
     emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
     q = (
         emb.filter(F.col("vec_id") < n_queries)
@@ -1157,8 +1155,20 @@ def knn_join(
         )
         .transform(materialize)
     )
+    return knn_frame(emb, q, k)
+
+
+def knn_frame(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Shared body of the batch k-NN join: `corpus` (vec_id, label,
+    embedding) × `queries` (query_id, q_emb) → per-query exact top-k
+    with rank. The query side broadcasts; the per-query limit plans as
+    a partial WindowGroupLimit before the exchange. Used by knn_join
+    (query block = leading vec_ids) and streaming_knn (query block =
+    each micro-batch)."""
+    from pyspark.sql import Window
+
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
