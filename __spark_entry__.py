@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 153
-entries: 143 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 154
+entries: 144 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_subword_train_merges": T.bpe_subword_train_merges,
         "bpe_subword_encode": T.bpe_subword_encode,
         "bpe_vocab": T.bpe_vocab,
+        "tokenizer_report": T.tokenizer_report,
         "ivfpq_topk": V.ivfpq_topk,
         "ivfpq_recall_report": V.ivfpq_recall_report,
         "salted_epic_join": J.skewed_epic_join,
@@ -3005,6 +3006,29 @@ def _bpe_vocab_oracle(n_merges: int) -> str:
 
 
 _ORACLES["bpe_vocab"] = _bpe_vocab_oracle(T.BPE_MERGES)
+
+
+def _tokenizer_report_oracle(n_merges: int) -> str:
+    return f"""WITH {_bpe_subword_ctes(n_merges)},
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
+                    CAST(sum(weight) AS BIGINT) AS corpus_words,
+                    CAST(sum(weight * len(syms)) AS BIGINT) AS tokens_before
+             FROM s0),
+    alpha AS (SELECT CAST(count(DISTINCT s) AS INTEGER) AS n_base_symbols
+              FROM (SELECT unnest(syms) AS s FROM s0)),
+    aft AS (SELECT CAST(sum(weight * len(syms)) AS BIGINT) AS tokens_after
+            FROM s{n_merges})
+    SELECT alpha.n_base_symbols,
+           CAST({n_merges} AS INTEGER) AS n_merges,
+           CAST(alpha.n_base_symbols + {n_merges} AS INTEGER) AS vocab_size,
+           base.n_vocab_words, base.corpus_words, base.tokens_before,
+           aft.tokens_after,
+           floor(CAST(base.tokens_before AS DOUBLE) / aft.tokens_after
+                 * 10000 + 0.5) / 10000 AS compression
+    FROM base, alpha, aft"""
+
+
+_ORACLES["tokenizer_report"] = _tokenizer_report_oracle(T.BPE_MERGES)
 
 
 def oracle_sql() -> dict[str, str]:

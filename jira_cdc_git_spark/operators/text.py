@@ -2332,6 +2332,56 @@ def bpe_vocab(
     return base_ids.unionByName(merge_ids)
 
 
+def tokenizer_report(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """One-row audit of the whole tokenizer-training pipeline: alphabet
+    size, merge count, resulting vocab size, corpus word/token mass
+    before and after the merges, and the compression the learned merges
+    buy (the number a tokenizer team actually tracks per training run).
+    Token masses weight each distinct word by its corpus frequency, so
+    the row reflects the real corpus, not the vocabulary.
+
+    Scale shape: everything after the one corpus-wide word count runs
+    on the distinct-word vocabulary; the report is a single aggregation
+    over it."""
+    vocab = _subword_vocab(spark, sf_dir)
+    rows, trained = _bpe_train_loop(vocab, n_merges)
+    before = F.sum(F.col("weight") * F.size("syms"))
+    base = vocab.agg(
+        F.count("*").cast("long").alias("n_vocab_words"),
+        F.sum("weight").cast("long").alias("corpus_words"),
+        before.cast("long").alias("tokens_before"),
+    )
+    alphabet = (
+        vocab.select(F.explode("syms").alias("s"))
+        .agg(F.count_distinct("s").cast("int").alias("n_base_symbols"))
+    )
+    after = trained.agg(
+        F.sum(F.col("weight") * F.size("syms")).cast("long").alias(
+            "tokens_after"
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(alphabet))
+        .crossJoin(F.broadcast(after))
+        .select(
+            "n_base_symbols",
+            F.lit(len(rows)).cast("int").alias("n_merges"),
+            (F.col("n_base_symbols") + len(rows)).cast("int").alias(
+                "vocab_size"
+            ),
+            "n_vocab_words",
+            "corpus_words",
+            "tokens_before",
+            "tokens_after",
+            TX.round_half_up(
+                F.col("tokens_before") / F.col("tokens_after"), 4
+            ).alias("compression"),
+        )
+    )
+
+
 def bpe_subword_encode(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
 ) -> DataFrame:
