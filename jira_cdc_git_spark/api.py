@@ -442,6 +442,34 @@ def _job_response(job: dict) -> dict:
     return {k: v for k, v in job.items() if k != "logs"}
 
 
+class TokenBucket:
+    """Server-side request rate limiter (the withRateLimit middleware
+    slot, server.go:196-204 — the reference leaves it a pass-through
+    stub 'for now'; here it is a real token bucket, the same
+    live-upgrade posture as the profile routes). allow() returns
+    (ok, retry_after_seconds)."""
+
+    def __init__(self, rate_per_sec: float, burst: int | None = None, clock=None):
+        self.rate = float(rate_per_sec)
+        self.capacity = float(burst if burst is not None else max(1, rate_per_sec))
+        self.tokens = self.capacity
+        self.clock = clock or time.monotonic
+        self.last = self.clock()
+        self._lock = threading.Lock()
+
+    def allow(self) -> tuple[bool, float]:
+        with self._lock:
+            now = self.clock()
+            self.tokens = min(
+                self.capacity, self.tokens + (now - self.last) * self.rate
+            )
+            self.last = now
+            if self.tokens >= 1.0:
+                self.tokens -= 1.0
+                return True, 0.0
+            return False, (1.0 - self.tokens) / self.rate
+
+
 #: route inventory served by GET /api/v1/docs (handleAPIDocs parity,
 #: internal/api/server.go:150-172 — same table, Kubernetes-free).
 API_ROUTES = [
@@ -469,6 +497,8 @@ class _Handler(BaseHTTPRequestHandler):
     server_version = "jira-sync-api/" + API_VERSION
     manager: JobManager = None  # injected by SyncAPIServer
     profiles = None  # injected ProfileStore
+    enable_cors = True  # withCORS (server.go:206-226)
+    ratelimit: TokenBucket | None = None  # withRateLimit slot
 
     def log_message(self, *a):  # quiet; the job log is the record
         pass
@@ -487,8 +517,56 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        self._cors_headers()
         self.end_headers()
         self.wfile.write(body)
+
+    def _cors_headers(self) -> None:
+        if self.enable_cors:
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header(
+                "Access-Control-Allow-Methods", "GET, POST, PUT, DELETE, OPTIONS"
+            )
+            self.send_header(
+                "Access-Control-Allow-Headers", "Content-Type, Authorization"
+            )
+
+    def do_OPTIONS(self):
+        # CORS preflight (server.go:218-222): 200 with the allow headers
+        self.send_response(200)
+        self._cors_headers()
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def _gate(self) -> bool:
+        """Rate-limit gate run before every routed request: 429 +
+        Retry-After when the bucket is dry (the contract our own REST
+        client's RateLimiter.backoff honors from the other side)."""
+        if self.ratelimit is None:
+            return True
+        ok, retry_after = self.ratelimit.allow()
+        if ok:
+            return True
+        body = json.dumps(
+            {
+                "success": False,
+                "data": None,
+                "error": {
+                    "code": "RATE_LIMITED",
+                    "message": "Too many requests",
+                    "details": f"retry after {retry_after:.3f}s",
+                },
+                "meta": {"timestamp": _now_iso(), "version": API_VERSION},
+            }
+        ).encode()
+        self.send_response(429)
+        self.send_header("Retry-After", str(max(1, round(retry_after))))
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self._cors_headers()
+        self.end_headers()
+        self.wfile.write(body)
+        return False
 
     def _error(self, status: int, code: str, message: str, details: str = "") -> None:
         self._write(
@@ -505,6 +583,8 @@ class _Handler(BaseHTTPRequestHandler):
     # -- routing (server.go:148-173) -----------------------------------
 
     def do_GET(self):
+        if not self._gate():
+            return
         path = urllib.parse.urlparse(self.path).path.rstrip("/")
         parts = path.strip("/").split("/")
         if path == "/api/v1/health":
@@ -579,6 +659,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(404, "NOT_FOUND", f"no route for GET {path}")
 
     def do_POST(self):
+        if not self._gate():
+            return
         path = urllib.parse.urlparse(self.path).path.rstrip("/")
         parts = path.strip("/").split("/")
         req = self._body_json()
@@ -655,6 +737,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(404, "NOT_FOUND", f"no route for POST {path}")
 
     def do_PUT(self):
+        if not self._gate():
+            return
         parts = self.path.rstrip("/").strip("/").split("/")
         if len(parts) == 4 and parts[:3] == ["api", "v1", "profiles"]:
             req = self._body_json()
@@ -671,6 +755,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(404, "NOT_FOUND", "no route")
 
     def do_DELETE(self):
+        if not self._gate():
+            return
         parts = self.path.rstrip("/").strip("/").split("/")
         if len(parts) == 4 and parts[:3] == ["api", "v1", "jobs"]:
             if not self.manager.delete(parts[3]):
@@ -716,6 +802,9 @@ class SyncAPIServer:
         port: int = 0,
         token: str | None = None,
         limiter=None,
+        enable_cors: bool = True,
+        rate_limit_per_sec: float | None = None,
+        rate_limit_burst: int | None = None,
     ):
         from jira_cdc_git_spark.profile_store import ProfileStore
 
@@ -726,7 +815,16 @@ class SyncAPIServer:
         handler = type(
             "_BoundHandler",
             (_Handler,),
-            {"manager": self.manager, "profiles": self.profiles},
+            {
+                "manager": self.manager,
+                "profiles": self.profiles,
+                "enable_cors": enable_cors,
+                "ratelimit": (
+                    TokenBucket(rate_limit_per_sec, rate_limit_burst)
+                    if rate_limit_per_sec
+                    else None
+                ),
+            },
         )
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: threading.Thread | None = None

@@ -380,3 +380,59 @@ def test_job_state_survives_server_restart(spark, mock_jira, tmp_path):
         assert srv2.manager.wait(jid2)["status"] == A.COMPLETED
     finally:
         srv2.stop()
+
+
+def test_cors_preflight_and_headers(api_server):
+    """withCORS parity (server.go:206-226): allow headers on every
+    response, OPTIONS preflight answers 200."""
+    srv, _ = api_server
+    import urllib.request
+
+    with urllib.request.urlopen(f"{srv.url}/api/v1/health", timeout=30) as r:
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+        assert "DELETE" in r.headers["Access-Control-Allow-Methods"]
+    req = urllib.request.Request(
+        f"{srv.url}/api/v1/sync/jql", method="OPTIONS"
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+
+
+def test_rate_limit_bucket():
+    """The token bucket itself, on a fake clock: burst drains, refills
+    at the configured rate, reports a usable Retry-After."""
+    clock = {"t": 0.0}
+    rl = A.TokenBucket(rate_per_sec=2.0, burst=3, clock=lambda: clock["t"])
+    assert [rl.allow()[0] for _ in range(3)] == [True, True, True]
+    ok, retry = rl.allow()
+    assert not ok and 0 < retry <= 0.5
+    clock["t"] += retry
+    assert rl.allow()[0]
+
+
+def test_rate_limited_server_returns_429(spark, mock_jira, tmp_path):
+    """withRateLimit slot made real: a dry bucket answers 429 +
+    Retry-After (the contract the repo's own REST client honors from
+    the consumer side), then recovers."""
+    import time as _time
+
+    url, _ = mock_jira
+    srv = A.SyncAPIServer(
+        spark, url, str(tmp_path / "r"),
+        rate_limit_per_sec=5, rate_limit_burst=2,
+    ).start()
+    try:
+        codes = []
+        for _ in range(4):
+            status, body = _req("GET", f"{srv.url}/api/v1/health")
+            codes.append(status)
+        assert codes[:2] == [200, 200] and 429 in codes
+        status, body = _req("GET", f"{srv.url}/api/v1/health")
+        if status == 429:
+            assert body["error"]["code"] == "RATE_LIMITED"
+            _time.sleep(0.5)
+            status, _ = _req("GET", f"{srv.url}/api/v1/health")
+        assert status == 200
+    finally:
+        srv.stop()
