@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 154
-entries: 144 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 155
+entries: 145 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_epic_join": J.skewed_epic_join,
         "skewed_epic_join_unsalted": J.skewed_epic_join_unsalted,
         "knn_join": V.knn_join,
+        "ivf_knn_join": V.ivf_knn_join,
         # Round-4 rotation: every entry lacking a fully-green
         # (rows+schema+hash) row in CORRECTNESS_r01..r03 — the 24
         # oracle-backed round-3 late additions (incl. sequence_packing,
@@ -2699,6 +2700,55 @@ _ORACLES["knn_join"] = """
                      / sqrt(list_dot_product(e.emb, e.emb)
                             * list_dot_product(q.qe, q.qe)), 6) AS cos_sim
         FROM e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, label, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored) t
+    WHERE rn <= 5
+"""
+
+
+# IVF-pruned batch k-NN: assignment + per-query probe selection + the
+# candidate equi-join ON cluster_id, mirroring vectors.ivf_knn_join
+# stage for stage.
+_ORACLES["ivf_knn_join"] = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, emb AS ce FROM e
+              ORDER BY vec_id LIMIT 16),
+    q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+    assigned AS (
+        SELECT vec_id, label, emb, cent_id AS cluster_id
+        FROM (SELECT e.vec_id, e.label, e.emb, c.cent_id,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.emb, c.ce)
+                                  / sqrt(list_dot_product(e.emb, e.emb)
+                                         * list_dot_product(c.ce, c.ce)) DESC,
+                                  c.cent_id) AS rn
+              FROM e CROSS JOIN cents c) t
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cent_id AS cluster_id, qe
+        FROM (SELECT q.query_id, c.cent_id, q.qe,
+                     row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_dot_product(c.ce, q.qe)
+                                  / sqrt(list_dot_product(c.ce, c.ce)
+                                         * list_dot_product(q.qe, q.qe)) DESC,
+                                  c.cent_id) AS pr
+              FROM q CROSS JOIN cents c) t
+        WHERE pr <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, a.label,
+               round(list_dot_product(a.emb, p.qe)
+                     / sqrt(list_dot_product(a.emb, a.emb)
+                            * list_dot_product(p.qe, p.qe)), 6) AS cos_sim
+        FROM assigned a JOIN probes p USING (cluster_id)
+        WHERE a.vec_id <> p.query_id
     )
     SELECT query_id, vec_id, label, cos_sim, CAST(rn AS INTEGER) AS rank
     FROM (SELECT *, row_number() OVER (

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "salted_epic_join",
     "skewed_epic_join_unsalted",
     "knn_join",
+    "ivf_knn_join",
 ]
 
 

@@ -1185,3 +1185,79 @@ def knn_frame(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def ivf_knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-pruned BATCH k-NN join — the scalable form of knn_join: each
+    query scores only its n_probe nearest clusters, and candidate
+    generation is an EQUI-JOIN of the cluster-assigned corpus against a
+    tiny broadcast (query, probe-cluster) table instead of a broadcast
+    cross product. knn_join touches corpus×queries scored rows; this
+    touches corpus×(n_probe/n_centroids)×queries — the difference that
+    keeps batch retrieval affordable when the query block is large.
+
+    100 TB shape: centroids broadcast once; per-query probe selection
+    is a (n_queries × n_centroids)-row window; candidates come from a
+    broadcast-hash equi-join ON cluster_id (with the materialized index
+    layout this becomes a partition-pruned scan per probe set); the
+    per-query top-k rank filter plans with a partial WindowGroupLimit
+    before its exchange, same as knn_join."""
+    from pyspark.sql import Window
+
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+        .transform(materialize)
+    )
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .transform(materialize)
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("d").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d", cosine(F.col("cent_emb"), F.col("q_emb")))
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", F.col("cent_id").alias("cluster_id"), "q_emb")
+        .transform(materialize)
+    )
+    assigned = _assign_clusters(emb, cents).select(
+        "vec_id", "label", "embedding", "cluster_id"
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

@@ -410,6 +410,29 @@ def test_knn_join_partial_group_limit(spark, sf_dir):
     assert q0 == single
 
 
+def test_ivf_knn_join_equi_join_candidates(spark, sf_dir):
+    # IVF-pruned batch k-NN contract: candidate generation is a
+    # broadcast-hash EQUI-join on cluster_id (never a nested loop over
+    # corpus × queries), and the per-query top-k still gets the partial
+    # WindowGroupLimit before its exchange
+    from jira_cdc_git_spark.operators import vectors as V
+
+    df = V.ivf_knn_join(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin [cluster_id" in plan, plan
+    # partial + final WindowGroupLimit pair (map-side limit, then the
+    # post-shuffle one) — two occurrences prove the partial push-down
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    rows = df.collect()
+    assert len(rows) == 40
+    # the IVF probe can only LOSE candidates vs the exact batch join —
+    # every returned neighbor must appear in the probed clusters, and
+    # query 0's list matches the single-query IVF result
+    q0 = [r["vec_id"] for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])) if r["query_id"] == 0]
+    single = [r["vec_id"] for r in V.ivf_topk(spark, sf_dir, k=5).collect()]
+    assert q0 == single
+
+
 def test_salted_join_plan_and_parity(spark, sf_dir):
     # SURVEY §4.2 mega-epic salting (r4 verdict task 8): the salted
     # variant's shuffle keys include the salt column (the hot key's rows
