@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 155
-entries: 145 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 156
+entries: 146 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_subword_encode": T.bpe_subword_encode,
         "bpe_vocab": T.bpe_vocab,
         "tokenizer_report": T.tokenizer_report,
+        "bpe_packed_chunks": T.bpe_packed_chunks,
         "ivfpq_topk": V.ivfpq_topk,
         "ivfpq_recall_report": V.ivfpq_recall_report,
         "salted_epic_join": J.skewed_epic_join,
@@ -3079,6 +3080,34 @@ def _tokenizer_report_oracle(n_merges: int) -> str:
 
 
 _ORACLES["tokenizer_report"] = _tokenizer_report_oracle(T.BPE_MERGES)
+
+
+def _bpe_packed_oracle(n_merges: int) -> str:
+    """Tokenize→pack composition: the encode CTEs feed the flat-cumsum
+    packing tail (same algebra the sequence_packing oracle checks
+    against the two-pass Spark prefix sum)."""
+    return f"""WITH {_bpe_subword_ctes(n_merges)},
+    wl AS (SELECT word, len(syms) AS n_sub FROM s{n_merges}),
+    dw AS (SELECT doc_id,
+                  unnest(string_split_regex(trim(text), '\\s+')) AS word
+           FROM documents),
+    enc AS (SELECT d.doc_id, CAST(sum(w.n_sub) AS BIGINT) AS n_tokens
+            FROM dw d JOIN wl w USING (word) GROUP BY d.doc_id),
+    t AS (SELECT doc_id, lang, n_tokens FROM documents JOIN enc USING (doc_id)),
+    c AS (SELECT doc_id, lang, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS first_chunk,
+           CAST(floor((cum - 1) / 2048) AS BIGINT) AS last_chunk,
+           CAST(floor((cum - 1) / 2048)
+                - floor((cum - n_tokens) / 2048) + 1 AS BIGINT) AS n_chunks
+    FROM c"""
+
+
+_ORACLES["bpe_packed_chunks"] = _bpe_packed_oracle(T.BPE_MERGES)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -856,15 +856,25 @@ def sequence_packing(
     DuckDB oracle computes the same offsets with one flat cumsum —
     algebraic equivalence of the two-pass decomposition is exactly
     what's under test."""
-    from pyspark.sql import Window
-
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
     t = docs.select(
         "doc_id",
         "lang",
         TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / block).cast("long").alias("block_id"),
     )
+    return _packing_frame(t, window, block)
+
+
+def _packing_frame(
+    counts: DataFrame, window: int = 2048, block: int = 256
+) -> DataFrame:
+    """Shared packing body over a (doc_id, lang, n_tokens) frame — the
+    bounded two-pass prefix sum + chunk mapping described in
+    sequence_packing's docstring. Used with whitespace counts
+    (sequence_packing) and trained-tokenizer counts (bpe_packed_chunks)."""
+    from pyspark.sql import Window
+
+    t = counts.withColumn("block_id", (F.col("doc_id") / block).cast("long"))
     w_in = Window.partitionBy("lang", "block_id").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -896,6 +906,32 @@ def sequence_packing(
         last.alias("last_chunk"),
         (last - first + 1).alias("n_chunks"),
     )
+
+
+def bpe_packed_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = 2048,
+    block: int = 256,
+    n_merges: int | None = None,  # defaults to BPE_MERGES (defined below)
+) -> DataFrame:
+    """END-TO-END tokenize→pack composition: the packing map computed
+    over the TRAINED tokenizer's per-doc token counts
+    (bpe_subword_encode) instead of sequence_packing's whitespace
+    estimate — the chunk ranges a GPT-style pretraining loader would
+    actually use after this corpus passes through this repo's own
+    tokenizer. Same bounded two-pass prefix-sum shape; the only
+    addition is the broadcast vocab join the encode pass already
+    pays."""
+    if n_merges is None:
+        n_merges = BPE_MERGES
+    counts = bpe_subword_encode(spark, sf_dir, n_merges).select(
+        "doc_id", "n_tokens"
+    )
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        "doc_id", "lang"
+    )
+    return _packing_frame(docs.join(counts, "doc_id"), window, block)
 
 
 def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
