@@ -1027,3 +1027,89 @@ def admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return admission_frame(candidates, bench_grams, corpus_sets, corpus_bands)
+
+
+def streaming_ivf_topk(
+    spark: SparkSession,
+    queries_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_dir: str,
+    index_path: str,
+    k: int = 5,
+    n_probe: int = 4,
+) -> None:
+    """Approximate ANN SERVING twin: a stream of query vectors answered
+    from the MATERIALIZED IVF index (operators/vectors.write_ivf_index
+    layout) — streaming_topk's exact full-scan replaced by the index
+    discipline: per micro-batch, each query picks its n_probe clusters
+    from the stored centroid table, the batch's probe-set union prunes
+    the index scan at the parquet-partition level, and candidates come
+    from the cluster equi-join (ivf_knn_join's shape). Idempotent
+    batch_id-partitioned sink; per-query rank <= k via the partial
+    WindowGroupLimit window."""
+    from pyspark.sql import Window
+
+    from jira_cdc_git_spark.materialize import materialize
+    from jira_cdc_git_spark.operators.vectors import (
+        cosine,
+        read_ivf_centroids,
+    )
+
+    cents = materialize(read_ivf_centroids(spark, index_path))
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        q = batch_df.select(
+            "query_id", F.col("embedding").alias("q_emb")
+        ).localCheckpoint()
+        pw = Window.partitionBy("query_id").orderBy(
+            F.col("d").desc(), F.col("cent_id")
+        )
+        probes = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("d", cosine(F.col("cent_emb"), F.col("q_emb")))
+            .withColumn("pr", F.row_number().over(pw))
+            .filter(F.col("pr") <= n_probe)
+            .select("query_id", F.col("cent_id").alias("cluster_id"), "q_emb")
+            .localCheckpoint()
+        )
+        touched = [
+            r["cluster_id"]
+            for r in probes.select("cluster_id").distinct().collect()
+        ]
+        idx = spark.read.parquet(index_path).filter(
+            F.col("cluster_id").isin(touched)
+        )
+        scored = (
+            idx.join(F.broadcast(probes), "cluster_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                "label",
+                F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                    "cos_sim"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id")
+        )
+        _append_batch_idempotent(
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k),
+            out_dir,
+            batch_id,
+        )
+
+    (
+        spark.readStream.schema(schema)
+        .parquet(queries_dir)
+        .writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

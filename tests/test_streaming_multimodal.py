@@ -913,3 +913,54 @@ def test_streaming_admission_crash_resume(spark, sf_dir, tmp_path, monkeypatch):
     assert all(r["admit"] for r in verdicts)
     admitted = SP.read_append_sink(spark, f"{out_root}/admitted").collect()
     assert sorted(r["doc_id"] for r in admitted) == sorted(want_ids)
+
+
+def test_streaming_ivf_topk_serves_from_index(spark, sf_dir, tmp_path):
+    """Approximate ANN serving twin: streamed queries answered from the
+    materialized IVF index match the batch ivf_knn_join computed over
+    the same probe discipline, and replaying the stream on the same
+    checkpoint adds nothing."""
+    from pyspark.sql import types as ST
+
+    from jira_cdc_git_spark.operators import vectors as V
+    from jira_cdc_git_spark.streaming import pipeline as SP
+
+    path = str(tmp_path / "ivf_index")
+    V.write_ivf_index(spark, sf_dir, path)
+
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    schema = ST.StructType(
+        [
+            ST.StructField("query_id", ST.LongType()),
+            ST.StructField("embedding", ST.ArrayType(ST.FloatType())),
+        ]
+    )
+    queries = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id") < 8).collect()
+        ],
+        schema,
+    )
+    qdir = str(tmp_path / "queries")
+    queries.write.parquet(qdir)
+
+    out = str(tmp_path / "served")
+    ckpt = str(tmp_path / "ckpt")
+    SP.streaming_ivf_topk(spark, qdir, schema, ckpt, out, path)
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in SP.read_append_sink(spark, out).collect()
+    }
+    assert len(got) == 8 * 5
+    expect = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in V.ivf_knn_join(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+    # idempotent re-run: same checkpoint, no new files to process
+    SP.streaming_ivf_topk(spark, qdir, schema, ckpt, out, path)
+    assert SP.read_append_sink(spark, out).count() == 40
