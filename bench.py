@@ -388,6 +388,8 @@ SCALE_PROBE_QUERIES = [
     "ivfpq_topk",
     "bpe_subword_train_merges",
     "bpe_subword_encode",
+    "knn_join",
+    "ivf_knn_join",
 ]
 
 
