@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 156
-entries: 146 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 157
+entries: 147 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": T.bpe_vocab,
         "tokenizer_report": T.tokenizer_report,
         "bpe_packed_chunks": T.bpe_packed_chunks,
+        "corpus_manifest": T.corpus_manifest,
         "ivfpq_topk": V.ivfpq_topk,
         "ivfpq_recall_report": V.ivfpq_recall_report,
         "salted_epic_join": J.skewed_epic_join,
@@ -703,6 +704,22 @@ _ORACLES: dict[str, str] = {
         FROM qq q
         JOIN pii p ON q.doc_id = p.doc_id
         LEFT JOIN hits h ON q.doc_id = h.doc_id
+    """,
+    "corpus_manifest": """
+        WITH f AS (
+            SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 8 AS shard,
+                   ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                                                      '\\s+', ' ', 'g')),
+                                   1, 15))::BIGINT AS fp,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                     AS n_tok
+            FROM documents
+        )
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(bit_xor(fp) AS BIGINT) AS content_hash
+        FROM f GROUP BY shard
     """,
     "corpus_shards": """
         WITH h AS (

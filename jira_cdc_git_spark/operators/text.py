@@ -1309,6 +1309,45 @@ def corpus_shards(spark: SparkSession, sf_dir: str, n_shards: int = 8) -> DataFr
     )
 
 
+def corpus_manifest(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8
+) -> DataFrame:
+    """Training-corpus MANIFEST: per shard (corpus_shards' deterministic
+    assignment), document count, token mass, and an ORDER-INDEPENDENT
+    content hash — the artifact a training run pins next to its config
+    so any later run can prove it read the identical corpus (and any
+    single changed/missing/extra document flips the shard's hash).
+
+    The content hash XORs each doc's 60-bit fingerprint slice
+    (functions/text.fingerprint = md5 of normalized text): XOR is
+    commutative, so the hash is insensitive to scan order, partitioning
+    and parallelism — exactly what a distributed re-verification needs.
+
+    100 TB shape: one narrow projection + one partial-aggregated
+    groupBy of n_shards groups. Nothing else."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    fp = F.conv(
+        F.substring(TX.fingerprint(F.col("text")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        docs.select(
+            shard,
+            fp.alias("fp"),
+            TX.token_count(F.col("text")).cast("long").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.expr("bit_xor(fp)").alias("content_hash"),
+        )
+    )
+
+
 def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry wrapper giving the shared batch/streaming curation body
     (curate_frame — the exact foreachBatch body of
