@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 157
-entries: 147 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 158
+entries: 148 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_report": T.tokenizer_report,
         "bpe_packed_chunks": T.bpe_packed_chunks,
         "corpus_manifest": T.corpus_manifest,
+        "relationship_symlinks": J.relationship_symlinks,
         "ivfpq_topk": V.ivfpq_topk,
         "ivfpq_recall_report": V.ivfpq_recall_report,
         "salted_epic_join": J.skewed_epic_join,
@@ -2256,6 +2257,28 @@ _SKEWED_JOIN_SQL = f"""
     SELECT member_key, epic_key, epic_status
     FROM edges JOIN epics USING (epic_key)
 """
+# Relationship symlink tree (pkg/links/links.go:241-307 path algebra)
+_JIRA_ORACLES["relationship_symlinks"] = f"""
+    WITH {_I}, edges AS ({_EDGES_SQL})
+    SELECT project_key, link_type,
+           CASE
+             WHEN link_type IN ('epic', 'parent') THEN
+               'projects/' || project_key || '/relationships/' || link_type
+                 || '/' || src_key
+             WHEN link_type = 'subtask' THEN
+               'projects/' || project_key || '/relationships/subtasks/'
+                 || src_key || '/' || dst_key
+             ELSE
+               'projects/' || project_key || '/relationships/' || link_type
+                 || '/' || direction || '/' || src_key
+           END AS link_path,
+           CASE WHEN link_type IN ('epic', 'parent')
+                THEN '../../issues/' || dst_key || '.yaml'
+                ELSE '../../../issues/' || dst_key || '.yaml'
+           END AS target
+    FROM edges
+"""
+
 _JIRA_ORACLES["salted_epic_join"] = _SKEWED_JOIN_SQL
 _JIRA_ORACLES["skewed_epic_join_unsalted"] = _SKEWED_JOIN_SQL
 

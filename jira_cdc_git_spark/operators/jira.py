@@ -732,3 +732,57 @@ def skewed_epic_join_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same join WITHOUT the salt stage — the bench baseline the
     salted variant is compared against on the skewed fixture."""
     return skewed_epic_join(spark, sf_dir, salted=False)
+
+
+def symlink_rows(edges: DataFrame) -> DataFrame:
+    """S9 file-level form — the relationship SYMLINK TREE the reference
+    actually writes (pkg/links/links.go:241-307), computed as a table:
+    one row per edge with the link path and its relative target.
+
+    Layout rules (links.go):
+      epic     projects/{pk}/relationships/epic/{src}          → ../../issues/{dst}.yaml
+      parent   projects/{pk}/relationships/parent/{src}        → ../../issues/{dst}.yaml
+      subtask  projects/{pk}/relationships/subtasks/{src}/{dst}→ ../../../issues/{dst}.yaml
+      typed    projects/{pk}/relationships/{type}/{direction}/{src}
+                                                               → ../../../issues/{dst}.yaml
+    Narrow projection over the edge frame; the git sink renders these as
+    mode-120000 entries (sinks_git.materialize_symlinks_fan_out)."""
+    base = F.concat_ws(
+        "/", F.lit("projects"), F.col("project_key"), F.lit("relationships")
+    )
+    two_up = F.concat(F.lit("../../issues/"), F.col("dst_key"), F.lit(".yaml"))
+    three_up = F.concat(
+        F.lit("../../../issues/"), F.col("dst_key"), F.lit(".yaml")
+    )
+    path = (
+        F.when(
+            F.col("link_type").isin("epic", "parent"),
+            F.concat_ws("/", base, F.col("link_type"), F.col("src_key")),
+        )
+        .when(
+            F.col("link_type") == "subtask",
+            F.concat_ws(
+                "/", base, F.lit("subtasks"), F.col("src_key"), F.col("dst_key")
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                "/", base, F.col("link_type"), F.col("direction"),
+                F.col("src_key"),
+            )
+        )
+    )
+    target = F.when(
+        F.col("link_type").isin("epic", "parent"), two_up
+    ).otherwise(three_up)
+    return edges.select(
+        "project_key",
+        "link_type",
+        path.alias("link_path"),
+        target.alias("target"),
+    )
+
+
+def relationship_symlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of the symlink tree over the fixture issue table."""
+    return symlink_rows(link_edges_frame(FX.issues(spark, sf_dir)))

@@ -260,3 +260,85 @@ def git_log_subjects(repo_dir: str) -> list[str]:
         text=True,
     )
     return [line for line in out.stdout.splitlines() if line]
+
+
+def _symlink_stream(rows, continue_existing: bool = False) -> Iterator[bytes]:
+    """Render symlink rows (link_path, target) as ONE fast-import commit
+    of mode-120000 entries — git's symlink representation is a blob
+    whose content is the target path, which is exactly what the
+    reference's createSymbolicLink writes (links.go:309-357)."""
+    n = 0
+    body: list[bytes] = []
+    for r in rows:
+        n += 1
+        target = r["target"].encode()
+        body.append(f"M 120000 inline {r['link_path']}\n".encode())
+        body.append(f"data {len(target)}\n".encode() + target + b"\n")
+    if n:
+        msg = f"chore(links): materialize {n} relationship links".encode()
+        yield b"commit refs/heads/main\n"
+        yield f"author {DEFAULT_AUTHOR} 0 +0000\n".encode()
+        yield f"committer {DEFAULT_AUTHOR} 0 +0000\n".encode()
+        yield f"data {len(msg)}\n".encode() + msg + b"\n"
+        if continue_existing:
+            yield b"from refs/heads/main^0\n"
+        yield from body
+    yield b"done\n"
+
+
+def _symlink_import_rows(rows, repo_dir: str) -> None:
+    _ensure_repo(repo_dir)
+    cont = _branch_exists(repo_dir)
+    proc = subprocess.Popen(
+        ["git", "-C", repo_dir, "fast-import", "--quiet", "--done"],
+        stdin=subprocess.PIPE,
+    )
+    try:
+        for chunk in _symlink_stream(rows, continue_existing=cont):
+            proc.stdin.write(chunk)
+        proc.stdin.close()
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"git fast-import failed rc={rc}")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    subprocess.run(
+        ["git", "-C", repo_dir, "checkout", "-q", "-f", "main"], check=True
+    )
+
+
+def materialize_symlinks_fan_out(
+    edges: DataFrame, repos_root: str
+) -> dict[str, int]:
+    """Complete the reference's on-disk output contract (README.md:53-73):
+    the relationship SYMLINK TREE, one commit per project repo, fanned
+    out per project inside executors like materialize_fan_out. Each
+    edge renders through operators/jira.symlink_rows into a mode-120000
+    entry, so after checkout `projects/{pk}/relationships/...` holds
+    real symlinks resolving into `issues/`. Re-runs graft onto the
+    branch tip (idempotent content: re-adding the same link rewrites
+    the same path). Returns {project_key: n_links}."""
+    from jira_cdc_git_spark.operators.jira import symlink_rows
+
+    links = symlink_rows(edges)
+    counts = {
+        r["project_key"]: r["n"]
+        for r in links.groupBy("project_key")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    parted = links.repartition("project_key").sortWithinPartitions(
+        "project_key", "link_path"
+    )
+
+    def _write(rows) -> None:
+        import itertools
+
+        for project, group in itertools.groupby(
+            rows, key=lambda r: r["project_key"]
+        ):
+            _symlink_import_rows(group, os.path.join(repos_root, project))
+
+    parted.foreachPartition(_write)
+    return counts

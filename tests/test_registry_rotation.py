@@ -66,6 +66,6 @@ def test_unproven_entries_fit_driver_window():
 def test_registry_counts_match_docstring():
     names = list(E.queries())
     oracles = set(E.oracle_sql())
-    assert len(names) == 157
-    assert len(oracles) == 147
+    assert len(names) == 158
+    assert len(oracles) == 148
     assert set(oracles) <= set(names)
