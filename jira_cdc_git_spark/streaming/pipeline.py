@@ -114,9 +114,20 @@ def incremental_sync_batch(
                 link_edges_frame(issue_cols), edges_dir, mode="append"
             )
         if git_repos_root is not None:
-            from jira_cdc_git_spark.sinks_git import materialize_fan_out
+            from jira_cdc_git_spark.operators.jira import link_edges_frame
+            from jira_cdc_git_spark.sinks_git import (
+                materialize_fan_out,
+                materialize_symlinks_fan_out,
+            )
 
             materialize_fan_out(issue_cols, git_repos_root)
+            # the reference links every synced issue's relationships
+            # right after writing it (incremental.go processIssue →
+            # links.CreateRelationshipLinks) — one symlink commit per
+            # project per batch carries the change set's edges
+            materialize_symlinks_fan_out(
+                link_edges_frame(issue_cols), git_repos_root
+            )
         store.merge(spark, issue_cols, now)
         store.record_operation(
             spark, "incremental", "completed", start, now, counts

@@ -281,9 +281,18 @@ def test_run_incremental_sync_end_to_end(spark, mock_jira, tmp_path):
     )
     assert c3["total"] == 10 and c3["new"] == 0
     # S8: the per-project repo holds one commit per synced issue-version
+    # plus one symlink-tree commit per git-materialized batch (runs 1 and
+    # 3 wrote git; run 2 synced nothing)
+    import os
+
     from jira_cdc_git_spark.sinks_git import git_log_subjects
 
-    assert len(git_log_subjects(f"{repos_root}/PROJ")) == N_ISSUES + 10
+    assert len(git_log_subjects(f"{repos_root}/PROJ")) == N_ISSUES + 10 + 2
+    # the relationship tree is real symlinks resolving into issues/
+    epic_link_path = f"{repos_root}/PROJ/projects/PROJ/relationships/epic"
+    assert os.path.isdir(epic_link_path)
+    some = sorted(os.listdir(epic_link_path))[0]
+    assert os.path.islink(os.path.join(epic_link_path, some))
     assert read_commit_log(spark, f"{out_root}/commit_log").count() == N_ISSUES + 10
     # latest-wins view still one row per key, with the bumped timestamps
     latest = latest_issues(spark, f"{out_root}/issues")
