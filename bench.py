@@ -417,12 +417,15 @@ def _run_scale_probe(spark, sf_dir: str, sf, timings: dict[str, float]) -> dict:
         qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
         dt = round(_t.perf_counter() - t0, 3)
         base = timings.get(name)
-        if base and dt / base > 8:
+        if base and dt / base > 4:
             # suspect ratio: re-run once and take the min — a single run
             # carries first-run codegen/plan-compile plus the VM's
             # occasional multi-second stall, either of which can push a
-            # healthy operator past the superlinearity line. A TRUE
-            # superlinear operator stays >8 on the second run too.
+            # healthy operator past the superlinearity line (observed:
+            # the same unchanged operator measured 2.3x and 7x across
+            # same-day runs). A TRUE superlinear operator stays high on
+            # the second run too; threshold 4 keeps the re-run cost to a
+            # handful of queries.
             spark.catalog.clearCache()
             t0 = _t.perf_counter()
             qs[name](spark, out_dir).write.format("noop").mode(
