@@ -699,7 +699,12 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._write(202, self._sync_response(job))
             # small single-issue syncs run synchronously (handlers_sync.go
             # :97-115): wait for the worker and return the result inline
-            done = self.manager.wait(job["job_id"])
+            try:
+                done = self.manager.wait(job["job_id"])
+            except TimeoutError as exc:
+                return self._error(
+                    500, "SYNC_ERROR", "Sync operation timed out", str(exc)
+                )
             resp = self._sync_response(done)
             resp["result"] = {
                 "total_issues": done["total_issues"],
