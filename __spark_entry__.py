@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 158
-entries: 148 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 159
+entries: 149 oracle-backed (value-hash checked) and 10 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_packed_chunks": T.bpe_packed_chunks,
         "corpus_manifest": T.corpus_manifest,
         "relationship_symlinks": J.relationship_symlinks,
+        "multi_benchmark_decontaminate": T.multi_benchmark_decontaminate,
         "ivfpq_topk": V.ivfpq_topk,
         "ivfpq_recall_report": V.ivfpq_recall_report,
         "salted_epic_join": J.skewed_epic_join,
@@ -601,6 +602,29 @@ _ORACLES: dict[str, str] = {
                floor(h.n_shared * 1.0 / len(s.grams) * 10000 + 0.5) / 10000
                  AS contam_frac
         FROM hits h JOIN shs s ON h.doc_id = s.doc_id
+    """,
+    "multi_benchmark_decontaminate": """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), shs AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(
+                         generate_series(1, CAST(len(toks) AS INTEGER) - 2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [] END) AS grams
+            FROM t
+        ), g AS (
+            SELECT doc_id, unnest(grams) AS gram FROM shs
+        ), bench AS (
+            SELECT DISTINCT CAST(doc_id % 100 AS INTEGER) AS benchmark, gram
+            FROM g WHERE doc_id % 100 < 5
+        )
+        SELECT g.doc_id, b.benchmark, count(*) AS n_shared
+        FROM g JOIN bench b USING (gram)
+        WHERE g.doc_id % 100 >= 5
+        GROUP BY 1, 2
     """,
     "pii_scrub": """
         WITH inj AS (

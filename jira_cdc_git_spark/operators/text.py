@@ -1998,6 +1998,41 @@ def _bloom_mask(h: "F.Column") -> "F.Column":
     )
 
 
+def multi_benchmark_decontaminate(
+    spark: SparkSession, sf_dir: str, n: int = 3, n_benchmarks: int = 5
+) -> DataFrame:
+    """Per-benchmark contamination ATTRIBUTION — the form a real
+    pipeline needs: decontamination runs against MANY eval suites at
+    once (MMLU, GSM8K, …) and must report WHICH suite a document
+    collides with (different suites ⇒ different removal policies), not
+    just that it collides. Benchmarks here are the deterministic
+    doc_id % 100 == b slices, b < n_benchmarks. One row per
+    contaminated (doc, benchmark) pair with shared-gram counts.
+
+    100 TB shape: all benchmark gram sets union into ONE tagged
+    broadcast frame (eval suites are small by nature), so adding a
+    suite adds broadcast rows, not passes — the corpus is still
+    scanned once, joins once, and aggregates per (doc, benchmark)
+    map-side."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    grams = docs.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), n)).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 100 < n_benchmarks)
+        .select(
+            (F.col("doc_id") % 100).cast("int").alias("benchmark"), "gram"
+        )
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 100 >= n_benchmarks)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "benchmark")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def bloom_decontaminate(
     spark: SparkSession, sf_dir: str, n: int = 6, bench_mod: int = 10
 ) -> DataFrame:
