@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "skewed_epic_join_unsalted",
     "knn_join",
     "ivf_knn_join",
+    "corpus_manifest",
+    "relationship_symlinks",
+    "multi_benchmark_decontaminate",
 ]
 
 
