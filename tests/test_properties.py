@@ -134,3 +134,42 @@ def test_optimize_query_idempotent_and_parseable(expr):
     out2, notes2 = J.optimize_query(out1)
     assert out1 == out2 and notes2 == []
     assert J.parse(out1).order_by  # deterministic sort always present
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy merge pass (the r5 linear rewrite) vs the fold reference
+# ---------------------------------------------------------------------------
+
+def _fold_merge(syms, left, right, merged):
+    """The original O(n²) accumulate-fold semantics (r4 text.py rewrite
+    expression), kept here as the executable spec: push each symbol; if
+    the last pushed equals `left` and the next is `right`, pop+push the
+    merged symbol."""
+    acc = []
+    for t in syms:
+        if acc and acc[-1] == left and t == right:
+            acc[-1] = merged
+        else:
+            acc.append(t)
+    return acc
+
+
+@given(
+    st.lists(st.sampled_from("ab"), max_size=40),
+    st.sampled_from(["a", "b"]),
+    st.sampled_from(["a", "b"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_merge_pass_matches_fold_spec(syms, left, right):
+    from jira_cdc_git_spark.operators.text import BPE_SEP, _merge_pass
+
+    merged = left + BPE_SEP + right
+    got = _merge_pass(syms, left, right, merged)
+    assert got == _fold_merge(syms, left, right, merged)
+    # no adjacent (left, right) pair survives a pass
+    assert all(
+        not (x == left and y == right) for x, y in zip(got, got[1:])
+    )
+    # token mass is conserved: every merge removes exactly one slot
+    n_merges = sum(1 for s in got if s == merged) - syms.count(merged)
+    assert len(got) == len(syms) - n_merges
