@@ -2290,8 +2290,8 @@ def _rewrite_seqs(seqs: DataFrame, left: str, right: str, merged: str) -> DataFr
 
 
 def _bpe_train_loop(
-    seqs: DataFrame, n_merges: int
-) -> tuple[list[tuple], DataFrame]:
+    seqs: DataFrame, n_merges: int, need_final: bool = True
+) -> tuple[list[tuple], DataFrame | None]:
     """The shared BPE training loop over a (…, syms, weight) frame:
     n_merges rounds of "count all adjacent symbol pairs (weighted),
     adopt the most frequent as a new merged symbol, rewrite every
@@ -2300,7 +2300,13 @@ def _bpe_train_loop(
     each round is one partial-aggregated pair-count shuffle + a 1-row
     driver collect (the argmax IS the trained parameter) + the linear
     narrow rewrite, with intermediates materialized (the iterative-loop
-    discipline of pagerank/neardup_clusters)."""
+    discipline of pagerank/neardup_clusters).
+
+    need_final=False skips the LAST round's rewrite: the final corpus
+    state feeds nothing when only the merge table is wanted (the last
+    adopted pair is already counted), so trainers that discard the
+    corpus save one full rewrite+materialize pass; `None` is returned
+    in its place so a caller can't consume a stale frame."""
     out_rows: list[tuple] = []
     for idx in range(n_merges):
         pairs = seqs.select(
@@ -2329,6 +2335,8 @@ def _bpe_train_loop(
         left, right, cnt = top["l"], top["r"], top["count"]
         merged_sym = left + BPE_SEP + right
         out_rows.append((idx, left, right, int(cnt)))
+        if idx == n_merges - 1 and not need_final:
+            return out_rows, None
         seqs = _rewrite_seqs(seqs, left, right, merged_sym).transform(materialize)
     return out_rows, seqs
 
@@ -2354,7 +2362,7 @@ def bpe_train_merges(
     seqs = docs.select(
         "doc_id", TX.tokens(F.col("text")).alias("syms"), F.lit(1).alias("weight")
     )
-    out_rows, _ = _bpe_train_loop(seqs, n_merges)
+    out_rows, _ = _bpe_train_loop(seqs, n_merges, need_final=False)
     return spark.createDataFrame(
         out_rows, "merge_idx int, left_sym string, right_sym string, pair_count long"
     )
@@ -2399,7 +2407,9 @@ def bpe_subword_train_merges(
     bpe_train_merges. Output schema matches it:
     (merge_idx, left_sym, right_sym, pair_count), pair_count being the
     frequency-weighted corpus-wide occurrence count."""
-    rows, _ = _bpe_train_loop(_subword_vocab(spark, sf_dir), n_merges)
+    rows, _ = _bpe_train_loop(
+        _subword_vocab(spark, sf_dir), n_merges, need_final=False
+    )
     return spark.createDataFrame(
         rows, "merge_idx int, left_sym string, right_sym string, pair_count long"
     )
@@ -2429,7 +2439,7 @@ def bpe_vocab(
         "symbol",
         F.lit("base").alias("kind"),
     )
-    rows, _ = _bpe_train_loop(vocab, n_merges)
+    rows, _ = _bpe_train_loop(vocab, n_merges, need_final=False)
     merges = spark.createDataFrame(
         rows, "merge_idx int, left_sym string, right_sym string, pair_count long"
     )
