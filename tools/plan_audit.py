@@ -92,6 +92,22 @@ AUDITS = [
         "dimension replicates through Generate explode before its "
         "exchange; no BroadcastHashJoin hides the demonstration.",
     ),
+    (
+        "knn_join",
+        "Batch exact k-NN: the query block broadcasts; the per-query "
+        "rank filter plans as WindowGroupLimit(Partial) BEFORE the "
+        "exchange — each map task forwards at most k rows per query, so "
+        "the shuffle carries O(tasks·queries·k) rows, never the full "
+        "scored cross product.",
+    ),
+    (
+        "ivf_knn_join",
+        "IVF-pruned batch k-NN: candidates come from a BroadcastHashJoin "
+        "ON cluster_id against the tiny (query, probe-cluster) table — "
+        "each query scores only its n_probe clusters' rows — then the "
+        "same partial/final WindowGroupLimit pair bounds the top-k "
+        "shuffle.",
+    ),
 ]
 
 MAX_LINES = 58
