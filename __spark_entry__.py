@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 159
-entries: 149 oracle-backed (value-hash checked) and 10 no-oracle by
+The registry has 160
+entries: 149 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_benchmark_decontaminate": T.multi_benchmark_decontaminate,
         "ivfpq_topk": V.ivfpq_topk,
         "ivfpq_recall_report": V.ivfpq_recall_report,
+        # rows-only by nature (iterative k-means — like ivf_topk_kmeans)
+        "ivfpq_topk_kmeans": V.ivfpq_topk_kmeans,
         "salted_epic_join": J.skewed_epic_join,
         "skewed_epic_join_unsalted": J.skewed_epic_join_unsalted,
         "knn_join": V.knn_join,

@@ -1261,3 +1261,70 @@ def ivf_knn_join(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    train_iters: int = 3,
+) -> DataFrame:
+    """The fully-trained production ANN config: IVF over Lloyd's-trained
+    centroids (kmeans_centroids) × PQ-coded shortlist × exact rerank —
+    ivfpq_topk with the deterministic first-k centroid stand-in swapped
+    for the real trainer (the same relationship ivf_topk_kmeans has to
+    ivf_topk; iterative k-means has no SQL oracle, so the driver checks
+    this rows-only while ivfpq_topk carries the value-hash)."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    dim = _embedding_dim(emb)
+    if dim == 0:
+        return emb.select(
+            "vec_id", "label", F.lit(0.0).alias("cos_sim")
+        ).limit(0)
+    cents = kmeans_centroids(emb, n_centroids, train_iters)
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("q_embedding"))
+        .transform(materialize)
+    )
+    assigned = _assign_clusters(emb, cents).select(
+        "vec_id", "label", "embedding", "cluster_id"
+    )
+    q_clusters = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("d", cosine(F.col("cent_emb"), F.col("q_embedding")))
+        .orderBy(F.col("d").desc(), F.col("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+        .transform(materialize)
+    )
+    probe = assigned.join(
+        F.broadcast(q_clusters),
+        assigned.cluster_id == q_clusters.cent_id,
+        "left_semi",
+    )
+    cb = _pq_codebook_row(emb, dim).transform(materialize)
+    qv = q.select(_as_double(F.col("q_embedding")).alias("qv"))
+    short = (
+        _pq_scored_frame(probe, cb, qv, dim, query_vec_id)
+        .orderBy(F.col("pq_cos_sim").desc(), F.col("vec_id"))
+        .limit(shortlist)
+        .select("vec_id")
+    )
+    cands = emb.join(F.broadcast(short), "vec_id")
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
