@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 160
-entries: 149 oracle-backed (value-hash checked) and 11 no-oracle by
+The registry has 164
+entries: 153 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r01-r04, so the whole window is free — r5
         # additions go first (verdict task 9), backfilled with prior-
         # green entries.
+        "bm25_topk": T.bm25_topk,
+        "keyword_search": T.keyword_search,
+        "dsir_importance_weights": T.dsir_importance_weights,
+        "dsir_resample": T.dsir_resample,
         "bpe_subword_train_merges": T.bpe_subword_train_merges,
         "bpe_subword_encode": T.bpe_subword_encode,
         "bpe_vocab": T.bpe_vocab,
@@ -3174,6 +3178,140 @@ def _bpe_packed_oracle(n_merges: int) -> str:
 
 
 _ORACLES["bpe_packed_chunks"] = _bpe_packed_oracle(T.BPE_MERGES)
+
+
+# --- full-text retrieval + DSIR (round-5 wave 2) --------------------------
+# Constants shared with operators/text.py (BM25_K1/BM25_B/BM25_QUERY/
+# SEARCH_QUERY/DSIR_BUCKETS/DSIR_TEMP/DSIR_SAMPLE_N) so retuning either
+# side breaks parity loudly instead of silently.
+
+_BM25_TERMS = ", ".join(f"'{t}'" for t in sorted(set(T.BM25_QUERY.split())))
+_SEARCH_TERMS = ", ".join(f"'{t}'" for t in sorted(set(T.SEARCH_QUERY.split())))
+
+_ORACLES["bm25_topk"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+    ), st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               sum(dl) / count(*) AS avgdl
+        FROM dl
+    ), p AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        WHERE tok IN ({_BM25_TERMS})
+        GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT tok, count(*) AS df FROM p GROUP BY 1
+    ), c AS (
+        SELECT doc_id,
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * ({T.BM25_K1} + 1))
+                 / (tf + {T.BM25_K1}
+                        * (1 - {T.BM25_B} + {T.BM25_B} * dl / avgdl)) AS s
+        FROM p JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+    ), sc AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+               floor(sum(s) * 10000 + 0.5) / 10000 AS score
+        FROM c GROUP BY 1
+    ), r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS rank,
+               n_terms, score
+        FROM sc
+    )
+    SELECT doc_id, rank, n_terms, score FROM r WHERE rank <= 20"""
+
+_ORACLES["keyword_search"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), p AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        WHERE tok IN ({_SEARCH_TERMS})
+        GROUP BY 1, 2
+    ), hits AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+               CAST(sum(tf) AS BIGINT) AS total_tf,
+               CAST(min(tf) AS BIGINT) AS min_tf
+        FROM p GROUP BY 1
+        HAVING count(*) = {len(set(T.SEARCH_QUERY.split()))}
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY total_tf DESC, doc_id)
+                AS INTEGER) AS rank,
+           total_tf, min_tf
+    FROM hits QUALIFY rank <= 50"""
+
+# DSIR feature CTEs: hashed unigram + bigram buckets, one md5 per feature
+# (the hex32 mirror), add-1-smoothed target/raw histograms.
+_DSIR_CTES = f"""
+    t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, tok AS feat
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        UNION ALL
+        SELECT doc_id, b.w1 || ' ' || b.w2 AS feat
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, CAST(len(toks) AS INTEGER) - 1),
+                         i -> struct_pack(w1 := toks[i], w2 := toks[i+1])))
+                       AS b
+              FROM t WHERE len(toks) >= 2) x
+    ), fb AS (
+        SELECT f.doc_id,
+               (('0x' || substr(md5(f.feat), 1, 8))::BIGINT)
+                 % {T.DSIR_BUCKETS} AS bucket,
+               d.lang
+        FROM feats f JOIN documents d USING (doc_id)
+    ), hist AS (
+        SELECT bucket, count(*) AS raw_c,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_c
+        FROM fb GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(raw_c) AS DOUBLE) AS raw_t,
+               CAST(sum(tgt_c) AS DOUBLE) AS tgt_t
+        FROM hist
+    ), llr AS (
+        SELECT fb.doc_id,
+               ln((tgt_c + 1) / (tgt_t + {T.DSIR_BUCKETS}))
+                 - ln((raw_c + 1) / (raw_t + {T.DSIR_BUCKETS})) AS llr
+        FROM fb JOIN hist USING (bucket) CROSS JOIN tot
+    ), wts AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               floor(avg(llr) * 1000000 + 0.5) / 1000000 AS weight
+        FROM llr GROUP BY 1
+    )"""
+
+_ORACLES["dsir_importance_weights"] = f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_feats, weight FROM wts"""
+
+_ORACLES["dsir_resample"] = f"""
+    WITH {_DSIR_CTES}, keyed AS (
+        SELECT doc_id, weight,
+               floor((weight / {T.DSIR_TEMP}
+                      + (-ln(-ln(
+                          (('0x' || substr(md5('dsir:'
+                                || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           + 1) / 4294967296.0))))
+                     * 1000000 + 0.5) / 1000000 AS gumbel_key
+        FROM wts
+    ), r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+                    AS INTEGER) AS rank,
+               weight, gumbel_key
+        FROM keyed
+    )
+    SELECT doc_id, rank, weight, gumbel_key FROM r
+    WHERE rank <= {T.DSIR_SAMPLE_N}"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -2539,3 +2539,241 @@ def bpe_subword_encode(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-text retrieval + importance resampling (round-5 extension wave 2)
+# ---------------------------------------------------------------------------
+
+#: BM25 constants (Robertson/Lucene defaults) + the demo query term sets.
+#: Shared with the DuckDB oracles in __spark_entry__ — change both together.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = "spark join window stream"
+SEARCH_QUERY = "customer table scan"
+
+
+def bm25_topk(
+    spark: SparkSession, sf_dir: str, query: str = BM25_QUERY, k: int = 20
+) -> DataFrame:
+    """BM25 ranked retrieval over the documents table for a fixed query
+    string (Robertson et al., TREC-3; the Lucene-default scoring form):
+
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Returns the global top-k docs by score with the number of matched
+    query terms. The corpus-search primitive of a training-data pipeline
+    (e.g. pulling topic-relevant shards or eval-adjacent documents).
+
+    100 TB shape: tokens are FILTERED to the handful of query terms
+    before any aggregation, so the (doc, term) shuffle carries only
+    matching postings, never the corpus vocabulary; N/avgdl/df are tiny
+    aggregates riding 1-row / per-term broadcasts; the final top-k is
+    TakeOrderedAndProject (per-partition k + driver merge, no global
+    sort). All built-ins — zero UDFs."""
+    terms = sorted(set(query.split()))
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    )
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    postings = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        postings.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = contrib.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_terms"),
+        TX.round_half_up(F.sum("s"), 4).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "rank", "n_terms", "score")
+    )
+
+
+def keyword_search(
+    spark: SparkSession, sf_dir: str, query: str = SEARCH_QUERY, k: int = 50
+) -> DataFrame:
+    """Inverted-index conjunctive (AND) search: the top-k documents
+    containing ALL query terms, ranked by total term frequency. The
+    postings-intersection primitive under every boolean retrieval
+    engine, expressed as a group-and-count over query-term postings.
+
+    100 TB shape: identical posting discipline to bm25_topk — the
+    explode is filtered to the query terms first, so the shuffle is
+    |postings of q|, not |corpus tokens|; the AND is a HAVING on the
+    distinct-term count (no per-term self-joins — intersecting via
+    n-way joins would shuffle the postings n times); the ranking is a
+    TakeOrderedAndProject top-k, with the row_number window running
+    AFTER the limit so it only ever sees k rows."""
+    terms = sorted(set(query.split()))
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    postings = (
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    from pyspark.sql import Window
+
+    hits = (
+        postings.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.min("tf").cast("long").alias("min_tf"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+    )
+    w = Window.orderBy(F.col("total_tf").desc(), F.col("doc_id").asc())
+    return (
+        hits.orderBy(F.col("total_tf").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "rank", "total_tf", "min_tf")
+    )
+
+
+#: DSIR constants — hashed-feature bucket count, Gumbel temperature and
+#: resample size. Mirrored by the oracles; change both together.
+DSIR_BUCKETS = 1024
+DSIR_TEMP = 1.0
+DSIR_SAMPLE_N = 100
+
+
+def _dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket) hashed unigram+bigram feature rows — the DSIR
+    (Xie et al., NeurIPS'23) feature map: every token and every adjacent
+    token pair hashes into DSIR_BUCKETS buckets via the shared one-md5
+    32-bit digest (functions/text.hex32), so the oracle replays the
+    exact bucket ids."""
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    feats = F.concat(toks, F.when(n >= 2, bigrams).otherwise(F.array().cast("array<string>")))
+    return docs.select(
+        "doc_id", F.explode(feats).alias("feat")
+    ).select("doc_id", (TX.hex32(F.col("feat")) % DSIR_BUCKETS).alias("bucket"))
+
+
+def dsir_importance_weights(
+    spark: SparkSession, sf_dir: str, target_lang: str = "en"
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al., NeurIPS'23): per-doc average log-likelihood ratio of a
+    hashed n-gram bag-of-features model fit on a TARGET slice (here the
+    `target_lang` documents, standing in for the high-quality target
+    domain) versus the RAW corpus:
+
+        w(d) = (1/|d|) * sum_f [ ln p_tgt(bucket(f)) - ln p_raw(bucket(f)) ]
+
+    with add-1 smoothing over the DSIR_BUCKETS-bucket feature space.
+    Positive = looks like the target; negative = off-domain.
+
+    100 TB shape: both feature histograms are bounded by DSIR_BUCKETS
+    (1024 rows) regardless of corpus size, so the scoring join
+    broadcasts; the per-doc pass is one narrow explode + one partial-agg
+    shuffle on doc_id. The target slice is read from the same scan
+    (a filtered aggregation, not a second source)."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    feats = _dsir_features(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    hist = feats.groupBy("bucket").agg(
+        F.count("*").alias("raw_c"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0)).alias("tgt_c"),
+    )
+    totals = hist.agg(
+        F.sum("raw_c").cast("double").alias("raw_t"),
+        F.sum("tgt_c").cast("double").alias("tgt_t"),
+    )
+    scored = (
+        feats.join(F.broadcast(hist), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("tgt_c") + 1) / (F.col("tgt_t") + DSIR_BUCKETS))
+                - F.log((F.col("raw_c") + 1) / (F.col("raw_t") + DSIR_BUCKETS))
+            ).alias("llr"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_feats"),
+        TX.round_half_up(F.avg("llr"), 6).alias("weight"),
+    )
+
+
+def dsir_resample(
+    spark: SparkSession,
+    sf_dir: str,
+    target_lang: str = "en",
+    n: int = DSIR_SAMPLE_N,
+) -> DataFrame:
+    """DSIR resampling step — sample n documents WITHOUT replacement with
+    probability ∝ exp(weight / temperature) via the Gumbel-top-k trick
+    (Kool et al., ICML'19): key(d) = w(d)/T + Gumbel(h(d)), take the n
+    largest keys. The Gumbel noise derives from the shared md5 digest of
+    the doc id (u = (h+1)/2^32 ∈ (0,1], g = -ln(-ln u)), so the sample
+    is deterministic and the oracle replays it bit-for-bit.
+
+    100 TB shape: the weight frame's shapes (broadcast histograms), then
+    ONE narrow key computation and a TakeOrderedAndProject top-n — no
+    global sort, no driver-side sampling state."""
+    from pyspark.sql import Window
+
+    weights = dsir_importance_weights(spark, sf_dir, target_lang)
+    u = (TX.hex32(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))) + 1) / F.lit(
+        float(1 << 32)
+    )
+    keyed = weights.select(
+        "doc_id",
+        "weight",
+        TX.round_half_up(
+            F.col("weight") / DSIR_TEMP + (-F.log(-F.log(u))), 6
+        ).alias("gumbel_key"),
+    )
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
+    return (
+        keyed.orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
+        .limit(n)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "rank", "weight", "gumbel_key")
+    )

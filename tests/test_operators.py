@@ -371,3 +371,64 @@ def test_compression_ratio_bounds_and_determinism(spark, sf_dir):
         for r in T.compression_ratio(spark, sf_dir).collect()
     }
     assert again == {k: v["ratio"] for k, v in rows.items()}
+
+
+def test_bm25_topk_ranked_and_bounded(spark, sf_dir):
+    rows = T.bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    n_query_terms = len(set(T.BM25_QUERY.split()))
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 1 <= r["n_terms"] <= n_query_terms
+        assert r["score"] > 0
+
+
+def test_keyword_search_conjunctive_semantics(spark, sf_dir):
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    rows = T.keyword_search(spark, sf_dir).collect()
+    assert rows
+    terms = sorted(set(T.SEARCH_QUERY.split()))
+    hit_ids = [r["doc_id"] for r in rows]
+    docs = {
+        r["doc_id"]: set(r["text"].split())
+        for r in load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id").isin(hit_ids))
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        # AND semantics: every returned doc contains every query term
+        assert set(terms) <= docs[r["doc_id"]], r
+        assert r["min_tf"] >= 1
+        assert r["total_tf"] >= len(terms)
+    tfs = [r["total_tf"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    w = {r["doc_id"]: r["weight"] for r in T.dsir_importance_weights(spark, sf_dir).collect()}
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, "documents", sf_dir).select("doc_id", "lang").collect()
+    }
+    assert set(w) == set(langs)  # every doc is scored
+    tgt = [w[d] for d, l in langs.items() if l == "en"]
+    other = [w[d] for d, l in langs.items() if l != "en"]
+    # the DSIR property: target-domain docs average a higher importance
+    # weight than off-domain docs under the target/raw likelihood ratio
+    assert sum(tgt) / len(tgt) > sum(other) / len(other)
+
+
+def test_dsir_resample_deterministic_subset(spark, sf_dir):
+    a = T.dsir_resample(spark, sf_dir).collect()
+    b = T.dsir_resample(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == T.DSIR_SAMPLE_N
+    assert len({r["doc_id"] for r in a}) == len(a)  # without replacement
+    keys = [r["gumbel_key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
