@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 164
-entries: 153 oracle-backed (value-hash checked) and 11 no-oracle by
+The registry has 166
+entries: 155 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -68,6 +68,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additions go first (verdict task 9), backfilled with prior-
         # green entries.
         "bm25_topk": T.bm25_topk,
+        "kmeans_assign": V.kmeans_assign,
+        "kmeans_cluster_report": V.kmeans_cluster_report,
+        "media_audio_features": MM.audio_features,
+        "sketch_accuracy_report": T.sketch_accuracy_report,
+        "compression_ratio": T.compression_ratio,
+        "simhash_signatures": T.simhash_signatures,
+        "ivf_topk_kmeans": V.ivf_topk_kmeans,
+        "media_image_dhash": MM.image_dhash,
+        "phash_neardup_pairs": MM.phash_neardup_pairs,
+        "media_decode_image": MM.decode_image,
+        "media_frame_sample": MM.frame_sample,
+        "media_resize_image": MM.resize_image,
         "keyword_search": T.keyword_search,
         "dsir_importance_weights": T.dsir_importance_weights,
         "dsir_resample": T.dsir_resample,
@@ -123,16 +135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, "PROJ-0", "hybrid"
         ),
         "hybrid_discovery": J.hybrid_discovery,
-        "media_image_dhash": MM.image_dhash,
-        "phash_neardup_pairs": MM.phash_neardup_pairs,
-        "media_decode_image": MM.decode_image,
-        "media_frame_sample": MM.frame_sample,
-        "media_resize_image": MM.resize_image,
-        "media_audio_features": MM.audio_features,
-        "sketch_accuracy_report": T.sketch_accuracy_report,
-        "compression_ratio": T.compression_ratio,
-        "simhash_signatures": T.simhash_signatures,
-        "ivf_topk_kmeans": V.ivf_topk_kmeans,
         # -- backfill to 50: already green in CORRECTNESS_r02/r03 --
         "broken_link_edges": J.broken_link_edges,
         "jql_project_active": J.jql_project_active,
@@ -3312,6 +3314,95 @@ _ORACLES["dsir_resample"] = f"""
     )
     SELECT doc_id, rank, weight, gumbel_key FROM r
     WHERE rank <= {T.DSIR_SAMPLE_N}"""
+
+
+# --- oracle-exact integer-micro k-means (round-5 wave 2) ------------------
+# Mirrors operators/vectors._kmeans_micro_final: micro-quantized inputs,
+# Lloyd iterations unrolled into CTEs (the pagerank_links discipline for
+# iterative algorithms), dist via the dot-product identity — every
+# intermediate an exact integer in double, so the engines agree bitwise.
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    parts = [
+        f"""e AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * {V.MICRO} + 0.5)
+                             AS DOUBLE)) AS em
+        FROM embeddings
+    ), c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cent_id, em AS ce
+        FROM e WHERE vec_id < {k}
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+        SELECT vec_id, em, cent_id FROM (
+            SELECT e.vec_id, e.em, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(e.em, e.em)
+                       - 2 * list_dot_product(e.em, c.ce)
+                       + list_dot_product(c.ce, c.ce), c.cent_id) AS rn
+            FROM e CROSS JOIN {prev} c) WHERE rn = 1
+    ), x{i} AS (
+        SELECT cent_id, unnest(em) AS val,
+               unnest(range(1, CAST(len(em) AS INTEGER) + 1)) AS pos
+        FROM a{i}
+    ), m{i} AS (
+        SELECT cent_id, pos,
+               CAST(floor(sum(val) / count(*) + 0.5) AS DOUBLE) AS m
+        FROM x{i} GROUP BY 1, 2
+    ), n{i} AS (
+        SELECT cent_id, list(m ORDER BY pos) AS ce FROM m{i} GROUP BY 1
+    ), c{i} AS (
+        SELECT c.cent_id, coalesce(n.ce, c.ce) AS ce
+        FROM {prev} c LEFT JOIN n{i} n USING (cent_id)
+    )"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""af AS (
+        SELECT vec_id, label, cent_id AS cluster, CAST(d AS BIGINT) AS dist_sq
+        FROM (
+            SELECT e.vec_id, e.label, c.cent_id,
+                   list_dot_product(e.em, e.em)
+                   - 2 * list_dot_product(e.em, c.ce)
+                   + list_dot_product(c.ce, c.ce) AS d,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(e.em, e.em)
+                       - 2 * list_dot_product(e.em, c.ce)
+                       + list_dot_product(c.ce, c.ce), c.cent_id) AS rn
+            FROM e CROSS JOIN {prev} c) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+_ORACLES["kmeans_assign"] = f"""
+    WITH {_kmeans_ctes(V.KMEANS_K, V.KMEANS_ITERS)}
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist_sq FROM af"""
+
+_ORACLES["kmeans_cluster_report"] = f"""
+    WITH {_kmeans_ctes(V.KMEANS_K, V.KMEANS_ITERS)}, g AS (
+        SELECT cluster, label, count(*) AS c FROM af GROUP BY 1, 2
+    ), top AS (
+        SELECT cluster, CAST(label AS INTEGER) AS majority_label, c AS maj_c,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY c DESC, label) AS rn
+        FROM g
+    ), agg AS (
+        SELECT cluster, CAST(count(*) AS INTEGER) AS n_vectors,
+               CAST(sum(dist_sq) AS BIGINT) AS inertia
+        FROM af GROUP BY 1
+    )
+    SELECT CAST(cluster AS INTEGER) AS cluster, n_vectors, inertia,
+           majority_label,
+           floor((CAST(maj_c AS DOUBLE) / n_vectors) * 10000 + 0.5) / 10000
+             AS purity
+    FROM agg JOIN top USING (cluster) WHERE rn = 1"""
 
 
 def oracle_sql() -> dict[str, str]:

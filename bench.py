@@ -108,6 +108,13 @@ BENCH_QUERIES = [
     "corpus_manifest",
     "relationship_symlinks",
     "multi_benchmark_decontaminate",
+    # round-5 wave 2: retrieval + DSIR + oracle-exact k-means
+    "bm25_topk",
+    "keyword_search",
+    "dsir_importance_weights",
+    "dsir_resample",
+    "kmeans_assign",
+    "kmeans_cluster_report",
 ]
 
 

@@ -1328,3 +1328,184 @@ def ivfpq_topk_kmeans(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact k-means (integer micro-units) — round-5 wave 2
+# ---------------------------------------------------------------------------
+
+#: Integer-micro k-means constants, mirrored by the DuckDB oracle.
+#: K matches the synthetic corpus's 10 generator labels; 2 Lloyd
+#: iterations unroll into the oracle's CTE chain.
+KMEANS_K = 10
+KMEANS_ITERS = 2
+MICRO = 1_000_000
+
+
+def _micro_units(col: Column) -> Column:
+    """array<float> -> array<double> holding EXACT micro-unit integers:
+    floor(v*1e6 + 0.5). Every later sum/dot stays below 2^53, so double
+    arithmetic is exact and order-independent — the same trick as
+    pagerank_links' integer nano-units (graph.py), applied to Lloyd's
+    algorithm so an iterative trainer becomes oracle-replayable."""
+    return F.transform(
+        col, lambda v: F.floor(v.cast("double") * MICRO + F.lit(0.5)).cast("double")
+    )
+
+
+def _micro_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """One narrow assignment pass in micro-space: centroids collapse to a
+    broadcast array-of-structs; dist = Σ(e_i-c_i)² is exact (≤ ~7e13 for
+    64 dims of ±0.53 inputs); argmin = lexicographic array_min (lowest
+    dist, ties to the lowest centroid id — the oracle's ORDER BY d,
+    cent_id)."""
+    carr = cents.agg(F.collect_list(F.struct("cent_id", "ce")).alias("cs"))
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("em"), c.ce, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c.cent_id.alias("cent_id"),
+            ),
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(carr))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "label",
+            "em",
+            F.col("best.cent_id").alias("cluster"),
+            F.col("best.d").cast("long").alias("dist_sq"),
+        )
+    )
+
+
+def _micro_update(assigned: DataFrame, cents: DataFrame) -> DataFrame:
+    """Mean update in micro-space: posexplode to (cluster, dim, val),
+    per-(cluster, dim) mean re-quantized via floor(sum/count + 0.5) —
+    sums stay exact integers, the one division is the same double op in
+    both engines. Empty clusters keep their previous centroid. Shuffle
+    is k×dims rows after partial aggregation, independent of corpus
+    size (the kmeans_centroids discipline)."""
+    means = (
+        assigned.select("cluster", F.posexplode("em"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.floor(F.sum("col") / F.count("*") + F.lit(0.5))
+            .cast("double")
+            .alias("m")
+        )
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("cluster").alias("cent_id"),
+            F.transform("pm", lambda x: x.m).alias("ce"),
+        )
+    )
+    return (
+        cents.alias("old")
+        .join(means.alias("new"), "cent_id", "left_outer")
+        .select(
+            "cent_id", F.coalesce(F.col("new.ce"), F.col("old.ce")).alias("ce")
+        )
+        .transform(materialize)
+    )
+
+
+def _kmeans_micro_final(
+    spark: SparkSession, sf_dir: str, k: int, iters: int
+) -> DataFrame:
+    """Shared body: train k-means in micro-units (init = first k vectors
+    by vec_id) and return the final assignment frame
+    (vec_id, label, cluster, dist_sq)."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id").select(
+        "vec_id", "label", _micro_units(F.col("embedding")).alias("em")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").cast("int").alias("cent_id"), F.col("em").alias("ce")
+        )
+        .transform(materialize)
+    )
+    for _ in range(iters):
+        cents = _micro_update(_micro_assign(emb, cents), cents)
+    return _micro_assign(emb, cents)
+
+
+def kmeans_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Per-vector k-means cluster assignment after KMEANS_ITERS Lloyd
+    iterations — the iterative trainer made ORACLE-EXACT by running
+    entirely in integer micro-units (see _micro_units). kmeans_centroids
+    keeps the float/cosine production form; this variant proves the
+    iteration algebra against an unrolled-CTE DuckDB oracle, the same
+    upgrade pagerank_links got over a rows-only check.
+
+    100 TB shape: per iteration ONE narrow broadcast-assignment pass
+    over the corpus + one k×dims-bounded mean shuffle; centroids
+    materialize each round so lineage stays flat."""
+    return _kmeans_micro_final(spark, sf_dir, k, iters).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist_sq"
+    )
+
+
+def kmeans_cluster_report(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Per-cluster quality report over the oracle-exact k-means
+    assignment: size, inertia (Σ dist² in exact integer micro²-units —
+    summed as LONG because 500×7e13 overflows double's 2^53 exactness),
+    majority generator label and purity. The evaluation loop of every
+    embedding-clustering pipeline (does the learned structure recover
+    the generator's mixture?).
+
+    100 TB shape: one partial-agg shuffle keyed by (cluster, label)
+    then per-cluster windows over ≤ k×|labels| rows."""
+    from pyspark.sql import Window
+
+    final = _kmeans_micro_final(spark, sf_dir, k, iters)
+    g = final.groupBy("cluster", "label").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    top = (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").cast("int").alias("majority_label"),
+            F.col("c").alias("maj_c"),
+        )
+    )
+    agg = final.groupBy("cluster").agg(
+        F.count("*").cast("int").alias("n_vectors"),
+        F.sum("dist_sq").cast("long").alias("inertia"),
+    )
+    from jira_cdc_git_spark.functions import text as TX
+
+    return (
+        agg.join(top, "cluster")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_vectors",
+            "inertia",
+            "majority_label",
+            TX.round_half_up(
+                F.col("maj_c") / F.col("n_vectors"), 4
+            ).alias("purity"),
+        )
+    )

@@ -432,3 +432,48 @@ def test_dsir_resample_deterministic_subset(spark, sf_dir):
     assert len({r["doc_id"] for r in a}) == len(a)  # without replacement
     keys = [r["gumbel_key"] for r in a]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_kmeans_assign_total_and_deterministic(spark, sf_dir):
+    rows = V.kmeans_assign(spark, sf_dir).collect()
+    n_emb = V.load_table(spark, "embeddings", sf_dir).count()
+    assert len(rows) == n_emb  # every vector assigned exactly once
+    assert {r["cluster"] for r in rows} <= set(range(V.KMEANS_K))
+    assert all(r["dist_sq"] >= 0 for r in rows)
+    again = V.kmeans_assign(spark, sf_dir).collect()
+    assert sorted((r["vec_id"], r["cluster"]) for r in rows) == sorted(
+        (r["vec_id"], r["cluster"]) for r in again
+    )
+
+
+def test_kmeans_cluster_report_recovers_labels(spark, sf_dir):
+    rows = V.kmeans_cluster_report(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= V.KMEANS_K
+    total = sum(r["n_vectors"] for r in rows)
+    n_emb = V.load_table(spark, "embeddings", sf_dir).count()
+    assert total == n_emb
+    # The synthetic mixture is only weakly label-separated (max pairwise
+    # cosine ~0.48), so measure against the majority-class baseline:
+    # assigning every vector to one cluster scores max(label share)
+    from collections import Counter
+
+    labels = Counter(
+        r["label"]
+        for r in V.load_table(spark, "embeddings", sf_dir)
+        .select("label")
+        .collect()
+    )
+    baseline = max(labels.values()) / total
+    mean_purity = sum(r["purity"] * r["n_vectors"] for r in rows) / total
+    assert mean_purity > 1.2 * baseline, (mean_purity, baseline)
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark, sf_dir):
+    # Lloyd's algorithm monotonically decreases inertia; re-quantization
+    # can nudge it, so allow 0.1% slack between 1 and 2 iterations
+    def inertia(iters):
+        rows = V.kmeans_cluster_report(spark, sf_dir, iters=iters).collect()
+        return sum(r["inertia"] for r in rows)
+
+    i1, i2 = inertia(1), inertia(2)
+    assert i2 <= i1 * 1.001, (i1, i2)
