@@ -400,6 +400,10 @@ SCALE_PROBE_QUERIES = [
     "bpe_subword_encode",
     "knn_join",
     "ivf_knn_join",
+    # wave-2 probe additions: retrieval, DSIR, oracle-exact k-means
+    "bm25_topk",
+    "dsir_importance_weights",
+    "kmeans_assign",
 ]
 
 

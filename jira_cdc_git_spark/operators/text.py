@@ -2581,10 +2581,15 @@ def bm25_topk(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
     )
+    # dl rides the explode as a grouping key (functionally dependent on
+    # doc_id), so no per-doc length table is ever joined — broadcasting
+    # one would ship a corpus-sized side at 100 TB
     postings = (
-        docs.select("doc_id", F.explode("toks").alias("tok"))
+        docs.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+        )
         .filter(F.col("tok").isin(terms))
-        .groupBy("doc_id", "tok")
+        .groupBy("doc_id", "dl", "tok")
         .agg(F.count("*").alias("tf"))
     )
     dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
@@ -2594,7 +2599,6 @@ def bm25_topk(
     )
     contrib = (
         postings.join(F.broadcast(dfreq), "tok")
-        .join(F.broadcast(dl), "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -2675,11 +2679,12 @@ DSIR_SAMPLE_N = 100
 
 
 def _dsir_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, bucket) hashed unigram+bigram feature rows — the DSIR
-    (Xie et al., NeurIPS'23) feature map: every token and every adjacent
-    token pair hashes into DSIR_BUCKETS buckets via the shared one-md5
-    32-bit digest (functions/text.hex32), so the oracle replays the
-    exact bucket ids."""
+    """(doc_id, lang, bucket) hashed unigram+bigram feature rows — the
+    DSIR (Xie et al., NeurIPS'23) feature map: every token and every
+    adjacent token pair hashes into DSIR_BUCKETS buckets via the shared
+    one-md5 32-bit digest (functions/text.hex32), so the oracle replays
+    the exact bucket ids. lang rides the explode so the histogram pass
+    never joins the corpus-sized documents table back in."""
     toks = TX.tokens(F.col("text"))
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -2689,8 +2694,10 @@ def _dsir_features(docs: DataFrame) -> DataFrame:
     )
     feats = F.concat(toks, F.when(n >= 2, bigrams).otherwise(F.array().cast("array<string>")))
     return docs.select(
-        "doc_id", F.explode(feats).alias("feat")
-    ).select("doc_id", (TX.hex32(F.col("feat")) % DSIR_BUCKETS).alias("bucket"))
+        "doc_id", "lang", F.explode(feats).alias("feat")
+    ).select(
+        "doc_id", "lang", (TX.hex32(F.col("feat")) % DSIR_BUCKETS).alias("bucket")
+    )
 
 
 def dsir_importance_weights(
@@ -2713,9 +2720,7 @@ def dsir_importance_weights(
     shuffle on doc_id. The target slice is read from the same scan
     (a filtered aggregation, not a second source)."""
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
-    feats = _dsir_features(docs).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
+    feats = _dsir_features(docs)
     hist = feats.groupBy("bucket").agg(
         F.count("*").alias("raw_c"),
         F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0)).alias("tgt_c"),

@@ -640,3 +640,38 @@ def test_simhash_signatures_is_shuffle_free(spark, sf_dir):
     body = plan.split("Scan")[0]
     assert "Exchange hashpartitioning" not in body or "doc_id" in body
     assert "HashAggregate" not in plan
+
+
+def test_bm25_topk_broadcast_postings_takeordered(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.bm25_topk(spark, sf_dir))
+    # df + N/avgdl ride broadcasts; top-k is per-partition k + merge;
+    # the per-doc length table is NEVER a join side (dl rides the
+    # explode as a grouping key)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_weights_histograms_broadcast(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.dsir_importance_weights(spark, sf_dir))
+    # the 1024-bucket histogram + totals are the only join sides —
+    # both broadcast; the corpus never shuffles on bucket
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_broadcast_centroids(spark, sf_dir):
+    from jira_cdc_git_spark.operators import vectors as V
+
+    plan = _plan(V.kmeans_assign(spark, sf_dir))
+    # final assignment pass: centroid array broadcasts; the corpus is
+    # scanned once with no shuffle before the assignment map
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
