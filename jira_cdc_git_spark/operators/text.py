@@ -2720,6 +2720,17 @@ def dsir_importance_weights(
     shuffle on doc_id. The target slice is read from the same scan
     (a filtered aggregation, not a second source)."""
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    hist, totals = dsir_histograms(docs, target_lang)
+    return dsir_score_frame(docs, hist, totals)
+
+
+def dsir_histograms(
+    docs: DataFrame, target_lang: str = "en"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the DSIR feature model: the (bucket, raw_c, tgt_c) histogram
+    plus its 1-row totals. Both are bounded by DSIR_BUCKETS regardless of
+    corpus size — the broadcastable trained artifact the streaming gate
+    materializes once."""
     feats = _dsir_features(docs)
     hist = feats.groupBy("bucket").agg(
         F.count("*").alias("raw_c"),
@@ -2729,14 +2740,44 @@ def dsir_importance_weights(
         F.sum("raw_c").cast("double").alias("raw_t"),
         F.sum("tgt_c").cast("double").alias("tgt_t"),
     )
+    return hist, totals
+
+
+def dsir_score_frame(
+    docs: DataFrame, hist: DataFrame, totals: DataFrame
+) -> DataFrame:
+    """Score documents against a trained DSIR model: per-doc mean
+    log-likelihood ratio under the histogram's add-1-smoothed target/raw
+    distributions. Buckets unseen at training time fall back to the
+    smoothing floor (left join + zero-coalesce), so out-of-vocabulary
+    candidates score honestly instead of dropping rows. Shared by the
+    batch weights operator and the streaming admission twin (whose
+    candidates may not carry a lang column — scoring doesn't use it).
+
+    Smoothing caveat (asserted in the streaming test): a fully
+    out-of-vocabulary feature scores ln((raw_t+B)/(tgt_t+B)) > 0 because
+    the target distribution has less total mass — add-1 smoothing makes
+    unseen features look mildly target-like. DSIR's discriminative power
+    is over IN-vocabulary text; an admission gate that must reject
+    gibberish should compose this with the quality/perplexity filters
+    (curation_funnel_report's posture), not rely on the LLR alone."""
+    if "lang" not in docs.columns:
+        docs = docs.withColumn("lang", F.lit(None).cast("string"))
+    feats = _dsir_features(docs)
     scored = (
-        feats.join(F.broadcast(hist), "bucket")
+        feats.join(F.broadcast(hist), "bucket", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
             (
-                F.log((F.col("tgt_c") + 1) / (F.col("tgt_t") + DSIR_BUCKETS))
-                - F.log((F.col("raw_c") + 1) / (F.col("raw_t") + DSIR_BUCKETS))
+                F.log(
+                    (F.coalesce(F.col("tgt_c"), F.lit(0)) + 1)
+                    / (F.col("tgt_t") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.coalesce(F.col("raw_c"), F.lit(0)) + 1)
+                    / (F.col("raw_t") + DSIR_BUCKETS)
+                )
             ).alias("llr"),
         )
     )

@@ -1124,3 +1124,75 @@ def streaming_ivf_topk(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_dsir_admission(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    corpus_sf_dir: str,
+    target_lang: str = "en",
+    min_weight: float = 0.0,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Online DSIR admission — the importance-resampling counterpart to
+    streaming_corpus_admission: new candidate documents stream in, each
+    micro-batch is scored against the DSIR model TRAINED ONCE on the held
+    corpus (operators/text.dsir_histograms), and candidates whose mean
+    log-likelihood ratio clears ``min_weight`` are admitted. Verdicts
+    (every candidate with its weight and decision) and admitted docs land
+    in idempotent batch_id-partitioned sinks, so at-least-once replay
+    cannot double-admit.
+
+    100 TB shape: the trained model is two bounded frames (1024-bucket
+    histogram + 1-row totals) materialized before the stream starts and
+    broadcast into every batch; per batch the only shuffle is the
+    batch's own doc_id partial agg. No watermark state — scoring is
+    stream-static."""
+    from jira_cdc_git_spark.materialize import materialize
+    from jira_cdc_git_spark.operators.text import (
+        dsir_histograms,
+        dsir_score_frame,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table_spread
+
+    corpus_docs = load_table_spread(spark, "documents", corpus_sf_dir, "doc_id")
+    hist, totals = dsir_histograms(corpus_docs, target_lang)
+    hist = materialize(hist)
+    totals = materialize(totals)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(docs_dir)
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint()
+        verdicts = (
+            dsir_score_frame(batch_df, hist, totals)
+            .select(
+                "doc_id",
+                "n_feats",
+                "weight",
+                (F.col("weight") >= min_weight).alias("admit"),
+            )
+            .localCheckpoint()
+        )
+        _append_batch_idempotent(verdicts, f"{out_root}/verdicts", batch_id)
+        _append_batch_idempotent(
+            batch_df.join(verdicts.filter("admit").select("doc_id"), "doc_id"),
+            f"{out_root}/admitted",
+            batch_id,
+        )
+
+    (
+        feed.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

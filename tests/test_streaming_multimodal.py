@@ -964,3 +964,86 @@ def test_streaming_ivf_topk_serves_from_index(spark, sf_dir, tmp_path):
     # idempotent re-run: same checkpoint, no new files to process
     SP.streaming_ivf_topk(spark, qdir, schema, ckpt, out, path)
     assert SP.read_append_sink(spark, out).count() == 40
+
+
+def test_streaming_dsir_admission_scores_and_parity(spark, sf_dir, tmp_path):
+    from pyspark.sql import types as ST
+
+    from jira_cdc_git_spark.materialize import materialize
+    from jira_cdc_git_spark.operators.text import (
+        dsir_histograms,
+        dsir_score_frame,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        read_append_sink,
+        streaming_dsir_admission,
+    )
+
+    corpus = load_table(spark, "documents", sf_dir)
+    # candidates: one doc copied from the target-language corpus (should
+    # score like the target and be admitted at min_weight=0 only if its
+    # weight is >= 0) and one invented-vocabulary doc whose features all
+    # miss the trained histogram (heavy smoothing penalty -> weight ~ 0
+    # exactly, since BOTH distributions fall back to the same floor)
+    tgt_src = (
+        corpus.filter(F.col("lang") == "en").orderBy("doc_id").limit(1).collect()[0]
+    )
+    off_src = (
+        corpus.filter(F.col("lang") == "zh").orderBy("doc_id").limit(1).collect()[0]
+    )
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("text", ST.StringType()),
+        ]
+    )
+    # an OOV doc rides along to prove the unseen-bucket left-join guard
+    # (it must be scored, not dropped); its weight is a smoothing
+    # artifact, so no ordering is asserted against it
+    feed_df = spark.createDataFrame(
+        [
+            (7_000_001, tgt_src["text"]),
+            (7_000_002, off_src["text"]),
+            (7_000_003, "zorp blick flarn quux glorp snark"),
+        ],
+        schema,
+    )
+    docs_dir = str(tmp_path / "feed")
+    feed_df.write.parquet(docs_dir)
+
+    out_root = str(tmp_path / "dsir")
+    streaming_dsir_admission(
+        spark,
+        docs_dir,
+        schema,
+        str(tmp_path / "ckpt"),
+        out_root,
+        sf_dir,
+        min_weight=0.0,
+    )
+    v = {
+        r["doc_id"]: r
+        for r in read_append_sink(spark, f"{out_root}/verdicts").collect()
+    }
+    assert len(v) == 3
+    # the DSIR property online: the target-language copy outscores the
+    # off-language copy
+    assert v[7_000_001]["weight"] > v[7_000_002]["weight"]
+    assert v[7_000_001]["admit"]
+    assert v[7_000_003]["n_feats"] > 0  # OOV doc scored, not dropped
+    admitted = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out_root}/admitted").collect()
+    }
+    assert admitted == {d for d, r in v.items() if r["admit"]}
+
+    # parity: streaming weights == the shared scorer run in batch
+    hist, totals = dsir_histograms(corpus, "en")
+    hist, totals = materialize(hist), materialize(totals)
+    expect = {
+        r["doc_id"]: r for r in dsir_score_frame(feed_df, hist, totals).collect()
+    }
+    for did, row in v.items():
+        assert row["weight"] == expect[did]["weight"]
+        assert row["n_feats"] == expect[did]["n_feats"]
