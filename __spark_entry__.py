@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 166
-entries: 155 oracle-backed (value-hash checked) and 11 no-oracle by
+The registry has 168
+entries: 157 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": T.bm25_topk,
         "kmeans_assign": V.kmeans_assign,
         "kmeans_cluster_report": V.kmeans_cluster_report,
+        "ngram_novelty_report": T.ngram_novelty_report,
+        "shard_drift_report": T.shard_drift_report,
         "media_audio_features": MM.audio_features,
         "sketch_accuracy_report": T.sketch_accuracy_report,
         "compression_ratio": T.compression_ratio,
@@ -3314,6 +3316,60 @@ _ORACLES["dsir_resample"] = f"""
     )
     SELECT doc_id, rank, weight, gumbel_key FROM r
     WHERE rank <= {T.DSIR_SAMPLE_N}"""
+
+
+_ORACLES["ngram_novelty_report"] = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), shs AS (
+        SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(
+                     generate_series(1, CAST(len(toks) AS INTEGER) - 2),
+                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS grams
+        FROM t
+    ), g AS (
+        SELECT doc_id, unnest(grams) AS gram FROM shs
+    ), f AS (
+        SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1
+    )
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_novel,
+           floor(avg(CASE WHEN first_doc = doc_id THEN 1.0 ELSE 0.0 END)
+                 * 10000 + 0.5) / 10000 AS novelty
+    FROM g JOIN f USING (gram) GROUP BY 1"""
+
+_ORACLES["shard_drift_report"] = f"""
+    WITH t AS (
+        SELECT (('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                1, 8))::BIGINT) % {T.DRIFT_SHARDS} AS shard,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), h AS (
+        SELECT shard, tok, count(*) AS c FROM t GROUP BY 1, 2
+    ), tt AS (
+        SELECT shard, sum(c) AS t FROM h GROUP BY 1
+    ), v AS (
+        SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM h
+    ), grid AS (
+        SELECT tok, shard, t
+        FROM (SELECT DISTINCT tok FROM h) CROSS JOIN tt
+    ), p AS (
+        SELECT shard, tok, (coalesce(c, 0) + 1) / (t + v) AS p
+        FROM grid LEFT JOIN h USING (shard, tok) CROSS JOIN v
+    ), pr AS (
+        SELECT a.shard AS shard_a, b.shard AS shard_b, a.p AS pa, b.p AS pb
+        FROM p a JOIN p b USING (tok) WHERE a.shard < b.shard
+    )
+    SELECT CAST(shard_a AS INTEGER) AS shard_a,
+           CAST(shard_b AS INTEGER) AS shard_b,
+           floor(sum(0.5 * pa * ln(pa / ((pa + pb) / 2))
+                     + 0.5 * pb * ln(pb / ((pa + pb) / 2)))
+                 * 1000000 + 0.5) / 1000000 AS js_divergence
+    FROM pr GROUP BY 1, 2"""
 
 
 # --- oracle-exact integer-micro k-means (round-5 wave 2) ------------------

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "dsir_resample",
     "kmeans_assign",
     "kmeans_cluster_report",
+    "ngram_novelty_report",
+    "shard_drift_report",
 ]
 
 

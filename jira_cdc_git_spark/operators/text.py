@@ -2823,3 +2823,117 @@ def dsir_resample(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "rank", "weight", "gumbel_key")
     )
+
+
+def ngram_novelty_report(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct word
+    n-grams whose FIRST corpus occurrence (lowest doc_id — ingestion
+    order in this corpus) is the doc itself. The longitudinal dedup
+    metric of a growing training corpus: novelty trending down across a
+    crawl means new batches are re-treading old content even when no
+    single pair crosses the near-dup threshold.
+
+    100 TB shape: one gram-keyed partial-agg shuffle for the
+    first-occurrence map and one gram-keyed join back — the same
+    discipline as boilerplate_ngrams; everything after the join is a
+    doc_id partial agg. No windows, no pairs."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    grams = docs.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), n)).alias("gram")
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("n_novel"),
+            TX.round_half_up(
+                F.avg(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+#: shard count for the drift report — small relative to the cluster so
+#: per-shard histograms stay broadcastable; mirrored by the oracle.
+DRIFT_SHARDS = 4
+
+
+def shard_drift_report(
+    spark: SparkSession, sf_dir: str, n_shards: int = DRIFT_SHARDS
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of the corpus's hash-shards — the distribution-drift
+    monitor of a multi-dump training pipeline (shard by crawl snapshot
+    instead of hash and the same report detects topic/language drift
+    between dumps). Hash shards SHOULD be statistically identical, so
+    this also doubles as a sanity floor: a hash-sharded corpus showing
+    high JS means the pipeline broke.
+
+    JS(p,q) = 0.5·KL(p||m) + 0.5·KL(q||m), m = (p+q)/2, with add-1
+    smoothing over the corpus vocabulary so both distributions share a
+    support. 100 TB shape: per-shard histograms are bounded by
+    |vocab|×n_shards (partial-agg shuffle on (shard, tok)); the pair
+    join is histogram×histogram on tok — bounded by vocabulary, never
+    by corpus size; n_shards² pair rows aggregate at the end."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    shard = (
+        TX.hex32(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+        % n_shards
+    ).cast("int")
+    toks = docs.select(
+        shard.alias("shard"),
+        F.explode(TX.tokens(F.col("text"))).alias("tok"),
+    )
+    hist = toks.groupBy("shard", "tok").agg(F.count("*").alias("c"))
+    totals = hist.groupBy("shard").agg(F.sum("c").alias("t"))
+    vocab = hist.agg(F.countDistinct("tok").cast("double").alias("v"))
+    # smoothed per-shard distributions on the shared corpus support:
+    # grid = vocab x shards so absent tokens still carry the add-1 floor
+    grid = (
+        hist.select("tok").distinct().crossJoin(totals)
+    )  # (tok, shard, t): |vocab| x n_shards rows
+    p = (
+        grid.join(hist, ["shard", "tok"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "shard",
+            "tok",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                / (F.col("t") + F.col("v"))
+            ).alias("p"),
+        )
+    )
+    pairs = (
+        p.alias("a")
+        .join(p.alias("b"), "tok")
+        .filter(F.col("a.shard") < F.col("b.shard"))
+        .select(
+            F.col("a.shard").alias("shard_a"),
+            F.col("b.shard").alias("shard_b"),
+            F.col("a.p").alias("pa"),
+            F.col("b.p").alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    contrib = 0.5 * F.col("pa") * F.log(F.col("pa") / m) + 0.5 * F.col(
+        "pb"
+    ) * F.log(F.col("pb") / m)
+    return (
+        pairs.select("shard_a", "shard_b", contrib.alias("j"))
+        .groupBy("shard_a", "shard_b")
+        .agg(TX.round_half_up(F.sum("j"), 6).alias("js_divergence"))
+    )

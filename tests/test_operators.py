@@ -477,3 +477,35 @@ def test_kmeans_iterations_do_not_increase_inertia(spark, sf_dir):
 
     i1, i2 = inertia(1), inertia(2)
     assert i2 <= i1 * 1.001, (i1, i2)
+
+
+def test_ngram_novelty_partitions_grams(spark, sf_dir):
+    rows = T.ngram_novelty_report(spark, sf_dir).collect()
+    assert rows
+    total_novel = sum(r["n_novel"] for r in rows)
+    # every distinct corpus gram is novel in exactly one doc
+    from jira_cdc_git_spark.functions import text as TXF
+
+    grams = T.load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        F.explode_outer(TXF.shingles(F.col("text"), 3)).alias("g")
+    )
+    n_distinct = grams.filter(F.col("g").isNotNull()).distinct().count()
+    assert total_novel == n_distinct
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_novel"] <= r["n_grams"]
+    # the first doc's grams are all first occurrences
+    first_doc = min(r["doc_id"] for r in rows)
+    first_row = next(r for r in rows if r["doc_id"] == first_doc)
+    assert first_row["novelty"] == 1.0
+
+
+def test_shard_drift_low_between_hash_shards(spark, sf_dir):
+    rows = T.shard_drift_report(spark, sf_dir).collect()
+    n = T.DRIFT_SHARDS
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert 0.0 <= r["js_divergence"] <= 0.6931 + 1e-9  # ln 2 bound
+        # hash shards draw from one distribution: drift stays far from
+        # the ln 2 ceiling (a broken pipeline would not)
+        assert r["js_divergence"] < 0.2, r
