@@ -58,6 +58,14 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.bpe_subword_train_merges,
         T.bpe_subword_encode,
         T.bpe_vocab,
+        T.bm25_topk,
+        T.keyword_search,
+        T.dsir_importance_weights,
+        T.dsir_resample,
+        T.ngram_novelty_report,
+        T.shard_drift_report,
+        V.kmeans_assign,
+        V.kmeans_cluster_report,
         V.embedding_neardup,
         V.semdedup,
         V.sq8_topk,
