@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 168
-entries: 157 oracle-backed (value-hash checked) and 11 no-oracle by
+The registry has 169
+entries: 158 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster_report": V.kmeans_cluster_report,
         "ngram_novelty_report": T.ngram_novelty_report,
         "shard_drift_report": T.shard_drift_report,
+        "containment_pairs": T.containment_pairs,
         "media_audio_features": MM.audio_features,
         "sketch_accuracy_report": T.sketch_accuracy_report,
         "compression_ratio": T.compression_ratio,
@@ -3317,6 +3318,53 @@ _ORACLES["dsir_resample"] = f"""
     SELECT doc_id, rank, weight, gumbel_key FROM r
     WHERE rank <= {T.DSIR_SAMPLE_N}"""
 
+
+_ORACLES["containment_pairs"] = f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               array_to_string(toks[1:{T.CONTAIN_EXCERPT_TOKENS}], ' ') AS text
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents)
+        WHERE doc_id % 20 = 0 AND len(toks) >= {T.CONTAIN_EXCERPT_TOKENS}
+    ), t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM base
+    ), sets AS (
+        SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(
+                     generate_series(1, CAST(len(toks) AS INTEGER) - 2),
+                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END) AS shs
+        FROM t
+    ), posting AS (
+        SELECT doc_id, unnest(shs) AS sh FROM sets
+    ), keep_sh AS (
+        SELECT sh FROM posting GROUP BY sh
+        HAVING count(*) <= {T.CONTAIN_DF_CAP}
+    ), inf AS (
+        SELECT p.doc_id, p.sh FROM posting p JOIN keep_sh USING (sh)
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS INTEGER) AS n_shared
+        FROM inf a JOIN inf b USING (sh)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {T.CONTAIN_MIN_SHARED}
+    )
+    SELECT c.doc_a, c.doc_b, c.n_shared,
+           floor(len(list_intersect(sa.shs, sb.shs)) * 1.0
+                 / least(len(sa.shs), len(sb.shs)) * 10000 + 0.5) / 10000
+             AS containment
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.doc_a
+    JOIN sets sb ON sb.doc_id = c.doc_b
+    WHERE floor(len(list_intersect(sa.shs, sb.shs)) * 1.0
+                / least(len(sa.shs), len(sb.shs)) * 10000 + 0.5) / 10000
+          >= {T.CONTAIN_THRESHOLD}"""
 
 _ORACLES["ngram_novelty_report"] = """
     WITH t AS (

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "kmeans_cluster_report",
     "ngram_novelty_report",
     "shard_drift_report",
+    "containment_pairs",
 ]
 
 

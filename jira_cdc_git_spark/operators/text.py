@@ -2937,3 +2937,91 @@ def shard_drift_report(
         .groupBy("shard_a", "shard_b")
         .agg(TX.round_half_up(F.sum("j"), 6).alias("js_divergence"))
     )
+
+
+#: containment-dedup constants, mirrored by the oracle: excerpt length,
+#: candidate df cap, min shared shingles, verify threshold.
+CONTAIN_EXCERPT_TOKENS = 30
+CONTAIN_DF_CAP = 20
+CONTAIN_MIN_SHARED = 2
+CONTAIN_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = CONTAIN_THRESHOLD,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup — the subset-duplicate case Jaccard
+    LSH structurally misses: a short excerpt quoted inside a much longer
+    document has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so it never
+    collides in a minhash band. Candidates come from an inverted
+    shingle index instead (the prefix-filter discipline of set-similarity
+    joins, Chaudhuri et al. ICDE'06): explode distinct 3-gram shingles,
+    DROP shingles with document frequency > CONTAIN_DF_CAP (boilerplate
+    grams generate quadratic candidates and no signal), self-join on the
+    shingle, and keep pairs sharing >= CONTAIN_MIN_SHARED informative
+    shingles; verify exactly with containment = |A∩B| / min(|A|,|B|).
+
+    The synthetic corpus has no true excerpts, so every 20th document
+    with >= CONTAIN_EXCERPT_TOKENS tokens contributes a derived quote doc
+    (doc_id + 2_000_000, the first CONTAIN_EXCERPT_TOKENS tokens) — the
+    embedding_neardup posture: the oracle replays the same derivation
+    and the expected pairs are exactly the (source, excerpt) pairs.
+
+    100 TB shape: the candidate shuffle is the df-capped doc×shingle
+    postings (never all-pairs); hot-shingle growth is bounded by the cap
+    (a capped gram contributes 0 candidates, not df² pairs); the verify
+    join touches candidate pairs only."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    toks = TX.tokens(F.col("text"))
+    excerpts = (
+        docs.filter(
+            (F.col("doc_id") % 20 == 0)
+            & (F.size(toks) >= CONTAIN_EXCERPT_TOKENS)
+        )
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, CONTAIN_EXCERPT_TOKENS)
+            ).alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    sets = corpus.select(
+        "doc_id", TX.shingles(F.col("text"), 3).alias("shs")
+    ).transform(materialize)
+    posting = sets.select("doc_id", F.explode("shs").alias("sh"))
+    keep_sh = (
+        posting.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .select("sh")
+    )
+    informative = posting.join(keep_sh, "sh")
+    a = informative.alias("a")
+    b = informative.alias("b")
+    cand = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAIN_MIN_SHARED)
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            TX.round_half_up(
+                n_inter / F.least(F.size("shs_a"), F.size("shs_b")), 4
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "containment")
+    )

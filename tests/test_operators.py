@@ -509,3 +509,36 @@ def test_shard_drift_low_between_hash_shards(spark, sf_dir):
         # hash shards draw from one distribution: drift stays far from
         # the ln 2 ceiling (a broken pipeline would not)
         assert r["js_divergence"] < 0.2, r
+
+
+def test_containment_pairs_find_planted_excerpts(spark, sf_dir):
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    rows = T.containment_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["containment"] >= T.CONTAIN_THRESHOLD
+        assert r["n_shared"] >= T.CONTAIN_MIN_SHARED
+    # every planted excerpt (first CONTAIN_EXCERPT_TOKENS tokens of each
+    # 20th long-enough doc) must be caught paired with its source at
+    # containment 1.0 — the case Jaccard LSH structurally misses
+    docs = load_table(spark, "documents", sf_dir)
+    planted = {
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("doc_id") % 20 == 0)
+            & (F.size(F.split(F.trim("text"), r"\s+")) >= T.CONTAIN_EXCERPT_TOKENS)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in rows}
+    for src in planted:
+        assert got.get((src, src + 2_000_000)) == 1.0, src
+    # and Jaccard LSH indeed does NOT flag excerpt pairs (disjoint tools)
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in T.neardup_pairs_lsh(spark, sf_dir).collect()
+    }
+    assert not any(b - a == 2_000_000 for a, b in lsh)
