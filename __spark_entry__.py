@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 169
-entries: 158 oracle-backed (value-hash checked) and 11 no-oracle by
+The registry has 171
+entries: 160 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_report": T.ngram_novelty_report,
         "shard_drift_report": T.shard_drift_report,
         "containment_pairs": T.containment_pairs,
+        "overlap_chunks": T.overlap_chunks,
+        "quality_calibration_report": T.quality_calibration_report,
         "media_audio_features": MM.audio_features,
         "sketch_accuracy_report": T.sketch_accuracy_report,
         "compression_ratio": T.compression_ratio,
@@ -3318,6 +3320,71 @@ _ORACLES["dsir_resample"] = f"""
     SELECT doc_id, rank, weight, gumbel_key FROM r
     WHERE rank <= {T.DSIR_SAMPLE_N}"""
 
+
+_ORACLES["overlap_chunks"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                 AS n
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n,
+               CASE WHEN n <= {T.OVERLAP_CHUNK_TOKENS} THEN 1
+                    ELSE CAST(floor((n - {T.OVERLAP_CHUNK_TOKENS}
+                                     + {T.OVERLAP_STRIDE} - 1)
+                                    / {T.OVERLAP_STRIDE}.0) AS INTEGER) + 1
+               END AS n_chunks
+        FROM t
+    )
+    SELECT doc_id, n AS n_tokens, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * {T.OVERLAP_STRIDE} AS BIGINT) AS start,
+           CAST(least(i * {T.OVERLAP_STRIDE} + {T.OVERLAP_CHUNK_TOKENS}, n)
+                - i * {T.OVERLAP_STRIDE} AS INTEGER) AS n_chunk_tokens
+    FROM (SELECT doc_id, n, unnest(generate_series(0, n_chunks - 1)) AS i
+          FROM c)"""
+
+# quality expression shared (textually) with the quality_score oracle
+_QUALITY_CTES = """
+    qt AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                 / length(text) AS punct
+        FROM documents
+    ), qs AS (
+        SELECT doc_id, source,
+               least(len(toks) / 50.0, 1.0) AS len_score,
+               punct,
+               least(len(list_filter(toks,
+                     x -> x IN ('the','a','of','and','to','in','is','it')))
+                     * 1.0 / len(toks) * 4.0, 1.0) AS stop_score
+        FROM qt
+    ), qq AS (
+        SELECT doc_id, source,
+               floor((0.4 * len_score + 0.3 * (1.0 - punct)
+                      + 0.3 * stop_score) * 1000 + 0.5) / 1000 AS quality
+        FROM qs
+    )"""
+
+_ORACLES["quality_calibration_report"] = f"""
+    WITH {_QUALITY_CTES}, agg AS (
+        SELECT source, CAST(count(*) AS INTEGER) AS n_docs,
+               floor(avg(quality) * 10000 + 0.5) / 10000 AS mean_quality,
+               floor(avg(CASE WHEN quality >= 0.6 THEN 1.0 ELSE 0.0 END)
+                     * 10000 + 0.5) / 10000 AS global_keep_rate
+        FROM qq GROUP BY 1
+    ), ranked AS (
+        SELECT source, quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality, doc_id) AS rn
+        FROM qq
+    ), med AS (
+        SELECT r.source, r.quality AS median_quality
+        FROM ranked r JOIN agg USING (source)
+        WHERE r.rn = floor((agg.n_docs + 1) / 2.0)
+    )
+    SELECT source, n_docs, mean_quality, median_quality, global_keep_rate
+    FROM agg JOIN med USING (source)"""
 
 _ORACLES["containment_pairs"] = f"""
     WITH base AS (

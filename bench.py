@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "ngram_novelty_report",
     "shard_drift_report",
     "containment_pairs",
+    "overlap_chunks",
+    "quality_calibration_report",
 ]
 
 

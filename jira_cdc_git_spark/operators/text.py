@@ -3025,3 +3025,96 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "n_shared", "containment")
     )
+
+
+#: sliding-window chunking constants (W > S => overlapping context
+#: windows; a production run uses e.g. 2048/1536 — fixture-sized here).
+OVERLAP_CHUNK_TOKENS = 32
+OVERLAP_STRIDE = 24
+
+
+def overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking with overlap — the training-prep
+    step between cleaning and packing when documents exceed the model's
+    context: windows of OVERLAP_CHUNK_TOKENS tokens advance by
+    OVERLAP_STRIDE (< chunk size, so consecutive chunks share
+    chunk-stride tokens of context and no token span is ever split
+    across a chunk boundary unseen). One row per (doc, chunk) with its
+    token range — the manifest a chunk writer materializes.
+
+    n_chunks = 1 if n <= W else ceil((n-W)/S) + 1; the last chunk may be
+    short (end clamps to n). 100 TB shape: pure narrow per-doc
+    arithmetic + one explode — zero shuffles, embarrassingly parallel;
+    the blow-up factor is exactly sum(len)/sum(n) ≈ W/S."""
+    W, S = OVERLAP_CHUNK_TOKENS, OVERLAP_STRIDE
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    n = TX.token_count(F.col("text"))
+    n_chunks = F.when(n <= W, F.lit(1)).otherwise(
+        (F.floor((n - W + S - 1) / F.lit(S)) + 1).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * S).cast("long").alias("start"),
+            (F.least(i * S + W, n) - i * S).cast("int").alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        docs.select(
+            "doc_id", n.cast("int").alias("n_tokens"), F.explode(chunks).alias("c")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start").alias("start"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-threshold calibration: a single global quality
+    cutoff (quality_score's 0.6) keeps very different fractions of each
+    source when sources have different length/style priors — the classic
+    silent bias of corpus filtering. This report gives, per source, the
+    exact median quality (the cutoff a keep-50% calibrated policy would
+    deploy) next to the global-threshold keep rate, so divergence is
+    visible before a filter run bakes it in.
+
+    100 TB shape: one narrow quality projection, one (source) partial
+    agg, and a median-element pick via a per-source row_number window —
+    each window sorts one source's rows, never the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    len_score = F.least(TX.token_count(text) / 50.0, F.lit(1.0))
+    stop_score = F.least(TX.stopword_ratio(text) * 4.0, F.lit(1.0))
+    quality = TX.round_half_up(
+        0.4 * len_score + 0.3 * (1.0 - TX.punct_ratio(text)) + 0.3 * stop_score,
+        3,
+    )
+    q = docs.select("source", "doc_id", quality.alias("quality"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    ranked = q.withColumn("rn", F.row_number().over(w))
+    agg = q.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        TX.round_half_up(F.avg("quality"), 4).alias("mean_quality"),
+        TX.round_half_up(
+            F.avg(F.when(F.col("quality") >= 0.6, 1.0).otherwise(0.0)), 4
+        ).alias("global_keep_rate"),
+    )
+    median = (
+        ranked.join(
+            agg.select("source", "n_docs"), "source"
+        )
+        .filter(F.col("rn") == F.floor((F.col("n_docs") + 1) / 2))
+        .select("source", F.col("quality").alias("median_quality"))
+    )
+    return agg.join(median, "source").select(
+        "source", "n_docs", "mean_quality", "median_quality", "global_keep_rate"
+    )

@@ -64,6 +64,9 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.dsir_resample,
         T.ngram_novelty_report,
         T.shard_drift_report,
+        T.containment_pairs,
+        T.overlap_chunks,
+        T.quality_calibration_report,
         V.kmeans_assign,
         V.kmeans_cluster_report,
         V.embedding_neardup,

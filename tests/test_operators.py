@@ -542,3 +542,47 @@ def test_containment_pairs_find_planted_excerpts(spark, sf_dir):
         for r in T.neardup_pairs_lsh(spark, sf_dir).collect()
     }
     assert not any(b - a == 2_000_000 for a, b in lsh)
+
+
+def test_overlap_chunks_cover_every_token_with_stride_overlap(spark, sf_dir):
+    rows = T.overlap_chunks(spark, sf_dir).collect()
+    assert rows
+    W, S = T.OVERLAP_CHUNK_TOKENS, T.OVERLAP_STRIDE
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["chunk_idx"])
+        n = doc_rows[0]["n_tokens"]
+        # contiguous chunk indexes, stride-spaced starts
+        assert [r["chunk_idx"] for r in doc_rows] == list(range(len(doc_rows)))
+        assert all(r["start"] == r["chunk_idx"] * S for r in doc_rows)
+        # full coverage: last chunk reaches the end; consecutive chunks
+        # overlap by exactly W-S tokens (when both are full)
+        last = doc_rows[-1]
+        assert last["start"] + last["n_chunk_tokens"] == n
+        for r in doc_rows[:-1]:
+            assert r["n_chunk_tokens"] == W
+        if len(doc_rows) >= 2:
+            assert doc_rows[0]["start"] + W - doc_rows[1]["start"] == W - S
+
+
+def test_quality_calibration_median_splits_sources(spark, sf_dir):
+    rows = T.quality_calibration_report(spark, sf_dir).collect()
+    assert rows
+    q = {r["doc_id"]: r["quality"] for r in T.quality_score(spark, sf_dir).collect()}
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, "documents", sf_dir)
+        .select("doc_id", "source")
+        .collect()
+    }
+    for r in rows:
+        vals = sorted(v for d, v in q.items() if src[d] == r["source"])
+        assert r["n_docs"] == len(vals)
+        # the reported median is the exact lower-median element
+        assert r["median_quality"] == vals[(len(vals) + 1) // 2 - 1]
+        # keep rates are honest fractions
+        assert 0.0 <= r["global_keep_rate"] <= 1.0
