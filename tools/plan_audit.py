@@ -108,6 +108,38 @@ AUDITS = [
         "same partial/final WindowGroupLimit pair bounds the top-k "
         "shuffle.",
     ),
+    (
+        "bm25_topk",
+        "Retrieval discipline: tokens are filtered to the query terms "
+        "BEFORE any aggregation (the explode feeds a Filter, so the "
+        "(doc, term) shuffle carries only matching postings); df and the "
+        "N/avgdl stats ride BroadcastExchanges; the per-doc length is a "
+        "grouping key, never a join side; the final top-k is "
+        "TakeOrderedAndProject.",
+    ),
+    (
+        "dsir_importance_weights",
+        "The trained model is bounded by the bucket count: the 1024-row "
+        "histogram and the 1-row totals are the ONLY join sides, both "
+        "BroadcastExchange — the corpus never shuffles on bucket; the "
+        "only corpus-keyed exchange is the per-doc partial aggregation.",
+    ),
+    (
+        "kmeans_assign",
+        "Iterative trainer, Spark-shaped: the final assignment pass is "
+        "ONE narrow map over the corpus with the centroid array riding a "
+        "BroadcastNestedLoopJoin (single-row side); per training round "
+        "the mean update exchanges only k x dims rows after partial "
+        "aggregation. No SortMergeJoin, no cartesian anywhere.",
+    ),
+    (
+        "containment_pairs",
+        "Subset-dup candidates come from the df-capped inverted shingle "
+        "index: an EQUI-join on the shingle (never all-pairs), with hot "
+        "shingles dropped before the self-join so a boilerplate gram "
+        "contributes zero candidates instead of df^2 pairs; the exact "
+        "containment verify touches candidate pairs only.",
+    ),
 ]
 
 MAX_LINES = 58
