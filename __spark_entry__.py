@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 171
-entries: 160 oracle-backed (value-hash checked) and 11 no-oracle by
+The registry has 173
+entries: 162 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": T.containment_pairs,
         "overlap_chunks": T.overlap_chunks,
         "quality_calibration_report": T.quality_calibration_report,
+        "heavy_hitters_cms": T.heavy_hitters_cms,
+        "token_triangles": G.token_triangles,
         "media_audio_features": MM.audio_features,
         "sketch_accuracy_report": T.sketch_accuracy_report,
         "compression_ratio": T.compression_ratio,
@@ -3320,6 +3322,77 @@ _ORACLES["dsir_resample"] = f"""
     SELECT doc_id, rank, weight, gumbel_key FROM r
     WHERE rank <= {T.DSIR_SAMPLE_N}"""
 
+
+# CMS oracle: the depth-d column derives from the SAME Carter-Wegman
+# constants as the Spark side (functions/text.minhash_ab), baked in here
+# so retuning either side breaks parity loudly.
+from jira_cdc_git_spark.functions.text import MINHASH_PRIME as _CMS_P
+from jira_cdc_git_spark.functions.text import minhash_ab as _cms_ab
+
+
+def _cms_col_sql(tok_expr: str, d: int) -> str:
+    a, b = _cms_ab(d)
+    return (
+        f"((((('0x' || substr(md5({tok_expr}), 1, 8))::BIGINT) * {a} + {b})"
+        f" % {_CMS_P}) % {T.CMS_WIDTH})"
+    )
+
+
+def _cms_oracle() -> str:
+    cell_arms = "\n            UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_col_sql('tok', d)} AS col FROM tk"
+        for d in range(T.CMS_DEPTH)
+    )
+    probe_arms = "\n            UNION ALL ".join(
+        f"SELECT tok, exact, {d} AS d, {_cms_col_sql('tok', d)} AS col"
+        f" FROM exact"
+        for d in range(T.CMS_DEPTH)
+    )
+    return f"""
+    WITH tk AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), cells AS (
+        SELECT d, col, count(*) AS c FROM (
+            {cell_arms}
+        ) GROUP BY 1, 2
+    ), exact AS (
+        SELECT tok, count(*) AS exact FROM tk GROUP BY 1
+        ORDER BY exact DESC, tok LIMIT {T.CMS_TOPK}
+    ), probes AS (
+        {probe_arms}
+    )
+    SELECT tok, CAST(exact AS BIGINT) AS exact,
+           CAST(min(c) AS BIGINT) AS cms_estimate,
+           CAST(min(c) - exact AS BIGINT) AS overestimate
+    FROM probes JOIN cells USING (d, col) GROUP BY tok, exact"""
+
+
+_ORACLES["heavy_hitters_cms"] = _cms_oracle()
+
+_ORACLES["token_triangles"] = f"""
+    WITH t AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    bg AS (
+        SELECT least(toks[i], toks[i+1]) AS a,
+               greatest(toks[i], toks[i+1]) AS b
+        FROM (SELECT toks,
+                     unnest(generate_series(1,
+                         CAST(len(toks) AS INTEGER) - 1)) AS i
+              FROM t)
+        WHERE toks[i] != toks[i+1]
+    ), e AS (
+        SELECT a, b FROM (
+            SELECT a, b, count(*) AS c FROM bg GROUP BY 1, 2
+        ) CROSS JOIN n
+        WHERE c >= {G.TRIANGLE_COOC_FRAC} * n_docs
+    )
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 _ORACLES["overlap_chunks"] = f"""
     WITH t AS (

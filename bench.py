@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "containment_pairs",
     "overlap_chunks",
     "quality_calibration_report",
+    "heavy_hitters_cms",
+    "token_triangles",
 ]
 
 

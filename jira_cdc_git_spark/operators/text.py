@@ -3118,3 +3118,86 @@ def quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(median, "source").select(
         "source", "n_docs", "mean_quality", "median_quality", "global_keep_rate"
     )
+
+
+#: count-min sketch geometry (depth x width) — mirrored by the oracle.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 20
+
+
+def _cms_col(tok, d: int):
+    """Row-d CMS column for a token: the shared Carter-Wegman affine
+    family over the one-md5 32-bit digest (functions/text.minhash_ab —
+    same constants the minhash lanes use), folded to CMS_WIDTH."""
+    a, b = TX.minhash_ab(d)
+    return ((TX.hex32(tok) * a + b) % TX.MINHASH_PRIME) % CMS_WIDTH
+
+
+def heavy_hitters_cms(
+    spark: SparkSession, sf_dir: str, k: int = CMS_TOPK
+) -> DataFrame:
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan '05):
+    build a CMS_DEPTH x CMS_WIDTH sketch of the corpus token stream, then
+    report the top-k exact-count tokens with their sketch estimate and
+    the overestimation error. CMS never underestimates (est >= exact by
+    construction) — the report shows the collision inflation a fixed
+    4x256 sketch buys on this vocabulary. The sketch family's streaming
+    workhorse: at 100 TB the 1024-cell sketch is the ONLY state a
+    heavy-hitter monitor keeps, mergeable across executors by cell-wise
+    sum.
+
+    Shape: the sketch build is one narrow map (depth columns per token)
+    + a (d, col)-keyed partial agg bounded by CMS_DEPTH x CMS_WIDTH; the
+    top-k exact side is a token-keyed agg + TakeOrderedAndProject; the
+    estimate lookup joins the BOUNDED sketch via broadcast."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    # sketch: one row per (depth, column) cell that received any count
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_col(F.col("tok"), d).alias("col"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    ).groupBy(F.col("cell.d").alias("d"), F.col("cell.col").alias("col")).agg(
+        F.count("*").alias("c")
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.col("exact").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+    probes = exact.select(
+        "tok",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_col(F.col("tok"), d).alias("col"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "exact", F.col("p.d").alias("d"), F.col("p.col").alias("col"))
+    est = (
+        probes.join(F.broadcast(cells), ["d", "col"])
+        .groupBy("tok", "exact")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        F.col("exact").cast("long").alias("exact"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact")).cast("long").alias("overestimate"),
+    )

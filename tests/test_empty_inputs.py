@@ -65,6 +65,7 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.ngram_novelty_report,
         T.shard_drift_report,
         T.containment_pairs,
+        T.heavy_hitters_cms,
         T.overlap_chunks,
         T.quality_calibration_report,
         V.kmeans_assign,

@@ -586,3 +586,25 @@ def test_quality_calibration_median_splits_sources(spark, sf_dir):
         assert r["median_quality"] == vals[(len(vals) + 1) // 2 - 1]
         # keep rates are honest fractions
         assert 0.0 <= r["global_keep_rate"] <= 1.0
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    rows = T.heavy_hitters_cms(spark, sf_dir).collect()
+    assert len(rows) == T.CMS_TOPK
+    for r in rows:
+        # the CMS invariant: estimate >= exact, always
+        assert r["cms_estimate"] >= r["exact"], r
+        assert r["overestimate"] == r["cms_estimate"] - r["exact"]
+    # with 4x256 cells vs a tiny vocabulary, heavy hitters should be
+    # nearly exact (collisions add at most a few percent)
+    worst = max(r["overestimate"] / r["exact"] for r in rows)
+    assert worst < 0.5, worst
+
+
+def test_token_triangles_unique_and_closed(spark, sf_dir):
+    rows = G.token_triangles(spark, sf_dir).collect()
+    assert rows
+    tris = [(r["a"], r["b"], r["c"]) for r in rows]
+    # each triangle enumerated exactly once, corners sorted
+    assert len(set(tris)) == len(tris)
+    assert all(a < b < c for a, b, c in tris)
