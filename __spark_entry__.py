@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 173
-entries: 162 oracle-backed (value-hash checked) and 11 no-oracle by
+The registry has 175
+entries: 164 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration_report": T.quality_calibration_report,
         "heavy_hitters_cms": T.heavy_hitters_cms,
         "token_triangles": G.token_triangles,
+        "clustering_coefficient": G.clustering_coefficient,
+        "cohort_retention": TS.cohort_retention,
         "media_audio_features": MM.audio_features,
         "sketch_accuracy_report": T.sketch_accuracy_report,
         "compression_ratio": T.compression_ratio,
@@ -3370,8 +3372,11 @@ def _cms_oracle() -> str:
 
 _ORACLES["heavy_hitters_cms"] = _cms_oracle()
 
-_ORACLES["token_triangles"] = f"""
-    WITH t AS (
+# shared triangle CTEs: scale-invariant co-occurrence edges + the
+# brute-force 3-way triangle join (the oracle counterpart of the
+# degree-oriented Spark enumeration)
+_TRI_CTES = f"""
+    t AS (
         SELECT string_split_regex(trim(text), '\\s+') AS toks
         FROM documents
     ), n AS (SELECT count(*) AS n_docs FROM documents),
@@ -3388,11 +3393,57 @@ _ORACLES["token_triangles"] = f"""
             SELECT a, b, count(*) AS c FROM bg GROUP BY 1, 2
         ) CROSS JOIN n
         WHERE c >= {G.TRIANGLE_COOC_FRAC} * n_docs
+    ), tri AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )"""
+
+_ORACLES["token_triangles"] = f"""
+    WITH {_TRI_CTES}
+    SELECT a, b, c FROM tri"""
+
+_ORACLES["clustering_coefficient"] = f"""
+    WITH {_TRI_CTES}, pnt AS (
+        SELECT v, count(*) AS n_tri FROM (
+            SELECT a AS v FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY 1
+    ), deg AS (
+        SELECT v, count(*) AS degree FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+        ) GROUP BY 1
     )
-    SELECT e1.a AS a, e1.b AS b, e2.b AS c
-    FROM e e1
-    JOIN e e2 ON e2.a = e1.b
-    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""
+    SELECT v, CAST(degree AS INTEGER) AS degree,
+           CAST(coalesce(n_tri, 0) AS INTEGER) AS n_triangles,
+           floor((CASE WHEN degree >= 2
+                       THEN 2.0 * coalesce(n_tri, 0)
+                            / (degree * (degree - 1))
+                       ELSE 0.0 END) * 10000 + 0.5) / 10000 AS coefficient
+    FROM deg LEFT JOIN pnt USING (v)"""
+
+_ORACLES["cohort_retention"] = """
+    WITH w AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ), c AS (
+        SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1
+    ), s AS (
+        SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1
+    ), m AS (
+        SELECT c.cohort_week,
+               CAST((w.week - c.cohort_week) / 7 AS INTEGER) AS week_offset,
+               CAST(count(*) AS INTEGER) AS n_active
+        FROM w JOIN c USING (user_id) GROUP BY 1, 2
+    )
+    SELECT CAST(m.cohort_week AS VARCHAR) AS cohort_week,
+           m.week_offset, m.n_active,
+           CAST(s.cohort_size AS INTEGER) AS cohort_size,
+           floor((m.n_active * 1.0 / s.cohort_size) * 10000 + 0.5) / 10000
+             AS retention
+    FROM m JOIN s USING (cohort_week)"""
 
 _ORACLES["overlap_chunks"] = f"""
     WITH t AS (

@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "quality_calibration_report",
     "heavy_hitters_cms",
     "token_triangles",
+    "clustering_coefficient",
+    "cohort_retention",
 ]
 
 

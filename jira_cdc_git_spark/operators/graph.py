@@ -273,6 +273,30 @@ def pagerank_links(
 TRIANGLE_COOC_FRAC = 0.12
 
 
+def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a < b) token co-occurrence edges: adjacent-token pairs
+    appearing in at least TRIANGLE_COOC_FRAC x n_docs bigrams. Shared by
+    token_triangles and clustering_coefficient."""
+    from jira_cdc_git_spark.operators.text import _bigram_frame
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    bg = _bigram_frame(docs.select("doc_id", "text")).filter(
+        F.col("w1") != F.col("w2")
+    )
+    return (
+        bg.select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("c") >= TRIANGLE_COOC_FRAC * F.col("n_docs"))
+        .select("a", "b")
+        .transform(materialize)
+    )
+
+
 def token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration over the token co-occurrence graph — the
     graph-analytics primitive behind clustering coefficients and
@@ -294,24 +318,7 @@ def token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: edges are bounded by (observed vocabulary)², not
     corpus size, after one bigram-keyed partial agg; the wedge and
     closure joins shuffle edge-sized frames only."""
-    from jira_cdc_git_spark.operators.text import _bigram_frame
-
-    docs = load_table(spark, "documents", sf_dir)
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
-    bg = _bigram_frame(docs.select("doc_id", "text")).filter(
-        F.col("w1") != F.col("w2")
-    )
-    edges = (
-        bg.select(
-            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
-        )
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("c"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("c") >= TRIANGLE_COOC_FRAC * F.col("n_docs"))
-        .select("a", "b")
-        .transform(materialize)
-    )
+    edges = _cooc_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
@@ -352,4 +359,49 @@ def token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(sorted_tri, 1).alias("a"),
         F.element_at(sorted_tri, 2).alias("b"),
         F.element_at(sorted_tri, 3).alias("c"),
+    )
+
+
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-occurrence
+    graph: c(v) = 2·T(v) / (d(v)·(d(v)-1)), the fraction of a node's
+    neighbor pairs that are themselves connected — the community-
+    cohesion metric that distinguishes hub tokens bridging topics
+    (low c) from tokens inside a tight collocation cluster (high c).
+
+    Reuses the degree-oriented triangle enumeration (each triangle
+    counted once, then exploded to its three corners — a 3× map, not a
+    recount) and the shared edge builder; nodes with degree < 2 report
+    coefficient 0. All frames are vocabulary-bounded."""
+    edges = _cooc_edges(spark, sf_dir)
+    tri = token_triangles(spark, sf_dir)
+    per_node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    return (
+        deg.join(per_node_tri, "v", "left")
+        .select(
+            "v",
+            F.col("degree").cast("int").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("int").alias("n_triangles"),
+            round_half_up(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("coefficient"),
+        )
     )

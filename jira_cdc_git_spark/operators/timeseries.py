@@ -369,3 +369,47 @@ def funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("purchase_through"),
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the canonical product-analytics
+    rollup: users are cohorted by their first-activity week, and each
+    (cohort_week, week_offset) cell counts how many of that cohort were
+    active offset weeks later, as an absolute count and as a fraction of
+    the cohort. (Swap user_id for a crawl source and ts for dump date
+    and the same matrix tracks how long content sources keep
+    contributing to a training corpus.)
+
+    100 TB shape: activity collapses to distinct (user, week) via one
+    partial-agg shuffle; the cohort map is a user-keyed min; the join
+    back is user-keyed (colocatable with the activity shuffle); the
+    final matrix is a (cohort, offset) partial agg over
+    user-week-bounded rows. Cohort sizes broadcast."""
+    ev = load_table(spark, "events", sf_dir)
+    weeks = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("int").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            F.col("cohort_size").cast("int").alias("cohort_size"),
+            TX_round(
+                F.col("n_active") / F.col("cohort_size"), 4
+            ).alias("retention"),
+        )
+    )

@@ -608,3 +608,34 @@ def test_token_triangles_unique_and_closed(spark, sf_dir):
     # each triangle enumerated exactly once, corners sorted
     assert len(set(tris)) == len(tris)
     assert all(a < b < c for a, b, c in tris)
+
+
+def test_clustering_coefficient_bounds(spark, sf_dir):
+    rows = G.clustering_coefficient(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["coefficient"] <= 1.0, r
+        if r["degree"] < 2:
+            assert r["coefficient"] == 0.0
+    # triangle corner totals reconcile with the enumeration (3 corners each)
+    n_tri = len(G.token_triangles(spark, sf_dir).collect())
+    assert sum(r["n_triangles"] for r in rows) == 3 * n_tri
+
+
+def test_cohort_retention_matrix_invariants(spark, sf_dir):
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    rows = TS.cohort_retention(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for cohort, cells in by_cohort.items():
+        cells.sort(key=lambda r: r["week_offset"])
+        # offset 0 is full by definition of the cohort
+        assert cells[0]["week_offset"] == 0
+        assert cells[0]["n_active"] == cells[0]["cohort_size"]
+        assert cells[0]["retention"] == 1.0
+        for c in cells:
+            assert 0 < c["n_active"] <= c["cohort_size"]
+            assert 0.0 < c["retention"] <= 1.0
