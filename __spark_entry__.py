@@ -23,8 +23,8 @@ train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
 pair) occupy the leading slots; the rest of 1-50 is prior-green
 backfill. tests/test_registry_rotation.py enforces the invariant
 mechanically.
-The registry has 175
-entries: 164 oracle-backed (value-hash checked) and 11 no-oracle by
+The registry has 177
+entries: 166 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_triangles": G.token_triangles,
         "clustering_coefficient": G.clustering_coefficient,
         "cohort_retention": TS.cohort_retention,
+        "neyman_stratified_sample": T.neyman_stratified_sample,
+        "zipf_fit_report": T.zipf_fit_report,
         "media_audio_features": MM.audio_features,
         "sketch_accuracy_report": T.sketch_accuracy_report,
         "compression_ratio": T.compression_ratio,
@@ -3371,6 +3373,69 @@ def _cms_oracle() -> str:
 
 
 _ORACLES["heavy_hitters_cms"] = _cms_oracle()
+
+_ORACLES["neyman_stratified_sample"] = f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS x
+        FROM documents
+    ), mo AS (
+        SELECT lang, count(*) AS n_h,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(x * x) AS DOUBLE) AS sxx
+        FROM base GROUP BY 1
+    ), wts AS (
+        SELECT lang, n_h,
+               n_h * sqrt((sxx - sx * sx / n_h) / n_h) AS w
+        FROM mo
+    ), tot AS (SELECT sum(w) AS wt FROM wts),
+    alloc AS (
+        SELECT lang, CAST(n_h AS INTEGER) AS n_stratum,
+               greatest(1, CAST(floor({T.NEYMAN_TOTAL} * w / wt + 0.5)
+                                AS INTEGER)) AS alloc
+        FROM wts CROSS JOIN tot
+    ), ranked AS (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5('ney:'
+                       || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                       doc_id) AS INTEGER) AS rank
+        FROM base
+    )
+    SELECT r.lang, a.n_stratum, a.alloc, r.doc_id, r.rank
+    FROM ranked r JOIN alloc a USING (lang)
+    WHERE r.rank <= a.alloc"""
+
+_ORACLES["zipf_fit_report"] = f"""
+    WITH freq AS (
+        SELECT tok, count(*) AS f
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents)
+        GROUP BY 1 ORDER BY f DESC, tok LIMIT {T.ZIPF_MAX_RANK}
+    ), xy AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, tok)
+                       AS DOUBLE)) AS lx,
+               ln(CAST(f AS DOUBLE)) AS ly
+        FROM freq
+    ), agg AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(lx) AS sx, sum(ly) AS sy,
+               sum(lx * lx) AS sxx, sum(ly * ly) AS syy,
+               sum(lx * ly) AS sxy
+        FROM xy
+    )
+    SELECT CAST(n AS INTEGER) AS n_ranks,
+           floor(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * 10000 + 0.5) / 10000 AS slope,
+           floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                  / n) * 10000 + 0.5) / 10000 AS intercept,
+           floor((((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 * 10000 + 0.5) / 10000 AS r2
+    FROM agg WHERE n >= 2"""
+
 
 # shared triangle CTEs: scale-invariant co-occurrence edges + the
 # brute-force 3-way triangle join (the oracle counterpart of the

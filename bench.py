@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "token_triangles",
     "clustering_coefficient",
     "cohort_retention",
+    "neyman_stratified_sample",
+    "zipf_fit_report",
 ]
 
 

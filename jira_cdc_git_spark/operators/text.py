@@ -3201,3 +3201,118 @@ def heavy_hitters_cms(
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact")).cast("long").alias("overestimate"),
     )
+
+
+#: Neyman target sample size, mirrored by the oracle.
+NEYMAN_TOTAL = 100
+
+
+def neyman_stratified_sample(
+    spark: SparkSession, sf_dir: str, total_n: int = NEYMAN_TOTAL
+) -> DataFrame:
+    """Neyman-allocation stratified sampling (the statistically optimal
+    allocation for estimating a mean under a fixed budget): stratum h
+    gets n_h ∝ N_h·S_h — more budget where the stratum is big OR highly
+    variable — versus stratified_sample's proportional N_h-only rule.
+    Strata = lang; the surveyed variable = document token count. Within
+    a stratum the n_h keepers are the lowest md5 priorities, so the
+    draw is deterministic and oracle-replayable.
+
+    The population stddev is computed from EXACT integer sums
+    (sqrt((Σx² − (Σx)²/N)/N), not stddev_pop) so both engines evaluate
+    the identical double expression — Welford-vs-naive implementation
+    drift would otherwise flip floor-boundary allocations.
+
+    100 TB shape: per-stratum moments are one partial-agg shuffle;
+    allocations are a handful of broadcast rows; ranking windows
+    partition BY STRATUM."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    x = TX.token_count(F.col("text"))
+    base = docs.select("doc_id", "lang", x.cast("long").alias("x"))
+    mo = base.groupBy("lang").agg(
+        F.count("*").alias("n_h"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    s_h = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_h")) / F.col("n_h")
+    )
+    wts = mo.select("lang", "n_h", (F.col("n_h") * s_h).alias("w"))
+    tot = wts.agg(F.sum("w").alias("wt"))
+    alloc = wts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_h").cast("int").alias("n_stratum"),
+        F.greatest(
+            F.lit(1),
+            F.floor(total_n * F.col("w") / F.col("wt") + F.lit(0.5)).cast("int"),
+        ).alias("alloc"),
+    )
+    pri = TX.hex32(F.concat(F.lit("ney:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(pri.asc(), F.col("doc_id").asc())
+    ranked = base.withColumn("rank", F.row_number().over(w).cast("int"))
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .filter(F.col("rank") <= F.col("alloc"))
+        .select("lang", "n_stratum", "alloc", "doc_id", "rank")
+    )
+
+
+#: rank cutoff for the Zipf regression, mirrored by the oracle.
+ZIPF_MAX_RANK = 100
+
+
+def zipf_fit_report(
+    spark: SparkSession, sf_dir: str, max_rank: int = ZIPF_MAX_RANK
+) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: least-squares
+    regression of ln(freq) on ln(rank) over the top max_rank tokens.
+    A healthy natural corpus fits slope ≈ −1; a corpus of boilerplate or
+    deduplicated-to-death text bends away — the one-row corpus-health
+    summary next to token_stats. Reports slope (−exponent), intercept,
+    and r².
+
+    100 TB shape: the frequency table is one vocabulary-bounded partial
+    agg; ranking the top max_rank is TakeOrderedAndProject; the
+    regression is a closed-form 1-row aggregation — nothing beyond the
+    vocab ever sorts."""
+    toks = load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("tok").asc())
+        .limit(max_rank)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
+    xy = freq.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("lx"),
+        F.log(F.col("f").cast("double")).alias("ly"),
+    )
+    agg = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r2 = (r_num * r_num) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("n").cast("int").alias("n_ranks"),
+        TX.round_half_up(slope, 4).alias("slope"),
+        TX.round_half_up(intercept, 4).alias("intercept"),
+        TX.round_half_up(r2, 4).alias("r2"),
+    ).filter(F.col("n_ranks") >= 2)  # a regression needs two points

@@ -66,6 +66,8 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.shard_drift_report,
         T.containment_pairs,
         T.heavy_hitters_cms,
+        T.neyman_stratified_sample,
+        T.zipf_fit_report,
         T.overlap_chunks,
         T.quality_calibration_report,
         V.kmeans_assign,

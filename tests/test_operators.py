@@ -639,3 +639,29 @@ def test_cohort_retention_matrix_invariants(spark, sf_dir):
         for c in cells:
             assert 0 < c["n_active"] <= c["cohort_size"]
             assert 0.0 < c["retention"] <= 1.0
+
+
+def test_neyman_allocation_favors_variable_strata(spark, sf_dir):
+    rows = T.neyman_stratified_sample(spark, sf_dir).collect()
+    assert rows
+    alloc = {}
+    for r in rows:
+        alloc[r["lang"]] = (r["alloc"], r["n_stratum"])
+        assert 1 <= r["rank"] <= r["alloc"]
+    # each stratum delivers exactly its allocation (or its full size)
+    from collections import Counter
+
+    got = Counter(r["lang"] for r in rows)
+    for lang, (a, n_h) in alloc.items():
+        assert got[lang] == min(a, n_h)
+    # budget roughly honored (floor+min-1 rounding slack)
+    total = sum(got.values())
+    assert abs(total - T.NEYMAN_TOTAL) <= len(alloc) + 1
+
+
+def test_zipf_fit_negative_slope_good_fit(spark, sf_dir):
+    row = T.zipf_fit_report(spark, sf_dir).collect()[0]
+    assert row["n_ranks"] >= 10
+    # rank-frequency curves decrease: slope strictly negative
+    assert row["slope"] < 0
+    assert 0.0 <= row["r2"] <= 1.0
