@@ -18,11 +18,16 @@ round-2 verdict finding #1). Coverage is therefore ROTATED across
 rounds so the union of CORRECTNESS_r{N} files spans the registry.
 After CORRECTNESS_r04 the union of r01-r04 proves EVERY pre-r5 entry
 (135/135 oracle-backed fully green, 10/10 rows-only clean), so the
-whole window is free. Round-5 rotation: the r5 additions (subword BPE
-train/encode/vocab, the composed IVF×PQ pair, the skew-salted join
-pair) occupy the leading slots; the rest of 1-50 is prior-green
-backfill. tests/test_registry_rotation.py enforces the invariant
-mechanically.
+whole window is free. Round-5 rotation: the r5 additions occupy the
+leading slots — wave 1 (subword BPE train/encode/vocab, the composed
+IVF×PQ pair, the skew-salted join pair, batch k-NN), waves 2-3 (BM25 +
+keyword search, DSIR weights/resample, oracle-exact integer-micro
+k-means, n-gram novelty, shard JS drift, containment dedup, overlap
+chunking, quality calibration, count-min heavy hitters, triangles +
+clustering coefficients, cohort retention, Neyman sampling, Zipf fit) —
+with the still-unproven rows-only entries pulled inside the window and
+prior-green backfill below. tests/test_registry_rotation.py enforces
+the invariant mechanically.
 The registry has 177
 entries: 166 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
