@@ -72,6 +72,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r01-r04, so the whole window is free — r5
         # additions go first (verdict task 9), backfilled with prior-
         # green entries.
+        "decayed_engagement": TS.decayed_engagement,
+        "mad_anomalies": TS.mad_anomalies,
+        "phrase_search": T.phrase_search,
+        "chi2_keywords": T.chi2_keywords,
+        "char_entropy_report": T.char_entropy_report,
         "bm25_topk": T.bm25_topk,
         "kmeans_assign": V.kmeans_assign,
         "kmeans_cluster_report": V.kmeans_cluster_report,
@@ -3768,6 +3773,125 @@ _ORACLES["kmeans_cluster_report"] = f"""
            floor((CAST(maj_c AS DOUBLE) / n_vectors) * 10000 + 0.5) / 10000
              AS purity
     FROM agg JOIN top USING (cluster) WHERE rn = 1"""
+
+
+# Mirrors operators/timeseries.decayed_engagement: identical op order —
+# age in hours from the per-double-cast epoch seconds, (-ln2 * age)/hl,
+# exp, value-weighted sum, 6-dp half-up round (engine ulp absorption).
+_ORACLES["decayed_engagement"] = """
+    WITH r AS (SELECT max(ts) AS t_ref FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(value * exp((-0.6931471805599453
+                 * ((epoch_us(t_ref) / 1000000.0 - epoch_us(ts) / 1000000.0)
+                    / 3600.0)) / 24.0)) * 1000000 + 0.5) / 1000000
+             AS decayed_score
+    FROM events CROSS JOIN r GROUP BY 1"""
+
+# Mirrors operators/timeseries.mad_anomalies: exact median + MAD per
+# event type (quantile_cont == Spark percentile, the winsorized_stats
+# precedent), modified z rounded half-up to 4 dp, filter on the ROUNDED
+# value so both engines apply the identical cutoff.
+_ORACLES["mad_anomalies"] = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ), mad AS (
+        SELECT e.event_type, any_value(m.med) AS med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type) GROUP BY 1
+    ), z AS (
+        SELECT e.event_id, e.event_type, e.value,
+               floor((0.6745 * (e.value - m.med) / m.mad) * 10000 + 0.5)
+                 / 10000 AS robust_z
+        FROM events e JOIN mad m USING (event_type)
+    )
+    SELECT * FROM z WHERE abs(robust_z) > 3.5"""
+
+
+# Mirrors operators/text.phrase_search: positional posting lists per
+# phrase term (0-based positions — range zips with unnest), adjacency
+# chained via pos - i, grouped per doc.
+_PHRASE_TERMS = T.PHRASE_QUERY.split()
+_ORACLES["phrase_search"] = f"""
+    WITH pos AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(range(0, CAST(len(t) AS BIGINT))) AS pos
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+    ), {", ".join(
+        f"p{i} AS (SELECT doc_id, pos - {i} AS start FROM pos"
+        f" WHERE tok = '{t}')" for i, t in enumerate(_PHRASE_TERMS)
+    )},
+    m AS (
+        SELECT p0.doc_id, p0.start FROM p0
+        {" ".join(
+            f"JOIN p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.start = p0.start"
+            for i in range(1, len(_PHRASE_TERMS))
+        )}
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(start) AS INTEGER) AS first_pos
+    FROM m GROUP BY 1"""
+
+# Mirrors operators/text.chi2_keywords: distinct (doc, unigram) pass,
+# contingency counts cast to double, chi2 composed in the IDENTICAL op
+# order ((n*X)*X)/(((a+b)*(c+d))... parses the same in both engines),
+# ranked per source on the ROUNDED statistic with a term tiebreak.
+_ORACLES["chi2_keywords"] = f"""
+    WITH dt AS (
+        SELECT DISTINCT source, doc_id, unnest(list_distinct(
+            string_split_regex(trim(text), '\\s+'))) AS term
+        FROM documents
+    ), df_in AS (
+        SELECT source, term, count(*) AS a FROM dt GROUP BY 1, 2
+    ), per_src AS (
+        SELECT source, count(*) AS n_src FROM documents GROUP BY 1
+    ), term_tot AS (
+        SELECT term, count(*) AS df_all FROM dt GROUP BY 1
+    ), n_total AS (SELECT count(*) AS n_all FROM documents),
+    j AS (
+        SELECT f.source, f.term, CAST(f.a AS INTEGER) AS df_in,
+               CAST(f.a AS DOUBLE) AS a,
+               CAST(p.n_src - f.a AS DOUBLE) AS b,
+               CAST(t.df_all - f.a AS DOUBLE) AS c,
+               CAST(n.n_all - p.n_src - t.df_all + f.a AS DOUBLE) AS d,
+               CAST(n.n_all AS DOUBLE) AS n
+        FROM df_in f JOIN per_src p USING (source)
+        JOIN term_tot t USING (term) CROSS JOIN n_total n
+        WHERE f.a >= {T.CHI2_MIN_DF}
+    ), scored AS (
+        SELECT source, term, df_in,
+               floor(((n * (a * d - b * c) * (a * d - b * c))
+                      / ((a + b) * (c + d) * (a + c) * (b + d)))
+                     * 10000 + 0.5) / 10000 AS chi2
+        FROM j
+    )
+    SELECT source, term, df_in, chi2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY chi2 DESC, term) AS rn
+        FROM scored) WHERE rn <= {T.CHI2_TOP}"""
+
+# Mirrors operators/text.char_entropy_report: chars of the normalized
+# text (spaces included), per-doc histogram, -sum p log2 p rounded
+# half-up at 6 dp.
+_ORACLES["char_entropy_report"] = """
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '')) AS ch
+        FROM documents
+    ), hist AS (
+        SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch != ''
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT doc_id, sum(c) AS n FROM hist GROUP BY 1
+    ), e AS (
+        SELECT h.doc_id, CAST(count(*) AS INTEGER) AS n_distinct_chars,
+               floor(sum(-(h.c * 1.0 / t.n) * log2(h.c * 1.0 / t.n))
+                     * 1000000 + 0.5) / 1000000 AS entropy
+        FROM hist h JOIN tot t USING (doc_id) GROUP BY 1
+    )
+    SELECT doc_id, n_distinct_chars, entropy, entropy < 3.0 AS low_entropy
+    FROM e"""
 
 
 def oracle_sql() -> dict[str, str]:

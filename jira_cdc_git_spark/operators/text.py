@@ -3316,3 +3316,145 @@ def zipf_fit_report(
         TX.round_half_up(intercept, 4).alias("intercept"),
         TX.round_half_up(r2, 4).alias("r2"),
     ).filter(F.col("n_ranks") >= 2)  # a regression needs two points
+
+
+#: default query for phrase_search — two common corpus tokens so the
+#: result set is non-trivial at every sf (the oracle embeds the same).
+PHRASE_QUERY = "fast table"
+
+
+def phrase_search(
+    spark: SparkSession, sf_dir: str, phrase: str = PHRASE_QUERY
+) -> DataFrame:
+    """Exact-phrase search over a positional inverted index — the classic
+    full-text primitive keyword_search (conjunctive AND) cannot express:
+    the terms must appear CONSECUTIVELY. Each phrase term's posting list
+    (doc_id, position) is filtered out of the token stream FIRST — the
+    adjacency self-join then joins posting lists (corpus-fraction-sized),
+    never the raw token table, exactly how a search engine intersects
+    positional postings. Matching positions chain via pos+offset equality.
+
+    100 TB shape: posting lists are narrow filters of one posexplode
+    pass (predicate pushed to the scan of term columns); the join keys
+    are (doc_id, pos+i) equi-conditions — shuffle bounded by posting
+    mass of the rarest term, not corpus size."""
+    terms = phrase.split()
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    pos = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    matched = None
+    for i, t in enumerate(terms):
+        plist = pos.filter(F.col("tok") == t).select(
+            "doc_id", (F.col("pos") - i).alias("start")
+        )
+        matched = plist if matched is None else matched.join(
+            plist, ["doc_id", "start"]
+        )
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("start").cast("int").alias("first_pos"),
+        )
+    )
+
+
+#: chi2_keywords: top terms per source, minimum document frequency.
+CHI2_TOP = 5
+CHI2_MIN_DF = 3
+
+
+def chi2_keywords(
+    spark: SparkSession, sf_dir: str, top: int = CHI2_TOP
+) -> DataFrame:
+    """Per-source salient vocabulary via the chi-square test of
+    independence — the classic feature-selection statistic (Yang &
+    Pedersen 1997): for each (source, term), compare the term's document
+    frequency inside the source against the rest of the corpus.
+
+        chi2 = N (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+
+    a = docs in source containing term, b = source docs without it,
+    c/d = the same outside the source. Complements tfidf_topk (per-doc
+    salience) and pmi_topk (term-pair association) with per-GROUP
+    salience — the "what words make this domain different" report.
+
+    100 TB shape: one distinct (doc, term) pass partial-aggs to a
+    (source, term) contingency frame bounded by |vocab| x |sources|;
+    the per-source totals and the grand total broadcast back. The
+    chi-square itself multiplies counts cast to double IN THE SAME
+    ORDER as the oracle, so the result is bit-identical; ranking takes
+    top-k per source with a deterministic (chi2 desc, term) tiebreak."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    dt = docs.select(
+        "source", "doc_id", F.explode(TX.shingles(F.col("text"), 1)).alias("term")
+    ).distinct()
+    df_in = dt.groupBy("source", "term").agg(F.count("*").alias("a"))
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    term_tot = dt.groupBy("term").agg(F.count("*").alias("df_all"))
+    n_total = docs.agg(F.count("*").alias("n_all"))
+    j = (
+        df_in.join(F.broadcast(per_src), "source")
+        .join(F.broadcast(term_tot), "term")
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("a") >= CHI2_MIN_DF)
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("n_src") - F.col("a")).cast("double")
+    c = (F.col("df_all") - F.col("a")).cast("double")
+    d = (F.col("n_all") - F.col("n_src") - F.col("df_all") + F.col("a")).cast(
+        "double"
+    )
+    n = F.col("n_all").cast("double")
+    chi2 = (n * (a * d - b * c) * (a * d - b * c)) / (
+        (a + b) * (c + d) * (a + c) * (b + d)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("chi2").desc(), F.col("term")
+    )
+    return (
+        j.select(
+            "source",
+            "term",
+            F.col("a").cast("int").alias("df_in"),
+            TX.round_half_up(chi2, 4).alias("chi2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top)
+        .drop("rn")
+    )
+
+
+def char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy over the normalized
+    text — the cheap garbage detector of LLM-corpus quality stacks:
+    natural prose sits ~4 bits/char; base64 blobs, repeated padding and
+    mojibake land far above or below.
+
+        H(d) = -sum_c p_c log2 p_c ,  p_c = count(c) / len(d)
+
+    100 TB shape: one explode keyed (doc_id, char) — map-side combine
+    collapses it to at most |alphabet| rows per doc per task before the
+    shuffle, so shuffle mass is docs x alphabet, not total characters.
+    The entropy sum is a per-doc double aggregation rounded half-up at
+    6 dp (the shard_drift_report ulp discipline)."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(TX.normalize(F.col("text")), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    hist = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = hist.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        hist.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_distinct_chars"),
+            TX.round_half_up(F.sum(-p * F.log2(p)), 6).alias("entropy"),
+        )
+        .withColumn("low_entropy", F.col("entropy") < 3.0)
+    )

@@ -413,3 +413,81 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+def decayed_engagement(
+    spark: SparkSession, sf_dir: str, half_life_hours: float = 24.0
+) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score — the
+    recency-weighted activity feature an ML pipeline derives from an
+    event stream (a click yesterday counts ~2x a click two days ago at a
+    24 h half-life):
+
+        score(u) = sum_j value_j * 2^(-(T - t_j) / half_life)
+
+    with T = the corpus's max event time (one global scalar, broadcast).
+    Expressing the decay against a FIXED reference turns the classic
+    recursive EMA into a plain weighted SUM — one partial-agg shuffle on
+    user_id, no ordered per-user fold, which is what makes it linear at
+    100 TB (the recursive form needs a sequential pass per user).
+
+    Weights are exp(ln2 * -age/hl) <= 1 and per-user term counts are
+    bounded, so the double sum is stable; 6-dp half-up rounding absorbs
+    engine-order ulp differences (the shard_drift_report discipline)."""
+    ev = load_table(spark, "events", sf_dir)
+    tmax = ev.agg(F.max("ts").alias("t_ref"))
+    age_h = (
+        F.col("t_ref").cast("double") - F.col("ts").cast("double")
+    ) / 3600.0
+    w = F.exp(F.lit(-0.6931471805599453) * age_h / half_life_hours)
+    return (
+        ev.crossJoin(F.broadcast(tmax))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            TX_round(F.sum(F.col("value") * w), 6).alias("decayed_score"),
+        )
+    )
+
+
+def mad_anomalies(
+    spark: SparkSession, sf_dir: str, cutoff: float = 3.5
+) -> DataFrame:
+    """Median/MAD robust outliers per event type (Iglewicz-Hoaglin
+    modified z-score) — the skew-immune sibling of value_anomalies'
+    mean/stddev z-score: a single pathological burst moves a mean but
+    not a median, so MAD flags the burst instead of hiding inside an
+    inflated sigma.
+
+        m = median(value);  mad = median(|value - m|)
+        robust_z = 0.6745 * (value - m) / mad;  flag |z| > 3.5
+
+    Shape: two grouped exact-percentile passes on the same key (the
+    winsorized_stats discipline — percentile, join the tiny per-type
+    frame back via AQE broadcast, percentile of the residual, join
+    again), then one narrow scoring pass. Groups are event types —
+    cardinality is bounded, so exact percentile is fine at any corpus
+    size; percentile_approx is the drop-in at extreme group widths."""
+    ev = load_table(spark, "events", sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5D)").alias("mad"),
+        )
+    )
+    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            TX_round(z, 4).alias("robust_z"),
+        )
+        .filter(F.abs(F.col("robust_z")) > cutoff)
+    )
