@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": T.phrase_search,
         "chi2_keywords": T.chi2_keywords,
         "char_entropy_report": T.char_entropy_report,
+        "bbit_minhash_report": T.bbit_minhash_report,
+        "cross_split_leakage": T.cross_split_leakage,
         "bm25_topk": T.bm25_topk,
         "kmeans_assign": V.kmeans_assign,
         "kmeans_cluster_report": V.kmeans_cluster_report,
@@ -3892,6 +3894,64 @@ _ORACLES["char_entropy_report"] = """
     )
     SELECT doc_id, n_distinct_chars, entropy, entropy < 3.0 AS low_entropy
     FROM e"""
+
+
+# Mirrors operators/text.bbit_minhash_report: reuses the generated LSH
+# CTEs (sets/sigs/cand share the operator's NUM_HASHES constants); the
+# raw Jaccard and both signature estimates are recomputed here with
+# floor-half-up rounding. k/NUM_HASHES fractions are dyadic, so every
+# value is exact in double on both engines.
+_EQ_FULL = " + ".join(
+    f"(CASE WHEN ma.mh_{s} = mb.mh_{s} THEN 1 ELSE 0 END)"
+    for s in range(T.NUM_HASHES)
+)
+_EQ_B1 = " + ".join(
+    f"(CASE WHEN (ma.mh_{s} & 1) = (mb.mh_{s} & 1) THEN 1 ELSE 0 END)"
+    for s in range(T.NUM_HASHES)
+)
+_ORACLES["bbit_minhash_report"] = f"""
+    WITH {_LSH_CTES},
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.shs, sb.shs))
+                 / (len(sa.shs) + len(sb.shs)
+                    - len(list_intersect(sa.shs, sb.shs))) AS j_raw,
+               ({_EQ_FULL}) / {float(T.NUM_HASHES)} AS ef_raw,
+               2.0 * (({_EQ_B1}) / {float(T.NUM_HASHES)}) - 1.0 AS eb_raw
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.doc_a
+        JOIN sets sb ON sb.doc_id = c.doc_b
+        JOIN sigs ma ON ma.doc_id = c.doc_a
+        JOIN sigs mb ON mb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           floor(j_raw * 10000 + 0.5) / 10000 AS jaccard,
+           floor(ef_raw * 10000 + 0.5) / 10000 AS est_full,
+           floor(eb_raw * 10000 + 0.5) / 10000 AS est_b1,
+           floor(abs(ef_raw - j_raw) * 10000 + 0.5) / 10000 AS err_full,
+           floor(abs(eb_raw - j_raw) * 10000 + 0.5) / 10000 AS err_b1
+    FROM scored"""
+
+# Mirrors operators/text.cross_split_leakage: the proven LSH near-dup
+# pair set annotated with each side's md5-bucket split (the
+# dataset_splits derivation) and a cross-split flag.
+_ORACLES["cross_split_leakage"] = f"""
+    WITH {_LSH_CTES},
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 < 98 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 = 98 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT j.doc_a, j.doc_b, j.jaccard,
+           a.split AS split_a, b.split AS split_b,
+           a.split != b.split AS is_leak
+    FROM jac j JOIN sp a ON a.doc_id = j.doc_a
+    JOIN sp b ON b.doc_id = j.doc_b
+    WHERE j.jaccard >= 0.8"""
 
 
 def oracle_sql() -> dict[str, str]:

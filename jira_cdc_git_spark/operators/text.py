@@ -3458,3 +3458,107 @@ def char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("low_entropy", F.col("entropy") < 3.0)
     )
+
+
+def bbit_minhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & König 2010) accuracy check on the LSH
+    candidate pairs: keeping only the LOWEST BIT of each of the
+    NUM_HASHES minhash lanes shrinks a signature 32x (one bit per lane)
+    at a quantified variance cost. Per candidate pair the report puts
+    the exact shingle Jaccard next to the full-lane estimate
+    (matching lanes / NUM_HASHES) and the 1-bit estimate debiased for
+    its 50% baseline collision rate (j_b1 = 2*E1 - 1).
+
+    100 TB shape: candidate-scoped like minhash_accuracy_report — the
+    signature compare touches only LSH-colliding pairs; both estimates
+    read the SAME materialized signature arrays (k/32 fractions are
+    exact dyadic doubles, so the rounding is engine-stable)."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    sets = shingle_sets_frame(docs).transform(materialize)
+    sigs = sets.select(
+        "doc_id", TX.affine_min_vec(F.col("xs"), NUM_HASHES).alias("mh")
+    ).transform(materialize)
+    bands = lsh_bands_frame(sets).transform(materialize)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    ma = sigs.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
+    mb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    eq_full = F.size(
+        F.filter(
+            F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    eq_b1 = F.size(
+        F.filter(
+            F.zip_with(
+                "mh_a",
+                "mh_b",
+                lambda x, y: x.bitwiseAND(F.lit(1)) == y.bitwiseAND(F.lit(1)),
+            ),
+            lambda v: v,
+        )
+    )
+    jac = n_inter / (F.size("shs_a") + F.size("shs_b") - n_inter)
+    est_full = eq_full / F.lit(float(NUM_HASHES))
+    est_b1 = 2.0 * (eq_b1 / F.lit(float(NUM_HASHES))) - 1.0
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            TX.round_half_up(jac, 4).alias("jaccard"),
+            TX.round_half_up(est_full, 4).alias("est_full"),
+            TX.round_half_up(est_b1, 4).alias("est_b1"),
+            TX.round_half_up(F.abs(est_full - jac), 4).alias("err_full"),
+            TX.round_half_up(F.abs(est_b1 - jac), 4).alias("err_b1"),
+        )
+    )
+
+
+def cross_split_leakage(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Train/eval leakage audit: every near-duplicate pair (the proven
+    banded-LSH + exact-Jaccard pipeline) annotated with the hash-split
+    of each side and flagged when the two sides land in DIFFERENT
+    splits — the check that catches an eval document whose near-clone
+    sits in the training set, which no within-split dedup can see.
+
+    100 TB shape: the pair frame is candidate-scoped (LSH); the split
+    columns are the same narrow md5-bucket projection as dataset_splits
+    joined on each side's doc_id — two hash joins on pair mass, not
+    corpus mass."""
+    pairs = neardup_pairs_lsh(spark, sf_dir, threshold)
+    splits = dataset_splits(spark, sf_dir)
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )
