@@ -323,16 +323,19 @@ def main() -> None:
     # tail buffer truncated BENCH_r04's long JSON line, losing the
     # per-query dict) and print a compact headline line FIRST so even a
     # truncated capture carries the totals; the full one-line JSON
-    # (the driver contract) still follows.
+    # (the driver contract) still follows. Only the driver-scale run
+    # (sf0.1) is the round artifact — a quick probe at another sf must
+    # not clobber it.
     local = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"BENCH_LOCAL_r{_round_no():02d}.json",
     )
-    try:
-        with open(local, "w") as fh:
-            json.dump(payload, fh, indent=1)
-    except OSError:
-        pass  # read-only checkout: the printed line remains the record
+    if sf == 0.1:
+        try:
+            with open(local, "w") as fh:
+                json.dump(payload, fh, indent=1)
+        except OSError:
+            pass  # read-only checkout: the printed line remains the record
     top10 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
