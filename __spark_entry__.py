@@ -79,6 +79,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_report": T.char_entropy_report,
         "bbit_minhash_report": T.bbit_minhash_report,
         "cross_split_leakage": T.cross_split_leakage,
+        "corpus_snapshot_diff": T.corpus_snapshot_diff,
+        "rendezvous_shards": T.rendezvous_shards,
+        "curriculum_order": T.curriculum_order,
+        "weighted_sample_topk": T.weighted_sample_topk,
         "bm25_topk": T.bm25_topk,
         "kmeans_assign": V.kmeans_assign,
         "kmeans_cluster_report": V.kmeans_cluster_report,
@@ -3952,6 +3956,93 @@ _ORACLES["cross_split_leakage"] = f"""
     FROM jac j JOIN sp a ON a.doc_id = j.doc_a
     JOIN sp b ON b.doc_id = j.doc_b
     WHERE j.jaccard >= 0.8"""
+
+
+# Mirrors operators/text.corpus_snapshot_diff: the derived "next crawl"
+# (drop %17, edit %13 with a ' v2' suffix, re-ingest %19 under +1e6 ids)
+# full-outer-joined against the current snapshot by fingerprint.
+_ORACLES["corpus_snapshot_diff"] = """
+    WITH old AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_old
+        FROM documents
+    ), kept AS (
+        SELECT * FROM documents WHERE doc_id % 17 != 0
+    ), new AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(
+                   CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                        ELSE text END)), '\\s+', ' ', 'g')) AS fp_new
+        FROM kept
+        UNION ALL
+        SELECT doc_id + 1000000,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        FROM kept WHERE doc_id % 19 = 0
+    ), j AS (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, fp_old, fp_new
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN fp_old IS NULL THEN 'added'
+                WHEN fp_new IS NULL THEN 'removed'
+                WHEN fp_old != fp_new THEN 'changed' END AS status
+    FROM j
+    WHERE fp_old IS NULL OR fp_new IS NULL OR fp_old != fp_new"""
+
+# Mirrors operators/text.rendezvous_shards: per-(doc, shard) HRW score
+# w_s / -ln(u) with u = (md5-fold + 0.5)/2^32; the winner replays the
+# lexicographic array_max (score DESC, shard DESC).
+_ORACLES["rendezvous_shards"] = f"""
+    WITH sh AS (SELECT unnest(range({T.RDV_SHARDS})) AS s),
+    sc AS (
+        SELECT d.doc_id, sh.s,
+               CAST(1 + sh.s % 3 AS DOUBLE)
+               / -ln((('0x' || substr(md5('rdv:' || CAST(d.doc_id AS VARCHAR)
+                        || ':' || CAST(sh.s AS VARCHAR)), 1, 8))::BIGINT
+                      + 0.5) / 4294967296.0) AS score
+        FROM documents d CROSS JOIN sh
+    ), b AS (
+        SELECT doc_id, s, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, s DESC) AS rn
+        FROM sc
+    )
+    SELECT doc_id, CAST(s AS INTEGER) AS shard,
+           floor(score * 1000000 + 0.5) / 1000000 AS score
+    FROM b WHERE rn = 1"""
+
+# Mirrors operators/text.curriculum_order: the shared quality CTE,
+# ntile(4) over (quality DESC, doc_id), salted within-bucket rank.
+_ORACLES["curriculum_order"] = f"""
+    WITH {_QUALITY_CTES}, b AS (
+        SELECT doc_id, quality,
+               ntile(4) OVER (ORDER BY quality DESC, doc_id) AS bucket
+        FROM qq
+    )
+    SELECT doc_id, quality, CAST(bucket AS INTEGER) AS bucket,
+           CAST(row_number() OVER (PARTITION BY bucket
+                ORDER BY md5('curr:' || CAST(doc_id AS VARCHAR)), doc_id)
+                AS INTEGER) AS pos
+    FROM b"""
+
+# Mirrors operators/text.weighted_sample_topk: Efraimidis-Spirakis key
+# ln(u)/w with u from the md5 fold, global top-k by (key DESC, doc_id).
+_ORACLES["weighted_sample_topk"] = f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                 AS n_tokens,
+               ln((('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)),
+                     1, 8))::BIGINT + 0.5) / 4294967296.0)
+                 / len(string_split_regex(trim(text), '\\s+')) AS key
+        FROM documents
+    ), r AS (
+        SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+        FROM s
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_tokens,
+           floor(key * 1000000 + 0.5) / 1000000 AS sample_key
+    FROM r WHERE rank <= {T.WRS_K}"""
 
 
 def oracle_sql() -> dict[str, str]:

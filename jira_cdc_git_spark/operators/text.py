@@ -3562,3 +3562,176 @@ def cross_split_leakage(
             (F.col("split_a") != F.col("split_b")).alias("is_leak"),
         )
     )
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff: compare the current snapshot against the next
+    crawl by content fingerprint and classify every doc added / removed /
+    changed — the corpus-refresh audit a pipeline runs before retraining
+    (the config_drift full-outer-diff shape, applied to document
+    identity). The "next" snapshot is derived deterministically so the
+    oracle replays it: every 17th doc dropped, every remaining 13th doc
+    edited (a ' v2' suffix), every 19th doc re-ingested under a new id.
+
+    100 TB shape: both sides are narrow fingerprint projections; the
+    diff is ONE full-outer hash join on doc_id; unchanged rows (the
+    overwhelming mass) are filtered before any further work."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    old = docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    kept = docs.filter(F.col("doc_id") % 17 != 0)
+    new = kept.select(
+        "doc_id",
+        TX.fingerprint(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    ).unionByName(
+        kept.filter(F.col("doc_id") % 19 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            TX.fingerprint(F.col("text")).alias("fp"),
+        )
+    )
+    o = old.select(F.col("doc_id"), F.col("fp").alias("fp_old"))
+    n = new.select(F.col("doc_id"), F.col("fp").alias("fp_new"))
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+    )
+    return j.select("doc_id", status.alias("status")).filter(
+        F.col("status").isNotNull()
+    )
+
+
+#: rendezvous sharding constants (mirrored by the oracle): shard count
+#: and the deterministic per-shard weight 1 + s % 3.
+RDV_SHARDS = 8
+
+
+def rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted rendezvous (highest-random-weight) shard assignment —
+    the coordination-free placement scheme whose killer property mod-
+    hashing (corpus_shards) lacks: adding or removing ONE shard only
+    moves the docs that hash to it, instead of reshuffling ~everything.
+    Weighted form per Thaler-Ravishankar: shard s wins doc d when
+    w_s / -ln(u_{d,s}) is maximal, u derived from md5(d, s) — so a
+    weight-3 shard draws 3x the mass of a weight-1 shard in
+    expectation.
+
+    100 TB shape: pure narrow projection — each doc evaluates RDV_SHARDS
+    candidate scores inside one array expression (no explode, no
+    shuffle); the argmax is a lexicographic array_max."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(float(1 + s % 3))
+                    / -F.log(
+                        (
+                            TX.hex32(
+                                F.concat(
+                                    F.lit("rdv:"),
+                                    F.col("doc_id").cast("string"),
+                                    F.lit(f":{s}"),
+                                )
+                            )
+                            + F.lit(0.5)
+                        )
+                        / F.lit(4294967296.0)
+                    )
+                ).alias("score"),
+                F.lit(s).alias("shard"),
+            )
+            for s in range(RDV_SHARDS)
+        ]
+    )
+    best = F.array_max(cands)
+    return (
+        docs.select("doc_id", best.alias("best"))
+        .select(
+            "doc_id",
+            F.col("best.shard").alias("shard"),
+            TX.round_half_up(F.col("best.score"), 6).alias("score"),
+        )
+    )
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: quality-quartile buckets (highest
+    quality first) with a deterministic salted shuffle inside each
+    bucket — the "easy/clean examples early, noisy tail late" read
+    order of curriculum training, stable across runs and cluster sizes
+    (no rand(), the corpus_shards discipline).
+
+    100 TB shape: the quality score is the proven narrow expression;
+    ntile runs over a global sort ONLY of (quality, doc_id) pairs —
+    at real scale the same bucketing comes from approxQuantile cuts
+    (the write_zorder_layout production path); the within-bucket rank
+    partitions BY BUCKET."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    text = F.col("text")
+    len_score = F.least(TX.token_count(text) / 50.0, F.lit(1.0))
+    stop_score = F.least(TX.stopword_ratio(text) * 4.0, F.lit(1.0))
+    quality = TX.round_half_up(
+        0.4 * len_score + 0.3 * (1.0 - TX.punct_ratio(text)) + 0.3 * stop_score,
+        3,
+    )
+    from pyspark.sql import Window
+
+    scored = docs.select("doc_id", quality.alias("quality"))
+    wq = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    bucketed = scored.withColumn("bucket", F.ntile(4).over(wq))
+    wb = Window.partitionBy("bucket").orderBy(
+        F.md5(F.concat(F.lit("curr:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return bucketed.withColumn("pos", F.row_number().over(wb)).select(
+        "doc_id", "quality", "bucket", "pos"
+    )
+
+
+#: weighted-sample size (Efraimidis-Spirakis top-k).
+WRS_K = 50
+
+
+def weighted_sample_topk(
+    spark: SparkSession, sf_dir: str, k: int = WRS_K
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    exponential-key trick: draw u_d ~ U(0,1) from md5(doc_id), rank docs
+    by ln(u_d)/w_d (monotone in u^(1/w)) and keep the global top-k —
+    each doc's inclusion probability is proportional to its token mass
+    without any sequential pass or rejection loop. This is THE
+    distributed one-shot weighted sampler (a reservoir needs an ordered
+    stream; this needs one TakeOrderedAndProject).
+
+    100 TB shape: narrow key computation + per-partition top-k merged on
+    the driver — no global sort, no shuffle of the corpus."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    w = TX.token_count(F.col("text"))
+    u = (
+        TX.hex32(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / w
+    scored = docs.select(
+        "doc_id", w.alias("n_tokens"), key.alias("key")
+    )
+    from pyspark.sql import Window
+
+    top = (
+        scored.orderBy(F.col("key").desc(), "doc_id")
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("key").desc(), "doc_id")
+            ),
+        )
+    )
+    return top.select(
+        "rank", "doc_id", "n_tokens", TX.round_half_up(F.col("key"), 6).alias("sample_key")
+    )

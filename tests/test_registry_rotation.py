@@ -66,6 +66,6 @@ def test_unproven_entries_fit_driver_window():
 def test_registry_counts_match_docstring():
     names = list(E.queries())
     oracles = set(E.oracle_sql())
-    assert len(names) == 184
-    assert len(oracles) == 173
+    assert len(names) == 188
+    assert len(oracles) == 177
     assert set(oracles) <= set(names)
