@@ -28,8 +28,8 @@ clustering coefficients, cohort retention, Neyman sampling, Zipf fit) —
 with the still-unproven rows-only entries pulled inside the window and
 prior-green backfill below. tests/test_registry_rotation.py enforces
 the invariant mechanically.
-The registry has 177
-entries: 166 oracle-backed (value-hash checked) and 11 no-oracle by
+The registry has 190
+entries: 179 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_report": T.char_entropy_report,
         "bbit_minhash_report": T.bbit_minhash_report,
         "cross_split_leakage": T.cross_split_leakage,
+        "silhouette_report": V.silhouette_report,
+        "label_centroid_similarity": V.label_centroid_similarity,
         "corpus_snapshot_diff": T.corpus_snapshot_diff,
         "rendezvous_shards": T.rendezvous_shards,
         "curriculum_order": T.curriculum_order,
@@ -97,16 +99,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": TS.cohort_retention,
         "neyman_stratified_sample": T.neyman_stratified_sample,
         "zipf_fit_report": T.zipf_fit_report,
-        "media_audio_features": MM.audio_features,
-        "sketch_accuracy_report": T.sketch_accuracy_report,
-        "compression_ratio": T.compression_ratio,
-        "simhash_signatures": T.simhash_signatures,
-        "ivf_topk_kmeans": V.ivf_topk_kmeans,
-        "media_image_dhash": MM.image_dhash,
-        "phash_neardup_pairs": MM.phash_neardup_pairs,
-        "media_decode_image": MM.decode_image,
-        "media_frame_sample": MM.frame_sample,
-        "media_resize_image": MM.resize_image,
         "keyword_search": T.keyword_search,
         "dsir_importance_weights": T.dsir_importance_weights,
         "dsir_resample": T.dsir_resample,
@@ -126,6 +118,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_epic_join_unsalted": J.skewed_epic_join_unsalted,
         "knn_join": V.knn_join,
         "ivf_knn_join": V.ivf_knn_join,
+        # rows-only-by-nature entries with clean r4 driver rows — proven
+        # (the driver's strongest check for them), so rotated below the
+        # window like any other green entry.
+        "media_audio_features": MM.audio_features,
+        "sketch_accuracy_report": T.sketch_accuracy_report,
+        "compression_ratio": T.compression_ratio,
+        "simhash_signatures": T.simhash_signatures,
+        "ivf_topk_kmeans": V.ivf_topk_kmeans,
+        "media_image_dhash": MM.image_dhash,
+        "phash_neardup_pairs": MM.phash_neardup_pairs,
+        "media_decode_image": MM.decode_image,
+        "media_frame_sample": MM.frame_sample,
+        "media_resize_image": MM.resize_image,
         # Round-4 rotation: every entry lacking a fully-green
         # (rows+schema+hash) row in CORRECTNESS_r01..r03 — the 24
         # oracle-backed round-3 late additions (incl. sequence_packing,
@@ -4043,6 +4048,66 @@ _ORACLES["weighted_sample_topk"] = f"""
     SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_tokens,
            floor(key * 1000000 + 0.5) / 1000000 AS sample_key
     FROM r WHERE rank <= {T.WRS_K}"""
+
+
+# Mirrors operators/vectors.silhouette_report: the unrolled k-means CTEs
+# plus one all-centroid distance pass; a/b = rn 1/2, s quantized to 1e-6
+# per vector BEFORE the cluster mean so sums stay exact integers.
+_SIL_D = (
+    "list_dot_product(e.em, e.em) - 2 * list_dot_product(e.em, c.ce)"
+    " + list_dot_product(c.ce, c.ce)"
+)
+_ORACLES["silhouette_report"] = f"""
+    WITH {_kmeans_ctes(V.KMEANS_K, V.KMEANS_ITERS)}, dists AS (
+        SELECT e.vec_id, c.cent_id, {_SIL_D} AS d,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_SIL_D}, c.cent_id) AS rn
+        FROM e CROSS JOIN c{V.KMEANS_ITERS} c
+    ), ab AS (
+        SELECT a.vec_id, a.cent_id AS cluster, a.d AS da, b.d AS db
+        FROM (SELECT * FROM dists WHERE rn = 1) a
+        JOIN (SELECT * FROM dists WHERE rn = 2) b USING (vec_id)
+    ), sm AS (
+        SELECT cluster,
+               floor((CASE WHEN greatest(da, db) = 0 THEN 0.0
+                           ELSE (db - da) / greatest(da, db) END)
+                     * 1000000 + 0.5) AS sm
+        FROM ab
+    )
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           CAST(count(*) AS INTEGER) AS n_vectors,
+           floor(((sum(sm) / count(*)) / 1000000) * 1000000 + 0.5) / 1000000
+             AS avg_silhouette,
+           floor((min(sm) / 1000000) * 1000000 + 0.5) / 1000000
+             AS min_silhouette
+    FROM sm GROUP BY 1"""
+
+# Mirrors operators/vectors.label_centroid_similarity: micro-quantized
+# per-label means (the _micro_update floor-requantization), k x k cosine.
+_ORACLES["label_centroid_similarity"] = """
+    WITH e AS (
+        SELECT label,
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                             AS DOUBLE)) AS em
+        FROM embeddings
+    ), x AS (
+        SELECT label, unnest(em) AS val,
+               unnest(range(1, CAST(len(em) AS INTEGER) + 1)) AS pos
+        FROM e
+    ), m AS (
+        SELECT label, pos,
+               CAST(floor(sum(val) / count(*) + 0.5) AS DOUBLE) AS m
+        FROM x GROUP BY 1, 2
+    ), c AS (
+        SELECT label, list(m ORDER BY pos) AS ce FROM m GROUP BY 1
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           floor((list_dot_product(a.ce, b.ce)
+                  / sqrt(list_dot_product(a.ce, a.ce)
+                         * list_dot_product(b.ce, b.ce)))
+                 * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM c a JOIN c b ON a.label < b.label"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jira_cdc_git_spark.functions import text as TX
 from jira_cdc_git_spark.sources.registry import load_table, load_table_spread
 
 from jira_cdc_git_spark.materialize import materialize
@@ -1418,12 +1419,13 @@ def _micro_update(assigned: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_micro_final(
+def _kmeans_micro_train(
     spark: SparkSession, sf_dir: str, k: int, iters: int
-) -> DataFrame:
-    """Shared body: train k-means in micro-units (init = first k vectors
-    by vec_id) and return the final assignment frame
-    (vec_id, label, cluster, dist_sq)."""
+) -> tuple[DataFrame, DataFrame]:
+    """Shared trainer: k-means in micro-units (init = first k vectors by
+    vec_id); returns (emb, final centroids) so consumers can either
+    re-assign (kmeans_assign) or score against ALL centroids
+    (silhouette_report)."""
     emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id").select(
         "vec_id", "label", _micro_units(F.col("embedding")).alias("em")
     )
@@ -1436,6 +1438,14 @@ def _kmeans_micro_final(
     )
     for _ in range(iters):
         cents = _micro_update(_micro_assign(emb, cents), cents)
+    return emb, cents
+
+
+def _kmeans_micro_final(
+    spark: SparkSession, sf_dir: str, k: int, iters: int
+) -> DataFrame:
+    """Final assignment frame (vec_id, label, cluster, dist_sq)."""
+    emb, cents = _kmeans_micro_train(spark, sf_dir, k, iters)
     return _micro_assign(emb, cents)
 
 
@@ -1508,4 +1518,104 @@ def kmeans_cluster_report(
                 F.col("maj_c") / F.col("n_vectors"), 4
             ).alias("purity"),
         )
+    )
+
+
+def silhouette_report(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Per-cluster simplified silhouette for the micro-unit k-means fit —
+    the cluster-quality diagnostic that complements kmeans_cluster_
+    report's label purity: for each vector, a = squared distance to its
+    own centroid, b = squared distance to the nearest OTHER centroid,
+    s = (b-a)/max(a,b) in [-1,1]; clusters whose mean s approaches 0
+    are overlapping and k should change. This is the O(n*k)
+    centroid-distance variant (Hruschka et al.'s simplified
+    silhouette) — the O(n^2) pairwise form is unrunnable at corpus
+    scale, the centroid form is one narrow pass.
+
+    Oracle-exactness: distances are exact integers (micro-units); s is
+    one double division quantized per-vector to 1e-6 BEFORE the cluster
+    mean, so the per-cluster sum is an exact integer sum and the mean is
+    a single engine-stable division."""
+    emb, cents = _kmeans_micro_train(spark, sf_dir, k, iters)
+    carr = cents.agg(F.collect_list(F.struct("cent_id", "ce")).alias("cs"))
+    dists = F.array_sort(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("em"), c.ce, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c.cent_id.alias("cent_id"),
+            ),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(carr))
+        .withColumn("ds", dists)
+        .select(
+            F.col("ds")[0]["cent_id"].alias("cluster"),
+            F.col("ds")[0]["d"].alias("da"),
+            F.col("ds")[1]["d"].alias("db"),
+        )
+    )
+    s = F.when(F.greatest("da", "db") == 0.0, F.lit(0.0)).otherwise(
+        (F.col("db") - F.col("da")) / F.greatest("da", "db")
+    )
+    sil_micro = F.floor(s * MICRO + F.lit(0.5))
+    return (
+        scored.select("cluster", sil_micro.alias("sm"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("int").alias("n_vectors"),
+            TX.round_half_up(
+                (F.sum("sm") / F.count("*")) / MICRO, 6
+            ).alias("avg_silhouette"),
+            TX.round_half_up(F.min("sm") / MICRO, 6).alias("min_silhouette"),
+        )
+    )
+
+
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label mean embeddings —
+    the domain-similarity map of a mixture corpus (which source domains
+    are interchangeable, which are distinct) driving mixture-weight
+    decisions. Means are computed in exact micro-units with the
+    _micro_update floor-requantization, so both engines derive
+    identical centroid vectors; the k x k cosine matrix is a broadcast
+    self-join of k rows.
+
+    100 TB shape: one posexplode partial-agg bounded by labels x dims;
+    everything after is constant-size."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id").select(
+        "label", _micro_units(F.col("embedding")).alias("em")
+    )
+    means = (
+        emb.select("label", F.posexplode("em"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("col") / F.count("*") + F.lit(0.5))
+            .cast("double")
+            .alias("m")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda x: x.m).alias("ce"))
+    )
+    a = means.select(F.col("label").alias("label_a"), F.col("ce").alias("ce_a"))
+    b = means.select(F.col("label").alias("label_b"), F.col("ce").alias("ce_b"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("label_a") < F.col("label_b")
+    )
+    cos = dot(F.col("ce_a"), F.col("ce_b")) / F.sqrt(
+        norm2(F.col("ce_a")) * norm2(F.col("ce_b"))
+    )
+    return pairs.select(
+        "label_a", "label_b", TX.round_half_up(cos, 6).alias("cos_sim")
     )

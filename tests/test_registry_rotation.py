@@ -30,15 +30,20 @@ def _rows():
 
 def _proven(name, rows, oracle_backed):
     for row in rows:
-        if row.get("err"):
-            continue
         if oracle_backed:
+            if row.get("err"):
+                continue
             if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
                 return True
         else:
-            # Rows-only entries can never hash-match; any clean driver row
-            # (the driver's weaker check) counts as their proof.
-            if row.get("rows_match") or row.get("hash_match") is None:
+            # Rows-only entries can never hash-match; the driver records
+            # them as err="no_oracle" with the observed row count. A
+            # clean run (row count present, no other error) IS their
+            # proof — the strongest check the driver defines for them —
+            # so they rotate out of the window like everything else.
+            if row.get("err") not in (None, "no_oracle"):
+                continue
+            if row.get("rows_match") or row.get("spark_rows") is not None:
                 return True
     return False
 
@@ -66,6 +71,6 @@ def test_unproven_entries_fit_driver_window():
 def test_registry_counts_match_docstring():
     names = list(E.queries())
     oracles = set(E.oracle_sql())
-    assert len(names) == 188
-    assert len(oracles) == 177
+    assert len(names) == 190
+    assert len(oracles) == 179
     assert set(oracles) <= set(names)
