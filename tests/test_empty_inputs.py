@@ -70,6 +70,15 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.zipf_fit_report,
         T.overlap_chunks,
         T.quality_calibration_report,
+        T.phrase_search,
+        T.chi2_keywords,
+        T.char_entropy_report,
+        T.bbit_minhash_report,
+        T.cross_split_leakage,
+        T.corpus_snapshot_diff,
+        T.rendezvous_shards,
+        T.curriculum_order,
+        T.weighted_sample_topk,
         V.kmeans_assign,
         V.kmeans_cluster_report,
         V.embedding_neardup,
@@ -78,6 +87,8 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         V.pq_topk,
         V.pq_rerank_topk,
         V.ivfpq_topk,
+        V.silhouette_report,
+        V.label_centroid_similarity,
     ],
 )
 def test_operator_empty_input_yields_empty_output(fn, spark, empty_sf_dir):

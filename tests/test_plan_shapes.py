@@ -675,3 +675,96 @@ def test_kmeans_assign_broadcast_centroids(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rendezvous_shards_is_narrow(spark, sf_dir):
+    # HRW assignment must stay a pure projection: no explode of the
+    # shard candidates, no shuffle anywhere in the plan.
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.rendezvous_shards(spark, sf_dir))
+    assert "Generate" not in plan
+    # load_table_spread's doc_id repartition is the only allowed exchange
+    assert plan.count("Exchange") <= 1 and "HashAggregate" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    # Efraimidis-Spirakis top-k = per-partition top-k + driver merge,
+    # never a global sort of the corpus.
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.weighted_sample_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [key" not in plan  # no full-width global sort stage
+
+
+def test_chi2_contingency_broadcasts_and_partial_aggs(spark, sf_dir):
+    # the (source, term) contingency frame partial-aggs map-side; the
+    # per-source totals / vocabulary df / grand total all broadcast back.
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.chi2_keywords(spark, sf_dir))
+    assert "partial_count" in plan
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_char_entropy_partial_aggregates(spark, sf_dir):
+    # shuffle mass must be docs x alphabet, which requires the per-
+    # (doc, char) count to combine map-side before the exchange.
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.char_entropy_report(spark, sf_dir))
+    assert "partial_count" in plan
+
+
+def test_phrase_search_joins_posting_lists_not_corpus(spark, sf_dir):
+    # the adjacency join must consume term-filtered posting lists: the
+    # token equality filters sit below the join, and the join itself is
+    # an equi hash/merge join, never a nested loop.
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.phrase_search(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    optimized = _optimized(T.phrase_search(spark, sf_dir))
+    assert optimized.count("tok = ") + optimized.count("tok#") >= 2
+
+
+def test_silhouette_broadcasts_centroids(spark, sf_dir):
+    # the all-centroid scoring pass rides a 1-row broadcast array (the
+    # _micro_assign discipline) — the corpus is never shuffled.
+    from jira_cdc_git_spark.operators import vectors as V
+
+    plan = _plan(V.silhouette_report(spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_centroids_bounded_shuffle(spark, sf_dir):
+    # per-label means partial-agg to labels x dims rows; the k x k pair
+    # join is a broadcast.
+    from jira_cdc_git_spark.operators import vectors as V
+
+    plan = _plan(V.label_centroid_similarity(spark, sf_dir))
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decayed_engagement_single_partial_agg(spark, sf_dir):
+    # the fixed-reference decay turns the EMA into one user_id partial
+    # aggregation; the reference time is a 1-row broadcast.
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    plan = _plan(TS.decayed_engagement(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_mad_anomalies_broadcasts_group_stats(spark, sf_dir):
+    # both percentile frames are per-type tiny and must broadcast back
+    # onto the event stream.
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    plan = _plan(TS.mad_anomalies(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
