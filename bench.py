@@ -126,6 +126,20 @@ BENCH_QUERIES = [
     "cohort_retention",
     "neyman_stratified_sample",
     "zipf_fit_report",
+    # round-5 wave 4: robust stats, search, audits, placement, sampling
+    "decayed_engagement",
+    "mad_anomalies",
+    "phrase_search",
+    "chi2_keywords",
+    "char_entropy_report",
+    "bbit_minhash_report",
+    "cross_split_leakage",
+    "corpus_snapshot_diff",
+    "rendezvous_shards",
+    "curriculum_order",
+    "weighted_sample_topk",
+    "silhouette_report",
+    "label_centroid_similarity",
 ]
 
 
@@ -418,6 +432,14 @@ SCALE_PROBE_QUERIES = [
     "bm25_topk",
     "dsir_importance_weights",
     "kmeans_assign",
+    # wave-4 probe additions: the heavy newcomers (char explode, chi2
+    # contingency, LSH-candidate-scoped estimates, kmeans-backed
+    # silhouette, full-outer snapshot diff)
+    "char_entropy_report",
+    "chi2_keywords",
+    "bbit_minhash_report",
+    "silhouette_report",
+    "corpus_snapshot_diff",
 ]
 
 
