@@ -28,8 +28,8 @@ clustering coefficients, cohort retention, Neyman sampling, Zipf fit) —
 with the still-unproven rows-only entries pulled inside the window and
 prior-green backfill below. tests/test_registry_rotation.py enforces
 the invariant mechanically.
-The registry has 190
-entries: 179 oracle-backed (value-hash checked) and 11 no-oracle by
+The registry has 194
+entries: 183 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_split_leakage": T.cross_split_leakage,
         "silhouette_report": V.silhouette_report,
         "label_centroid_similarity": V.label_centroid_similarity,
+        "allpairs_prefix_jaccard": T.allpairs_prefix_jaccard,
+        "proximity_search": T.proximity_search,
+        "kcore_decomposition": G.kcore_decomposition,
+        "quantile_normalize_scores": T.quantile_normalize_scores,
         "corpus_snapshot_diff": T.corpus_snapshot_diff,
         "rendezvous_shards": T.rendezvous_shards,
         "curriculum_order": T.curriculum_order,
@@ -4108,6 +4112,129 @@ _ORACLES["label_centroid_similarity"] = """
                          * list_dot_product(b.ce, b.ce)))
                  * 1000000 + 0.5) / 1000000 AS cos_sim
     FROM c a JOIN c b ON a.label < b.label"""
+
+
+# Mirrors operators/text.allpairs_prefix_jaccard: df-ascending shingle
+# order, the EXACT-integer prefix bound |d| - floor((7|d|+9)/10) + 1,
+# prefix self-join candidates, exact-Jaccard verify on the rounded value.
+_ORACLES["allpairs_prefix_jaccard"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ), sets AS (
+        SELECT doc_id, list_distinct(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(generate_series(1,
+                        CAST(len(t) AS INTEGER) - 2),
+                        i -> array_to_string(t[i:i+2], ' '))
+                 ELSE [] END) AS shs
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(shs) AS sh FROM sets
+    ), dfq AS (
+        SELECT sh, count(*) AS df FROM ex GROUP BY 1
+    ), ordd AS (
+        SELECT e.doc_id, list(e.sh ORDER BY d.df, e.sh) AS ord_shs
+        FROM ex e JOIN dfq d USING (sh) GROUP BY 1
+    ), pre AS (
+        SELECT doc_id, unnest(ord_shs[1:CAST(len(ord_shs)
+            - floor((7 * len(ord_shs) + 9) / 10) + 1 AS INTEGER)]) AS sh
+        FROM ordd
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ), jacq AS (
+        SELECT c.doc_a, c.doc_b,
+               floor((len(list_intersect(sa.shs, sb.shs))
+                      / (len(sa.shs) + len(sb.shs)
+                         - len(list_intersect(sa.shs, sb.shs))))
+                     * 10000 + 0.5) / 10000 AS jaccard
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.doc_a
+        JOIN sets sb ON sb.doc_id = c.doc_b
+    )
+    SELECT * FROM jacq WHERE jaccard >= {T.ALLPAIRS_THRESHOLD}"""
+
+# Mirrors operators/text.proximity_search: two filtered posting lists
+# equi-joined on doc_id, distance bound on 0-based positions.
+_ORACLES["proximity_search"] = f"""
+    WITH pos AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(range(0, CAST(len(t) AS BIGINT))) AS pos
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+    ), p1 AS (
+        SELECT doc_id, pos AS p1 FROM pos WHERE tok = '{T.PROXIMITY_TERMS[0]}'
+    ), p2 AS (
+        SELECT doc_id, pos AS p2 FROM pos WHERE tok = '{T.PROXIMITY_TERMS[1]}'
+    ), pr AS (
+        SELECT p1.doc_id, p1.p1, p2.p2
+        FROM p1 JOIN p2 USING (doc_id)
+        WHERE abs(p1.p1 - p2.p2) <= {T.PROXIMITY_DISTANCE}
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(abs(p1 - p2)) AS INTEGER) AS min_dist
+    FROM pr GROUP BY 1"""
+
+
+# Mirrors operators/graph.kcore_decomposition: the shared co-occurrence
+# edge CTE + KCORE_ROUNDS unrolled peel rounds (degree -> survivors ->
+# edge filter), final in-core degrees.
+def _kcore_ctes() -> str:
+    # every stage is AS MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and each peel round references the previous edge set
+    # several times — unmaterialized, the unrolled rounds expand
+    # exponentially (observed as fd exhaustion on the documents scan).
+    parts = []
+    prev = "e"
+    for i in range(1, G.KCORE_ROUNDS + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev}
+        ) GROUP BY 1
+    ), n{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d >= {G.KCORE_K}),
+    e{i} AS MATERIALIZED (
+        SELECT t.a, t.b FROM {prev} t
+        JOIN n{i} x ON t.a = x.v JOIN n{i} y ON t.b = y.v
+    )"""
+        )
+        prev = f"e{i}"
+    return ",\n    ".join(parts)
+
+
+_ORACLES["kcore_decomposition"] = f"""
+    WITH {_TRI_CTES}, {_kcore_ctes()}
+    SELECT v, CAST(count(*) AS INTEGER) AS core_degree FROM (
+        SELECT a AS v FROM e{G.KCORE_ROUNDS}
+        UNION ALL SELECT b FROM e{G.KCORE_ROUNDS}
+    ) GROUP BY 1"""
+
+# Mirrors operators/text.quantile_normalize_scores: the shared quality
+# CTE, a 101-point exact-percentile global grid, per-source
+# percent_rank interpolated into the grid.
+_QN_GRID = ", ".join(f"{i / 100.0}" for i in range(101))
+_ORACLES["quantile_normalize_scores"] = f"""
+    WITH {_QUALITY_CTES}, s AS (
+        SELECT q.doc_id, d.source, q.quality
+        FROM qq q JOIN documents d USING (doc_id)
+    ), g AS (
+        SELECT quantile_cont(quality, [{_QN_GRID}]) AS g FROM s
+    ), p AS (
+        SELECT doc_id, source, quality,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY quality, doc_id) AS pr
+        FROM s
+    ), i AS (
+        SELECT *, CAST(floor(pr * 100.0) AS INTEGER) AS lo,
+               pr * 100.0 - floor(pr * 100.0) AS frac
+        FROM p
+    )
+    SELECT doc_id, source, quality,
+           floor((CASE WHEN lo >= 100 THEN g[101]
+                       ELSE g[lo + 1] + frac * (g[lo + 2] - g[lo + 1])
+                  END) * 1000000 + 0.5) / 1000000 AS normalized
+    FROM i CROSS JOIN g"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -140,6 +140,10 @@ BENCH_QUERIES = [
     "weighted_sample_topk",
     "silhouette_report",
     "label_centroid_similarity",
+    "allpairs_prefix_jaccard",
+    "proximity_search",
+    "kcore_decomposition",
+    "quantile_normalize_scores",
 ]
 
 
@@ -440,6 +444,9 @@ SCALE_PROBE_QUERIES = [
     "bbit_minhash_report",
     "silhouette_report",
     "corpus_snapshot_diff",
+    # the exact all-pairs join is THE candidate-growth risk of the
+    # mini-wave — its prefix posting lists must stay short at 10x
+    "allpairs_prefix_jaccard",
 ]
 
 

@@ -405,3 +405,47 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coefficient"),
         )
     )
+
+
+#: k-core constants (mirrored by the oracle): core threshold and the
+#: bounded number of peel rounds (the pagerank/kmeans fixed-iteration
+#: discipline — extra rounds past convergence are no-ops).
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def kcore_decomposition(
+    spark: SparkSession, sf_dir: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Bounded k-core peel over the token co-occurrence graph: repeat
+    "drop every vertex with degree < k, drop edges touching it" for
+    KCORE_ROUNDS rounds — the dense-cohesion filter of graph analytics
+    (the k-core survives; hubs-with-thin-tails do not), complementing
+    token_triangles' local density with a global one.
+
+    100 TB shape: each round is one union-degree partial agg (bounded
+    by |V|) plus two semi-joins of the shrinking edge set against the
+    surviving-vertex frame; rounds materialize so lineage stays flat
+    (the hierarchy_levels discipline). Fixed rounds keep the plan
+    oracle-replayable; on this graph the peel converges in < 6."""
+    e = _cooc_edges(spark, sf_dir)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v").transform(materialize)
+        e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .transform(materialize)
+        )
+    return (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("int").alias("core_degree"))
+    )

@@ -3735,3 +3735,174 @@ def weighted_sample_topk(
     return top.select(
         "rank", "doc_id", "n_tokens", TX.round_half_up(F.col("key"), 6).alias("sample_key")
     )
+
+
+#: all-pairs prefix-filtered join constants (mirrored by the oracle):
+#: exact-Jaccard threshold and the shingle order (global df asc).
+ALLPAIRS_THRESHOLD = 0.7
+
+
+def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs similarity join with prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. 2007) — the deterministic
+    sibling of neardup_pairs_lsh: LSH trades a small recall loss for
+    speed; prefix filtering gives EXACT results while still never
+    comparing all pairs. Each doc's shingle set is ordered by global
+    document frequency (rarest first); two sets with Jaccard >= t MUST
+    share at least one shingle inside each other's first
+    |d| - ceil(t*|d|) + 1 shingles, so only docs colliding on a PREFIX
+    shingle become candidates — and rare-first ordering makes those
+    posting lists the shortest ones.
+
+    100 TB shape: one df aggregation (vocab-bounded), one narrow
+    per-doc sort/slice, a self-join on prefix shingles whose posting
+    lists are df-ascending by construction, then candidate-scoped
+    exact verification — same join discipline as the LSH path but with
+    a proof instead of a probability."""
+    # the 7/10 prefix bound below is exact integer arithmetic
+    # specialized to this constant
+    threshold = ALLPAIRS_THRESHOLD
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    sets = shingle_sets_frame(docs).select("doc_id", "shs").transform(materialize)
+    df_tbl = (
+        sets.select(F.explode("shs").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count("*").alias("df"))
+    )
+    # order each doc's shingles rarest-first (df asc, shingle asc for
+    # determinism), then keep the prefix
+    ordered = (
+        sets.select("doc_id", F.explode("shs").alias("sh"))
+        .join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "sh"))),
+                lambda x: x.sh,
+            ).alias("ord_shs")
+        )
+    )
+    # ceil(0.7*|d|) in EXACT integer arithmetic (floor((7|d|+9)/10)) —
+    # a float 0.7 product can land a hair above the true value and
+    # shorten the prefix below the correctness bound
+    prefix_len = (
+        F.size("ord_shs")
+        - F.floor((7 * F.size("ord_shs") + 9) / 10)
+        + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        "doc_id",
+        F.explode(F.slice("ord_shs", 1, prefix_len)).alias("sh"),
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cand = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = n_inter / (F.size("shs_a") + F.size("shs_b") - n_inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", TX.round_half_up(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+#: proximity-search constants: the two terms and the position window.
+PROXIMITY_TERMS = ("fast", "window")
+PROXIMITY_DISTANCE = 5
+
+
+def proximity_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple = PROXIMITY_TERMS,
+    max_dist: int = PROXIMITY_DISTANCE,
+) -> DataFrame:
+    """Proximity (NEAR) search: documents where the two terms occur
+    within max_dist token positions — between keyword_search's
+    unordered AND and phrase_search's exact adjacency. The join is an
+    EQUI join of the two filtered posting lists on doc_id; the distance
+    bound is a post-join filter over the per-doc position pairs, whose
+    mass is bounded by per-doc term frequency, never corpus size."""
+    t1, t2 = terms
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    pos = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    p1 = pos.filter(F.col("tok") == t1).select("doc_id", F.col("pos").alias("p1"))
+    p2 = pos.filter(F.col("tok") == t2).select("doc_id", F.col("pos").alias("p2"))
+    pairs = p1.join(p2, "doc_id").filter(
+        F.abs(F.col("p1") - F.col("p2")) <= max_dist
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.min(F.abs(F.col("p1") - F.col("p2"))).cast("int").alias("min_dist"),
+    )
+
+
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the quality score: a doc's
+    normalized score is the GLOBAL quality value at its within-source
+    percentile — after which every source has the same score
+    distribution, so one global quality cutoff stops favoring sources
+    whose raw scores run hot (the cross-domain calibration step before
+    mixture sampling; quality_calibration_report MEASURES the skew,
+    this REMOVES it).
+
+    100 TB shape: the global distribution is summarized by a 101-point
+    exact-percentile grid (one aggregation, 101 doubles broadcast);
+    each doc interpolates its within-source percent_rank into the grid
+    — a narrow map. The only windows partition BY SOURCE. No global
+    sort, state bounded by the grid."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    text = F.col("text")
+    len_score = F.least(TX.token_count(text) / 50.0, F.lit(1.0))
+    stop_score = F.least(TX.stopword_ratio(text) * 4.0, F.lit(1.0))
+    quality = TX.round_half_up(
+        0.4 * len_score + 0.3 * (1.0 - TX.punct_ratio(text)) + 0.3 * stop_score,
+        3,
+    )
+    scored = docs.select("doc_id", "source", quality.alias("quality")).transform(
+        materialize
+    )
+    grid_pts = ", ".join(f"{i / 100.0}D" for i in range(101))
+    grid = scored.agg(
+        F.expr(f"percentile(quality, array({grid_pts}))").alias("g")
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("quality", "doc_id")
+    )
+    idx = F.col("pr") * 100.0
+    lo = F.floor(idx).cast("int")
+    frac = idx - F.floor(idx)
+    interp = F.when(F.col("lo") >= 100, F.element_at("g", 101)).otherwise(
+        F.element_at("g", F.col("lo") + 1)
+        + F.col("frac")
+        * (
+            F.element_at("g", F.col("lo") + 2)
+            - F.element_at("g", F.col("lo") + 1)
+        )
+    )
+    return (
+        scored.withColumn("pr", pr)
+        .crossJoin(F.broadcast(grid))
+        .withColumn("lo", lo)
+        .withColumn("frac", frac)
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            TX.round_half_up(interp, 6).alias("normalized"),
+        )
+    )

@@ -5,6 +5,7 @@ without-data case every real 100 TB run hits."""
 import pytest
 from pyspark.sql import functions as F
 
+from jira_cdc_git_spark.operators import graph as GR
 from jira_cdc_git_spark.operators import text as T
 from jira_cdc_git_spark.operators import vectors as V
 from jira_cdc_git_spark.sources.registry import load_table
@@ -79,6 +80,10 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.rendezvous_shards,
         T.curriculum_order,
         T.weighted_sample_topk,
+        T.allpairs_prefix_jaccard,
+        T.proximity_search,
+        T.quantile_normalize_scores,
+        GR.kcore_decomposition,
         V.kmeans_assign,
         V.kmeans_cluster_report,
         V.embedding_neardup,

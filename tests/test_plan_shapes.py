@@ -768,3 +768,37 @@ def test_mad_anomalies_broadcasts_group_stats(spark, sf_dir):
     plan = _plan(TS.mad_anomalies(spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_allpairs_prefix_candidate_scoped(spark, sf_dir):
+    # the exact all-pairs join must verify only prefix-colliding
+    # candidates: no cartesian, no nested loop, and the posting-list
+    # self-join is an equi join on the shingle.
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.allpairs_prefix_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_proximity_search_equi_join(spark, sf_dir):
+    # the NEAR filter must ride an equi join on doc_id — the distance
+    # bound is a post-join filter, never a join condition that forces a
+    # nested loop.
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.proximity_search(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_normalize_windows_partition_by_source(spark, sf_dir):
+    # the only window may partition BY SOURCE; the global distribution
+    # must enter as a broadcast percentile grid, not a global sort.
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.quantile_normalize_scores(spark, sf_dir))
+    assert "partitionBy=[source" in plan.replace(" ", "") or "source" in (
+        plan.split("Window")[1][:200] if "Window" in plan else ""
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
