@@ -3475,8 +3475,10 @@ def bbit_minhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dyadic doubles, so the rounding is engine-stable)."""
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
     sets = shingle_sets_frame(docs).transform(materialize)
-    sigs = sets.select(
-        "doc_id", TX.affine_min_vec(F.col("xs"), NUM_HASHES).alias("mh")
+    # ONE lookup frame carrying both the shingle set and the signature —
+    # the candidate frame then joins twice (a/b side), not four times
+    both = sets.select(
+        "doc_id", "shs", TX.affine_min_vec(F.col("xs"), NUM_HASHES).alias("mh")
     ).transform(materialize)
     bands = lsh_bands_frame(sets).transform(materialize)
     a = bands.alias("a")
@@ -3489,10 +3491,16 @@ def bbit_minhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
-    ma = sigs.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
-    mb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
+    sa = both.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("mh").alias("mh_a"),
+    )
+    sb = both.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("mh").alias("mh_b"),
+    )
     n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
     eq_full = F.size(
         F.filter(
@@ -3515,8 +3523,6 @@ def bbit_minhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .join(ma, "doc_a")
-        .join(mb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -140,6 +140,36 @@ AUDITS = [
         "contributes zero candidates instead of df^2 pairs; the exact "
         "containment verify touches candidate pairs only.",
     ),
+    (
+        "allpairs_prefix_jaccard",
+        "EXACT all-pairs similarity with prefix filtering: the prefix "
+        "posting-list self-join is an EQUI join on the shingle (no "
+        "cartesian / nested loop); the df table partial-aggs map-side; "
+        "the exact-Jaccard verify is candidate-scoped (joins back onto "
+        "the materialized sets frame, never the raw corpus).",
+    ),
+    (
+        "chi2_keywords",
+        "The (source, term) contingency frame is a two-phase aggregation "
+        "(partial_count before its Exchange); the per-source totals, "
+        "per-term document frequencies and the grand total all return "
+        "as BroadcastExchanges; the top-k per source is a window over "
+        "the tiny scored frame, partitioned BY SOURCE.",
+    ),
+    (
+        "silhouette_report",
+        "The all-centroid scoring pass rides a single-row broadcast "
+        "centroid array (BroadcastNestedLoopJoin on a 1-row side) — the "
+        "corpus is never shuffled after the scan; per training round "
+        "the mean update exchanges only k x dims rows.",
+    ),
+    (
+        "rendezvous_shards",
+        "Pure projection: the candidate scores for all shards evaluate "
+        "inside ONE array expression per row (no Generate/explode), the "
+        "argmax is array_max — no Exchange besides the spread "
+        "repartition, no aggregate, no join.",
+    ),
 ]
 
 MAX_LINES = 58
