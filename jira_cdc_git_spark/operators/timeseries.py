@@ -450,6 +450,37 @@ def decayed_engagement(
     )
 
 
+def mad_thresholds(ev: DataFrame) -> DataFrame:
+    """Per-event-type robust location/scale: m = exact median(value),
+    mad = exact median(|value - m|). The tiny (event_type, med, mad)
+    frame IS the trained anomaly model — shared by the batch operator
+    and the stream-static twin so both score identically."""
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5D)").alias("mad"),
+        )
+    )
+
+
+def mad_score_frame(batch: DataFrame, thresholds: DataFrame) -> DataFrame:
+    """Score a (event_id, event_type, value, ...) frame against trained
+    MAD thresholds: Iglewicz-Hoaglin modified z, rounded half-up at
+    4 dp. One broadcast join + narrow expressions."""
+    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return batch.join(F.broadcast(thresholds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        TX_round(z, 4).alias("robust_z"),
+    )
+
+
 def mad_anomalies(
     spark: SparkSession, sf_dir: str, cutoff: float = 3.5
 ) -> DataFrame:
@@ -469,25 +500,6 @@ def mad_anomalies(
     cardinality is bounded, so exact percentile is fine at any corpus
     size; percentile_approx is the drop-in at extreme group widths."""
     ev = load_table(spark, "events", sf_dir)
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5D)").alias("med")
-    )
-    mad = (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.first("med").alias("med"),
-            F.expr("percentile(abs(value - med), 0.5D)").alias("mad"),
-        )
-    )
-    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
-    return (
-        ev.join(F.broadcast(mad), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            TX_round(z, 4).alias("robust_z"),
-        )
-        .filter(F.abs(F.col("robust_z")) > cutoff)
+    return mad_score_frame(ev, mad_thresholds(ev)).filter(
+        F.abs(F.col("robust_z")) > cutoff
     )

@@ -1196,3 +1196,66 @@ def streaming_dsir_admission(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_mad_anomalies(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    corpus_sf_dir: str,
+    cutoff: float = 3.5,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Online robust anomaly detection — the stream-static twin of
+    operators/timeseries.mad_anomalies: median/MAD thresholds are
+    trained ONCE on the held events corpus (exact percentiles over
+    bounded event-type groups), then every arriving micro-batch scores
+    against the broadcast threshold frame and rows with |modified z| >
+    cutoff land in the anomalies sink. Verdicts (every scored row) and
+    anomalies write through batch_id-partitioned idempotent sinks, so
+    at-least-once replay cannot double-flag.
+
+    100 TB shape: the model is an |event_types|-row frame materialized
+    before the stream starts; per batch the only work is one broadcast
+    join + narrow expressions — no watermark state, no shuffle of
+    anything but the batch itself."""
+    from jira_cdc_git_spark.materialize import materialize
+    from jira_cdc_git_spark.operators.timeseries import (
+        mad_score_frame,
+        mad_thresholds,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    thresholds = materialize(
+        mad_thresholds(load_table(spark, "events", corpus_sf_dir))
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(events_dir)
+
+    def _flag(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = (
+            mad_score_frame(batch_df.localCheckpoint(), thresholds)
+            .withColumn("is_anomaly", F.abs(F.col("robust_z")) > cutoff)
+            .localCheckpoint()
+        )
+        _append_batch_idempotent(scored, f"{out_root}/verdicts", batch_id)
+        _append_batch_idempotent(
+            scored.filter("is_anomaly").drop("is_anomaly"),
+            f"{out_root}/anomalies",
+            batch_id,
+        )
+
+    (
+        feed.writeStream.foreachBatch(_flag)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1047,3 +1047,75 @@ def test_streaming_dsir_admission_scores_and_parity(spark, sf_dir, tmp_path):
     for did, row in v.items():
         assert row["weight"] == expect[did]["weight"]
         assert row["n_feats"] == expect[did]["n_feats"]
+
+
+def test_streaming_mad_anomalies_flags_and_parity(spark, sf_dir, tmp_path):
+    from pyspark.sql import types as ST
+
+    from jira_cdc_git_spark.materialize import materialize
+    from jira_cdc_git_spark.operators.timeseries import (
+        mad_score_frame,
+        mad_thresholds,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        read_append_sink,
+        streaming_mad_anomalies,
+    )
+
+    schema = ST.StructType(
+        [
+            ST.StructField("event_id", ST.LongType()),
+            ST.StructField("event_type", ST.StringType()),
+            ST.StructField("value", ST.DoubleType()),
+        ]
+    )
+    # two in-band events and one absurd burst per the corpus's scale —
+    # the burst must flag, the in-band rows must not
+    feed_df = spark.createDataFrame(
+        [
+            (9_000_001, "click", 12.0),
+            (9_000_002, "click", 13.5),
+            (9_000_003, "click", 9_999.0),
+        ],
+        schema,
+    )
+    events_dir = str(tmp_path / "feed")
+    feed_df.write.parquet(events_dir)
+
+    out_root = str(tmp_path / "mad")
+    streaming_mad_anomalies(
+        spark,
+        events_dir,
+        schema,
+        str(tmp_path / "ckpt"),
+        out_root,
+        sf_dir,
+    )
+    v = {
+        r["event_id"]: r
+        for r in read_append_sink(spark, f"{out_root}/verdicts").collect()
+    }
+    assert len(v) == 3
+    assert v[9_000_003]["is_anomaly"]
+    assert not v[9_000_001]["is_anomaly"] and not v[9_000_002]["is_anomaly"]
+    flagged = {
+        r["event_id"]
+        for r in spark.read.parquet(f"{out_root}/anomalies").collect()
+    }
+    assert flagged == {9_000_003}
+
+    # parity: streaming scores == the shared scorer run in batch
+    th = materialize(mad_thresholds(load_table(spark, "events", sf_dir)))
+    expect = {
+        r["event_id"]: r["robust_z"]
+        for r in mad_score_frame(feed_df, th).collect()
+    }
+    for eid, row in v.items():
+        assert row["robust_z"] == expect[eid]
+
+    # idempotent re-run: same checkpoint, nothing new to process
+    streaming_mad_anomalies(
+        spark, events_dir, schema, str(tmp_path / "ckpt"), out_root, sf_dir
+    )
+    assert read_append_sink(spark, f"{out_root}/verdicts").count() == 3
