@@ -665,3 +665,41 @@ def test_zipf_fit_negative_slope_good_fit(spark, sf_dir):
     # rank-frequency curves decrease: slope strictly negative
     assert row["slope"] < 0
     assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_allpairs_prefix_filter_is_exact(spark, sf_dir):
+    """The EXACTNESS claim of allpairs_prefix_jaccard: the prefix filter
+    must lose NOTHING against the O(n^2) brute force — same pairs, same
+    rounded Jaccard (28 true pairs exist in the sf0.001 corpus, so this
+    is not vacuous)."""
+    from pyspark.sql import functions as F
+
+    from jira_cdc_git_spark.functions.text import round_half_up
+    from jira_cdc_git_spark.operators.text import (
+        ALLPAIRS_THRESHOLD,
+        allpairs_prefix_jaccard,
+        shingle_sets_frame,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    sets = shingle_sets_frame(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "shs"
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = n_inter / (F.size("shs_a") + F.size("shs_b") - n_inter)
+    brute = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", round_half_up(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= ALLPAIRS_THRESHOLD)
+        .collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in allpairs_prefix_jaccard(spark, sf_dir).collect()
+    }
+    assert len(brute) > 0
+    assert got == brute
