@@ -3912,3 +3912,47 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX.round_half_up(interp, 6).alias("normalized"),
         )
     )
+
+
+def write_curriculum_shards(
+    docs: DataFrame, out_dir: str, n_buckets: int = 4, files_per_bucket: int = 4
+) -> None:
+    """Materialize the curriculum read order the way a production job
+    would (the write_zorder_layout discipline): quality-quartile
+    boundaries come from approxQuantile (one sampling pass, three cut
+    points broadcast into a narrow bucketize expression — NO global
+    ntile window), docs land bucket-partitioned with the salted
+    within-bucket order baked into file order via repartitionByRange +
+    sortWithinPartitions. A trainer then consumes bucket=0 files first.
+    The exact-ntile form lives only in the oracle-checked DIAGNOSTIC
+    query (curriculum_order)."""
+    text = F.col("text")
+    len_score = F.least(TX.token_count(text) / 50.0, F.lit(1.0))
+    stop_score = F.least(TX.stopword_ratio(text) * 4.0, F.lit(1.0))
+    quality = TX.round_half_up(
+        0.4 * len_score + 0.3 * (1.0 - TX.punct_ratio(text)) + 0.3 * stop_score,
+        3,
+    )
+    scored = docs.withColumn("_q", quality)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.approxQuantile("_q", probs, 0.001)
+    # ascending first-match-wins chain: below the lowest cut -> the LAST
+    # bucket (noisy tail reads last); above every cut -> bucket 0
+    bucket = None
+    for i, c in enumerate(cuts):
+        clause = (F.col("_q") <= F.lit(c), F.lit(n_buckets - 1 - i))
+        bucket = F.when(*clause) if bucket is None else bucket.when(*clause)
+    bucket = bucket.otherwise(F.lit(0))
+    salted = F.md5(F.concat(F.lit("curr:"), F.col("doc_id").cast("string")))
+    (
+        scored.withColumn("_bucket", bucket.cast("int"))
+        .withColumn("_ord", salted)
+        .repartitionByRange(
+            n_buckets * files_per_bucket, F.col("_bucket"), F.col("_ord")
+        )
+        .sortWithinPartitions("_bucket", "_ord")
+        .drop("_q", "_ord")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(out_dir)
+    )

@@ -233,3 +233,40 @@ def test_bpe_merges_monotone_and_effective(spark, sf_dir):
     assert all(m.pair_count >= 1 for m in merges)
     # distinct merge rules
     assert len({(m.left_sym, m.right_sym) for m in merges}) == 4
+
+
+def test_write_curriculum_shards_orders_quality_first(spark, sf_dir, tmp_path):
+    """Production curriculum writer: bucket-partitioned output, every doc
+    present exactly once, and bucket 0 (read first) carries strictly
+    higher mean quality than the last bucket."""
+    from pyspark.sql import functions as F
+
+    from jira_cdc_git_spark.operators.text import write_curriculum_shards
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = str(tmp_path / "curriculum")
+    write_curriculum_shards(docs, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    buckets = {r["_bucket"] for r in back.select("_bucket").distinct().collect()}
+    assert buckets == {0, 1, 2, 3}
+    # recompute the quality score on the read-back frame and compare ends
+    from jira_cdc_git_spark.functions import text as TX
+
+    text = F.col("text")
+    q = (
+        0.4 * F.least(TX.token_count(text) / 50.0, F.lit(1.0))
+        + 0.3 * (1.0 - TX.punct_ratio(text))
+        + 0.3 * F.least(TX.stopword_ratio(text) * 4.0, F.lit(1.0))
+    )
+    means = {
+        r["_bucket"]: r["m"]
+        for r in back.withColumn("q", q)
+        .groupBy("_bucket")
+        .agg(F.avg("q").alias("m"))
+        .collect()
+    }
+    assert means[0] > means[3]
