@@ -24,10 +24,15 @@ IVF×PQ pair, the skew-salted join pair, batch k-NN), waves 2-3 (BM25 +
 keyword search, DSIR weights/resample, oracle-exact integer-micro
 k-means, n-gram novelty, shard JS drift, containment dedup, overlap
 chunking, quality calibration, count-min heavy hitters, triangles +
-clustering coefficients, cohort retention, Neyman sampling, Zipf fit) —
-with the still-unproven rows-only entries pulled inside the window and
-prior-green backfill below. tests/test_registry_rotation.py enforces
-the invariant mechanically.
+clustering coefficients, cohort retention, Neyman sampling, Zipf fit),
+waves 4-5 (decayed engagement, MAD anomalies + streaming twin, phrase/
+proximity search, chi-square keywords, char entropy, b-bit minhash,
+cross-split leakage, snapshot diff, rendezvous shards, curriculum
+order + production writer, weighted sampling, silhouette, label
+centroids, exact all-pairs prefix join, k-core, quantile
+normalization) — with prior-green backfill below (rows-only entries
+with clean driver rows count as proven and rotate out).
+tests/test_registry_rotation.py enforces the invariant mechanically.
 The registry has 194
 entries: 183 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
