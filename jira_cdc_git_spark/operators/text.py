@@ -3616,19 +3616,24 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 RDV_SHARDS = 8
 
 
-def rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rendezvous_shards(
+    spark: SparkSession, sf_dir: str, shards: list[int] | None = None
+) -> DataFrame:
     """Weighted rendezvous (highest-random-weight) shard assignment —
     the coordination-free placement scheme whose killer property mod-
     hashing (corpus_shards) lacks: adding or removing ONE shard only
-    moves the docs that hash to it, instead of reshuffling ~everything.
-    Weighted form per Thaler-Ravishankar: shard s wins doc d when
-    w_s / -ln(u_{d,s}) is maximal, u derived from md5(d, s) — so a
-    weight-3 shard draws 3x the mass of a weight-1 shard in
-    expectation.
+    moves the docs that hash to it, instead of reshuffling ~everything
+    (property pinned by test_rendezvous_minimal_movement: drop a shard,
+    every other doc keeps its placement bit-for-bit). Weighted form per
+    Thaler-Ravishankar: shard s wins doc d when w_s / -ln(u_{d,s}) is
+    maximal, u derived from md5(d, s) — so a weight-3 shard draws 3x
+    the mass of a weight-1 shard in expectation.
 
-    100 TB shape: pure narrow projection — each doc evaluates RDV_SHARDS
+    100 TB shape: pure narrow projection — each doc evaluates the
     candidate scores inside one array expression (no explode, no
     shuffle); the argmax is a lexicographic array_max."""
+    if shards is None:
+        shards = list(range(RDV_SHARDS))
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
     cands = F.array(
         *[
@@ -3651,7 +3656,7 @@ def rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("score"),
                 F.lit(s).alias("shard"),
             )
-            for s in range(RDV_SHARDS)
+            for s in shards
         ]
     )
     best = F.array_max(cands)

@@ -703,3 +703,26 @@ def test_allpairs_prefix_filter_is_exact(spark, sf_dir):
     }
     assert len(brute) > 0
     assert got == brute
+
+
+def test_rendezvous_minimal_movement(spark, sf_dir):
+    """THE rendezvous-hashing guarantee: removing one shard relocates
+    ONLY the docs that were placed on it — every other doc keeps its
+    shard bit-for-bit (mod-hashing reshuffles ~all of them)."""
+    from jira_cdc_git_spark.operators.text import RDV_SHARDS, rendezvous_shards
+
+    full = {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_shards(spark, sf_dir).collect()
+    }
+    dropped = RDV_SHARDS - 1
+    without = {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_shards(
+            spark, sf_dir, shards=[s for s in range(RDV_SHARDS) if s != dropped]
+        ).collect()
+    }
+    assert set(full) == set(without)
+    moved = {d for d in full if full[d] != without[d]}
+    assert moved == {d for d, s in full.items() if s == dropped}
+    assert moved  # the dropped shard held something, so the test bites
