@@ -35,6 +35,17 @@ RISKY = [
     "pq_rerank_topk",
     "bpe_train_merges",
     "zorder_skipping_report",
+    # wave 4-5 stochastic-risk additions: hash-derived sampling /
+    # placement / curriculum salts, LSH-candidate reports, the k-means-
+    # backed silhouette and the prefix-filtered exact join
+    "weighted_sample_topk",
+    "rendezvous_shards",
+    "curriculum_order",
+    "bbit_minhash_report",
+    "cross_split_leakage",
+    "silhouette_report",
+    "allpairs_prefix_jaccard",
+    "kcore_decomposition",
 ]
 
 
