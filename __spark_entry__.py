@@ -86,6 +86,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_split_leakage": T.cross_split_leakage,
         "silhouette_report": V.silhouette_report,
         "label_centroid_similarity": V.label_centroid_similarity,
+        "langid_confusion": T.langid_confusion,
+        # interarrival_stats is implemented + DuckDB-parity-tested
+        # (tests/test_operators.py) but registers in round 6 — the
+        # 50-slot driver window is exactly full this round
         "allpairs_prefix_jaccard": T.allpairs_prefix_jaccard,
         "proximity_search": T.proximity_search,
         "kcore_decomposition": G.kcore_decomposition,
@@ -4240,6 +4244,61 @@ _ORACLES["quantile_normalize_scores"] = f"""
                        ELSE g[lo + 1] + frac * (g[lo + 2] - g[lo + 1])
                   END) * 1000000 + 0.5) / 1000000 AS normalized
     FROM i CROSS JOIN g"""
+
+
+# Mirrors operators/text.langid_confusion: the lang_id stopword-profile
+# argmax (same CTEs as the lang_id oracle) grouped into a confusion
+# matrix with per-actual-language shares.
+_ORACLES["langid_confusion"] = """
+    WITH t AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit'))) * 1.0 / len(toks) AS s_de,
+               len(list_filter(toks, x -> x IN ('the','and','of','is','to','in','it'))) * 1.0 / len(toks) AS s_en,
+               len(list_filter(toks, x -> x IN ('el','los','las','y','es','que','por'))) * 1.0 / len(toks) AS s_es,
+               len(list_filter(toks, x -> x IN ('le','les','et','est','que','pour','dans'))) * 1.0 / len(toks) AS s_fr,
+               len(list_filter(toks, x -> x IN ('de5','shi4','le5','he2','zai4','you3','wo3'))) * 1.0 / len(toks) AS s_zh
+        FROM t
+    ), d AS (
+        SELECT doc_id, lang,
+               CASE WHEN s_de = best THEN 'de'
+                    WHEN s_en = best THEN 'en'
+                    WHEN s_es = best THEN 'es'
+                    WHEN s_fr = best THEN 'fr'
+                    WHEN s_zh = best THEN 'zh' END AS detected_lang
+        FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s)
+    ), tot AS (
+        SELECT lang, count(*) AS n_actual FROM d GROUP BY 1
+    )
+    SELECT d.lang AS actual_lang, d.detected_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           floor((count(*) / any_value(t2.n_actual)) * 10000 + 0.5) / 10000
+             AS share
+    FROM d JOIN tot t2 USING (lang) GROUP BY 1, 2"""
+
+# Mirrors operators/timeseries.interarrival_stats: per-(user, type) lag
+# gaps in epoch-double seconds, per-type exact p50/p90 + rounded mean.
+# NOT in queries() yet (the 50-slot driver window is full this round) —
+# tests/test_operators.py runs this parity directly; register both in
+# round 6.
+INTERARRIVAL_ORACLE = """
+    WITH e AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(ts) / 1000000.0 AS tsd
+        FROM events
+    ), g AS (
+        SELECT event_type,
+               tsd - lag(tsd) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY tsd, event_id) AS gap
+        FROM e
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+           floor(quantile_cont(gap, 0.5) * 10000 + 0.5) / 10000 AS p50_gap_s,
+           floor(quantile_cont(gap, 0.9) * 10000 + 0.5) / 10000 AS p90_gap_s,
+           floor(avg(gap) * 10000 + 0.5) / 10000 AS mean_gap_s
+    FROM g WHERE gap IS NOT NULL GROUP BY 1"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -205,6 +205,18 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     pseudo-English vocabulary, so inference legitimately returns 'en'
     everywhere — the agreement column is the point.)"""
     docs = load_table(spark, "documents", sf_dir)
+    f = _langid_frame(docs)
+    return f.select(
+        "doc_id",
+        "detected_lang",
+        TX.round_half_up(F.col("best_raw"), 4).alias("best_score"),
+        (F.col("lang") == F.col("detected_lang")).alias("agrees_with_tag"),
+    )
+
+
+def _langid_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, detected_lang, best_raw) — the stopword-profile
+    argmax shared by lang_id and langid_confusion."""
     toks = TX.tokens(F.col("text"))
     n = F.size(toks)
 
@@ -229,9 +241,34 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     return docs.select(
         "doc_id",
+        "lang",
         expr.alias("detected_lang"),
-        TX.round_half_up(best, 4).alias("best_score"),
-        (F.col("lang") == expr).alias("agrees_with_tag"),
+        best.alias("best_raw"),
+    )
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: inferred language vs the corpus
+    tag, with each cell's share of its ACTUAL language's row — the
+    evaluation view of lang_id (which emits per-doc verdicts; this
+    quantifies the classifier against the ground-truth column the way a
+    model eval would).
+
+    100 TB shape: one |langs|x|langs|-bounded partial aggregation over
+    the narrow detection projection; row totals broadcast back."""
+    docs = load_table(spark, "documents", sf_dir)
+    f = _langid_frame(docs)
+    tot = f.groupBy("lang").agg(F.count("*").alias("n_actual"))
+    return (
+        f.groupBy("lang", "detected_lang")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            F.col("lang").alias("actual_lang"),
+            "detected_lang",
+            "n",
+            TX.round_half_up(F.col("n") / F.col("n_actual"), 4).alias("share"),
+        )
     )
 
 

@@ -503,3 +503,30 @@ def mad_anomalies(
     return mad_score_frame(ev, mad_thresholds(ev)).filter(
         F.abs(F.col("robust_z")) > cutoff
     )
+
+
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: the gap between a
+    user's consecutive events of the same type (lag over the per-user
+    stream), aggregated to exact p50/p90 and mean seconds — the
+    arrival-process health view (bursts shrink p50, stragglers stretch
+    p90) that complements sessionize's gap-threshold cut with the
+    distribution the threshold should be read from.
+
+    100 TB shape: the lag window partitions by (user_id, event_type) —
+    per-user streams are bounded; the rollup is one |event_types|-
+    bounded exact-percentile aggregation (winsorized_stats precedent).
+    Mean is a double sum rounded half-up at 4 dp."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "event_id", F.col("ts").cast("double").alias("tsd")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("tsd", "event_id")
+    gaps = ev.withColumn("gap", F.col("tsd") - F.lag("tsd").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        TX_round(F.expr("percentile(gap, 0.5D)"), 4).alias("p50_gap_s"),
+        TX_round(F.expr("percentile(gap, 0.9D)"), 4).alias("p90_gap_s"),
+        TX_round(F.avg("gap"), 4).alias("mean_gap_s"),
+    )
