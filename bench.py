@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "proximity_search",
     "kcore_decomposition",
     "quantile_normalize_scores",
+    "langid_confusion",
 ]
 
 

@@ -84,6 +84,7 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.proximity_search,
         T.quantile_normalize_scores,
         GR.kcore_decomposition,
+        T.langid_confusion,
         V.kmeans_assign,
         V.kmeans_cluster_report,
         V.embedding_neardup,
