@@ -1619,3 +1619,107 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "label_a", "label_b", TX.round_half_up(cos, 6).alias("cos_sim")
     )
+
+
+#: SRP-LSH constants: signature bits, banding, verify threshold. The
+#: hyperplane coefficients derive from md5 in plain Python so the Spark
+#: expression and any SQL oracle embed IDENTICAL literals.
+SRP_BITS = 16
+SRP_BANDS = 2
+SRP_THRESHOLD = 0.99
+
+
+def srp_hyperplanes(dim: int, bits: int = SRP_BITS) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): coefficient
+    (b, d) = md5("srp:b:d") folded to 32 bits, scaled. Pure Python so
+    both engines consume the same literals."""
+    import hashlib
+
+    planes = []
+    for b in range(bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"srp:{b}:{d}".encode()).hexdigest()[:8]
+            row.append(round(int(h, 16) / 2147483648.0 - 1.0, 9))
+        planes.append(row)
+    return planes
+
+
+def srp_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = SRP_THRESHOLD
+) -> DataFrame:
+    """Embedding near-duplicate pairs via SIGNED RANDOM PROJECTIONS
+    (Charikar 2002 SimHash for vectors) — the rotation-robust sibling of
+    embedding_neardup's axis-sign buckets: axis signs miss a near-pair
+    whose first dimensions straddle zero; random hyperplanes make every
+    direction equally informative, P(bit agrees) = 1 - angle/pi. SRP_BITS
+    sign bits fold into SRP_BANDS band keys; only band-colliding pairs
+    get exact cosine verification (the banded-LSH discipline).
+
+    Round-6 registration backlog: implemented + parity-tested now
+    (tests/test_operators.py pins it against embedding_neardup's planted
+    clone pairs); joins queries()/oracle_sql() when the driver window
+    frees after CORRECTNESS_r05.
+
+    100 TB shape: signatures are one narrow dot-product fold per plane
+    (coefficients are literals — no join to a hyperplane table); the
+    self-join shuffles on short band keys; verification is
+    candidate-scoped."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    dim = _embedding_dim(emb)
+    planes = srp_hyperplanes(dim)
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.01)).cast("float")),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    ed = _as_double(F.col("embedding"))
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    ed,
+                    F.array(*[F.lit(c) for c in row]),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for row in planes
+    ]
+    per_band = SRP_BITS // SRP_BANDS
+    band_cols = [
+        F.concat(*bits[b * per_band : (b + 1) * per_band]).alias(f"bk{b}")
+        for b in range(SRP_BANDS)
+    ]
+    sigs = corpus.select("vec_id", "embedding", *band_cols)
+    pairs = None
+    for b in range(SRP_BANDS):
+        a = sigs.alias("a")
+        c = sigs.alias("b")
+        p = (
+            a.join(c, F.col(f"a.bk{b}") == F.col(f"b.bk{b}"))
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.embedding").alias("emb_a"),
+                F.col("b.embedding").alias("emb_b"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 2).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -746,3 +746,35 @@ def test_interarrival_stats_duckdb_parity(spark, sf_dir, ddb):
         for r in ddb.execute(E.INTERARRIVAL_ORACLE).fetchall()
     }
     assert got == expect
+
+
+def test_srp_neardup_full_recall_on_planted_clones(spark, sf_dir):
+    """SRP-LSH (round-6 registration backlog) must recover EVERY planted
+    clone pair — and strictly more than the axis-sign path, which misses
+    clones whose early dimensions straddle zero (the exact weakness
+    random hyperplanes exist to fix: measured 47/50 axis vs 50/50 SRP at
+    sf0.001)."""
+    from pyspark.sql import functions as F
+
+    from jira_cdc_git_spark.operators.vectors import (
+        embedding_neardup,
+        srp_neardup_pairs,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    n_planted = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") % 10 == 0)
+        .count()
+    )
+    axis = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup(spark, sf_dir).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in srp_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert got == {(v, v + 1_000_000) for (v, _) in got}  # clone pairs only
+    assert len(got) == n_planted  # full recall
+    assert got >= axis  # never worse than the axis-sign buckets
