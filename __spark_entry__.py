@@ -4301,5 +4301,31 @@ INTERARRIVAL_ORACLE = """
     FROM g WHERE gap IS NOT NULL GROUP BY 1"""
 
 
+# Round-6 backlog oracle (with INTERARRIVAL_ORACLE): mirrors
+# operators/timeseries.conversion_latency_report — the as-of carry via
+# a monotone max-over-prefix window, latency in epoch-double seconds.
+CONVERSION_LATENCY_ORACLE = """
+    WITH sub AS (
+        SELECT * FROM events WHERE event_type IN ('purchase', 'error')
+    ), c AS (
+        SELECT event_id, user_id, ts, event_type,
+               max(CASE WHEN event_type = 'error' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_error_ts
+        FROM sub
+    ), l AS (
+        SELECT epoch_us(ts) / 1000000.0
+               - epoch_us(last_error_ts) / 1000000.0 AS lat
+        FROM c WHERE event_type = 'purchase' AND last_error_ts IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           floor(quantile_cont(lat, 0.5) * 10000 + 0.5) / 10000
+             AS p50_latency_s,
+           floor(quantile_cont(lat, 0.9) * 10000 + 0.5) / 10000
+             AS p90_latency_s,
+           floor(avg(lat) * 10000 + 0.5) / 10000 AS mean_latency_s
+    FROM l"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {**_ORACLES, **_JIRA_ORACLES}

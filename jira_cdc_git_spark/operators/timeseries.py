@@ -530,3 +530,28 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX_round(F.expr("percentile(gap, 0.9D)"), 4).alias("p90_gap_s"),
         TX_round(F.avg("gap"), 4).alias("mean_gap_s"),
     )
+
+
+def conversion_latency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-to-purchase conversion latency: for every purchase preceded
+    by an error (the proven as-of join), the elapsed seconds — rolled up
+    to count, exact p50/p90 and mean. The "how long does recovery take"
+    summary a funnel owner reads next to funnel_conversion's rates.
+
+    Round-6 registration backlog: implemented + DuckDB-parity-tested now
+    (tests/test_operators.py, CONVERSION_LATENCY_ORACLE); registers when
+    the driver window frees.
+
+    100 TB shape: inherits the as-of join's single user-key shuffle; the
+    rollup is a 1-row global aggregate (exact percentile over the
+    purchase subset — swap percentile_approx at extreme scale)."""
+    asof = asof_last_error_before_purchase(spark, sf_dir).filter(
+        F.col("last_error_ts").isNotNull()
+    )
+    lat = F.col("ts").cast("double") - F.col("last_error_ts").cast("double")
+    return asof.select(lat.alias("lat")).agg(
+        F.count("*").alias("n_conversions"),
+        TX_round(F.expr("percentile(lat, 0.5D)"), 4).alias("p50_latency_s"),
+        TX_round(F.expr("percentile(lat, 0.9D)"), 4).alias("p90_latency_s"),
+        TX_round(F.avg("lat"), 4).alias("mean_latency_s"),
+    )

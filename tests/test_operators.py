@@ -778,3 +778,22 @@ def test_srp_neardup_full_recall_on_planted_clones(spark, sf_dir):
     assert got == {(v, v + 1_000_000) for (v, _) in got}  # clone pairs only
     assert len(got) == n_planted  # full recall
     assert got >= axis  # never worse than the axis-sign buckets
+
+
+def test_conversion_latency_duckdb_parity(spark, sf_dir, ddb):
+    """Round-6 backlog: replicate the driver's differential check for
+    conversion_latency_report directly."""
+    import __spark_entry__ as E
+    from jira_cdc_git_spark.operators.timeseries import (
+        conversion_latency_report,
+    )
+
+    got = conversion_latency_report(spark, sf_dir).collect()[0]
+    expect = ddb.execute(E.CONVERSION_LATENCY_ORACLE).fetchone()
+    assert (
+        got["n_conversions"],
+        got["p50_latency_s"],
+        got["p90_latency_s"],
+        got["mean_latency_s"],
+    ) == expect
+    assert got["n_conversions"] > 0
