@@ -449,3 +449,51 @@ def kcore_decomposition(
         .groupBy("v")
         .agg(F.count("*").cast("int").alias("core_degree"))
     )
+
+
+#: highest core level probed by core_numbers.
+KCORE_MAX_K = 4
+
+
+def core_numbers(
+    spark: SparkSession, sf_dir: str, max_k: int = KCORE_MAX_K
+) -> DataFrame:
+    """Full core-number decomposition: each vertex's core number = the
+    largest k for which it survives the k-core peel — the standard
+    cohesion ranking (Batagelj-Zaversnik semantics) built by running the
+    bounded peel at k = 1..max_k and keeping each vertex's deepest
+    survival. Round-6 registration backlog: parity-pinned against
+    kcore_decomposition (the k=3 slice must agree exactly) in
+    tests/test_operators.py.
+
+    100 TB shape: max_k sequential peels, each the proven
+    degree-agg + two-semi-join round over a monotonically shrinking
+    edge set; results union to one |V|-bounded max-aggregation."""
+    e0 = _cooc_edges(spark, sf_dir)
+    survivors = []
+    for k in range(1, max_k + 1):
+        e = e0
+        for _ in range(KCORE_ROUNDS):
+            deg = (
+                e.select(F.col("a").alias("v"))
+                .unionAll(e.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count("*").alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("v").transform(materialize)
+            e = (
+                e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+                .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+                .select("a", "b")
+                .transform(materialize)
+            )
+        survivors.append(
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .distinct()
+            .withColumn("k", F.lit(k))
+        )
+    allk = survivors[0]
+    for s in survivors[1:]:
+        allk = allk.unionAll(s)
+    return allk.groupBy("v").agg(F.max("k").cast("int").alias("core_number"))

@@ -797,3 +797,14 @@ def test_conversion_latency_duckdb_parity(spark, sf_dir, ddb):
         got["mean_latency_s"],
     ) == expect
     assert got["n_conversions"] > 0
+
+
+def test_core_numbers_agree_with_k3_peel(spark, sf_dir):
+    """Round-6 backlog: the core-number decomposition's k>=3 slice must
+    equal the proven kcore_decomposition survivor set, and core numbers
+    must be monotone against vertex degree bounds."""
+    core3 = {r["v"] for r in G.kcore_decomposition(spark, sf_dir).collect()}
+    nums = {r["v"]: r["core_number"] for r in G.core_numbers(spark, sf_dir).collect()}
+    assert {v for v, k in nums.items() if k >= 3} == core3
+    assert nums  # graph is non-trivial
+    assert all(1 <= k <= G.KCORE_MAX_K for k in nums.values())
