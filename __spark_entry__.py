@@ -4194,21 +4194,27 @@ def _kcore_ctes() -> str:
     # reference, and each peel round references the previous edge set
     # several times — unmaterialized, the unrolled rounds expand
     # exponentially (observed as fd exhaustion on the documents scan).
+    return _kcore_peel_ctes(G.KCORE_K, "")
+
+
+def _kcore_peel_ctes(k: int, p: str) -> str:
+    """Unrolled AS-MATERIALIZED peel at threshold k with name prefix p
+    (so core_numbers can union several peels in one statement)."""
     parts = []
     prev = "e"
     for i in range(1, G.KCORE_ROUNDS + 1):
         parts.append(
-            f"""d{i} AS MATERIALIZED (
+            f"""d{p}{i} AS MATERIALIZED (
         SELECT v, count(*) AS d FROM (
             SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev}
         ) GROUP BY 1
-    ), n{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d >= {G.KCORE_K}),
-    e{i} AS MATERIALIZED (
+    ), n{p}{i} AS MATERIALIZED (SELECT v FROM d{p}{i} WHERE d >= {k}),
+    e{p}{i} AS MATERIALIZED (
         SELECT t.a, t.b FROM {prev} t
-        JOIN n{i} x ON t.a = x.v JOIN n{i} y ON t.b = y.v
+        JOIN n{p}{i} x ON t.a = x.v JOIN n{p}{i} y ON t.b = y.v
     )"""
         )
-        prev = f"e{i}"
+        prev = f"e{p}{i}"
     return ",\n    ".join(parts)
 
 
@@ -4217,6 +4223,23 @@ _ORACLES["kcore_decomposition"] = f"""
     SELECT v, CAST(count(*) AS INTEGER) AS core_degree FROM (
         SELECT a AS v FROM e{G.KCORE_ROUNDS}
         UNION ALL SELECT b FROM e{G.KCORE_ROUNDS}
+    ) GROUP BY 1"""
+
+# Round-6 backlog oracle: mirrors operators/graph.core_numbers — one
+# unrolled peel per k (prefixed CTE names), survivors unioned, per-
+# vertex max k.
+_CN_PEELS = ",\n    ".join(
+    _kcore_peel_ctes(k, "abcd"[k - 1]) for k in range(1, G.KCORE_MAX_K + 1)
+)
+_CN_UNION = "\n        UNION ALL ".join(
+    f"SELECT v, {k} AS k FROM (SELECT DISTINCT a AS v FROM e{'abcd'[k-1]}{G.KCORE_ROUNDS} "
+    f"UNION SELECT b FROM e{'abcd'[k-1]}{G.KCORE_ROUNDS})"
+    for k in range(1, G.KCORE_MAX_K + 1)
+)
+CORE_NUMBERS_ORACLE = f"""
+    WITH {_TRI_CTES}, {_CN_PEELS}
+    SELECT v, CAST(max(k) AS INTEGER) AS core_number FROM (
+        {_CN_UNION}
     ) GROUP BY 1"""
 
 # Mirrors operators/text.quantile_normalize_scores: the shared quality
@@ -4325,6 +4348,58 @@ CONVERSION_LATENCY_ORACLE = """
              AS p90_latency_s,
            floor(avg(lat) * 10000 + 0.5) / 10000 AS mean_latency_s
     FROM l"""
+
+
+# Round-6 backlog oracle: mirrors operators/vectors.srp_neardup_pairs —
+# the clone derivation of embedding_neardup's oracle, sign bits from
+# list_dot_product against the SAME hyperplane literals Python
+# generated for the Spark side, two band joins unioned, cosine verify
+# on the rounded value.
+_SRP_PLANES = V.srp_hyperplanes(V.EMBEDDING_DIM)
+
+
+def _srp_band_expr(band: int) -> str:
+    per_band = V.SRP_BITS // V.SRP_BANDS
+    bits = []
+    for i in range(band * per_band, (band + 1) * per_band):
+        arr = ", ".join(repr(c) for c in _SRP_PLANES[i])
+        bits.append(
+            f"CASE WHEN list_dot_product(emb, [{arr}]) >= 0"
+            " THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+SRP_ORACLE = f"""
+    WITH clones AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_prepend(CAST(embedding[1] + 0.01 AS FLOAT), embedding[2:])
+                 AS embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id, embedding FROM clones
+    ), b AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               {_srp_band_expr(0)} AS bk0,
+               {_srp_band_expr(1)} AS bk1
+        FROM corpus
+    ), cand AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               a.emb AS ea, c.emb AS eb
+        FROM b a JOIN b c ON a.bk0 = c.bk0 AND a.vec_id < c.vec_id
+        UNION
+        SELECT a.vec_id, c.vec_id, a.emb, c.emb
+        FROM b a JOIN b c ON a.bk1 = c.bk1 AND a.vec_id < c.vec_id
+    ), scored AS (
+        SELECT vec_a, vec_b,
+               round(list_dot_product(ea, eb)
+                     / sqrt(list_dot_product(ea, ea)
+                            * list_dot_product(eb, eb)), 2) AS cos_sim
+        FROM cand
+    )
+    SELECT * FROM scored WHERE cos_sim >= {V.SRP_THRESHOLD}"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -808,3 +808,32 @@ def test_core_numbers_agree_with_k3_peel(spark, sf_dir):
     assert {v for v, k in nums.items() if k >= 3} == core3
     assert nums  # graph is non-trivial
     assert all(1 <= k <= G.KCORE_MAX_K for k in nums.values())
+
+
+def test_core_numbers_duckdb_parity(spark, sf_dir, ddb):
+    """Round-6 backlog: replicate the driver's differential check for
+    core_numbers against the stashed unrolled-peel oracle."""
+    import __spark_entry__ as E
+
+    got = {
+        (r["v"], r["core_number"])
+        for r in G.core_numbers(spark, sf_dir).collect()
+    }
+    expect = set(ddb.execute(E.CORE_NUMBERS_ORACLE).fetchall())
+    assert got == expect
+    assert got
+
+
+def test_srp_neardup_duckdb_parity(spark, sf_dir, ddb):
+    """Round-6 backlog: replicate the driver's differential check for
+    srp_neardup_pairs against the stashed hyperplane-literal oracle."""
+    import __spark_entry__ as E
+    from jira_cdc_git_spark.operators.vectors import srp_neardup_pairs
+
+    got = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in srp_neardup_pairs(spark, sf_dir).collect()
+    }
+    expect = set(ddb.execute(E.SRP_ORACLE).fetchall())
+    assert got == expect
+    assert got
