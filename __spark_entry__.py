@@ -4402,5 +4402,19 @@ SRP_ORACLE = f"""
     SELECT * FROM scored WHERE cos_sim >= {V.SRP_THRESHOLD}"""
 
 
+# Round-6 backlog oracle: mirrors operators/text.dup_source_matrix —
+# the LSH pair CTEs joined to each side's source, pair-ordered rollup.
+DUP_SOURCE_ORACLE = f"""
+    WITH {_LSH_CTES}
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM jac j
+    JOIN documents da ON da.doc_id = j.doc_a
+    JOIN documents db ON db.doc_id = j.doc_b
+    WHERE j.jaccard >= 0.8
+    GROUP BY 1, 2"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {**_ORACLES, **_JIRA_ORACLES}

@@ -3998,3 +3998,30 @@ def write_curriculum_shards(
         .partitionBy("_bucket")
         .parquet(out_dir)
     )
+
+
+def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate flow: near-duplicate pairs (the proven
+    banded-LSH pipeline) rolled up by the SOURCE of each side — the
+    corpus-forensics view that answers "which feeds copy from which"
+    (mirror sites, syndication, scraped re-posts). Sources are ordered
+    within the pair so (a, b) and (b, a) aggregate together.
+
+    Round-6 registration backlog (DUP_SOURCE_ORACLE parity test).
+
+    100 TB shape: pair-mass joins onto the narrow (doc_id, source)
+    projection, then a |sources|^2-bounded aggregation."""
+    pairs = neardup_pairs_lsh(spark, sf_dir)
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -837,3 +837,17 @@ def test_srp_neardup_duckdb_parity(spark, sf_dir, ddb):
     expect = set(ddb.execute(E.SRP_ORACLE).fetchall())
     assert got == expect
     assert got
+
+
+def test_dup_source_matrix_duckdb_parity(spark, sf_dir, ddb):
+    """Round-6 backlog: cross-source duplicate flow vs the stashed
+    LSH-composition oracle."""
+    import __spark_entry__ as E
+
+    got = {
+        (r["source_x"], r["source_y"], r["n_pairs"])
+        for r in T.dup_source_matrix(spark, sf_dir).collect()
+    }
+    expect = set(ddb.execute(E.DUP_SOURCE_ORACLE).fetchall())
+    assert got == expect
+    assert got
