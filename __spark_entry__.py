@@ -33,8 +33,12 @@ centroids, exact all-pairs prefix join, k-core, quantile
 normalization) — with prior-green backfill below (rows-only entries
 with clean driver rows count as proven and rotate out).
 tests/test_registry_rotation.py enforces the invariant mechanically.
-The registry has 194
-entries: 183 oracle-backed (value-hash checked) and 11 no-oracle by
+Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
+so the five oracle-stashed backlog operators (interarrival_stats,
+conversion_latency_report, srp_neardup_pairs, core_numbers,
+dup_source_matrix) plus this round's additions take the leading slots.
+The registry has 200
+entries: 189 oracle-backed (value-hash checked) and 11 no-oracle by
 nature (xxhash64-based simhash signatures; iterative k-means; the six
 mapInPandas media passes; the HLL sketch report; the zlib compression
 ratio), which get rows-only checks wherever slotted. Regardless of
@@ -73,10 +77,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ===== slots 1-50: driver-checked this round =====
-        # Round-5 rotation: every pre-r5 entry is green in the union of
-        # CORRECTNESS_r01-r04, so the whole window is free — r5
-        # additions go first (verdict task 9), backfilled with prior-
-        # green entries.
+        # Round-6 rotation: every r5-window entry is green in
+        # CORRECTNESS_r05 (49 fully green + 1 clean rows-only), so the
+        # whole window is free. The five oracle-stashed backlog
+        # operators (r5 verdict task 1) register first; r6 additions
+        # follow; prior-green entries backfill below.
+        "interarrival_stats": TS.interarrival_stats,
+        "conversion_latency_report": TS.conversion_latency_report,
+        "srp_neardup_pairs": V.srp_neardup_pairs,
+        "core_numbers": G.core_numbers,
+        "dup_source_matrix": T.dup_source_matrix,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -87,9 +97,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette_report": V.silhouette_report,
         "label_centroid_similarity": V.label_centroid_similarity,
         "langid_confusion": T.langid_confusion,
-        # interarrival_stats is implemented + DuckDB-parity-tested
-        # (tests/test_operators.py) but registers in round 6 — the
-        # 50-slot driver window is exactly full this round
         "allpairs_prefix_jaccard": T.allpairs_prefix_jaccard,
         "proximity_search": T.proximity_search,
         "kcore_decomposition": G.kcore_decomposition,
@@ -4241,6 +4248,7 @@ CORE_NUMBERS_ORACLE = f"""
     SELECT v, CAST(max(k) AS INTEGER) AS core_number FROM (
         {_CN_UNION}
     ) GROUP BY 1"""
+_ORACLES["core_numbers"] = CORE_NUMBERS_ORACLE
 
 # Mirrors operators/text.quantile_normalize_scores: the shared quality
 # CTE, a 101-point exact-percentile global grid, per-source
@@ -4322,6 +4330,7 @@ INTERARRIVAL_ORACLE = """
            floor(quantile_cont(gap, 0.9) * 10000 + 0.5) / 10000 AS p90_gap_s,
            floor(avg(gap) * 10000 + 0.5) / 10000 AS mean_gap_s
     FROM g WHERE gap IS NOT NULL GROUP BY 1"""
+_ORACLES["interarrival_stats"] = INTERARRIVAL_ORACLE
 
 
 # Round-6 backlog oracle (with INTERARRIVAL_ORACLE): mirrors
@@ -4348,6 +4357,7 @@ CONVERSION_LATENCY_ORACLE = """
              AS p90_latency_s,
            floor(avg(lat) * 10000 + 0.5) / 10000 AS mean_latency_s
     FROM l"""
+_ORACLES["conversion_latency_report"] = CONVERSION_LATENCY_ORACLE
 
 
 # Round-6 backlog oracle: mirrors operators/vectors.srp_neardup_pairs —
@@ -4400,6 +4410,7 @@ SRP_ORACLE = f"""
         FROM cand
     )
     SELECT * FROM scored WHERE cos_sim >= {V.SRP_THRESHOLD}"""
+_ORACLES["srp_neardup_pairs"] = SRP_ORACLE
 
 
 # Round-6 backlog oracle: mirrors operators/text.dup_source_matrix —
@@ -4414,6 +4425,7 @@ DUP_SOURCE_ORACLE = f"""
     JOIN documents db ON db.doc_id = j.doc_b
     WHERE j.jaccard >= 0.8
     GROUP BY 1, 2"""
+_ORACLES["dup_source_matrix"] = DUP_SOURCE_ORACLE
 
 
 def oracle_sql() -> dict[str, str]:
