@@ -72,5 +72,5 @@ def test_registry_counts_match_docstring():
     names = list(E.queries())
     oracles = set(E.oracle_sql())
     assert len(names) == 200
-    assert len(oracles) == 189
+    assert len(oracles) == 191
     assert set(oracles) <= set(names)
