@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 200
-entries: 191 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 204
+entries: 195 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -94,6 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CTE oracles (r5 verdict task 2) — fresh hash rows needed.
         "ivf_topk_kmeans": V.ivf_topk_kmeans,
         "ivfpq_topk_kmeans": V.ivfpq_topk_kmeans,
+        # r6 driver-green twins for pytest-only §2 rows (F11/F10/C6/S5+S7)
+        "key_from_path_report": J.key_from_path_report,
+        "duration_parse_report": J.duration_parse_report,
+        "sync_history_tail": J.sync_history_tail,
+        "state_roundtrip_readback": J.state_roundtrip_readback,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -2369,6 +2374,75 @@ _JIRA_ORACLES["relationship_symlinks"] = f"""
 
 _JIRA_ORACLES["salted_epic_join"] = _SKEWED_JOIN_SQL
 _JIRA_ORACLES["skewed_epic_join_unsalted"] = _SKEWED_JOIN_SQL
+
+# Round-6 driver-green twins for pytest-only §2 rows (r5 verdict task 3).
+# Mirrors operators/jira.key_from_path_report (F11): strip-dirs +
+# strip-.yaml key extraction over the files fixture, P16 shape check.
+_JIRA_ORACLES["key_from_path_report"] = f"""
+    WITH {_FL}
+    SELECT path,
+           regexp_extract(path, '([^/]+)\\.yaml$', 1) AS issue_key,
+           regexp_matches(regexp_extract(path, '([^/]+)\\.yaml$', 1),
+                          '^[A-Z][A-Z0-9]*(-[A-Z0-9]+)*-[0-9]+$') AS valid
+    FROM files
+"""
+
+# Mirrors operators/jira.duration_parse_report (F10): the same derived
+# flag corpus (two malformed slots), NULL on reject.
+_JIRA_ORACLES["duration_parse_report"] = f"""
+    WITH {_I}, d AS (
+        SELECT k,
+               CASE WHEN k % 6 = 0 THEN CAST(k % 900 AS STRING) || 'ms'
+                    WHEN k % 6 = 1 THEN CAST(k % 120 AS STRING) || 's'
+                    WHEN k % 6 = 2 THEN CAST(k % 60 AS STRING) || 'm'
+                    WHEN k % 6 = 3 THEN CAST(k % 24 AS STRING) || 'h'
+                    WHEN k % 6 = 4 THEN 'PT' || CAST(k % 24 AS STRING) || 'H'
+                    ELSE '' END AS dur_str
+        FROM issues_flat
+    )
+    SELECT k, dur_str,
+           CAST(TRY_CAST(NULLIF(
+                    regexp_extract(dur_str, '^(\\d+)(ms|s|m|h)$', 1), '')
+                    AS BIGINT)
+                * CASE regexp_extract(dur_str, '^(\\d+)(ms|s|m|h)$', 2)
+                       WHEN 'ms' THEN 1 WHEN 's' THEN 1000
+                       WHEN 'm' THEN 60000 WHEN 'h' THEN 3600000 END
+             AS BIGINT) AS dur_ms
+    FROM d
+"""
+
+# Mirrors operators/jira.sync_history_tail (C6/W4): derived ops journal,
+# 50 most recent survive (pkg/state/manager.go:149-152).
+_JIRA_ORACLES["sync_history_tail"] = f"""
+    WITH {_I}, ops AS (
+        SELECT 'sync-' || CAST(k AS STRING) AS op_id,
+               CASE k % 3 WHEN 0 THEN 'full_sync'
+                          WHEN 1 THEN 'incremental_sync'
+                          ELSE 'reconciliation' END AS op_type,
+               CASE WHEN k % 13 = 0 THEN 'failed' ELSE 'success' END
+                 AS status,
+               updated AS started_at,
+               CAST((k % 900) * 100 AS BIGINT) AS duration_ms
+        FROM issues_flat WHERE k % 7 = 0
+    )
+    SELECT op_id, op_type, status,
+           strftime(started_at, '%Y-%m-%d %H:%M:%S') AS started_at,
+           duration_ms
+    FROM ops ORDER BY started_at DESC, op_id LIMIT 50
+"""
+
+# Mirrors operators/jira.state_roundtrip_readback (S5+S7): the Spark
+# side writes the fixture through the versioned state manager and reads
+# it back; a lossless round trip hash-matches the direct derivation.
+_JIRA_ORACLES["state_roundtrip_readback"] = f"""
+    WITH {_S}
+    SELECT key, project_key,
+           strftime(last_synced, '%Y-%m-%d %H:%M:%S') AS last_synced,
+           strftime(last_updated, '%Y-%m-%d %H:%M:%S') AS last_updated,
+           version, file_path, file_size, checksum, sync_status,
+           error_message, sync_count
+    FROM sync_state
+"""
 
 _JIRA_ORACLES["validate_requests"] = _SEC_MOD.oracle(_I)
 _JIRA_ORACLES["pagerank_links"] = _pagerank_oracle()

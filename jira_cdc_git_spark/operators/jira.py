@@ -786,3 +786,108 @@ def symlink_rows(edges: DataFrame) -> DataFrame:
 def relationship_symlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry form of the symlink tree over the fixture issue table."""
     return symlink_rows(link_edges_frame(FX.issues(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 driver-green twins for pytest-only §2 rows (F10/F11/C6/S5+S7)
+# ---------------------------------------------------------------------------
+
+def key_from_path_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — issue-key extraction from sync file paths
+    (internal/sync/incremental.go:468-475: strip dirs, strip `.yaml`)
+    over the files fixture, with the P16 key-shape regex flagging
+    non-issue residue (ORPHAN-* files parse but a real sync would
+    re-validate). Pure regexp_extract — whole-stage codegen, no
+    shuffle; at 100 TB this is a narrow map over the listing."""
+    fl = FX.files(spark, sf_dir)
+    key = SC.key_from_path(F.col("path"))
+    return fl.select(
+        "path",
+        key.alias("issue_key"),
+        key.rlike(r"^[A-Z][A-Z0-9]*(-[A-Z0-9]+)*-[0-9]+$").alias("valid"),
+    )
+
+
+def duration_parse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — duration-flag parsing (internal/cli/sync.go:477-492:
+    `500ms`/`2s`/`3m`/`1h`, reject everything else) over a derived
+    flag corpus: each fixture issue contributes one duration string,
+    two slots of which are malformed (the reject path). Row-level
+    output so the oracle hashes the exact NULL propagation."""
+    iss = FX.issues_flat(spark, sf_dir)
+    dur = (
+        F.when(F.col("k") % 6 == 0, F.concat(F.lit(""), (F.col("k") % 900).cast("string"), F.lit("ms")))
+        .when(F.col("k") % 6 == 1, F.concat((F.col("k") % 120).cast("string"), F.lit("s")))
+        .when(F.col("k") % 6 == 2, F.concat((F.col("k") % 60).cast("string"), F.lit("m")))
+        .when(F.col("k") % 6 == 3, F.concat((F.col("k") % 24).cast("string"), F.lit("h")))
+        .when(F.col("k") % 6 == 4, F.concat(F.lit("PT"), (F.col("k") % 24).cast("string"), F.lit("H")))
+        .otherwise(F.lit(""))
+    )
+    return iss.select(
+        "k",
+        dur.alias("dur_str"),
+        SC.duration_ms(dur).alias("dur_ms"),
+    )
+
+
+def sync_history_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/W4 — the operation-history cap over a derived ops journal:
+    every 7th fixture issue contributes one sync operation row and only
+    the 50 MOST RECENT survive (pkg/state/manager.go:149-152 caps the
+    persisted history at 50 entries; state.StateManager.record_operation
+    applies the same window on write). Top-50 is TakeOrderedAndProject
+    (no global sort); the journal itself is inherently ≤50 rows at rest,
+    so scale is not a concern — the cap IS the operator."""
+    iss = FX.issues_flat(spark, sf_dir).filter(F.col("k") % 7 == 0)
+    ops = iss.select(
+        F.concat(F.lit("sync-"), F.col("k").cast("string")).alias("op_id"),
+        F.when(F.col("k") % 3 == 0, "full_sync")
+        .when(F.col("k") % 3 == 1, "incremental_sync")
+        .otherwise("reconciliation")
+        .alias("op_type"),
+        F.when(F.col("k") % 13 == 0, "failed").otherwise("success").alias("status"),
+        F.col("updated").alias("started_at"),
+        ((F.col("k") % 900) * 100).cast("long").alias("duration_ms"),
+    )
+    return (
+        ops.orderBy(F.col("started_at").desc(), F.col("op_id"))
+        .limit(50)
+        .select(
+            "op_id",
+            "op_type",
+            "status",
+            F.date_format("started_at", "yyyy-MM-dd HH:mm:ss").alias("started_at"),
+            "duration_ms",
+        )
+    )
+
+
+def state_roundtrip_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S7 as ONE driver-checkable query: the sync_state fixture is
+    SAVED through the versioned state manager (atomic pointer flip,
+    partitioned by project_key — pkg/state/manager.go:166-179) and
+    LOADED back; the returned frame must hash-match the fixture
+    derivation the oracle recomputes — proving the parquet round trip
+    is lossless, not just runnable. Timestamps emit as strings (engine
+    timestamp-normalization differs; the cohort_retention lesson)."""
+    import tempfile
+
+    from jira_cdc_git_spark.state import SyncStateStore
+
+    st = FX.sync_state(spark, sf_dir)
+    mgr = SyncStateStore(tempfile.mkdtemp(prefix="state_roundtrip_"))
+    mgr.save(st)
+    out = mgr.load(spark)
+    return out.select(
+        "key",
+        "project_key",
+        F.date_format("last_synced", "yyyy-MM-dd HH:mm:ss").alias("last_synced"),
+        F.date_format("last_updated", "yyyy-MM-dd HH:mm:ss").alias("last_updated"),
+        "version",
+        "file_path",
+        "file_size",
+        "checksum",
+        "sync_status",
+        "error_message",
+        "sync_count",
+    )
