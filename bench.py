@@ -340,9 +340,12 @@ def main() -> None:
     }
     # Persist the full payload IN-REPO (r4 verdict task 5: the driver's
     # tail buffer truncated BENCH_r04's long JSON line, losing the
-    # per-query dict) and print a compact headline line FIRST so even a
-    # truncated capture carries the totals; the full one-line JSON
-    # (the driver contract) still follows. Only the driver-scale run
+    # per-query dict). Print order matters: the driver keeps only the
+    # TAIL of stdout (r5 verdict item 2 — the compact-first ordering
+    # left BENCH_r05 headless), so the full one-line JSON goes FIRST
+    # and the compact headline goes LAST, shaped to the driver contract
+    # (metric/value/unit/queries/sf, queries trimmed to the top-10) so
+    # a truncated capture still parses. Only the driver-scale run
     # (sf0.1) is the round artifact — a quick probe at another sf must
     # not clobber it.
     local = os.path.join(
@@ -358,20 +361,20 @@ def main() -> None:
     top10 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    print(json.dumps(payload))
     print(
         json.dumps(
             {
                 "metric": "total_headline_query_sec",
                 "value": total,
                 "unit": "sec",
+                "queries": top10,
                 "sf": sf,
                 "n_queries": len(timings),
-                "top10_sec": top10,
                 "full_payload": os.path.basename(local),
             }
         )
     )
-    print(json.dumps(payload))
 
 
 def _round_no() -> int:

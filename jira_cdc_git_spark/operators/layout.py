@@ -113,8 +113,8 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows_match")
     )
     return (
-        z.crossJoin(l)
-        .crossJoin(matches)
+        z.crossJoin(F.broadcast(l))
+        .crossJoin(F.broadcast(matches))
         .select(
             "n_rows_match",
             "n_files_zorder",

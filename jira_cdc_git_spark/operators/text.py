@@ -1595,7 +1595,7 @@ def pmi_topk(
     )
     tot = bgc.agg(
         F.sum("c_bg").cast("double").alias("t_bg")
-    ).crossJoin(ug.agg(F.sum("c_w").cast("double").alias("t_ug")))
+    ).crossJoin(F.broadcast(ug.agg(F.sum("c_w").cast("double").alias("t_ug"))))
     u1 = ug.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
     u2 = ug.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
     scored = (
@@ -2940,7 +2940,7 @@ def shard_drift_report(
     # smoothed per-shard distributions on the shared corpus support:
     # grid = vocab x shards so absent tokens still carry the add-1 floor
     grid = (
-        hist.select("tok").distinct().crossJoin(totals)
+        hist.select("tok").distinct().crossJoin(F.broadcast(totals))
     )  # (tok, shard, t): |vocab| x n_shards rows
     p = (
         grid.join(hist, ["shard", "tok"], "left")
