@@ -204,6 +204,9 @@ class JobManager:
         issue_keys: list[str] | None = None,
     ) -> dict:
         opts = req.get("options") or {}
+        retry = _normalize_retry_policy(
+            req.get("retry_policy") or req.get("retryPolicy") or opts.get("retry_policy")
+        )
         with self._lock:
             self._n += 1
             job_id = f"sync-job-{self._n:05d}"
@@ -218,6 +221,7 @@ class JobManager:
                 "dry_run": bool(opts.get("dry_run")),
                 "incremental": bool(opts.get("incremental")),
                 "force": bool(opts.get("force")),
+                "batch_size": int(opts.get("batch_size") or 0),
                 "created_at": _now_iso(),
                 "started_at": None,
                 "completed_at": None,
@@ -225,6 +229,17 @@ class JobManager:
                 "processed_issues": 0,
                 "successful_sync": 0,
                 "failed_sync": 0,
+                # RetryPolicy parity (internal/operator/types/types.go:
+                # 57-67): attempts journal + retry bookkeeping live on
+                # the job row the way the reference keeps retryCount in
+                # an annotation.
+                "retry_policy": retry,
+                "retry_count": 0,
+                "retry_at": None,
+                "attempts": [],
+                # ProgressInfo parity (types.go:129-152) — surfaced on
+                # GET /api/v1/jobs/{id} like the status subresource.
+                "progress": _progress_info(0, 0, None, "queued", "Pending"),
                 "errors": [],
                 "logs": [f"job {job_id} created ({job_type}): {jql}"],
             }
@@ -237,9 +252,18 @@ class JobManager:
     # -- worker --------------------------------------------------------
 
     def _next_pending(self) -> dict | None:
+        now = time.time()
         for jid in self._order:
-            if self._jobs[jid]["status"] == PENDING:
-                return self._jobs[jid]
+            job = self._jobs[jid]
+            if job["status"] != PENDING:
+                continue
+            # a retry waits out its backoff delay (handleFailed →
+            # updateStatusWithDelay, jirasync_controller.go:613-647);
+            # retry_at is wall-clock ISO so it survives a restart
+            ra = job.get("retry_at")
+            if ra is not None and _iso_to_ts(ra) > now:
+                continue
+            return job
         return None
 
     def _run_loop(self) -> None:
@@ -252,8 +276,11 @@ class JobManager:
                 if self._stop:
                     return
                 job["status"] = RUNNING
-                job["started_at"] = _now_iso()
-                job["logs"].append("sync started")
+                job["retry_at"] = None
+                if job["started_at"] is None:
+                    job["started_at"] = _now_iso()
+                attempt = job.get("retry_count", 0) + 1
+                job["logs"].append(f"sync started (attempt {attempt})")
                 self._journal(job)
             try:
                 counts = self._execute(job)
@@ -266,17 +293,54 @@ class JobManager:
                         successful_sync=counts["successful"],
                         failed_sync=counts["failed"],
                     )
+                    done_pi = _progress_info(
+                        counts["total"], counts["total"],
+                        _iso_to_ts(job["started_at"]), "sync", "Completed",
+                    )
+                    done_pi["percentage"] = 100  # 0-change syncs finish too
+                    job["progress"] = done_pi
+                    job["attempts"].append(
+                        {"attempt": attempt, "outcome": "completed",
+                         "at": _now_iso()}
+                    )
                     job["logs"].append(
                         "sync completed: "
                         + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
                     )
                     self._journal(job)
             except Exception as exc:  # job-scoped failure, server stays up
-                with self._lock:
-                    job.update(status=FAILED, completed_at=_now_iso())
-                    job["errors"].append(f"{type(exc).__name__}: {exc}")
-                    job["logs"].append(f"sync failed: {exc}")
-                    self._journal(job)
+                self._handle_failed(job, attempt, exc)
+
+    def _handle_failed(self, job: dict, attempt: int, exc: Exception) -> None:
+        """handleFailed parity (jirasync_controller.go:613-647): with a
+        RetryPolicy and retries left, re-queue as pending after
+        delay = initial_delay * multiplier^retry_count; otherwise the
+        failure is terminal. Every attempt journals to the job row."""
+        with self._lock:
+            job["errors"].append(f"{type(exc).__name__}: {exc}")
+            job["attempts"].append(
+                {"attempt": attempt, "outcome": "failed",
+                 "error": f"{type(exc).__name__}: {exc}", "at": _now_iso()}
+            )
+            pol = job.get("retry_policy")
+            retries_done = job.get("retry_count", 0)
+            if pol and retries_done < pol["max_retries"]:
+                delay = pol["initial_delay_s"]
+                for _ in range(retries_done):
+                    delay *= pol["backoff_multiplier"]
+                job["retry_count"] = retries_done + 1
+                job["retry_at"] = _ts_to_iso(time.time() + delay)
+                job["status"] = PENDING
+                job["logs"].append(
+                    f"sync failed: {exc}; retrying "
+                    f"(attempt {retries_done + 1}/{pol['max_retries']}) "
+                    f"in {delay:.2f}s"
+                )
+            else:
+                job.update(status=FAILED, completed_at=_now_iso())
+                job["logs"].append(f"sync failed: {exc}")
+            self._journal(job)
+            self._wake.notify()
 
     def _execute(self, job: dict) -> dict:
         from pyspark.sql import functions as F
@@ -297,6 +361,7 @@ class JobManager:
         elif self.limiter is not None:
             kw["limiter"] = self.limiter
         job["logs"].append(f"fetching: {job['jql']}")
+        self._set_progress(job, 0, 0, "fetch", "Fetching")
         issues = JR.search_query(
             self.spark,
             self.base_url,
@@ -309,15 +374,60 @@ class JobManager:
             # reference fetches them one by one, batch_test.go posture) —
             # enforced engine-side even if the server over-returns
             issues = issues.filter(F.col("key").isin(job["issue_keys"]))
-        return incremental_sync_batch(
-            self.spark,
-            issues,
-            store,
-            out,
-            force=force,
-            dry_run=job["dry_run"],
-            edges_dir=f"{out}/edges",
-        )
+        sync_kw: dict = {
+            "force": force,
+            "dry_run": job["dry_run"],
+            "edges_dir": f"{out}/edges",
+        }
+        bs = job.get("batch_size") or 0
+        if bs <= 0:
+            counts = incremental_sync_batch(
+                self.spark, issues, store, out, **sync_kw
+            )
+            self._set_progress(
+                job, counts["total"], counts["total"], "sync", "Syncing"
+            )
+            return counts
+        # batched execution (internal/sync/batch.go posture): the fetch
+        # set splits into ceil(total/batch_size) hash buckets, each
+        # chunk runs the full batch body, and the job's ProgressInfo
+        # (percentage / rate / ETA) updates + journals after every
+        # chunk — the StatusManager.UpdateProgress loop.
+        issues = issues.persist()
+        try:
+            total = issues.count()
+            n_batches = max(1, -(-total // bs))
+            bucket = F.pmod(F.xxhash64("key"), F.lit(n_batches))
+            self._set_progress(job, total, 0, "sync", "Syncing")
+            agg: dict[str, int] = {}
+            done = 0
+            for b in range(n_batches):
+                chunk = issues.filter(bucket == b)
+                done_b = chunk.count()
+                c = incremental_sync_batch(
+                    self.spark, chunk, store, out, **sync_kw
+                )
+                for key, val in c.items():
+                    agg[key] = agg.get(key, 0) + val
+                done += done_b
+                self._set_progress(job, total, done, "sync", "Syncing")
+            return agg
+        finally:
+            issues.unpersist()
+
+    def _set_progress(
+        self, job: dict, total: int, completed: int, op: str, stage: str
+    ) -> None:
+        with self._lock:
+            started = job.get("started_at")
+            job["progress"] = _progress_info(
+                total,
+                completed,
+                _iso_to_ts(started) if started else None,
+                op,
+                stage,
+            )
+            self._journal(job)
 
     # -- queries -------------------------------------------------------
 
@@ -406,6 +516,65 @@ class JobManager:
 
 def _now_iso() -> str:
     return datetime.now(timezone.utc).isoformat()
+
+
+def _ts_to_iso(ts: float) -> str:
+    return datetime.fromtimestamp(ts, tz=timezone.utc).isoformat()
+
+
+def _iso_to_ts(iso: str) -> float:
+    return datetime.fromisoformat(iso).timestamp()
+
+
+def _normalize_retry_policy(raw) -> dict | None:
+    """RetryPolicy (internal/operator/types/types.go:57-67): maxRetries,
+    backoffMultiplier, initialDelay (seconds) — accepted in either the
+    reference's camelCase JSON tags or snake_case; None disables retry
+    (the reference's `MaxRetries > 0` gate, handleFailed)."""
+    if not raw:
+        return None
+    max_retries = int(raw.get("maxRetries") or raw.get("max_retries") or 0)
+    if max_retries <= 0:
+        return None
+    return {
+        "max_retries": max_retries,
+        "backoff_multiplier": float(
+            raw.get("backoffMultiplier") or raw.get("backoff_multiplier") or 2.0
+        ),
+        "initial_delay_s": float(
+            raw.get("initialDelay") or raw.get("initial_delay") or 1.0
+        ),
+    }
+
+
+def _progress_info(
+    total: int,
+    completed: int,
+    started_ts: float | None,
+    operation: str,
+    stage: str,
+) -> dict:
+    """ProgressInfo parity (types.go:129-152 + status_manager.go:497-521):
+    percentage = completed/total, processing rate in ops/minute from the
+    job's own elapsed time, ETA = now + remaining/rate."""
+    pct = int(completed / total * 100) if total else 0
+    rate = 0.0
+    eta = None
+    if started_ts is not None and completed > 0:
+        elapsed_min = max((time.time() - started_ts) / 60.0, 1e-9)
+        rate = round(completed / elapsed_min, 2)
+        remaining = total - completed
+        if rate > 0 and remaining > 0:
+            eta = _ts_to_iso(time.time() + remaining / rate * 60.0)
+    return {
+        "percentage": pct,
+        "current_operation": operation,
+        "total_operations": total,
+        "completed_operations": completed,
+        "estimated_completion": eta,
+        "processing_rate": rate,
+        "stage": stage,
+    }
 
 
 def _json_safe(obj: dict) -> dict:

@@ -436,3 +436,142 @@ def test_rate_limited_server_returns_429(spark, mock_jira, tmp_path):
         assert status == 200
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# round-6: RetryPolicy parity (types.go:57-67; handleFailed,
+# jirasync_controller.go:613-647) + ProgressInfo/ETA (types.go:129-152;
+# status_manager.go:497-521)
+# ---------------------------------------------------------------------------
+
+def _job_manager(spark, mock_jira, tmp_path):  # noqa: F811
+    from test_jira_rest import _fast_limiter
+
+    url, state = mock_jira
+    return (
+        A.JobManager(spark, url, str(tmp_path / "repos"), limiter=_fast_limiter()),
+        state,
+    )
+
+
+def test_retry_policy_transient_failure_recovers(spark, mock_jira, tmp_path):  # noqa: F811
+    mgr, state = _job_manager(spark, mock_jira, tmp_path)
+    try:
+        # attempt 1's first page exhausts the client's 5 retries (6
+        # requests) and raises; every later request succeeds — the
+        # flaky-network sync the reference's RetryPolicy exists for
+        state["fail_at"] = set(range(1, 7))
+        job = mgr.submit(
+            "jql",
+            "project = PROJ",
+            "retry-ok",
+            {
+                "retry_policy": {
+                    "maxRetries": 2,
+                    "initialDelay": 0.2,
+                    "backoffMultiplier": 2.0,
+                }
+            },
+        )
+        done = mgr.wait(job["job_id"], timeout_s=180)
+        assert done["status"] == "completed"
+        assert done["retry_count"] == 1
+        assert [a["outcome"] for a in done["attempts"]] == [
+            "failed",
+            "completed",
+        ]
+        assert done["attempts"][0]["error"].startswith("HTTPError")
+        assert any("retrying (attempt 1/2)" in line for line in done["logs"])
+        assert done["total_issues"] == N_ISSUES
+    finally:
+        mgr.shutdown()
+
+
+def test_retry_policy_exhaustion_is_terminal_with_growing_gaps(
+    spark, mock_jira, tmp_path  # noqa: F811
+):
+    mgr, state = _job_manager(spark, mock_jira, tmp_path)
+    try:
+        state["fail_at"] = set(range(1, 1000))  # permanent outage
+        job = mgr.submit(
+            "jql",
+            "project = PROJ",
+            "retry-dead",
+            {
+                "retry_policy": {
+                    "maxRetries": 2,
+                    "initialDelay": 0.2,
+                    "backoffMultiplier": 2.0,
+                }
+            },
+        )
+        done = mgr.wait(job["job_id"], timeout_s=180)
+        assert done["status"] == "failed"
+        assert done["retry_count"] == 2
+        assert [a["outcome"] for a in done["attempts"]] == ["failed"] * 3
+        logs = "\n".join(done["logs"])
+        # backoff curve: initialDelay, then ×multiplier per retry
+        assert "(attempt 1/2) in 0.20s" in logs
+        assert "(attempt 2/2) in 0.40s" in logs
+        assert len(done["errors"]) == 3
+    finally:
+        mgr.shutdown()
+
+
+def test_no_retry_policy_fails_immediately(spark, mock_jira, tmp_path):  # noqa: F811
+    mgr, state = _job_manager(spark, mock_jira, tmp_path)
+    try:
+        state["fail_at"] = set(range(1, 1000))
+        job = mgr.submit("jql", "project = PROJ", "no-retry", {})
+        done = mgr.wait(job["job_id"], timeout_s=120)
+        assert done["status"] == "failed"
+        assert done["retry_count"] == 0
+        assert [a["outcome"] for a in done["attempts"]] == ["failed"]
+    finally:
+        mgr.shutdown()
+
+
+def test_progress_and_eta_on_multibatch_sync(spark, mock_jira, tmp_path):  # noqa: F811
+    mgr, _ = _job_manager(spark, mock_jira, tmp_path)
+    hist = []
+    orig = mgr._set_progress
+
+    def record(job, total, completed, op, stage):
+        orig(job, total, completed, op, stage)
+        hist.append(dict(job["progress"]))
+
+    mgr._set_progress = record
+    try:
+        job = mgr.submit(
+            "jql",
+            "project = PROJ",
+            "progress-repo",
+            {"options": {"batch_size": 100}},
+        )
+        done = mgr.wait(job["job_id"], timeout_s=300)
+        assert done["status"] == "completed"
+        # monotone percentage across the journaled updates, ending at 100
+        pcts = [h["percentage"] for h in hist]
+        assert pcts == sorted(pcts)
+        assert done["progress"]["percentage"] == 100
+        assert done["progress"]["stage"] == "Completed"
+        # the per-chunk updates carry a positive rate and a sane ETA
+        mids = [h for h in hist if 0 < h["percentage"] < 100]
+        assert mids, f"no intermediate progress recorded: {pcts}"
+        for h in mids:
+            assert h["processing_rate"] > 0
+            assert h["estimated_completion"] is not None
+            assert h["total_operations"] == N_ISSUES
+        # GET surface carries the same shape
+        got = mgr.get(job["job_id"])["progress"]
+        assert set(got) == {
+            "percentage",
+            "current_operation",
+            "total_operations",
+            "completed_operations",
+            "estimated_completion",
+            "processing_rate",
+            "stage",
+        }
+    finally:
+        mgr.shutdown()
