@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 204
-entries: 195 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 205
+entries: 196 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duration_parse_report": J.duration_parse_report,
         "sync_history_tail": J.sync_history_tail,
         "state_roundtrip_readback": J.state_roundtrip_readback,
+        "job_metrics_rollup": J.job_metrics_rollup,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -2429,6 +2430,29 @@ _JIRA_ORACLES["sync_history_tail"] = f"""
            strftime(started_at, '%Y-%m-%d %H:%M:%S') AS started_at,
            duration_ms
     FROM ops ORDER BY started_at DESC, op_id LIMIT 50
+"""
+
+# Mirrors operators/jira.job_metrics_rollup: the same derived ops
+# journal, rolled to the reference's reconcile counter/histogram
+# analogs (jirasync_controller.go:100-181) per (op_type, status).
+_JIRA_ORACLES["job_metrics_rollup"] = f"""
+    WITH {_I}, ops AS (
+        SELECT CASE k % 3 WHEN 0 THEN 'full_sync'
+                          WHEN 1 THEN 'incremental_sync'
+                          ELSE 'reconciliation' END AS op_type,
+               CASE WHEN k % 13 = 0 THEN 'failed' ELSE 'success' END
+                 AS status,
+               CAST((k % 900) * 100 AS BIGINT) AS duration_ms
+        FROM issues_flat WHERE k % 7 = 0
+    )
+    SELECT op_type, status,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+           floor(avg(duration_ms / 1000.0) * 10000 + 0.5) / 10000
+             AS avg_duration_s,
+           floor(quantile_cont(CAST(duration_ms AS DOUBLE), 0.95)
+                 * 10000 + 0.5) / 10000 AS p95_duration_ms
+    FROM ops GROUP BY 1, 2
 """
 
 # Mirrors operators/jira.state_roundtrip_readback (S5+S7): the Spark

@@ -830,16 +830,12 @@ def duration_parse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sync_history_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6/W4 — the operation-history cap over a derived ops journal:
-    every 7th fixture issue contributes one sync operation row and only
-    the 50 MOST RECENT survive (pkg/state/manager.go:149-152 caps the
-    persisted history at 50 entries; state.StateManager.record_operation
-    applies the same window on write). Top-50 is TakeOrderedAndProject
-    (no global sort); the journal itself is inherently ≤50 rows at rest,
-    so scale is not a concern — the cap IS the operator."""
+def _ops_journal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived operations journal (every 7th fixture issue = one sync
+    op) — shared by sync_history_tail (the C6 cap) and
+    job_metrics_rollup (the observability rollup)."""
     iss = FX.issues_flat(spark, sf_dir).filter(F.col("k") % 7 == 0)
-    ops = iss.select(
+    return iss.select(
         F.concat(F.lit("sync-"), F.col("k").cast("string")).alias("op_id"),
         F.when(F.col("k") % 3 == 0, "full_sync")
         .when(F.col("k") % 3 == 1, "incremental_sync")
@@ -849,6 +845,28 @@ def sync_history_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("updated").alias("started_at"),
         ((F.col("k") % 900) * 100).cast("long").alias("duration_ms"),
     )
+
+
+def job_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability rollup over the derived ops journal — the same
+    scheduling.metrics_rollup_frame the live plane runs, driver-checked
+    against a DuckDB oracle: run counts, total duration, mean seconds
+    and exact p95 per (op_type, status) label pair (the reconcile
+    counter/histogram analogs of jirasync_controller.go:100-181)."""
+    from jira_cdc_git_spark.scheduling import metrics_rollup_frame
+
+    return metrics_rollup_frame(_ops_journal_frame(spark, sf_dir))
+
+
+def sync_history_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/W4 — the operation-history cap over a derived ops journal:
+    every 7th fixture issue contributes one sync operation row and only
+    the 50 MOST RECENT survive (pkg/state/manager.go:149-152 caps the
+    persisted history at 50 entries; state.StateManager.record_operation
+    applies the same window on write). Top-50 is TakeOrderedAndProject
+    (no global sort); the journal itself is inherently ≤50 rows at rest,
+    so scale is not a concern — the cap IS the operator."""
+    ops = _ops_journal_frame(spark, sf_dir)
     return (
         ops.orderBy(F.col("started_at").desc(), F.col("op_id"))
         .limit(50)

@@ -214,3 +214,77 @@ def run_scheduled(
         spark.sparkContext.setJobGroup("", "")
     lock.release(schedule, run_id, "completed", now)
     return {"status": "completed", "replaced": replaced, **result}
+
+
+# ---------------------------------------------------------------------------
+# Round-6: thin observability parity — the reference exposes reconcile
+# counters/durations and job-phase gauges over Prometheus
+# (internal/operator/controllers/jirasync_controller.go:100-181); the
+# Spark-first analog is a queryable METRICS FRAME over the artifacts the
+# engine already journals (the schedule run journal + the job queue),
+# so the same rollups run as plain DataFrame queries.
+# ---------------------------------------------------------------------------
+
+def metrics_rollup_frame(ops: DataFrame) -> DataFrame:
+    """jirasync_reconcile_total / _duration_seconds as ONE rollup over an
+    operations journal with (op_type, status, duration_ms): run counts
+    per (name, result) label pair, total/exact-p95 duration, and the
+    mean in seconds — the table a Grafana panel would chart from the
+    reference's histogram.
+
+    100 TB shape: one partial-agg shuffle keyed by (op_type, status);
+    the journal itself is control-plane-sized (ops, not rows)."""
+    from pyspark.sql import functions as F
+
+    from jira_cdc_git_spark.functions import text as TX
+
+    return ops.groupBy("op_type", "status").agg(
+        F.count("*").alias("n_runs"),
+        F.sum("duration_ms").cast("long").alias("total_duration_ms"),
+        TX.round_half_up(F.avg(F.col("duration_ms") / 1000.0), 4).alias(
+            "avg_duration_s"
+        ),
+        TX.round_half_up(
+            F.percentile(F.col("duration_ms").cast("double"), F.lit(0.95)), 4
+        ).alias("p95_duration_ms"),
+    )
+
+
+def metrics_frame(
+    spark: SparkSession,
+    lock: "ScheduleLock | None" = None,
+    jobs: DataFrame | None = None,
+) -> DataFrame:
+    """The live metrics table: long-format (metric, name, result, value)
+    series folded from the schedule run journal (reconcile counters)
+    and the job queue (phase gauges) — the /metrics endpoint's content
+    as a DataFrame."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    if lock is not None:
+        j = lock.journal_df(spark)
+        if "event" in j.columns and j.head(1):
+            parts.append(
+                j.groupBy(
+                    F.lit("sync_reconcile_total").alias("metric"),
+                    F.col("schedule").alias("name"),
+                    F.col("event").alias("result"),
+                ).agg(F.count("*").cast("double").alias("value"))
+            )
+    if jobs is not None:
+        parts.append(
+            jobs.groupBy(
+                F.lit("sync_jobs_total").alias("metric"),
+                F.col("type").alias("name"),
+                F.col("status").alias("result"),
+            ).agg(F.count("*").cast("double").alias("value"))
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "metric string, name string, result string, value double"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -115,3 +115,42 @@ def test_run_scheduled_end_to_end(lock, spark):
     assert lock.active("nightly") == []
     events = {(r["run_id"], r["event"]) for r in lock.journal_df(spark).collect()}
     assert ("run-2", "failed") in events
+
+
+def test_metrics_frame_folds_journal_and_jobs(lock, spark):
+    """Round-6 observability parity: the live metrics table folds the
+    schedule run journal (reconcile counters) and the job queue (phase
+    gauges) into long-format series — the queryable analog of
+    jirasync_controller.go:100-181's Prometheus registry."""
+    from jira_cdc_git_spark.scheduling import metrics_frame, metrics_rollup_frame
+
+    now = datetime(2024, 1, 1)
+    lock.acquire("nightly", "r1", "Forbid", now=now)
+    lock.release("nightly", "r1", "completed", now)
+    lock.acquire("nightly", "r2", "Forbid", now=now)
+    lock.acquire("nightly", "r3", "Forbid", now=now)  # skipped_forbid
+    jobs = spark.createDataFrame(
+        [("j-1", "jql", "completed"), ("j-2", "jql", "failed"),
+         ("j-3", "batch", "pending")],
+        "job_id string, type string, status string",
+    )
+    m = {(r["metric"], r["name"], r["result"]): r["value"]
+         for r in metrics_frame(spark, lock=lock, jobs=jobs).collect()}
+    assert m[("sync_reconcile_total", "nightly", "completed")] == 1.0
+    assert m[("sync_reconcile_total", "nightly", "skipped_forbid")] == 1.0
+    assert m[("sync_jobs_total", "jql", "failed")] == 1.0
+    assert m[("sync_jobs_total", "batch", "pending")] == 1.0
+
+    # the rollup arm: exact p95 + mean over a known journal
+    ops = spark.createDataFrame(
+        [("a", "full_sync", "success", 1000), ("b", "full_sync", "success", 3000),
+         ("c", "full_sync", "failed", 10000)],
+        "op_id string, op_type string, status string, duration_ms long",
+    )
+    rows = {(r["op_type"], r["status"]): r
+            for r in metrics_rollup_frame(ops).collect()}
+    ok = rows[("full_sync", "success")]
+    assert (ok["n_runs"], ok["total_duration_ms"]) == (2, 4000)
+    assert ok["avg_duration_s"] == 2.0
+    assert ok["p95_duration_ms"] == 2900.0  # interpolated 0.95 between 1000,3000
+    assert rows[("full_sync", "failed")]["n_runs"] == 1
