@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 205
-entries: 196 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 206
+entries: 197 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -100,6 +100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sync_history_tail": J.sync_history_tail,
         "state_roundtrip_readback": J.state_roundtrip_readback,
         "job_metrics_rollup": J.job_metrics_rollup,
+        # r6: the linear-work sorted-neighborhood SemDeDup (capped
+        # within-cluster pairwise — the 100 TB default; `semdedup`
+        # stays the exact-semantics audit path)
+        "semdedup_capped": V.semdedup_capped,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -1895,6 +1899,62 @@ _ORACLES["semdedup"] = """
     )
     SELECT a.vec_id, a.cluster_id, l.vec_id IS NULL AS keep
     FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
+"""
+
+# Mirrors operators/vectors.semdedup_capped (round 6): the same clone
+# fixture in integer micro-units — exact-L2 assignment, per-cluster
+# centroid-distance rank, and the sorted-neighborhood candidate window
+# (rank gap <= cap) replacing the full within-cluster pairwise; only
+# the final cosine verify is float, rounded 4 dp on both engines.
+_ORACLES["semdedup_capped"] = """
+    WITH clones AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_prepend(CAST(embedding[1] + 0.01 AS FLOAT), embedding[2:])
+                 AS embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id, embedding FROM clones
+    ), e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                             AS DOUBLE)) AS em
+        FROM corpus
+    ), cents AS (
+        SELECT CAST(vec_id AS INTEGER) AS cent_id, em AS ce
+        FROM e ORDER BY vec_id
+        LIMIT (SELECT CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT) FROM corpus)
+    ), assigned AS (
+        SELECT vec_id, em, cent_id AS cluster_id, CAST(d AS BIGINT) AS dist_sq
+        FROM (SELECT e.vec_id, e.em, c.cent_id,
+                     list_dot_product(e.em, e.em)
+                     - 2 * list_dot_product(e.em, c.ce)
+                     + list_dot_product(c.ce, c.ce) AS d,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(e.em, e.em)
+                         - 2 * list_dot_product(e.em, c.ce)
+                         + list_dot_product(c.ce, c.ce), c.cent_id) AS rn
+              FROM e CROSS JOIN cents c) t
+        WHERE rn = 1
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY dist_sq, vec_id) AS rnk
+        FROM assigned
+    ), losers AS (
+        SELECT DISTINCT CASE WHEN a.vec_id > b.vec_id
+                             THEN a.vec_id ELSE b.vec_id END AS vec_id
+        FROM ranked a JOIN ranked b
+          ON a.cluster_id = b.cluster_id
+         AND b.rnk > a.rnk AND b.rnk <= a.rnk + 8
+        WHERE round(list_dot_product(a.em, b.em)
+                    / sqrt(list_dot_product(a.em, a.em)
+                           * list_dot_product(b.em, b.em)), 4) >= 0.95
+    )
+    SELECT r.vec_id, r.cluster_id, CAST(r.rnk AS INTEGER) AS rnk,
+           l.vec_id IS NULL AS keep
+    FROM ranked r LEFT JOIN losers l ON r.vec_id = l.vec_id
 """
 
 # Per-source quality rollup composes the gopher + quality oracles verbatim.

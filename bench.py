@@ -145,6 +145,21 @@ BENCH_QUERIES = [
     "kcore_decomposition",
     "quantile_normalize_scores",
     "langid_confusion",
+    # round-6: backlog registrations, micro-Lloyd ANN pair, driver-green
+    # twins, observability rollup, capped SemDeDup
+    "interarrival_stats",
+    "conversion_latency_report",
+    "srp_neardup_pairs",
+    "core_numbers",
+    "dup_source_matrix",
+    "ivf_topk_kmeans",
+    "ivfpq_topk_kmeans",
+    "key_from_path_report",
+    "duration_parse_report",
+    "sync_history_tail",
+    "state_roundtrip_readback",
+    "job_metrics_rollup",
+    "semdedup_capped",
 ]
 
 
@@ -398,7 +413,9 @@ SUPERLINEAR_BY_DESIGN = {
     "semdedup": (
         "N^1.5: K=ceil(sqrt(N/2)) balances O(N*K) assignment vs O(N^2/K) "
         "within-cluster pairwise (exact SemDeDup semantics); the linear-"
-        "scale path is embedding_neardup (hyperplane buckets, ratio ~3x)"
+        "scale paths are semdedup_capped (sorted-neighborhood window, "
+        "O(N*cap), drop-parity-tested) and embedding_neardup "
+        "(hyperplane buckets, ratio ~3x)"
     ),
 }
 
@@ -419,6 +436,7 @@ SCALE_PROBE_QUERIES = [
     "pagerank_links",
     "cosine_topk",
     "semdedup",
+    "semdedup_capped",
     "embedding_neardup",
     "fuzzy_match_entities",
     "epic_hierarchy",

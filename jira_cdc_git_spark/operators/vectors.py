@@ -474,6 +474,97 @@ def semdedup(
     )
 
 
+def semdedup_capped(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.95,
+    cap: int = 8,
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """semdedup with the within-cluster pairwise BOUNDED (r5 verdict
+    task 7): members of a cluster are ranked by exact distance to their
+    centroid and each member verifies cosine only against the `cap`
+    next-ranked members — the sorted-neighborhood discipline
+    (Hernandez-Stolfo 1995) applied inside SemDeDup's clusters. A true
+    near-duplicate pair sits at near-identical centroid distance, so
+    rank adjacency keeps the planted-clone recall of the exact variant
+    (tests pin drop parity) while worst-case work falls from
+    O(Sigma n_c^2) = O(N^1.5) to O(N*cap): LINEAR in the corpus — this
+    is the 100 TB default; `semdedup` remains the exact-semantics
+    audit path.
+
+    The whole pipeline runs in integer micro-units (assignment argmin,
+    centroid-distance rank) so the capped variant is ORACLE-EXACT:
+    cluster membership, ranks, and the candidate window all replay
+    bit-identically in DuckDB; only the final cosine verify is float,
+    rounded to 4 dp on both engines before the threshold."""
+    import math
+
+    from pyspark.sql import Window
+
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.01)).cast("float")),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .unionByName(clones)
+        .select("vec_id", _micro_units(F.col("embedding")).alias("em"))
+    )
+    if n_centroids is None:
+        raw = load_table(spark, "embeddings", sf_dir)
+        c = raw.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("vec_id") % 10 == 0).cast("long")).alias("clones"),
+        ).collect()[0]
+        n_centroids = max(
+            1, math.ceil(math.sqrt((c["n"] + (c["clones"] or 0)) / 2.0))
+        )
+    cents = (
+        corpus.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").cast("int").alias("cent_id"), F.col("em").alias("ce"))
+        .transform(materialize)
+    )
+    assigned = _micro_assign(
+        corpus.withColumn("label", F.lit(0)), cents
+    ).select("vec_id", "em", F.col("cluster").alias("cluster_id"), "dist_sq")
+    ranked = assigned.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy("dist_sq", "vec_id")
+        ),
+    ).transform(materialize)
+    a, b = ranked.alias("a"), ranked.alias("b")
+    losers = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("b.rnk") > F.col("a.rnk"))
+            & (F.col("b.rnk") <= F.col("a.rnk") + cap),
+        )
+        .filter(
+            F.round(cosine(F.col("a.em"), F.col("b.em")), 4) >= threshold
+        )
+        .select(
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id")
+        )
+        .distinct()
+    )
+    return ranked.join(
+        losers.withColumn("lost", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster_id",
+        "rnk",
+        F.coalesce(~F.col("lost"), F.lit(True)).alias("keep"),
+    )
+
+
 def write_ivf_index(
     spark: SparkSession, sf_dir: str, path: str, n_centroids: int = 16
 ) -> None:

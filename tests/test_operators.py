@@ -851,3 +851,26 @@ def test_dup_source_matrix_duckdb_parity(spark, sf_dir, ddb):
     expect = set(ddb.execute(E.DUP_SOURCE_ORACLE).fetchall())
     assert got == expect
     assert got
+
+
+def test_semdedup_capped_drop_parity_with_exact(spark, sf_dir):
+    """Round-6: the sorted-neighborhood cap must not lose the exact
+    variant's recall on the planted-clone fixture — both drop exactly
+    the same vectors (the clones), while the capped variant bounds
+    within-cluster work at O(n_c * cap)."""
+    exact_drops = {
+        r["vec_id"]
+        for r in V.semdedup(spark, sf_dir).collect()
+        if not r["keep"]
+    }
+    capped = V.semdedup_capped(spark, sf_dir).collect()
+    capped_drops = {r["vec_id"] for r in capped if not r["keep"]}
+    assert capped_drops == exact_drops
+    # every clone (vec_id >= 1e6) was dropped, no original was
+    assert capped_drops and all(v >= 1_000_000 for v in capped_drops)
+    # the candidate window is bounded: rnk is a dense per-cluster rank
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in capped)
+    for r in capped:
+        assert 1 <= r["rnk"] <= sizes[r["cluster_id"]]
