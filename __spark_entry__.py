@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 206
-entries: 197 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 207
+entries: 198 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -104,6 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within-cluster pairwise — the 100 TB default; `semdedup`
         # stays the exact-semantics audit path)
         "semdedup_capped": V.semdedup_capped,
+        # r6: HITS hubs/authorities — integer-exact iterative link
+        # analysis next to pagerank_links
+        "hits_scores": G.hits_scores,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -2080,6 +2083,52 @@ def _pagerank_oracle(iters: int = 3, alpha: float = 0.85) -> str:
     """
 
 
+def _hits_oracle(iters: int = 3) -> str:
+    """Unrolled HITS CTE chain mirroring operators/graph.hits_scores:
+    integer half-step normalization via DuckDB `//` == Spark `div`.
+    Stage CTEs are MATERIALIZED (each is referenced twice; plain CTEs
+    inline per reference — the k-core exponential-expansion lesson)."""
+    u = G.HITS_UNIT
+    steps = []
+    prev = "h0"
+    for i in range(1, iters + 1):
+        steps.append(f"""ra{i} AS MATERIALIZED (
+            SELECT e.dst_key AS key, sum(p.s) AS raw
+            FROM edges e JOIN {prev} p ON e.src_key = p.key GROUP BY 1
+        ), a{i} AS MATERIALIZED (
+            SELECT nodes.key,
+                   CASE WHEN m.mx IS NULL OR m.mx <= 0 THEN 0
+                        ELSE (coalesce(r.raw, 0) * {u}) // m.mx END AS s
+            FROM nodes
+            LEFT JOIN ra{i} r ON r.key = nodes.key
+            CROSS JOIN (SELECT max(raw) AS mx FROM ra{i}) m
+        ), rh{i} AS MATERIALIZED (
+            SELECT e.src_key AS key, sum(p.s) AS raw
+            FROM edges e JOIN a{i} p ON e.dst_key = p.key GROUP BY 1
+        ), h{i} AS MATERIALIZED (
+            SELECT nodes.key,
+                   CASE WHEN m.mx IS NULL OR m.mx <= 0 THEN 0
+                        ELSE (coalesce(r.raw, 0) * {u}) // m.mx END AS s
+            FROM nodes
+            LEFT JOIN rh{i} r ON r.key = nodes.key
+            CROSS JOIN (SELECT max(raw) AS mx FROM rh{i}) m
+        )""")
+        prev = f"h{i}"
+    return f"""
+        WITH {_I}, all_edges AS ({_EDGES_SQL}),
+        nodes AS (SELECT DISTINCT key FROM issues_flat),
+        edges AS (
+            SELECT src_key, dst_key FROM all_edges
+            WHERE dst_key IN (SELECT key FROM nodes)
+        ),
+        h0 AS (SELECT key, CAST({u} AS BIGINT) AS s FROM nodes),
+        {", ".join(steps)}
+        SELECT n.key, h.s / {float(u)} AS hub, a.s / {float(u)} AS authority
+        FROM nodes n JOIN h{iters} h ON h.key = n.key
+        JOIN a{iters} a ON a.key = n.key
+    """
+
+
 _JIRA_ORACLES: dict[str, str] = {
     "issue_flatten": f"""
         WITH {_I}
@@ -2530,6 +2579,7 @@ _JIRA_ORACLES["state_roundtrip_readback"] = f"""
 
 _JIRA_ORACLES["validate_requests"] = _SEC_MOD.oracle(_I)
 _JIRA_ORACLES["pagerank_links"] = _pagerank_oracle()
+_JIRA_ORACLES["hits_scores"] = _hits_oracle()
 
 # The composed admission gate (streaming/pipeline.admission_frame) in its
 # deterministic batch split: candidates = doc_id % 10 == 3 posing as a

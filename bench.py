@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "state_roundtrip_readback",
     "job_metrics_rollup",
     "semdedup_capped",
+    "hits_scores",
 ]
 
 

@@ -497,3 +497,86 @@ def core_numbers(
     for s in survivors[1:]:
         allk = allk.unionAll(s)
     return allk.groupBy("v").agg(F.max("k").cast("int").alias("core_number"))
+
+
+HITS_UNIT = 1_000_000  # integer score units; max-normalized each half-step
+
+
+def hits_scores(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the issue-link
+    graph — the second classic link-analysis fixpoint next to
+    pagerank_links: authority(v) = Σ hub(u) over in-edges, hub(u) =
+    Σ authority(v) over out-edges, max-normalized each half-step.
+    On a curation corpus the same shape ranks crawl pages: authorities
+    are heavily-referenced canonical docs, hubs are link farms/indexes.
+
+    CROSS-ENGINE DETERMINISM (the pagerank_links discipline, upgraded
+    to 64-bit integer arithmetic): scores live in HITS_UNIT integer
+    units; the per-half-step normalization is an INTEGER division
+    (Spark `div` == DuckDB `//`) of raw*UNIT by the max raw score, so
+    every value every round is an exact integer on both engines —
+    raw ≤ N·UNIT ≈ 1.5e12 at sf1 and raw*UNIT ≤ 1.5e18 stays inside
+    int64. The DuckDB oracle unrolls the same rounds as stacked CTEs.
+
+    100 TB shape: per half-step one key join (scores → edges) + one
+    map-side-partial integer aggregation + one max() broadcast —
+    identical shuffle structure to pagerank; nodes/edges/degrees are
+    computed once and reused."""
+    from jira_cdc_git_spark import fixtures as FX
+    from jira_cdc_git_spark.operators.jira import link_edges
+
+    nodes = materialize(
+        FX.issues_flat(spark, sf_dir).select("key").distinct()
+    )
+    edges = materialize(
+        link_edges(spark, sf_dir)
+        .select("src_key", "dst_key")
+        .join(
+            nodes.select(F.col("key").alias("dst_key")), "dst_key", "left_semi"
+        )
+    )
+    unit = F.lit(HITS_UNIT).cast("long")
+    h = nodes.select("key", unit.alias("h"))
+
+    def _half_step(scores: DataFrame, join_on: str, out_key: str, col: str) -> DataFrame:
+        """One HITS half-step: push `scores[col]` across edges onto
+        `out_key`, then max-normalize back to integer UNIT scale."""
+        raw = (
+            edges.join(scores, edges[join_on] == scores.key)
+            .groupBy(F.col(out_key).alias("key"))
+            .agg(F.sum(col).alias("raw"))
+        )
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return (
+            nodes.join(raw, "key", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "key",
+                F.when(
+                    F.col("mx").isNotNull() & (F.col("mx") > 0),
+                    F.expr(f"coalesce(raw, 0L) * {HITS_UNIT}L div mx"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(col),
+            )
+        )
+
+    a = None
+    for i in range(iters):
+        a = _half_step(h.withColumnRenamed("h", "s"), "src_key", "dst_key", "s")
+        a = a.withColumnRenamed("s", "a")
+        h = _half_step(a.withColumnRenamed("a", "s"), "dst_key", "src_key", "s")
+        h = h.withColumnRenamed("s", "h")
+        if (i + 1) % 2 == 0 and (i + 1) < iters:
+            h = materialize(h)
+            a = materialize(a)
+    return (
+        nodes.join(h, "key")
+        .join(a, "key")
+        .select(
+            "key",
+            (F.col("h") / F.lit(float(HITS_UNIT))).alias("hub"),
+            (F.col("a") / F.lit(float(HITS_UNIT))).alias("authority"),
+        )
+    )

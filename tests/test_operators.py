@@ -874,3 +874,18 @@ def test_semdedup_capped_drop_parity_with_exact(spark, sf_dir):
     sizes = Counter(r["cluster_id"] for r in capped)
     for r in capped:
         assert 1 <= r["rnk"] <= sizes[r["cluster_id"]]
+
+
+def test_hits_scores_bounded_and_epics_are_authorities(spark, sf_dir):
+    """Round-6 HITS: scores are max-normalized into [0, 1] with the max
+    exactly 1, and the top authority is an epic (epic_link in-edges
+    concentrate on block epics in the fixture graph)."""
+    rows = G.hits_scores(spark, sf_dir).collect()
+    assert rows
+    hubs = [r["hub"] for r in rows]
+    auths = [r["authority"] for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in hubs + auths)
+    assert max(auths) == 1.0 and max(hubs) == 1.0
+    top_auth = max(rows, key=lambda r: (r["authority"], r["key"]))
+    num = int(top_auth["key"].rsplit("-", 1)[1])
+    assert num % 20 == 0  # slot-0 rows are the Epics
