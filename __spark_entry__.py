@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 207
-entries: 198 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 208
+entries: 199 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6: HITS hubs/authorities — integer-exact iterative link
         # analysis next to pagerank_links
         "hits_scores": G.hits_scores,
+        # r6: MMR diversity re-ranking after the ANN pool
+        "mmr_diverse_topk": V.mmr_diverse_topk,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -1959,6 +1961,60 @@ _ORACLES["semdedup_capped"] = """
            l.vec_id IS NULL AS keep
     FROM ranked r LEFT JOIN losers l ON r.vec_id = l.vec_id
 """
+
+def _mmr_oracle(k: int = 10, pool: int = 50, lam: float = 0.7) -> str:
+    """Unrolled MMR greedy selection mirroring vectors.mmr_diverse_topk:
+    exact-cosine top-`pool`, then k argmax steps each MATERIALIZED (the
+    selected set is referenced by every later step). The lam/(1-lam)
+    coefficients interpolate via repr so both engines combine the same
+    doubles."""
+    div = 1.0 - lam
+    cos = (
+        "round(list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a})"
+        " * list_dot_product({b}, {b})), 6)"
+    )
+    steps = [f"""s1 AS MATERIALIZED (
+        SELECT vec_id, label, emb, rel,
+               {lam!r} * rel - {div!r} * 0.0 AS score, 1 AS rank
+        FROM pool ORDER BY score DESC, vec_id LIMIT 1
+    ), sel1 AS MATERIALIZED (SELECT vec_id, emb FROM s1)"""]
+    for r in range(2, k + 1):
+        pair = cos.format(a="p2.emb", b="s.emb")
+        steps.append(f"""s{r} AS MATERIALIZED (
+        SELECT p.vec_id, p.label, p.emb, p.rel,
+               {lam!r} * p.rel - {div!r} * m.mx AS score, {r} AS rank
+        FROM pool p
+        JOIN (SELECT p2.vec_id, max({pair}) AS mx
+              FROM pool p2 JOIN sel{r - 1} s ON TRUE
+              WHERE p2.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+              GROUP BY 1) m ON m.vec_id = p.vec_id
+        ORDER BY score DESC, p.vec_id LIMIT 1
+    ), sel{r} AS MATERIALIZED (
+        SELECT vec_id, emb FROM sel{r - 1}
+        UNION ALL SELECT vec_id, emb FROM s{r}
+    )""")
+    relq = cos.format(a="e.emb", b="q.qv")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT rank, vec_id, label, rel,"
+        f" floor(score * 1000000 + 0.5) / 1000000 AS mmr_score FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ), pool AS MATERIALIZED (
+        SELECT e.vec_id, e.label, e.emb, {relq} AS rel
+        FROM e, (SELECT emb AS qv FROM e WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY rel DESC, e.vec_id
+        LIMIT {pool}
+    ),
+    {", ".join(steps)}
+    {finals}"""
+
+
+_ORACLES["mmr_diverse_topk"] = _mmr_oracle()
 
 # Per-source quality rollup composes the gopher + quality oracles verbatim.
 _ORACLES["quality_by_source"] = f"""

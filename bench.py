@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "job_metrics_rollup",
     "semdedup_capped",
     "hits_scores",
+    "mmr_diverse_topk",
 ]
 
 

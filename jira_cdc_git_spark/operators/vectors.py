@@ -1842,3 +1842,91 @@ def srp_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 50
+
+
+def mmr_diverse_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    pool: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein 1998)
+    — the standard diversity pass production retrieval runs AFTER ANN:
+    from a relevance-ordered pool, greedily pick the candidate
+    maximizing lam*rel - (1-lam)*max_sim_to_already_selected, so the
+    final k covers the query's neighborhood instead of k near-copies
+    of the same document.
+
+    Plan shape: the pool is the distributed part (exact-cosine top-`pool`
+    = TakeOrderedAndProject over the corpus — the cosine_topk plan); the
+    greedy loop then runs k bounded rounds over the broadcast pool
+    (anti-join remaining, max-sim against the selected set, 1-row
+    argmax), each O(pool * |selected|) and INDEPENDENT of corpus size —
+    at 100 TB only the pool scan grows. Scores stay deterministic:
+    rel and pairwise sims round to 6 dp before the fixed-shape
+    lam-combination, ties break to the lowest vec_id, so the DuckDB
+    oracle replays the exact selection sequence unrolled."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(_as_double(F.col("embedding")).alias("qv"))
+        .transform(materialize)
+    )
+    cand_pool = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            _as_double(F.col("embedding")).alias("v"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(pool)
+        .transform(materialize)
+    )
+    lam_c, div_c = F.lit(lam), F.lit(1.0 - lam)
+    selected = None
+    for rank in range(1, k + 1):
+        if selected is None:
+            remaining, mx = cand_pool, F.lit(0.0)
+            scored = remaining.select(
+                "vec_id", "label", "v", "rel",
+                (lam_c * F.col("rel") - div_c * mx).alias("score"),
+            )
+        else:
+            remaining = cand_pool.join(
+                F.broadcast(selected.select("vec_id")), "vec_id", "left_anti"
+            )
+            sims = (
+                remaining.crossJoin(
+                    F.broadcast(selected.select(F.col("v").alias("sv")))
+                )
+                .select(
+                    "vec_id",
+                    F.round(cosine(F.col("v"), F.col("sv")), 6).alias("sim"),
+                )
+                .groupBy("vec_id")
+                .agg(F.max("sim").alias("mx"))
+            )
+            scored = remaining.join(sims, "vec_id").select(
+                "vec_id", "label", "v", "rel",
+                (lam_c * F.col("rel") - div_c * F.col("mx")).alias("score"),
+            )
+        pick = (
+            scored.orderBy(F.col("score").desc(), F.col("vec_id"))
+            .limit(1)
+            .withColumn("rank", F.lit(rank))
+            .transform(materialize)
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+    return selected.select(
+        "rank", "vec_id", "label", "rel",
+        TX.round_half_up(F.col("score"), 6).alias("mmr_score"),
+    )

@@ -889,3 +889,39 @@ def test_hits_scores_bounded_and_epics_are_authorities(spark, sf_dir):
     top_auth = max(rows, key=lambda r: (r["authority"], r["key"]))
     num = int(top_auth["key"].rsplit("-", 1)[1])
     assert num % 20 == 0  # slot-0 rows are the Epics
+
+
+def test_mmr_diverse_topk_monotone_and_more_diverse(spark, sf_dir):
+    """Round-6 MMR: greedy scores are non-increasing (each round every
+    remaining candidate's penalty only grows), the first pick is the
+    pure-relevance winner, and the selected set is no less diverse
+    than plain cosine top-k (mean pairwise cosine does not increase)."""
+    import itertools
+
+    import numpy as np
+
+    mmr = sorted(V.mmr_diverse_topk(spark, sf_dir).collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in mmr] == list(range(1, 11))
+    assert len({r["vec_id"] for r in mmr}) == 10
+    scores = [r["mmr_score"] for r in mmr]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    top = V.cosine_topk(spark, sf_dir, k=10).collect()
+    assert mmr[0]["vec_id"] == top[0]["vec_id"]
+
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in load_table(spark, "embeddings", sf_dir).collect()
+    }
+
+    def mean_pair_sim(ids):
+        sims = [
+            float(emb[a] @ emb[b] / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b])))
+            for a, b in itertools.combinations(ids, 2)
+        ]
+        return sum(sims) / len(sims)
+
+    assert mean_pair_sim([r["vec_id"] for r in mmr]) <= mean_pair_sim(
+        [r["vec_id"] for r in top]
+    ) + 1e-9
