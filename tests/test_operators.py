@@ -303,6 +303,23 @@ def test_connected_components_chain_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_adversarial_chain(spark):
+    # A 120-node PATH whose ids are bit-reversed along the chain — the
+    # worst case for min-label propagation (the old engine was still
+    # churning at round 22 on the real link graph; two-phase star
+    # collapses it in O(log^2 n) rounds). One component, min id 0.
+    n = 120
+    order = sorted(range(n), key=lambda x: int(f"{x:07b}"[::-1], 2))
+    pairs = spark.createDataFrame(
+        [(order[i], order[i + 1]) for i in range(n - 1)],
+        "doc_a bigint, doc_b bigint",
+    )
+    out = {r["node"]: r["component"]
+           for r in G.connected_components(pairs).collect()}
+    assert len(out) == n
+    assert set(out.values()) == {0}
+
+
 def test_neardup_clusters_consistent_with_pairs(spark, sf_dir):
     pairs = T.neardup_pairs_lsh(spark, sf_dir).collect()
     clusters = {r["doc_id"]: r["cluster_id"]
