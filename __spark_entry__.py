@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 211
-entries: 202 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 215
+entries: 206 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -113,6 +113,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_scores": G.link_prediction_scores,
         "link_components": G.link_components,
         "degree_distribution": G.degree_distribution,
+        # r6 wave: event-time analytics (Markov matrix, CUSUM drift,
+        # hypertable gap-fill/LOCF, seasonal-naive baseline)
+        "markov_transitions": TS.markov_transitions,
+        "cusum_changepoints": TS.cusum_changepoints,
+        "gap_fill_locf": TS.gap_fill_locf,
+        "seasonality_profile": TS.seasonality_profile,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -4878,6 +4884,111 @@ def _link_components_oracle(rounds: int | None = None) -> str:
 
 
 _JIRA_ORACLES["link_components"] = _link_components_oracle()
+
+
+# ===== Round-6 wave: event-time analytics (operators/timeseries) =====
+
+# Mirrors operators/timeseries.markov_transitions.
+_ORACLES["markov_transitions"] = """
+    WITH p AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), c AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           floor(n / (sum(n) OVER (PARTITION BY from_type)) * 1000000 + 0.5)
+             / 1000000 AS prob
+    FROM c"""
+
+# Mirrors operators/timeseries.cusum_changepoints: z-scores from exact
+# integer moment sums, CUSUM via its closed form (prefix sum minus
+# running prefix-min) over integer micro-units.
+_ORACLES["cusum_changepoints"] = f"""
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), st AS (
+        SELECT event_type, sum(n) AS s1, sum(n * n) AS s2,
+               count(*) AS cnt
+        FROM h GROUP BY 1
+    ), z AS (
+        SELECT h.event_type, hour_ts, n,
+               CAST(floor(((n - s1 / cnt)
+                           / sqrt(s2 / cnt - (s1 / cnt) * (s1 / cnt))
+                           - {TS.CUSUM_K}) * {float(TS.CUSUM_UNIT)})
+                    AS BIGINT) AS zk_u
+        FROM h JOIN st USING (event_type)
+    ), c AS (
+        SELECT event_type, hour_ts, n,
+               sum(zk_u) OVER (PARTITION BY event_type ORDER BY hour_ts
+                               ROWS UNBOUNDED PRECEDING) AS c_u
+        FROM z
+    ), f AS (
+        SELECT event_type, hour_ts, n, c_u,
+               least(CAST(0 AS BIGINT),
+                     min(c_u) OVER (PARTITION BY event_type ORDER BY hour_ts
+                                    ROWS UNBOUNDED PRECEDING)) AS floor_u
+        FROM c
+    )
+    SELECT event_type, hour_ts, n,
+           floor((c_u - floor_u) / {float(TS.CUSUM_UNIT)} * 1000000 + 0.5)
+             / 1000000 AS cusum,
+           (c_u - floor_u) > {int(TS.CUSUM_H * TS.CUSUM_UNIT)}
+             AS is_changepoint
+    FROM f"""
+
+# Mirrors operators/timeseries.gap_fill_locf. value_filled carries raw
+# stored doubles (never aggregated) — bit-identical across engines.
+_ORACLES["gap_fill_locf"] = """
+    WITH ev AS (
+        SELECT user_id, ts, event_id, value,
+               date_trunc('hour', ts) AS hour_ts
+        FROM events
+    ), hl AS (
+        SELECT user_id, hour_ts, value AS obs_value
+        FROM (SELECT user_id, hour_ts, value,
+                     row_number() OVER (PARTITION BY user_id, hour_ts
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM ev) t
+        WHERE rn = 1
+    ), bounds AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events GROUP BY 1
+    ), spine AS (
+        SELECT user_id,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds
+    )
+    SELECT s.user_id, s.hour_ts,
+           last_value(hl.obs_value IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.hour_ts
+                     ROWS UNBOUNDED PRECEDING) AS value_filled,
+           hl.obs_value IS NULL AS is_gap
+    FROM spine s
+    LEFT JOIN hl ON hl.user_id = s.user_id AND hl.hour_ts = s.hour_ts"""
+
+# Mirrors operators/timeseries.seasonality_profile: 2-dp values sum as
+# exact integer cents; Monday=0 via isodow-1 == Spark weekday.
+_ORACLES["seasonality_profile"] = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+               CAST(hour(ts) AS INTEGER) AS hod,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY 1, 2, 3
+    ), t AS (SELECT event_type, sum(n) AS total FROM c GROUP BY 1)
+    SELECT event_type, dow, hod, n,
+           floor(n / (1.0 * total) * 1000000 + 0.5) / 1000000 AS share,
+           floor(cents / n / 100.0 * 10000 + 0.5) / 10000 AS avg_value
+    FROM c JOIN t USING (event_type)"""
 
 # Mirrors operators/graph.degree_distribution.
 _JIRA_ORACLES["degree_distribution"] = f"""

@@ -583,7 +583,7 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         F.col("n").cast("long").alias("n"),
-        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("prob"),
+        TX_round(F.col("n") / F.sum("n").over(wt), 6).alias("prob"),
     )
 
 
@@ -617,13 +617,21 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
     ).agg(F.count("*").cast("long").alias("n"))
+    # mu/sigma from exact integer moment sums (sum n, sum n^2, count) —
+    # a library stddev_pop accumulates doubles in engine-specific order;
+    # this fixed expression over exact integers is bit-identical on both
+    # engines.
     stats = hourly.groupBy("event_type").agg(
-        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count("*").alias("cnt"),
     )
+    mu = F.col("s1") / F.col("cnt")
+    sigma = F.sqrt(F.col("s2") / F.col("cnt") - mu * mu)
     scored = hourly.join(F.broadcast(stats), "event_type").withColumn(
         "zk_u",
         F.floor(
-            ((F.col("n") - F.col("mu")) / F.col("sigma") - F.lit(CUSUM_K))
+            ((F.col("n") - mu) / sigma - F.lit(CUSUM_K))
             * F.lit(float(CUSUM_UNIT))
         ).cast("long"),
     )
@@ -639,7 +647,7 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour_ts",
         "n",
-        F.round(
+        TX_round(
             (F.col("c_u") - F.col("floor_u")) / F.lit(float(CUSUM_UNIT)), 6
         ).alias("cusum"),
         (
@@ -694,9 +702,11 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "hour_ts",
-            F.round(
-                F.last("obs_value", ignorenulls=True).over(w_locf), 2
-            ).alias("value_filled"),
+            # carried raw doubles — bit-identical on both engines, no
+            # rounding needed (never an aggregate)
+            F.last("obs_value", ignorenulls=True).over(w_locf).alias(
+                "value_filled"
+            ),
             F.col("obs_value").isNull().alias("is_gap"),
         )
     )
@@ -730,6 +740,6 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         "hod",
         "n",
-        F.round(F.col("n") / F.col("total"), 6).alias("share"),
-        F.round(F.col("cents") / F.col("n") / 100.0, 4).alias("avg_value"),
+        TX_round(F.col("n") / F.col("total"), 6).alias("share"),
+        TX_round(F.col("cents") / F.col("n") / 100.0, 4).alias("avg_value"),
     )

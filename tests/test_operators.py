@@ -942,3 +942,85 @@ def test_mmr_diverse_topk_monotone_and_more_diverse(spark, sf_dir):
     assert mean_pair_sim([r["vec_id"] for r in mmr]) <= mean_pair_sim(
         [r["vec_id"] for r in top]
     ) + 1e-9
+
+
+def test_markov_transitions_rows_are_probabilities(spark, sf_dir):
+    import collections
+
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    rows = TS.markov_transitions(spark, sf_dir).collect()
+    by_from = collections.defaultdict(float)
+    for r in rows:
+        assert 0.0 <= r["prob"] <= 1.0
+        by_from[r["from_type"]] += r["prob"]
+    # per-from rows partition the from-type's transitions
+    for s in by_from.values():
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_cusum_changepoints_invariants(spark, sf_dir):
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    rows = TS.cusum_changepoints(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # closed form S_t = C_t - min(0, prefix-min) is always >= 0 and
+        # the alarm flag is exactly the threshold predicate
+        assert r["cusum"] >= 0.0
+        assert r["is_changepoint"] == (r["cusum"] > TS.CUSUM_H)
+
+
+def test_gap_fill_locf_spine_and_carry(spark, sf_dir):
+    from jira_cdc_git_spark.operators import timeseries as TS
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    out = TS.gap_fill_locf(spark, sf_dir)
+    # the spine is dense: per user, rows == hours between first and last
+    # event hour inclusive — and no value is ever NULL after the carry
+    assert out.filter(F.col("value_filled").isNull()).isEmpty()
+    one = out.groupBy("user_id").count().collect()
+    ev = load_table(spark, "events", sf_dir)
+    spans = {
+        r["user_id"]: r["hours"]
+        for r in ev.groupBy("user_id")
+        .agg(
+            (
+                F.floor(F.date_trunc("hour", F.max("ts")).cast("long") / 3600)
+                - F.floor(F.date_trunc("hour", F.min("ts")).cast("long") / 3600)
+                + 1
+            ).alias("hours")
+        )
+        .collect()
+    }
+    for r in one:
+        assert r["count"] == spans[r["user_id"]]
+
+
+def test_seasonality_profile_shares(spark, sf_dir):
+    import collections
+
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    rows = TS.seasonality_profile(spark, sf_dir).collect()
+    shares = collections.defaultdict(float)
+    for r in rows:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hod"] <= 23
+        shares[r["event_type"]] += r["share"]
+    for s in shares.values():
+        assert abs(s - 1.0) < 1e-3
+
+
+def test_link_prediction_pairs_not_adjacent(spark, sf_dir):
+    from jira_cdc_git_spark.operators import jira as J
+
+    pred = G.link_prediction_scores(spark, sf_dir).collect()
+    assert pred
+    edges = {
+        (min(r["src_key"], r["dst_key"]), max(r["src_key"], r["dst_key"]))
+        for r in J.link_edges(spark, sf_dir).collect()
+    }
+    for r in pred:
+        assert (r["u"], r["v"]) not in edges
+        assert r["common_neighbors"] >= 1
+        assert 0.0 < r["jaccard"] <= 1.0
