@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 215
-entries: 206 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 219
+entries: 210 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -119,6 +119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": TS.cusum_changepoints,
         "gap_fill_locf": TS.gap_fill_locf,
         "seasonality_profile": TS.seasonality_profile,
+        # r6 wave: corpus lexical statistics + unsupervised keywords
+        "hapax_report": T.hapax_report,
+        "vocabulary_growth": T.vocabulary_growth,
+        "heaps_law_fit": T.heaps_law_fit,
+        "textrank_keywords": G.textrank_keywords,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -4972,6 +4977,141 @@ _ORACLES["gap_fill_locf"] = """
            hl.obs_value IS NULL AS is_gap
     FROM spine s
     LEFT JOIN hl ON hl.user_id = s.user_id AND hl.hour_ts = s.hour_ts"""
+
+# ===== Round-6 wave: corpus lexical statistics (operators/text) =====
+
+# Mirrors operators/text.hapax_report.
+_ORACLES["hapax_report"] = """
+    WITH toks AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), pt AS (
+        SELECT lang, tok, count(*) AS f FROM toks GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           floor(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) / (1.0 * count(*))
+                 * 1000000 + 0.5) / 1000000 AS hapax_ratio,
+           floor(count(*) / (1.0 * sum(f)) * 1000000 + 0.5) / 1000000
+             AS type_token_ratio
+    FROM pt GROUP BY lang"""
+
+# Shared Heaps-curve CTEs (vocabulary_growth + heaps_law_fit): a type
+# enters the vocabulary exactly at its minimum doc_id, so the distinct
+# prefix count is the prefix sum of the first-occurrence histogram.
+_GROWTH_CTES = """
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), pd AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY 1
+    ), fs AS (
+        SELECT min(doc_id) AS doc_id FROM toks GROUP BY tok
+    ), nt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS new_types
+        FROM fs GROUP BY 1
+    ), growth AS (
+        SELECT p.doc_id, p.n_tokens,
+               CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+               CAST(sum(p.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+               CAST(sum(coalesce(nt.new_types, 0)) OVER w AS BIGINT)
+                 AS cum_vocab
+        FROM pd p LEFT JOIN nt USING (doc_id)
+        WINDOW w AS (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+    )"""
+
+_ORACLES["vocabulary_growth"] = f"""
+    WITH {_GROWTH_CTES}
+    SELECT doc_id, n_tokens, new_types, cum_tokens, cum_vocab FROM growth"""
+
+# Mirrors operators/text.heaps_law_fit (the zipf_fit_report regression
+# discipline: closed-form OLS over ln/ln with floor-half-up rounding).
+_ORACLES["heaps_law_fit"] = f"""
+    WITH {_GROWTH_CTES}, xy AS (
+        SELECT ln(CAST(cum_tokens AS DOUBLE)) AS lx,
+               ln(CAST(cum_vocab AS DOUBLE)) AS ly
+        FROM growth
+    ), a AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(lx) AS sx, sum(ly) AS sy,
+               sum(lx * lx) AS sxx, sum(ly * ly) AS syy,
+               sum(lx * ly) AS sxy
+        FROM xy
+    )
+    SELECT CAST(n AS INTEGER) AS n_points,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * 10000 + 0.5) / 10000 AS beta,
+           floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 * 10000 + 0.5) / 10000 AS ln_k,
+           floor(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 10000 + 0.5) / 10000 AS r2
+    FROM a WHERE n >= 2"""
+
+
+# Mirrors operators/graph.textrank_keywords: the pagerank nano-unit
+# unroll over the undirected token co-occurrence graph (the
+# token_triangles edge base, expanded to both directions).
+def _textrank_oracle(iters: int | None = None, alpha: float = 0.85) -> str:
+    iters = G.TEXTRANK_ITERS if iters is None else iters
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""tpr{i} AS MATERIALIZED (
+            SELECT nodes.tok,
+                   CAST(floor((1 - {alpha}) * 1000000000.0 / nn.n
+                              + {alpha} * coalesce(s.c, 0) + 0.5)
+                        AS DOUBLE) AS pr_u
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (SELECT e.dst AS tok,
+                              CAST(sum(floor(p.pr_u / d.d)) AS DOUBLE) AS c
+                       FROM tedges e
+                       JOIN tpr{i - 1} p ON e.src = p.tok
+                       JOIN tdeg d ON d.src = e.src
+                       GROUP BY 1) s
+              ON s.tok = nodes.tok
+        )""")
+    return f"""
+    WITH t AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), n0 AS (SELECT count(*) AS n_docs FROM documents),
+    bg AS (
+        SELECT least(toks[i], toks[i+1]) AS a,
+               greatest(toks[i], toks[i+1]) AS b
+        FROM (SELECT toks,
+                     unnest(generate_series(1,
+                         CAST(len(toks) AS INTEGER) - 1)) AS i
+              FROM t)
+        WHERE toks[i] != toks[i+1]
+    ), und AS MATERIALIZED (
+        SELECT a, b FROM (
+            SELECT a, b, count(*) AS c FROM bg GROUP BY 1, 2
+        ) CROSS JOIN n0
+        WHERE c >= {G.TRIANGLE_COOC_FRAC} * n_docs
+    ),
+    tedges AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL SELECT b AS src, a AS dst FROM und
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS tok FROM tedges),
+    tdeg AS MATERIALIZED (SELECT src, count(*) AS d FROM tedges GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    tpr0 AS (
+        SELECT tok, CAST(floor(1000000000.0 / nn.n + 0.5) AS DOUBLE) AS pr_u
+        FROM nodes CROSS JOIN nn
+    ),
+    {", ".join(steps)}
+    SELECT tok, pr_u / 1000000000.0 AS textrank
+    FROM tpr{iters}
+    ORDER BY pr_u DESC, tok
+    LIMIT {G.TEXTRANK_K}"""
+
+
+_ORACLES["textrank_keywords"] = _textrank_oracle()
+
 
 # Mirrors operators/timeseries.seasonality_profile: 2-dp values sum as
 # exact integer cents; Monday=0 via isodow-1 == Spark weekday.

@@ -801,3 +801,75 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_nodes") / F.col("n_total"), 6).alias("frac"),
         )
     )
+
+
+#: textrank top-k and iteration budget (mirrored by the oracle).
+TEXTRANK_K = 25
+TEXTRANK_ITERS = 3
+
+
+def textrank_keywords(
+    spark: SparkSession, sf_dir: str, k: int = TEXTRANK_K,
+    iters: int = TEXTRANK_ITERS, alpha: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the undirected token co-occurrence graph (the shared _cooc_edges
+    base of token_triangles / clustering_coefficient), top-k tokens by
+    rank. The unsupervised keyword ranker a curation pipeline runs next
+    to chi2_keywords (which needs labels) and pmi_topk (pairwise only).
+
+    CROSS-ENGINE DETERMINISM: the pagerank_links integer nano-unit
+    discipline — per-edge contributions floor-divide before the exact
+    integer SUM; the oracle unrolls the same iterations as stacked CTEs.
+    Top-k ties break on the token itself.
+
+    100 TB shape: identical per-iteration structure to pagerank_links
+    (one key join + one partial-agg integer sum + a nodes left-join)
+    over a vocabulary-bounded graph; the final top-k is
+    TakeOrderedAndProject."""
+    und = materialize(_cooc_edges(spark, sf_dir))
+    edges = materialize(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    nodes = materialize(edges.select(F.col("src").alias("tok")).distinct())
+    deg = materialize(edges.groupBy("src").agg(F.count("*").alias("d")))
+    n1 = nodes.agg(F.count("*").cast("double").alias("n"))
+    unit = 1_000_000_000.0
+    pr = nodes.crossJoin(F.broadcast(n1)).select(
+        "tok",
+        F.floor(F.lit(unit) / F.col("n") + 0.5).cast("double").alias("pr_u"),
+    )
+    for i in range(iters):
+        contrib = (
+            edges.join(pr, edges.src == pr.tok)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("tok"),
+                F.floor(F.col("pr_u") / F.col("d")).alias("c"),
+            )
+            .groupBy("tok")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, "tok", "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "tok",
+                F.floor(
+                    (1 - alpha) * unit / F.col("n")
+                    + alpha * F.coalesce(F.col("s"), F.lit(0.0))
+                    + 0.5
+                )
+                .cast("double")
+                .alias("pr_u"),
+            )
+        )
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            pr = materialize(pr)
+    return (
+        pr.select("tok", (F.col("pr_u") / unit).alias("textrank"))
+        .orderBy(F.desc("textrank"), F.asc("tok"))
+        .limit(k)
+    )

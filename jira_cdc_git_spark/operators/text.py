@@ -4025,3 +4025,118 @@ def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_x", "source_y")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def hapax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness rollup per language: token count, vocabulary
+    size, hapax legomena (types occurring exactly once) and the derived
+    hapax ratio + type-token ratio. The classic OCR-garbage / template-
+    spam detector: natural text holds hapax ratios near 0.4-0.6, machine
+    boilerplate collapses them — read next to zipf_fit_report.
+
+    100 TB shape: one explode + (lang, tok) partial-agg count (vocab-
+    bounded, not corpus-bounded, after the combine), one |langs|-row
+    rollup; ratios are per-row divisions of exact counts."""
+    toks = load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    per_type = toks.groupBy("lang", "tok").agg(F.count("*").alias("f"))
+    return per_type.groupBy("lang").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    ).select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        TX.round_half_up(F.col("n_hapax") / F.col("n_types"), 6).alias(
+            "hapax_ratio"
+        ),
+        TX.round_half_up(F.col("n_types") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: reading the corpus in doc_id
+    order, the cumulative token count and cumulative distinct-type count
+    after each document, plus each document's new-type contribution.
+    The curve dedup and data-mixing decisions are read from (vocabulary
+    saturating early = the corpus is repeating itself).
+
+    ENTIRELY INTEGER outputs — no float drift is possible. The distinct
+    prefix count avoids any cumulative set-union: a type enters the
+    vocabulary exactly at its MINIMUM doc_id, so cum_vocab is the prefix
+    sum of the first-occurrence histogram.
+
+    100 TB shape: one explode + per-type min aggregation (vocab-bounded)
+    + one per-doc histogram; the prefix sums are one window over
+    |docs| rows (the curve itself is inherently a sequential object —
+    bucket doc ranges first if |docs| alone exceeds a partition)."""
+    toks = load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    first_seen = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("new_types"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_doc.join(first_seen, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn("cum_vocab", F.sum("new_types").over(w).cast("long"))
+    )
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(N) = K * N^beta over the vocabulary_growth
+    curve: least-squares of ln(cum_vocab) on ln(cum_tokens) — one row
+    with beta, ln K and r^2 (the zipf_fit_report regression discipline).
+    Natural corpora fit beta ~ 0.4-0.6; beta near 0 means the vocabulary
+    has saturated (heavy duplication), beta near 1 means noise/IDs.
+
+    100 TB shape: inherits vocabulary_growth's aggregations, then a
+    closed-form 1-row regression."""
+    xy = vocabulary_growth(spark, sf_dir).select(
+        F.log(F.col("cum_tokens").cast("double")).alias("lx"),
+        F.log(F.col("cum_vocab").cast("double")).alias("ly"),
+    )
+    agg = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r2 = (r_num * r_num) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("n").cast("int").alias("n_points"),
+        TX.round_half_up(slope, 4).alias("beta"),
+        TX.round_half_up(intercept, 4).alias("ln_k"),
+        TX.round_half_up(r2, 4).alias("r2"),
+    ).filter(F.col("n_points") >= 2)
