@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 219
-entries: 210 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 222
+entries: 213 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -124,6 +124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary_growth": T.vocabulary_growth,
         "heaps_law_fit": T.heaps_law_fit,
         "textrank_keywords": G.textrank_keywords,
+        # r6 wave: ANN compression extremes + the CUBE rollup
+        "matryoshka_recall_report": V.matryoshka_recall_report,
+        "binary_hamming_topk": V.binary_hamming_topk,
+        "orders_cube": R.orders_cube,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -4889,6 +4893,74 @@ def _link_components_oracle(rounds: int | None = None) -> str:
 
 
 _JIRA_ORACLES["link_components"] = _link_components_oracle()
+
+
+# ===== Round-6 wave: ANN compression variants (operators/vectors) =====
+
+
+# Mirrors operators/vectors.matryoshka_recall_report: per prefix width,
+# the truncated-cosine top-k compared against the full-dim top-k.
+def _matryoshka_oracle(k: int = 10) -> str:
+    full = V.MATRYOSHKA_DIMS[0]
+    tops, reports = [], []
+    for d in V.MATRYOSHKA_DIMS:
+        tops.append(f"""t{d} AS MATERIALIZED (
+            SELECT vec_id FROM e, q
+            WHERE vec_id <> 0
+            ORDER BY round(list_dot_product(emb[1:{d}], qe[1:{d}])
+                     / sqrt(list_dot_product(emb[1:{d}], emb[1:{d}])
+                            * list_dot_product(qe[1:{d}], qe[1:{d}])), 6)
+                     DESC, vec_id
+            LIMIT {k}
+        )""")
+        reports.append(f"""SELECT CAST({d} AS INTEGER) AS dims,
+                   CAST({k} AS INTEGER) AS k,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   count(*) / {float(k)} AS recall
+            FROM t{full} x JOIN t{d} a USING (vec_id)""")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+         q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+    {", ".join(tops)}
+    {" UNION ALL ".join(reports)}"""
+
+
+_ORACLES["matryoshka_recall_report"] = _matryoshka_oracle()
+
+# Mirrors operators/vectors.binary_hamming_topk: sign bits packed into
+# two exact 32-bit BIGINT lanes (the simhash lo/hi discipline).
+_ORACLES["binary_hamming_topk"] = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    s AS (
+        SELECT vec_id, label,
+               CAST(list_sum(list_transform(generate_series(1, 32),
+                   i -> CASE WHEN emb[i] > 0
+                             THEN (CAST(1 AS BIGINT) << (i - 1))
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(generate_series(33, 64),
+                   i -> CASE WHEN emb[i] > 0
+                             THEN (CAST(1 AS BIGINT) << (i - 33))
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+        FROM e
+    ), q AS (SELECT lo AS qlo, hi AS qhi FROM s WHERE vec_id = 0)
+    SELECT vec_id, label,
+           CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi))
+                AS INTEGER) AS hamming
+    FROM s, q WHERE vec_id <> 0
+    ORDER BY hamming, vec_id
+    LIMIT 10"""
+
+# Mirrors operators/relational.orders_cube (2-dp money sums as exact
+# integer cents).
+_ORACLES["orders_cube"] = """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total_price
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)"""
 
 
 # ===== Round-6 wave: event-time analytics (operators/timeseries) =====

@@ -780,3 +780,35 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r.n_violations") == 0).alias("passed"),
         )
     )
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE rollup over orders (priority x status): all four
+    grouping combinations in ONE aggregation pass — the generalization
+    of breakdown_grouping_sets (A1) that dashboard engines issue as
+    GROUP BY CUBE. Absent dimensions surface as the 'ALL' sentinel
+    (explicit and engine-portable; grouping_id bit orders differ across
+    engines).
+
+    CROSS-ENGINE DETERMINISM: o_totalprice is a 2-dp money column, so it
+    sums as exact integer cents (round-half-up per row, BIGINT sum).
+
+    100 TB shape: Spark expands CUBE before the shuffle and partial-aggs
+    every grouping set map-side — one exchange keyed on the expanded
+    grouping id, never four scans."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            (F.col("cents") / F.lit(100.0)).alias("total_price"),
+        )
+    )

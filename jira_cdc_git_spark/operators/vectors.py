@@ -1930,3 +1930,124 @@ def mmr_diverse_topk(
         "rank", "vec_id", "label", "rel",
         TX.round_half_up(F.col("score"), 6).alias("mmr_score"),
     )
+
+
+#: Matryoshka prefix dimensions probed by matryoshka_recall_report
+#: (full dim first — its recall is 1.0 by construction, an in-band
+#: sanity anchor). Mirrored by the oracle.
+MATRYOSHKA_DIMS = (64, 32, 16, 8)
+
+
+def matryoshka_topk(
+    spark: SparkSession, sf_dir: str, dims: int,
+    query_vec_id: int = 0, k: int = 10,
+) -> DataFrame:
+    """cosine_topk over the first `dims` coordinates only — the
+    Matryoshka-representation retrieval mode (Kusupati et al. 2022):
+    embeddings trained front-loaded can be truncated for cheap first-
+    stage retrieval. Same broadcast + TakeOrderedAndProject shape as
+    cosine_topk; the scored payload shrinks by 64/dims."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id").select(
+        "vec_id", "label", F.slice("embedding", 1, dims).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def matryoshka_recall_report(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Recall@k of prefix-truncated retrieval against the full-dim exact
+    top-k, one row per probed prefix width — the report that picks the
+    cheapest first-stage width before pq/sq8 commit to a layout.
+
+    100 TB shape: |MATRYOSHKA_DIMS| independent brute-force scans (each
+    itself TakeOrderedAndProject), left-semi compared as k-row frames —
+    the ivf/sq8/pq recall-harness pattern."""
+    exact = matryoshka_topk(spark, sf_dir, MATRYOSHKA_DIMS[0], k=k)
+    reports = []
+    for d in MATRYOSHKA_DIMS:
+        approx = matryoshka_topk(spark, sf_dir, d, k=k)
+        hits = exact.join(approx.select("vec_id"), "vec_id", "left_semi")
+        reports.append(
+            hits.agg(
+                F.lit(d).cast("int").alias("dims"),
+                F.lit(k).cast("int").alias("k"),
+                F.count("*").cast("long").alias("n_hits"),
+                (F.count("*") / F.lit(float(k))).alias("recall"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _sign_bits(emb, lo: int) -> "Column":
+    """Pack 32 sign bits (coordinates lo..lo+31, 0-based) into one exact
+    BIGINT: sum of 2^j over positive coordinates — the proven simhash
+    lo/hi packing (a single 64-bit pack would overflow the signed sum at
+    bit 63)."""
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+    vals = F.slice(emb, lo + 1, 32)
+    return F.aggregate(
+        F.zip_with(
+            vals, weights, lambda x, w: F.when(x > 0, w).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_hamming_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """1-bit (sign) quantized retrieval: each embedding collapses to 64
+    sign bits (two exact 32-bit BIGINT lanes), candidates rank by
+    Hamming distance to the query's signature — the most extreme point
+    on the compression/recall curve (64x smaller than float32), the
+    standard cheap first stage ahead of an exact rerank.
+
+    100 TB shape: signatures are 16 bytes/vector, scanned with two
+    XOR+bit_count per row (whole-stage codegen); top-k is
+    TakeOrderedAndProject. Ties break on vec_id."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    sigs = emb.select(
+        "vec_id",
+        "label",
+        _sign_bits(F.col("embedding"), 0).alias("lo"),
+        _sign_bits(F.col("embedding"), 32).alias("hi"),
+    )
+    q = sigs.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    return (
+        sigs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(k)
+    )
