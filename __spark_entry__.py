@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 222
-entries: 213 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 225
+entries: 216 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -128,6 +128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_recall_report": V.matryoshka_recall_report,
         "binary_hamming_topk": V.binary_hamming_topk,
         "orders_cube": R.orders_cube,
+        # r6 wave: CDC cycle-time + sequence mining + co-activity
+        "status_dwell_report": J.status_dwell_report,
+        "event_paths_topk": TS.event_paths_topk,
+        "user_coactivity_pairs": TS.user_coactivity_pairs,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -4951,6 +4955,60 @@ _ORACLES["binary_hamming_topk"] = """
     FROM s, q WHERE vec_id <> 0
     ORDER BY hamming, vec_id
     LIMIT 10"""
+
+# Mirrors operators/jira.status_dwell_report: closed SCD2 intervals,
+# dwell as exact integer microseconds (epoch_us == unix_micros).
+_JIRA_ORACLES["status_dwell_report"] = f"""
+    WITH {_CL}, scd AS (
+        SELECT key, to_value AS status_value,
+               changed_at AS valid_from,
+               lead(changed_at) OVER (PARTITION BY key, field
+                                      ORDER BY changed_at) AS valid_to
+        FROM changelog WHERE field = 'status'
+    ), iv AS (
+        SELECT regexp_extract(key, '^(.*)-(\\d+)$', 1) AS project_key,
+               status_value,
+               epoch_us(valid_to) - epoch_us(valid_from) AS dwell_us
+        FROM scd WHERE valid_to IS NOT NULL
+    )
+    SELECT project_key, status_value,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           floor(quantile_cont(dwell_us, 0.5) / 1e6 * 10000 + 0.5) / 10000
+             AS p50_dwell_s,
+           floor((sum(dwell_us) / count(*)) / 1e6 * 10000 + 0.5) / 10000
+             AS mean_dwell_s
+    FROM iv GROUP BY 1, 2"""
+
+# Mirrors operators/timeseries.event_paths_topk.
+_ORACLES["event_paths_topk"] = f"""
+    WITH p AS (
+        SELECT event_type AS step1,
+               lead(event_type, 1) OVER w AS step2,
+               lead(event_type, 2) OVER w AS step3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+    FROM p WHERE step3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, step1, step2, step3
+    LIMIT {TS.PATH_TOPK}"""
+
+# Mirrors operators/timeseries.user_coactivity_pairs.
+_ORACLES["user_coactivity_pairs"] = f"""
+    WITH act AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS hour_ts, event_type,
+               user_id
+        FROM events
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM act a
+    JOIN act b ON a.hour_ts = b.hour_ts AND a.event_type = b.event_type
+              AND a.user_id < b.user_id
+    GROUP BY 1, 2
+    ORDER BY n_shared DESC, user_a, user_b
+    LIMIT {TS.COACTIVITY_TOPK}"""
 
 # Mirrors operators/relational.orders_cube (2-dp money sums as exact
 # integer cents).

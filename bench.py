@@ -162,6 +162,25 @@ BENCH_QUERIES = [
     "semdedup_capped",
     "hits_scores",
     "mmr_diverse_topk",
+    # r6 wave additions: graph analytics, event-time, lexical stats,
+    # ANN compression extremes, CUBE
+    "link_prediction_scores",
+    "link_components",
+    "degree_distribution",
+    "markov_transitions",
+    "cusum_changepoints",
+    "gap_fill_locf",
+    "seasonality_profile",
+    "hapax_report",
+    "vocabulary_growth",
+    "heaps_law_fit",
+    "textrank_keywords",
+    "matryoshka_recall_report",
+    "binary_hamming_topk",
+    "orders_cube",
+    "status_dwell_report",
+    "event_paths_topk",
+    "user_coactivity_pairs",
 ]
 
 
@@ -471,6 +490,12 @@ SCALE_PROBE_QUERIES = [
     # the exact all-pairs join is THE candidate-growth risk of the
     # mini-wave — its prefix posting lists must stay short at 10x
     "allpairs_prefix_jaccard",
+    # r6 probe additions: the iterative/join-heavy newcomers
+    "link_prediction_scores",
+    "link_components",
+    "textrank_keywords",
+    "gap_fill_locf",
+    "vocabulary_growth",
 ]
 
 

@@ -909,3 +909,43 @@ def state_roundtrip_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_message",
         "sync_count",
     )
+
+
+def status_dwell_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-status report from the SCD2 status timeline: per
+    (project, status) the closed-interval count and exact p50 / mean
+    dwell, in seconds. The cycle-time analytics a reference user runs
+    over the synced changelog (how long do issues sit In Review per
+    project) — and the template for any state-dwell rollup over a CDC
+    feed.
+
+    CROSS-ENGINE DETERMINISM: dwell is an exact integer microsecond
+    difference (unix_micros == epoch_us), so sums are exact; the mean
+    divides exact integers once per group; p50 is an exact percentile
+    over integers.
+
+    100 TB shape: inherits scd2's per-issue lead() window; the rollup is
+    a |projects x statuses|-bounded partial aggregation."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    scd = scd2_status_history(spark, sf_dir).filter(
+        F.col("valid_to").isNotNull()
+    )
+    iv = scd.select(
+        F.regexp_extract("key", r"^(.*)-(\d+)$", 1).alias("project_key"),
+        F.col("status_value"),
+        # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not);
+        # the result is an exact integer microsecond count either way
+        F.expr("timestampdiff(MICROSECOND, valid_from, valid_to)").alias(
+            "dwell_us"
+        ),
+    )
+    return iv.groupBy("project_key", "status_value").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        TX_round(F.expr("percentile(dwell_us, 0.5D)") / 1e6, 4).alias(
+            "p50_dwell_s"
+        ),
+        TX_round((F.sum("dwell_us") / F.count("*")) / 1e6, 4).alias(
+            "mean_dwell_s"
+        ),
+    )

@@ -743,3 +743,83 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX_round(F.col("n") / F.col("total"), 6).alias("share"),
         TX_round(F.col("cents") / F.col("n") / 100.0, 4).alias("avg_value"),
     )
+
+
+#: path length and top-k for event_paths_topk (mirrored by the oracle).
+PATH_TOPK = 25
+
+
+def event_paths_topk(
+    spark: SparkSession, sf_dir: str, k: int = PATH_TOPK
+) -> DataFrame:
+    """Most frequent 3-step event-type paths across per-user streams
+    (two stacked lead() windows + one count) — the sequence-mining
+    staple behind "what do users do right before purchasing": funnels
+    check ONE hypothesized order, paths surface the orders you didn't
+    hypothesize.
+
+    100 TB shape: one user-key window shuffle shared by both leads,
+    one |types|^3-bounded aggregation, TakeOrderedAndProject for the k
+    rows (ties break on the path itself)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("step1"),
+            F.col("t2").alias("step2"),
+            F.col("t3").alias("step3"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(k)
+    )
+
+
+#: co-activity top-k (mirrored by the oracle).
+COACTIVITY_TOPK = 100
+
+
+def user_coactivity_pairs(
+    spark: SparkSession, sf_dir: str, k: int = COACTIVITY_TOPK
+) -> DataFrame:
+    """Bipartite projection of the user-x-(hour, event_type) activity
+    matrix: pairs of users repeatedly active in the same hourly bucket
+    with the same event type, top-k by shared-bucket count. The standard
+    co-visitation / account-linking signal (and, on a crawl corpus, the
+    same shape links mirrors that publish in lockstep).
+
+    100 TB shape: the classic bounded self-join — distinct (bucket,
+    user) first (collapses event volume), join on the bucket key (work
+    is sum of per-bucket-degree^2, bounded by bucket cardinality x
+    active-users-per-bucket, never |events|^2), partial-agg count,
+    TakeOrderedAndProject."""
+    ev = load_table(spark, "events", sf_dir)
+    act = (
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+            "user_id",
+        )
+        .distinct()
+    )
+    a = act.select("hour_ts", "event_type", F.col("user_id").alias("user_a"))
+    b = act.select(
+        F.col("hour_ts").alias("h2"),
+        F.col("event_type").alias("e2"),
+        F.col("user_id").alias("user_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.hour_ts == b.h2)
+            & (a.event_type == b.e2)
+            & (a.user_a < b.user_b),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "user_a", "user_b")
+        .limit(k)
+    )
