@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jira_cdc_git_spark import sinks
@@ -1254,6 +1254,205 @@ def streaming_mad_anomalies(
 
     (
         feed.writeStream.foreachBatch(_flag)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def streaming_cusum(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    corpus_sf_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming twin of operators/timeseries.cusum_changepoints — a
+    genuinely STATEFUL detector (unlike the stateless MAD twin): the
+    per-type CUSUM prefix sum and its running minimum carry across
+    micro-batches in a tiny state table.
+
+    Model: (mu, sigma) per event type trains ONCE on the held corpus
+    (the MAD-twin discipline) from exact integer moment sums. Per
+    batch: aggregate the batch's (type, hour) counts, merge the
+    carried OPEN-hour partial (so a batch boundary may split an hour
+    anywhere — watermark-style hour-close semantics), finalize every
+    hour strictly before each type's newest hour, emit its exact
+    integer-unit CUSUM row, and carry forward {c_u, floor_u, newest
+    hour's partial count}. Emissions and the state swap are
+    replay-safe: batch_id-partitioned idempotent sinks + the
+    applied_batch_id marker riding inside the atomically-swapped state
+    dir (the IVM-counts contract).
+
+    Parity: the emitted rows equal the batch operator's output
+    restricted to each type's closed hours, REGARDLESS of how the feed
+    was chunked — asserted by the batch-parity test. Assumption (the
+    standard watermark one): ingestion is hour-monotone — a batch never
+    delivers an hour older than one already closed; late data past the
+    close belongs to a dead-letter path, exactly as with a Structured
+    Streaming watermark.
+
+    100 TB shape: per batch one (type, hour) partial agg over the batch
+    only, a broadcast join against a |types|-row state frame, one
+    window over |types| x |hours-in-batch| rows; history is never
+    re-read."""
+    import os
+
+    from jira_cdc_git_spark.operators.timeseries import (
+        CUSUM_H,
+        CUSUM_K,
+        CUSUM_UNIT,
+    )
+    from jira_cdc_git_spark.materialize import materialize
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.state import _swap_dir_atomic
+
+    hourly_corpus = (
+        load_table(spark, "events", corpus_sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    model = materialize(
+        hourly_corpus.groupBy("event_type").agg(
+            F.sum("n").alias("s1"),
+            F.sum(F.col("n") * F.col("n")).alias("s2"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    state_dir = f"{out_root}/cusum_state"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(events_dir)
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_hourly = (
+            batch_df.groupBy(
+                "event_type",
+                F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            )
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            last_applied = state.agg(F.max("applied_batch_id")).first()[0]
+            if last_applied is not None and batch_id <= last_applied:
+                return
+            pending = state.filter(F.col("pending_hour").isNotNull()).select(
+                "event_type",
+                F.col("pending_hour").alias("hour_ts"),
+                F.col("pending_n").alias("n"),
+            )
+            merged = (
+                batch_hourly.unionByName(pending)
+                .groupBy("event_type", "hour_ts")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+            carry = state.select("event_type", "c_u", "floor_u")
+        else:
+            merged = batch_hourly
+            carry = spark.createDataFrame(
+                [], "event_type string, c_u long, floor_u long"
+            )
+        merged = materialize(merged)
+        newest = merged.groupBy("event_type").agg(
+            F.max("hour_ts").alias("newest_hour")
+        )
+        mu = F.col("s1") / F.col("cnt")
+        sigma = F.sqrt(F.col("s2") / F.col("cnt") - mu * mu)
+        scored = (
+            merged.join(F.broadcast(newest), "event_type")
+            .join(F.broadcast(model), "event_type")
+            .join(F.broadcast(carry), "event_type", "left")
+            .withColumn("c_u0", F.coalesce("c_u", F.lit(0).cast("long")))
+            .withColumn("floor_u0", F.coalesce("floor_u", F.lit(0).cast("long")))
+            .drop("c_u", "floor_u")
+        )
+        closed = scored.filter(F.col("hour_ts") < F.col("newest_hour"))
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("hour_ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        zk_u = F.floor(
+            ((F.col("n") - mu) / sigma - F.lit(CUSUM_K))
+            * F.lit(float(CUSUM_UNIT))
+        ).cast("long")
+        finalized = materialize(
+            closed.withColumn("zk_u", zk_u)
+            .withColumn("c_abs", F.col("c_u0") + F.sum("zk_u").over(w))
+            .withColumn(
+                "floor_abs",
+                F.least(F.col("floor_u0"), F.min("c_abs").over(w)),
+            )
+            .select(
+                "event_type",
+                "hour_ts",
+                "n",
+                F.col("c_abs").alias("c_u"),
+                F.col("floor_abs").alias("floor_u"),
+            )
+        )
+        from jira_cdc_git_spark.functions.text import round_half_up as _rhu
+
+        emit = finalized.select(
+            "event_type",
+            "hour_ts",
+            "n",
+            _rhu(
+                (F.col("c_u") - F.col("floor_u")) / F.lit(float(CUSUM_UNIT)), 6
+            ).alias("cusum"),
+            (
+                (F.col("c_u") - F.col("floor_u"))
+                > F.lit(int(CUSUM_H * CUSUM_UNIT)).cast("long")
+            ).alias("is_changepoint"),
+        )
+        _append_batch_idempotent(emit, f"{out_root}/cusum", batch_id)
+        _append_batch_idempotent(
+            emit.filter("is_changepoint"), f"{out_root}/alarms", batch_id
+        )
+        # new state: per type the last finalized (c_u, floor_u) — or the
+        # carried one when this batch closed nothing — plus the newest
+        # hour's still-open partial
+        w_last = Window.partitionBy("event_type").orderBy(F.desc("hour_ts"))
+        last_fin = (
+            finalized.withColumn("rn", F.row_number().over(w_last))
+            .filter(F.col("rn") == 1)
+            .select("event_type", "c_u", "floor_u")
+        )
+        open_part = (
+            scored.filter(F.col("hour_ts") == F.col("newest_hour"))
+            .groupBy("event_type")
+            .agg(
+                F.max("hour_ts").alias("pending_hour"),
+                F.sum("n").cast("long").alias("pending_n"),
+                F.first("c_u0").alias("c_u0"),
+                F.first("floor_u0").alias("floor_u0"),
+            )
+        )
+        new_state = (
+            open_part.join(last_fin, "event_type", "left")
+            .select(
+                "event_type",
+                F.coalesce("c_u", "c_u0").alias("c_u"),
+                F.coalesce("floor_u", "floor_u0").alias("floor_u"),
+                "pending_hour",
+                "pending_n",
+            )
+            .withColumn("applied_batch_id", F.lit(batch_id))
+        )
+        _swap_dir_atomic(new_state.localCheckpoint(), state_dir)
+
+    (
+        feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

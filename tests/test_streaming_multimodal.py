@@ -1119,3 +1119,62 @@ def test_streaming_mad_anomalies_flags_and_parity(spark, sf_dir, tmp_path):
         spark, events_dir, schema, str(tmp_path / "ckpt"), out_root, sf_dir
     )
     assert read_append_sink(spark, f"{out_root}/verdicts").count() == 3
+
+
+def test_streaming_cusum_stateful_batch_parity(spark, sf_dir, tmp_path):
+    """The stateful twin: feed the events table in three ts-ordered
+    chunks whose boundaries deliberately split hours mid-way, then
+    assert the emitted closed-hour CUSUM rows equal the batch
+    operator's output restricted to hours before each type's newest —
+    state (prefix sum, running min, open-hour partial) must survive
+    batch boundaries exactly."""
+    from pyspark.sql import functions as F
+
+    from jira_cdc_git_spark.operators.timeseries import cusum_changepoints
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        read_append_sink,
+        streaming_cusum,
+    )
+
+    ev = load_table(spark, "events", sf_dir).orderBy("ts", "event_id")
+    rows = ev.collect()
+    cuts = [len(rows) // 3, 2 * len(rows) // 3]
+    events_dir = str(tmp_path / "feed")
+    chunks = [rows[: cuts[0]], rows[cuts[0] : cuts[1]], rows[cuts[1] :]]
+    # sequential appends into ONE flat dir: strictly increasing mtimes,
+    # so FileStreamSource delivers the chunks hour-monotone
+    for chunk in chunks:
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    out_root = str(tmp_path / "cusum")
+    streaming_cusum(
+        spark,
+        events_dir,
+        ev.schema,
+        str(tmp_path / "ckpt"),
+        out_root,
+        sf_dir,
+        max_files_per_trigger=1,
+    )
+    got = {
+        (r["event_type"], r["hour_ts"]): (r["n"], r["cusum"], r["is_changepoint"])
+        for r in read_append_sink(spark, f"{out_root}/cusum").collect()
+    }
+
+    batch = cusum_changepoints(spark, sf_dir)
+    newest = batch.groupBy("event_type").agg(F.max("hour_ts").alias("mx"))
+    closed = batch.join(newest, "event_type").filter(F.col("hour_ts") < F.col("mx"))
+    want = {
+        (r["event_type"], r["hour_ts"]): (r["n"], r["cusum"], r["is_changepoint"])
+        for r in closed.collect()
+    }
+    assert got == want
+    # alarms sink is exactly the flagged subset
+    alarms = {
+        (r["event_type"], r["hour_ts"])
+        for r in read_append_sink(spark, f"{out_root}/alarms").collect()
+    }
+    assert alarms == {k for k, v in want.items() if v[2]}
