@@ -802,3 +802,32 @@ def test_quantile_normalize_windows_partition_by_source(spark, sf_dir):
         plan.split("Window")[1][:200] if "Window" in plan else ""
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_coactivity_joins_on_bucket_key_not_nested_loop(spark, sf_dir):
+    # the bipartite projection must extract the (hour, type) equi keys
+    # from the mixed join condition — a nested-loop over events^2 is the
+    # failure mode this operator exists to avoid
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    plan = _plan(TS.user_coactivity_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_r6_topk_queries_use_take_ordered(spark, sf_dir):
+    # every r6 top-k ends in TakeOrderedAndProject (per-partition k +
+    # driver merge), never a global sort
+    from jira_cdc_git_spark.operators import graph as G
+    from jira_cdc_git_spark.operators import timeseries as TS
+    from jira_cdc_git_spark.operators import vectors as V
+
+    for fn in (
+        G.link_prediction_scores,
+        G.textrank_keywords,
+        TS.event_paths_topk,
+        V.binary_hamming_topk,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
