@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 225
-entries: 216 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 230
+entries: 221 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -132,6 +132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_dwell_report": J.status_dwell_report,
         "event_paths_topk": TS.event_paths_topk,
         "user_coactivity_pairs": TS.user_coactivity_pairs,
+        # r6 wave: arrival-process health, debounce, baskets, IDF drift
+        "burstiness_report": TS.burstiness_report,
+        "session_entry_stats": TS.session_entry_stats,
+        "debounced_events": TS.debounced_events,
+        "idf_drift_report": T.idf_drift_report,
+        "basket_pairs_topk": R.basket_pairs_topk,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -5009,6 +5015,128 @@ _ORACLES["user_coactivity_pairs"] = f"""
     GROUP BY 1, 2
     ORDER BY n_shared DESC, user_a, user_b
     LIMIT {TS.COACTIVITY_TOPK}"""
+
+# Mirrors operators/timeseries.burstiness_report (exact integer moment
+# sums, the cusum sigma discipline).
+_ORACLES["burstiness_report"] = """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, sum(n) AS s1, sum(n * n) AS s2,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM h GROUP BY 1
+    )
+    SELECT event_type, cnt AS n_hours,
+           floor(s1 / cnt * 10000 + 0.5) / 10000 AS mean_hourly,
+           floor((s2 / cnt - (s1 / cnt) * (s1 / cnt)) / (s1 / cnt)
+                 * 10000 + 0.5) / 10000 AS fano,
+           (s2 / cnt - (s1 / cnt) * (s1 / cnt)) / (s1 / cnt) > 1.5
+             AS is_bursty
+    FROM m"""
+
+# Mirrors operators/timeseries.session_entry_stats (the sessionize
+# gap-cut CTEs + a first-row entry tag).
+_ORACLES["session_entry_stats"] = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(floor(epoch(ts)) AS BIGINT)
+                            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                            > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sid AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(sum(new_session)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged
+    ), rn AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                                     ORDER BY ts, event_id) AS r
+        FROM sid
+    ), sess AS (
+        SELECT user_id, session_seq,
+               max(CASE WHEN r = 1 THEN event_type END) AS entry_type,
+               count(*) AS n_events,
+               max(CAST(floor(epoch(ts)) AS BIGINT))
+                 - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec
+        FROM rn GROUP BY 1, 2
+    )
+    SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+           floor(sum(n_events) / count(*) * 10000 + 0.5) / 10000
+             AS mean_events,
+           floor(sum(duration_sec) / count(*) * 10000 + 0.5) / 10000
+             AS mean_duration_s
+    FROM sess GROUP BY 1"""
+
+# Mirrors operators/timeseries.debounced_events.
+_ORACLES["debounced_events"] = f"""
+    WITH g AS (
+        SELECT event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(floor(epoch(ts)) AS BIGINT)
+                            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                            > {TS.DEBOUNCE_S}
+                    THEN 1 ELSE 0 END AS kept
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           floor(sum(1 - kept) / (1.0 * count(*)) * 1000000 + 0.5) / 1000000
+             AS drop_rate
+    FROM g GROUP BY 1"""
+
+# Mirrors operators/text.idf_drift_report (even/odd doc_id halves as
+# snapshot stand-ins; ln of exact integer ratios per row).
+_ORACLES["idf_drift_report"] = f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 2 = 0 AS even,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), dfh AS (
+        SELECT even, tok, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT even, tok, doc_id FROM toks) GROUP BY 1, 2
+    ), nh AS (
+        SELECT even, CAST(count(*) AS BIGINT) AS n_docs
+        FROM (SELECT DISTINCT even, doc_id FROM toks) GROUP BY 1
+    ), idf AS (
+        SELECT even, tok, df, ln(n_docs / df) AS idf
+        FROM dfh JOIN nh USING (even)
+    )
+    SELECT a.tok, a.df AS df_a, b.df AS df_b,
+           floor((b.idf - a.idf) * 1000000 + 0.5) / 1000000 AS idf_drift
+    FROM idf a JOIN idf b ON a.tok = b.tok AND a.even AND NOT b.even
+    ORDER BY abs(floor((b.idf - a.idf) * 1000000 + 0.5) / 1000000) DESC,
+             a.tok
+    LIMIT {T.IDF_DRIFT_K}"""
+
+# Mirrors operators/relational.basket_pairs_topk.
+_ORACLES["basket_pairs_topk"] = f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+    pb AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_brand FROM ob GROUP BY 1),
+    pr AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_ab,
+           floor(n_ab * n_orders / (1.0 * pa.n_brand * pbb.n_brand)
+                 * 1000000 + 0.5) / 1000000 AS lift
+    FROM pr
+    JOIN pb pa ON pa.brand = pr.brand_a
+    JOIN pb pbb ON pbb.brand = pr.brand_b
+    CROSS JOIN n
+    ORDER BY n_ab DESC, brand_a, brand_b
+    LIMIT {R.BASKET_TOPK}"""
 
 # Mirrors operators/relational.orders_cube (2-dp money sums as exact
 # integer cents).

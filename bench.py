@@ -181,6 +181,11 @@ BENCH_QUERIES = [
     "status_dwell_report",
     "event_paths_topk",
     "user_coactivity_pairs",
+    "burstiness_report",
+    "session_entry_stats",
+    "debounced_events",
+    "idf_drift_report",
+    "basket_pairs_topk",
 ]
 
 

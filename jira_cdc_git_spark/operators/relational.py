@@ -812,3 +812,69 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") / F.lit(100.0)).alias("total_price"),
         )
     )
+
+
+#: basket-pair top-k (mirrored by the oracle).
+BASKET_TOPK = 50
+
+
+def basket_pairs_topk(spark: SparkSession, sf_dir: str, k: int = BASKET_TOPK) -> DataFrame:
+    """Market-basket brand affinity over the order/lineitem/part star:
+    pairs of part brands co-occurring in the same order, with support
+    and lift — the co-purchase wedge join, shape-identical to the text
+    side's containment/co-occurrence operators but over the relational
+    star schema (one fact-to-dim hash join, per-order wedges bounded by
+    basket size, never |lineitem|^2).
+
+    CROSS-ENGINE DETERMINISM: lift = n_ab * N / (n_a * n_b) is one
+    per-row division of exact integers; ties at the top-k boundary
+    break on the brand pair.
+
+    100 TB shape: lineitem joins part on the dim key (broadcast-able
+    dim), collapses to distinct (order, brand) — at most a handful of
+    brands per order — self-joins on the order key, and rolls up to a
+    |brands|^2-bounded frame; TakeOrderedAndProject emits k rows."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    ob = li.join(part, "l_partkey").select(
+        F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+    ).distinct()
+    n_orders = ob.select("okey").distinct().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    per_brand = ob.groupBy("brand").agg(F.count("*").alias("n_brand"))
+    a = ob.select("okey", F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("okey").alias("okey2"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (a.okey == b.okey2) & (a.brand_a < b.brand_b))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    return (
+        pairs.join(
+            F.broadcast(per_brand.select(F.col("brand").alias("brand_a"),
+                                         F.col("n_brand").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(per_brand.select(F.col("brand").alias("brand_b"),
+                                         F.col("n_brand").alias("n_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            TX_round(
+                F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "brand_a", "brand_b")
+        .limit(k)
+    )

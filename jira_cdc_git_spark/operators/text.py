@@ -4140,3 +4140,65 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.round_half_up(intercept, 4).alias("ln_k"),
         TX.round_half_up(r2, 4).alias("r2"),
     ).filter(F.col("n_points") >= 2)
+
+
+#: idf drift top-k (mirrored by the oracle).
+IDF_DRIFT_K = 50
+
+
+def idf_drift_report(spark: SparkSession, sf_dir: str, k: int = IDF_DRIFT_K) -> DataFrame:
+    """Term-level distribution shift between two corpus snapshots (the
+    deterministic even/odd doc_id halves standing in for crawl N vs
+    crawl N+1): IDF = ln(N_half / df) per half, top-k terms by absolute
+    IDF drift. The term-granular companion to shard_drift_report's
+    aggregate JS divergence — it names WHICH words moved.
+
+    Terms must appear in BOTH halves (a term absent from one half has
+    no defined IDF there; its appearance/disappearance is ngram_novelty
+    territory).
+
+    100 TB shape: one explode + per-(half, term) distinct-doc count
+    (vocab-bounded), a term-key self-join of two vocab-sized frames,
+    TakeOrderedAndProject. Every float is a per-row ln/division of
+    exact integers."""
+    toks = load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("even"),
+        F.explode(TX.tokens(F.col("text"))).alias("tok"),
+    )
+    df_half = (
+        toks.select("even", "tok", "doc_id")
+        .distinct()
+        .groupBy("even", "tok")
+        .agg(F.count("*").alias("df"))
+    )
+    n_half = toks.select("even", "doc_id").distinct().groupBy("even").agg(
+        F.count("*").alias("n_docs")
+    )
+    idf = df_half.join(F.broadcast(n_half), "even").select(
+        "even",
+        "tok",
+        "df",
+        F.log(F.col("n_docs") / F.col("df")).alias("idf"),
+    )
+    a = idf.filter(F.col("even")).select(
+        F.col("tok"), F.col("df").alias("df_a"), F.col("idf").alias("idf_a")
+    )
+    b = idf.filter(~F.col("even")).select(
+        F.col("tok").alias("tok_b"),
+        F.col("df").alias("df_b"),
+        F.col("idf").alias("idf_b"),
+    )
+    return (
+        a.join(b, a.tok == b.tok_b)
+        .select(
+            "tok",
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+            TX.round_half_up(F.col("idf_b") - F.col("idf_a"), 6).alias(
+                "idf_drift"
+            ),
+        )
+        .orderBy(F.abs(F.col("idf_drift")).desc(), F.asc("tok"))
+        .limit(k)
+    )

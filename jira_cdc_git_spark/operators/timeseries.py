@@ -823,3 +823,104 @@ def user_coactivity_pairs(
         .orderBy(F.desc("n_shared"), "user_a", "user_b")
         .limit(k)
     )
+
+
+def burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor / index of dispersion) of each event
+    type's hourly arrival counts: variance-to-mean from exact integer
+    moment sums. A Poisson-ish arrival process sits near 1.0;
+    overdispersion (bots, retry storms, thundering herds) pushes it up —
+    the one-number triage read before cusum_changepoints' per-hour
+    verdicts.
+
+    100 TB shape: one (type, hour) partial agg, one |types|-row moment
+    rollup; every float op is a fixed-shape expression over exact
+    integers (the cusum sigma discipline)."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count("*").cast("long").alias("n"))
+    m = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count("*").alias("cnt"),
+    )
+    mu = F.col("s1") / F.col("cnt")
+    var = F.col("s2") / F.col("cnt") - mu * mu
+    return m.select(
+        "event_type",
+        F.col("cnt").cast("long").alias("n_hours"),
+        TX_round(mu, 4).alias("mean_hourly"),
+        TX_round(var / mu, 4).alias("fano"),
+        ((var / mu) > F.lit(1.5)).alias("is_bursty"),
+    )
+
+
+def session_entry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session rollup by ENTRY event type: which first action starts the
+    longest / busiest sessions. Sessions come from the shared gap-cut
+    pass (sessionize's engine); the entry event is the deterministic
+    first row per (user, session) by (ts, event_id).
+
+    100 TB shape: everything rides the one user-key shuffle the session
+    cut already pays; the final rollup is |types|-bounded."""
+    ev = load_table(spark, "events", sf_dir)
+    sid = _with_session_ids(
+        ev.select("user_id", "ts", "event_id", "event_type"), 30
+    )
+    w = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    sess = (
+        sid.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+                "entry_type"
+            ),
+            F.count("*").alias("n_events"),
+            (
+                F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+            ).alias("duration_sec"),
+        )
+    )
+    return sess.groupBy("entry_type").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        TX_round(F.sum("n_events") / F.count("*"), 4).alias("mean_events"),
+        TX_round(F.sum("duration_sec") / F.count("*"), 4).alias(
+            "mean_duration_s"
+        ),
+    )
+
+
+#: debounce window in seconds (mirrored by the oracle).
+DEBOUNCE_S = 60
+
+
+def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce report: an event is suppressed when the same user fired
+    the same event type within DEBOUNCE_S seconds before it — the
+    dedup-by-recency pass every clickstream ingest runs (double-submits,
+    retry storms) before counting anything. Reports kept/dropped per
+    type; the keep rule is a single lag() predicate, shared verbatim
+    with a streaming admission variant.
+
+    NOTE the deliberate semantics: the window anchors on the PREVIOUS
+    RAW event (lag), not the previous kept one — the standard cheap
+    debounce (a fixpoint chain-suppression needs iteration; this is the
+    one-pass form every stream processor ships).
+
+    100 TB shape: one user-key window + a |types|-row rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "kept", gap.isNull() | (gap > F.lit(DEBOUNCE_S))
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias(
+            "n_kept"
+        ),
+        TX_round(
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("drop_rate"),
+    )
