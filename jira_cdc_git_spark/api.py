@@ -444,6 +444,36 @@ class JobManager:
             rows = [r for r in rows if r["type"] in types]
         return rows[:limit]
 
+    def wait_job(
+        self,
+        job_id: str,
+        since_logs: int = 0,
+        last_status: str | None = None,
+        timeout_s: float = 10.0,
+    ) -> dict | None:
+        """Long-poll primitive behind the WatchJob parity routes
+        (pkg/jobs/scheduler.go:152-199 streams {status, progress,
+        message} events over a k8s watch channel; an HTTP facade blocks
+        until something changed instead): return a job snapshot as soon
+        as new log lines exist past ``since_logs`` OR the status differs
+        from ``last_status`` OR the job is terminal — else when the
+        timeout lapses. A 50 ms poll under the manager lock is plenty
+        for a control-plane route (job mutations are seconds apart);
+        the ThreadingHTTPServer gives every long-poll its own thread."""
+        deadline = time.time() + max(0.0, min(timeout_s, 30.0))
+        while True:
+            with self._lock:
+                job = self._jobs.get(job_id)
+                if job is None:
+                    return None
+                terminal = job["status"] in (COMPLETED, FAILED, CANCELLED)
+                changed = len(job["logs"]) > since_logs or (
+                    last_status is not None and job["status"] != last_status
+                )
+                if terminal or changed or time.time() >= deadline:
+                    return dict(job)
+            time.sleep(0.05)
+
     def cancel(self, job_id: str) -> bool:
         """Cancel a job that has not started (a running Spark action is
         not interruptible from here — matching the reference, which can
@@ -653,6 +683,7 @@ API_ROUTES = [
     "DELETE /api/v1/jobs/{id}",
     "POST /api/v1/jobs/{id}/cancel",
     "GET /api/v1/jobs/{id}/logs",
+    "GET /api/v1/jobs/{id}/watch",
     "GET /api/v1/jobs/queue/status",
     "GET /api/v1/profiles",
     "GET /api/v1/profiles/{name}",
@@ -820,10 +851,55 @@ class _Handler(BaseHTTPRequestHandler):
             and parts[:3] == ["api", "v1", "jobs"]
             and parts[4] == "logs"
         ):
-            job = self.manager.get(parts[3])
+            qs = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            since = int((qs.get("since") or ["0"])[0])
+            follow = (qs.get("follow") or ["false"])[0].lower() == "true"
+            timeout_s = float((qs.get("timeout") or ["10"])[0])
+            if follow:
+                job = self.manager.wait_job(
+                    parts[3], since_logs=since, timeout_s=timeout_s
+                )
+            else:
+                job = self.manager.get(parts[3])
             if job is None:
                 return self._error(404, "JOB_NOT_FOUND", "Job not found")
-            self._write(200, {"job_id": job["job_id"], "logs": job["logs"]})
+            self._write(
+                200,
+                {
+                    "job_id": job["job_id"],
+                    "status": job["status"],
+                    "logs": job["logs"][since:],
+                    "next_since": len(job["logs"]),
+                },
+            )
+        elif (
+            len(parts) == 5
+            and parts[:3] == ["api", "v1", "jobs"]
+            and parts[4] == "watch"
+        ):
+            # WatchJob parity (scheduler.go:152-199): one JobMonitor
+            # event per long-poll — {status, progress, message} — the
+            # HTTP shape of the reference's watch channel; clients loop
+            # passing back last_status until a terminal status arrives.
+            qs = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            last = (qs.get("last_status") or [None])[0]
+            timeout_s = float((qs.get("timeout") or ["10"])[0])
+            job = self.manager.wait_job(
+                parts[3], since_logs=10**9, last_status=last,
+                timeout_s=timeout_s,
+            )
+            if job is None:
+                return self._error(404, "JOB_NOT_FOUND", "Job not found")
+            self._write(
+                200,
+                {
+                    "job_id": job["job_id"],
+                    "status": job["status"],
+                    "progress": job.get("progress"),
+                    "message": job["logs"][-1] if job["logs"] else None,
+                    "last_check": _now_iso(),
+                },
+            )
         else:
             self._error(404, "NOT_FOUND", f"no route for GET {path}")
 

@@ -575,3 +575,57 @@ def test_progress_and_eta_on_multibatch_sync(spark, mock_jira, tmp_path):  # noq
         }
     finally:
         mgr.shutdown()
+
+
+def test_watch_and_follow_long_poll(api_server):
+    """WatchJob parity (pkg/jobs/scheduler.go:152-199): the watch route
+    blocks until the status moves past the client's last_status and
+    returns a JobMonitor-shaped event; logs?follow blocks until new
+    lines exist past `since`. Driven against the live threaded server
+    while a real job runs."""
+    srv, _ = api_server
+    status, body = _req(
+        "POST",
+        f"{srv.url}/api/v1/sync/jql",
+        {"jql": "project = PROJ", "repository": "r1"},
+    )
+    assert status in (200, 201, 202)
+    jid = body["data"]["job_id"]
+
+    # watch: block until the job leaves 'pending'; then follow it to a
+    # terminal state — each poll is one JobMonitor event
+    seen = []
+    last = "pending"
+    for _ in range(40):
+        st, env = _req(
+            "GET",
+            f"{srv.url}/api/v1/jobs/{jid}/watch?last_status={last}&timeout=5",
+        )
+        assert st == 200
+        ev = env["data"]
+        assert ev["job_id"] == jid and "progress" in ev and "last_check" in ev
+        seen.append(ev["status"])
+        if ev["status"] in ("completed", "failed", "cancelled"):
+            break
+        last = ev["status"]
+    assert seen[-1] == "completed"
+    assert seen[0] != "pending" or len(set(seen)) > 1  # it moved
+
+    # follow: since=next_since on a terminal job returns immediately
+    # with no new lines; since=0 returns the full log
+    st, env = _req("GET", f"{srv.url}/api/v1/jobs/{jid}/logs?since=0")
+    full = env["data"]
+    assert st == 200 and full["logs"]
+    st, env = _req(
+        "GET",
+        f"{srv.url}/api/v1/jobs/{jid}/logs"
+        f"?since={full['next_since']}&follow=true&timeout=2",
+    )
+    tail = env["data"]
+    assert st == 200
+    assert tail["logs"] == []
+    assert tail["status"] == "completed"
+
+    # unknown job 404s through the long-poll path too
+    st, _ = _req("GET", f"{srv.url}/api/v1/jobs/nope/watch?timeout=1")
+    assert st == 404
