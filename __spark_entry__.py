@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 230
-entries: 221 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 233
+entries: 224 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -138,6 +138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounced_events": TS.debounced_events,
         "idf_drift_report": T.idf_drift_report,
         "basket_pairs_topk": R.basket_pairs_topk,
+        # r6 wave: corpus-derived stopwords, sparse tf-idf similarity
+        # join, range-partition split points
+        "stopword_discovery": T.stopword_discovery,
+        "tfidf_cosine_pairs": T.tfidf_cosine_pairs,
+        "value_equidepth_bins": TS.value_equidepth_bins,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -5114,6 +5119,93 @@ _ORACLES["idf_drift_report"] = f"""
     ORDER BY abs(floor((b.idf - a.idf) * 1000000 + 0.5) / 1000000) DESC,
              a.tok
     LIMIT {T.IDF_DRIFT_K}"""
+
+# Mirrors operators/text.stopword_discovery.
+_ORACLES["stopword_discovery"] = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), n AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks
+    ), d AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1
+    )
+    SELECT tok, df,
+           floor(df / (1.0 * n_docs) * 1000000 + 0.5) / 1000000 AS df_ratio
+    FROM d CROSS JOIN n
+    WHERE df >= {T.STOPWORD_DF_RATIO} * n_docs"""
+
+# Mirrors operators/text.tfidf_cosine_pairs: integer idf units, integer
+# dot/norm sums, double-cast norm product (int64 would overflow).
+_ORACLES["tfidf_cosine_pairs"] = f"""
+    WITH t0 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, md5(array_to_string(tk[pos:pos+2], ' ')) AS tok
+        FROM t0, unnest(generate_series(1, CAST(len(tk) AS INTEGER) - 2))
+                   AS u(pos)
+        WHERE len(tk) >= 3
+    ), tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    ), n1 AS (
+        SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks
+    ), dfr AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), w AS MATERIALIZED (
+        SELECT doc_id, tok, df,
+               tf * CAST(floor(ln(n_docs / df) * {float(T.TFIDF_IDF_UNIT)})
+                         AS BIGINT) AS w
+        FROM tf JOIN dfr USING (tok) CROSS JOIN n1
+    ), norms AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2_u
+        FROM w GROUP BY 1
+    ), inf AS (
+        SELECT doc_id, tok FROM w
+        WHERE df <= {T.TFIDF_DF_CAP} AND w > 0
+    ), cand AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM inf a JOIN inf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {T.TFIDF_MIN_SHARED}
+    ), dots AS (
+        SELECT c.doc_a, c.doc_b, CAST(sum(wa.w * wb.w) AS BIGINT) AS dot_u
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.doc_a
+        JOIN w wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               floor(dot_u / sqrt(CAST(na.norm2_u AS DOUBLE)
+                                  * CAST(nb.norm2_u AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000 AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = dots.doc_a
+        JOIN norms nb ON nb.doc_id = dots.doc_b
+    )
+    SELECT doc_a, doc_b, cosine FROM scored
+    WHERE cosine >= {T.TFIDF_COS_THRESHOLD}"""
+
+# Mirrors operators/timeseries.value_equidepth_bins.
+_ORACLES["value_equidepth_bins"] = f"""
+    WITH ev AS (
+        SELECT value, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), edges AS (
+        SELECT quantile_cont(cents,
+            [{", ".join(str(i / TS.EQUIDEPTH_BINS)
+                        for i in range(1, TS.EQUIDEPTH_BINS))}]) AS es
+        FROM ev
+    ), assigned AS (
+        SELECT value,
+               CAST(len(list_filter(es, x -> cents > x)) + 1 AS INTEGER)
+                 AS bin
+        FROM ev CROSS JOIN edges
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           min(value) AS v_min, max(value) AS v_max
+    FROM assigned GROUP BY 1"""
 
 # Mirrors operators/relational.basket_pairs_topk.
 _ORACLES["basket_pairs_topk"] = f"""

@@ -186,6 +186,9 @@ BENCH_QUERIES = [
     "debounced_events",
     "idf_drift_report",
     "basket_pairs_topk",
+    "stopword_discovery",
+    "tfidf_cosine_pairs",
+    "value_equidepth_bins",
 ]
 
 

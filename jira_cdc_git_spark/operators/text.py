@@ -4202,3 +4202,152 @@ def idf_drift_report(spark: SparkSession, sf_dir: str, k: int = IDF_DRIFT_K) -> 
         .orderBy(F.abs(F.col("idf_drift")).desc(), F.asc("tok"))
         .limit(k)
     )
+
+
+#: stopword-discovery document-frequency ratio threshold.
+STOPWORD_DF_RATIO = 0.5
+
+
+def stopword_discovery(
+    spark: SparkSession, sf_dir: str, df_ratio: float = STOPWORD_DF_RATIO
+) -> DataFrame:
+    """Corpus-specific stopword discovery: terms whose document
+    frequency exceeds STOPWORD_DF_RATIO of all documents. Generic
+    stopword lists miss domain carriers ('agg', 'table' in a query-log
+    corpus); BM25/keyword pipelines and the df-capped candidate
+    indexes should be fed THIS list, derived from the corpus itself.
+
+    100 TB shape: one explode + distinct + vocab-bounded count; the
+    ratio is a per-row division of exact integers."""
+    toks = load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    n_docs = toks.select("doc_id").distinct().agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    df = toks.distinct().groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    return (
+        df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= F.lit(df_ratio) * F.col("n_docs"))
+        .select(
+            "tok",
+            "df",
+            TX.round_half_up(F.col("df") / F.col("n_docs"), 6).alias(
+                "df_ratio"
+            ),
+        )
+    )
+
+
+#: tf-idf cosine pair constants: integer idf units (exact cross-engine
+#: sums), df cap for the candidate index, shared-term prefilter, and
+#: the verify threshold.
+TFIDF_IDF_UNIT = 1_000
+TFIDF_DF_CAP = 100
+TFIDF_MIN_SHARED = 3
+TFIDF_COS_THRESHOLD = 0.6
+
+
+def tfidf_cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = TFIDF_COS_THRESHOLD
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join — the classic
+    document-similarity measure when no embeddings exist: weight every
+    (doc, term) by tf·idf, candidate pairs from a df-capped inverted
+    term index (the containment_pairs / prefix-filter discipline), then
+    verify with the EXACT cosine over all shared terms.
+
+    CROSS-ENGINE DETERMINISM: idf quantizes to TFIDF_IDF_UNIT integer
+    units per term (floor of a fixed-shape ln expression), weights are
+    exact integer products, and both the pair dot product and the
+    per-doc norms are INTEGER sums — order-independent; the final
+    cosine is one per-row division. (A float tf-idf dot product sums in
+    engine-specific order and drifts at the rounding boundary.)
+
+    TERMS ARE 3-GRAM SHINGLES (md5-keyed, the duplicate_spans gram
+    builder), not unigrams: this corpus's unigram vocabulary appears in
+    nearly every document, so unigram idf — ln(N/df) — collapses to
+    zero and every weight vanishes; shingles keep df low and the
+    geometry meaningful (the same reason MinHash shingles before
+    hashing).
+
+    100 TB shape: candidates ride the df-capped postings (a capped term
+    contributes zero candidates, not df^2); the verify dot joins tf
+    vectors for candidate pairs only; norms are one vocab-bounded
+    aggregation reused on both sides."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    toks = _gram_occurrences(docs, 3).select(
+        "doc_id", F.col("gram").alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    n1 = toks.select("doc_id").distinct().agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    dfr = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = materialize(
+        tf.join(dfr, "tok")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            "tok",
+            "df",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("n_docs") / F.col("df"))
+                    * F.lit(float(TFIDF_IDF_UNIT))
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm2_u")
+    )
+    informative = w.filter(
+        (F.col("df") <= TFIDF_DF_CAP) & (F.col("w") > 0)
+    ).select("doc_id", "tok")
+    a = informative.alias("a")
+    b = informative.alias("b")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= TFIDF_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    wa = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("__db"),
+                  F.col("tok").alias("tok_b"), F.col("w").alias("wb"))
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(
+            wb,
+            (F.col("tok") == F.col("tok_b")) & (F.col("doc_b") == F.col("__db")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_u"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2_u").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2_u").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            # norms cast to double BEFORE the product: na*nb as int64
+            # overflows (ANSI mode throws); the double product rounds
+            # identically on both engines from identical exact inputs
+            TX.round_half_up(
+                F.col("dot_u")
+                / F.sqrt(
+                    F.col("na").cast("double") * F.col("nb").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -924,3 +924,54 @@ def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("kept"), 1).otherwise(0)) / F.count("*"), 6
         ).alias("drop_rate"),
     )
+
+
+#: equi-depth bin count (mirrored by the oracle).
+EQUIDEPTH_BINS = 8
+
+
+def value_equidepth_bins(
+    spark: SparkSession, sf_dir: str, bins: int = EQUIDEPTH_BINS
+) -> DataFrame:
+    """Equi-depth histogram of the event value distribution: exact
+    percentile edges at i/bins, every row assigned to its band with one
+    narrow expression. This IS how a range partitioner picks split
+    points at scale (Spark's RangePartitioner samples; this computes
+    the exact edges in one aggregation) — the report to read before
+    range-bucketing any heavy sort or write.
+
+    100 TB shape: ONE exact-percentile aggregation broadcast as an
+    edges array (swap percentile_approx at extreme scale), then a
+    per-row fold over bins-1 edges — no global sort, no ntile window.
+
+    Determinism: the percentile runs over exact INTEGER CENTS, where
+    the shared (n-1)p interpolation at p = i/8 (binary-exact fractions)
+    is EXACT double arithmetic on both engines — interpolating the raw
+    2-dp doubles instead drifts an ulp and flips boundary rows (it did,
+    at sf0.001). Bucket assignment compares exact values; min/max/count
+    per band are exact."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "value", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    qs = ", ".join(str(i / bins) for i in range(1, bins))
+    edges = ev.agg(
+        F.expr(f"percentile(cents, array({qs}))").alias("edges")
+    )
+    assigned = ev.crossJoin(F.broadcast(edges)).select(
+        "value",
+        (
+            F.aggregate(
+                F.filter("edges", lambda e: F.col("cents") > e),
+                F.lit(0),
+                lambda acc, _: acc + 1,
+            )
+            + 1
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return assigned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
