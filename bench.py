@@ -504,6 +504,9 @@ SCALE_PROBE_QUERIES = [
     "textrank_keywords",
     "gap_fill_locf",
     "vocabulary_growth",
+    "tfidf_cosine_pairs",
+    "user_coactivity_pairs",
+    "basket_pairs_topk",
 ]
 
 
