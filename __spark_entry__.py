@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 233
-entries: 224 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 236
+entries: 227 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_discovery": T.stopword_discovery,
         "tfidf_cosine_pairs": T.tfidf_cosine_pairs,
         "value_equidepth_bins": TS.value_equidepth_bins,
+        # r6 wave: one-number structure stats (partitioning inputs)
+        "graph_assortativity": G.graph_assortativity,
+        "cluster_size_histogram": G.cluster_size_histogram,
+        "gini_user_activity": TS.gini_user_activity,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -4910,6 +4914,30 @@ def _link_components_oracle(rounds: int | None = None) -> str:
 _JIRA_ORACLES["link_components"] = _link_components_oracle()
 
 
+# Mirrors operators/graph.graph_assortativity: exact HUGEINT moments
+# (Spark side uses decimal(38,0)), one double conversion at the end.
+_JIRA_ORACLES["graph_assortativity"] = f"""
+    WITH {_I}, {_UND_EDGES},
+    bi AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+    deg AS (SELECT x AS n, count(*) AS d FROM bi GROUP BY 1),
+    pairs AS (
+        SELECT dj.d AS dx, dk.d AS dy
+        FROM bi JOIN deg dj ON dj.n = bi.x JOIN deg dk ON dk.n = bi.y
+    ),
+    m AS (
+        SELECT count(*) AS m, sum(dx * dy) AS sxy, sum(dx) AS sx,
+               sum(dy) AS sy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+        FROM pairs
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           floor(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(m * syy - sy * sy AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS assortativity
+    FROM m"""
+
+
+
 # ===== Round-6 wave: ANN compression variants (operators/vectors) =====
 
 
@@ -5005,12 +5033,18 @@ _ORACLES["event_paths_topk"] = f"""
     ORDER BY n DESC, step1, step2, step3
     LIMIT {TS.PATH_TOPK}"""
 
-# Mirrors operators/timeseries.user_coactivity_pairs.
+# Mirrors operators/timeseries.user_coactivity_pairs (incl. the
+# hot-bucket cap — the df-cap discipline).
 _ORACLES["user_coactivity_pairs"] = f"""
-    WITH act AS (
+    WITH act0 AS (
         SELECT DISTINCT date_trunc('hour', ts) AS hour_ts, event_type,
                user_id
         FROM events
+    ), cool AS (
+        SELECT hour_ts, event_type FROM act0
+        GROUP BY 1, 2 HAVING count(*) <= {TS.COACTIVITY_BUCKET_CAP}
+    ), act AS (
+        SELECT act0.* FROM act0 JOIN cool USING (hour_ts, event_type)
     )
     SELECT a.user_id AS user_a, b.user_id AS user_b,
            CAST(count(*) AS BIGINT) AS n_shared
@@ -5020,6 +5054,41 @@ _ORACLES["user_coactivity_pairs"] = f"""
     GROUP BY 1, 2
     ORDER BY n_shared DESC, user_a, user_b
     LIMIT {TS.COACTIVITY_TOPK}"""
+
+# Mirrors operators/graph.cluster_size_histogram (the neardup_clusters
+# recursive-reach oracle + a size rollup; LSH components are tiny, so
+# the closure stays cheap).
+_ORACLES["cluster_size_histogram"] = f"""
+    WITH RECURSIVE {_LSH_CTES},
+    p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+    ed AS (SELECT doc_a AS u, doc_b AS v FROM p
+           UNION SELECT doc_b, doc_a FROM p),
+    reach AS (
+        SELECT u AS node, u AS r FROM ed
+        UNION
+        SELECT ed.u AS node, reach.r FROM ed JOIN reach ON reach.node = ed.v
+    ),
+    comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1),
+    sz AS (SELECT cluster_id, count(*) AS size FROM comp GROUP BY 1)
+    SELECT CAST(size AS INTEGER) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sz GROUP BY 1"""
+
+# Mirrors operators/timeseries.gini_user_activity.
+_ORACLES["gini_user_activity"] = """
+    WITH pu AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1
+    ), r AS (
+        SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM pu
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+               sum(i * x) AS six
+        FROM r
+    )
+    SELECT n AS n_users, CAST(sx AS BIGINT) AS total_events,
+           floor((2.0 * six / (n * sx) - (n + 1.0) / n) * 1000000 + 0.5)
+             / 1000000 AS gini
+    FROM a"""
 
 # Mirrors operators/timeseries.burstiness_report (exact integer moment
 # sums, the cusum sigma discipline).

