@@ -164,6 +164,39 @@ AUDITS = [
         "the mean update exchanges only k x dims rows.",
     ),
     (
+        "link_prediction_scores",
+        "Wedge enumeration is an EQUI-join on the shared-neighbor key "
+        "(SortMergeJoin/ShuffledHashJoin, never BroadcastNestedLoopJoin); "
+        "the existing-edge exclusion is a left-anti join; the k rows come "
+        "from TakeOrderedAndProject, not a global sort.",
+    ),
+    (
+        "user_coactivity_pairs",
+        "The bipartite self-join extracts the (hour, type) equi keys from "
+        "the mixed condition (u < v rides as a post-join filter); hot "
+        "buckets are removed by a left-semi against the capped bucket "
+        "list BEFORE the join, so per-bucket work is bounded by CAP^2.",
+    ),
+    (
+        "tfidf_cosine_pairs",
+        "Candidates come from the df-capped postings join (equi on the "
+        "gram key); the verify dot product joins weight vectors for "
+        "candidate pairs only; norms aggregate once and join by doc key. "
+        "All sums are integers — no float accumulation anywhere.",
+    ),
+    (
+        "cusum_changepoints",
+        "One (type, hour) partial aggregation, a BroadcastExchange of the "
+        "|types|-row moment frame, and per-type ordered windows for the "
+        "prefix sum and running min — no self-joins, no global windows.",
+    ),
+    (
+        "value_equidepth_bins",
+        "ONE exact-percentile aggregation broadcast as the edges array; "
+        "assignment is a narrow per-row fold (no ntile window, no global "
+        "sort); the final rollup is bins-bounded.",
+    ),
+    (
         "rendezvous_shards",
         "Pure projection: the candidate scores for all shards evaluate "
         "inside ONE array expression per row (no Generate/explode), the "
