@@ -46,6 +46,11 @@ RISKY = [
     "silhouette_report",
     "allpairs_prefix_jaccard",
     "kcore_decomposition",
+    # r6 iterative / hash-derived additions
+    "link_components",
+    "textrank_keywords",
+    "tfidf_cosine_pairs",
+    "srp_neardup_pairs",
 ]
 
 

@@ -95,6 +95,15 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         V.ivfpq_topk,
         V.silhouette_report,
         V.label_centroid_similarity,
+        # r6 document/embedding-driven additions
+        T.hapax_report,
+        T.vocabulary_growth,
+        T.stopword_discovery,
+        T.tfidf_cosine_pairs,
+        T.idf_drift_report,
+        GR.textrank_keywords,
+        lambda spark, d: V.matryoshka_topk(spark, d, dims=16),
+        V.binary_hamming_topk,
     ],
 )
 def test_operator_empty_input_yields_empty_output(fn, spark, empty_sf_dir):
