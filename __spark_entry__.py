@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 236
-entries: 227 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 238
+entries: 229 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": G.graph_assortativity,
         "cluster_size_histogram": G.cluster_size_histogram,
         "gini_user_activity": TS.gini_user_activity,
+        # r6 wave: runtime-filter audit + detector calibration
+        "bloom_semijoin_report": R.bloom_semijoin_report,
+        "anomaly_consensus_report": TS.anomaly_consensus_report,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -5074,6 +5077,54 @@ _ORACLES["cluster_size_histogram"] = f"""
            CAST(count(*) AS BIGINT) AS n_clusters
     FROM sz GROUP BY 1"""
 
+# Mirrors operators/relational.bloom_semijoin_report — the relational
+# twin of the bloom_decontaminate bit streams over integer keys.
+_ORACLES["bloom_semijoin_report"] = f"""
+    WITH cust AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), ch AS (
+        SELECT (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)))::BIGINT
+                 AS h
+        FROM cust
+    ), bloom AS (
+        SELECT CAST(h % {T.BLOOM_BLOCKS} AS INTEGER) AS block,
+               bit_or({_BLOOM_MASK}) AS bits
+        FROM ch GROUP BY 1
+    ), o AS (
+        -- mask MUST be a named column: inlining the two-bit mask
+        -- expression into `bits & mask = mask` re-associates by
+        -- operator precedence ((bits & bit1) | bit2) and silently
+        -- passes everything sharing one bit
+        SELECT o_orderkey, o_custkey, h,
+               CAST(h % {T.BLOOM_BLOCKS} AS INTEGER) AS block,
+               {_BLOOM_MASK} AS mask
+        FROM (SELECT o_orderkey, o_custkey,
+                     (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)))::BIGINT
+                       AS h
+              FROM orders)
+    ), tested AS (
+        SELECT o.o_orderkey, o.o_custkey,
+               coalesce((b.bits & o.mask) = o.mask, FALSE) AS maybe,
+               EXISTS (SELECT 1 FROM cust
+                       WHERE cust.c_custkey = o.o_custkey) AS is_match
+        FROM o LEFT JOIN bloom b ON b.block = o.block
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_exact,
+               CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bloom_pass,
+               CAST(sum(CASE WHEN maybe AND NOT is_match THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos
+        FROM tested
+    )
+    SELECT n_orders, n_exact, n_bloom_pass, n_false_pos,
+           floor(n_false_pos / (1.0 * (n_orders - n_exact)) * 1000000 + 0.5)
+             / 1000000 AS fp_rate,
+           floor((n_orders - n_bloom_pass) / (1.0 * n_orders) * 1000000 + 0.5)
+             / 1000000 AS pruned_frac
+    FROM agg"""
+
 # Mirrors operators/timeseries.gini_user_activity.
 _ORACLES["gini_user_activity"] = """
     WITH pu AS (
@@ -5548,6 +5599,43 @@ _ORACLES["seasonality_profile"] = """
            floor(n / (1.0 * total) * 1000000 + 0.5) / 1000000 AS share,
            floor(cents / n / 100.0 * 10000 + 0.5) / 10000 AS avg_value
     FROM c JOIN t USING (event_type)"""
+
+# Mirrors operators/timeseries.anomaly_consensus_report (the cusum
+# moment stats + a squared z predicate; composes the cusum oracle).
+_ORACLES["anomaly_consensus_report"] = f"""
+    WITH cus AS ({_ORACLES["cusum_changepoints"]}),
+    h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), st AS (
+        SELECT event_type, sum(n) AS s1, sum(n * n) AS s2, count(*) AS cnt
+        FROM h GROUP BY 1
+    ), z AS (
+        SELECT h.event_type, hour_ts,
+               (n - s1 / cnt) * (n - s1 / cnt)
+                 > 9.0 * (s2 / cnt - (s1 / cnt) * (s1 / cnt)) AS z_flag
+        FROM h JOIN st USING (event_type)
+    ), j AS (
+        SELECT z.event_type, z.z_flag, cus.is_changepoint AS c_flag
+        FROM z JOIN cus ON cus.event_type = z.event_type
+                       AND cus.hour_ts = z.hour_ts
+    ), agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(CASE WHEN z_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_z,
+               CAST(sum(CASE WHEN c_flag THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cusum,
+               CAST(sum(CASE WHEN z_flag AND c_flag THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both
+        FROM j GROUP BY 1
+    )
+    SELECT event_type, n_hours, n_z, n_cusum, n_both,
+           CASE WHEN n_z + n_cusum - n_both > 0
+                THEN floor(n_both / (1.0 * (n_z + n_cusum - n_both))
+                           * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS jaccard_agreement
+    FROM agg"""
+
 
 # Mirrors operators/graph.degree_distribution.
 _JIRA_ORACLES["degree_distribution"] = f"""

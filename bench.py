@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "graph_assortativity",
     "cluster_size_histogram",
     "gini_user_activity",
+    "bloom_semijoin_report",
+    "anomaly_consensus_report",
 ]
 
 

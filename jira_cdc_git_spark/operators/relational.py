@@ -878,3 +878,82 @@ def basket_pairs_topk(spark: SparkSession, sf_dir: str, k: int = BASKET_TOPK) ->
         .orderBy(F.desc("n_ab"), "brand_a", "brand_b")
         .limit(k)
     )
+
+
+def bloom_semijoin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter audit — the relational twin of the broadcast
+    blocked-Bloom used for decontamination: build the Bloom over the
+    SELECTIVE dim side (BUILDING-segment customers), test every order's
+    foreign key through it, and report what a bloom-pushdown would have
+    pruned vs the exact semi-join plus the false-positive rate. This is
+    exactly the decision data for Spark's own
+    spark.sql.optimizer.runtime.bloomFilter (when does the filter pay
+    for itself) — computed as a first-class query.
+
+    100 TB shape: the Bloom is a BLOOM_BLOCKS-row broadcast built from
+    one dim aggregation; the fact side is one narrow scan + broadcast
+    join; the exact arm is the ordinary broadcast semi-join the filter
+    would protect. One 1-row rollup at the end."""
+    from jira_cdc_git_spark.functions import text as TX
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+    from jira_cdc_git_spark.operators.text import _bloom_block, _bloom_mask
+
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    hc = TX.hex32(F.col("c_custkey").cast("string"))
+    bloom = (
+        cust.select(_bloom_block(hc).alias("block"), _bloom_mask(hc).alias("mask"))
+        .groupBy("block")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    ho = TX.hex32(F.col("o_custkey").cast("string"))
+    tested = (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            _bloom_block(ho).alias("block"),
+            _bloom_mask(ho).alias("mask"),
+        )
+        .join(F.broadcast(bloom), "block", "left")
+        .withColumn(
+            "maybe",
+            F.coalesce(
+                F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"),
+                F.lit(False),
+            ),
+        )
+        .join(
+            F.broadcast(cust.withColumnRenamed("c_custkey", "o_custkey")
+                        .withColumn("is_match", F.lit(True))),
+            "o_custkey",
+            "left",
+        )
+        .withColumn("is_match", F.coalesce("is_match", F.lit(False)))
+    )
+    return tested.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).cast("long").alias(
+            "n_exact"
+        ),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0)).cast("long").alias(
+            "n_bloom_pass"
+        ),
+        F.sum(
+            F.when(F.col("maybe") & ~F.col("is_match"), 1).otherwise(0)
+        ).cast("long").alias("n_false_pos"),
+    ).select(
+        "n_orders",
+        "n_exact",
+        "n_bloom_pass",
+        "n_false_pos",
+        TX_round(
+            F.col("n_false_pos") / (F.col("n_orders") - F.col("n_exact")), 6
+        ).alias("fp_rate"),
+        TX_round(
+            (F.col("n_orders") - F.col("n_bloom_pass")) / F.col("n_orders"), 6
+        ).alias("pruned_frac"),
+    )

@@ -1028,3 +1028,61 @@ def gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def anomaly_consensus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector agreement audit: per event type, how often the pointwise
+    z-score flag (|n - mu| > 3 sigma on hourly counts) and the CUSUM
+    drift alarm fire on the same hours — the calibration read before
+    trusting either alone (z catches spikes, CUSUM catches sustained
+    shifts; high Jaccard agreement means the corpus only has spikes).
+
+    Shares cusum_changepoints' exact-integer moment stats; the z
+    predicate compares squared deviations so no sqrt enters the flag.
+
+    100 TB shape: one (type, hour) partial agg reused by both arms, a
+    broadcast |types|-row stats frame, and a |types|-row rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count("*").cast("long").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count("*").alias("cnt"),
+    )
+    mu = F.col("s1") / F.col("cnt")
+    var = F.col("s2") / F.col("cnt") - mu * mu
+    z_flagged = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hour_ts",
+        # |n - mu| > 3 sigma, squared: no sqrt in the predicate
+        ((F.col("n") - mu) * (F.col("n") - mu) > F.lit(9.0) * var).alias(
+            "z_flag"
+        ),
+    )
+    cus = cusum_changepoints(spark, sf_dir).select(
+        "event_type", "hour_ts", F.col("is_changepoint").alias("c_flag")
+    )
+    both = z_flagged.join(cus, ["event_type", "hour_ts"])
+    agg = both.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum(F.when(F.col("z_flag"), 1).otherwise(0)).cast("long").alias("n_z"),
+        F.sum(F.when(F.col("c_flag"), 1).otherwise(0)).cast("long").alias(
+            "n_cusum"
+        ),
+        F.sum(F.when(F.col("z_flag") & F.col("c_flag"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+    )
+    denom = F.col("n_z") + F.col("n_cusum") - F.col("n_both")
+    return agg.select(
+        "event_type",
+        "n_hours",
+        "n_z",
+        "n_cusum",
+        "n_both",
+        F.when(denom > 0, TX_round(F.col("n_both") / denom, 6))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard_agreement"),
+    )

@@ -1024,3 +1024,22 @@ def test_link_prediction_pairs_not_adjacent(spark, sf_dir):
         assert (r["u"], r["v"]) not in edges
         assert r["common_neighbors"] >= 1
         assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_bloom_semijoin_never_misses_members(spark, sf_dir):
+    # Bloom contract: every exact match passes the filter (no false
+    # negatives) — pass count >= exact count, false positives only
+    # inflate, never deflate
+    row = R.bloom_semijoin_report(spark, sf_dir).collect()[0]
+    assert row["n_bloom_pass"] >= row["n_exact"]
+    assert row["n_bloom_pass"] == row["n_exact"] + row["n_false_pos"]
+    assert 0.0 <= row["fp_rate"] <= 1.0 or row["fp_rate"] is None
+    assert 0.0 <= row["pruned_frac"] <= 1.0
+
+
+def test_anomaly_consensus_bounds(spark, sf_dir):
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    for r in TS.anomaly_consensus_report(spark, sf_dir).collect():
+        assert r["n_both"] <= min(r["n_z"], r["n_cusum"])
+        assert 0.0 <= r["jaccard_agreement"] <= 1.0
