@@ -1458,3 +1458,106 @@ def streaming_cusum(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_debounce(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    debounce_s: int | None = None,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming twin of operators/timeseries.debounced_events — the
+    admission form: an arriving event is kept unless the same user
+    fired the same type within debounce_s seconds BEFORE it. Stateful
+    like streaming_cusum: the per-(user, type) last-seen timestamp
+    carries across micro-batches in a compact state table (the
+    reference's CDC loop keeps per-issue updated watermarks in exactly
+    this shape — pkg/state; this is the event-grain analog).
+
+    Same batch-operator semantics (the one-pass lag form): the window
+    anchors on the previous RAW event, kept or not, so a burst's second
+    and third hits are both suppressed by their immediate predecessor.
+    Replay-safe via batch_id-partitioned sinks + the applied_batch_id
+    marker in the swapped state dir. Assumes per-(user, type)
+    monotone arrival order across batches (the hour-monotone watermark
+    assumption, one key finer).
+
+    100 TB shape: per batch one (user, type)-key window over the batch
+    plus a join against the |users x types|-bounded state table; the
+    sinks are append-only."""
+    import os
+
+    from jira_cdc_git_spark.operators.timeseries import DEBOUNCE_S
+    from jira_cdc_git_spark.state import _swap_dir_atomic
+
+    if debounce_s is None:
+        debounce_s = DEBOUNCE_S
+    state_dir = f"{out_root}/debounce_state"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(events_dir)
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.localCheckpoint()
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            last_applied = state.agg(F.max("applied_batch_id")).first()[0]
+            if last_applied is not None and batch_id <= last_applied:
+                return
+            carry = state.select("user_id", "event_type", "last_ts")
+        else:
+            carry = spark.createDataFrame(
+                [], "user_id long, event_type string, last_ts long"
+            )
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            "ts", "event_id"
+        )
+        tsl = F.col("ts").cast("long")
+        flagged = (
+            batch.join(F.broadcast(carry), ["user_id", "event_type"], "left")
+            .withColumn("prev_in_batch", F.lag(tsl).over(w))
+            .withColumn(
+                "prev_ts", F.coalesce("prev_in_batch", "last_ts")
+            )
+            .withColumn(
+                "kept",
+                F.col("prev_ts").isNull()
+                | ((tsl - F.col("prev_ts")) > F.lit(debounce_s)),
+            )
+            .drop("prev_in_batch", "last_ts")
+        )
+        flagged = flagged.localCheckpoint()
+        _append_batch_idempotent(
+            flagged.drop("prev_ts"), f"{out_root}/verdicts", batch_id
+        )
+        _append_batch_idempotent(
+            flagged.filter("kept").drop("kept", "prev_ts"),
+            f"{out_root}/admitted",
+            batch_id,
+        )
+        new_last = (
+            flagged.groupBy("user_id", "event_type")
+            .agg(F.max(tsl).alias("last_ts"))
+        )
+        merged = (
+            carry.unionByName(new_last)
+            .groupBy("user_id", "event_type")
+            .agg(F.max("last_ts").alias("last_ts"))
+            .withColumn("applied_batch_id", F.lit(batch_id))
+        )
+        _swap_dir_atomic(merged.localCheckpoint(), state_dir)
+
+    (
+        feed.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1178,3 +1178,50 @@ def test_streaming_cusum_stateful_batch_parity(spark, sf_dir, tmp_path):
         for r in read_append_sink(spark, f"{out_root}/alarms").collect()
     }
     assert alarms == {k for k, v in want.items() if v[2]}
+
+
+def test_streaming_debounce_stateful_batch_parity(spark, sf_dir, tmp_path):
+    """The stateful debounce twin: last-seen timestamps per (user, type)
+    must survive batch boundaries — feed the events in three ts-ordered
+    chunks cut anywhere and require the per-type keep/drop rollup of the
+    streamed verdicts to equal the batch operator exactly."""
+    from pyspark.sql import functions as F
+
+    from jira_cdc_git_spark.operators.timeseries import debounced_events
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        read_append_sink,
+        streaming_debounce,
+    )
+
+    ev = load_table(spark, "events", sf_dir).orderBy("ts", "event_id")
+    rows = ev.collect()
+    cuts = [len(rows) // 3, 2 * len(rows) // 3]
+    events_dir = str(tmp_path / "feed")
+    for chunk in (rows[: cuts[0]], rows[cuts[0] : cuts[1]], rows[cuts[1] :]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    out_root = str(tmp_path / "deb")
+    streaming_debounce(
+        spark, events_dir, ev.schema, str(tmp_path / "ckpt"), out_root, None
+    )
+    got = {
+        r["event_type"]: (r["n_total"], r["n_kept"])
+        for r in read_append_sink(spark, f"{out_root}/verdicts")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .collect()
+    }
+    want = {
+        r["event_type"]: (r["n_total"], r["n_kept"])
+        for r in debounced_events(spark, sf_dir).collect()
+    }
+    assert got == want
+    # admitted sink is exactly the kept subset
+    n_admitted = read_append_sink(spark, f"{out_root}/admitted").count()
+    assert n_admitted == sum(k for _, k in want.values())
