@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 238
-entries: 229 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 240
+entries: 231 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -150,6 +150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 wave: runtime-filter audit + detector calibration
         "bloom_semijoin_report": R.bloom_semijoin_report,
         "anomaly_consensus_report": TS.anomaly_consensus_report,
+        # r6 wave: star-schema profiling + RFM segmentation
+        "order_fanout_histogram": R.order_fanout_histogram,
+        "customer_rfm_scores": R.customer_rfm_scores,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -5349,6 +5352,50 @@ _ORACLES["basket_pairs_topk"] = f"""
     CROSS JOIN n
     ORDER BY n_ab DESC, brand_a, brand_b
     LIMIT {R.BASKET_TOPK}"""
+
+# Mirrors operators/relational.order_fanout_histogram.
+_ORACLES["order_fanout_histogram"] = """
+    WITH fan AS (
+        SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1
+    ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM fan)
+    SELECT CAST(n_lines AS INTEGER) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor(count(*) / t * 1000000 + 0.5) / 1000000 AS share
+    FROM fan CROSS JOIN tot GROUP BY n_lines, t"""
+
+# Mirrors operators/relational.customer_rfm_scores: integer metrics,
+# binary-exact quartile probes, edge-count scoring (the
+# value_equidepth_bins discipline).
+_ORACLES["customer_rfm_scores"] = f"""
+    WITH pc AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                              DATE '{R.RFM_ASOF}') AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS monetary_cents
+        FROM orders GROUP BY 1
+    ), e AS (
+        SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS re,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fe,
+               quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS me
+        FROM pc
+    ), s AS (
+        SELECT o_custkey, recency_days, frequency,
+               monetary_cents / 100.0 AS monetary,
+               CAST(5 - (len(list_filter(re, x -> recency_days > x)) + 1)
+                    AS INTEGER) AS r_score,
+               CAST(len(list_filter(fe, x -> frequency > x)) + 1
+                    AS INTEGER) AS f_score,
+               CAST(len(list_filter(me, x -> monetary_cents > x)) + 1
+                    AS INTEGER) AS m_score
+        FROM pc CROSS JOIN e
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM s"""
 
 # Mirrors operators/relational.orders_cube (2-dp money sums as exact
 # integer cents).

@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "gini_user_activity",
     "bloom_semijoin_report",
     "anomaly_consensus_report",
+    "order_fanout_histogram",
+    "customer_rfm_scores",
 ]
 
 

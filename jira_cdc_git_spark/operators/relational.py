@@ -957,3 +957,101 @@ def bloom_semijoin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_orders") - F.col("n_bloom_pass")) / F.col("n_orders"), 6
         ).alias("pruned_frac"),
     )
+
+
+def order_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-table fan-out profile: distribution of lineitems per order
+    (n_lines → n_orders + share). The degree_distribution of the star
+    schema — the first thing to check before sizing the orders⋈lineitem
+    shuffle (a heavy tail here is join-amplification the planner must
+    know about).
+
+    100 TB shape: two partial-agg aggregations, no joins."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    fan = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    tot = fan.agg(F.count("*").cast("double").alias("n_orders_total"))
+    return (
+        fan.groupBy(F.col("n_lines").cast("int").alias("n_lines"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_lines",
+            "n_orders",
+            TX_round(F.col("n_orders") / F.col("n_orders_total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+#: RFM reference date: one day past the fixture's order-date horizon
+#: (mirrored by the oracle).
+RFM_ASOF = "1998-12-31"
+
+
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) —
+    the classic customer-scoring rollup, built the deterministic way:
+    per-customer aggregates reduce to exact integers (days since
+    RFM_ASOF, order count, cents), quartile edges come from ONE exact
+    percentile aggregation over those integers (binary-exact p = i/4,
+    the value_equidepth_bins discipline), and each customer scores by
+    counting edges below it — a narrow per-row fold, no ntile window,
+    no global sort.
+
+    Scoring convention: higher is better — recency score 4 = most
+    recent quartile; frequency/monetary score 4 = top quartile.
+
+    100 TB shape: one customer-key aggregation, one 1-row percentile
+    frame broadcast, per-row scoring, done."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round  # noqa: F401
+
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    edges = per_cust.agg(
+        F.expr("percentile(recency_days, array(0.25D, 0.5D, 0.75D))").alias("re"),
+        F.expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").alias("fe"),
+        F.expr("percentile(monetary_cents, array(0.25D, 0.5D, 0.75D))").alias("me"),
+    )
+
+    def _score(col: str, edges_col: str) -> "F.Column":
+        return (
+            F.aggregate(
+                F.filter(edges_col, lambda e: F.col(col) > e),
+                F.lit(0),
+                lambda acc, _: acc + 1,
+            )
+            + 1
+        ).cast("int")
+
+    scored = per_cust.crossJoin(F.broadcast(edges)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_cents") / 100.0).alias("monetary"),
+        # recency: smaller days = better, so invert the band index
+        (F.lit(5) - _score("recency_days", "re")).cast("int").alias("r_score"),
+        _score("frequency", "fe").alias("f_score"),
+        _score("monetary_cents", "me").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
