@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 240
-entries: 231 oracle-backed (value-hash checked) and 9 no-oracle by
+The registry has 242
+entries: 233 oracle-backed (value-hash checked) and 9 no-oracle by
 nature (xxhash64-based simhash signatures; the six mapInPandas media
 passes; the HLL sketch report; the zlib compression ratio), which get
 rows-only checks wherever slotted. (The kmeans-trained ANN pair left
@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 wave: star-schema profiling + RFM segmentation
         "order_fanout_histogram": R.order_fanout_histogram,
         "customer_rfm_scores": R.customer_rfm_scores,
+        # r6 wave: the TPC-H Q3/Q5 join-reordering classics
+        "shipping_priority_topk": R.shipping_priority_topk,
+        "local_supplier_volume": R.local_supplier_volume,
         "decayed_engagement": TS.decayed_engagement,
         "mad_anomalies": TS.mad_anomalies,
         "phrase_search": T.phrase_search,
@@ -5352,6 +5355,46 @@ _ORACLES["basket_pairs_topk"] = f"""
     CROSS JOIN n
     ORDER BY n_ab DESC, brand_a, brand_b
     LIMIT {R.BASKET_TOPK}"""
+
+# Shared revenue expression: exact ten-thousandth units (price-cents x
+# discount-hundredths; both factors are 2-dp, so the product is exact).
+_REV_U = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"
+)
+
+# Mirrors operators/relational.shipping_priority_topk (TPC-H Q3 shape).
+_ORACLES["shipping_priority_topk"] = f"""
+    WITH j AS (
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+               sum({_REV_U}) AS rev_u
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '{R.Q3_CUTOFF} 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '{R.Q3_CUTOFF} 00:00:00'
+        GROUP BY 1, 2, 3
+    )
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           floor(rev_u / 10000.0 * 100 + 0.5) / 100 AS revenue
+    FROM j
+    ORDER BY rev_u DESC, l_orderkey
+    LIMIT 10"""
+
+# Mirrors operators/relational.local_supplier_volume (TPC-H Q5 shape).
+_ORACLES["local_supplier_volume"] = f"""
+    SELECT n.n_name,
+           floor(sum({_REV_U}) / 10000.0 * 100 + 0.5) / 100 AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = '{R.Q5_REGION}'
+    GROUP BY 1"""
 
 # Mirrors operators/relational.order_fanout_histogram.
 _ORACLES["order_fanout_histogram"] = """

@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "anomaly_consensus_report",
     "order_fanout_histogram",
     "customer_rfm_scores",
+    "shipping_priority_topk",
+    "local_supplier_volume",
 ]
 
 

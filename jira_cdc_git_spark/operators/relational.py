@@ -1055,3 +1055,129 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+#: Q3/Q5-analog constants (mirrored by the oracles).
+Q3_CUTOFF = "1998-06-01"
+Q5_REGION = "ASIA"
+#: revenue rides as exact integer ten-thousandths: price-cents x
+#: discount-hundredths — extendedprice and discount are 2-dp, so the
+#: product is an exact 4-dp quantity and the SUM is order-independent
+#: on both engines (the integer-unit discipline).
+def _revenue_units() -> "F.Column":
+    return (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((F.lit(1.0) - F.col("l_discount")) * 100, 0).cast("long")
+    )
+
+
+def shipping_priority_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """TPC-H Q3 shape — the canonical 3-way star join: BUILDING-segment
+    customers' orders placed before the cutoff, revenue from lineitems
+    shipped after it, top-k unshipped orders by revenue. THE classic
+    join-reordering benchmark: both selective dims must broadcast and
+    the fact table must be touched once.
+
+    100 TB shape: two broadcast-able dim filters ahead of one fact
+    scan, partial-agg revenue in exact integer units,
+    TakeOrderedAndProject for the k rows (ties break on l_orderkey)."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp"))
+        .join(F.broadcast(cust), "o_custkey", "left_semi")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    return (
+        li.join(orders, "l_orderkey")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue_units()).alias("rev_u"))
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            TX_round(F.col("rev_u") / 10000.0, 2).alias("revenue"),
+        )
+        .orderBy(F.desc("rev_u"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-table snowflake: revenue per nation from
+    lineitems whose SUPPLIER sits in the same nation as the ordering
+    CUSTOMER, customers restricted to one region. The join-order stress
+    test: region→nation→customer prunes first, supplier joins the fact
+    on (suppkey) THEN matches nations — expressed declaratively so
+    Catalyst + AQE pick broadcast sides.
+
+    100 TB shape: all dims broadcast-able; the fact table shuffles at
+    most once (orderkey); revenue sums in exact integer units."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == Q5_REGION
+    )
+    nation = load_table(spark, "nation", sf_dir).join(
+        F.broadcast(region.select(F.col("r_regionkey").alias("n_regionkey"))),
+        "n_regionkey",
+        "left_semi",
+    )
+    cust = load_table(spark, "customer", sf_dir).join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"))),
+        "c_nationkey",
+        "left_semi",
+    )
+    orders = load_table(spark, "orders", sf_dir).join(
+        F.broadcast(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").alias("cust_nationkey"),
+            )
+        ),
+        "o_custkey",
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("supp_nationkey"),
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"), "cust_nationkey"
+            ),
+            "l_orderkey",
+        )
+        .join(F.broadcast(supp), "l_suppkey")
+        .filter(F.col("cust_nationkey") == F.col("supp_nationkey"))
+    )
+    names = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("cust_nationkey"), "n_name"
+    )
+    return (
+        joined.groupBy("cust_nationkey")
+        .agg(F.sum(_revenue_units()).alias("rev_u"))
+        .join(F.broadcast(names), "cust_nationkey")
+        .select(
+            "n_name",
+            TX_round(F.col("rev_u") / 10000.0, 2).alias("revenue"),
+        )
+    )

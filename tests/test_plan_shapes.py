@@ -831,3 +831,18 @@ def test_r6_topk_queries_use_take_ordered(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_q3_q5_join_shapes(spark, sf_dir):
+    # Q3: both selective dims broadcast, ship-date filter pushed to the
+    # fact scan, top-k via TakeOrderedAndProject. Q5: every dim
+    # broadcasts (6 BroadcastExchanges), no cartesian.
+    from jira_cdc_git_spark.operators import relational as R
+
+    p3 = _plan(R.shipping_priority_topk(spark, sf_dir))
+    assert p3.count("BroadcastExchange") >= 2
+    assert "TakeOrderedAndProject" in p3
+    assert "GreaterThan(l_shipdate" in p3  # pushed to the parquet scan
+    p5 = _plan(R.local_supplier_volume(spark, sf_dir))
+    assert p5.count("BroadcastExchange") >= 4
+    assert "CartesianProduct" not in p5
