@@ -4834,12 +4834,20 @@ _UND_EDGES = f"""all_edges AS ({_EDGES_SQL}),
 
 # Mirrors operators/graph.link_prediction_scores: wedge enumeration over
 # the adjacency list, anti-join against existing edges, Adamic-Adar in
-# floored integer micro-units so the SUM is order-independent.
+# floored integer micro-units so the SUM is order-independent. Shared
+# neighbors with degree > LINKPRED_HUB_CAP are dropped before the wedge
+# self-join (the r6 verdict's hub cap — sum(deg^2) guard), exactly as
+# the Spark side drops them; jaccard is floor-based half-up rounding
+# (round_half_up discipline), endpoint degrees da/db stay exact.
 _JIRA_ORACLES["link_prediction_scores"] = f"""
     WITH {_I}, {_UND_EDGES},
     nbrs AS (SELECT u AS n, v AS x FROM e UNION ALL SELECT v AS n, u AS x FROM e),
     deg AS (SELECT x, count(*) AS d FROM nbrs GROUP BY 1),
-    nd AS (SELECT n, x, d FROM nbrs JOIN deg USING (x)),
+    capped AS (
+        SELECT n, x FROM nbrs
+        WHERE n NOT IN (SELECT x FROM deg WHERE d > {G.LINKPRED_HUB_CAP})
+    ),
+    nd AS (SELECT n, x, d FROM capped JOIN deg USING (x)),
     wedges AS (
         SELECT a.x AS u, b.x AS v, a.d AS da, b.d AS db,
                CAST(floor({float(G.AA_UNIT)} / ln(CAST(dn.d AS DOUBLE)))
@@ -4855,7 +4863,8 @@ _JIRA_ORACLES["link_prediction_scores"] = f"""
         GROUP BY 1, 2
     )
     SELECT u, v, common_neighbors,
-           round(common_neighbors / (da + db - common_neighbors), 6) AS jaccard,
+           floor(common_neighbors / (da + db - common_neighbors)
+                 * 1000000 + 0.5) / 1000000 AS jaccard,
            aa_units / {float(G.AA_UNIT)} AS adamic_adar
     FROM scored
     ORDER BY common_neighbors DESC, u, v
@@ -5125,8 +5134,10 @@ _ORACLES["bloom_semijoin_report"] = f"""
         FROM tested
     )
     SELECT n_orders, n_exact, n_bloom_pass, n_false_pos,
-           floor(n_false_pos / (1.0 * (n_orders - n_exact)) * 1000000 + 0.5)
-             / 1000000 AS fp_rate,
+           CASE WHEN n_orders > n_exact THEN
+               floor(n_false_pos / (1.0 * (n_orders - n_exact))
+                     * 1000000 + 0.5) / 1000000
+           ELSE 0.0 END AS fp_rate,
            floor((n_orders - n_bloom_pass) / (1.0 * n_orders) * 1000000 + 0.5)
              / 1000000 AS pruned_frac
     FROM agg"""
@@ -5738,7 +5749,7 @@ _JIRA_ORACLES["degree_distribution"] = f"""
     n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM deg)
     SELECT CAST(degree AS INTEGER) AS degree,
            CAST(count(*) AS BIGINT) AS n_nodes,
-           round(count(*) / n.n_total, 6) AS frac
+           floor(count(*) / n.n_total * 1000000 + 0.5) / 1000000 AS frac
     FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
 
 

@@ -852,9 +852,14 @@ class _Handler(BaseHTTPRequestHandler):
             and parts[4] == "logs"
         ):
             qs = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
-            since = int((qs.get("since") or ["0"])[0])
+            try:
+                since = int((qs.get("since") or ["0"])[0])
+                timeout_s = float((qs.get("timeout") or ["10"])[0])
+            except ValueError:
+                return self._error(
+                    400, "INVALID_PARAMETER", "Invalid since/timeout parameter"
+                )
             follow = (qs.get("follow") or ["false"])[0].lower() == "true"
-            timeout_s = float((qs.get("timeout") or ["10"])[0])
             if follow:
                 job = self.manager.wait_job(
                     parts[3], since_logs=since, timeout_s=timeout_s
@@ -883,7 +888,12 @@ class _Handler(BaseHTTPRequestHandler):
             # passing back last_status until a terminal status arrives.
             qs = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
             last = (qs.get("last_status") or [None])[0]
-            timeout_s = float((qs.get("timeout") or ["10"])[0])
+            try:
+                timeout_s = float((qs.get("timeout") or ["10"])[0])
+            except ValueError:
+                return self._error(
+                    400, "INVALID_PARAMETER", "Invalid timeout parameter"
+                )
             job = self.manager.wait_job(
                 parts[3], since_logs=10**9, last_status=last,
                 timeout_s=timeout_s,

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jira_cdc_git_spark.functions.text import round_half_up as _rhu
 from jira_cdc_git_spark.sources.registry import load_table
 
 from jira_cdc_git_spark.materialize import materialize
@@ -174,6 +175,7 @@ def connected_components(
         )
 
     prev_count = None  # carried across rounds: saves one count job each
+    converged = False
     for _ in range(max_iters):
         adj = _adj(edges)
         # LARGE-STAR: m = min(closed neighborhood); every neighbor n > c
@@ -221,6 +223,21 @@ def connected_components(
         edges, prev_count = new_edges, new_count
         if converged:
             break
+    if not converged:
+        # Downstream exact-oracle consumers (neardup_clusters,
+        # cluster_size_histogram) would otherwise fail parity with a
+        # bare hash mismatch and no diagnostic; link_components parity
+        # survives only because its oracle unrolls the same fixed
+        # rounds. Fail loudly instead (r6 advice, graph.py:180).
+        import warnings
+
+        warnings.warn(
+            f"connected_components: star loop exhausted {max_iters} "
+            "rounds without converging — component labels may be "
+            "non-final; raise max_iters/STAR_ROUNDS",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     comp = (
         _adj(edges)
@@ -657,6 +674,15 @@ def hits_scores(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame:
 
 #: top-k size for the link-prediction candidate board.
 LINKPRED_K = 50
+
+#: hub-degree cap for wedge enumeration in link_prediction_scores:
+#: shared neighbors with degree > cap are dropped before the self-join
+#: (mirrored by the oracle). Wedge work is sum(deg^2) over shared
+#: neighbors — one 10k-link mega-epic alone yields 10^8 wedge rows from
+#: a single join key. High-degree wedges carry ~zero Adamic-Adar weight
+#: (1/ln d), so dropping them is standard in link prediction; the
+#: containment_pairs DF-cap / user_coactivity bucket-cap discipline.
+LINKPRED_HUB_CAP = 256
 #: Adamic-Adar integer units — per-edge 1/ln(deg) is a fixed-shape IEEE
 #: expression, floored to micro-units BEFORE the order-dependent SUM so
 #: the aggregation adds exact integers on both engines (the pagerank
@@ -700,13 +726,17 @@ def link_prediction_scores(
 
     CROSS-ENGINE DETERMINISM: Adamic-Adar terms floor to AA_UNIT integer
     units per wedge before summing (integer sum is order-independent);
-    Jaccard is a single per-pair IEEE division of exact integers. Top-k
-    ties break on the (u, v) key pair, so LIMIT content is unique.
+    Jaccard is round_half_up over a single per-pair IEEE division of
+    exact integers (F.round vs DuckDB round disagree one ulp from .5).
+    Top-k ties break on the (u, v) key pair, so LIMIT content is unique.
 
     100 TB shape: one self-join of the adjacency list on the shared
-    neighbor (the wedge enumeration also used by token_triangles —
-    work is sum of deg^2, bounded by the hub cap of real link graphs),
-    one anti-join against the edge set, one partial-agg groupBy(pair),
+    neighbor (the wedge enumeration also used by token_triangles) —
+    work is sum(deg^2) over shared neighbors, so hubs above
+    LINKPRED_HUB_CAP are dropped BEFORE the join (mirrored by the
+    oracle; high-degree wedges carry ~zero 1/ln(d) Adamic-Adar weight,
+    the user_coactivity_pairs bucket-cap discipline) — then an
+    anti-join against the edge set, one partial-agg groupBy(pair),
     and a TakeOrderedAndProject for the k rows."""
     e = materialize(_undirected_link_edges(spark, sf_dir))
     nbrs = materialize(
@@ -715,7 +745,15 @@ def link_prediction_scores(
         )
     )
     deg = nbrs.groupBy(F.col("n").alias("x")).agg(F.count("*").alias("d"))
-    nd = materialize(nbrs.join(deg, "x").select("n", "x", "d"))
+    # Hub cap: only wedges whose SHARED neighbor n has degree <= cap are
+    # enumerated (a/b endpoint degrees da/db stay exact for Jaccard).
+    # The hub set (degree > cap) is tiny by construction — broadcast
+    # anti-join, no shuffle of the adjacency list.
+    hubs = deg.filter(F.col("d") > LINKPRED_HUB_CAP).select(
+        F.col("x").alias("n")
+    )
+    nbrs_capped = nbrs.join(F.broadcast(hubs), "n", "left_anti")
+    nd = materialize(nbrs_capped.join(deg, "x").select("n", "x", "d"))
     a = nd.select(F.col("n"), F.col("x").alias("a"), F.col("d").alias("da"))
     b = nd.select(
         F.col("n").alias("n2"), F.col("x").alias("b"), F.col("d").alias("db")
@@ -746,7 +784,7 @@ def link_prediction_scores(
             "u",
             "v",
             "common_neighbors",
-            F.round(
+            _rhu(
                 F.col("common_neighbors")
                 / (F.col("da") + F.col("db") - F.col("common_neighbors")),
                 6,
@@ -805,7 +843,7 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("degree").cast("int").alias("degree"),
             "n_nodes",
-            F.round(F.col("n_nodes") / F.col("n_total"), 6).alias("frac"),
+            _rhu(F.col("n_nodes") / F.col("n_total"), 6).alias("frac"),
         )
     )
 

@@ -950,9 +950,15 @@ def bloom_semijoin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "n_bloom_pass",
         "n_false_pos",
-        TX_round(
-            F.col("n_false_pos") / (F.col("n_orders") - F.col("n_exact")), 6
-        ).alias("fp_rate"),
+        F.when(
+            F.col("n_orders") > F.col("n_exact"),
+            TX_round(
+                F.col("n_false_pos") / (F.col("n_orders") - F.col("n_exact")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fp_rate"),
         TX_round(
             (F.col("n_orders") - F.col("n_bloom_pass")) / F.col("n_orders"), 6
         ).alias("pruned_frac"),
