@@ -37,18 +37,33 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 242
-entries: 233 oracle-backed (value-hash checked) and 9 no-oracle by
-nature (xxhash64-based simhash signatures; the six mapInPandas media
-passes; the HLL sketch report; the zlib compression ratio), which get
-rows-only checks wherever slotted. (The kmeans-trained ANN pair left
+The registry has 246
+entries: 237 oracle-backed (value-hash checked) and 9 PERMANENTLY
+rows-only BY NATURE — classified, not debt: the six mapInPandas media
+passes (decode/resize/frame/audio/dHash/pHash emit binary/image
+payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
+bit signatures — DuckDB has no xxhash64; the md5 Carter-Wegman variant
+`simhash_neardup_pairs` IS oracle-green, proving the algorithm; the
+xxhash64 entry exists for throughput parity), `sketch_accuracy_report`
+(HLL++ internal registers are implementation-defined; its ERROR BOUNDS
+are pytest-asserted), and `compression_ratio` (zlib byte counts are
+library-version-defined). (The kmeans-trained ANN pair left
 the rows-only set in round 6: integer-micro Lloyd made both
 hash-provable.) Regardless of
-slot, all 135 oracle-backed queries are covered by the repo's own
+slot, all oracle-backed queries are covered by the repo's own
 DuckDB-differential pytest suite (tests/test_oracle_parity.py replays
 the driver comparison over the full registry on every pytest run;
 tests/test_registry_rotation.py asserts the rotation invariant
 mechanically).
+
+Of SURVEY §2's 86 rows, the handful with no driver-visible twin after
+round 7 are legitimately pytest-shaped, permanently: C2/C4/C5 (streaming
+watermark/idempotence/MERGE — stateful file-backed loops), S6/S10
+(on-disk partition layout / time-travel restore), C8-C12 (CLI routing,
+schedule semantics, rate limiting, parallelism config, progress
+listeners — config/ops surfaces with no tabular result). Each is
+exercised end-to-end by the behavioral suite (live HTTP, real git,
+crash-resume replays).
 """
 
 from __future__ import annotations
@@ -84,6 +99,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whole window is free. The five oracle-stashed backlog
         # operators (r5 verdict task 1) register first; r6 additions
         # follow; prior-green entries backfill below.
+        # Round-7 rotation: every r6-window entry is fully green in
+        # CORRECTNESS_r06 (50/50), so the whole window is free again.
+        # r7 driver twins for pytest-only §2 rows (C3 Force/Since/MaxAge,
+        # F12 job id, F13 JSON edge I/O, S4 YAML codec) lead.
+        "incremental_option_variants": J.incremental_option_variants,
+        "job_id_report": J.job_id_report,
+        "json_edge_roundtrip": J.json_edge_roundtrip,
+        "yaml_roundtrip_report": J.yaml_roundtrip_report,
         "interarrival_stats": TS.interarrival_stats,
         "conversion_latency_report": TS.conversion_latency_report,
         "srp_neardup_pairs": V.srp_neardup_pairs,
@@ -5751,6 +5774,59 @@ _JIRA_ORACLES["degree_distribution"] = f"""
            CAST(count(*) AS BIGINT) AS n_nodes,
            floor(count(*) / n.n_total * 1000000 + 0.5) / 1000000 AS frac
     FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
+
+
+# ===== Round-7 wave: driver twins for pytest-only §2 rows =====
+
+# Mirrors operators/jira.incremental_option_variants — the three
+# remaining GetChangedIssues arms (Force / Since / MaxAge) as labeled
+# scan predicates over the same sync-state derivation.
+_JIRA_ORACLES["incremental_option_variants"] = f"""
+    WITH {_S},
+    arms AS (
+        SELECT 'force' AS variant, key, TRUE AS q FROM sync_state
+        UNION ALL
+        SELECT 'since', key,
+               last_updated > TIMESTAMP '{J.C3_SINCE}'
+        FROM sync_state
+        UNION ALL
+        SELECT 'max_age', key,
+               last_updated > last_synced
+               AND last_updated >= TIMESTAMP '{J.C3_NOW}'
+                   - INTERVAL {J.C3_MAX_AGE_DAYS} DAY
+        FROM sync_state
+    )
+    SELECT variant, key FROM arms WHERE q"""
+
+# Mirrors operators/jira.job_id_report — functions/scalar.job_id
+# reassembled by string concatenation: {{type}}-{{unix}}-{{md5-prefix}}.
+_JIRA_ORACLES["job_id_report"] = f"""
+    WITH {_I}
+    SELECT key,
+           lower(issuetype) || '-'
+             || CAST(CAST(epoch(updated) AS BIGINT) AS VARCHAR) || '-'
+             || substr(md5(key), 1, 8) AS job_id
+    FROM issues_flat"""
+
+# Mirrors operators/jira.json_edge_roundtrip — the oracle assembles the
+# compact JSON document literally (fields chosen non-null + quote-free),
+# so a hash match proves Spark's to_json bytes AND the from_json inverse.
+_JIRA_ORACLES["json_edge_roundtrip"] = f"""
+    WITH {_I}
+    SELECT key,
+           '{{"key":"' || key || '","project_key":"' || project_key
+             || '","priority":"' || priority || '"}}' AS json_doc,
+           project_key AS rt_project_key,
+           priority AS rt_priority,
+           TRUE AS rt_ok
+    FROM issues_flat"""
+
+# Mirrors operators/jira.yaml_roundtrip_report — serialize∘parse = id,
+# so the oracle is the identity projection over the same derivation.
+_JIRA_ORACLES["yaml_roundtrip_report"] = f"""
+    WITH {_I}
+    SELECT key, project_key, summary, issuetype, status_name
+    FROM issues_flat"""
 
 
 def oracle_sql() -> dict[str, str]:

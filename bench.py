@@ -70,7 +70,9 @@ BENCH_QUERIES = [
     "token_budget_sample",
     "pmi_topk",
     "minhash_accuracy_report",
-    "semdedup",
+    # exact `semdedup` (N^1.5 by design) is demoted to the audit suite
+    # (registry + test_oracle_parity replay); the headline + probe carry
+    # the linear-scale default `semdedup_capped` (r6 verdict task)
     "token_examples_salted",
     "corpus_shards",
     "kmv_distinct_estimate",
@@ -198,6 +200,11 @@ BENCH_QUERIES = [
     "customer_rfm_scores",
     "shipping_priority_topk",
     "local_supplier_volume",
+    # r7 driver twins (C3 option arms, F12 job id, F13 JSON edge, S4 YAML)
+    "incremental_option_variants",
+    "job_id_report",
+    "json_edge_roundtrip",
+    "yaml_roundtrip_report",
 ]
 
 
@@ -445,17 +452,12 @@ def _round_no() -> int:
 
 #: operators whose cost curve is documented superlinear BY DESIGN — the
 #: probe reports their ratio but excludes them from max_ratio (which is
-#: the "should be linear" gauge). Each entry names the curve and the
-#: linear-scale alternative a 100 TB deployment would switch to.
-SUPERLINEAR_BY_DESIGN = {
-    "semdedup": (
-        "N^1.5: K=ceil(sqrt(N/2)) balances O(N*K) assignment vs O(N^2/K) "
-        "within-cluster pairwise (exact SemDeDup semantics); the linear-"
-        "scale paths are semdedup_capped (sorted-neighborhood window, "
-        "O(N*cap), drop-parity-tested) and embedding_neardup "
-        "(hyperplane buckets, ratio ~3x)"
-    ),
-}
+#: the "should be linear" gauge). Empty since round 7: exact `semdedup`
+#: (N^1.5 — K=ceil(sqrt(N/2)) balances assignment vs within-cluster
+#: pairwise) left the headline/probe for the audit suite; the probed
+#: default is the linear `semdedup_capped` (sorted-neighborhood window,
+#: O(N*cap), drop-parity-tested).
+SUPERLINEAR_BY_DESIGN: dict[str, str] = {}
 
 #: heavy / pair-generating / iterative queries probed at 10× scale
 SCALE_PROBE_QUERIES = [
@@ -473,7 +475,6 @@ SCALE_PROBE_QUERIES = [
     "range_join_concurrency",
     "pagerank_links",
     "cosine_topk",
-    "semdedup",
     "semdedup_capped",
     "embedding_neardup",
     "fuzzy_match_entities",

@@ -949,3 +949,129 @@ def status_dwell_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_dwell_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 driver twins for pytest-only §2 rows (C3 options, F12, F13, S4)
+# ---------------------------------------------------------------------------
+
+#: deterministic clock for the C3 MaxAge / Since variants (data spans
+#: 1992-1998 o_orderdate-derived timestamps; mirrors FIXED_NOW's role)
+C3_SINCE = "1996-06-01 00:00:00"
+C3_NOW = "1998-08-01 00:00:00"
+C3_MAX_AGE_DAYS = 365
+
+
+def incremental_option_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — the remaining IncrementalSyncOptions arms of GetChangedIssues
+    (pkg/state/manager.go:386-442, pkg/state/types.go:117-124), each as a
+    labeled candidate set over the sync-state table:
+
+    * ``force``   — Force=true: every tracked key, watermark ignored
+      (manager.go:396-401).
+    * ``since``   — IncludeModified with an explicit Since cutoff:
+      last_updated after the cutoff (manager.go:390-394,408-410).
+    * ``max_age`` — IncludeModified vs the per-issue watermark, minus
+      issues idle longer than MaxAge (manager.go:432-434).
+
+    The reference iterates state.Issues in Go; here each arm is a scan
+    predicate over the same state table, stacked in ONE pass (no union
+    of three scans — a single projection emits up to three labeled rows
+    per state row, then a filter drops the non-qualifying arms).
+
+    100 TB shape: one scan, no joins, no shuffle (the output needs no
+    aggregation); predicates push to the parquet scan."""
+    st = FX.sync_state(spark, sf_dir)
+    stacked = st.select(
+        "key",
+        F.expr(
+            f"""stack(3,
+              'force', true,
+              'since', last_updated > TIMESTAMP '{C3_SINCE}',
+              'max_age', last_updated > last_synced
+                AND last_updated >= TIMESTAMP '{C3_NOW}'
+                    - INTERVAL {C3_MAX_AGE_DAYS} DAYS
+            ) AS (variant, qualifies)"""
+        ),
+    )
+    return stacked.filter(F.col("qualifies")).select("variant", "key")
+
+
+def job_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — deterministic job-id materialization (pkg/jobs/job_id.go:26-41
+    `{type}-{unix}-{rand}`, with the random tail replaced by a seeded md5
+    prefix, functions/scalar.job_id): one id per issue keyed on
+    (issuetype, updated, key). Proves the id function end-to-end against
+    an independently-assembled oracle string.
+
+    100 TB shape: narrow projection, zero shuffle."""
+    iss = FX.issues_flat(spark, sf_dir)
+    return iss.select(
+        "key",
+        SC.job_id(
+            F.lower("issuetype"), F.col("updated"), F.col("key")
+        ).alias("job_id"),
+    )
+
+
+def json_edge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — JSON edge serialization round-trip (pkg/state/manager.go:
+    113-123,154-161 JSON state persistence): to_json(struct(...)) then
+    from_json back, emitting BOTH the serialized document and the
+    re-parsed fields. The oracle assembles the same JSON document by
+    string concatenation and echoes the source fields, so the hash match
+    proves (a) Spark's serialized bytes are the canonical compact JSON
+    and (b) the parse inverts the serialize exactly.
+
+    Fields are chosen non-null and quote-free (key/project_key/priority)
+    so the literal oracle string needs no escaping arm.
+
+    100 TB shape: narrow projection, zero shuffle."""
+    iss = FX.issues_flat(spark, sf_dir)
+    js = SC.row_to_json("key", "project_key", "priority")
+    parsed = SC.json_to_row(
+        js, "key string, project_key string, priority string"
+    )
+    return iss.select(
+        "key",
+        js.alias("json_doc"),
+        parsed.getField("project_key").alias("rt_project_key"),
+        parsed.getField("priority").alias("rt_priority"),
+        (parsed.getField("key") == F.col("key")).alias("rt_ok"),
+    )
+
+
+def yaml_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — the YAML document codec proven WITHOUT touching local files:
+    every fixture issue is serialized with the same safe_dump shape
+    write_yaml_issues emits (sources/yaml_io.py:52-78, mirroring
+    pkg/schema/yaml.go:64-72) and immediately re-parsed with the
+    read-side safe_load (yaml_io.py:89-113, FromYAML yaml.go:157-176)
+    inside ONE Arrow-batched mapInPandas pass. The output is the parsed
+    flat record; the oracle is the identity projection — a hash match
+    proves serialize∘parse = id over the whole corpus.
+
+    100 TB shape: one mapInPandas pass (Arrow batches, no per-row UDF),
+    zero shuffle."""
+    import pandas as pd
+
+    cols = ["key", "project_key", "summary", "issuetype", "status_name"]
+    iss = FX.issues_flat(spark, sf_dir).select(*cols)
+
+    def _roundtrip(batches):
+        import yaml
+
+        for pdf in batches:
+            docs = [
+                yaml.safe_dump(
+                    {c: row[c] for c in cols}, sort_keys=True
+                )
+                for _, row in pdf.iterrows()
+            ]
+            parsed = [yaml.safe_load(doc) for doc in docs]
+            yield pd.DataFrame(
+                [{c: d.get(c) for c in cols} for d in parsed]
+            )
+
+    schema = ", ".join(f"{c} string" for c in cols)
+    return iss.mapInPandas(_roundtrip, schema)
