@@ -104,12 +104,16 @@ def _validate_sync_options(options: dict | None) -> str | None:
 
 class JobManager:
     """In-process job queue replacing the reference's Kubernetes Job
-    dispatch (pkg/jobs/scheduler.go:49-88): one worker thread drains a
-    FIFO of SyncJobSpec-shaped requests, each executed as the composed
-    Spark sync (run_incremental_sync). Single worker by design — the
-    Spark driver serializes job submission anyway; *within* a job the
-    parallelism knob maps to distributed fetch tasks, which is where
-    the reference's per-job parallelism actually buys throughput."""
+    dispatch (pkg/jobs/scheduler.go:49-88): a pool of worker threads
+    drains a FIFO of SyncJobSpec-shaped requests, each executed as the
+    composed Spark sync (run_incremental_sync). Pool size mirrors the
+    reference's scheduler default (pkg/jobs/jobs.go MaxConcurrency=10);
+    Spark accepts concurrent job submission from multiple driver
+    threads, so two submitted syncs genuinely overlap. Jobs targeting
+    the SAME repository serialize (per-repo FIFO) — the sync-state
+    store is single-writer per repo, the moral equivalent of the
+    reference's per-JIRASync reconcile lock; *within* a job the
+    parallelism knob maps to distributed fetch tasks."""
 
     def __init__(
         self,
@@ -119,6 +123,7 @@ class JobManager:
         *,
         token: str | None = None,
         limiter=None,
+        max_concurrency: int = 10,
     ):
         self.spark = spark
         self.base_url = base_url
@@ -132,8 +137,12 @@ class JobManager:
         self._n = 0
         self._stop = False
         self._reload()
-        self._worker = threading.Thread(target=self._run_loop, daemon=True)
-        self._worker.start()
+        self._workers = [
+            threading.Thread(target=self._run_loop, daemon=True)
+            for _ in range(max(1, max_concurrency))
+        ]
+        for w in self._workers:
+            w.start()
 
     # -- durability ----------------------------------------------------
     # The reference's job state lives in Kubernetes objects and survives
@@ -253,15 +262,30 @@ class JobManager:
 
     def _next_pending(self) -> dict | None:
         now = time.time()
+        # per-repo serialization: a repository with a RUNNING job (or an
+        # earlier runnable PENDING job) yields no candidate — the state
+        # store is single-writer per repo; different repos overlap freely
+        # across the worker pool (MaxConcurrency posture, pkg/jobs).
+        busy_repos = {
+            j["repository"]
+            for j in self._jobs.values()
+            if j["status"] == RUNNING
+        }
         for jid in self._order:
             job = self._jobs[jid]
             if job["status"] != PENDING:
                 continue
+            repo = job["repository"]
+            if repo in busy_repos:
+                continue
             # a retry waits out its backoff delay (handleFailed →
             # updateStatusWithDelay, jirasync_controller.go:613-647);
-            # retry_at is wall-clock ISO so it survives a restart
+            # retry_at is wall-clock ISO so it survives a restart.
+            # The repo stays reserved while its head-of-line retry
+            # waits, so FIFO-per-repo holds across backoff too.
             ra = job.get("retry_at")
             if ra is not None and _iso_to_ts(ra) > now:
+                busy_repos.add(repo)
                 continue
             return job
         return None
@@ -308,6 +332,8 @@ class JobManager:
                         + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
                     )
                     self._journal(job)
+                    # a same-repo job may have been waiting on this one
+                    self._wake.notify()
             except Exception as exc:  # job-scoped failure, server stays up
                 self._handle_failed(job, attempt, exc)
 
@@ -511,6 +537,72 @@ class JobManager:
             "failed_jobs": st.count(FAILED),
         }
 
+    def render_metrics(self) -> str:
+        """Prometheus text exposition of the job-queue counters — the
+        HTTP face of the reference's metric registry (initMetrics,
+        jirasync_controller.go:99-181): jirasync_jobs_total{phase},
+        jirasync_sync_issues_total{result}, jirasync_retries_total,
+        jirasync_job_duration_seconds (sum+count per type) and
+        jirasync_progress_percentage{name,stage} for in-flight jobs.
+        The driver-checked tabular twin is operators/jira.
+        job_metrics_rollup; this route serves the LIVE queue."""
+        with self._lock:
+            jobs = [dict(self._jobs[j]) for j in self._order]
+        lines = [
+            "# HELP jirasync_jobs_total Jobs by phase",
+            "# TYPE jirasync_jobs_total gauge",
+        ]
+        by_phase: dict[str, int] = {}
+        for j in jobs:
+            by_phase[j["status"]] = by_phase.get(j["status"], 0) + 1
+        for phase in (PENDING, RUNNING, COMPLETED, FAILED, CANCELLED):
+            lines.append(
+                f'jirasync_jobs_total{{phase="{phase}"}} '
+                f"{by_phase.get(phase, 0)}"
+            )
+        ok = sum(j.get("successful_sync", 0) for j in jobs)
+        bad = sum(j.get("failed_sync", 0) for j in jobs)
+        retries = sum(j.get("retry_count", 0) for j in jobs)
+        lines += [
+            "# HELP jirasync_sync_issues_total Issues synced by result",
+            "# TYPE jirasync_sync_issues_total counter",
+            f'jirasync_sync_issues_total{{result="successful"}} {ok}',
+            f'jirasync_sync_issues_total{{result="failed"}} {bad}',
+            "# HELP jirasync_retries_total Job retry attempts",
+            "# TYPE jirasync_retries_total counter",
+            f"jirasync_retries_total {retries}",
+            "# HELP jirasync_job_duration_seconds Completed job durations",
+            "# TYPE jirasync_job_duration_seconds summary",
+        ]
+        dur: dict[str, tuple[float, int]] = {}
+        for j in jobs:
+            if j.get("started_at") and j.get("completed_at"):
+                s, c = dur.get(j["type"], (0.0, 0))
+                dur[j["type"]] = (
+                    s + _iso_to_ts(j["completed_at"]) - _iso_to_ts(j["started_at"]),
+                    c + 1,
+                )
+        for jt, (s, c) in sorted(dur.items()):
+            lines.append(
+                f'jirasync_job_duration_seconds_sum{{type="{jt}"}} {s:.6f}'
+            )
+            lines.append(
+                f'jirasync_job_duration_seconds_count{{type="{jt}"}} {c}'
+            )
+        lines += [
+            "# HELP jirasync_progress_percentage In-flight job progress",
+            "# TYPE jirasync_progress_percentage gauge",
+        ]
+        for j in jobs:
+            if j["status"] == RUNNING and j.get("progress"):
+                p = j["progress"]
+                lines.append(
+                    f'jirasync_progress_percentage{{name="{j["job_id"]}",'
+                    f'stage="{p.get("stage", "")}"}} '
+                    f'{p.get("percentage", 0)}'
+                )
+        return "\n".join(lines) + "\n"
+
     def jobs_frame(self, spark: SparkSession) -> DataFrame:
         """The queue as a Spark DataFrame — feeds plans.queue_status
         (A7 pivot) and any job-table analytics."""
@@ -541,7 +633,8 @@ class JobManager:
         with self._lock:
             self._stop = True
             self._wake.notify_all()
-        self._worker.join(timeout=5)
+        for w in self._workers:
+            w.join(timeout=5)
 
 
 def _now_iso() -> str:
@@ -672,6 +765,7 @@ class TokenBucket:
 #: route inventory served by GET /api/v1/docs (handleAPIDocs parity,
 #: internal/api/server.go:150-172 — same table, Kubernetes-free).
 API_ROUTES = [
+    "GET /metrics",
     "GET /api/v1/health",
     "GET /api/v1/system/info",
     "GET /api/v1/docs",
@@ -789,6 +883,17 @@ class _Handler(BaseHTTPRequestHandler):
         parts = path.strip("/").split("/")
         if path == "/api/v1/health":
             self._write(200, {"status": "healthy"})
+        elif path == "/metrics":
+            # Prometheus exposition format — text/plain, no JSON envelope
+            body = self.manager.render_metrics().encode()
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self._cors_headers()
+            self.end_headers()
+            self.wfile.write(body)
         elif path == "/api/v1/system/info":
             self._write(200, {"version": API_VERSION, "engine": "pyspark"})
         elif path == "/api/v1/docs":

@@ -629,3 +629,113 @@ def test_watch_and_follow_long_poll(api_server):
     # unknown job 404s through the long-poll path too
     st, _ = _req("GET", f"{srv.url}/api/v1/jobs/nope/watch?timeout=1")
     assert st == 404
+
+
+# ---------------------------------------------------------------------------
+# round-7: worker pool (MaxConcurrency parity) + /metrics exposition
+# ---------------------------------------------------------------------------
+
+def _patched_manager(spark, tmp_path, execute):
+    """JobManager with _execute stubbed (no JIRA/Spark I/O) — isolates
+    the queue/worker-pool scheduling behavior."""
+    mgr = A.JobManager.__new__(A.JobManager)
+    import threading as _t
+
+    mgr.spark = spark
+    mgr.base_url = "http://unused"
+    mgr.out_root = str(tmp_path / "pool")
+    mgr.token = None
+    mgr.limiter = None
+    mgr._jobs = {}
+    mgr._order = []
+    mgr._lock = _t.Lock()
+    mgr._wake = _t.Condition(mgr._lock)
+    mgr._n = 0
+    mgr._stop = False
+    mgr._execute = execute
+    mgr._workers = [
+        _t.Thread(target=mgr._run_loop, daemon=True) for _ in range(10)
+    ]
+    for w in mgr._workers:
+        w.start()
+    return mgr
+
+
+def test_worker_pool_overlaps_jobs_across_repos(spark, tmp_path):
+    """pkg/jobs MaxConcurrency posture: two jobs targeting DIFFERENT
+    repositories run concurrently (the r6 verdict's single-worker gap).
+    Proven with a rendezvous: each job blocks until the other has
+    started, so completion is impossible unless they overlap."""
+    import threading as _t
+
+    started = {"n": 0}
+    both_started = _t.Event()
+    gate = _t.Lock()
+
+    def execute(job):
+        with gate:
+            started["n"] += 1
+            if started["n"] >= 2:
+                both_started.set()
+        assert both_started.wait(timeout=30), "jobs never overlapped"
+        return {"total": 1, "processed": 1, "successful": 1, "failed": 0}
+
+    mgr = _patched_manager(spark, tmp_path, execute)
+    try:
+        j1 = mgr.submit("jql", "project = A", "repo-a", {})
+        j2 = mgr.submit("jql", "project = B", "repo-b", {})
+        assert mgr.wait(j1["job_id"])["status"] == A.COMPLETED
+        assert mgr.wait(j2["job_id"])["status"] == A.COMPLETED
+    finally:
+        mgr.shutdown()
+
+
+def test_worker_pool_serializes_same_repo(spark, tmp_path):
+    """Jobs for the SAME repository must not overlap (the sync-state
+    store is single-writer per repo) and must run in FIFO order."""
+    import threading as _t
+    import time as _time
+
+    intervals = []
+    ilock = _t.Lock()
+
+    def execute(job):
+        t0 = _time.monotonic()
+        _time.sleep(0.3)
+        with ilock:
+            intervals.append((job["job_id"], t0, _time.monotonic()))
+        return {"total": 1, "processed": 1, "successful": 1, "failed": 0}
+
+    mgr = _patched_manager(spark, tmp_path, execute)
+    try:
+        j1 = mgr.submit("jql", "project = A", "same-repo", {})
+        j2 = mgr.submit("jql", "project = A", "same-repo", {})
+        assert mgr.wait(j1["job_id"])["status"] == A.COMPLETED
+        assert mgr.wait(j2["job_id"])["status"] == A.COMPLETED
+    finally:
+        mgr.shutdown()
+    assert len(intervals) == 2
+    by_id = sorted(intervals)  # job ids are sequence-ordered
+    # FIFO: first-submitted finishes before second starts (no overlap)
+    assert by_id[0][2] <= by_id[1][1] + 1e-6
+
+
+def test_metrics_route_prometheus_exposition(api_server):
+    """GET /metrics — text exposition of the reference's metric registry
+    (initMetrics, jirasync_controller.go:99-181)."""
+    srv, _ = api_server
+    _, body = _req(
+        "POST",
+        f"{srv.url}/api/v1/sync/jql",
+        {"jql": "project = PROJ", "repository": "metrics-repo"},
+    )
+    srv.manager.wait(body["data"]["job_id"])
+    r = urllib.request.Request(f"{srv.url}/metrics")
+    with urllib.request.urlopen(r, timeout=30) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert 'jirasync_jobs_total{phase="completed"} 1' in text
+    assert 'jirasync_sync_issues_total{result="successful"}' in text
+    assert "jirasync_retries_total 0" in text
+    assert 'jirasync_job_duration_seconds_count{type="jql"} 1' in text
