@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 246
-entries: 237 oracle-backed (value-hash checked) and 9 PERMANENTLY
+The registry has 252
+entries: 243 oracle-backed (value-hash checked) and 9 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -107,6 +107,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "job_id_report": J.job_id_report,
         "json_edge_roundtrip": J.json_edge_roundtrip,
         "yaml_roundtrip_report": J.yaml_roundtrip_report,
+        # r7 TPC-H completion wave (Q10/Q13/Q14/Q15/Q18/Q22 shapes)
+        "returned_items_topk": R.returned_items_topk,
+        "customer_order_distribution": R.customer_order_distribution,
+        "promo_revenue_share": R.promo_revenue_share,
+        "top_supplier_revenue": R.top_supplier_revenue,
+        "large_volume_customers": R.large_volume_customers,
+        "dormant_rich_customers": R.dormant_rich_customers,
         "interarrival_stats": TS.interarrival_stats,
         "conversion_latency_report": TS.conversion_latency_report,
         "srp_neardup_pairs": V.srp_neardup_pairs,
@@ -5774,6 +5781,116 @@ _JIRA_ORACLES["degree_distribution"] = f"""
            CAST(count(*) AS BIGINT) AS n_nodes,
            floor(count(*) / n.n_total * 1000000 + 0.5) / 1000000 AS frac
     FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
+
+
+# ===== Round-7 wave: TPC-H completion (Q10/Q13/Q14/Q15/Q18/Q22) =====
+
+# Mirrors operators/relational.returned_items_topk (TPC-H Q10 shape).
+_ORACLES["returned_items_topk"] = f"""
+    WITH rev AS (
+        SELECT o.o_custkey, sum({_REV_U}) AS rev_u
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '{R.Q10_START} 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '{R.Q10_END} 00:00:00'
+        GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           floor(rev_u / 10000.0 * 100 + 0.5) / 100 AS revenue,
+           c.c_acctbal, n.n_name
+    FROM rev
+    JOIN customer c ON c.c_custkey = rev.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT {R.Q10_K}"""
+
+# Mirrors operators/relational.customer_order_distribution (Q13 shape).
+_ORACLES["customer_order_distribution"] = """
+    WITH pc AS (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
+    FROM pc GROUP BY 1"""
+
+# Mirrors operators/relational.promo_revenue_share (Q14 shape): exact
+# integer revenue units; the share is ONE IEEE division on both sides.
+_ORACLES["promo_revenue_share"] = f"""
+    WITH j AS (
+        SELECT {_REV_U} AS rev_u, p.p_type
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '{R.Q14_START} 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '{R.Q14_END} 00:00:00'
+    ), a AS (
+        SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END)
+                 AS promo_u,
+               sum(rev_u) AS total_u
+        FROM j
+    )
+    SELECT floor(promo_u / 10000.0 * 100 + 0.5) / 100 AS promo_revenue,
+           floor(total_u / 10000.0 * 100 + 0.5) / 100 AS total_revenue,
+           floor(100.0 * promo_u / total_u * 10000 + 0.5) / 10000
+             AS promo_share_pct
+    FROM a"""
+
+# Mirrors operators/relational.top_supplier_revenue (Q15 shape): the
+# max comparison runs on exact integer units, so no FP ties.
+_ORACLES["top_supplier_revenue"] = f"""
+    WITH rev AS (
+        SELECT l_suppkey, sum({_REV_U}) AS rev_u
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{R.Q15_START} 00:00:00'
+          AND l_shipdate < TIMESTAMP '{R.Q15_END} 00:00:00'
+        GROUP BY 1
+    ), mx AS (SELECT max(rev_u) AS max_u FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           floor(rev.rev_u / 10000.0 * 100 + 0.5) / 100 AS total_revenue
+    FROM rev
+    JOIN mx ON rev.rev_u = mx.max_u
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey"""
+
+# Mirrors operators/relational.large_volume_customers (Q18 shape);
+# quantity sums CAST to BIGINT (DuckDB HUGEINT artifact, the
+# sequence_packing lesson).
+_ORACLES["large_volume_customers"] = f"""
+    WITH qty AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS BIGINT)) > {R.Q18_MIN_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, q.sum_qty
+    FROM qty q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey"""
+
+# Mirrors operators/relational.dormant_rich_customers (Q22 shape,
+# dormancy-adapted): the above-average test is multiplied through to an
+# exact integer comparison (cents * n > sum_cents).
+_ORACLES["dormant_rich_customers"] = f"""
+    WITH cb AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ), ap AS (
+        SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+               CAST(count(*) AS BIGINT) AS n_pos
+        FROM cb WHERE bal_cents > 0
+    ), recent AS (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{R.Q22_CUTOFF} 00:00:00'
+    )
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_custs,
+           floor(sum(cb.bal_cents) / 100.0 * 100 + 0.5) / 100
+             AS total_acctbal
+    FROM cb CROSS JOIN ap
+    JOIN nation n ON n.n_nationkey = cb.c_nationkey
+    WHERE cb.bal_cents * ap.n_pos > ap.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM recent r
+                      WHERE r.c_custkey = cb.c_custkey)
+    GROUP BY 1"""
 
 
 # ===== Round-7 wave: driver twins for pytest-only §2 rows =====

@@ -205,6 +205,13 @@ BENCH_QUERIES = [
     "job_id_report",
     "json_edge_roundtrip",
     "yaml_roundtrip_report",
+    # r7 TPC-H completion wave
+    "returned_items_topk",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "large_volume_customers",
+    "dormant_rich_customers",
 ]
 
 

@@ -1187,3 +1187,238 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX_round(F.col("rev_u") / 10000.0, 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 TPC-H completion wave (Q10/Q13/Q14/Q15/Q18/Q22 shapes)
+# ---------------------------------------------------------------------------
+
+#: Q10 returned-item window (one quarter) and top-k
+Q10_START, Q10_END, Q10_K = "1997-01-01", "1997-04-01", 20
+#: Q14 promo-share ship-date window (one month)
+Q14_START, Q14_END = "1997-01-01", "1997-02-01"
+#: Q15 top-supplier revenue quarter
+Q15_START, Q15_END = "1997-01-01", "1997-04-01"
+#: Q18 large-volume quantity threshold (p99 order fan-in ~270 at any SF
+#: — fan-in is SF-invariant — so 300 keeps the result selective)
+Q18_MIN_QTY = 300
+#: Q22 dormancy cutoff — "rich but idle" = no order on/after this date
+Q22_CUTOFF = "2001-01-01"
+
+
+def returned_items_topk(
+    spark: SparkSession, sf_dir: str, k: int = Q10_K
+) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue report: customers ranked
+    by revenue lost to returns (l_returnflag = 'R') on orders placed in
+    one quarter, with their nation. The classic "who should support
+    call first" star join.
+
+    100 TB shape: the orders quarter-filter prunes the fact join first;
+    nation broadcasts; revenue partial-aggs in exact integer units;
+    TakeOrderedAndProject emits k rows (ties break on c_custkey)."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    rev = (
+        li.join(orders, "l_orderkey")
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue_units()).alias("rev_u"))
+    )
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            TX_round(F.col("rev_u") / 10000.0, 2).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer distribution: how many customers
+    placed exactly N orders (N = 0 included via the left outer join).
+    The canonical outer-join + double-aggregation plan.
+
+    100 TB shape: one shuffle on custkey for the per-customer count,
+    then a tiny (≤ hundreds of distinct counts) partial agg."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    per_cust = (
+        cust.join(orders, "c_custkey", "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: the share of one ship-month's
+    revenue that came from PROMO-type parts. Single-row report.
+
+    100 TB shape: the part dim broadcasts (it is orders of magnitude
+    smaller than the fact); the month filter pushes to the lineitem
+    scan; revenue aggregates in exact integer units so the share is ONE
+    IEEE division at the end (order-independent)."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit(Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_END).cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    j = li.join(F.broadcast(part), "l_partkey")
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", _revenue_units()).otherwise(
+                F.lit(0)
+            )
+        ).alias("promo_u"),
+        F.sum(_revenue_units()).alias("total_u"),
+    )
+    return agg.select(
+        TX_round(F.col("promo_u") / 10000.0, 2).alias("promo_revenue"),
+        TX_round(F.col("total_u") / 10000.0, 2).alias("total_revenue"),
+        TX_round(
+            F.lit(100.0) * F.col("promo_u") / F.col("total_u"), 4
+        ).alias("promo_share_pct"),
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier(s): the supplier(s) whose shipped
+    revenue over one quarter equals the maximum. Exact integer-unit
+    revenue makes the max comparison engine-stable (no FP ties).
+
+    100 TB shape: one partial-agg by suppkey over the date-pruned fact,
+    a single-row max broadcast back (scalar subquery semantics), and a
+    broadcast supplier dim for the final name lookup."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue_units()).alias("rev_u"))
+    mx = rev.agg(F.max("rev_u").alias("max_u"))
+    sup = load_table(spark, "supplier", sf_dir)
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_u") == F.col("max_u"))
+        .join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            TX_round(F.col("rev_u") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    line quantity exceeds the threshold, with the ordering customer.
+    The classic HAVING-over-fact + dim-lookup plan.
+
+    100 TB shape: quantity partial-aggs by orderkey (integer-exact —
+    quantities are whole numbers); the surviving orders are few, so the
+    customer/orders lookups join a tiny filtered side."""
+    li = load_table(spark, "lineitem", sf_dir)
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return (
+        qty.join(orders, "l_orderkey")
+        .join(cust, "o_custkey")
+        .select(
+            "c_name",
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_orderkey").alias("o_orderkey"),
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape, adapted to this corpus (every customer has
+    ordered at least once, so "never ordered" is empty by construction):
+    customers whose balance beats the positive-balance average but who
+    placed NO order on/after the dormancy cutoff — the global sales
+    opportunity report, per nation.
+
+    CROSS-ENGINE DETERMINISM: the above-average test multiplies through
+    (cents * n > sum_cents) so it is an exact integer comparison, not a
+    comparison against an IEEE mean.
+
+    100 TB shape: the scalar average broadcasts; the dormancy test is a
+    broadcast-able anti-join against the date-pruned orders projection;
+    nation broadcasts; final agg is |nations|-bounded."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    cust = load_table(spark, "customer", sf_dir).withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    )
+    avg_pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_cents"),
+        F.count("*").alias("n_pos"),
+    )
+    recent = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    nat = load_table(spark, "nation", sf_dir)
+    rich = cust.crossJoin(F.broadcast(avg_pos)).filter(
+        F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents")
+    )
+    dormant = rich.join(recent, "c_custkey", "left_anti")
+    return (
+        dormant.join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_custs"),
+            TX_round(F.sum("bal_cents") / 100.0, 2).alias("total_acctbal"),
+        )
+    )
