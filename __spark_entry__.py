@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 252
-entries: 243 oracle-backed (value-hash checked) and 9 PERMANENTLY
+The registry has 258
+entries: 249 oracle-backed (value-hash checked) and 9 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -107,6 +107,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "job_id_report": J.job_id_report,
         "json_edge_roundtrip": J.json_edge_roundtrip,
         "yaml_roundtrip_report": J.yaml_roundtrip_report,
+        # r7 analytics wave: seeded PPR, MIPS retrieval, embedding
+        # hygiene, vocab coverage, JSON property extraction, Q4 shape
+        "personalized_pagerank": G.personalized_pagerank,
+        "mips_topk": V.mips_topk,
+        "embedding_norm_stats": V.embedding_norm_stats,
+        "vocab_coverage_curve": T.vocab_coverage_curve,
+        "events_props_extract": TS.events_props_extract,
+        "order_priority_lateness": R.order_priority_lateness,
         # r7 TPC-H completion wave (Q10/Q13/Q14/Q15/Q18/Q22 shapes)
         "returned_items_topk": R.returned_items_topk,
         "customer_order_distribution": R.customer_order_distribution,
@@ -5781,6 +5789,135 @@ _JIRA_ORACLES["degree_distribution"] = f"""
            CAST(count(*) AS BIGINT) AS n_nodes,
            floor(count(*) / n.n_total * 1000000 + 0.5) / 1000000 AS frac
     FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
+
+
+# ===== Round-7 wave: PPR / MIPS / corpus + event analytics =====
+
+# Mirrors operators/graph.personalized_pagerank — the pagerank_links
+# nano-unit discipline with the teleport mass restarted at the Epic
+# seed set; the oracle unrolls the same iterations as stacked CTEs.
+def _ppr_oracle(iters: int | None = None, alpha: float = 0.85) -> str:
+    iters = G.PPR_ITERS if iters is None else iters
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""pr{i} AS (
+            SELECT b.key,
+                   CAST(floor((1 - {alpha}) * b.base_u
+                              + {alpha} * coalesce(s.c, 0) + 0.5)
+                        AS DOUBLE) AS pr_u
+            FROM base b
+            LEFT JOIN (SELECT e.dst_key AS key,
+                              CAST(sum(floor(p.pr_u / d.d)) AS DOUBLE) AS c
+                       FROM edges e
+                       JOIN pr{i - 1} p ON e.src_key = p.key
+                       JOIN deg d ON d.src_key = e.src_key
+                       GROUP BY 1) s
+              ON s.key = b.key
+        )""")
+    return f"""
+        WITH {_I}, all_edges AS ({_EDGES_SQL}),
+        nodes AS (SELECT DISTINCT key FROM issues_flat),
+        seeds AS (SELECT DISTINCT key FROM issues_flat
+                  WHERE issuetype = 'Epic'),
+        edges AS (
+            SELECT src_key, dst_key FROM all_edges
+            WHERE dst_key IN (SELECT key FROM nodes)
+        ),
+        deg AS (SELECT src_key, count(*) AS d FROM edges GROUP BY 1),
+        ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+        base AS (
+            SELECT nodes.key,
+                   CAST(CASE WHEN nodes.key IN (SELECT key FROM seeds)
+                             THEN floor(1000000000.0 / ns.ns + 0.5)
+                             ELSE 0 END AS DOUBLE) AS base_u
+            FROM nodes CROSS JOIN ns
+        ),
+        pr0 AS (SELECT key, base_u AS pr_u FROM base),
+        {", ".join(steps)}
+        SELECT key, pr_u / 1000000000.0 AS ppr FROM pr{iters}
+        WHERE pr_u > 0
+    """
+
+
+_JIRA_ORACLES["personalized_pagerank"] = _ppr_oracle()
+
+# Mirrors operators/vectors.mips_topk — left-fold dot product ==
+# list_dot_product; floor-based half-up rounding.
+_ORACLES["mips_topk"] = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+         q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           floor(list_dot_product(emb, qe) * 1000000 + 0.5) / 1000000
+             AS inner_product
+    FROM e, q
+    WHERE vec_id <> 0
+    ORDER BY inner_product DESC, vec_id
+    LIMIT 10"""
+
+# Mirrors operators/vectors.embedding_norm_stats — per-row integer
+# micro-unit norms, exact-integer sums, integer percentiles.
+_ORACLES["embedding_norm_stats"] = """
+    WITH e AS (
+        SELECT label,
+               CAST(floor(sqrt(list_dot_product(
+                        CAST(embedding AS DOUBLE[]),
+                        CAST(embedding AS DOUBLE[]))) * 1000000 + 0.5)
+                    AS BIGINT) AS norm_u
+        FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           floor((sum(norm_u) / count(*)) / 1000000.0 * 1000000 + 0.5)
+             / 1000000 AS mean_norm,
+           floor(quantile_cont(norm_u, 0.5) / 1000000.0 * 1000000 + 0.5)
+             / 1000000 AS p50_norm,
+           floor(quantile_cont(norm_u, 0.95) / 1000000.0 * 1000000 + 0.5)
+             / 1000000 AS p95_norm
+    FROM e GROUP BY 1"""
+
+# Mirrors operators/text.vocab_coverage_curve — integer cumsum over a
+# totally-ordered top-50 vocabulary, one division per emitted row.
+_ORACLES["vocab_coverage_curve"] = f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM toks WHERE token <> '' GROUP BY 1
+    ), total AS (SELECT CAST(sum(n) AS DOUBLE) AS total_n FROM counts),
+    ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, token)
+                    AS INTEGER) AS rank_k,
+               token,
+               sum(n) OVER (ORDER BY n DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum_n
+        FROM counts
+    )
+    SELECT rank_k, token,
+           floor(cum_n / total_n * 1000000 + 0.5) / 1000000 AS cum_share
+    FROM ranked CROSS JOIN total
+    WHERE rank_k IN ({", ".join(str(r) for r in T.COVERAGE_RANKS)})"""
+
+# Mirrors operators/timeseries.events_props_extract — JSON property get
+# proven against an independent reader; cents quantization before SUM.
+_ORACLES["events_props_extract"] = """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+             AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(cents) / 100.0 * 100 + 0.5) / 100 AS total_value
+    FROM (SELECT props, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+    GROUP BY 1"""
+
+# Mirrors operators/relational.order_priority_lateness (Q4 shape).
+_ORACLES["order_priority_lateness"] = f"""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate
+                        + INTERVAL {R.Q4_LATE_DAYS} DAY)
+    GROUP BY 1"""
 
 
 # ===== Round-7 wave: TPC-H completion (Q10/Q13/Q14/Q15/Q18/Q22) =====

@@ -205,6 +205,13 @@ BENCH_QUERIES = [
     "job_id_report",
     "json_edge_roundtrip",
     "yaml_roundtrip_report",
+    # r7 analytics wave
+    "personalized_pagerank",
+    "mips_topk",
+    "embedding_norm_stats",
+    "vocab_coverage_curve",
+    "events_props_extract",
+    "order_priority_lateness",
     # r7 TPC-H completion wave
     "returned_items_topk",
     "customer_order_distribution",

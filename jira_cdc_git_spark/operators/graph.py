@@ -983,3 +983,90 @@ def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy(F.col("size").cast("int").alias("cluster_size")).agg(
         F.count("*").cast("long").alias("n_clusters")
     )
+
+
+#: personalized-pagerank iteration budget (mirrored by the oracle unroll)
+PPR_ITERS = 3
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = PPR_ITERS,
+    alpha: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass restarts at the SEED set
+    (epic issues) instead of uniformly — the standard related-content /
+    recommendation ranker (scores = proximity to the seeds through the
+    link graph). Same engine as pagerank_links, different base vector:
+    base(v) = (1-a)·unit/|S| for v ∈ S, else 0.
+
+    CROSS-ENGINE DETERMINISM: the pagerank_links integer nano-unit
+    discipline — per-edge contributions floor-divide before the exact
+    integer SUM; the oracle unrolls the same iterations as stacked CTEs.
+    Zero-score nodes are filtered (score > 0) so the result is the
+    reachable-from-seeds set, which also keeps the output small.
+
+    100 TB shape: identical to pagerank_links — per iteration one
+    src-key join, one exact-integer partial-agg by dst, a nodes-left
+    join; seed base is a broadcast-joined flag column."""
+    from jira_cdc_git_spark import fixtures as FX
+    from jira_cdc_git_spark.operators.jira import link_edges
+
+    flat = FX.issues_flat(spark, sf_dir)
+    nodes = materialize(flat.select("key").distinct())
+    seeds = flat.filter(F.col("issuetype") == "Epic").select("key").distinct()
+    edges = materialize(
+        link_edges(spark, sf_dir)
+        .select("src_key", "dst_key")
+        .join(
+            nodes.select(F.col("key").alias("dst_key")), "dst_key", "left_semi"
+        )
+    )
+    deg = materialize(edges.groupBy("src_key").agg(F.count("*").alias("d")))
+    ns = seeds.agg(F.count("*").cast("double").alias("ns"))
+    unit = 1_000_000_000.0
+    base = (
+        nodes.join(
+            seeds.withColumn("is_seed", F.lit(True)), "key", "left"
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "key",
+            F.when(
+                F.col("is_seed"),
+                F.floor(F.lit(unit) / F.col("ns") + 0.5),
+            )
+            .otherwise(F.lit(0))
+            .cast("double")
+            .alias("base_u"),
+        )
+        .transform(materialize)
+    )
+    pr = base.select("key", F.col("base_u").alias("pr_u"))
+    for i in range(iters):
+        contrib = (
+            edges.join(pr, edges.src_key == pr.key)
+            .join(deg, "src_key")
+            .select(
+                F.col("dst_key").alias("key"),
+                F.floor(F.col("pr_u") / F.col("d")).alias("c"),
+            )
+            .groupBy("key")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        pr = base.join(contrib, "key", "left").select(
+            "key",
+            F.floor(
+                (1 - alpha) * F.col("base_u")
+                + alpha * F.coalesce(F.col("s"), F.lit(0.0))
+                + 0.5
+            )
+            .cast("double")
+            .alias("pr_u"),
+        )
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            pr = materialize(pr)
+    return pr.filter(F.col("pr_u") > 0).select(
+        "key", (F.col("pr_u") / unit).alias("ppr")
+    )

@@ -1422,3 +1422,38 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX_round(F.sum("bal_cents") / 100.0, 2).alias("total_acctbal"),
         )
     )
+
+
+#: Q4-analog lateness threshold (days between order and any shipment)
+Q4_LATE_DAYS = 60
+
+
+def order_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape, adapted to this schema (no commit/receipt dates):
+    per order priority, how many orders had AT LEAST ONE lineitem
+    shipped more than Q4_LATE_DAYS after the order date — the EXISTS
+    semi-join aggregate.
+
+    100 TB shape: the semi-join reduces the fact to at most one row per
+    order before the |priorities|-bounded aggregation; the date
+    condition rides the join (no post-filter materialization)."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.l_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_late_orders")
+    )

@@ -4351,3 +4351,64 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave: vocabulary coverage curve (tokenizer-design metric)
+# ---------------------------------------------------------------------------
+
+#: vocabulary ranks at which cumulative coverage is reported
+COVERAGE_RANKS = [1, 2, 5, 10, 20, 50]
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of total corpus token mass
+    covered by the top-k vocabulary entries, at fixed ranks — the
+    tokenizer-budget question ("how big a vocab covers 95%?") next to
+    zipf_fit (slope) and heaps_law_fit (growth). Rows: (rank_k, token
+    at that rank, cumulative share).
+
+    CROSS-ENGINE DETERMINISM: counts are exact integers; the cumulative
+    sum runs over an integer column with a total order (count DESC,
+    token ASC); the share is one IEEE division per emitted row.
+
+    100 TB shape: word-count partial agg, then TakeOrdered(max rank)
+    pulls ONLY the top max(COVERAGE_RANKS) vocab rows — the cumsum
+    window runs over <=50 rows, never over the full vocabulary; the
+    grand total is a scalar broadcast."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .transform(materialize)
+    )
+    total = counts.agg(F.sum("n").cast("double").alias("total_n"))
+    kmax = max(COVERAGE_RANKS)
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(kmax)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("token")))
+        .alias("rank_k"),
+        "token",
+        F.sum("n").over(w).alias("cum_n"),
+    )
+    return (
+        ranked.filter(F.col("rank_k").isin(COVERAGE_RANKS))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank_k",
+            "token",
+            TX.round_half_up(F.col("cum_n") / F.col("total_n"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )

@@ -1086,3 +1086,34 @@ def anomaly_consensus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("jaccard_agreement"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave: semi-structured property extraction (P2's JSON face)
+# ---------------------------------------------------------------------------
+
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction over the events JSON `props`
+    column — the P2 custom-field probe (Unknowns map, pkg/client/
+    client.go:340-349) in its JSON-string form: pull props.k, bucket it,
+    and roll up count + total value per bucket. Proves get_json_object
+    against an independent JSON reader (DuckDB's json_extract_string).
+
+    CROSS-ENGINE DETERMINISM: values quantize to integer cents per row
+    before the SUM (order-independent exact addition).
+
+    100 TB shape: the JSON get is a narrow JVM-side expression (no UDF);
+    one |buckets|-bounded partial aggregation."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(
+            (k % 10).alias("k_bucket"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            TX_round(F.sum("cents") / 100.0, 2).alias("total_value"),
+        )
+    )

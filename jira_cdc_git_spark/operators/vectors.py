@@ -2051,3 +2051,77 @@ def binary_hamming_topk(
         .orderBy(F.asc("hamming"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave: MIPS retrieval + embedding hygiene stats
+# ---------------------------------------------------------------------------
+
+def mips_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Maximum-inner-product top-k against one query vector — the
+    retrieval scoring recommenders and rerankers use when magnitudes
+    carry signal (cosine's normalization throws popularity away). Same
+    plan as cosine_topk: broadcast single-row query, narrow scoring map,
+    TakeOrderedAndProject.
+
+    CROSS-ENGINE DETERMINISM: the dot product is a left-fold in array
+    order on both engines (vectors.dot == list_dot_product); the score
+    rounds via round_half_up. Ties break on vec_id."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != query_vec_id
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            TX.round_half_up(
+                dot(_as_double(F.col("embedding")),
+                    _as_double(F.col("q_embedding"))),
+                6,
+            ).alias("inner_product"),
+        )
+        .orderBy(F.col("inner_product").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-hygiene report: per label the count and the mean / p50 /
+    p95 of the L2 norm. Degenerate norm distributions (collapsed or
+    exploding clusters) are the first thing to check before trusting any
+    ANN structure over a new embedding batch.
+
+    CROSS-ENGINE DETERMINISM: each norm quantizes to integer micro-units
+    per row (one fixed-shape IEEE sqrt, then floor), so the per-group
+    SUM is exact-integer and percentiles run over integers (the
+    value_equidepth_bins discipline); the mean divides exact integers
+    once per group.
+
+    100 TB shape: one narrow per-row pass + a |labels|-bounded partial
+    aggregation — no joins, no data-scale shuffle."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    norm_u = F.floor(
+        F.sqrt(norm2(_as_double(F.col("embedding")))) * 1_000_000 + 0.5
+    ).cast("long")
+    return (
+        emb.select("label", norm_u.alias("norm_u"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            TX.round_half_up(
+                (F.sum("norm_u") / F.count("*")) / 1e6, 6
+            ).alias("mean_norm"),
+            TX.round_half_up(
+                F.expr("percentile(norm_u, 0.5D)") / 1e6, 6
+            ).alias("p50_norm"),
+            TX.round_half_up(
+                F.expr("percentile(norm_u, 0.95D)") / 1e6, 6
+            ).alias("p95_norm"),
+        )
+    )
