@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 258
-entries: 249 oracle-backed (value-hash checked) and 9 PERMANENTLY
+The registry has 264
+entries: 255 oracle-backed (value-hash checked) and 9 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -107,6 +107,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "job_id_report": J.job_id_report,
         "json_edge_roundtrip": J.json_edge_roundtrip,
         "yaml_roundtrip_report": J.yaml_roundtrip_report,
+        # r7 wave 6: windowed median, set-op completion, discount bands,
+        # Pareto concentration, reciprocity, prefix dedup
+        "rolling_daily_median": TS.rolling_daily_median,
+        "segment_intersect": R.segment_intersect,
+        "discount_band_report": R.discount_band_report,
+        "revenue_concentration_report": R.revenue_concentration_report,
+        "link_reciprocity_report": G.link_reciprocity_report,
+        "prefix_dup_report": T.prefix_dup_report,
         # r7 analytics wave: seeded PPR, MIPS retrieval, embedding
         # hygiene, vocab coverage, JSON property extraction, Q4 shape
         "personalized_pagerank": G.personalized_pagerank,
@@ -5789,6 +5797,100 @@ _JIRA_ORACLES["degree_distribution"] = f"""
            CAST(count(*) AS BIGINT) AS n_nodes,
            floor(count(*) / n.n_total * 1000000 + 0.5) / 1000000 AS frac
     FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
+
+
+# ===== Round-7 wave 6: windows, set ops, concentration, reciprocity =====
+
+# Mirrors operators/timeseries.rolling_daily_median — integer-cents
+# daily totals, exact windowed median over a totally-ordered ROWS frame.
+_ORACLES["rolling_daily_median"] = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           floor(cents / 100.0 * 100 + 0.5) / 100 AS day_value,
+           floor(quantile_cont(cents, 0.5) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 / 100.0 * 100 + 0.5) / 100 AS rolling_median
+    FROM daily"""
+
+# Mirrors operators/relational.segment_intersect (INTERSECT distinct).
+_ORACLES["segment_intersect"] = """
+    SELECT c_custkey AS custkey FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"""
+
+# Mirrors operators/relational.discount_band_report — both money columns
+# quantize to exact integer units before the SUM.
+_ORACLES["discount_band_report"] = f"""
+    SELECT CAST(round(l_discount * 100) AS INTEGER) AS discount_pct,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 / 100.0 * 100 + 0.5) / 100 AS gross_price,
+           floor(sum({_REV_U}) / 10000.0 * 100 + 0.5) / 100 AS net_revenue
+    FROM lineitem GROUP BY 1"""
+
+# Mirrors operators/relational.revenue_concentration_report — exact
+# integer-cents spend, exact percentile threshold, >= membership.
+_ORACLES["revenue_concentration_report"] = """
+    WITH pc AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), t AS (SELECT quantile_cont(cents, 0.8) AS thr FROM pc)
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN cents >= thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top_customers,
+           floor(sum(CASE WHEN cents >= thr THEN cents ELSE 0 END)
+                 / (1.0 * sum(cents)) * 1000000 + 0.5) / 1000000
+             AS top_revenue_share
+    FROM pc CROSS JOIN t"""
+
+# Mirrors operators/graph.link_reciprocity_report — distinct directed
+# edges, reversed-pair semi-join, one IEEE division.
+_JIRA_ORACLES["link_reciprocity_report"] = f"""
+    WITH {_I}, all_edges AS ({_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT key FROM issues_flat),
+    e AS (
+        SELECT DISTINCT src_key, dst_key FROM all_edges
+        WHERE dst_key IN (SELECT key FROM nodes) AND src_key <> dst_key
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(CASE WHEN EXISTS (
+                    SELECT 1 FROM e r WHERE r.src_key = e.dst_key
+                      AND r.dst_key = e.src_key) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reciprocal,
+           floor(sum(CASE WHEN EXISTS (
+                    SELECT 1 FROM e r WHERE r.src_key = e.dst_key
+                      AND r.dst_key = e.src_key) THEN 1 ELSE 0 END)
+                 / (1.0 * count(*)) * 1000000 + 0.5) / 1000000
+             AS reciprocity
+    FROM e"""
+
+# Mirrors operators/text.prefix_dup_report — md5 over the normalized
+# 64-char prefix, per-source dup rollup.
+_ORACLES["prefix_dup_report"] = f"""
+    WITH g AS (
+        SELECT source,
+               md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          1, {T.PREFIX_FP_CHARS})) AS fp,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_prefix_groups,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           floor(sum(CASE WHEN n > 1 THEN n ELSE 0 END) / (1.0 * sum(n))
+                 * 1000000 + 0.5) / 1000000 AS dup_share
+    FROM g GROUP BY 1"""
 
 
 # ===== Round-7 wave: PPR / MIPS / corpus + event analytics =====

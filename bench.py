@@ -205,6 +205,13 @@ BENCH_QUERIES = [
     "job_id_report",
     "json_edge_roundtrip",
     "yaml_roundtrip_report",
+    # r7 wave 6
+    "rolling_daily_median",
+    "segment_intersect",
+    "discount_band_report",
+    "revenue_concentration_report",
+    "link_reciprocity_report",
+    "prefix_dup_report",
     # r7 analytics wave
     "personalized_pagerank",
     "mips_topk",

@@ -1070,3 +1070,49 @@ def personalized_pagerank(
     return pr.filter(F.col("pr_u") > 0).select(
         "key", (F.col("pr_u") / unit).alias("ppr")
     )
+
+
+def link_reciprocity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity over the issue-link graph: the
+    fraction of distinct directed edges whose reverse edge also exists
+    ("A blocks B" answered by "B clones A", etc.). The classic directed
+    health metric next to degree_distribution / graph_assortativity —
+    on a citation or hyperlink corpus it separates mutual-reference
+    communities from one-way broadcast structure. Single-row report.
+
+    100 TB shape: one distinct over the edge projection, one self-join
+    on the reversed key pair (equi-join, shuffle on the pair), two
+    scalar counts.
+
+    CROSS-ENGINE DETERMINISM: integer counts + one IEEE division."""
+    from jira_cdc_git_spark import fixtures as FX
+    from jira_cdc_git_spark.operators.jira import link_edges
+
+    nodes = FX.issues_flat(spark, sf_dir).select("key").distinct()
+    e = (
+        link_edges(spark, sf_dir)
+        .select("src_key", "dst_key")
+        .join(
+            nodes.select(F.col("key").alias("dst_key")), "dst_key", "left_semi"
+        )
+        .filter(F.col("src_key") != F.col("dst_key"))
+        .distinct()
+        .transform(materialize)
+    )
+    rev = e.select(
+        F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+    )
+    n_rec = e.join(rev, ["src_key", "dst_key"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_reciprocal")
+    )
+    n_all = e.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        n_all.crossJoin(F.broadcast(n_rec))
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            _rhu(F.col("n_reciprocal") / F.col("n_edges"), 6).alias(
+                "reciprocity"
+            ),
+        )
+    )

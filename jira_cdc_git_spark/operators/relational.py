@@ -1457,3 +1457,92 @@ def order_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_late_orders")
     )
+
+
+def segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family completion — INTERSECT distinct (the set op next to
+    union_dedup / except_skipped): BUILDING-segment customers who have
+    also placed an URGENT order. Spark compiles INTERSECT to a
+    left-semi + aggregate — both inputs pre-project to the key only.
+
+    100 TB shape: two pruned scans, one key-only shuffle."""
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    urgent = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cust.intersect(urgent)
+
+
+def discount_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-extended discount sensitivity: per discount band (percent
+    points), the lineitem count, gross revenue, and discount given —
+    what-if input for the classic "raise every discount by 1pt" probe.
+
+    100 TB shape: pure scan + |bands|-bounded partial agg; both money
+    columns quantize to exact integer units before the SUM."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    li = load_table(spark, "lineitem", sf_dir)
+    band = F.round(F.col("l_discount") * 100, 0).cast("int")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.select(
+            band.alias("discount_pct"),
+            price_c.alias("price_c"),
+            _revenue_units().alias("rev_u"),
+        )
+        .groupBy("discount_pct")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            TX_round(F.sum("price_c") / 100.0, 2).alias("gross_price"),
+            TX_round(F.sum("rev_u") / 10000.0, 2).alias("net_revenue"),
+        )
+    )
+
+
+def revenue_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / 80-20 concentration: the share of total order value held
+    by customers at or above the 80th percentile of per-customer spend.
+    Single-row report (n_customers, n_top_customers, top_revenue_share).
+
+    CROSS-ENGINE DETERMINISM: per-customer spend is exact integer cents;
+    the threshold is an exact percentile over integers; membership uses
+    >= on both sides; the share is one IEEE division.
+
+    100 TB shape: one custkey partial-agg, one scalar percentile
+    broadcast back — no ntile / global-sort window (which is how NOT to
+    compute this at scale)."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    per_cust = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    thr = per_cust.agg(F.expr("percentile(cents, 0.8D)").alias("thr"))
+    j = per_cust.crossJoin(F.broadcast(thr))
+    return j.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("cents") >= F.col("thr"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_top_customers"),
+        TX_round(
+            F.sum(
+                F.when(F.col("cents") >= F.col("thr"), F.col("cents")).otherwise(
+                    F.lit(0)
+                )
+            )
+            / F.sum("cents"),
+            6,
+        ).alias("top_revenue_share"),
+    )

@@ -4412,3 +4412,47 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: normalized-prefix fingerprint length (chars) for prefix_dup_report
+PREFIX_FP_CHARS = 64
+
+
+def prefix_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate profile: documents sharing the same normalized
+    first-PREFIX_FP_CHARS fingerprint, per source — the cheap first-pass
+    dedup signal for crawl corpora (boilerplate openings, mirrored pages
+    and template farms collide on their prefix long before a full
+    MinHash pass runs). Per source: docs, distinct prefix groups,
+    docs inside >1-member groups, and the dup share.
+
+    100 TB shape: one md5 per row (64 chars hashed, not the document),
+    one (source, fp) partial agg, one |sources|-bounded rollup.
+
+    CROSS-ENGINE DETERMINISM: md5 is md5; counts are exact; the share
+    is one IEEE division (round_half_up)."""
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5(
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+            1,
+            PREFIX_FP_CHARS,
+        )
+    )
+    groups = (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source", "fp")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return groups.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_prefix_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        TX.round_half_up(
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+            / F.sum("n"),
+            6,
+        ).alias("dup_share"),
+    )

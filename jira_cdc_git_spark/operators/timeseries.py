@@ -1117,3 +1117,44 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX_round(F.sum("cents") / 100.0, 2).alias("total_value"),
         )
     )
+
+
+def rolling_daily_median(
+    spark: SparkSession, sf_dir: str, window_rows: int = 7
+) -> DataFrame:
+    """Rolling 7-row median of daily event value per type — the smoothed
+    baseline ops dashboards draw under the raw daily line (median, not
+    mean, so single-day spikes don't drag the baseline; pairs with
+    cusum_changepoints / value_anomalies).
+
+    CROSS-ENGINE DETERMINISM: daily totals quantize to integer cents
+    (exact SUM); the windowed median is an exact percentile over
+    integers in a ROWS frame with a total order (day is unique per
+    type), so Spark `percentile` == DuckDB `quantile_cont`.
+
+    100 TB shape: one partial-agg to |types × days| rows, then windows
+    partitioned by type — never a single global partition."""
+    ev = load_table(spark, "events", sf_dir)
+    # date_trunc (timestamp), not to_date: DATE round-trips as a pandas
+    # Timestamp from DuckDB but a datetime.date from Spark — type-
+    # mismatched hashes for equal values
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + 0.5).cast("long")
+        ).alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        TX_round(F.col("cents") / 100.0, 2).alias("day_value"),
+        TX_round(
+            F.expr("percentile(cents, 0.5D)").over(w) / 100.0, 2
+        ).alias("rolling_median"),
+    )
