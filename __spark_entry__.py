@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 264
-entries: 255 oracle-backed (value-hash checked) and 9 PERMANENTLY
+The registry has 268
+entries: 259 oracle-backed (value-hash checked) and 9 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -107,6 +107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "job_id_report": J.job_id_report,
         "json_edge_roundtrip": J.json_edge_roundtrip,
         "yaml_roundtrip_report": J.yaml_roundtrip_report,
+        # r7 wave 7: statistical analytics + embedding eval
+        "ab_test_report": TS.ab_test_report,
+        "event_type_correlation": TS.event_type_correlation,
+        "bootstrap_mean_ci": TS.bootstrap_mean_ci,
+        "knn_label_accuracy": V.knn_label_accuracy,
         # r7 wave 6: windowed median, set-op completion, discount bands,
         # Pareto concentration, reciprocity, prefix dedup
         "rolling_daily_median": TS.rolling_daily_median,
@@ -5797,6 +5802,170 @@ _JIRA_ORACLES["degree_distribution"] = f"""
            CAST(count(*) AS BIGINT) AS n_nodes,
            floor(count(*) / n.n_total * 1000000 + 0.5) / 1000000 AS frac
     FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
+
+
+# ===== Round-7 wave 7: statistical analytics + kNN label eval =====
+
+# Mirrors operators/timeseries.ab_test_report — exact integer sufficient
+# statistics (n, Σcents, Σcents²) per arm, one IEEE chain for the rest.
+_ORACLES["ab_test_report"] = f"""
+    WITH s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(c) AS s, sum(c * c) AS s2
+        FROM (SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+              WHERE event_type IN ('{TS.AB_ARM_A}', '{TS.AB_ARM_B}'))
+        GROUP BY 1
+    ), a AS (SELECT n AS n_a, s AS s_a, s2 AS s2_a FROM s
+             WHERE event_type = '{TS.AB_ARM_A}'),
+       b AS (SELECT n AS n_b, s AS s_b, s2 AS s2_b FROM s
+             WHERE event_type = '{TS.AB_ARM_B}'),
+    d AS (
+        SELECT n_a, n_b,
+               s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+               (s2_a - s_a * (s_a / n_a)) / (n_a - 1) AS var_a,
+               (s2_b - s_b * (s_b / n_b)) / (n_b - 1) AS var_b
+        FROM a CROSS JOIN b
+    )
+    SELECT n_a, n_b,
+           floor(mean_a / 100.0 * 10000 + 0.5) / 10000 AS mean_a,
+           floor(mean_b / 100.0 * 10000 + 0.5) / 10000 AS mean_b,
+           floor((mean_a - mean_b) / 100.0 * 10000 + 0.5) / 10000
+             AS mean_diff,
+           floor((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)
+                 * 10000 + 0.5) / 10000 AS z_score
+    FROM d"""
+
+# Mirrors operators/timeseries.event_type_correlation — zero-filled
+# day grid, exact integer moments, double-cast variance product.
+_ORACLES["event_type_correlation"] = """
+    WITH counts AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    filled AS (
+        SELECT g.day, g.event_type, coalesce(c.n, 0) AS n
+        FROM (SELECT * FROM days CROSS JOIN types) g
+        LEFT JOIN counts c ON c.day = g.day
+                          AND c.event_type = g.event_type
+    ),
+    m AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(x.n) AS BIGINT) AS sx,
+               CAST(sum(y.n) AS BIGINT) AS sy,
+               CAST(sum(x.n * y.n) AS BIGINT) AS sxy,
+               CAST(sum(x.n * x.n) AS BIGINT) AS sxx,
+               CAST(sum(y.n * y.n) AS BIGINT) AS syy
+        FROM filled x JOIN filled y ON x.day = y.day
+                                   AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, nd,
+           floor((nd * sxy - sx * sy)
+                 / sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)
+                        * CAST(nd * syy - sy * sy AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS pearson_r
+    FROM m"""
+
+# Mirrors operators/timeseries.bootstrap_mean_ci — Poisson weights via
+# the shared inverse-CDF thresholds from the SAME md5 fraction; each
+# resample mean is exact-integer Σ(w·c)/Σw.
+_POISSON_CASE = " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in enumerate(TS.POISSON_CDF)
+)
+_ORACLES["bootstrap_mean_ci"] = f"""
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    expl AS (
+        SELECT event_type, event_id, c, CAST(b AS BIGINT) AS b
+        FROM base, generate_series(1, {TS.BOOT_B}) AS t(b)
+    ),
+    wtd AS (
+        SELECT event_type, b, c,
+               CAST(CASE {_POISSON_CASE} ELSE 5 END AS BIGINT) AS w
+        FROM (SELECT *,
+                     (('0x' || substr(md5(CAST(event_id AS VARCHAR) || '-'
+                                          || CAST(b AS VARCHAR)), 1, 8)))
+                       ::BIGINT / 4294967296.0 AS u
+              FROM expl)
+    ),
+    res AS (
+        SELECT event_type, b,
+               CAST(sum(w * c) AS BIGINT) * 1.0 / CAST(sum(w) AS BIGINT)
+                 AS mean_b
+        FROM wtd GROUP BY 1, 2
+        HAVING sum(w) > 0
+    ),
+    env AS (
+        SELECT event_type,
+               quantile_cont(mean_b, 0.025) AS lo,
+               quantile_cont(mean_b, 0.975) AS hi
+        FROM res GROUP BY 1
+    ),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(c) AS BIGINT) AS sc
+        FROM base GROUP BY 1
+    )
+    SELECT f.event_type, f.n_events,
+           floor((sc / n_events) / 100.0 * 10000 + 0.5) / 10000
+             AS mean_value,
+           floor(lo / 100.0 * 10000 + 0.5) / 10000 AS ci_lo,
+           floor(hi / 100.0 * 10000 + 0.5) / 10000 AS ci_hi
+    FROM tot f JOIN env e ON e.event_type = f.event_type"""
+
+# Mirrors operators/vectors.knn_label_accuracy — composes the knn_join
+# scoring shape over the 64-query eval block; majority ties to the
+# smallest label.
+_ORACLES["knn_label_accuracy"] = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qe, label AS true_label
+          FROM e WHERE vec_id < {V.KNN_EVAL_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               round(list_dot_product(e.emb, q.qe)
+                     / sqrt(list_dot_product(e.emb, e.emb)
+                            * list_dot_product(q.qe, q.qe)), 6) AS cos_sim
+        FROM e, q WHERE e.vec_id <> q.query_id
+    ),
+    nn AS (
+        SELECT query_id, label
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cos_sim DESC, vec_id) AS rn
+              FROM scored) t
+        WHERE rn <= {V.KNN_EVAL_K}
+    ),
+    votes AS (
+        SELECT query_id, label, count(*) AS n_votes
+        FROM nn GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT query_id, label AS pred_label
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY n_votes DESC, label) AS rn
+              FROM votes) t
+        WHERE rn = 1
+    )
+    SELECT q.true_label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN p.pred_label = q.true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           floor(sum(CASE WHEN p.pred_label = q.true_label
+                          THEN 1 ELSE 0 END) / (1.0 * count(*))
+                 * 1000000 + 0.5) / 1000000 AS accuracy
+    FROM q JOIN pred p ON p.query_id = q.query_id
+    GROUP BY 1"""
 
 
 # ===== Round-7 wave 6: windows, set ops, concentration, reciprocity =====

@@ -205,6 +205,11 @@ BENCH_QUERIES = [
     "job_id_report",
     "json_edge_roundtrip",
     "yaml_roundtrip_report",
+    # r7 wave 7
+    "ab_test_report",
+    "event_type_correlation",
+    "bootstrap_mean_ci",
+    "knn_label_accuracy",
     # r7 wave 6
     "rolling_daily_median",
     "segment_intersect",
@@ -538,6 +543,10 @@ SCALE_PROBE_QUERIES = [
     "tfidf_cosine_pairs",
     "user_coactivity_pairs",
     "basket_pairs_topk",
+    # r7 probe additions: the x32 bootstrap explode and the grid-join
+    # correlation (documented bounded passes — verify they stay linear)
+    "bootstrap_mean_ci",
+    "event_type_correlation",
 ]
 
 

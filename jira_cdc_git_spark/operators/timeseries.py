@@ -1158,3 +1158,220 @@ def rolling_daily_median(
             F.expr("percentile(cents, 0.5D)").over(w) / 100.0, 2
         ).alias("rolling_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave: statistical analytics (A/B z-test, correlation, bootstrap)
+# ---------------------------------------------------------------------------
+
+#: the two arms of the A/B value comparison
+AB_ARM_A, AB_ARM_B = "purchase", "click"
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test between the value distributions of two event
+    types — the experiment-analysis primitive every product pipeline
+    runs. Single row: per-arm n / mean, the difference, and the z-score
+    under unpooled variances (Welch).
+
+    CROSS-ENGINE DETERMINISM: the five sufficient statistics per arm
+    (n, Σcents, Σcents²) are exact integers (cents² fits int64: value
+    ≤ ~10^4 cents → 10^8 per row, 10^18 at 10^10 rows); every derived
+    quantity is one fixed-shape IEEE chain over them, identical on both
+    engines.
+
+    100 TB shape: one scan, 2-group partial agg — sufficient statistics
+    ARE the point of this shape: no per-row second pass, no window."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin(AB_ARM_A, AB_ARM_B)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    stats = (
+        ev.select(
+            "event_type",
+            cents.alias("c"),
+            (cents * cents).alias("c2"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("c").alias("s"),
+            F.sum("c2").alias("s2"),
+        )
+    )
+    a = stats.filter(F.col("event_type") == AB_ARM_A).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = stats.filter(F.col("event_type") == AB_ARM_B).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("s2_a") - F.col("s_a") * mean_a) / (F.col("n_a") - 1)
+    var_b = (F.col("s2_b") - F.col("s_b") * mean_b) / (F.col("n_b") - 1)
+    z = (mean_a - mean_b) / F.sqrt(
+        var_a / F.col("n_a") + var_b / F.col("n_b")
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        TX_round(mean_a / 100.0, 4).alias("mean_a"),
+        TX_round(mean_b / 100.0, 4).alias("mean_b"),
+        TX_round((mean_a - mean_b) / 100.0, 4).alias("mean_diff"),
+        TX_round(z, 4).alias("z_score"),
+    )
+
+
+def event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix between DAILY COUNTS of event types —
+    which behaviors co-move day over day (the input to any metric-
+    forecasting or anomaly-attribution model). One row per unordered
+    type pair (a < b).
+
+    CROSS-ENGINE DETERMINISM: per-(day, type) counts are exact integers
+    over the shared distinct-day grid (absent days count 0 via the
+    grid join); the five correlation moments are exact-integer SUMs;
+    r is one IEEE expression over them.
+
+    100 TB shape: one partial agg to |days × types| rows, a grid
+    outer-join against the (tiny, broadcast) day list, a |types|²-
+    bounded pair join over day-aligned counts."""
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_trunc("DAY", F.col("ts")).alias("day")
+    counts = ev.groupBy(day, "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    days = ev.select(day).distinct()
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    filled = grid.join(counts, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    x = filled.select(
+        "day", F.col("event_type").alias("type_a"), F.col("n").alias("xa")
+    )
+    y = filled.select(
+        "day", F.col("event_type").alias("type_b"), F.col("n").alias("xb")
+    )
+    pairs = x.join(y, "day").filter(F.col("type_a") < F.col("type_b"))
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+    )
+    # each variance term fits int64; their PRODUCT does not — cast each
+    # to double before multiplying (identical cast point in the oracle)
+    num = F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(vx * vy)
+    return m.select(
+        "type_a",
+        "type_b",
+        "nd",
+        TX_round(num / den, 6).alias("pearson_r"),
+    )
+
+
+#: Poisson(1) inverse-CDF thresholds for the deterministic bootstrap —
+#: cumulative P(X <= k) for k = 0..4; u above the last bin draws 5.
+#: Shared verbatim with the oracle (literal digits in both SQL strings).
+POISSON_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+]
+#: bootstrap resample count
+BOOT_B = 32
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (Chamandy et al., the standard
+    single-pass distributed bootstrap): per event type, B resample means
+    of value where each row's weight in resample b is Poisson(1) drawn
+    via the inverse CDF from a seeded md5 fraction — fully reproducible,
+    no RNG state. Reports the mean and the exact p2.5/p97.5 envelope of
+    the B resample means.
+
+    CROSS-ENGINE DETERMINISM: weights derive from hex32(event_id, b)
+    (same digest both engines); each resample mean is exact-integer
+    Σ(w·cents)/Σw; the envelope interpolates over B identical doubles
+    with the same quantile formula.
+
+    100 TB shape: one B-way explode (documented ×B linear pass), two
+    partial aggs; no shuffle wider than |types × B|."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    b = F.explode(
+        F.sequence(F.lit(1), F.lit(BOOT_B))
+    ).alias("b")
+    base = ev.select(
+        "event_type", F.col("event_id"), cents.alias("c")
+    ).select("event_type", "event_id", "c", b)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("-", F.col("event_id"), F.col("b"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = (
+        F.when(u < POISSON_CDF[0], 0)
+        .when(u < POISSON_CDF[1], 1)
+        .when(u < POISSON_CDF[2], 2)
+        .when(u < POISSON_CDF[3], 3)
+        .when(u < POISSON_CDF[4], 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    res = (
+        base.select("event_type", "b", w.alias("w"), "c")
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).alias("wc"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type", (F.col("wc") / F.col("sw")).alias("mean_b")
+        )
+    )
+    full = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(cents).alias("sc"),
+    )
+    env = res.groupBy("event_type").agg(
+        F.expr("percentile(mean_b, 0.025D)").alias("lo"),
+        F.expr("percentile(mean_b, 0.975D)").alias("hi"),
+    )
+    return (
+        full.join(env, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            TX_round((F.col("sc") / F.col("n_events")) / 100.0, 4).alias(
+                "mean_value"
+            ),
+            TX_round(F.col("lo") / 100.0, 4).alias("ci_lo"),
+            TX_round(F.col("hi") / 100.0, 4).alias("ci_hi"),
+        )
+    )

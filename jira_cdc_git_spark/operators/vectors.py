@@ -2125,3 +2125,67 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p95_norm"),
         )
     )
+
+
+#: kNN-eval query block size and neighborhood size
+KNN_EVAL_QUERIES = 64
+KNN_EVAL_K = 5
+
+
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: leave-one-out k-NN label prediction over
+    a fixed query block — per true label, how often the majority label
+    of the 5 nearest neighbors matches. THE cheap proxy metric for "are
+    these embeddings any good" before building ANN indexes over them
+    (a near-random accuracy here means every downstream semantic-dedup
+    decision is noise).
+
+    Majority vote ties break to the smallest label (deterministic).
+
+    100 TB shape: inherits knn_frame's broadcast-query scoring with the
+    partial WindowGroupLimit pre-shuffle top-k; everything after runs
+    on |queries × k| rows."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    q = (
+        emb.filter(F.col("vec_id") < KNN_EVAL_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .transform(materialize)
+    )
+    nn = knn_frame(emb, q, KNN_EVAL_K)
+    votes = nn.groupBy("query_id", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    truth = emb.filter(F.col("vec_id") < KNN_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    j = truth.join(pred, "query_id")
+    return j.groupBy("true_label").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        TX.round_half_up(
+            F.sum(
+                F.when(
+                    F.col("pred_label") == F.col("true_label"), 1
+                ).otherwise(0)
+            )
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+    )
