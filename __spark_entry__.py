@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 268
-entries: 259 oracle-backed (value-hash checked) and 9 PERMANENTLY
+The registry has 269
+entries: 260 oracle-backed (value-hash checked) and 9 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -107,7 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "job_id_report": J.job_id_report,
         "json_edge_roundtrip": J.json_edge_roundtrip,
         "yaml_roundtrip_report": J.yaml_roundtrip_report,
-        # r7 wave 7: statistical analytics + embedding eval
+        # r7 wave 7: statistical analytics + embedding eval + Q2 shape
+        "min_cost_supplier": R.min_cost_supplier,
         "ab_test_report": TS.ab_test_report,
         "event_type_correlation": TS.event_type_correlation,
         "bootstrap_mean_ci": TS.bootstrap_mean_ci,
@@ -5802,6 +5803,36 @@ _JIRA_ORACLES["degree_distribution"] = f"""
            CAST(count(*) AS BIGINT) AS n_nodes,
            floor(count(*) / n.n_total * 1000000 + 0.5) / 1000000 AS frac
     FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
+
+
+# Mirrors operators/relational.min_cost_supplier (Q2 shape, adapted —
+# observed unit price in exact integer mills stands in for partsupp).
+_ORACLES["min_cost_supplier"] = f"""
+    WITH per AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * 10 / l_quantity) AS BIGINT))
+                 AS min_unit_mill
+        FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_partkey
+                ORDER BY min_unit_mill, l_suppkey) AS rn
+            FROM per) t
+        WHERE rn = 1
+    )
+    SELECT b.l_partkey AS p_partkey, p.p_name, p.p_type,
+           b.l_suppkey AS s_suppkey, s.s_name, n.n_name,
+           floor(min_unit_mill / 1000.0 * 1000 + 0.5) / 1000
+             AS min_unit_price
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY p_partkey
+    LIMIT {R.Q2_K}"""
 
 
 # ===== Round-7 wave 7: statistical analytics + kNN label eval =====

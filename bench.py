@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "json_edge_roundtrip",
     "yaml_roundtrip_report",
     # r7 wave 7
+    "min_cost_supplier",
     "ab_test_report",
     "event_type_correlation",
     "bootstrap_mean_ci",

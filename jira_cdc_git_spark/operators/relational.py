@@ -1546,3 +1546,74 @@ def revenue_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_revenue_share"),
     )
+
+
+#: Q2-analog result cap
+Q2_K = 25
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str, k: int = Q2_K) -> DataFrame:
+    """TPC-H Q2 shape, adapted to this schema (no partsupp: observed
+    unit price from lineitems stands in for ps_supplycost): for each
+    part, the supplier delivering it at the lowest observed unit price,
+    with the supplier's nation — the correlated-min / argmin-per-group
+    join every procurement report runs. Top-k parts by key for a
+    bounded result.
+
+    CROSS-ENGINE DETERMINISM: unit price is exact integer
+    (price-cents × qty-denominator avoided: compare price_cents * other
+    qty cross-multiplied? No — unit price compares as price_cents *
+    1000 // qty, an exact integer floor division, identical in both
+    engines). Argmin ties break on s_suppkey.
+
+    100 TB shape: one (part, supplier) partial agg over the fact, a
+    per-part argmin window (WindowGroupLimit prunes pre-shuffle), and
+    two broadcast dim lookups."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    li = load_table(spark, "lineitem", sf_dir)
+    unit_mill = F.floor(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.lit(10)
+        / F.col("l_quantity").cast("long")
+    ).cast("long")
+    per = (
+        li.select("l_partkey", "l_suppkey", unit_mill.alias("unit_mill"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_mill").alias("min_unit_mill"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("min_unit_mill"), F.asc("l_suppkey")
+    )
+    best = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("l_partkey"), "p_name", "p_type"
+    )
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    return (
+        best.join(F.broadcast(part), "l_partkey")
+        .join(F.broadcast(sup), "l_suppkey")
+        .join(F.broadcast(nat), "s_nationkey")
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "p_type",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            TX_round(F.col("min_unit_mill") / 1000.0, 3).alias(
+                "min_unit_price"
+            ),
+        )
+        .orderBy("p_partkey")
+        .limit(k)
+    )

@@ -1561,3 +1561,123 @@ def streaming_debounce(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_rolling_median(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    window_rows: int = 7,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming twin of operators/timeseries.rolling_daily_median — the
+    third GENUINELY STATEFUL twin (with streaming_cusum and
+    streaming_debounce): per-(type, day) cents totals accumulate across
+    micro-batches in the swapped state table; a day FINALIZES under the
+    day-close watermark (a newer day for the same type has arrived),
+    at which point its exact 7-row windowed median — over totals that
+    may have been assembled across MANY batch boundaries — emits once.
+    Chunk boundaries may split a day anywhere; batch parity holds
+    exactly (test_streaming_multimodal).
+
+    Replay-safe: batch_id-partitioned sink + applied_batch_id marker in
+    the atomically-swapped state dir (the IVM contract).
+
+    100 TB shape: per batch one partial agg to |types × batch-days|
+    rows, a merge against the |types × days|-bounded state table, and
+    windows over that state table only — never over raw events."""
+    import os
+
+    from jira_cdc_git_spark.state import _swap_dir_atomic
+
+    state_dir = f"{out_root}/median_state"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(events_dir)
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.localCheckpoint()
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            last_applied = state.agg(F.max("applied_batch_id")).first()[0]
+            if last_applied is not None and batch_id <= last_applied:
+                return
+            carry = state.select("event_type", "day", "cents", "emitted")
+        else:
+            carry = spark.createDataFrame(
+                [],
+                "event_type string, day timestamp, cents long, "
+                "emitted boolean",
+            )
+        bagg = (
+            batch.groupBy(
+                "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+            )
+            .agg(
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("long")
+                ).alias("cents")
+            )
+            .withColumn("emitted", F.lit(False))
+        )
+        merged = (
+            carry.unionByName(bagg)
+            .groupBy("event_type", "day")
+            .agg(
+                F.sum("cents").alias("cents"),
+                F.max("emitted").alias("emitted"),
+            )
+            .localCheckpoint()
+        )
+        newest = merged.groupBy("event_type").agg(F.max("day").alias("mx"))
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(-(window_rows - 1), 0)
+        )
+        from jira_cdc_git_spark.functions.text import round_half_up as _r
+
+        scored = merged.select(
+            "event_type",
+            "day",
+            "emitted",
+            _r(F.col("cents") / 100.0, 2).alias("day_value"),
+            _r(
+                F.expr("percentile(cents, 0.5D)").over(w) / 100.0, 2
+            ).alias("rolling_median"),
+        )
+        to_emit = (
+            scored.join(F.broadcast(newest), "event_type")
+            .filter((F.col("day") < F.col("mx")) & ~F.col("emitted"))
+            .select("event_type", "day", "day_value", "rolling_median")
+        ).localCheckpoint()
+        _append_batch_idempotent(to_emit, f"{out_root}/medians", batch_id)
+        closed = to_emit.select("event_type", "day").withColumn(
+            "now_emitted", F.lit(True)
+        )
+        new_state = (
+            merged.join(closed, ["event_type", "day"], "left")
+            .select(
+                "event_type",
+                "day",
+                "cents",
+                (F.col("emitted") | F.coalesce("now_emitted", F.lit(False))
+                 ).alias("emitted"),
+            )
+            .withColumn("applied_batch_id", F.lit(batch_id))
+        )
+        _swap_dir_atomic(new_state.localCheckpoint(), state_dir)
+
+    (
+        feed.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

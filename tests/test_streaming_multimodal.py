@@ -1225,3 +1225,55 @@ def test_streaming_debounce_stateful_batch_parity(spark, sf_dir, tmp_path):
     # admitted sink is exactly the kept subset
     n_admitted = read_append_sink(spark, f"{out_root}/admitted").count()
     assert n_admitted == sum(k for _, k in want.values())
+
+
+def test_streaming_rolling_median_stateful_batch_parity(
+    spark, sf_dir, tmp_path
+):
+    """The third stateful twin: per-(type, day) totals must assemble
+    across batch boundaries cut anywhere, each day emitting its exact
+    7-row windowed median once on day-close — equal to the batch
+    operator restricted to days before each type's newest."""
+    from pyspark.sql import functions as F
+
+    from jira_cdc_git_spark.operators.timeseries import rolling_daily_median
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        read_append_sink,
+        streaming_rolling_median,
+    )
+
+    ev = load_table(spark, "events", sf_dir).orderBy("ts", "event_id")
+    rows = ev.collect()
+    cuts = [len(rows) // 3, 2 * len(rows) // 3]
+    events_dir = str(tmp_path / "feed")
+    for chunk in (rows[: cuts[0]], rows[cuts[0] : cuts[1]], rows[cuts[1] :]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    out_root = str(tmp_path / "med")
+    streaming_rolling_median(
+        spark, events_dir, ev.schema, str(tmp_path / "ckpt"), out_root
+    )
+    got = {
+        (r["event_type"], r["day"]): (r["day_value"], r["rolling_median"])
+        for r in read_append_sink(spark, f"{out_root}/medians").collect()
+    }
+
+    batch = rolling_daily_median(spark, sf_dir)
+    newest = batch.groupBy("event_type").agg(F.max("day").alias("mx"))
+    closed = batch.join(newest, "event_type").filter(
+        F.col("day") < F.col("mx")
+    )
+    want = {
+        (r["event_type"], r["day"]): (r["day_value"], r["rolling_median"])
+        for r in closed.collect()
+    }
+    assert got == want
+
+    # idempotent re-run: same checkpoint, nothing new emitted
+    streaming_rolling_median(
+        spark, events_dir, ev.schema, str(tmp_path / "ckpt"), out_root
+    )
+    assert read_append_sink(spark, f"{out_root}/medians").count() == len(want)
