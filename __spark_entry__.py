@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 269
-entries: 260 oracle-backed (value-hash checked) and 9 PERMANENTLY
+The registry has 271
+entries: 262 oracle-backed (value-hash checked) and 9 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_edge_roundtrip": J.json_edge_roundtrip,
         "yaml_roundtrip_report": J.yaml_roundtrip_report,
         # r7 wave 7: statistical analytics + embedding eval + Q2 shape
+        "hard_negative_mining": V.hard_negative_mining,
+        "csv_edge_roundtrip": J.csv_edge_roundtrip,
         "min_cost_supplier": R.min_cost_supplier,
         "ab_test_report": TS.ab_test_report,
         "event_type_correlation": TS.event_type_correlation,
@@ -5804,6 +5806,39 @@ _JIRA_ORACLES["degree_distribution"] = f"""
            floor(count(*) / n.n_total * 1000000 + 0.5) / 1000000 AS frac
     FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
 
+
+# Mirrors operators/vectors.hard_negative_mining — the knn_join scoring
+# shape with the label-mismatch filter before the per-query window.
+_ORACLES["hard_negative_mining"] = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qe, label AS q_label
+          FROM e WHERE vec_id < {V.KNN_EVAL_QUERIES}),
+    scored AS (
+        SELECT q.query_id, q.q_label, e.vec_id, e.label AS neg_label,
+               round(list_dot_product(e.emb, q.qe)
+                     / sqrt(list_dot_product(e.emb, e.emb)
+                            * list_dot_product(q.qe, q.qe)), 6) AS cos_sim
+        FROM e, q
+        WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+    )
+    SELECT query_id, q_label, vec_id, neg_label, cos_sim,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored) t
+    WHERE rn <= {V.HARDNEG_K}"""
+
+# Mirrors operators/jira.csv_edge_roundtrip — the oracle assembles the
+# comma-joined line literally (fields non-null + comma/quote-free).
+_JIRA_ORACLES["csv_edge_roundtrip"] = f"""
+    WITH {_I}
+    SELECT key,
+           key || ',' || project_key || ',' || priority AS csv_line,
+           project_key AS rt_project_key,
+           priority AS rt_priority,
+           TRUE AS rt_ok
+    FROM issues_flat"""
 
 # Mirrors operators/relational.min_cost_supplier (Q2 shape, adapted —
 # observed unit price in exact integer mills stands in for partsupp).

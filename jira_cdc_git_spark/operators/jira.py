@@ -1083,3 +1083,26 @@ def yaml_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = ", ".join(f"{c} string" for c in cols)
     return iss.mapInPandas(_roundtrip, schema)
+
+
+def csv_edge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13's CSV face — the flat-file edge format next to JSON
+    (json_edge_roundtrip) and YAML (yaml_roundtrip_report):
+    to_csv(struct) then from_csv back, emitting the serialized line and
+    the re-parsed fields. The oracle assembles the same comma-joined
+    line literally (fields chosen non-null and comma/quote-free), so
+    the hash match proves Spark's CSV bytes and the parse inverse.
+
+    100 TB shape: narrow projection, zero shuffle."""
+    iss = FX.issues_flat(spark, sf_dir)
+    line = F.to_csv(F.struct("key", "project_key", "priority"))
+    parsed = F.from_csv(
+        line, "key string, project_key string, priority string"
+    )
+    return iss.select(
+        "key",
+        line.alias("csv_line"),
+        parsed.getField("project_key").alias("rt_project_key"),
+        parsed.getField("priority").alias("rt_priority"),
+        (parsed.getField("key") == F.col("key")).alias("rt_ok"),
+    )

@@ -2189,3 +2189,58 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+#: hard negatives returned per eval query
+HARDNEG_K = 3
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: for each eval-block query, the top-k
+    nearest neighbors whose label DIFFERS from the query's — the hard
+    negatives a contrastive/embedding fine-tune feeds next to its
+    positives (highest-similarity wrong-class examples carry the most
+    gradient signal). One row per (query, negative, rank).
+
+    100 TB shape: inherits knn_frame's broadcast-query scoring; the
+    label-mismatch filter runs BEFORE the per-query window, so the
+    pre-shuffle group limit still bounds shuffle rows at k per query
+    per task."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    q = (
+        emb.filter(F.col("vec_id") < KNN_EVAL_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        )
+        .transform(materialize)
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(
+                cosine(F.col("embedding"), F.col("q_emb")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select(
+            "query_id", "q_label", "vec_id", "neg_label", "cos_sim", "rank"
+        )
+    )

@@ -1043,3 +1043,29 @@ def test_anomaly_consensus_bounds(spark, sf_dir):
     for r in TS.anomaly_consensus_report(spark, sf_dir).collect():
         assert r["n_both"] <= min(r["n_z"], r["n_cusum"])
         assert 0.0 <= r["jaccard_agreement"] <= 1.0
+
+
+def test_linkpred_hub_cap_drop_parity(spark, sf_dir, monkeypatch):
+    """Round-7: the wedge hub cap (r6 verdict fix) must be lossless when
+    no shared neighbor exceeds it — the fixture graph's max degree sits
+    far under LINKPRED_HUB_CAP, so the capped run must equal a run with
+    an effectively infinite cap; and a binding tiny cap must only ever
+    REMOVE wedges (scores monotonically dominated, pair set a subset)."""
+    k_all = 10**6
+    base = {
+        (r["u"], r["v"]): r["common_neighbors"]
+        for r in G.link_prediction_scores(spark, sf_dir, k=k_all).collect()
+    }
+    monkeypatch.setattr(G, "LINKPRED_HUB_CAP", 10**9)
+    unc = {
+        (r["u"], r["v"]): r["common_neighbors"]
+        for r in G.link_prediction_scores(spark, sf_dir, k=k_all).collect()
+    }
+    assert base == unc  # cap has headroom on the fixture -> lossless
+    monkeypatch.setattr(G, "LINKPRED_HUB_CAP", 2)
+    tiny = {
+        (r["u"], r["v"]): r["common_neighbors"]
+        for r in G.link_prediction_scores(spark, sf_dir, k=k_all).collect()
+    }
+    assert set(tiny) <= set(unc)
+    assert all(tiny[p] <= unc[p] for p in tiny)
