@@ -37,8 +37,8 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
-The registry has 271
-entries: 262 oracle-backed (value-hash checked) and 9 PERMANENTLY
+The registry has 273
+entries: 264 oracle-backed (value-hash checked) and 9 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 wave 7: statistical analytics + embedding eval + Q2 shape
         "hard_negative_mining": V.hard_negative_mining,
         "csv_edge_roundtrip": J.csv_edge_roundtrip,
+        "kmv_overlap_estimate": T.kmv_overlap_estimate,
+        "token_length_histogram": T.token_length_histogram,
         "min_cost_supplier": R.min_cost_supplier,
         "ab_test_report": TS.ab_test_report,
         "event_type_correlation": TS.event_type_correlation,
@@ -5806,6 +5808,85 @@ _JIRA_ORACLES["degree_distribution"] = f"""
            floor(count(*) / n.n_total * 1000000 + 0.5) / 1000000 AS frac
     FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
 
+
+# Mirrors operators/text.kmv_overlap_estimate — KMV union algebra over
+# the same md5 shingle hashing as kmv_distinct_estimate.
+_ORACLES["kmv_overlap_estimate"] = f"""
+    WITH t AS (
+        SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT source, shingle
+        FROM (SELECT source,
+                     unnest(CASE WHEN len(toks) >= 3
+                         THEN list_transform(
+                             generate_series(1, CAST(len(toks) AS INTEGER) - 2),
+                             i -> array_to_string(toks[i:i+2], ' '))
+                         ELSE [] END) AS shingle
+              FROM t) x
+    ), hashed AS (
+        SELECT source,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                 / 1152921504606846976.0 AS h
+        FROM sh
+    ), sk AS (
+        SELECT source, h, rn
+        FROM (SELECT source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+              FROM hashed) r
+        WHERE rn <= {T.KMV_OVERLAP_K}
+    ), kth AS (
+        SELECT source, h AS h_k FROM sk WHERE rn = {T.KMV_OVERLAP_K}
+    ), pairs AS (
+        SELECT DISTINCT source_x, source_y, h FROM (
+            SELECT a.source AS source_x, y.source AS source_y, a.h
+            FROM sk a JOIN kth ka ON ka.source = a.source
+            CROSS JOIN (SELECT DISTINCT source FROM kth) y
+            WHERE a.source < y.source
+            UNION ALL
+            SELECT x.source AS source_x, b.source AS source_y, b.h
+            FROM sk b JOIN kth kb ON kb.source = b.source
+            CROSS JOIN (SELECT DISTINCT source FROM kth) x
+            WHERE x.source < b.source
+        ) u
+    ), ukth AS (
+        SELECT source_x, source_y, h AS h_k_u
+        FROM (SELECT source_x, source_y, h,
+                     row_number() OVER (PARTITION BY source_x, source_y
+                                        ORDER BY h) AS rn
+              FROM pairs) r
+        WHERE rn = {T.KMV_OVERLAP_K}
+    ), est AS (
+        SELECT u.source_x, u.source_y,
+               ({T.KMV_OVERLAP_K} - 1) / ka.h_k AS est_a,
+               ({T.KMV_OVERLAP_K} - 1) / kb.h_k AS est_b,
+               ({T.KMV_OVERLAP_K} - 1) / u.h_k_u AS est_union
+        FROM ukth u
+        JOIN kth ka ON ka.source = u.source_x
+        JOIN kth kb ON kb.source = u.source_y
+    )
+    SELECT source_x, source_y,
+           floor(est_a * 100 + 0.5) / 100 AS est_a,
+           floor(est_b * 100 + 0.5) / 100 AS est_b,
+           floor(est_union * 100 + 0.5) / 100 AS est_union,
+           floor(greatest(est_a + est_b - est_union, 0.0) * 100 + 0.5)
+             / 100 AS est_intersection,
+           floor(greatest(est_a + est_b - est_union, 0.0) / est_union
+                 * 10000 + 0.5) / 10000 AS jaccard_est
+    FROM est"""
+
+# Mirrors operators/text.token_length_histogram.
+_ORACLES["token_length_histogram"] = f"""
+    WITH h AS (
+        SELECT CAST(floor(len(string_split_regex(trim(text), '\\s+'))
+                          / {T.LEN_BUCKET}) * {T.LEN_BUCKET} AS INTEGER)
+                 AS len_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS t FROM h)
+    SELECT len_bucket, n_docs,
+           floor(n_docs / t * 1000000 + 0.5) / 1000000 AS share
+    FROM h CROSS JOIN tot"""
 
 # Mirrors operators/vectors.hard_negative_mining — the knn_join scoring
 # shape with the label-mismatch filter before the per-query window.

@@ -4456,3 +4456,128 @@ def prefix_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_share"),
     )
+
+
+#: KMV sketch size for the pairwise overlap estimator
+KMV_OVERLAP_K = 64
+
+
+def kmv_overlap_estimate(
+    spark: SparkSession, sf_dir: str, k: int = KMV_OVERLAP_K
+) -> DataFrame:
+    """Sketch-algebra source overlap: pairwise distinct-3-gram overlap
+    between sources estimated from KMV sketches ALONE (Bar-Yossef et
+    al.; Beyer et al. SIGMOD'07 union algebra) — |A∩B| ≈ est|A| +
+    est|B| − est|A∪B|, where the union sketch is the k smallest of the
+    two sketches' union. The cross-source contamination triage that
+    runs BEFORE any exact pass (dup_source_matrix is the exact
+    follow-up): per-source state is k hashes regardless of corpus
+    size, so every pair costs O(k) — no shingle-level pair join at all.
+
+    Deterministic md5 hashing makes even the approximation
+    differential-testable bit-for-bit (the kmv_distinct_estimate
+    discipline).
+
+    100 TB shape: one distinct + per-source top-k window to build
+    sketches (k rows per source out), then all pair math on
+    |sources|²·k rows — bounded by config, not data."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    sh = docs.select(
+        "source", F.explode(TX.shingles(F.col("text"), 3)).alias("shingle")
+    ).distinct()
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sk = materialize(
+        sh.select("source", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    kth = sk.filter(F.col("rn") == k).select(
+        "source", F.col("h").alias("h_k")
+    )
+    a = sk.select(F.col("source").alias("source_x"), F.col("h").alias("ha"))
+    b = sk.select(F.col("source").alias("source_y"), F.col("h").alias("hb"))
+    # union sketch per pair: distinct hashes of both sketches, k-th min
+    ux = a.select("source_x", F.col("ha").alias("h")).join(
+        kth.select(F.col("source").alias("source_x")), "source_x", "left_semi"
+    )
+    uy = b.select("source_y", F.col("hb").alias("h")).join(
+        kth.select(F.col("source").alias("source_y")), "source_y", "left_semi"
+    )
+    pairs = (
+        ux.crossJoin(F.broadcast(uy.select("source_y").distinct()))
+        .filter(F.col("source_x") < F.col("source_y"))
+        .select("source_x", "source_y", "h")
+        .unionByName(
+            uy.crossJoin(F.broadcast(ux.select("source_x").distinct()))
+            .filter(F.col("source_x") < F.col("source_y"))
+            .select("source_x", "source_y", "h")
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("source_x", "source_y").orderBy("h")
+    ukth = (
+        pairs.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") == k)
+        .select("source_x", "source_y", F.col("h").alias("h_k_u"))
+    )
+    ka = kth.select(
+        F.col("source").alias("source_x"), F.col("h_k").alias("h_k_a")
+    )
+    kb = kth.select(
+        F.col("source").alias("source_y"), F.col("h_k").alias("h_k_b")
+    )
+    est = (
+        ukth.join(F.broadcast(ka), "source_x")
+        .join(F.broadcast(kb), "source_y")
+        .select(
+            "source_x",
+            "source_y",
+            ((k - 1) / F.col("h_k_a")).alias("est_a"),
+            ((k - 1) / F.col("h_k_b")).alias("est_b"),
+            ((k - 1) / F.col("h_k_u")).alias("est_union"),
+        )
+    )
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+    )
+    return est.select(
+        "source_x",
+        "source_y",
+        TX.round_half_up(F.col("est_a"), 2).alias("est_a"),
+        TX.round_half_up(F.col("est_b"), 2).alias("est_b"),
+        TX.round_half_up(F.col("est_union"), 2).alias("est_union"),
+        TX.round_half_up(inter, 2).alias("est_intersection"),
+        TX.round_half_up(inter / F.col("est_union"), 4).alias("jaccard_est"),
+    )
+
+
+#: token-length histogram bucket width
+LEN_BUCKET = 16
+
+
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document token-length histogram in fixed-width buckets — the
+    first input to sequence-packing planning (sequence_packing consumes
+    the lengths; this reports their distribution so the packing target
+    and truncation policy are chosen from data, not guessed).
+
+    100 TB shape: narrow per-row count + |buckets|-bounded partial agg,
+    one scalar broadcast for shares."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_tok = TX.token_count(F.col("text"))
+    bucket = (F.floor(n_tok / LEN_BUCKET) * LEN_BUCKET).cast("int")
+    hist = docs.select(bucket.alias("len_bucket")).groupBy(
+        "len_bucket"
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+    tot = hist.agg(F.sum("n_docs").cast("double").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "len_bucket",
+        "n_docs",
+        TX.round_half_up(F.col("n_docs") / F.col("t"), 6).alias("share"),
+    )
