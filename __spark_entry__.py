@@ -37,6 +37,14 @@ Round-6 rotation: the whole r5 window landed green in CORRECTNESS_r05,
 so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
+Round-7 rotation: CORRECTNESS_r06 was 50/50 fully green, freeing the
+whole window again; the 31 round-7 additions (driver twins for C3/F12/
+F13/S4, the TPC-H completion + Q2/Q4 analogs, PPR/MIPS/embedding/vocab/
+JSON/window/set-op/Pareto/reciprocity/prefix-dedup analytics, the
+statistical wave, hard negatives, CSV round-trip, KMV overlap, length
+histogram) take the leading slots; every one was pre-proven by the
+sf0.01 + sf0.001 differential harness before registration, and the full
+273-entry registry replayed 264-oracle-green at sf0.01 end-of-round.
 The registry has 273
 entries: 264 oracle-backed (value-hash checked) and 9 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
