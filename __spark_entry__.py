@@ -45,8 +45,8 @@ statistical wave, hard negatives, CSV round-trip, KMV overlap, length
 histogram) take the leading slots; every one was pre-proven by the
 sf0.01 + sf0.001 differential harness before registration, and the full
 273-entry registry replayed 264-oracle-green at sf0.01 end-of-round.
-The registry has 273
-entries: 264 oracle-backed (value-hash checked) and 9 PERMANENTLY
+The registry has 275
+entries: 266 oracle-backed (value-hash checked) and 9 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_edge_roundtrip": J.csv_edge_roundtrip,
         "kmv_overlap_estimate": T.kmv_overlap_estimate,
         "token_length_histogram": T.token_length_histogram,
+        "join_cardinality_estimate": R.join_cardinality_estimate,
+        "orders_yoy_growth": R.orders_yoy_growth,
         "min_cost_supplier": R.min_cost_supplier,
         "ab_test_report": TS.ab_test_report,
         "event_type_correlation": TS.event_type_correlation,
@@ -5816,6 +5818,64 @@ _JIRA_ORACLES["degree_distribution"] = f"""
            floor(count(*) / n.n_total * 1000000 + 0.5) / 1000000 AS frac
     FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
 
+
+# Mirrors operators/relational.join_cardinality_estimate — heavy-hitter
+# + uniform-rest join-size estimator audited against the exact count.
+_ORACLES["join_cardinality_estimate"] = f"""
+    WITH o AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+               FROM orders GROUP BY 1),
+    li AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+           FROM lineitem GROUP BY 1),
+    top_a AS (SELECT * FROM o ORDER BY ca DESC, k
+              LIMIT {R.JOINCARD_TOPK}),
+    top_b AS (SELECT * FROM li ORDER BY cb DESC, k
+              LIMIT {R.JOINCARD_TOPK}),
+    hot AS (SELECT CAST(sum(a.ca * b.cb) AS BIGINT) AS hot_rows
+            FROM top_a a JOIN top_b b USING (k)),
+    a_stats AS (
+        SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS rest_a,
+               CAST(count(*) AS BIGINT) AS d_rest_a
+        FROM o WHERE k NOT IN (SELECT k FROM top_a)),
+    b_stats AS (
+        SELECT CAST(coalesce(sum(cb), 0) AS BIGINT) AS rest_b,
+               CAST(count(*) AS BIGINT) AS d_rest_b
+        FROM li WHERE k NOT IN (SELECT k FROM top_b)),
+    exact AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS exact_rows
+              FROM o JOIN li USING (k)),
+    calc AS (
+        SELECT exact_rows,
+               coalesce(hot_rows, 0)
+               + CASE WHEN greatest(d_rest_a, d_rest_b) > 0
+                      THEN CAST(rest_a AS DOUBLE) * CAST(rest_b AS DOUBLE)
+                           / CAST(greatest(d_rest_a, d_rest_b) AS DOUBLE)
+                      ELSE 0.0 END AS est
+        FROM exact CROSS JOIN hot CROSS JOIN a_stats CROSS JOIN b_stats
+    )
+    SELECT exact_rows,
+           floor(est * 100 + 0.5) / 100 AS est_rows,
+           floor(abs(est - exact_rows) / exact_rows * 1000000 + 0.5)
+             / 1000000 AS rel_error
+    FROM calc"""
+
+# Mirrors operators/relational.orders_yoy_growth.
+_ORACLES["orders_yoy_growth"] = """
+    WITH yearly AS (
+        SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, yr,
+           floor(cents / 100.0 * 100 + 0.5) / 100 AS revenue,
+           CASE WHEN prev IS NOT NULL AND prev > 0
+                THEN floor((cents - prev) * 100.0 / prev * 10000 + 0.5)
+                     / 10000 END AS yoy_pct
+    FROM (SELECT *, lag(cents) OVER (PARTITION BY n_name ORDER BY yr)
+                      AS prev
+          FROM yearly) t"""
 
 # Mirrors operators/text.kmv_overlap_estimate — KMV union algebra over
 # the same md5 shingle hashing as kmv_distinct_estimate.

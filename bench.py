@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "json_edge_roundtrip",
     "yaml_roundtrip_report",
     # r7 wave 7
+    "join_cardinality_estimate",
+    "orders_yoy_growth",
     "kmv_overlap_estimate",
     "token_length_histogram",
     "hard_negative_mining",

@@ -1617,3 +1617,117 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str, k: int = Q2_K) -> DataFr
         .orderBy("p_partkey")
         .limit(k)
     )
+
+
+#: heavy-hitter budget for the join-cardinality estimator
+JOINCARD_TOPK = 32
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner primitive: estimate |orders ⋈ lineitem| from per-side key
+    histograms BEFORE running the join — the classic heavy-hitter +
+    uniform-rest estimator every CBO carries (exact over the top-k hot
+    keys of each side, |A_rest|·|B_rest|/d_rest for the tail), reported
+    against the exact count. Single row: exact_rows, est_rows,
+    rel_error. On a 100 TB system this is what decides broadcast vs
+    shuffle vs skew-salt before any data moves.
+
+    CROSS-ENGINE DETERMINISM: all counts are exact integers; the tail
+    estimate is one IEEE expression; heavy-hitter selection orders by
+    (count DESC, key) — a total order.
+
+    100 TB shape: two key-count partial aggs (map-side combined), two
+    TakeOrdered(k) heavy-hitter pulls, one broadcast join of two k-row
+    sketches; the exact count is the audit arm (a real deployment
+    would skip it)."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count("*").alias("ca"))
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("cb"))
+    )
+    top_a = o.orderBy(F.desc("ca"), F.asc("k")).limit(JOINCARD_TOPK)
+    top_b = li.orderBy(F.desc("cb"), F.asc("k")).limit(JOINCARD_TOPK)
+    hot = (
+        F.broadcast(top_a)
+        .join(F.broadcast(top_b), "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("hot_rows"))
+    )
+    a_stats = o.join(F.broadcast(top_a.select("k")), "k", "left_anti").agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).alias("rest_a"),
+        F.count("*").alias("d_rest_a"),
+    )
+    b_stats = li.join(F.broadcast(top_b.select("k")), "k", "left_anti").agg(
+        F.coalesce(F.sum("cb"), F.lit(0)).alias("rest_b"),
+        F.count("*").alias("d_rest_b"),
+    )
+    exact = (
+        o.join(li, "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_rows"))
+    )
+    j = (
+        exact.crossJoin(F.broadcast(hot))
+        .crossJoin(F.broadcast(a_stats))
+        .crossJoin(F.broadcast(b_stats))
+    )
+    # uniform-rest estimate: rest_a * rest_b / max(d_rest_a, d_rest_b)
+    tail = F.when(
+        F.greatest("d_rest_a", "d_rest_b") > 0,
+        F.col("rest_a").cast("double")
+        * F.col("rest_b").cast("double")
+        / F.greatest("d_rest_a", "d_rest_b").cast("double"),
+    ).otherwise(F.lit(0.0))
+    est = F.coalesce(F.col("hot_rows"), F.lit(0)) + tail
+    return j.select(
+        F.col("exact_rows").cast("long").alias("exact_rows"),
+        TX_round(est, 2).alias("est_rows"),
+        TX_round(
+            F.abs(est - F.col("exact_rows")) / F.col("exact_rows"), 6
+        ).alias("rel_error"),
+    )
+
+
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the BI
+    staple: yearly order totals with each year's percent change against
+    the nation's previous year (lag window over a |nations × years|
+    frame).
+
+    100 TB shape: one (nation, year) partial agg over the pruned fact
+    join, broadcast nation dim, lag window over the tiny rollup."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    yearly = (
+        orders.join(cust, "o_custkey")
+        .join(F.broadcast(nat), "c_nationkey")
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("cents").over(w)
+    return yearly.select(
+        "n_name",
+        F.col("yr").cast("int").alias("yr"),
+        TX_round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.when(
+            prev.isNotNull() & (prev > 0),
+            TX_round((F.col("cents") - prev) * 100.0 / prev, 4),
+        ).alias("yoy_pct"),
+    )
