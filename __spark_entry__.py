@@ -45,8 +45,8 @@ statistical wave, hard negatives, CSV round-trip, KMV overlap, length
 histogram) take the leading slots; every one was pre-proven by the
 sf0.01 + sf0.001 differential harness before registration, and the full
 273-entry registry replayed 264-oracle-green at sf0.01 end-of-round.
-The registry has 275
-entries: 266 oracle-backed (value-hash checked) and 9 PERMANENTLY
+The registry has 277
+entries: 268 oracle-backed (value-hash checked) and 9 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_length_histogram": T.token_length_histogram,
         "join_cardinality_estimate": R.join_cardinality_estimate,
         "orders_yoy_growth": R.orders_yoy_growth,
+        "nation_trade_volume": R.nation_trade_volume,
+        "market_share_report": R.market_share_report,
         "min_cost_supplier": R.min_cost_supplier,
         "ab_test_report": TS.ab_test_report,
         "event_type_correlation": TS.event_type_correlation,
@@ -5818,6 +5820,52 @@ _JIRA_ORACLES["degree_distribution"] = f"""
            floor(count(*) / n.n_total * 1000000 + 0.5) / 1000000 AS frac
     FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
 
+
+# Mirrors operators/relational.nation_trade_volume (TPC-H Q7 shape).
+_ORACLES["nation_trade_volume"] = f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           floor(sum({_REV_U}) / 10000.0 * 100 + 0.5) / 100 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name IN ('{R.Q7_NATION_A}', '{R.Q7_NATION_B}')
+      AND cn.n_name IN ('{R.Q7_NATION_A}', '{R.Q7_NATION_B}')
+      AND sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3"""
+
+# Mirrors operators/relational.market_share_report (TPC-H Q8 shape) —
+# exact integer revenue in numerator and denominator, one IEEE share.
+_ORACLES["market_share_report"] = f"""
+    WITH j AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               {_REV_U} AS rev_u,
+               (s.s_nationkey = (SELECT n_nationkey FROM nation
+                                 WHERE n_name = '{R.Q8_NATION}'))
+                 AS is_target
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE r.r_name = '{R.Q8_REGION}' AND p.p_type = '{R.Q8_PTYPE}'
+    ),
+    yearly AS (
+        SELECT o_year,
+               sum(CASE WHEN is_target THEN rev_u ELSE 0 END) AS nation_u,
+               sum(rev_u) AS total_u
+        FROM j GROUP BY 1
+    )
+    SELECT o_year,
+           floor(nation_u / 10000.0 * 100 + 0.5) / 100 AS nation_revenue,
+           floor(total_u / 10000.0 * 100 + 0.5) / 100 AS total_revenue,
+           floor(nation_u / total_u * 1000000 + 0.5) / 1000000 AS mkt_share
+    FROM yearly"""
 
 # Mirrors operators/relational.join_cardinality_estimate — heavy-hitter
 # + uniform-rest join-size estimator audited against the exact count.

@@ -1731,3 +1731,144 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX_round((F.col("cents") - prev) * 100.0 / prev, 4),
         ).alias("yoy_pct"),
     )
+
+
+#: Q7 trade-pair endpoints and Q8 market-share target
+Q7_NATION_A, Q7_NATION_B = "NATION_18", "NATION_19"
+Q8_REGION, Q8_NATION, Q8_PTYPE = "ASIA", "NATION_2", "PROMO"
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — volume shipping between two nations: yearly
+    revenue of lineitems where the SUPPLIER sits in one nation and the
+    ordering CUSTOMER in the other (both directions). The two-sided
+    dim-pair restriction that forces the optimizer to place both
+    nation-filtered dims as broadcast builds around one fact pass.
+
+    100 TB shape: both filtered dims broadcast; one fact scan; the
+    final agg is |2 directions × years|-bounded; exact integer revenue
+    units."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    nat = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    )
+    sup = (
+        load_table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("s_nationkey"),
+                                   F.col("n_name").alias("supp_nation"))),
+            "s_nationkey",
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"), "supp_nation")
+    )
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("c_nationkey"),
+                                   F.col("n_name").alias("cust_nation"))),
+            "c_nationkey",
+        )
+        .select(F.col("c_custkey").alias("o_custkey"), "cust_nation")
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    j = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .join(orders, "l_orderkey")
+        .join(F.broadcast(cust), "o_custkey")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_revenue_units()).alias("rev_u"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("l_year").cast("int").alias("l_year"),
+            TX_round(F.col("rev_u") / 10000.0, 2).alias("revenue"),
+        )
+    )
+
+
+def market_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: within one region's
+    customers and one part type, the yearly share of revenue delivered
+    by suppliers of one nation. The deepest TPC-H snowflake (6 tables,
+    two nation roles) — every dim broadcasts, the fact is touched once.
+
+    CROSS-ENGINE DETERMINISM: revenue in exact integer units on both
+    the numerator and denominator; the share is one IEEE division per
+    year (round_half_up).
+
+    100 TB shape: region→nation→customer prune first; part-type filter
+    broadcasts into the fact join; the share divides two exact yearly
+    sums in a |years|-bounded frame."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == Q8_REGION
+    )
+    rnat = nat.join(
+        F.broadcast(reg.select(F.col("r_regionkey").alias("n_regionkey"))),
+        "n_regionkey",
+    )
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .join(
+            F.broadcast(
+                rnat.select(F.col("n_nationkey").alias("c_nationkey"))
+            ),
+            "c_nationkey",
+            "left_semi",
+        )
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_type") == Q8_PTYPE
+    ).select(F.col("p_partkey").alias("l_partkey"))
+    sup = (
+        load_table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(
+                nat.filter(F.col("n_name") == Q8_NATION).select(
+                    F.col("n_nationkey").alias("s_nationkey")
+                )
+            ),
+            "s_nationkey",
+            "left_semi",
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+        .withColumn("is_target", F.lit(True))
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .join(F.broadcast(cust), "o_custkey", "left_semi")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    )
+    li = load_table(spark, "lineitem", sf_dir).join(
+        F.broadcast(part), "l_partkey", "left_semi"
+    )
+    j = (
+        li.join(orders, "l_orderkey")
+        .join(F.broadcast(sup), "l_suppkey", "left")
+        .withColumn("is_target", F.coalesce("is_target", F.lit(False)))
+    )
+    yearly = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("is_target"), _revenue_units()).otherwise(F.lit(0))
+        ).alias("nation_u"),
+        F.sum(_revenue_units()).alias("total_u"),
+    )
+    return yearly.select(
+        F.col("o_year").cast("int").alias("o_year"),
+        TX_round(F.col("nation_u") / 10000.0, 2).alias("nation_revenue"),
+        TX_round(F.col("total_u") / 10000.0, 2).alias("total_revenue"),
+        TX_round(F.col("nation_u") / F.col("total_u"), 6).alias("mkt_share"),
+    )
