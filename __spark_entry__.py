@@ -45,8 +45,8 @@ statistical wave, hard negatives, CSV round-trip, KMV overlap, length
 histogram) take the leading slots; every one was pre-proven by the
 sf0.01 + sf0.001 differential harness before registration, and the full
 273-entry registry replayed 264-oracle-green at sf0.01 end-of-round.
-The registry has 277
-entries: 268 oracle-backed (value-hash checked) and 9 PERMANENTLY
+The registry has 279
+entries: 270 oracle-backed (value-hash checked) and 9 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_yoy_growth": R.orders_yoy_growth,
         "nation_trade_volume": R.nation_trade_volume,
         "market_share_report": R.market_share_report,
+        "repeat_purchase_interval": R.repeat_purchase_interval,
+        "ship_lag_stats": R.ship_lag_stats,
         "min_cost_supplier": R.min_cost_supplier,
         "ab_test_report": TS.ab_test_report,
         "event_type_correlation": TS.event_type_correlation,
@@ -5820,6 +5822,47 @@ _JIRA_ORACLES["degree_distribution"] = f"""
            floor(count(*) / n.n_total * 1000000 + 0.5) / 1000000 AS frac
     FROM deg CROSS JOIN n GROUP BY degree, n.n_total"""
 
+
+# Mirrors operators/relational.repeat_purchase_interval — integer day
+# gaps from a totally-ordered lag window, integer percentiles.
+_ORACLES["repeat_purchase_interval"] = """
+    WITH g AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(CAST(o_orderdate AS DATE)) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_gaps,
+           floor(quantile_cont(gap_days, 0.5) * 100 + 0.5) / 100
+             AS p50_gap_days,
+           floor(quantile_cont(gap_days, 0.9) * 100 + 0.5) / 100
+             AS p90_gap_days
+    FROM g
+    JOIN customer c ON c.c_custkey = g.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE gap_days IS NOT NULL
+    GROUP BY 1"""
+
+# Mirrors operators/relational.ship_lag_stats — integer day lags,
+# integer-exact mean and percentiles per priority.
+_ORACLES["ship_lag_stats"] = """
+    WITH lag_t AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS lag_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+           floor((sum(lag_days) / count(*)) * 10000 + 0.5) / 10000
+             AS mean_lag_days,
+           floor(quantile_cont(lag_days, 0.5) * 100 + 0.5) / 100
+             AS p50_lag_days,
+           floor(quantile_cont(lag_days, 0.95) * 100 + 0.5) / 100
+             AS p95_lag_days
+    FROM lag_t GROUP BY 1"""
 
 # Mirrors operators/relational.nation_trade_volume (TPC-H Q7 shape).
 _ORACLES["nation_trade_volume"] = f"""

@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "json_edge_roundtrip",
     "yaml_roundtrip_report",
     # r7 wave 7
+    "repeat_purchase_interval",
+    "ship_lag_stats",
     "nation_trade_volume",
     "market_share_report",
     "join_cardinality_estimate",

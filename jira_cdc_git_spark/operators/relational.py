@@ -1872,3 +1872,81 @@ def market_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX_round(F.col("total_u") / 10000.0, 2).alias("total_revenue"),
         TX_round(F.col("nation_u") / F.col("total_u"), 6).alias("mkt_share"),
     )
+
+
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer repeat-purchase cadence: per nation, the count of
+    between-order gaps and exact p50/p90 gap in days — the retention
+    metric behind any reorder forecast.
+
+    CROSS-ENGINE DETERMINISM: gaps are exact integer day differences
+    from a lag window with a total order (date, then orderkey);
+    percentiles run over integers.
+
+    100 TB shape: one custkey-window over the orders projection, one
+    broadcast nation lookup, a |nations|-bounded aggregation."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(F.col("od"), F.lag("od").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        gaps.join(cust, "o_custkey")
+        .join(F.broadcast(nat), "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            TX_round(F.expr("percentile(gap_days, 0.5D)"), 2).alias(
+                "p50_gap_days"
+            ),
+            TX_round(F.expr("percentile(gap_days, 0.9D)"), 2).alias(
+                "p90_gap_days"
+            ),
+        )
+    )
+
+
+def ship_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per order priority: exact integer
+    day lags, count / mean / p50 / p95 — the fulfillment SLA readout
+    (does URGENT actually ship faster?). Companion to
+    order_priority_lateness's boolean cut.
+
+    100 TB shape: one fact⋈orders equi-join (the date math rides the
+    join projection), |priorities|-bounded aggregation; integer-exact
+    sums and percentiles."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        "o_orderpriority",
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    lag = li.join(orders, "l_orderkey").select(
+        "o_orderpriority", F.datediff("sd", "od").alias("lag_days")
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        TX_round(F.sum("lag_days") / F.count("*"), 4).alias("mean_lag_days"),
+        TX_round(F.expr("percentile(lag_days, 0.5D)"), 2).alias(
+            "p50_lag_days"
+        ),
+        TX_round(F.expr("percentile(lag_days, 0.95D)"), 2).alias(
+            "p95_lag_days"
+        ),
+    )
