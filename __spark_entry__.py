@@ -1661,7 +1661,7 @@ _ORACLES: dict[str, str] = {
                    CAST(levenshtein(i.import_name, c.c_name) AS INTEGER)
                      AS distance
             FROM imported i JOIN cust c
-              ON right(i.import_name, 4) = right(c.c_name, 4)
+              ON right(i.import_name, 8) = right(c.c_name, 8)
             WHERE levenshtein(i.import_name, c.c_name) <= 2
         )
         SELECT import_id, import_name,
