@@ -4917,7 +4917,8 @@ _JIRA_ORACLES["link_prediction_scores"] = f"""
         SELECT n, x FROM nbrs
         WHERE n NOT IN (SELECT x FROM deg WHERE d > {G.LINKPRED_HUB_CAP})
     ),
-    nd AS (SELECT n, x, d FROM capped JOIN deg USING (x)),
+    degc AS (SELECT x, count(*) AS d FROM capped GROUP BY 1),
+    nd AS (SELECT n, x, d FROM capped JOIN degc USING (x)),
     wedges AS (
         SELECT a.x AS u, b.x AS v, a.d AS da, b.d AS db,
                CAST(floor({float(G.AA_UNIT)} / ln(CAST(dn.d AS DOUBLE)))

@@ -633,8 +633,13 @@ class JobManager:
         with self._lock:
             self._stop = True
             self._wake.notify_all()
+        # Shared 5 s deadline across ALL workers (r7 ADVICE): joining
+        # each of the 10 workers with its own timeout=5 let one wedged
+        # _execute stretch shutdown to ~50 s where the old single-worker
+        # path capped at 5 s. Each join gets only the time remaining.
+        deadline = time.monotonic() + 5.0
         for w in self._workers:
-            w.join(timeout=5)
+            w.join(timeout=max(0.0, deadline - time.monotonic()))
 
 
 def _now_iso() -> str:

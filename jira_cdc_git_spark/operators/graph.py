@@ -746,14 +746,21 @@ def link_prediction_scores(
     )
     deg = nbrs.groupBy(F.col("n").alias("x")).agg(F.count("*").alias("d"))
     # Hub cap: only wedges whose SHARED neighbor n has degree <= cap are
-    # enumerated (a/b endpoint degrees da/db stay exact for Jaccard).
-    # The hub set (degree > cap) is tiny by construction — broadcast
-    # anti-join, no shuffle of the adjacency list.
+    # enumerated. The hub set (degree > cap) is tiny by construction —
+    # broadcast anti-join, no shuffle of the adjacency list.
     hubs = deg.filter(F.col("d") > LINKPRED_HUB_CAP).select(
         F.col("x").alias("n")
     )
     nbrs_capped = nbrs.join(F.broadcast(hubs), "n", "left_anti")
-    nd = materialize(nbrs_capped.join(deg, "x").select("n", "x", "d"))
+    # Endpoint degrees da/db come from the CAPPED adjacency, so jaccard
+    # is self-consistent — |capped shared| / |capped union| — rather
+    # than a capped numerator over an uncapped denominator (r7 ADVICE:
+    # a capped hub that was a shared neighbor silently shifted the
+    # column's semantics). With cap headroom (the fixture) this equals
+    # the exact Jaccard. Adamic-Adar keeps the TRUE shared-neighbor
+    # degree dn — down-weighting hubs is the point of 1/ln(d).
+    deg_c = nbrs_capped.groupBy(F.col("x")).agg(F.count("*").alias("d"))
+    nd = materialize(nbrs_capped.join(deg_c, "x").select("n", "x", "d"))
     a = nd.select(F.col("n"), F.col("x").alias("a"), F.col("d").alias("da"))
     b = nd.select(
         F.col("n").alias("n2"), F.col("x").alias("b"), F.col("d").alias("db")

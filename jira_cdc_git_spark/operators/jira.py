@@ -955,8 +955,11 @@ def status_dwell_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-7 driver twins for pytest-only §2 rows (C3 options, F12, F13, S4)
 # ---------------------------------------------------------------------------
 
-#: deterministic clock for the C3 MaxAge / Since variants (data spans
-#: 1992-1998 o_orderdate-derived timestamps; mirrors FIXED_NOW's role)
+#: deterministic clock for the C3 MaxAge / Since variants (the fixture's
+#: o_orderdate-derived timestamps actually span 1995-01-01..2001-08-01,
+#: so C3_NOW sits MID-data by design: the since/max_age arms exercise
+#: both past and "future" updates relative to the clock; mirrors
+#: FIXED_NOW's role — r7 ADVICE corrected the stale 1992-1998 claim)
 C3_SINCE = "1996-06-01 00:00:00"
 C3_NOW = "1998-08-01 00:00:00"
 C3_MAX_AGE_DAYS = 365

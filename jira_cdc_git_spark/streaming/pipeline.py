@@ -1580,7 +1580,12 @@ def streaming_rolling_median(
     at which point its exact 7-row windowed median — over totals that
     may have been assembled across MANY batch boundaries — emits once.
     Chunk boundaries may split a day anywhere; batch parity holds
-    exactly (test_streaming_multimodal).
+    exactly (test_streaming_multimodal) for feeds that are day-ordered
+    PER TYPE. Rows arriving for a day whose median already emitted are
+    LATE (below the day-close watermark) and are DROPPED — emitted
+    output and carried state stay mutually consistent; they are never
+    retro-revised (r7 ADVICE: previously such rows silently revised
+    state that emitted medians no longer reflected).
 
     Replay-safe: batch_id-partitioned sink + applied_batch_id marker in
     the atomically-swapped state dir (the IVM contract).
@@ -1626,8 +1631,22 @@ def streaming_rolling_median(
             )
             .withColumn("emitted", F.lit(False))
         )
+        # Watermark semantics for out-of-order feeds (r7 ADVICE): a row
+        # landing on a day whose median already emitted is LATE — its
+        # day is below the per-type day-close watermark. Merging it
+        # would silently revise state the emitted median no longer
+        # reflects, and every later window would disagree with what was
+        # published. Drop such contributions (the standard
+        # beyond-watermark policy), so state stays exactly the totals
+        # the emitted medians were computed from. In-order feeds are
+        # unaffected (no late rows exist); the anti-join's right side is
+        # the |types x emitted days|-bounded state slice, broadcast.
+        emitted_days = carry.filter("emitted").select("event_type", "day")
+        fresh = bagg.join(
+            F.broadcast(emitted_days), ["event_type", "day"], "left_anti"
+        )
         merged = (
-            carry.unionByName(bagg)
+            carry.unionByName(fresh)
             .groupBy("event_type", "day")
             .agg(
                 F.sum("cents").alias("cents"),

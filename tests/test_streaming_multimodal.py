@@ -1277,3 +1277,61 @@ def test_streaming_rolling_median_stateful_batch_parity(
         spark, events_dir, ev.schema, str(tmp_path / "ckpt"), out_root
     )
     assert read_append_sink(spark, f"{out_root}/medians").count() == len(want)
+
+
+def test_streaming_rolling_median_drops_late_rows_for_emitted_days(
+    spark, tmp_path
+):
+    """r7 ADVICE: a row arriving for a day whose median already emitted
+    is below the day-close watermark and must be DROPPED — the emitted
+    median is never retro-revised AND later days' windows keep using the
+    exact totals the emitted medians were computed from (state/output
+    consistency under out-of-order arrival)."""
+    import datetime as dt
+
+    from jira_cdc_git_spark.streaming.pipeline import (
+        read_append_sink,
+        streaming_rolling_median,
+    )
+
+    schema = "event_type string, ts timestamp, value double"
+
+    def day(d, v):
+        return ("A", dt.datetime(2024, 1, d, 12, 0, 0), v)
+
+    events_dir = str(tmp_path / "feed")
+    # chunk 1: days 1-4 at 1.00 each -> emits days 1,2,3 (day 4 open)
+    spark.createDataFrame(
+        [day(1, 1.0), day(2, 1.0), day(3, 1.0), day(4, 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(events_dir)
+    # chunk 2: a LATE row for emitted day 1 (+100.00) plus day 5,
+    # which closes day 4
+    spark.createDataFrame(
+        [day(1, 100.0), day(5, 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(events_dir)
+
+    out_root = str(tmp_path / "med")
+    streaming_rolling_median(
+        spark,
+        events_dir,
+        schema,
+        str(tmp_path / "ckpt"),
+        out_root,
+        max_files_per_trigger=1,
+    )
+    got = {
+        r["day"].day: (r["day_value"], r["rolling_median"])
+        for r in read_append_sink(spark, f"{out_root}/medians").collect()
+    }
+    # every day's total is the ON-TIME 1.00; the late +100.00 for day 1
+    # influenced neither day 1's emitted row nor day 4's window
+    assert got == {
+        1: (1.0, 1.0),
+        2: (1.0, 1.0),
+        3: (1.0, 1.0),
+        4: (1.0, 1.0),
+    }
+    # carried state for day 1 still holds the emitted 1.00 total (100
+    # cents), not the revised 10100
+    state = spark.read.parquet(f"{out_root}/median_state")
+    assert state.filter("day = timestamp'2024-01-01'").first()["cents"] == 100
