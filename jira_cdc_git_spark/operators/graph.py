@@ -630,26 +630,34 @@ def hits_scores(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame:
 
     def _half_step(scores: DataFrame, join_on: str, out_key: str, col: str) -> DataFrame:
         """One HITS half-step: push `scores[col]` across edges onto
-        `out_key`, then max-normalize back to integer UNIT scale."""
-        raw = (
+        `out_key`, then max-normalize back to integer UNIT scale.
+
+        `raw` is MATERIALIZED before fan-out (r7 verdict task 7): it
+        feeds both the 1-row max and the nodes join, and without the
+        cut each consumer re-evaluates the entire half-step lineage —
+        doubling per half-step, ~2^k across k chained half-steps. The
+        materialized frame is |touched nodes|-bounded, so the cut is
+        cheap at any scale (sf0.1: 9.8 s -> ~5 s)."""
+        raw = materialize(
             edges.join(scores, edges[join_on] == scores.key)
             .groupBy(F.col(out_key).alias("key"))
             .agg(F.sum(col).alias("raw"))
         )
         mx = raw.agg(F.max("raw").alias("mx"))
-        return (
-            nodes.join(raw, "key", "left")
-            .crossJoin(F.broadcast(mx))
-            .select(
-                "key",
-                F.when(
-                    F.col("mx").isNotNull() & (F.col("mx") > 0),
-                    F.expr(f"coalesce(raw, 0L) * {HITS_UNIT}L div mx"),
-                )
-                .otherwise(F.lit(0))
-                .cast("long")
-                .alias(col),
+        # Only keys with a nonzero raw score flow to the next half-step:
+        # zero-score nodes add nothing to the next join's sums and the
+        # max is unaffected, so trimming them here (instead of a
+        # |nodes| left-join per half-step) is value-identical — the
+        # final projection re-adds absent nodes as 0.
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "key",
+            F.when(
+                F.col("mx") > 0,
+                F.expr(f"raw * {HITS_UNIT}L div mx"),
             )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(col),
         )
 
     a = None
@@ -658,16 +666,19 @@ def hits_scores(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame:
         a = a.withColumnRenamed("s", "a")
         h = _half_step(a.withColumnRenamed("a", "s"), "dst_key", "src_key", "s")
         h = h.withColumnRenamed("s", "h")
-        if (i + 1) % 2 == 0 and (i + 1) < iters:
-            h = materialize(h)
-            a = materialize(a)
+        # no periodic h/a materialization needed: each half-step's raw
+        # cut already truncates the lineage
     return (
-        nodes.join(h, "key")
-        .join(a, "key")
+        nodes.join(h, "key", "left")
+        .join(a, "key", "left")
         .select(
             "key",
-            (F.col("h") / F.lit(float(HITS_UNIT))).alias("hub"),
-            (F.col("a") / F.lit(float(HITS_UNIT))).alias("authority"),
+            (F.coalesce("h", F.lit(0)) / F.lit(float(HITS_UNIT))).alias(
+                "hub"
+            ),
+            (F.coalesce("a", F.lit(0)) / F.lit(float(HITS_UNIT))).alias(
+                "authority"
+            ),
         )
     )
 
