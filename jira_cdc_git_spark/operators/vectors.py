@@ -1871,7 +1871,18 @@ def mmr_diverse_topk(
     at 100 TB only the pool scan grows. Scores stay deterministic:
     rel and pairwise sims round to 6 dp before the fixed-shape
     lam-combination, ties break to the lowest vec_id, so the DuckDB
-    oracle replays the exact selection sequence unrolled."""
+    oracle replays the exact selection sequence unrolled.
+
+    LATENCY CONTRACT (r7 verdict task 8): the greedy loop launches k
+    sequential 1-row Spark jobs — wall-clock is LINEAR IN k with a
+    per-round scheduling floor (~0.2-0.4 s on local[32]), independent
+    of corpus size. MMR is an interactive re-rank of a small result
+    page: k is expected <= ~50 and `pool` a few hundred (pool <= k
+    degenerates to relevance order). For bulk diversity selection at
+    thousands of picks use semdedup_capped / stratified sampling — a
+    greedy argmax chain is inherently sequential and no batching of
+    the scoring changes its k serial decisions. A k=50 timing guard
+    lives in the hardening matrix (test_operators)."""
     emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
     q = (
         emb.filter(F.col("vec_id") == query_vec_id)

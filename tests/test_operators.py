@@ -1091,3 +1091,22 @@ def test_fuzzy_block_key_drop_parity(spark, sf_dir):
     assert k8  # non-empty on the fixture
     assert all(d == 1 for (_, d) in k8.values())  # true match always wins
     assert k8 == rows(4) == rows(6)
+
+
+def test_mmr_k50_latency_contract(spark, sf_dir):
+    """r7 verdict task 8: the MMR greedy loop is latency-linear in k
+    (k sequential 1-row jobs). Contract: the documented interactive
+    bound k=50 completes within a generous wall budget on the fixture
+    (per-round scheduling floor ~0.4 s -> 50 rounds well under 120 s),
+    returns exactly k distinct picks, and rank 1 is the pure-relevance
+    argmax (lam*rel - 0)."""
+    import time
+
+    t0 = time.perf_counter()
+    rows = V.mmr_diverse_topk(spark, sf_dir, k=50, pool=200).collect()
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 120, f"k=50 MMR took {elapsed:.1f}s"
+    assert len(rows) == 50
+    assert len({r["vec_id"] for r in rows}) == 50
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    assert by_rank[0]["rel"] == max(r["rel"] for r in rows)
