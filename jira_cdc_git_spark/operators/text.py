@@ -1746,6 +1746,20 @@ def sketch_accuracy_report(
     )
 
 
+def kmv_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-row twin of sketch_accuracy_report's KMV columns (r7
+    verdict task 9, carried from r6): the full report stays rows-only
+    because DuckDB cannot replay Spark's HLL++ registers, but its
+    md5-KMV arm IS replayable — this projection runs the REPORT'S OWN
+    code path (not the independent kmv_distinct_estimate formulation)
+    and hash-checks lang/n_exact/kmv_est/kmv_rel_error against the
+    DuckDB mirror, so the only un-hashed content left in the full
+    report is the HLL++ registers themselves (pytest-bounded)."""
+    return sketch_accuracy_report(spark, sf_dir).select(
+        "lang", "n_exact", "kmv_est", "kmv_rel_error"
+    )
+
+
 def lsh_recall_report(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8
 ) -> DataFrame:

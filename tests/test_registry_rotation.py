@@ -72,5 +72,5 @@ def test_registry_counts_match_docstring():
     names = list(E.queries())
     oracles = set(E.oracle_sql())
     assert len(names) == 279
-    assert len(oracles) == 270
+    assert len(oracles) == 271
     assert set(oracles) <= set(names)
