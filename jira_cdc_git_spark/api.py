@@ -789,6 +789,15 @@ API_ROUTES = [
     "POST /api/v1/profiles",
     "PUT /api/v1/profiles/{name}",
     "DELETE /api/v1/profiles/{name}",
+    # profile ops verbs (FileProfileManager parity, manager.go:372-645)
+    "GET /api/v1/profiles/search",
+    "GET /api/v1/profiles/validate",
+    "GET /api/v1/profiles/{name}/similar",
+    "POST /api/v1/profiles/{name}/duplicate",
+    "POST /api/v1/profiles/{name}/rename",
+    "POST /api/v1/profiles/backup",
+    "POST /api/v1/profiles/restore",
+    "POST /api/v1/profiles/repair",
 ]
 
 
@@ -914,6 +923,50 @@ class _Handler(BaseHTTPRequestHandler):
                     "count": len(names),
                 },
             )
+        elif path == "/api/v1/profiles/search":
+            qs = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            from jira_cdc_git_spark import plans as PL
+
+            hits = PL.search_profiles(
+                self.profiles.as_df(self.manager.spark),
+                query=qs.get("q", [""])[0] or None,
+                tags=[
+                    t
+                    for t in (qs.get("tags", [""])[0] or "").split(",")
+                    if t
+                ]
+                or None,
+                repository=qs.get("repository", [""])[0] or None,
+                include_jql=qs.get("include_jql", [""])[0]
+                in ("1", "true", "yes"),
+            ).collect()
+            out = [_json_safe(r.asDict()) for r in hits]
+            self._write(200, {"profiles": out, "count": len(out)})
+        elif path == "/api/v1/profiles/validate":
+            self._write(200, self.profiles.validate_collection())
+        elif (
+            len(parts) == 5
+            and parts[:3] == ["api", "v1", "profiles"]
+            and parts[4] == "similar"
+        ):
+            if not self.profiles.exists(parts[3]):
+                return self._error(
+                    404, "PROFILE_NOT_FOUND", "Profile not found"
+                )
+            qs = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            try:
+                limit = int(qs.get("limit", ["5"])[0])
+            except ValueError:
+                return self._error(
+                    400, "INVALID_REQUEST", "limit must be an integer"
+                )
+            from jira_cdc_git_spark import plans as PL
+
+            hits = PL.similar_profiles(
+                self.profiles.as_df(self.manager.spark), parts[3], limit=limit
+            ).collect()
+            out = [_json_safe(r.asDict()) for r in hits]
+            self._write(200, {"profiles": out, "count": len(out)})
         elif len(parts) == 4 and parts[:3] == ["api", "v1", "profiles"]:
             try:
                 self._write(200, _json_safe(self.profiles.get(parts[3])))
@@ -1103,6 +1156,62 @@ class _Handler(BaseHTTPRequestHandler):
                     409, "PROFILE_EXISTS", "Profile already exists", str(exc)
                 )
             self._write(201, _json_safe(self.profiles.get(req["name"])))
+        elif path == "/api/v1/profiles/backup":
+            try:
+                bak = self.profiles.backup()
+            except FileNotFoundError:
+                return self._error(
+                    404, "PROFILES_NOT_FOUND", "No profile collection to back up"
+                )
+            self._write(200, {"message": "Profiles backed up", "path": bak})
+        elif path == "/api/v1/profiles/restore":
+            try:
+                self.profiles.restore()
+            except FileNotFoundError:
+                return self._error(
+                    404, "BACKUP_NOT_FOUND", "No backup to restore"
+                )
+            self._write(200, {"message": "Profiles restored"})
+        elif path == "/api/v1/profiles/repair":
+            removed = self.profiles.repair_collection()
+            self._write(200, {"removed": removed, "count": len(removed)})
+        elif (
+            len(parts) == 5
+            and parts[:3] == ["api", "v1", "profiles"]
+            and parts[4] in ("duplicate", "rename")
+        ):
+            if req is None:
+                return self._error(
+                    400, "INVALID_REQUEST", "Invalid JSON request body"
+                )
+            target = req.get(
+                "target_name" if parts[4] == "duplicate" else "new_name"
+            )
+            if not target:
+                return self._error(
+                    400,
+                    "VALIDATION_ERROR",
+                    "Request validation failed",
+                    f"{'target_name' if parts[4] == 'duplicate' else 'new_name'}"
+                    " is required",
+                )
+            try:
+                if parts[4] == "duplicate":
+                    self.profiles.duplicate(parts[3], target)
+                else:
+                    self.profiles.rename(parts[3], target)
+            except KeyError:
+                return self._error(
+                    404, "PROFILE_NOT_FOUND", "Profile not found"
+                )
+            except ValueError as exc:
+                return self._error(
+                    409 if "exists" in str(exc) else 400,
+                    "PROFILE_CONFLICT" if "exists" in str(exc)
+                    else "VALIDATION_ERROR",
+                    str(exc),
+                )
+            self._write(200, _json_safe(self.profiles.get(target)))
         else:
             self._error(404, "NOT_FOUND", f"no route for POST {path}")
 

@@ -101,6 +101,127 @@ def sort_profiles(profiles: DataFrame, by: str = "name", desc: bool = False) -> 
     return profiles.orderBy(col.desc() if desc else col.asc(), F.col("name"))
 
 
+def search_profiles(
+    profiles: DataFrame,
+    query: str | None = None,
+    tags: list[str] | None = None,
+    repository: str | None = None,
+    include_jql: bool = False,
+) -> DataFrame:
+    """SearchProfiles / profileMatches (manager.go:499-516,699-758) as
+    one filter expression: a free-text `query` substring-matches name /
+    description / tags (and jql when include_jql) case-insensitively —
+    and when given, SHORT-CIRCUITS the other criteria, exactly like the
+    reference's early `return` on query; otherwise tag overlap and
+    exact repository both must hold. Deterministic name order."""
+    if query:
+        q = query.lower()
+        hit = (
+            F.contains(F.lower("name"), F.lit(q))
+            | F.contains(F.lower(F.coalesce("description", F.lit(""))), F.lit(q))
+            | F.exists(
+                F.coalesce("tags", F.array()),
+                lambda t: F.contains(F.lower(t), F.lit(q)),
+            )
+        )
+        if include_jql:
+            hit = hit | F.contains(
+                F.lower(F.coalesce("jql", F.lit(""))), F.lit(q)
+            )
+        cond = hit
+    else:
+        cond = F.lit(True)
+        if tags:
+            cond = cond & (
+                F.size(
+                    F.array_intersect(
+                        F.coalesce("tags", F.array()),
+                        F.array(*[F.lit(t) for t in tags]),
+                    )
+                )
+                > 0
+            )
+        if repository:
+            cond = cond & (F.col("repository") == repository)
+    return profiles.filter(cond).orderBy("name")
+
+
+def similar_profiles(
+    profiles: DataFrame,
+    name: str,
+    limit: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """GetSimilarProfiles (manager.go:519-546) — the reference's
+    calculateSimilarity (manager.go:761-838) as column expressions,
+    combined through functions.scalar.similarity_score whose fixed
+    0.3/0.3/0.2/0.2 weights are exactly the reference's jql/options/
+    repository/tags split:
+
+    * jql (0.3): 1.0 on mutual containment, else common-word fraction
+      over the larger lowercased word set;
+    * options (0.3): mean of 4 null-safe equality indicators
+      (concurrency, rate_limit, incremental, include_links);
+    * repository (0.2): exact equality;
+    * tags (0.2): |common| / max(|a|, |b|) when both tagged.
+
+    Candidates above `threshold` (strict >, the reference's 50% gate),
+    ordered by times_used desc then name (the reference's usage sort
+    with a deterministic tie-break). The target row is a broadcast
+    1-row frame — the plan stays a narrow map over the collection."""
+    from jira_cdc_git_spark.functions.scalar import similarity_score
+
+    target = profiles.filter(F.col("name") == name).select(
+        *[F.col(c).alias(f"t_{c}") for c in profiles.columns]
+    )
+    cand = profiles.filter(F.col("name") != name).crossJoin(
+        F.broadcast(target)
+    )
+
+    def frac_eq(col: str) -> F.Column:
+        return F.col(col).eqNullSafe(F.col(f"t_{col}")).cast("double")
+
+    options_frac = (
+        frac_eq("concurrency")
+        + frac_eq("rate_limit")
+        + frac_eq("incremental")
+        + frac_eq("include_links")
+    ) / 4.0
+    a_tags = F.coalesce("tags", F.array())
+    b_tags = F.coalesce("t_tags", F.array())
+    tags_frac = F.when(
+        (F.size(a_tags) > 0) & (F.size(b_tags) > 0),
+        F.size(F.array_intersect(a_tags, b_tags))
+        / F.greatest(F.size(a_tags), F.size(b_tags)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    a_jql = F.lower(F.coalesce("jql", F.lit("")))
+    b_jql = F.lower(F.coalesce("t_jql", F.lit("")))
+    a_words = F.array_distinct(F.split(a_jql, r"\s+"))
+    b_words = F.array_distinct(F.split(b_jql, r"\s+"))
+    jql_frac = F.when(
+        (a_jql != "") & (b_jql != ""),
+        F.when(
+            F.contains(a_jql, b_jql) | F.contains(b_jql, a_jql), F.lit(1.0)
+        ).otherwise(
+            F.size(F.array_intersect(a_words, b_words))
+            / F.greatest(F.size(a_words), F.size(b_words)).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    score = similarity_score(
+        jql_frac,
+        options_frac,
+        F.col("repository").eqNullSafe(F.col("t_repository")).cast("double"),
+        tags_frac,
+    )
+    return (
+        cand.withColumn("similarity", F.round(score, 6))
+        .filter(F.col("similarity") > threshold)
+        .select(*profiles.columns, "similarity")
+        .orderBy(F.col("times_used").desc_nulls_last(), "name")
+        .limit(limit)
+    )
+
+
 def profile_usage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 (aggregate-table form) — per-profile usage rollup over a
     deterministic usage-event stream derived from orders (each order is one

@@ -13,6 +13,7 @@ becomes a scale bottleneck; it's the driver-side config edge of the engine.
 from __future__ import annotations
 
 import os
+import re
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,6 +22,14 @@ from jira_cdc_git_spark import schemas
 
 PROFILES_DIR = ".jira-sync-profiles"  # types.go:141
 PROFILES_FILE = "profiles.yaml"  # types.go:142
+
+#: validateProfileName (manager.go:647-661): alphanumeric + hyphen +
+#: underscore only, non-empty.
+_NAME_RE = re.compile(r"^[a-zA-Z0-9_-]+$")
+
+#: ParseDuration-style rate-limit strings accepted by functions.scalar
+#: .duration_ms — the Spark-side F10 parser; validation mirrors it.
+_DURATION_RE = re.compile(r"^\d+(ms|s|m|h)$")
 
 _FIELDS = [f.name for f in schemas.PROFILES.fields]
 _TS_FIELDS = {"last_used"}
@@ -107,6 +116,145 @@ class ProfileStore:
 
     def list_names(self) -> list[str]:
         return sorted(self._load())
+
+    # -- ops verbs (r7 verdict task 5; manager.go:372-645) -----------------
+
+    @staticmethod
+    def validate_name(name: str) -> str | None:
+        """validateProfileName (manager.go:647-661) — returns the error
+        string or None."""
+        if not name:
+            return "profile name cannot be empty"
+        if not _NAME_RE.match(name):
+            return (
+                "profile name can only contain letters, numbers, "
+                "hyphens, and underscores"
+            )
+        return None
+
+    def duplicate(self, source_name: str, target_name: str) -> None:
+        """DuplicateProfile (manager.go:372-389): copy under a new name,
+        description prefixed 'Copy of', creation metadata and usage
+        stats RESET — the copy starts life unused."""
+        err = self.validate_name(target_name)
+        if err:
+            raise ValueError(err)
+        src = self.get(source_name)  # KeyError if missing
+        copy = dict(src)
+        copy["name"] = target_name
+        copy["description"] = f"Copy of {src.get('description') or ''}"
+        copy.update(
+            times_used=0, success_rate=None,
+            avg_sync_time_ms=None, last_used=None,
+        )
+        self.create(copy)  # ValueError if target exists
+
+    def rename(self, old_name: str, new_name: str) -> None:
+        """RenameProfile (manager.go:392-420): same record under the new
+        key — usage stats and options are PRESERVED (unlike duplicate);
+        refuses an existing target."""
+        err = self.validate_name(new_name)
+        if err:
+            raise ValueError(err)
+        profiles = self._load()
+        if old_name not in profiles:
+            raise KeyError(old_name)
+        if new_name in profiles:
+            raise ValueError(f"profile {new_name!r} already exists")
+        p = profiles.pop(old_name)
+        p["name"] = new_name
+        profiles[new_name] = p
+        self._save(profiles)
+
+    def backup(self) -> str:
+        """BackupProfiles (manager.go:549-563): byte-copy the collection
+        file to `<file>.backup`. Returns the backup path."""
+        bak = self.path + ".backup"
+        with open(self.path, "rb") as f:
+            data = f.read()
+        tmp = bak + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, bak)
+        return bak
+
+    def restore(self) -> None:
+        """RestoreProfiles (manager.go:566-579): byte-copy the backup
+        over the live collection (atomic replace)."""
+        bak = self.path + ".backup"
+        with open(bak, "rb") as f:
+            data = f.read()
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, self.path)
+
+    def validate_profile(self, p: dict) -> dict:
+        """ValidateProfile (manager.go:254-313): name charset, EXACTLY
+        one sync mode (jql | issue_keys | epic_key), repository
+        required, rate-limit parseable, incremental+force mutually
+        exclusive; out-of-range concurrency is a warning."""
+        errors, warnings = [], []
+        name_err = self.validate_name(p.get("name") or "")
+        if name_err:
+            errors.append(name_err)
+        n_modes = sum(
+            1
+            for v in (p.get("jql"), p.get("epic_key"), p.get("issue_keys"))
+            if v
+        )
+        if n_modes == 0:
+            errors.append(
+                "profile must specify at least one sync mode "
+                "(JQL, issue keys, or epic key)"
+            )
+        elif n_modes > 1:
+            errors.append(
+                "profile can only specify one sync mode "
+                "(JQL, issue keys, or epic key)"
+            )
+        if not p.get("repository"):
+            errors.append("repository path is required")
+        conc = p.get("concurrency")
+        if conc is not None and not (1 <= conc <= 10):
+            warnings.append("concurrency should be between 1 and 10")
+        rl = p.get("rate_limit")
+        if rl and not _DURATION_RE.match(rl):
+            errors.append(f"invalid rate limit format: {rl!r}")
+        if p.get("incremental") and p.get("force"):
+            errors.append(
+                "incremental and force options are mutually exclusive"
+            )
+        return {"valid": not errors, "errors": errors, "warnings": warnings}
+
+    def validate_collection(self) -> dict:
+        """ValidateCollection (manager.go:582-614): per-profile results
+        folded into one report, messages prefixed with the profile
+        name."""
+        errors, warnings = [], []
+        for name, p in sorted(self._load().items()):
+            r = self.validate_profile(p)
+            errors += [f"profile '{name}': {e}" for e in r["errors"]]
+            warnings += [f"profile '{name}': {w}" for w in r["warnings"]]
+        return {"valid": not errors, "errors": errors, "warnings": warnings}
+
+    def repair_collection(self) -> list[str]:
+        """RepairCollection — the reference stubs this ('not fully
+        implemented', manager.go:617-636) but enumerates the intended
+        behavior in its comment; this implements that enumeration:
+        drop profiles that fail validation, keep the rest, return the
+        removed names (empty when the collection was already valid)."""
+        profiles = self._load()
+        removed = sorted(
+            name
+            for name, p in profiles.items()
+            if not self.validate_profile(p)["valid"]
+        )
+        if removed:
+            for name in removed:
+                del profiles[name]
+            self._save(profiles)
+        return removed
 
     # -- A8 usage stats (RecordUsage manager.go:423-463) -------------------
 

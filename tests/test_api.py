@@ -739,3 +739,84 @@ def test_metrics_route_prometheus_exposition(api_server):
     assert 'jirasync_sync_issues_total{result="successful"}' in text
     assert "jirasync_retries_total 0" in text
     assert 'jirasync_job_duration_seconds_count{type="jql"} 1' in text
+
+
+def test_profile_ops_verbs_over_http(api_server):
+    """r8: the FileProfileManager ops verbs (manager.go:372-645) over
+    HTTP — duplicate resets usage, rename preserves it, search/similar
+    run the plans.py DataFrame queries, backup/restore round-trip,
+    validate/repair report and prune invalid profiles."""
+    srv, _ = api_server
+    mk = lambda n, **kw: {  # noqa: E731
+        "name": n, "repository": "repo-a", "jql": f"project = {n.upper()}",
+        "tags": ["epic"], "concurrency": 5, "rate_limit": "500ms",
+        "incremental": True, "include_links": True, **kw,
+    }
+    assert _req("POST", f"{srv.url}/api/v1/profiles", mk("base"))[0] == 201
+    assert _req("POST", f"{srv.url}/api/v1/profiles", mk("twin"))[0] == 201
+
+    # duplicate: fresh usage stats, 'Copy of' description
+    status, body = _req(
+        "POST", f"{srv.url}/api/v1/profiles/base/duplicate",
+        {"target_name": "base-copy"},
+    )
+    assert status == 200 and body["data"]["times_used"] == 0
+    assert body["data"]["description"].startswith("Copy of")
+    status, body = _req(
+        "POST", f"{srv.url}/api/v1/profiles/base/duplicate",
+        {"target_name": "base-copy"},
+    )
+    assert (status, body["error"]["code"]) == (409, "PROFILE_CONFLICT")
+    status, body = _req(
+        "POST", f"{srv.url}/api/v1/profiles/ghost/duplicate",
+        {"target_name": "x"},
+    )
+    assert status == 404
+
+    # rename: record moves, old key gone
+    status, body = _req(
+        "POST", f"{srv.url}/api/v1/profiles/base-copy/rename",
+        {"new_name": "base2"},
+    )
+    assert status == 200 and body["data"]["name"] == "base2"
+    assert _req("GET", f"{srv.url}/api/v1/profiles/base-copy")[0] == 404
+    status, body = _req(
+        "POST", f"{srv.url}/api/v1/profiles/base2/rename",
+        {"new_name": "bad name!"},
+    )
+    assert (status, body["error"]["code"]) == (400, "VALIDATION_ERROR")
+
+    # search: free-text and repository filters
+    status, body = _req("GET", f"{srv.url}/api/v1/profiles/search?q=twin")
+    assert status == 200
+    assert [p["name"] for p in body["data"]["profiles"]] == ["twin"]
+    status, body = _req(
+        "GET", f"{srv.url}/api/v1/profiles/search?repository=repo-a"
+    )
+    assert body["data"]["count"] == 3
+
+    # similar: base2 (the duplicate) shares everything incl. jql -> 1.0;
+    # twin differs only in the jql's last word (2/3 overlap) -> 0.9
+    status, body = _req("GET", f"{srv.url}/api/v1/profiles/base/similar")
+    assert status == 200
+    sims = {p["name"]: p["similarity"] for p in body["data"]["profiles"]}
+    assert sims.get("base2") == 1.0
+    assert sims.get("twin") == 0.9
+    assert _req("GET", f"{srv.url}/api/v1/profiles/ghost/similar")[0] == 404
+
+    # backup -> mutate -> restore
+    assert _req("POST", f"{srv.url}/api/v1/profiles/backup")[0] == 200
+    assert _req("DELETE", f"{srv.url}/api/v1/profiles/twin")[0] == 200
+    assert _req("POST", f"{srv.url}/api/v1/profiles/restore")[0] == 200
+    assert _req("GET", f"{srv.url}/api/v1/profiles/twin")[0] == 200
+
+    # validate + repair: an invalid profile (two sync modes) is pruned
+    srv.profiles.create(
+        {"name": "broken", "jql": "project = X", "epic_key": "E-1"}
+    )
+    status, body = _req("GET", f"{srv.url}/api/v1/profiles/validate")
+    assert status == 200 and body["data"]["valid"] is False
+    status, body = _req("POST", f"{srv.url}/api/v1/profiles/repair")
+    assert status == 200 and body["data"]["removed"] == ["broken"]
+    status, body = _req("GET", f"{srv.url}/api/v1/profiles/validate")
+    assert status == 200 and body["data"]["valid"] is True

@@ -85,3 +85,133 @@ def test_atomic_save_leaves_valid_file(store, tmp_path):
     with open(store.path) as f:
         doc = yaml.safe_load(f)
     assert doc["profiles"][0]["name"] == "solo"
+
+
+# -- r8 ops verbs (r7 verdict task 5; manager.go:372-645) -------------------
+
+
+def test_rename_preserves_usage_stats(store):
+    store.create(_mk("alpha", repository="repo-a"))
+    store.record_usage("alpha", 120, True, T0)
+    store.record_usage("alpha", 80, False, T0)
+    store.rename("alpha", "omega")
+    assert store.list_names() == ["omega"]
+    p = store.get("omega")
+    assert p["name"] == "omega"
+    assert p["times_used"] == 2
+    assert p["avg_sync_time_ms"] == 100
+    assert p["success_rate"] == 0.5
+    assert p["jql"] == "project = ALPHA"  # payload untouched
+    with pytest.raises(KeyError):
+        store.get("alpha")
+
+
+def test_rename_rejects_existing_and_bad_names(store):
+    store.create(_mk("alpha"))
+    store.create(_mk("beta"))
+    with pytest.raises(ValueError, match="exists"):
+        store.rename("alpha", "beta")
+    with pytest.raises(ValueError, match="letters"):
+        store.rename("alpha", "bad name!")
+    with pytest.raises(KeyError):
+        store.rename("ghost", "new")
+
+
+def test_duplicate_resets_usage_and_prefixes_description(store):
+    store.create(_mk("alpha"))
+    store.record_usage("alpha", 100, True, T0)
+    store.duplicate("alpha", "alpha-copy")
+    src, cp = store.get("alpha"), store.get("alpha-copy")
+    assert src["times_used"] == 1  # source untouched
+    assert cp["times_used"] == 0 and cp["last_used"] is None
+    assert cp["description"] == "Copy of d-alpha"
+    assert cp["jql"] == src["jql"]
+    with pytest.raises(ValueError):
+        store.duplicate("alpha", "alpha-copy")  # target exists
+
+
+def test_backup_restore_round_trip(store):
+    store.create(_mk("alpha"))
+    store.backup()
+    store.create(_mk("beta"))
+    store.delete("alpha")
+    assert store.list_names() == ["beta"]
+    store.restore()
+    assert store.list_names() == ["alpha"]
+    assert store.get("alpha")["description"] == "d-alpha"
+
+
+def test_validate_and_repair_collection(store):
+    store.create(_mk("good", repository="repo"))
+    # invalid: two sync modes AND no repository
+    store.create(
+        {"name": "two-modes", "jql": "project = X", "epic_key": "E-1"}
+    )
+    # warning only: out-of-range concurrency (still valid)
+    store.create(_mk("warned", repository="repo", concurrency=50))
+    report = store.validate_collection()
+    assert not report["valid"]
+    assert any("two-modes" in e for e in report["errors"])
+    assert all("good" not in e for e in report["errors"])
+    assert any("warned" in w for w in report["warnings"])
+    removed = store.repair_collection()
+    assert removed == ["two-modes"]
+    assert store.list_names() == ["good", "warned"]
+    assert store.validate_collection()["valid"]
+    assert store.repair_collection() == []  # idempotent
+
+
+def test_search_profiles_matches_reference_semantics(store, spark):
+    store.create(_mk("epic-sync", repository="repo-a", tags=["epic", "team"]))
+    store.create(_mk("project-full", repository="repo-b", tags=["project"]))
+    store.create(
+        _mk("adhoc", repository="repo-a", tags=["personal"],
+            description="one-off widget sync")
+    )
+    df = store.as_df(spark)
+    # free-text query short-circuits other criteria; hits name OR desc OR tag
+    assert [r["name"] for r in plans.search_profiles(df, query="epic").collect()] == ["epic-sync"]
+    assert [r["name"] for r in plans.search_profiles(df, query="widget").collect()] == ["adhoc"]
+    assert [r["name"] for r in plans.search_profiles(df, query="personal").collect()] == ["adhoc"]
+    # jql only searched when include_jql
+    assert plans.search_profiles(df, query="adhoc", include_jql=False).count() == 1  # name hit
+    assert [r["name"] for r in plans.search_profiles(df, query="= epic", include_jql=False).collect()] == []
+    assert [r["name"] for r in plans.search_profiles(df, query="project =", include_jql=True).collect()] == ["adhoc", "epic-sync", "project-full"]
+    # tag + repository conjunction when no query
+    assert [r["name"] for r in plans.search_profiles(df, tags=["epic", "personal"]).collect()] == ["adhoc", "epic-sync"]
+    assert [r["name"] for r in plans.search_profiles(df, tags=["epic"], repository="repo-b").collect()] == []
+    assert [r["name"] for r in plans.search_profiles(df, repository="repo-b").collect()] == ["project-full"]
+
+
+def test_similar_profiles_weighted_ranking(store, spark):
+    base = _mk(
+        "base", repository="repo-a", tags=["epic", "team"],
+        concurrency=5, rate_limit="500ms", incremental=True,
+        include_links=True,
+    )
+    base["jql"] = "project = CORE and status = open"
+    store.create(base)
+    # twin: same everything -> score 1.0
+    twin = dict(base, name="twin")
+    store.create(twin)
+    # cousin: same repo + 2/4 options, disjoint tags, unrelated jql
+    store.create(
+        _mk("cousin", repository="repo-a", tags=["misc"], concurrency=5,
+            rate_limit="1s", incremental=False, include_links=True,
+            jql="labels in (infra)")
+    )
+    # stranger: nothing in common
+    store.create(
+        _mk("stranger", repository="repo-z", tags=["x"], concurrency=1,
+            rate_limit="2s", incremental=False, include_links=False,
+            jql="reporter = bob")
+    )
+    df = store.as_df(spark)
+    rows = plans.similar_profiles(df, "base", limit=5).collect()
+    names = [r["name"] for r in rows]
+    assert "twin" in names
+    assert "stranger" not in names  # below the 0.5 gate
+    by_name = {r["name"]: r["similarity"] for r in rows}
+    assert by_name["twin"] == 1.0
+    # self never returned
+    assert "base" not in names
