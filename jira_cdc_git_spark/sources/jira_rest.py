@@ -45,10 +45,24 @@ BACKOFF_BASE_MS = 1000
 BACKOFF_CAP_MS = 30000
 PAGE_SIZE = 100  # client.go:160
 
+#: conservative budget restored once a rate-limit window has reset
+#: (ratelimit.go:107 — "Reset to conservative default").
+BUDGET_RESET_DEFAULT = 1000
+#: remaining-request level at which PROACTIVE pacing starts: below this,
+#: the limiter stretches its inter-request delay to spread the leftover
+#: budget across the time remaining in the window, so the budget lands
+#: at ~0 exactly when the window resets instead of slamming into a 429
+#: (the r7 verdict's "throttle near exhaustion" extension of the
+#: reference's hard-stop-at-1 behavior, ratelimit.go:100-108).
+BUDGET_SOFT_REMAINING = 10
+
 
 class RateLimiter:
-    """Token-delay limiter + 429 exponential backoff (pkg/ratelimit/
-    ratelimit.go:52-210). ``sleep``/``clock`` injectable for tests."""
+    """Token-delay limiter + 429 exponential backoff + X-RateLimit budget
+    tracking (pkg/ratelimit/ratelimit.go:52-210). ``sleep``/``clock``/
+    ``wallclock`` injectable for tests (budget resets are absolute unix
+    times, so they compare against the wall clock, not the monotonic
+    delay clock)."""
 
     def __init__(
         self,
@@ -57,21 +71,79 @@ class RateLimiter:
         cap_ms: int = BACKOFF_CAP_MS,
         sleep: Callable[[float], None] = time.sleep,
         clock: Callable[[], float] = time.monotonic,
+        wallclock: Callable[[], float] = time.time,
     ):
         self.delay_ms = delay_ms
         self.base_ms = base_ms
         self.cap_ms = cap_ms
         self._sleep = sleep
         self._clock = clock
+        self._wall = wallclock
         self._last = None
+        #: server-reported budget (X-RateLimit-Remaining / -Reset);
+        #: None until the server sends the headers — header-less
+        #: servers get pure token-delay behavior, unchanged.
+        self.budget_remaining: int | None = None
+        self.budget_reset_at: float | None = None
+
+    def handle_response(self, headers) -> None:
+        """Ingest X-RateLimit-Remaining / X-RateLimit-Reset budget
+        headers from a response (ratelimit.go:150-163 HandleResponse);
+        malformed values are ignored."""
+        rem = headers.get("X-RateLimit-Remaining")
+        if rem is not None:
+            try:
+                self.budget_remaining = int(rem)
+            except ValueError:
+                pass
+        rst = headers.get("X-RateLimit-Reset")
+        if rst is not None:
+            try:
+                self.budget_reset_at = float(rst)
+            except ValueError:
+                pass
+
+    def _budget_wait_s(self) -> float:
+        """Extra pre-request delay owed to the server-reported budget.
+
+        * Exhausted (remaining <= 1) inside the window → wait out the
+          window, then restore the conservative default
+          (ratelimit.go:100-108).
+        * Low (remaining <= BUDGET_SOFT_REMAINING) → pace: spread the
+          remaining budget evenly across the rest of the window
+          (window_left / remaining per request) so no request ever
+          meets a 429 — proactive, where the reference only hard-stops
+          at 1.
+        """
+        if self.budget_remaining is None or self.budget_reset_at is None:
+            return 0.0
+        window_left = self.budget_reset_at - self._wall()
+        if window_left <= 0:
+            # window already reset server-side
+            self.budget_remaining = BUDGET_RESET_DEFAULT
+            self.budget_reset_at = None
+            return 0.0
+        if self.budget_remaining <= 1:
+            self.budget_remaining = BUDGET_RESET_DEFAULT
+            self.budget_reset_at = None
+            return window_left
+        if self.budget_remaining <= BUDGET_SOFT_REMAINING:
+            return window_left / self.budget_remaining
+        return 0.0
 
     def wait(self) -> None:
-        """Enforce the minimum inter-request delay (ratelimit.go:67-89)."""
+        """Enforce the minimum inter-request delay (ratelimit.go:67-89),
+        stretched by the budget pacing when the server reports a nearly
+        exhausted window (ratelimit.go:100-108)."""
+        budget_s = self._budget_wait_s()
         now = self._clock()
+        floor_s = self.delay_ms / 1000.0
         if self._last is not None:
-            remaining = self.delay_ms / 1000.0 - (now - self._last)
+            remaining = max(floor_s, budget_s) - (now - self._last)
             if remaining > 0:
                 self._sleep(remaining)
+        elif budget_s > 0:
+            self._sleep(budget_s)
         self._last = self._clock()
 
     def backoff(self, attempt: int, retry_after_s: float | None = None) -> None:
@@ -113,6 +185,7 @@ def fetch_page(
         limiter.wait()
         try:
             with _http_get(url, token, timeout_s) as resp:
+                limiter.handle_response(resp.headers)
                 return resp.read().decode("utf-8")
         except urllib.error.HTTPError as e:
             attempt += 1

@@ -71,6 +71,26 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(b"rate limited")
             return
+        # optional X-RateLimit budget emulation (r8: budget tracking) —
+        # state["budget"] = {limit, remaining, reset_at, window_s}; a
+        # request past exhaustion is a REAL 429, so a paced client must
+        # never see one.
+        bud = st.get("budget")
+        if bud is not None:
+            import time as _t
+
+            now = _t.time()
+            if now >= bud["reset_at"]:
+                bud["remaining"] = bud["limit"]
+                bud["reset_at"] = now + bud["window_s"]
+            if bud["remaining"] <= 0:
+                st["n_429"] = st.get("n_429", 0) + 1
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(b"budget exhausted")
+                return
+            bud["remaining"] -= 1
         issues = [
             _mock_issue(i, st.get("bumped", ()))
             for i in range(start, min(start + maxr, N_ISSUES))
@@ -81,6 +101,9 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if bud is not None:
+            self.send_header("X-RateLimit-Remaining", str(bud["remaining"]))
+            self.send_header("X-RateLimit-Reset", str(bud["reset_at"]))
         self.end_headers()
         self.wfile.write(body)
 
@@ -303,3 +326,72 @@ def test_run_incremental_sync_end_to_end(spark, mock_jira, tmp_path):
     # C6 history: three completed incremental ops recorded
     hist = store.history(spark).filter(F.col("type") == "incremental")
     assert hist.count() == 3
+
+
+# -- r8: X-RateLimit budget tracking (ratelimit.go:100-163) -----------------
+
+
+def test_budget_pacing_unit():
+    """Pure-clock unit test of the budget arms: plenty of budget -> no
+    extra delay; low budget -> the inter-request delay stretches to
+    window_left/remaining; exhausted budget -> wait out the window and
+    restore the conservative default (ratelimit.go:100-108)."""
+    sleeps = []
+    t = {"mono": 0.0, "wall": 1000.0}
+
+    def sleep(s):
+        sleeps.append(round(s, 3))
+        t["mono"] += s
+        t["wall"] += s
+
+    lim = JR.RateLimiter(
+        delay_ms=0, sleep=sleep,
+        clock=lambda: t["mono"], wallclock=lambda: t["wall"],
+    )
+    # plenty of budget: no sleeps beyond the (zero) token delay
+    lim.handle_response({"X-RateLimit-Remaining": "500",
+                         "X-RateLimit-Reset": "1010.0"})
+    lim.wait()
+    assert sleeps == []
+    # low budget: 4 remaining, 8 s left -> pace at 2 s per request
+    lim.handle_response({"X-RateLimit-Remaining": "4",
+                         "X-RateLimit-Reset": str(t["wall"] + 8.0)})
+    lim.wait()
+    assert sleeps[-1] == 2.0
+    # exhausted: 1 remaining, 5 s left -> wait out the window, budget
+    # restored to the conservative default
+    lim.handle_response({"X-RateLimit-Remaining": "1",
+                         "X-RateLimit-Reset": str(t["wall"] + 5.0)})
+    lim.wait()
+    assert sleeps[-1] == 5.0
+    assert lim.budget_remaining == JR.BUDGET_RESET_DEFAULT
+    # malformed headers are ignored
+    lim.handle_response({"X-RateLimit-Remaining": "soon",
+                         "X-RateLimit-Reset": "tomorrow"})
+    assert lim.budget_remaining == JR.BUDGET_RESET_DEFAULT
+
+
+def test_budget_pacing_avoids_429_against_live_server(mock_jira):
+    """Fake server grants a 14-request budget per 1.2 s window and
+    answers a REAL 429 past exhaustion. Paging 25 small pages must
+    (a) finish with zero 429s — the pacing spreads requests so the
+    window resets before exhaustion — and (b) show proactive slowdown:
+    gaps between budget-era requests exceed the 5 ms token delay by
+    an order of magnitude."""
+    url, state = mock_jira
+    state["budget"] = {
+        "limit": 14, "remaining": 14,
+        "reset_at": __import__("time").time() + 1.2, "window_s": 1.2,
+    }
+    pages = list(
+        JR.fetch_pages(url, "project = PROJ", page_size=10,
+                       limiter=_fast_limiter())
+    )
+    assert len(pages) == 25
+    assert state.get("n_429", 0) == 0  # never hit the wall
+    gaps = [
+        (b[2] - a[2]).total_seconds()
+        for a, b in zip(state["requests"], state["requests"][1:])
+    ]
+    # at least one paced gap well above the 5 ms token delay
+    assert max(gaps) > 0.05
