@@ -43,8 +43,10 @@ F13/S4, the TPC-H completion + Q2/Q4 analogs, PPR/MIPS/embedding/vocab/
 JSON/window/set-op/Pareto/reciprocity/prefix-dedup analytics, the
 statistical wave, hard negatives, CSV round-trip, KMV overlap, length
 histogram) take the leading slots; every one was pre-proven by the
-sf0.01 + sf0.001 differential harness before registration, and the full
-273-entry registry replayed 264-oracle-green at sf0.01 end-of-round.
+sf0.01 + sf0.001 differential harness before registration; the
+end-of-round full-registry replay at sf0.01 was all-green, and the two
+post-replay r7 waves (+6 entries) earned fully-green driver rows in
+CORRECTNESS_r07, so no entry shipped unproven.
 Round-8 rotation: CORRECTNESS_r07 was 50/50 fully green, freeing the
 whole window again; per the r7 verdict the window now leads with the r8
 additions followed by ≥25 of the OLDEST r2/r3-vintage entries

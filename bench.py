@@ -558,6 +558,21 @@ SCALE_PROBE_QUERIES = [
     # correlation (documented bounded passes — verify they stay linear)
     "bootstrap_mean_ci",
     "event_type_correlation",
+    # r8 probe additions (r7 verdict task 2): the rest of the r7 wave —
+    # iterative PPR, MIPS retrieval, windowed median, the TPC-H Q2/Q7/
+    # Q8 joins, per-customer interval windows, the shared knn_frame
+    # consumers, Pareto concentration, and the JSON property extract
+    "personalized_pagerank",
+    "mips_topk",
+    "rolling_daily_median",
+    "min_cost_supplier",
+    "market_share_report",
+    "nation_trade_volume",
+    "repeat_purchase_interval",
+    "knn_label_accuracy",
+    "hard_negative_mining",
+    "revenue_concentration_report",
+    "events_props_extract",
 ]
 
 
