@@ -53,8 +53,8 @@ additions followed by ≥25 of the OLDEST r2/r3-vintage entries
 (point_lookup, pricing_summary, incremental_changes, config_drift, the
 jql_* templates, …) so they re-earn driver rows at sf0.01 on current
 code (rotation hygiene, r6 task 9 / r7 task 3).
-The registry has 279
-entries: 271 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 284
+entries: 276 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -127,6 +127,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its replayable columns now hash-checked through its own code
         # path.
         "kmv_accuracy_report": T.kmv_accuracy_report,
+        # r8 TPC-H completion (Q6/Q9/Q17/Q19/Q21 shapes — the last
+        # expressible analogs; partsupp/shipmode columns don't exist)
+        "forecast_revenue_change": R.forecast_revenue_change,
+        "product_profit_by_nation": R.product_profit_by_nation,
+        "small_quantity_revenue": R.small_quantity_revenue,
+        "disjunctive_band_revenue": R.disjunctive_band_revenue,
+        "waiting_suppliers_report": R.waiting_suppliers_report,
         "incremental_option_variants": J.incremental_option_variants,
         "job_id_report": J.job_id_report,
         "json_edge_roundtrip": J.json_edge_roundtrip,
@@ -6655,6 +6662,114 @@ _ORACLES["dormant_rich_customers"] = f"""
       AND NOT EXISTS (SELECT 1 FROM recent r
                       WHERE r.c_custkey = cb.c_custkey)
     GROUP BY 1"""
+
+
+# ===== Round-8 TPC-H completion wave (Q6/Q9/Q17/Q19/Q21 shapes) =====
+
+# Mirrors operators/relational.forecast_revenue_change (Q6): the
+# discount band cuts on round(discount*100) integers in both engines.
+_ORACLES["forecast_revenue_change"] = f"""
+    WITH t AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT) AS rev_u
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{R.Q6_START} 00:00:00'
+          AND l_shipdate < TIMESTAMP '{R.Q6_END} 00:00:00'
+          AND CAST(round(l_discount * 100) AS BIGINT)
+                BETWEEN {R.Q6_DISC_LO_PCT} AND {R.Q6_DISC_HI_PCT}
+          AND l_quantity < {R.Q6_MAX_QTY}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           floor(sum(rev_u) / 10000.0 * 100 + 0.5) / 100
+             AS forecast_revenue
+    FROM t"""
+
+# Mirrors operators/relational.product_profit_by_nation (Q9 shape,
+# documented cost proxy: Q9_COST_PCT% of retail per unit).
+_ORACLES["product_profit_by_nation"] = f"""
+    SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           floor(sum({_REV_U}
+                     - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                       * CAST(l.l_quantity AS BIGINT)
+                       * {R.Q9_COST_PCT}) / 10000.0 * 100 + 0.5) / 100
+             AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE contains(p.p_name, '{R.Q9_NAME_TOKEN}')
+    GROUP BY 1, 2"""
+
+# Mirrors operators/relational.small_quantity_revenue (Q17 shape) —
+# the correlated per-part mean decorrelated to a groupBy + join;
+# quantities are integral doubles so sum/count is exact.
+_ORACLES["small_quantity_revenue"] = f"""
+    WITH bp AS (
+        SELECT p_partkey FROM part WHERE p_brand = '{R.Q17_BRAND}'
+    ), li AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN bp ON bp.p_partkey = l.l_partkey
+    ), avg_q AS (
+        SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty
+        FROM li GROUP BY 1
+    ), small AS (
+        SELECT CAST(round(li.l_extendedprice * 100) AS BIGINT) AS ep_c
+        FROM li JOIN avg_q USING (l_partkey)
+        WHERE li.l_quantity < {R.Q17_FRACTION} * avg_q.avg_qty
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           floor(sum(ep_c) / 100.0 / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+    FROM small"""
+
+# Mirrors operators/relational.disjunctive_band_revenue (Q19 shape):
+# per-band revenue columns generated from the SAME Q19_BANDS constants.
+_Q19_ARMS = [
+    f"(p.p_brand = '{b}' AND l.l_quantity BETWEEN {qlo} AND {qhi}"
+    f" AND p.p_size BETWEEN 1 AND {smax})"
+    for b, qlo, qhi, smax in R.Q19_BANDS
+]
+_Q19_BAND_COLS = ",\n           ".join(
+    f"floor(sum(CASE WHEN {arm} THEN {_REV_U} ELSE 0 END)"
+    f" / 10000.0 * 100 + 0.5) / 100 AS revenue_band{i + 1}"
+    for i, arm in enumerate(_Q19_ARMS)
+)
+_ORACLES["disjunctive_band_revenue"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           {_Q19_BAND_COLS},
+           floor(sum({_REV_U}) / 10000.0 * 100 + 0.5) / 100
+             AS revenue_total
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {" OR ".join(_Q19_ARMS)}"""
+
+# Mirrors operators/relational.waiting_suppliers_report (Q21 shape) —
+# the double-EXISTS algebraized identically: only-late-supplier in a
+# >=2-supplier finalized order.
+_ORACLES["waiting_suppliers_report"] = f"""
+    WITH per_supp AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(CASE WHEN date_diff('day',
+                                       CAST(o.o_orderdate AS DATE),
+                                       CAST(l.l_shipdate AS DATE))
+                             > {R.Q21_LATE_DAYS}
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ), per_order AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+               CAST(sum(is_late) AS BIGINT) AS n_late
+        FROM per_supp GROUP BY 1
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_supp ps
+    JOIN per_order po USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.is_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name
+    LIMIT {R.Q21_K}"""
 
 
 # ===== Round-7 wave: driver twins for pytest-only §2 rows =====

@@ -200,6 +200,13 @@ BENCH_QUERIES = [
     "customer_rfm_scores",
     "shipping_priority_topk",
     "local_supplier_volume",
+    # r8 TPC-H completion (Q6/Q9/Q17/Q19/Q21 shapes) + KMV twin
+    "forecast_revenue_change",
+    "product_profit_by_nation",
+    "small_quantity_revenue",
+    "disjunctive_band_revenue",
+    "waiting_suppliers_report",
+    "kmv_accuracy_report",
     # r7 driver twins (C3 option arms, F12 job id, F13 JSON edge, S4 YAML)
     "incremental_option_variants",
     "job_id_report",

@@ -1970,3 +1970,271 @@ def ship_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_lag_days"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 TPC-H completion wave (Q6/Q9/Q17/Q19/Q21 shapes — with Q12/Q16/
+# Q20's partsupp/shipmode columns absent from this corpus, these five
+# close out the expressible TPC-H surface)
+# ---------------------------------------------------------------------------
+
+#: Q6 forecast window + predicate band (discount compared in exact
+#: integer percent so both engines cut identically)
+Q6_START, Q6_END = "1997-01-01", "1998-01-01"
+Q6_DISC_LO_PCT, Q6_DISC_HI_PCT, Q6_MAX_QTY = 5, 7, 24
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — forecast revenue change: the revenue that would
+    have been kept by eliminating a band of small discounts on
+    low-quantity lines in one ship-year. Single-row report; revenue here
+    is sum(extendedprice * discount) — the DISCOUNT amount, not the
+    discounted price.
+
+    100 TB shape: THE pushdown benchmark — all three predicates
+    (ship-year range, discount band, quantity cap) reach the parquet
+    scan (`PushedFilters`), no join, one map-side partial sum of exact
+    integer units. The discount band compares round(discount*100)
+    integers so Spark and the oracle admit identical rows despite the
+    column being IEEE doubles."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    rev_u = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long") * disc_pct
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_END).cast("timestamp"))
+            & disc_pct.between(Q6_DISC_LO_PCT, Q6_DISC_HI_PCT)
+            & (F.col("l_quantity") < Q6_MAX_QTY)
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            TX_round(F.sum(rev_u) / 10000.0, 2).alias("forecast_revenue"),
+        )
+    )
+
+
+#: Q9 product-line token (p_name LIKE) and the cost proxy: this corpus
+#: has no partsupp.ps_supplycost, so cost = 60% of retail price per
+#: unit — the proxy is a constant documented here and mirrored by the
+#: oracle, preserving Q9's SHAPE (profit by supplier nation and year).
+Q9_NAME_TOKEN = "widget"
+Q9_COST_PCT = 60
+
+
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and order
+    year for parts whose name carries one token: profit = discounted
+    revenue minus a cost proxy (Q9_COST_PCT% of p_retailprice per unit;
+    ps_supplycost does not exist in this corpus — documented proxy,
+    same join tree: part⋈lineitem⋈supplier⋈nation⋈orders).
+
+    100 TB shape: the two dims (part filtered by name token, supplier+
+    nation) broadcast; the fact joins orders on the orderkey — the one
+    big shuffle — and profit accumulates in exact cents×pct integer
+    units, grouped to |nations × years| rows."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_name").contains(Q9_NAME_TOKEN))
+        .select(
+            F.col("p_partkey").alias("l_partkey"),
+            F.round(F.col("p_retailprice") * 100, 0)
+            .cast("long")
+            .alias("retail_c"),
+        )
+    )
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.year("o_orderdate").alias("o_year"),
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    profit_u = _revenue_units() - (
+        F.col("retail_c")
+        * F.col("l_quantity").cast("long")
+        * F.lit(Q9_COST_PCT)
+    )
+    return (
+        li.join(F.broadcast(part), "l_partkey")
+        .join(F.broadcast(sup), "l_suppkey")
+        .join(F.broadcast(nation), "s_nationkey")
+        .join(orders, "l_orderkey")
+        .groupBy("n_name", "o_year")
+        .agg(TX_round(F.sum(profit_u) / 10000.0, 2).alias("profit"))
+    )
+
+
+#: Q17 brand under test and the small-quantity fraction of the per-part
+#: mean (the canonical 0.2)
+Q17_BRAND = "Brand#1"
+Q17_FRACTION = 0.2
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — small-quantity-order revenue: for one brand's
+    parts, the yearly-average revenue lost if orders below 20% of that
+    part's mean quantity were not taken. The correlated per-part
+    average becomes a groupBy + self-join (the standard decorrelation
+    Catalyst itself applies to Q17).
+
+    100 TB shape: the brand filter prunes part to a broadcastable dim;
+    the per-part mean aggregates map-side over the semi-joined fact
+    (quantities are integral doubles, so sum/count is exact and the
+    0.2× threshold is one deterministic IEEE multiply); the final sum
+    runs in exact cents."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).join(
+        F.broadcast(part), "l_partkey"
+    )
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    small = li.join(avg_q, "l_partkey").filter(
+        F.col("l_quantity") < F.lit(Q17_FRACTION) * F.col("avg_qty")
+    )
+    ep_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return small.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        TX_round(F.sum(ep_c) / 100.0 / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+#: Q19 OR-of-ANDs bands: (brand, qty_lo, qty_hi, size_hi)
+Q19_BANDS = (
+    ("Brand#1", 1, 11, 5),
+    ("Brand#2", 10, 20, 10),
+    ("Brand#3", 20, 30, 15),
+)
+
+
+def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — discounted revenue under a DISJUNCTION of
+    conjunctive bands (brand × quantity band × size cap), the classic
+    OR-of-ANDs predicate that exercises CNF conversion and partial
+    pushdown (the per-band part predicates prune the dim; the shared
+    quantity bounds reach the fact scan). Single-row revenue per band
+    plus the union total, so the oracle checks each arm.
+
+    100 TB shape: part prunes to the 3 brands and broadcasts; one fact
+    pass evaluates all bands; revenue in exact integer units."""
+    from jira_cdc_git_spark.functions.text import round_half_up as TX_round
+
+    brands = [b for b, *_ in Q19_BANDS]
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_brand").isin(brands))
+        .select(
+            F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size"
+        )
+    )
+    li = load_table(spark, "lineitem", sf_dir).join(
+        F.broadcast(part), "l_partkey"
+    )
+    arms = [
+        (
+            (F.col("p_brand") == b)
+            & F.col("l_quantity").between(qlo, qhi)
+            & F.col("p_size").between(1, smax)
+        )
+        for b, qlo, qhi, smax in Q19_BANDS
+    ]
+    any_arm = arms[0]
+    for a in arms[1:]:
+        any_arm = any_arm | a
+    aggs = [
+        TX_round(
+            F.sum(F.when(arm, _revenue_units()).otherwise(F.lit(0)))
+            / 10000.0,
+            2,
+        ).alias(f"revenue_band{i + 1}")
+        for i, arm in enumerate(arms)
+    ]
+    return li.filter(any_arm).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        *aggs,
+        TX_round(F.sum(_revenue_units()) / 10000.0, 2).alias(
+            "revenue_total"
+        ),
+    )
+
+
+#: Q21 lateness proxy (no l_commitdate/l_receiptdate in this corpus):
+#: a line is LATE when it ships more than this many days after the
+#: order date. Mirrored by the oracle.
+Q21_LATE_DAYS = 120
+Q21_K = 20
+
+
+def waiting_suppliers_report(
+    spark: SparkSession, sf_dir: str, k: int = Q21_K
+) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept orders waiting: for
+    finalized multi-supplier orders, count per supplier the orders
+    where THAT supplier was the only late one (late = shipped >
+    Q21_LATE_DAYS after the order date; the corpus has no commit/
+    receipt dates — documented proxy preserving the double-EXISTS
+    semantics). The classic exists/not-exists pair is algebraized to
+    one per-order aggregation: supplier s waits-counts order o iff
+    s is late in o, o has ≥2 distinct suppliers, and o has exactly 1
+    late supplier — provably the same set, with one shuffle on
+    orderkey instead of two correlated self-joins.
+
+    100 TB shape: fact⋈orders equi-join (status filter pushed), one
+    groupBy(orderkey, suppkey) partial, one |orders|-keyed window-free
+    per-order rollup, then a |suppliers|-bounded count; top-k via
+    TakeOrderedAndProject."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    ).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    per_supp = (
+        li.join(orders, "l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.datediff("sd", "od") > Q21_LATE_DAYS).cast("int")
+            ).alias("is_late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_supp"),
+        F.sum("is_late").cast("long").alias("n_late"),
+    )
+    waits = (
+        per_supp.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        waits.groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(F.broadcast(sup), "l_suppkey")
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )
