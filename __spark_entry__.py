@@ -53,8 +53,8 @@ additions followed by ≥25 of the OLDEST r2/r3-vintage entries
 (point_lookup, pricing_summary, incremental_changes, config_drift, the
 jql_* templates, …) so they re-earn driver rows at sf0.01 on current
 code (rotation hygiene, r6 task 9 / r7 task 3).
-The registry has 284
-entries: 276 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 288
+entries: 280 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -134,6 +134,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": R.small_quantity_revenue,
         "disjunctive_band_revenue": R.disjunctive_band_revenue,
         "waiting_suppliers_report": R.waiting_suppliers_report,
+        # r8 curation-eval wave: Flesch readability, the one-row dataset
+        # card, next-event entropy, clustering-vs-labels NMI
+        "readability_report": T.readability_report,
+        "dataset_card_report": T.dataset_card_report,
+        "session_transition_entropy": TS.session_transition_entropy,
+        "cluster_label_nmi": V.cluster_label_nmi,
         "incremental_option_variants": J.incremental_option_variants,
         "job_id_report": J.job_id_report,
         "json_edge_roundtrip": J.json_edge_roundtrip,
@@ -6770,6 +6776,148 @@ _ORACLES["waiting_suppliers_report"] = f"""
     GROUP BY 1
     ORDER BY numwait DESC, s.s_name
     LIMIT {R.Q21_K}"""
+
+
+# ===== Round-8 wave: readability / dataset card / transition entropy /
+# ===== clustering NMI =====
+
+# Mirrors operators/text.readability_report — three exact counts, one
+# fixed-shape IEEE Flesch expression (band CASE cuts identical doubles).
+_ORACLES["readability_report"] = """
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 AS n_sentences,
+               greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                        1) AS n_syllables
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               206.835 - 1.015 * (n_words / n_sentences)
+                       - 84.6 * (n_syllables / n_words) AS score
+        FROM t WHERE n_words > 0
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           floor(score * 10000 + 0.5) / 10000 AS flesch_score,
+           CASE WHEN score >= 90 THEN 'very_easy'
+                WHEN score >= 60 THEN 'standard'
+                WHEN score >= 30 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM s"""
+
+# Mirrors operators/text.dataset_card_report (Gebru et al. datasheet
+# header row; majority language tie-breaks by code).
+_ORACLES["dataset_card_report"] = f"""
+    WITH base AS (
+        SELECT doc_id, lang, source, md5(trim(text)) AS fp,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+    ), g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+               CAST(sum(CASE WHEN n_tokens < {T.CARD_SHORT_TOKENS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        FROM base
+    ), tl AS (
+        SELECT lang AS top_lang, n AS top_n
+        FROM (SELECT lang, count(*) AS n,
+                     row_number() OVER (ORDER BY count(*) DESC, lang)
+                       AS rn
+              FROM base GROUP BY lang) x
+        WHERE rn = 1
+    )
+    SELECT n_docs, n_sources, n_langs, total_tokens,
+           floor(total_tokens / n_docs * 100 + 0.5) / 100
+             AS mean_doc_tokens,
+           floor((1.0 - n_unique / n_docs) * 1000000 + 0.5) / 1000000
+             AS exact_dup_rate,
+           floor(n_short / n_docs * 1000000 + 0.5) / 1000000
+             AS short_doc_share,
+           top_lang,
+           floor(top_n / n_docs * 1000000 + 0.5) / 1000000
+             AS top_lang_share
+    FROM g CROSS JOIN tl"""
+
+# Mirrors operators/timeseries.session_transition_entropy — markov pair
+# counts, per-term micro-unit quantization before the integer sum.
+_ORACLES["session_transition_entropy"] = f"""
+    WITH p AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), c AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ), terms AS (
+        SELECT from_type,
+               CAST(floor(-(n / (sum(n) OVER (PARTITION BY from_type)))
+                          * ln(n / (sum(n) OVER (PARTITION BY from_type)))
+                          * {TS.ENTROPY_UNIT}) AS BIGINT) AS term_u
+        FROM c
+    ), agg AS (
+        SELECT from_type, CAST(count(*) AS BIGINT) AS n_branches,
+               CAST(sum(term_u) AS BIGINT) AS h_u
+        FROM terms GROUP BY 1
+    )
+    SELECT from_type, n_branches,
+           floor(h_u / {float(TS.ENTROPY_UNIT)} * 1000000 + 0.5) / 1000000
+             AS entropy,
+           CASE WHEN n_branches > 1 THEN
+               floor(h_u / {float(TS.ENTROPY_UNIT)}
+                     / ln(CAST(n_branches AS DOUBLE)) * 1000000 + 0.5)
+                 / 1000000
+           END AS norm_entropy
+    FROM agg"""
+
+# Mirrors operators/vectors.cluster_label_nmi over the SAME unrolled
+# micro-Lloyd assignment (af) as kmeans_assign/kmeans_cluster_report.
+_ORACLES["cluster_label_nmi"] = f"""
+    WITH {_kmeans_ctes(V.KMEANS_K, V.KMEANS_ITERS)},
+    cells AS (
+        SELECT cluster, label, CAST(count(*) AS BIGINT) AS n_cl
+        FROM af GROUP BY 1, 2
+    ), margins AS (
+        SELECT cluster, label, n_cl,
+               sum(n_cl) OVER (PARTITION BY cluster) AS n_c,
+               sum(n_cl) OVER (PARTITION BY label) AS n_l,
+               sum(n_cl) OVER () AS n
+        FROM cells
+    ), mi AS (
+        SELECT CAST(sum(CAST(floor(n_cl / n
+                   * ln(CAST(n AS DOUBLE) * n_cl
+                        / (CAST(n_c AS DOUBLE) * n_l))
+                   * {V.NMI_UNIT}) AS BIGINT)) AS BIGINT) AS mi_u
+        FROM margins
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM af),
+    hc AS (
+        SELECT CAST(sum(CAST(floor(-(n_c / n) * ln(n_c / n)
+                   * {V.NMI_UNIT}) AS BIGINT)) AS BIGINT) AS hc_u
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n_c FROM af
+              GROUP BY cluster) g CROSS JOIN nn
+    ), hl AS (
+        SELECT CAST(sum(CAST(floor(-(n_l / n) * ln(n_l / n)
+                   * {V.NMI_UNIT}) AS BIGINT)) AS BIGINT) AS hl_u
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n_l FROM af
+              GROUP BY label) g CROSS JOIN nn
+    )
+    SELECT floor(mi_u / {float(V.NMI_UNIT)} * 1000000 + 0.5) / 1000000
+             AS mutual_info,
+           floor(hc_u / {float(V.NMI_UNIT)} * 1000000 + 0.5) / 1000000
+             AS h_cluster,
+           floor(hl_u / {float(V.NMI_UNIT)} * 1000000 + 0.5) / 1000000
+             AS h_label,
+           floor(mi_u / sqrt(CAST(hc_u AS DOUBLE) * hl_u)
+                 * 1000000 + 0.5) / 1000000 AS nmi
+    FROM mi CROSS JOIN hc CROSS JOIN hl"""
 
 
 # ===== Round-7 wave: driver twins for pytest-only §2 rows =====

@@ -207,6 +207,11 @@ BENCH_QUERIES = [
     "disjunctive_band_revenue",
     "waiting_suppliers_report",
     "kmv_accuracy_report",
+    # r8 curation-eval wave
+    "readability_report",
+    "dataset_card_report",
+    "session_transition_entropy",
+    "cluster_label_nmi",
     # r7 driver twins (C3 option arms, F12 job id, F13 JSON edge, S4 YAML)
     "incremental_option_variants",
     "job_id_report",

@@ -4595,3 +4595,117 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         TX.round_half_up(F.col("n_docs") / F.col("t"), 6).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave: readability scoring + the one-row dataset card
+# ---------------------------------------------------------------------------
+
+def readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three exact counts — words
+    (whitespace tokens), sentences (runs of [.!?], floor 1), and a
+    syllable proxy (vowel-group runs, the standard cheap estimator):
+    206.835 - 1.015·(W/S) - 84.6·(Syl/W), banded into the canonical
+    difficulty classes. The curation signal complementing gopher/
+    quality filters: too-easy == boilerplate/listicles, too-hard ==
+    OCR garbage and formula soup.
+
+    CROSS-ENGINE DETERMINISM: the three counts are exact integers and
+    the score is ONE fixed-shape IEEE expression, so the band CASE cuts
+    the same doubles in both engines; only the reported score is
+    rounded (4 dp).
+
+    100 TB shape: narrow per-row projection, whole-stage codegen, no
+    shuffle — scales embarrassingly."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    n_words = TX.token_count(F.col("text"))
+    n_sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sents)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    return docs.filter(n_words > 0).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        TX.round_half_up(score, 4).alias("flesch_score"),
+        F.when(score >= 90, "very_easy")
+        .when(score >= 60, "standard")
+        .when(score >= 30, "difficult")
+        .otherwise("very_difficult")
+        .alias("band"),
+    )
+
+
+#: a doc counts as SHORT on the dataset card below this token count
+CARD_SHORT_TOKENS = 20
+
+
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card ('datasheets for datasets', Gebru et al.
+    2021) — the header numbers every corpus release ships: doc/source/
+    language counts, token volume, mean doc length, exact-duplicate
+    rate (md5 groups, the doc_fingerprints primitive), short-doc share,
+    and the majority language with its share (deterministic tie-break
+    by language code). (Single-partition Window over |langs| rows —
+    group-cardinality-bounded, not data-bounded.)
+
+    100 TB shape: one pass computes all global aggregates map-side
+    (count-distincts over md5/source/lang are the only shuffles, each
+    key-bounded); the majority language comes from a |langs|-row agg
+    joined back by cross join of two single-row frames."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.trim(F.col("text"))).alias("fp"),
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    g = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("fp").cast("long").alias("n_unique"),
+        F.sum(
+            (F.col("n_tokens") < CARD_SHORT_TOKENS).cast("long")
+        ).alias("n_short"),
+    )
+    from pyspark.sql import Window
+
+    lw = Window.orderBy(F.col("n").desc(), F.col("lang").asc())
+    top_lang = (
+        base.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(lw))
+        .filter(F.col("rn") == 1)
+        .select(F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    return g.crossJoin(F.broadcast(top_lang)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        TX.round_half_up(F.col("total_tokens") / F.col("n_docs"), 2).alias(
+            "mean_doc_tokens"
+        ),
+        TX.round_half_up(
+            F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 6
+        ).alias("exact_dup_rate"),
+        TX.round_half_up(F.col("n_short") / F.col("n_docs"), 6).alias(
+            "short_doc_share"
+        ),
+        "top_lang",
+        TX.round_half_up(F.col("top_n") / F.col("n_docs"), 6).alias(
+            "top_lang_share"
+        ),
+    )

@@ -1375,3 +1375,59 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX_round(F.col("hi") / 100.0, 4).alias("ci_hi"),
         )
     )
+
+
+#: integer micro-units for per-term entropy quantization (the pagerank/
+#: CUSUM discipline: quantize each -p·ln(p) term BEFORE the sum so both
+#: engines add exact integers).
+ENTROPY_UNIT = 1_000_000
+
+
+def session_transition_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shannon entropy of each event type's NEXT-event distribution —
+    the branching-predictability readout over markov_transitions' exact
+    pair counts: H(from) = -Σ p·ln(p), plus the branch count and
+    normalized entropy H/ln(branches) (1.0 = uniformly unpredictable,
+    0.0 = deterministic flow). On a curation pipeline the same shape
+    scores page-category and tool-call transition predictability.
+
+    CROSS-ENGINE DETERMINISM: each -p·ln(p) term is a fixed-shape IEEE
+    expression over exact counts, floored to ENTROPY_UNIT micro-units
+    BEFORE the per-type integer sum (order-independent); normalization
+    is one IEEE division afterwards, NULL when branches == 1.
+
+    100 TB shape: per-user windows bound the pair extraction (the
+    markov shape), then a |types|²-bounded agg — nothing downstream
+    touches raw events."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    p = F.col("n") / F.sum("n").over(wt)
+    term_u = F.floor(-p * F.log(p) * ENTROPY_UNIT).cast("long")
+    per_from = pairs.select("from_type", term_u.alias("term_u")).groupBy(
+        "from_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_branches"),
+        F.sum("term_u").alias("h_u"),
+    )
+    h = F.col("h_u") / F.lit(float(ENTROPY_UNIT))
+    return per_from.select(
+        "from_type",
+        "n_branches",
+        TX_round(h, 6).alias("entropy"),
+        F.when(
+            F.col("n_branches") > 1,
+            TX_round(h / F.log(F.col("n_branches").cast("double")), 6),
+        ).alias("norm_entropy"),
+    )

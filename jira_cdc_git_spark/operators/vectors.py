@@ -2255,3 +2255,94 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "q_label", "vec_id", "neg_label", "cos_sim", "rank"
         )
     )
+
+
+#: micro-units for per-term MI/entropy quantization (ENTROPY discipline:
+#: quantize each term before the integer sum).
+NMI_UNIT = 1_000_000
+
+
+def cluster_label_nmi(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Normalized mutual information between the oracle-exact k-means
+    clustering and the generator labels — the external clustering eval
+    that purity alone can't give (purity rewards shattering; NMI
+    penalizes it): MI = Σ_{c,l} (n_cl/N)·ln(N·n_cl/(n_c·n_l)),
+    NMI = MI / sqrt(H(C)·H(L)). One row: MI, H(C), H(L), NMI.
+
+    CROSS-ENGINE DETERMINISM: every per-cell/per-group term is a
+    fixed-shape IEEE expression over exact integer counts, floored to
+    NMI_UNIT micro-units before its integer sum; the final NMI is one
+    IEEE expression over three exact unit-sums.
+
+    100 TB shape: the contingency table is |k × labels|-bounded after
+    one partial-agg shuffle of the assignment frame; everything after
+    is constant-size."""
+    from pyspark.sql import Window
+
+    final = materialize(_kmeans_micro_final(spark, sf_dir, k, iters))
+    cells = final.groupBy("cluster", "label").agg(
+        F.count("*").alias("n_cl")
+    )
+    # margins attach via |k|/|labels|-bounded windows over the tiny
+    # contingency frame (constant-size after the one assignment agg)
+    margins = (
+        cells.withColumn(
+            "n_c", F.sum("n_cl").over(Window.partitionBy("cluster"))
+        )
+        .withColumn("n_l", F.sum("n_cl").over(Window.partitionBy("label")))
+        .withColumn("n", F.sum("n_cl").over(Window.partitionBy()))
+    )
+    p_cl = F.col("n_cl") / F.col("n")
+    mi_term = F.floor(
+        p_cl
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("n_cl")
+            / (F.col("n_c").cast("double") * F.col("n_l"))
+        )
+        * NMI_UNIT
+    ).cast("long")
+    hc_term = F.floor(
+        -(F.col("n_c") / F.col("n"))
+        * F.log(F.col("n_c") / F.col("n"))
+        * NMI_UNIT
+    ).cast("long")
+    hl_term = F.floor(
+        -(F.col("n_l") / F.col("n"))
+        * F.log(F.col("n_l") / F.col("n"))
+        * NMI_UNIT
+    ).cast("long")
+    agg = margins.agg(F.sum(mi_term).alias("mi_u"))
+    hc = (
+        final.groupBy("cluster")
+        .agg(F.count("*").alias("n_c"))
+        .crossJoin(F.broadcast(final.agg(F.count("*").alias("n"))))
+        .agg(F.sum(hc_term).alias("hc_u"))
+    )
+    hl = (
+        final.groupBy("label")
+        .agg(F.count("*").alias("n_l"))
+        .crossJoin(F.broadcast(final.agg(F.count("*").alias("n"))))
+        .agg(F.sum(hl_term).alias("hl_u"))
+    )
+    u = float(NMI_UNIT)
+    return (
+        agg.select("mi_u")
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            TX.round_half_up(F.col("mi_u") / u, 6).alias("mutual_info"),
+            TX.round_half_up(F.col("hc_u") / u, 6).alias("h_cluster"),
+            TX.round_half_up(F.col("hl_u") / u, 6).alias("h_label"),
+            TX.round_half_up(
+                F.col("mi_u")
+                / F.sqrt(F.col("hc_u").cast("double") * F.col("hl_u")),
+                6,
+            ).alias("nmi"),
+        )
+    )
