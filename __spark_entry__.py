@@ -53,8 +53,8 @@ additions followed by ≥25 of the OLDEST r2/r3-vintage entries
 (point_lookup, pricing_summary, incremental_changes, config_drift, the
 jql_* templates, …) so they re-earn driver rows at sf0.01 on current
 code (rotation hygiene, r6 task 9 / r7 task 3).
-The registry has 288
-entries: 280 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 290
+entries: 282 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card_report": T.dataset_card_report,
         "session_transition_entropy": TS.session_transition_entropy,
         "cluster_label_nmi": V.cluster_label_nmi,
+        # r8 retrieval fusion + rate-memory analytics
+        "hybrid_rrf_topk": V.hybrid_rrf_topk,
+        "autocorrelation_report": TS.autocorrelation_report,
         # r8 re-earns: operators whose code changed this round (fuzzy's
         # scale-aware blocking key, linkpred's capped-adjacency jaccard,
         # hits' materialization rewrite)
@@ -183,6 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jql_recent_updates": J.jql_recent_updates,
         "jql_my_sprint": J.jql_my_sprint,
         "commit_messages": J.commit_messages,
+        # slots 51+: displaced by the rrf/acf additions — both carry
+        # green rows from r2/r3 and the pytest replay
         "epic_hierarchy": J.epic_hierarchy,
         "relationship_census": J.relationship_census,
         "incremental_option_variants": J.incremental_option_variants,
@@ -6923,6 +6928,68 @@ _ORACLES["cluster_label_nmi"] = f"""
            floor(mi_u / sqrt(CAST(hc_u AS DOUBLE) * hl_u)
                  * 1000000 + 0.5) / 1000000 AS nmi
     FROM mi CROSS JOIN hc CROSS JOIN hl"""
+
+
+# Mirrors operators/vectors.hybrid_rrf_topk — PURE COMPOSITION of the
+# two registry retrieval oracles (bm25_topk / cosine_topk), fused by
+# 1/(RRF_C + rank); only ranks cross the boundary.
+_ORACLES["hybrid_rrf_topk"] = f"""
+    WITH lex AS (
+        SELECT doc_id, lex_rank FROM (
+            SELECT doc_id, rank AS lex_rank FROM ({_ORACLES["bm25_topk"]})
+        )
+    ), dense AS (
+        SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                    AS INTEGER) AS dense_rank
+        FROM ({_ORACLES["cosine_topk"]})
+    )
+    SELECT doc_id, lex_rank, dense_rank,
+           floor((coalesce(1.0 / ({V.RRF_C} + lex_rank), 0.0)
+                  + coalesce(1.0 / ({V.RRF_C} + dense_rank), 0.0))
+                 * 1000000 + 0.5) / 1000000 AS rrf_score
+    FROM lex FULL OUTER JOIN dense USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {V.RRF_K}"""
+
+# Mirrors operators/timeseries.autocorrelation_report — per-type hourly
+# series, lags over consecutive observed hours, micro-unit-quantized
+# covariance terms before the integer sums.
+_ACF_LAGS = ", ".join(str(i) for i in range(1, TS.ACF_MAX_LAG + 1))
+_ORACLES["autocorrelation_report"] = f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), mu AS (
+        SELECT event_type, sum(n) / count(*) AS mu FROM hourly GROUP BY 1
+    ), leads AS (
+        SELECT h.event_type, h.n AS x, lag.lag,
+               lead(h.n, lag.lag) OVER (PARTITION BY h.event_type, lag.lag
+                                        ORDER BY h.hour_ts) AS y
+        FROM hourly h CROSS JOIN
+             (SELECT unnest([{_ACF_LAGS}]) AS lag) lag
+    ), num AS (
+        SELECT l.event_type, CAST(l.lag AS INTEGER) AS lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CAST(floor((l.x - m.mu) * (l.y - m.mu)
+                                   * {TS.ENTROPY_UNIT}) AS BIGINT))
+                    AS BIGINT) AS num_u
+        FROM leads l JOIN mu m USING (event_type)
+        WHERE l.y IS NOT NULL
+        GROUP BY 1, 2
+    ), den AS (
+        SELECT h.event_type,
+               CAST(sum(CAST(floor((h.n - m.mu) * (h.n - m.mu)
+                                   * {TS.ENTROPY_UNIT}) AS BIGINT))
+                    AS BIGINT) AS den_u
+        FROM hourly h JOIN mu m USING (event_type)
+        GROUP BY 1
+    )
+    SELECT event_type, lag, n_pairs,
+           floor(num_u / CAST(den_u AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS acf
+    FROM num JOIN den USING (event_type)"""
 
 
 # ===== Round-7 wave: driver twins for pytest-only §2 rows =====

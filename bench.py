@@ -212,6 +212,8 @@ BENCH_QUERIES = [
     "dataset_card_report",
     "session_transition_entropy",
     "cluster_label_nmi",
+    "hybrid_rrf_topk",
+    "autocorrelation_report",
     # r7 driver twins (C3 option arms, F12 job id, F13 JSON edge, S4 YAML)
     "incremental_option_variants",
     "job_id_report",

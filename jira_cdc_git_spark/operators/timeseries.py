@@ -1431,3 +1431,92 @@ def session_transition_entropy(
             TX_round(h / F.log(F.col("n_branches").cast("double")), 6),
         ).alias("norm_entropy"),
     )
+
+
+#: ACF lags probed by autocorrelation_report (hours).
+ACF_MAX_LAG = 6
+
+
+def autocorrelation_report(
+    spark: SparkSession, sf_dir: str, max_lag: int = ACF_MAX_LAG
+) -> DataFrame:
+    """Autocorrelation function of each event type's hourly-count series
+    at lags 1..max_lag — the direct detector of periodicity and rate
+    memory (a daily cycle spikes r_24; a crawler with retry storms shows
+    slow decay), feeding seasonality_profile's calendar view with a
+    model-free counterpart. Lags are over CONSECUTIVE OBSERVED hours
+    (lead over the per-type hour order; the gap_fill_locf spine is the
+    densifying companion when true calendar lags are wanted).
+
+    CROSS-ENGINE DETERMINISM: the per-type mean is an exact-integer
+    s1/cnt division; every (x_t-μ)(x_{t+k}-μ) product and (x_t-μ)² term
+    is a fixed-shape IEEE expression floored to ENTROPY_UNIT micro-units
+    before its integer sum, so r_k is a ratio of two exact unit-sums.
+
+    100 TB shape: one (type, hour) partial agg bounds the series; the
+    max_lag leads ride ONE per-type ordered window pass; the stack
+    explodes to |series|×max_lag rows of two doubles — nothing touches
+    raw events after the first agg."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    leads = hourly.select(
+        "event_type",
+        "n",
+        *[
+            F.lead("n", i).over(w).alias(f"lead_{i}")
+            for i in range(1, max_lag + 1)
+        ],
+    )
+    mu = hourly.groupBy("event_type").agg(
+        (F.sum("n") / F.count("*")).alias("mu"),
+    )
+    stacked = (
+        leads.join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            "mu",
+            F.col("n").alias("x"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("int").alias("lag"),
+                            F.col(f"lead_{i}").alias("y"),
+                        )
+                        for i in range(1, max_lag + 1)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("event_type", "mu", "x", F.col("p.lag").alias("lag"),
+                F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    num_u = F.floor(
+        (F.col("x") - F.col("mu")) * (F.col("y") - F.col("mu"))
+        * ENTROPY_UNIT
+    ).cast("long")
+    den = hourly.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        F.floor(
+            (F.col("n") - F.col("mu")) * (F.col("n") - F.col("mu"))
+            * ENTROPY_UNIT
+        ).cast("long").alias("d_u"),
+    ).groupBy("event_type").agg(F.sum("d_u").alias("den_u"))
+    return (
+        stacked.groupBy("event_type", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(num_u).alias("num_u"),
+        )
+        .join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "n_pairs",
+            TX_round(F.col("num_u") / F.col("den_u"), 6).alias("acf"),
+        )
+    )

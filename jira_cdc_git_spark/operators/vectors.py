@@ -2346,3 +2346,58 @@ def cluster_label_nmi(
             ).alias("nmi"),
         )
     )
+
+
+#: Reciprocal-rank-fusion smoothing constant (Cormack et al. 2009's
+#: k=60, the universal default) and the fused page size.
+RRF_C = 60
+RRF_K = 15
+
+
+def hybrid_rrf_topk(
+    spark: SparkSession, sf_dir: str, k: int = RRF_K
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009): fuse the LEXICAL ranking (bm25_topk over documents)
+    with the DENSE ranking (cosine_topk over the id-aligned embeddings)
+    by rrf = Σ 1/(RRF_C + rank) — the standard first stage of a RAG /
+    hybrid-search pipeline, robust to either ranker's score scale
+    because only RANKS cross the boundary.
+
+    Composition, not reimplementation: both inputs are the registry's
+    own oracle-green retrieval entries; fusion is a tiny full-outer
+    join over their top pools (≤ 30 rows), so determinism reduces to
+    theirs plus one fixed-shape two-term IEEE sum.
+
+    100 TB shape: each ranker keeps its own distributed plan
+    (posting-scoped BM25, broadcast-query cosine scan); the fusion
+    never touches the corpus."""
+    from pyspark.sql import Window
+
+    from jira_cdc_git_spark.operators.text import bm25_topk
+
+    lex = bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    dw = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    dense = (
+        cosine_topk(spark, sf_dir)
+        .withColumn("dense_rank", F.row_number().over(dw).cast("int"))
+        .select(F.col("vec_id").alias("doc_id"), "dense_rank")
+    )
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_C) + F.col("dense_rank")), F.lit(0.0)
+    )
+    return (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            TX.round_half_up(score, 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
