@@ -104,6 +104,11 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         GR.textrank_keywords,
         lambda spark, d: V.matryoshka_topk(spark, d, dims=16),
         V.binary_hamming_topk,
+        # r8 additions
+        T.readability_report,
+        T.kmv_accuracy_report,
+        T.dataset_card_report,
+        V.hybrid_rrf_topk,
     ],
 )
 def test_operator_empty_input_yields_empty_output(fn, spark, empty_sf_dir):
