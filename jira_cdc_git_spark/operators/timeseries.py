@@ -1412,6 +1412,13 @@ def session_transition_entropy(
         )
         .agg(F.count("*").alias("n"))
     )
+    return entropy_from_pairs(pairs)
+
+
+def entropy_from_pairs(pairs: DataFrame) -> DataFrame:
+    """The shared (from_type, to_type, n) → per-from entropy projection —
+    consumed by session_transition_entropy and its streaming IVM twin,
+    so the snapshot the twin emits is BY CONSTRUCTION the same math."""
     wt = Window.partitionBy("from_type")
     p = F.col("n") / F.sum("n").over(wt)
     term_u = F.floor(-p * F.log(p) * ENTROPY_UNIT).cast("long")

@@ -1700,3 +1700,141 @@ def streaming_rolling_median(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_transition_entropy(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming twin of operators/timeseries.session_transition_entropy
+    — the FOURTH genuinely stateful twin: the (from_type, to_type) pair
+    counts are maintained INCREMENTALLY (counts are abelian — the IVM
+    fold), but extracting pairs across batch boundaries needs per-user
+    memory: each user's LAST event carries in state so the boundary
+    pair (carried_last → first event of the next batch) is never lost,
+    no matter where the chunk cut lands. Assumes ts-ordered arrival per
+    user (the debounce/cusum posture).
+
+    ONE state table holds both kinds of rows ('last' per user, 'pair'
+    per type-pair) so data and the applied_batch_id marker commit as a
+    single atomic swap — no torn state between two tables on a crash.
+    The emitted entropy snapshot recomputes UNCONDITIONALLY from state
+    through the SAME entropy_from_pairs projection the batch operator
+    uses (refreshed even on a replayed/skipped fold, so it's always
+    derived from committed state).
+
+    100 TB shape: per batch one window over batch∪|users| carried rows,
+    one |types|²-bounded delta agg, one merge against the |users| +
+    |types|² state — history is never re-read."""
+    import os
+
+    from jira_cdc_git_spark.operators.timeseries import entropy_from_pairs
+    from jira_cdc_git_spark.state import _swap_dir_atomic
+
+    state_dir = f"{out_root}/entropy_state"
+    snap_dir = f"{out_root}/entropy"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(events_dir)
+
+    state_schema = (
+        "kind string, user_id long, last_type string, ts timestamp,"
+        " event_id long, from_type string, to_type string, n long"
+    )
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(
+            "user_id", "event_type", "ts", "event_id"
+        ).localCheckpoint()
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            last_applied = state.agg(F.max("applied_batch_id")).first()[0]
+            state = state.drop("applied_batch_id")
+        else:
+            state = spark.createDataFrame([], state_schema)
+            last_applied = None
+        if last_applied is None or batch_id > last_applied:
+            carry_last = state.filter(F.col("kind") == "last").select(
+                "user_id",
+                F.col("last_type").alias("event_type"),
+                "ts",
+                "event_id",
+            )
+            carry_pairs = state.filter(F.col("kind") == "pair").select(
+                "from_type", "to_type", "n"
+            )
+            seq = carry_last.unionByName(batch)
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            delta = (
+                seq.withColumn("next_type", F.lead("event_type").over(w))
+                .filter(F.col("next_type").isNotNull())
+                .groupBy(
+                    F.col("event_type").alias("from_type"),
+                    F.col("next_type").alias("to_type"),
+                )
+                .agg(F.count("*").cast("long").alias("n"))
+            )
+            new_pairs = (
+                carry_pairs.unionByName(delta)
+                .groupBy("from_type", "to_type")
+                .agg(F.sum("n").alias("n"))
+            )
+            lw = Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+            new_last = (
+                seq.withColumn("rn", F.row_number().over(lw))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "event_type", "ts", "event_id")
+            )
+            new_state = (
+                new_last.select(
+                    F.lit("last").alias("kind"),
+                    "user_id",
+                    F.col("event_type").alias("last_type"),
+                    "ts",
+                    "event_id",
+                    F.lit(None).cast("string").alias("from_type"),
+                    F.lit(None).cast("string").alias("to_type"),
+                    F.lit(None).cast("long").alias("n"),
+                )
+                .unionByName(
+                    new_pairs.select(
+                        F.lit("pair").alias("kind"),
+                        F.lit(None).cast("long").alias("user_id"),
+                        F.lit(None).cast("string").alias("last_type"),
+                        F.lit(None).cast("timestamp").alias("ts"),
+                        F.lit(None).cast("long").alias("event_id"),
+                        "from_type",
+                        "to_type",
+                        "n",
+                    )
+                )
+                .withColumn("applied_batch_id", F.lit(batch_id))
+            )
+            _swap_dir_atomic(new_state.localCheckpoint(), state_dir)
+        # snapshot ALWAYS derives from committed state (idempotent on
+        # replays — same state in, same snapshot out)
+        committed = spark.read.parquet(state_dir)
+        pairs_now = committed.filter(F.col("kind") == "pair").select(
+            "from_type", "to_type", "n"
+        )
+        _swap_dir_atomic(
+            entropy_from_pairs(pairs_now).localCheckpoint(), snap_dir
+        )
+
+    (
+        feed.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1335,3 +1335,63 @@ def test_streaming_rolling_median_drops_late_rows_for_emitted_days(
     # cents), not the revised 10100
     state = spark.read.parquet(f"{out_root}/median_state")
     assert state.filter("day = timestamp'2024-01-01'").first()["cents"] == 100
+
+
+def test_streaming_transition_entropy_stateful_batch_parity(
+    spark, sf_dir, tmp_path
+):
+    """The FOURTH stateful twin: (from,to) pair counts fold
+    incrementally while each user's last event carries across batch
+    boundaries, so the boundary pair is never lost wherever the chunk
+    cut lands. Final snapshot must equal the batch operator exactly,
+    and a checkpoint replay must change nothing."""
+    from pyspark.sql import functions as F
+
+    from jira_cdc_git_spark.operators.timeseries import (
+        session_transition_entropy,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        streaming_transition_entropy,
+    )
+
+    ev = load_table(spark, "events", sf_dir).orderBy("ts", "event_id")
+    rows = ev.collect()
+    cuts = [len(rows) // 3, 2 * len(rows) // 3]
+    events_dir = str(tmp_path / "feed")
+    for chunk in (rows[: cuts[0]], rows[cuts[0]: cuts[1]], rows[cuts[1]:]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    out_root = str(tmp_path / "ent")
+    streaming_transition_entropy(
+        spark, events_dir, ev.schema, str(tmp_path / "ckpt"), out_root
+    )
+
+    def snap():
+        return {
+            r["from_type"]: (
+                r["n_branches"], r["entropy"], r["norm_entropy"]
+            )
+            for r in spark.read.parquet(f"{out_root}/entropy").collect()
+        }
+
+    got = snap()
+    want = {
+        r["from_type"]: (r["n_branches"], r["entropy"], r["norm_entropy"])
+        for r in session_transition_entropy(spark, sf_dir).collect()
+    }
+    assert got == want
+    # sanity: boundary pairs actually crossed batch cuts (state carried
+    # users exist) and the pair-count total matches the batch pair count
+    state = spark.read.parquet(f"{out_root}/entropy_state")
+    n_pairs_stream = (
+        state.filter("kind = 'pair'").agg(F.sum("n")).first()[0]
+    )
+    assert n_pairs_stream == len(rows) - ev.select("user_id").distinct().count()
+    # idempotent re-run: same checkpoint, snapshot unchanged
+    streaming_transition_entropy(
+        spark, events_dir, ev.schema, str(tmp_path / "ckpt"), out_root
+    )
+    assert snap() == want
