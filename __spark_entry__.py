@@ -53,8 +53,8 @@ additions followed by ≥25 of the OLDEST r2/r3-vintage entries
 (point_lookup, pricing_summary, incremental_changes, config_drift, the
 jql_* templates, …) so they re-earn driver rows at sf0.01 on current
 code (rotation hygiene, r6 task 9 / r7 task 3).
-The registry has 290
-entries: 282 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 291
+entries: 283 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8 retrieval fusion + rate-memory analytics
         "hybrid_rrf_topk": V.hybrid_rrf_topk,
         "autocorrelation_report": TS.autocorrelation_report,
+        "tokenizer_fertility_report": T.tokenizer_fertility_report,
         # r8 re-earns: operators whose code changed this round (fuzzy's
         # scale-aware blocking key, linkpred's capped-adjacency jaccard,
         # hits' materialization rewrite)
@@ -185,9 +186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jql_epic_stories": J.jql_epic_stories,
         "jql_recent_updates": J.jql_recent_updates,
         "jql_my_sprint": J.jql_my_sprint,
-        "commit_messages": J.commit_messages,
         # slots 51+: displaced by the rrf/acf additions — both carry
         # green rows from r2/r3 and the pytest replay
+        "commit_messages": J.commit_messages,
         "epic_hierarchy": J.epic_hierarchy,
         "relationship_census": J.relationship_census,
         "incremental_option_variants": J.incremental_option_variants,
@@ -3616,6 +3617,29 @@ def _bpe_subword_encode_oracle(n_merges: int) -> str:
 
 _ORACLES["bpe_subword_train_merges"] = _bpe_subword_oracle(T.BPE_MERGES)
 _ORACLES["bpe_subword_encode"] = _bpe_subword_encode_oracle(T.BPE_MERGES)
+
+
+def _tokenizer_fertility_oracle(n_merges: int) -> str:
+    """Mirrors operators/text.tokenizer_fertility_report — the encode
+    join rolled up by language, same unrolled merge chain."""
+    return f"""WITH {_bpe_subword_ctes(n_merges)},
+    wl AS (SELECT word, len(syms) AS n_sub FROM s{n_merges}),
+    dw AS (SELECT lang,
+                  unnest(string_split_regex(trim(text), '\\s+')) AS word
+           FROM documents)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(w.n_sub) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(w.n_sub) AS DOUBLE) / count(*) * 10000 + 0.5)
+               / 10000 AS fertility,
+           floor(CAST(sum(CASE WHEN w.n_sub = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+             AS unsplit_share
+    FROM dw d JOIN wl w USING (word) GROUP BY d.lang"""
+
+
+_ORACLES["tokenizer_fertility_report"] = _tokenizer_fertility_oracle(
+    T.BPE_MERGES
+)
 
 
 def _bpe_vocab_oracle(n_merges: int) -> str:

@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "cluster_label_nmi",
     "hybrid_rrf_topk",
     "autocorrelation_report",
+    "tokenizer_fertility_report",
     # r7 driver twins (C3 option arms, F12 job id, F13 JSON edge, S4 YAML)
     "incremental_option_variants",
     "job_id_report",
@@ -587,6 +588,20 @@ SCALE_PROBE_QUERIES = [
     "hard_negative_mining",
     "revenue_concentration_report",
     "events_props_extract",
+    # r8 wave probes: the fact-join TPC-H analogs, the fused retrieval,
+    # the windowed ACF, and the full-corpus eval reports
+    "forecast_revenue_change",
+    "product_profit_by_nation",
+    "small_quantity_revenue",
+    "disjunctive_band_revenue",
+    "waiting_suppliers_report",
+    "readability_report",
+    "dataset_card_report",
+    "session_transition_entropy",
+    "cluster_label_nmi",
+    "hybrid_rrf_topk",
+    "autocorrelation_report",
+    "kmv_accuracy_report",
 ]
 
 

@@ -4709,3 +4709,45 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_lang_share"
         ),
     )
+
+
+def tokenizer_fertility_report(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Per-language subword FERTILITY of the trained BPE tokenizer —
+    tokens-per-word by lang, the standard multilingual-tokenizer equity
+    metric (a lang with fertility 2× another pays 2× the context budget
+    per word; Rust et al. 2021 use exactly this readout). Rolls the
+    bpe_subword_encode word→symbol-count join up by language instead of
+    document, with words-per-doc and the share of single-symbol
+    (unsplit) word occurrences as companions.
+
+    100 TB shape: identical plan skeleton to bpe_subword_encode — the
+    per-distinct-word vocab broadcasts, the corpus is exploded once,
+    and the rollup is |langs|-bounded."""
+    _, vocab = _bpe_train_loop(_subword_vocab(spark, sf_dir), n_merges)
+    word_len = vocab.select("word", F.size("syms").alias("n_sub"))
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    words = docs.select(
+        "lang", F.explode(TX.tokens(F.col("text"))).alias("word")
+    )
+    return (
+        words.join(F.broadcast(word_len), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_tokens"),
+            F.sum((F.col("n_sub") == 1).cast("long")).alias("n_unsplit"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            TX.round_half_up(
+                F.col("n_tokens") / F.col("n_words"), 4
+            ).alias("fertility"),
+            TX.round_half_up(
+                F.col("n_unsplit") / F.col("n_words"), 4
+            ).alias("unsplit_share"),
+        )
+    )
