@@ -142,12 +142,20 @@ def _require(args: argparse.Namespace, *flags: str) -> None:
 
 
 def cmd_profile(args: argparse.Namespace) -> int:
+    """Profile verb surface (internal/cli/profile.go: list/create/show/
+    update/delete/export/import + the manager.go:372-645 ops verbs)."""
     from jira_cdc_git_spark.profile_store import ProfileStore
 
-    if args.action in ("show", "delete"):
+    if args.action in ("show", "delete", "similar"):
         _require(args, "name")
     elif args.action == "create":
         _require(args, "spec")
+    elif args.action == "update":
+        _require(args, "name", "spec")
+    elif args.action in ("rename", "duplicate"):
+        _require(args, "name", "target")
+    elif args.action in ("export", "import"):
+        _require(args, "file")
     store = ProfileStore(args.store)
     if args.action == "list":
         for n in store.list_names():
@@ -156,8 +164,60 @@ def cmd_profile(args: argparse.Namespace) -> int:
         print(json.dumps(store.get(args.name), default=str))
     elif args.action == "create":
         store.create(json.loads(args.spec))
+    elif args.action == "update":
+        store.update(args.name, json.loads(args.spec))
     elif args.action == "delete":
         store.delete(args.name)
+    elif args.action == "rename":
+        store.rename(args.name, args.target)
+    elif args.action == "duplicate":
+        store.duplicate(args.name, args.target)
+    elif args.action == "backup":
+        print(store.backup())
+    elif args.action == "restore":
+        store.restore()
+    elif args.action == "validate":
+        report = store.validate_collection()
+        print(json.dumps(report))
+        return 0 if report["valid"] else 1
+    elif args.action == "repair":
+        print(json.dumps({"removed": store.repair_collection()}))
+    elif args.action == "export":
+        n = store.export_profiles(
+            args.file,
+            names=args.names.split(",") if args.names else None,
+            tags=args.tags.split(",") if args.tags else None,
+            include_stats=not args.no_stats,
+        )
+        print(f"exported {n} profiles to {args.file}")
+    elif args.action == "import":
+        out = store.import_profiles(
+            args.file,
+            overwrite=args.overwrite,
+            prefix=args.prefix or "",
+            default_tags=args.tags.split(",") if args.tags else None,
+            validate=args.validate,
+        )
+        print(json.dumps(out))
+    elif args.action == "search":
+        from jira_cdc_git_spark import plans
+
+        hits = plans.search_profiles(
+            store.as_df(_spark()),
+            query=args.query,
+            tags=args.tags.split(",") if args.tags else None,
+            repository=args.repository,
+            include_jql=args.include_jql,
+        ).collect()
+        for r in hits:
+            print(r["name"])
+    elif args.action == "similar":
+        from jira_cdc_git_spark import plans
+
+        for r in plans.similar_profiles(
+            store.as_df(_spark()), args.name
+        ).collect():
+            print(f"{r['name']}\t{r['similarity']}")
     return 0
 
 
@@ -240,11 +300,43 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("template", help="list builtin JQL templates")
     t.set_defaults(fn=cmd_template)
 
-    pr = sub.add_parser("profile", help="profile store CRUD")
-    pr.add_argument("action", choices=["list", "show", "create", "delete"])
+    pr = sub.add_parser(
+        "profile", help="profile store CRUD + ops verbs + export/import"
+    )
+    pr.add_argument(
+        "action",
+        choices=[
+            "list", "show", "create", "update", "delete", "rename",
+            "duplicate", "backup", "restore", "validate", "repair",
+            "export", "import", "search", "similar",
+        ],
+    )
     pr.add_argument("--store", required=True)
     pr.add_argument("--name")
     pr.add_argument("--spec")
+    pr.add_argument("--target", help="new name for rename/duplicate")
+    pr.add_argument("--file", help="export/import file path")
+    pr.add_argument("--names", help="export: comma-separated name filter")
+    pr.add_argument("--tags", help="tag filter / import default tags")
+    pr.add_argument(
+        "--no-stats", action="store_true",
+        help="export without usage statistics",
+    )
+    pr.add_argument(
+        "--overwrite", action="store_true",
+        help="import: replace existing profiles",
+    )
+    pr.add_argument("--prefix", help="import: name prefix")
+    pr.add_argument(
+        "--validate", action="store_true",
+        help="import: validate the file first",
+    )
+    pr.add_argument("--query", help="search: free-text query")
+    pr.add_argument("--repository", help="search: repository filter")
+    pr.add_argument(
+        "--include-jql", action="store_true", dest="include_jql",
+        help="search: match the query against jql too",
+    )
     pr.set_defaults(fn=cmd_profile)
 
     sv = sub.add_parser("saved", help="saved-query store")

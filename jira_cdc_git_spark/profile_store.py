@@ -256,6 +256,103 @@ class ProfileStore:
             self._save(profiles)
         return removed
 
+    # -- export / import (pkg/profile/import_export.go:15-170) -------------
+
+    _STATS_DEFAULTS = {
+        "times_used": 0, "success_rate": None,
+        "avg_sync_time_ms": None, "last_used": None,
+    }
+
+    def export_profiles(
+        self,
+        path: str,
+        names: list[str] | None = None,
+        tags: list[str] | None = None,
+        include_stats: bool = True,
+    ) -> int:
+        """ExportProfiles/ExportToFile (import_export.go:15-95): an
+        explicit `names` list wins over the `tags` overlap filter (the
+        reference's precedence); stats are optionally reset so shared
+        profiles start clean. Returns the exported count."""
+        profiles = self._load()
+        if names:
+            selected = {n: profiles[n] for n in names if n in profiles}
+        elif tags:
+            selected = {
+                n: p
+                for n, p in profiles.items()
+                if set(p.get("tags") or []) & set(tags)
+            }
+        else:
+            selected = dict(profiles)
+        if not include_stats:
+            selected = {
+                n: {**p, **self._STATS_DEFAULTS}
+                for n, p in selected.items()
+            }
+        import yaml
+
+        rows = []
+        for name in sorted(selected):
+            p = dict(selected[name])
+            if isinstance(p.get("last_used"), datetime):
+                p["last_used"] = p["last_used"].isoformat()
+            rows.append(p)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            yaml.safe_dump({"version": 1, "profiles": rows}, f,
+                           sort_keys=True)
+        os.replace(tmp, path)
+        return len(rows)
+
+    def import_profiles(
+        self,
+        path: str,
+        overwrite: bool = False,
+        prefix: str = "",
+        default_tags: list[str] | None = None,
+        validate: bool = False,
+    ) -> dict:
+        """ImportProfiles/ImportFromFile (import_export.go:97-200):
+        prefix applies to every imported name; existing names are
+        CONFLICTS skipped unless overwrite; default tags append
+        deduplicated; optional pre-validation rejects the whole file on
+        the first invalid profile (the reference's early return).
+        Returns {'imported': [...], 'conflicts': [...]}."""
+        import yaml
+
+        with open(path) as f:
+            doc = yaml.safe_load(f) or {}
+        incoming = {p["name"]: dict(p) for p in doc.get("profiles", [])}
+        if validate:
+            for name, p in sorted(incoming.items()):
+                r = self.validate_profile(p)
+                if not r["valid"]:
+                    raise ValueError(
+                        f"profile {name!r} is invalid: "
+                        + "; ".join(r["errors"])
+                    )
+        profiles = self._load()
+        imported, conflicts = [], []
+        for name in sorted(incoming):
+            p = dict(incoming[name])
+            final = prefix + name
+            if final in profiles and not overwrite:
+                conflicts.append(final)
+                continue
+            p["name"] = final
+            if default_tags:
+                seen = list(p.get("tags") or [])
+                p["tags"] = seen + [
+                    t for t in default_tags if t not in seen
+                ]
+            if isinstance(p.get("last_used"), str):
+                p["last_used"] = datetime.fromisoformat(p["last_used"])
+            profiles[final] = {**self._STATS_DEFAULTS, **p}
+            imported.append(final)
+        self._save(profiles)
+        return {"imported": imported, "conflicts": conflicts}
+
     # -- A8 usage stats (RecordUsage manager.go:423-463) -------------------
 
     def record_usage(self, name: str, sync_ms: int, success: bool,

@@ -215,3 +215,76 @@ def test_similar_profiles_weighted_ranking(store, spark):
     assert by_name["twin"] == 1.0
     # self never returned
     assert "base" not in names
+
+
+def test_export_import_round_trip(store, tmp_path):
+    """import_export.go:15-170 semantics: names filter wins over tags;
+    --no-stats resets usage; import skips conflicts unless overwrite,
+    applies prefix and default tags, validates on request."""
+    store.create(_mk("alpha", repository="r", tags=["prod"]))
+    store.create(_mk("beta", repository="r", tags=["dev"]))
+    store.record_usage("alpha", 100, True, T0)
+    f = str(tmp_path / "out.yaml")
+
+    # tags filter
+    assert store.export_profiles(f, tags=["prod"]) == 1
+    # names filter beats tags
+    assert store.export_profiles(f, names=["beta"], tags=["prod"]) == 1
+    # no-stats export resets usage in the FILE, not the store
+    assert store.export_profiles(f, include_stats=False) == 2
+    other = ProfileStore(str(tmp_path / "other"))
+    out = other.import_profiles(f)
+    assert out == {"imported": ["alpha", "beta"], "conflicts": []}
+    assert other.get("alpha")["times_used"] == 0
+    assert store.get("alpha")["times_used"] == 1
+
+    # conflicts skip unless overwrite; prefix + default tags apply
+    out = other.import_profiles(f)
+    assert out == {"imported": [], "conflicts": ["alpha", "beta"]}
+    out = other.import_profiles(f, prefix="team-", default_tags=["ext"])
+    assert out["imported"] == ["team-alpha", "team-beta"]
+    assert other.get("team-alpha")["tags"] == ["prod", "ext"]
+
+    # validate rejects an invalid file atomically
+    bad = str(tmp_path / "bad.yaml")
+    import yaml
+
+    with open(bad, "w") as fh:
+        yaml.safe_dump(
+            {"version": 1,
+             "profiles": [{"name": "x", "jql": "a", "epic_key": "b"}]},
+            fh,
+        )
+    with pytest.raises(ValueError, match="invalid"):
+        other.import_profiles(bad, validate=True)
+    assert not other.exists("x")
+
+
+def test_cli_profile_verbs(store, tmp_path, capsys):
+    """The profile CLI verb surface routes to the store (profile.go
+    subcommand parity, minus the Spark-session search/similar arms
+    covered by the plans tests)."""
+    from jira_cdc_git_spark.cli import main
+
+    s = ["--store", store.base]
+    spec = json.dumps(_mk("alpha", repository="r"))
+    assert main(["profile", "create", *s, "--spec", spec]) == 0
+    assert main(["profile", "rename", *s, "--name", "alpha",
+                 "--target", "omega"]) == 0
+    assert main(["profile", "duplicate", *s, "--name", "omega",
+                 "--target", "omega2"]) == 0
+    assert main(["profile", "update", *s, "--name", "omega2",
+                 "--spec", json.dumps({"description": "upd"})]) == 0
+    f = str(tmp_path / "x.yaml")
+    assert main(["profile", "export", *s, "--file", f]) == 0
+    assert main(["profile", "backup", *s]) == 0
+    assert main(["profile", "delete", *s, "--name", "omega2"]) == 0
+    assert main(["profile", "restore", *s]) == 0
+    assert store.exists("omega2")
+    assert main(["profile", "validate", *s]) == 0
+    capsys.readouterr()
+    assert main(["profile", "list", *s]) == 0
+    assert capsys.readouterr().out.split() == ["omega", "omega2"]
+
+
+import json  # noqa: E402
