@@ -846,3 +846,44 @@ def test_q3_q5_join_shapes(spark, sf_dir):
     p5 = _plan(R.local_supplier_volume(spark, sf_dir))
     assert p5.count("BroadcastExchange") >= 4
     assert "CartesianProduct" not in p5
+
+
+# -- r8 TPC-H completion wave: the scale properties each analog claims ------
+
+
+def test_q6_pushes_all_three_predicates(spark, sf_dir):
+    plan = _plan(R.forecast_revenue_change(spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed
+    assert "l_quantity" in pushed
+    # no join anywhere — Q6 is a pure scan-agg
+    assert "Join" not in plan
+
+
+def test_q9_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(R.product_profit_by_nation(spark, sf_dir))
+    # part/supplier/nation (and orders at this SF) all broadcast; the
+    # name-token filter reaches the part scan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or "o_orderkey" in plan
+    pushed_part = [
+        seg for seg in plan.split("PushedFilters")[1:] if "p_name" in seg[:300]
+    ]
+    assert pushed_part, "name-token filter must reach the part scan"
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    plan = _plan(R.disjunctive_band_revenue(spark, sf_dir))
+    segs = plan.split("PushedFilters")[1:]
+    # the quantity OR-bands reach the lineitem scan, the brand/size
+    # OR-bands reach the part scan (CNF extraction both sides)
+    assert any("l_quantity" in s[:600] and "Or(" in s[:600] for s in segs)
+    assert any("p_brand" in s[:600] for s in segs)
+
+
+def test_q21_status_filter_pushed_and_topk(spark, sf_dir):
+    plan = _plan(R.waiting_suppliers_report(spark, sf_dir))
+    assert any(
+        "o_orderstatus" in s[:300] for s in plan.split("PushedFilters")[1:]
+    )
+    assert "TakeOrderedAndProject" in plan
