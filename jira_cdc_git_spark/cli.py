@@ -148,7 +148,7 @@ def cmd_profile(args: argparse.Namespace) -> int:
 
     if args.action in ("show", "delete", "similar"):
         _require(args, "name")
-    elif args.action == "create":
+    elif args.action == "create" and not args.template:
         _require(args, "spec")
     elif args.action == "update":
         _require(args, "name", "spec")
@@ -160,10 +160,32 @@ def cmd_profile(args: argparse.Namespace) -> int:
     if args.action == "list":
         for n in store.list_names():
             print(n)
+    elif args.action == "templates":
+        from jira_cdc_git_spark.profile_templates import (
+            templates_by_category,
+        )
+
+        for cat, ts in sorted(templates_by_category().items()):
+            for t in ts:
+                print(f"{t['id']}\t{cat}\t{t['name']}")
     elif args.action == "show":
         print(json.dumps(store.get(args.name), default=str))
     elif args.action == "create":
-        store.create(json.loads(args.spec))
+        if args.template:
+            from jira_cdc_git_spark.profile_templates import (
+                create_from_template,
+            )
+
+            _require(args, "name")
+            store.create(
+                create_from_template(
+                    args.template,
+                    args.name,
+                    json.loads(args.vars) if args.vars else {},
+                )
+            )
+        else:
+            store.create(json.loads(args.spec))
     elif args.action == "update":
         store.update(args.name, json.loads(args.spec))
     elif args.action == "delete":
@@ -308,13 +330,19 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "list", "show", "create", "update", "delete", "rename",
             "duplicate", "backup", "restore", "validate", "repair",
-            "export", "import", "search", "similar",
+            "export", "import", "search", "similar", "templates",
         ],
     )
     pr.add_argument("--store", required=True)
     pr.add_argument("--name")
     pr.add_argument("--spec")
     pr.add_argument("--target", help="new name for rename/duplicate")
+    pr.add_argument(
+        "--template", help="create: instantiate a builtin profile template"
+    )
+    pr.add_argument(
+        "--vars", help="create --template: JSON object of template variables"
+    )
     pr.add_argument("--file", help="export/import file path")
     pr.add_argument("--names", help="export: comma-separated name filter")
     pr.add_argument("--tags", help="tag filter / import default tags")

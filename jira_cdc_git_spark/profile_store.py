@@ -189,13 +189,15 @@ class ProfileStore:
             f.write(data)
         os.replace(tmp, self.path)
 
-    def validate_profile(self, p: dict) -> dict:
+    @staticmethod
+    def validate_profile(p: dict) -> dict:
         """ValidateProfile (manager.go:254-313): name charset, EXACTLY
         one sync mode (jql | issue_keys | epic_key), repository
         required, rate-limit parseable, incremental+force mutually
-        exclusive; out-of-range concurrency is a warning."""
+        exclusive; out-of-range concurrency is a warning. Static — the
+        template instantiator validates before any store exists."""
         errors, warnings = [], []
-        name_err = self.validate_name(p.get("name") or "")
+        name_err = ProfileStore.validate_name(p.get("name") or "")
         if name_err:
             errors.append(name_err)
         n_modes = sum(

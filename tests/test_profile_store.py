@@ -288,3 +288,68 @@ def test_cli_profile_verbs(store, tmp_path, capsys):
 
 
 import json  # noqa: E402
+
+
+def test_profile_templates_instantiation():
+    """templates.go:10-530 parity: 7 builtin templates; required-var
+    validation; defaults; the recent-updates conditional project filter;
+    issue_keys comma-split; invalid instantiation rejected."""
+    from jira_cdc_git_spark import profile_templates as PT
+
+    ids = [t["id"] for t in PT.get_templates()]
+    assert ids == [
+        "epic-all-issues", "epic-stories-only", "project-active-issues",
+        "my-current-sprint", "recent-updates", "custom-jql", "issue-list",
+    ]
+    assert sorted(PT.templates_by_category()) == [
+        "custom", "epic", "monitoring", "personal", "project",
+    ]
+    with pytest.raises(KeyError):
+        PT.get_template("nope")
+
+    p = PT.create_from_template(
+        "epic-all-issues", "my-epic",
+        {"epic_key": "PROJ-123", "repository": "./repo"},
+    )
+    assert p["epic_key"] == "PROJ-123"
+    assert p["description"] == "Sync for EPIC PROJ-123 - all associated issues"
+    assert p["concurrency"] == 5 and p["tags"] == ["epic", "comprehensive"]
+    with pytest.raises(ValueError, match="epic_key"):
+        PT.create_from_template(
+            "epic-all-issues", "x", {"repository": "./r"}
+        )
+
+    # default days=7; conditional project filter only when provided
+    p = PT.create_from_template(
+        "recent-updates", "weekly", {"repository": "./r"}
+    )
+    assert p["jql"] == "updated >= -7d"
+    p = PT.create_from_template(
+        "recent-updates", "ai",
+        {"repository": "./r", "days": "3", "project_filter": "A,B"},
+    )
+    assert p["jql"] == "updated >= -3d AND project in (A,B)"
+
+    p = PT.create_from_template(
+        "issue-list", "rel",
+        {"issue_keys": "P-1, P-2 ,P-3", "repository": "./r"},
+    )
+    assert p["issue_keys"] == ["P-1", "P-2", "P-3"]
+    assert p["description"] == "Specific issues: P-1, P-2 ,P-3"
+
+
+def test_cli_profile_template_create(store, capsys):
+    from jira_cdc_git_spark.cli import main
+
+    s = ["--store", store.base]
+    assert main(["profile", "templates", *s]) == 0
+    out = capsys.readouterr().out
+    assert "epic-all-issues\tepic" in out
+    assert main([
+        "profile", "create", *s, "--template", "project-active-issues",
+        "--name", "proj", "--vars",
+        json.dumps({"project_key": "PROJ", "repository": "./r"}),
+    ]) == 0
+    p = store.get("proj")
+    assert p["jql"].startswith("project = PROJ AND status != Closed")
+    assert p["concurrency"] == 8
