@@ -48,11 +48,17 @@ end-of-round full-registry replay at sf0.01 was all-green, and the two
 post-replay r7 waves (+6 entries) earned fully-green driver rows in
 CORRECTNESS_r07, so no entry shipped unproven.
 Round-8 rotation: CORRECTNESS_r07 was 50/50 fully green, freeing the
-whole window again; per the r7 verdict the window now leads with the r8
-additions followed by ≥25 of the OLDEST r2/r3-vintage entries
-(point_lookup, pricing_summary, incremental_changes, config_drift, the
-jql_* templates, …) so they re-earn driver rows at sf0.01 on current
-code (rotation hygiene, r6 task 9 / r7 task 3).
+whole window again; per the r7 verdict the window = the 12 round-8
+additions (the KMV twin, the Q6/Q9/Q17/Q19/Q21 analogs, readability /
+dataset-card / transition-entropy / clustering-NMI, the RRF fusion,
+the ACF report, tokenizer fertility), the 3 operators whose CODE
+changed this round (fuzzy's 8-char blocking key, linkpred's
+capped-adjacency jaccard, hits' materialization rewrite), and 35 of
+the OLDEST r2/r3-vintage entries (point_lookup, pricing_summary,
+incremental_changes, config_drift, the jql_* templates, …) so they
+re-earn driver rows at sf0.01 on current code (rotation hygiene, r6
+task 9 / r7 task 3). The whole 50-slot window was pre-proven 50/50
+green by a local sf0.01 differential run before shipping.
 The registry has 291
 entries: 283 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
