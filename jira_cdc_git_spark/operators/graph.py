@@ -110,7 +110,14 @@ def broken_links(edges: DataFrame, issues: DataFrame, dst_col: str = "dst_key") 
 #: bounded computation, parity holds even at the cap — the
 #: kcore/pagerank fixed-rounds discipline. Fixture graphs converge in
 #: <= 6 rounds (asserted in tests); 12 leaves 2x headroom.
-STAR_ROUNDS = 12
+#: Round budget for the two-phase star loop. The sf0.1 issue-link graph
+#: (one ~142k-node component) converges in 15-16 rounds — measured r8
+#: after the 12-round budget fired the unconverged warning on the
+#: headline bench — so 18 gives O(log^2 n) headroom; converging graphs
+#: early-exit, so only genuinely deep graphs pay for the raise. The
+#: link_components oracle unrolls this same constant, so extra rounds
+#: past convergence stay no-ops on BOTH engines.
+STAR_ROUNDS = 18
 
 
 def connected_components(
