@@ -203,6 +203,42 @@ AUDITS = [
         "argmax is array_max — no Exchange besides the spread "
         "repartition, no aggregate, no join.",
     ),
+    # -- r8 additions ------------------------------------------------------
+    (
+        "fuzzy_match_entities",
+        "Record linkage stays block-local: the candidate join is an "
+        "EQUI-join on the scale-aware right(name, 8) blocking key (r8 "
+        "fix — the 4-char key space saturated and went quadratic at "
+        "10x), levenshtein runs only inside blocks, and the best-match "
+        "window partitions by import_id.",
+    ),
+    (
+        "forecast_revenue_change",
+        "Q6 is THE pushdown shape: ship-year range, discount band, and "
+        "quantity cap ALL land in PushedFilters; no join anywhere; one "
+        "two-phase integer-unit aggregation in WholeStageCodegen.",
+    ),
+    (
+        "disjunctive_band_revenue",
+        "Q19's OR-of-ANDs splits by CNF extraction: the quantity "
+        "OR-bands reach the lineitem scan and the brand/size OR-bands "
+        "reach the part scan; the pruned part dim broadcasts.",
+    ),
+    (
+        "waiting_suppliers_report",
+        "Q21's double-EXISTS is algebraized: one groupBy(orderkey, "
+        "suppkey) partial, one per-order rollup join (orderkey "
+        "partitioning reused), a broadcast supplier lookup, and "
+        "TakeOrderedAndProject for the top-k — no correlated "
+        "self-joins.",
+    ),
+    (
+        "hybrid_rrf_topk",
+        "Retrieval fusion composes the two ranker plans untouched "
+        "(posting-scoped BM25 aggregation; broadcast-query cosine scan "
+        "with TakeOrderedAndProject); the RRF join itself is over the "
+        "tiny top pools — the corpus is never re-touched.",
+    ),
 ]
 
 MAX_LINES = 58
