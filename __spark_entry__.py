@@ -59,8 +59,8 @@ incremental_changes, config_drift, the jql_* templates, …) so they
 re-earn driver rows at sf0.01 on current code (rotation hygiene, r6
 task 9 / r7 task 3). The whole 50-slot window was pre-proven 50/50
 green by a local sf0.01 differential run before shipping.
-The registry has 291
-entries: 283 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 293
+entries: 285 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": V.hybrid_rrf_topk,
         "autocorrelation_report": TS.autocorrelation_report,
         "tokenizer_fertility_report": T.tokenizer_fertility_report,
+        "source_lang_entropy": T.source_lang_entropy,
+        "embedding_dim_variance_report": V.embedding_dim_variance_report,
         # r8 re-earns: operators whose code changed this round (fuzzy's
         # scale-aware blocking key, linkpred's capped-adjacency jaccard,
         # hits' materialization rewrite)
@@ -190,10 +192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_profiles": P.top_profiles,
         "jql_epic_all": J.jql_epic_all,
         "jql_epic_stories": J.jql_epic_stories,
-        "jql_recent_updates": J.jql_recent_updates,
-        "jql_my_sprint": J.jql_my_sprint,
         # slots 51+: displaced by the rrf/acf additions — both carry
         # green rows from r2/r3 and the pytest replay
+        "jql_recent_updates": J.jql_recent_updates,
+        "jql_my_sprint": J.jql_my_sprint,
         "commit_messages": J.commit_messages,
         "epic_hierarchy": J.epic_hierarchy,
         "relationship_census": J.relationship_census,
@@ -7020,6 +7022,68 @@ _ORACLES["autocorrelation_report"] = f"""
            floor(num_u / CAST(den_u AS DOUBLE) * 1000000 + 0.5) / 1000000
              AS acf
     FROM num JOIN den USING (event_type)"""
+
+
+# Mirrors operators/text.source_lang_entropy — ENTROPY_UNIT-quantized
+# terms per (source, lang) cell, per-source integer sums.
+_ORACLES["source_lang_entropy"] = f"""
+    WITH cells AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ), t AS (
+        SELECT source, n,
+               CAST(floor(-(n / (sum(n) OVER (PARTITION BY source)))
+                          * ln(n / (sum(n) OVER (PARTITION BY source)))
+                          * {TS.ENTROPY_UNIT}) AS BIGINT) AS term_u,
+               max(n) OVER (PARTITION BY source) AS mx,
+               sum(n) OVER (PARTITION BY source) AS total
+        FROM cells
+    ), agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(term_u) AS BIGINT) AS h_u,
+               any_value(mx) / any_value(total) AS maj
+        FROM t GROUP BY 1
+    )
+    SELECT source, n_langs, n_docs,
+           floor(h_u / {float(TS.ENTROPY_UNIT)} * 1000000 + 0.5) / 1000000
+             AS lang_entropy,
+           CASE WHEN n_langs > 1 THEN
+               floor(h_u / {float(TS.ENTROPY_UNIT)}
+                     / ln(CAST(n_langs AS DOUBLE)) * 1000000 + 0.5)
+                 / 1000000
+           END AS norm_entropy,
+           floor(maj * 1000000 + 0.5) / 1000000 AS majority_share
+    FROM agg"""
+
+# Mirrors operators/vectors.embedding_dim_variance_report — integer
+# moment sums per dimension over DIMVAR_UNIT-quantized coordinates,
+# each squared factor double-cast before multiplying.
+_ORACLES["embedding_dim_variance_report"] = f"""
+    WITH coords AS (
+        SELECT CAST(c.dim AS INTEGER) AS dim, c.xu AS xu
+        FROM (SELECT unnest(list_transform(
+                  generate_series(1, CAST(len(embedding) AS INTEGER)),
+                  i -> struct_pack(
+                      dim := i - 1,
+                      xu := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                       * {V.DIMVAR_UNIT} + 0.5)
+                                 AS BIGINT)))) AS c
+              FROM embeddings) t
+    ), agg AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xu) AS BIGINT) AS s1,
+               CAST(sum(xu * xu) AS BIGINT) AS s2
+        FROM coords GROUP BY 1
+    )
+    SELECT dim, n,
+           floor(s1 / n / {float(V.DIMVAR_UNIT)} * 1000000 + 0.5)
+             / 1000000 AS mean,
+           floor((CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / ({float(V.DIMVAR_UNIT)} * {float(V.DIMVAR_UNIT)})
+                 * 1000000 + 0.5) / 1000000 AS variance
+    FROM agg"""
 
 
 # ===== Round-7 wave: driver twins for pytest-only §2 rows =====

@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "hybrid_rrf_topk",
     "autocorrelation_report",
     "tokenizer_fertility_report",
+    "source_lang_entropy",
+    "embedding_dim_variance_report",
     # r7 driver twins (C3 option arms, F12 job id, F13 JSON edge, S4 YAML)
     "incremental_option_variants",
     "job_id_report",
@@ -602,6 +604,7 @@ SCALE_PROBE_QUERIES = [
     "hybrid_rrf_topk",
     "autocorrelation_report",
     "kmv_accuracy_report",
+    "embedding_dim_variance_report",
 ]
 
 

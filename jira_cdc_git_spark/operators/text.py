@@ -4751,3 +4751,60 @@ def tokenizer_fertility_report(
             ).alias("unsplit_share"),
         )
     )
+
+
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy per source — the corpus-mixing diagnostic
+    next to the dataset card: H(lang | source) over exact doc counts,
+    plus the language count and majority share. A crawl source whose
+    entropy collapses between snapshots changed its upstream mix; a
+    near-zero entropy source is monolingual (fine) or mis-tagged
+    (check). Normalized arm = H / ln(n_langs), NULL for single-lang
+    sources.
+
+    CROSS-ENGINE DETERMINISM: the per-(source, lang) -p·ln(p) terms are
+    fixed-shape IEEE over exact counts, floored to micro-units before
+    the per-source integer sum (the ENTROPY_UNIT discipline).
+
+    100 TB shape: one |sources × langs|-bounded partial-agg shuffle;
+    everything after is group-cardinality-sized."""
+    from jira_cdc_git_spark.operators.timeseries import ENTROPY_UNIT
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    p = F.col("n") / F.sum("n").over(w)
+    term_u = F.floor(-p * F.log(p) * ENTROPY_UNIT).cast("long")
+    mx = F.max("n").over(w)
+    per_src = (
+        cells.select(
+            "source",
+            term_u.alias("term_u"),
+            F.col("n"),
+            mx.alias("mx"),
+            F.sum("n").over(w).alias("total"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_langs"),
+            F.sum("n").alias("n_docs"),
+            F.sum("term_u").alias("h_u"),
+            (F.first("mx") / F.first("total")).alias("maj"),
+        )
+    )
+    h = F.col("h_u") / F.lit(float(ENTROPY_UNIT))
+    return per_src.select(
+        "source",
+        "n_langs",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        TX.round_half_up(h, 6).alias("lang_entropy"),
+        F.when(
+            F.col("n_langs") > 1,
+            TX.round_half_up(
+                h / F.log(F.col("n_langs").cast("double")), 6
+            ),
+        ).alias("norm_entropy"),
+        TX.round_half_up(F.col("maj"), 6).alias("majority_share"),
+    )

@@ -2401,3 +2401,59 @@ def hybrid_rrf_topk(
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+#: per-dimension coordinate quantization unit: 1e4 keeps xu^2 <= 1e8 so
+#: the integer moment sum stays inside int64 up to ~9e10 vectors per
+#: dimension (1e6 would overflow past ~9e6 — too low for sf100); the
+#: 1e-4 grid contributes ~8e-10 variance error, invisible at 6 dp.
+DIMVAR_UNIT = 10_000
+
+
+def embedding_dim_variance_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension mean/variance of the embedding matrix — the
+    feature-health readout every embedding pipeline runs before
+    indexing: dead dimensions (variance ~ 0) waste index bytes and
+    break PQ subspace splits; runaway dimensions dominate L2 and call
+    for normalization (embedding_norm_stats' per-vector companion,
+    transposed).
+
+    CROSS-ENGINE DETERMINISM: coordinates quantize to DIMVAR_UNIT
+    integer units BEFORE the sums, so n/Σx/Σx² are exact integers
+    per dimension; mean and variance are one fixed-shape IEEE chain
+    with each Σx² / (Σx)² factor cast to double BEFORE multiplying
+    (int64 would overflow at corpus scale — the event_type_correlation
+    discipline).
+
+    100 TB shape: posexplode is a narrow per-row fan-out (rows × dim);
+    ONE partial-agg shuffle keyed by the |dim|-bounded position;
+    everything after is 64 rows."""
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    coords = emb.select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x")
+    ).select(
+        "dim",
+        F.floor(F.col("x") * DIMVAR_UNIT + F.lit(0.5)).cast("long").alias(
+            "xu"
+        ),
+    )
+    agg = coords.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xu").alias("s1"),
+        F.sum(F.col("xu") * F.col("xu")).alias("s2"),
+    )
+    u = float(DIMVAR_UNIT)
+    mean = F.col("s1") / F.col("n") / u
+    var = (
+        F.col("s2").cast("double") / F.col("n")
+        - (F.col("s1").cast("double") / F.col("n"))
+        * (F.col("s1").cast("double") / F.col("n"))
+    ) / (u * u)
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        TX.round_half_up(mean, 6).alias("mean"),
+        TX.round_half_up(var, 6).alias("variance"),
+    )

@@ -106,6 +106,8 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         V.binary_hamming_topk,
         # r8 additions
         T.readability_report,
+        T.source_lang_entropy,
+        V.embedding_dim_variance_report,
         T.kmv_accuracy_report,
         T.dataset_card_report,
         V.hybrid_rrf_topk,

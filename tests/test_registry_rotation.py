@@ -71,6 +71,6 @@ def test_unproven_entries_fit_driver_window():
 def test_registry_counts_match_docstring():
     names = list(E.queries())
     oracles = set(E.oracle_sql())
-    assert len(names) == 291
-    assert len(oracles) == 283
+    assert len(names) == 293
+    assert len(oracles) == 285
     assert set(oracles) <= set(names)
