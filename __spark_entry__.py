@@ -38,7 +38,7 @@ so the five oracle-stashed backlog operators (interarrival_stats,
 conversion_latency_report, srp_neardup_pairs, core_numbers,
 dup_source_matrix) plus this round's additions take the leading slots.
 Round-7 rotation: CORRECTNESS_r06 was 50/50 fully green, freeing the
-whole window again; the 31 round-7 additions (driver twins for C3/F12/
+whole window again; the round-7 additions (driver twins for C3/F12/
 F13/S4, the TPC-H completion + Q2/Q4 analogs, PPR/MIPS/embedding/vocab/
 JSON/window/set-op/Pareto/reciprocity/prefix-dedup analytics, the
 statistical wave, hard negatives, CSV round-trip, KMV overlap, length
@@ -48,17 +48,27 @@ end-of-round full-registry replay at sf0.01 was all-green, and the two
 post-replay r7 waves (+6 entries) earned fully-green driver rows in
 CORRECTNESS_r07, so no entry shipped unproven.
 Round-8 rotation: CORRECTNESS_r07 was 50/50 fully green, freeing the
-whole window again; per the r7 verdict the window = the 12 round-8
+whole window again; per the r7 verdict the window = the round-8
 additions (the KMV twin, the Q6/Q9/Q17/Q19/Q21 analogs, readability /
 dataset-card / transition-entropy / clustering-NMI, the RRF fusion,
-the ACF report, tokenizer fertility), the 3 operators whose CODE
-changed this round (fuzzy's 8-char blocking key, linkpred's
-capped-adjacency jaccard, hits' materialization rewrite), and 35 of
-the OLDEST r2/r3-vintage entries (point_lookup, pricing_summary,
-incremental_changes, config_drift, the jql_* templates, …) so they
-re-earn driver rows at sf0.01 on current code (rotation hygiene, r6
-task 9 / r7 task 3). The whole 50-slot window was pre-proven 50/50
-green by a local sf0.01 differential run before shipping.
+the ACF report, tokenizer fertility, source-lang entropy, embedding
+dim variance), the 3 operators whose CODE changed that round (fuzzy's
+8-char blocking key, linkpred's capped-adjacency jaccard, hits'
+materialization rewrite), and the OLDEST r2/r3-vintage entries
+(point_lookup, pricing_summary, incremental_changes, config_drift,
+the jql_* templates, …) so they re-earn driver rows at sf0.01 on
+current code (rotation hygiene, r6 task 9 / r7 task 3). Per-round
+addition COUNTS are deliberately not stated in prose (the r8 prose
+said 12 where the window carried 15 — r8 verdict What's-wrong #3);
+tests/test_registry_rotation.py derives first-green composition from
+the committed CORRECTNESS artifacts and asserts it mechanically.
+Round-9 rotation: CORRECTNESS_r08 was 50/50 fully green, freeing the
+whole window again; the window = the round-9 additions, operators
+whose code changed this round, and the next-oldest tranche of r3/r4-
+vintage entries that have never re-earned a driver row on current
+code (commit_messages, timestamp_multiformat, reconciliation_report,
+validate_requests, the epic-discovery variants, jql_was_*, the r4
+curation wave).
 The registry has 293
 entries: 285 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media

@@ -433,8 +433,9 @@ def main() -> None:
     # generating queries once each. `ratio` is sf1_sec / sf0.1_sec on 10×
     # data — linear scaling shows as <=10 (fixed overheads amortize, so
     # healthy operators land 2-4×); anything >10 is superlinear candidate
-    # growth. sf1 timings are single-run (the sf-dir timings above are
-    # min-of-2), so ratios carry ~1s of codegen noise and read high.
+    # growth. Ops whose single-run ratio exceeds BORDERLINE_RATIO are
+    # re-measured with interleaved base+sf1 legs and report the median
+    # of 3 paired ratios (run counts + samples land in the artifact).
     scale_probe: dict[str, object] = {}
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
         try:
@@ -605,10 +606,22 @@ SCALE_PROBE_QUERIES = [
     "autocorrelation_report",
     "kmv_accuracy_report",
     "embedding_dim_variance_report",
+    # the two r8 late-commit operators that shipped unprobed (r8 verdict
+    # task 2) — the corpus-wide encode join and the source-mix entropy
+    "tokenizer_fertility_report",
+    "source_lang_entropy",
 ]
 
 
+#: single-run ratio above which the probe re-measures (median-of-3,
+#: interleaved legs). 4.0 = within 2.5x of the 10x superlinearity line —
+#: r8 measured 6.03 / 8.84 / 10.16 on the SAME semdedup_capped code
+#: across runs, so anything a stall could push over the line re-runs.
+BORDERLINE_RATIO = 4.0
+
+
 def _run_scale_probe(spark, sf_dir: str, sf, timings: dict[str, float]) -> dict:
+    import statistics
     import time as _t
 
     from jira_cdc_git_spark.scaleprobe import build_scaled_dir
@@ -624,32 +637,49 @@ def _run_scale_probe(spark, sf_dir: str, sf, timings: dict[str, float]) -> dict:
     gen_sec = round(_t.perf_counter() - t0, 3)
 
     qs = E.queries()
-    probed: dict[str, float] = {}
-    ratios: dict[str, float] = {}
-    for name in SCALE_PROBE_QUERIES:
+
+    def _leg(name: str, data_dir: str) -> float:
         spark.catalog.clearCache()
         t0 = _t.perf_counter()
-        qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
-        dt = round(_t.perf_counter() - t0, 3)
+        qs[name](spark, data_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(_t.perf_counter() - t0, 3)
+
+    probed: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    run_counts: dict[str, int] = {}
+    ratio_samples: dict[str, list[float]] = {}
+    for name in SCALE_PROBE_QUERIES:
+        dt = _leg(name, out_dir)
         base = timings.get(name)
-        if base and dt / base > 4:
-            # suspect ratio: re-run once and take the min — a single run
-            # carries first-run codegen/plan-compile plus the VM's
-            # occasional multi-second stall, either of which can push a
-            # healthy operator past the superlinearity line (observed:
-            # the same unchanged operator measured 2.3x and 7x across
-            # same-day runs). A TRUE superlinear operator stays high on
-            # the second run too; threshold 4 keeps the re-run cost to a
-            # handful of queries.
-            spark.catalog.clearCache()
-            t0 = _t.perf_counter()
-            qs[name](spark, out_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = min(dt, round(_t.perf_counter() - t0, 3))
-        probed[name] = dt
-        if base:
-            ratios[name] = round(dt / base, 2)
+        pairs = [(dt, base)] if base else []
+        if base and dt / base > BORDERLINE_RATIO:
+            # Borderline/suspect ratio — make the gate noise-robust
+            # (r8 verdict task 1): a single sf1 run carries first-run
+            # codegen plus the VM's multi-second hypervisor/GC stalls,
+            # and the base leg (the headline min) was measured ~20
+            # minutes earlier under different drift — identical code
+            # measured 6.03 / 8.84 / 10.16 on semdedup_capped across
+            # same-day runs, straddling the 10x gate. Re-measure BOTH
+            # legs twice more, INTERLEAVED (base then sf1, so slow VM
+            # phases inflate numerator and denominator together), and
+            # report the MEDIAN of the three paired ratios. A true
+            # superlinear operator stays high in every pair; a stall
+            # corrupts at most one pair, which the median discards.
+            for _ in range(2):
+                b = _leg(name, sf_dir)
+                d = _leg(name, out_dir)
+                pairs.append((d, b))
+            ratio_samples[name] = sorted(round(d / b, 2) for d, b in pairs)
+        run_counts[name] = max(len(pairs), 1)
+        if pairs:
+            ratios[name] = round(
+                statistics.median(d / b for d, b in pairs), 2
+            )
+            probed[name] = round(statistics.median(d for d, _ in pairs), 3)
+        else:
+            probed[name] = dt
     linear_ratios = {
         k: v for k, v in ratios.items() if k not in SUPERLINEAR_BY_DESIGN
     }
@@ -659,6 +689,11 @@ def _run_scale_probe(spark, sf_dir: str, sf, timings: dict[str, float]) -> dict:
         "gen_sec": gen_sec,
         "queries": probed,
         "ratio_vs_base": ratios,
+        # per-op measurement counts + the individual paired ratios for
+        # every borderline op — the artifact shows HOW each headline
+        # ratio was earned (single clean run vs median-of-3)
+        "run_counts": run_counts,
+        "ratio_samples": ratio_samples,
         # max over operators EXPECTED to scale linearly; documented
         # superlinear-by-design curves are reported separately
         "max_ratio": max(linear_ratios.values()) if linear_ratios else None,

@@ -74,3 +74,36 @@ def test_registry_counts_match_docstring():
     assert len(names) == 293
     assert len(oracles) == 285
     assert set(oracles) <= set(names)
+
+
+def test_round_addition_counts_derived_not_prose(tmp_path):
+    """Per-round addition counts are DERIVED from the committed
+    CORRECTNESS artifacts, never stated numerically in registry prose —
+    the r8 docstring said "the 12 round-8 additions" while the window
+    carried 15 first-green names (r8 verdict What's-wrong #3). This
+    asserts (a) the derived first-green composition for the closed
+    rounds, and (b) that the docstring carries no per-round count to
+    drift again."""
+    import re
+
+    first_seen: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        with open(f) as fh:
+            for name in json.load(fh):
+                first_seen.setdefault(name, rnd)
+    counts: dict[int, int] = {}
+    for name, rnd in first_seen.items():
+        counts[rnd] = counts.get(rnd, 0) + 1
+    # closed-round windows (the driver checks 50 slots per round): the
+    # r8 window = 15 first-green additions + 35 re-earns of names first
+    # green in earlier rounds.
+    assert counts.get(8) == 15
+    assert sum(1 for f in first_seen.values() if f == 8) == 15
+    # the registry docstring must not state a numeric per-round
+    # addition count ("the NN round-K additions") — this test owns it
+    doc = E.__doc__ or ""
+    assert not re.search(r"\b\d+\s+round-\d+\s+additions", doc), (
+        "registry docstring states a numeric per-round addition count; "
+        "derive it here instead (r8 verdict task 6)"
+    )

@@ -7,6 +7,9 @@ verbatim reads as quadratic candidate growth in the pair operators).
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 import shutil
 import tempfile
 
@@ -17,6 +20,31 @@ from jira_cdc_git_spark.scaleprobe import STRIDE, build_scaled_dir
 
 SRC = "/root/testdata/sf0.001"
 FACTOR = 3
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_probe_list_covers_new_headline_queries():
+    """Every headline bench query added this round (i.e. not yet seen in
+    ANY committed CORRECTNESS artifact) must ship with an sf1 scale-probe
+    entry IN THE SAME COMMIT — the r7 wave shipped ~17 operators unprobed
+    and r8 shipped 2 more (tokenizer_fertility_report,
+    source_lang_entropy); this makes the drift pattern structurally
+    impossible (r8 verdict task 2)."""
+    import bench
+
+    seen: set[str] = set()
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            seen.update(json.load(fh))
+    new = [n for n in bench.BENCH_QUERIES if n not in seen]
+    missing = [n for n in new if n not in bench.SCALE_PROBE_QUERIES]
+    assert not missing, (
+        "headline queries added this round lack a scale-probe entry "
+        f"(every new op ships with a measured sf1 ratio): {missing}"
+    )
+    # the two r8 stragglers are now probed explicitly
+    assert "tokenizer_fertility_report" in bench.SCALE_PROBE_QUERIES
+    assert "source_lang_entropy" in bench.SCALE_PROBE_QUERIES
 
 
 @pytest.fixture(scope="module")
