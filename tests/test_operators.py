@@ -1110,3 +1110,47 @@ def test_mmr_k50_latency_contract(spark, sf_dir):
     assert len({r["vec_id"] for r in rows}) == 50
     by_rank = sorted(rows, key=lambda r: r["rank"])
     assert by_rank[0]["rel"] == max(r["rel"] for r in rows)
+
+
+def test_trained_vocab_store_reuse(spark, sf_dir, tmp_path, monkeypatch):
+    """The stored tokenizer artifact (trained_subword_vocab) is
+    bit-identical to a fresh retrain, and the second call reads the
+    parquet back instead of retraining (r8 verdict task 3: train once /
+    store / reuse — consumers like bpe_subword_encode and
+    tokenizer_fertility_report stay oracle-replayable only because
+    stored == retrained exactly)."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DIR", str(tmp_path))
+    n_merges = 4  # small so the cold train stays fast
+    stored = T.trained_subword_vocab(spark, sf_dir, n_merges)
+    # the artifact landed on disk with its marker and merge table
+    sub = os.listdir(tmp_path)
+    assert len(sub) == 1
+    art = tmp_path / sub[0]
+    assert (art / "_BPE_VOCAB_OK").exists()
+    assert (art / "_merges").exists()
+    # stored frame == a from-scratch retrain, row for row
+    _, fresh = T._bpe_train_loop(
+        T._subword_vocab(spark, sf_dir), n_merges
+    )
+    key = lambda r: r["word"]  # noqa: E731
+    got = sorted(stored.collect(), key=key)
+    want = sorted(fresh.collect(), key=key)
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    # reuse path: poison the trainer — a cache hit must not call it
+    monkeypatch.setattr(
+        T,
+        "_bpe_train_loop",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("retrained on a warm artifact")
+        ),
+    )
+    again = sorted(T.trained_subword_vocab(spark, sf_dir, n_merges).collect(), key=key)
+    assert [r.asDict() for r in again] == [r.asDict() for r in want]
+    # a different n_merges is a different artifact (cold path again)
+    monkeypatch.undo()
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DIR", str(tmp_path))
+    other = T.trained_subword_vocab(spark, sf_dir, n_merges + 1)
+    assert len(os.listdir(tmp_path)) == 2
+    assert other.count() == stored.count()
