@@ -119,12 +119,52 @@ def broken_links(edges: DataFrame, issues: DataFrame, dst_col: str = "dst_key") 
 #: past convergence stay no-ops on BOTH engines.
 STAR_ROUNDS = 18
 
+#: Edge-count cap under which connected_components solves the graph in
+#: ONE Arrow-batched union-find task instead of driver-scheduled star
+#: rounds — the "finish locally once the graph fits on one machine"
+#: step of the MapReduce CC literature (Kiveris et al. 2014 run their
+#: final rounds in memory; GraphX's CC does the same). 1M canonical
+#: edges is ~100 MB of pandas strings — far under one executor thread's
+#: share — while the graphs that reach this path after contraction are
+#: thousands of edges. Above the cap the two-phase star loop runs
+#: unchanged, so the bound never affects correctness, only the constant
+#: factor.
+LOCAL_FINISH_CAP = 1_000_000
+
+
+def _unionfind_pdf(pdf):
+    """Exact union-find over one in-memory edge batch (u, v) → one
+    (node, root) row per incident node; root = lexicographic-min member,
+    matching the star loop's label choice. Deterministic: the output is
+    a pure function of the edge SET (union always attaches the larger
+    root under the smaller), independent of row order."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(pdf["u"], pdf["v"]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    nodes = sorted(set(pdf["u"]).union(pdf["v"]))
+    return pd.DataFrame({"node": nodes, "root": [find(n) for n in nodes]})
+
 
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = STAR_ROUNDS,
+    local_finish_cap: int = LOCAL_FINISH_CAP,
 ) -> DataFrame:
     """Undirected connected components via the two-phase star algorithm
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -165,6 +205,29 @@ def connected_components(
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
     )
+
+    # Local finish: once the canonical edge set fits the cap, ONE
+    # union-find task labels the whole graph exactly — no rounds, no
+    # per-round shuffles. The star loop's value is getting a huge graph
+    # DOWN to this size; paying ~15 driver-scheduled rounds on a
+    # few-thousand-edge graph (measured: the sf0.1 boundary graph after
+    # contraction, 7.5k edges, 14.7 s of round overhead) is pure
+    # constant-factor waste. The count is one job over the already-
+    # materialized frame.
+    if local_finish_cap and edges.count() <= local_finish_cap:
+        schema_t = dict(edges.dtypes)["u"]
+        comp = (
+            edges.withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(
+                lambda pdf: _unionfind_pdf(pdf),
+                f"node {schema_t}, root {schema_t}",
+            )
+            .select("node", F.col("root").alias("component"))
+        )
+        return all_nodes.join(comp, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        )
 
     def _adj(e: DataFrame) -> DataFrame:
         return e.select(F.col("u").alias("c"), F.col("v").alias("n")).unionByName(
@@ -822,23 +885,138 @@ def link_prediction_scores(
     ).limit(k)
 
 
+#: Key-block width for the link_components contraction pre-pass: issue
+#: keys inside the same (project, ⌊num/width⌋) block union-find locally
+#: before the star loop. Per-block memory is O(width) driver-free Python
+#: state inside one Arrow batch — 65536 nodes is a few MB, safe at any
+#: corpus scale; the sf0.1 graph has ~142k nodes so most projects fit in
+#: one or two blocks.
+CONTRACT_BLOCK = 65536
+
+
+def _contract_link_edges(
+    spark: SparkSession, edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Block-local union-find contraction — the 'local aggregation'
+    optimization of the MapReduce CC literature (Kiveris et al. 2014 §6;
+    Slota et al.'s Multistep takes the same shape): edges whose BOTH
+    endpoints share a key block (same project, same ⌊num/CONTRACT_BLOCK⌋
+    range; non-numeric keys hash into 4096 bounded buckets) collapse to
+    their block-local component root (the lexicographic-MIN member,
+    matching the star loop's label choice) in ONE Arrow-batched
+    applyInPandas pass; only boundary edges (different blocks),
+    rewritten onto the roots, survive into the global loop. Sound
+    because a block-local merge only unions nodes that genuinely share
+    a component, so the fixpoint over the contracted graph equals the
+    fixpoint over the original.
+
+    WHY: the issue-link graph is key-local chains (PROJ-100↔PROJ-102…),
+    the adversarial deep-path topology for star algorithms — the plain
+    two-phase star loop needed 15-16 live rounds at sf0.1 (32.5 s, 11%
+    of the whole headline bench; r8 verdict task 5). Local contraction
+    absorbs the chain interiors in one linear pass, leaving a boundary
+    graph of a couple nodes per (project, block) that the star loop
+    finishes in a handful of rounds.
+
+    Returns (mapping(node, root) covering EVERY node, canonical
+    boundary edges over roots). Determinism: the mapping is a pure
+    function of the edge SET (union always attaches the larger root
+    under the smaller), independent of batch order or partitioning."""
+    key_re = r"^(.*)-([0-9]+)$"
+    proj = F.regexp_extract(F.col("_k"), key_re, 1)
+    num = F.regexp_extract(F.col("_k"), key_re, 2)
+    blk = F.when(
+        num != "",
+        F.concat(
+            proj,
+            F.lit("#"),
+            F.floor(num.cast("long") / CONTRACT_BLOCK).cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("~h"), (F.abs(F.xxhash64(F.col("_k"))) % 4096).cast("string")
+        )
+    )
+
+    eb = (
+        edges.withColumn("_k", F.col("u"))
+        .withColumn("_bu", blk)
+        .withColumn("_k", F.col("v"))
+        .withColumn("_bv", blk)
+        .drop("_k")
+    )
+    intra = eb.filter(F.col("_bu") == F.col("_bv")).select(
+        F.col("_bu").alias("block"), "u", "v"
+    )
+    inter = eb.filter(F.col("_bu") != F.col("_bv")).select("u", "v")
+
+    m_intra = intra.groupBy("block").applyInPandas(
+        lambda pdf: _unionfind_pdf(pdf), "node string, root string"
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    mapping = materialize(
+        all_nodes.join(m_intra, "node", "left").select(
+            "node", F.coalesce("root", "node").alias("root")
+        )
+    )
+    ru = mapping.select(
+        F.col("node").alias("u"), F.col("root").alias("_ru")
+    )
+    rv = mapping.select(
+        F.col("node").alias("v"), F.col("root").alias("_rv")
+    )
+    boundary = materialize(
+        inter.join(ru, "u")
+        .join(rv, "v")
+        .select(
+            F.least("_ru", "_rv").alias("u"),
+            F.greatest("_ru", "_rv").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return mapping, boundary
+
+
 def link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components over the issue-link graph: every
     linked issue labeled with its component id (= min issue key in the
     component) plus the component size — the global structure view that
     tells a reference user which issue clusters travel together in a
     sync (and, on a doc corpus, which near-dup families exist beyond
-    pairwise LSH hits). Reuses the proven min-label-propagation loop
-    (connected_components, neardup_clusters' engine); the oracle is
-    DuckDB's WITH RECURSIVE transitive reach.
+    pairwise LSH hits). Exact whole-graph CC: a block-local union-find
+    contraction pass (see _contract_link_edges) absorbs the key-local
+    chain interiors, then the proven two-phase star loop
+    (connected_components) labels the boundary graph; labels compose
+    back through the contraction mapping. The oracle unrolls the star
+    rounds alone — valid because extra rounds past convergence are
+    no-ops and BOTH engines converge to the same true fixpoint.
 
-    100 TB shape: rounds ~ graph diameter, each one groupBy over the
-    edge frame; Jira graphs are shallow epic/parent forests so the loop
-    converges in a handful of rounds."""
+    100 TB shape: one Arrow-batched union-find pass over block-grouped
+    edges (per-block memory bounded by CONTRACT_BLOCK), then star
+    rounds over the ~|blocks|-sized boundary graph; the final label
+    join is one broadcast-sized map-back."""
     e = materialize(_undirected_link_edges(spark, sf_dir))
-    cc = connected_components(e, a_col="u", b_col="v")
-    sizes = cc.groupBy("component").agg(F.count("*").cast("long").alias("component_size"))
-    return cc.join(sizes, "component").select(
+    mapping, boundary = _contract_link_edges(spark, e)
+    cc = connected_components(boundary, a_col="u", b_col="v")
+    # compose: node -> local root -> global component. Roots absent from
+    # the boundary graph (fully interior blocks) are their own component.
+    root_comp = cc.withColumnRenamed("node", "root")
+    labeled = (
+        mapping.join(root_comp, "root", "left")
+        .select(
+            F.col("node"),
+            F.coalesce("component", "root").alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count("*").cast("long").alias("component_size")
+    )
+    return labeled.join(sizes, "component").select(
         F.col("node").alias("key"), "component", "component_size"
     )
 
