@@ -33,6 +33,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame, SparkSession
 
+from jira_cdc_git_spark import status_conditions as SC
+
 API_VERSION = "0.5.0-spark"
 
 #: job lifecycle (pkg/jobs JobStatus*; the repo's A7 pivot vocabulary)
@@ -249,14 +251,54 @@ class JobManager:
                 # ProgressInfo parity (types.go:129-152) — surfaced on
                 # GET /api/v1/jobs/{id} like the status subresource.
                 "progress": _progress_info(0, 0, None, "queued", "Pending"),
+                # typed condition history + health rollup (StatusManager
+                # parity, status_manager.go:35-76; r8 verdict task 7)
+                "conditions": [],
+                "health": SC.HEALTH_UNKNOWN,
+                "error_cleared": False,
                 "errors": [],
                 "logs": [f"job {job_id} created ({job_type}): {jql}"],
             }
+            # submit-time transitions (jirasync_controller.go:384-393):
+            # the spec passed validation before reaching submit, and the
+            # job is initialized but not yet scheduled.
+            self._set_conditions(
+                job,
+                [
+                    (SC.CONDITION_VALIDATED, True, SC.REASON_VALIDATING,
+                     "Sync specification validated successfully"),
+                    (SC.CONDITION_READY, False, SC.REASON_INITIALIZING,
+                     "Sync initialized, waiting for scheduling"),
+                ],
+            )
             self._jobs[job_id] = job
             self._order.append(job_id)
             self._journal(job)
             self._wake.notify()
         return job
+
+    def _set_conditions(
+        self,
+        job: dict,
+        updates: list[tuple],
+        clear_error: bool = False,
+    ) -> None:
+        """Apply condition transitions + recompute the health rollup —
+        the UpdateStatus shape (status_manager.go:80-169). Caller holds
+        the lock (or owns the job row pre-publication)."""
+        conds = job.setdefault("conditions", [])
+        now = _now_iso()
+        for ctype, status, reason, message in updates:
+            SC.set_condition(conds, ctype, status, reason, message, now)
+        if clear_error:
+            # ClearError parity (SetFailedCondition(false) zeroes
+            # RetryCount before the health rollup); the raw counter
+            # stays on the row for the retries_total metric.
+            job["error_cleared"] = True
+        job["health"] = SC.calculate_health(
+            conds, job.get("retry_count", 0), job.get("error_cleared", False)
+        )
+        job["last_status_update"] = now
 
     # -- worker --------------------------------------------------------
 
@@ -305,6 +347,11 @@ class JobManager:
                     job["started_at"] = _now_iso()
                 attempt = job.get("retry_count", 0) + 1
                 job["logs"].append(f"sync started (attempt {attempt})")
+                self._set_conditions(
+                    job,
+                    [(SC.CONDITION_PROCESSING, True, SC.REASON_PROCESSING,
+                      f"sync started (attempt {attempt})")],
+                )
                 self._journal(job)
             try:
                 counts = self._execute(job)
@@ -330,6 +377,21 @@ class JobManager:
                     job["logs"].append(
                         "sync completed: "
                         + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+                    )
+                    # completion transitions: Ready=True, Processing off,
+                    # Failed cleared (ClearError path) — the combination
+                    # ValidateStatus requires for a Completed phase
+                    self._set_conditions(
+                        job,
+                        [
+                            (SC.CONDITION_READY, True, SC.REASON_COMPLETED,
+                             "Sync completed successfully"),
+                            (SC.CONDITION_PROCESSING, False,
+                             SC.REASON_COMPLETED, "Sync completed"),
+                            (SC.CONDITION_FAILED, False, SC.REASON_COMPLETED,
+                             "Sync completed"),
+                        ],
+                        clear_error=True,
                     )
                     self._journal(job)
                     # a same-repo job may have been waiting on this one
@@ -357,14 +419,39 @@ class JobManager:
                 job["retry_count"] = retries_done + 1
                 job["retry_at"] = _ts_to_iso(time.time() + delay)
                 job["status"] = PENDING
+                job["error_cleared"] = False
                 job["logs"].append(
                     f"sync failed: {exc}; retrying "
                     f"(attempt {retries_done + 1}/{pol['max_retries']}) "
                     f"in {delay:.2f}s"
                 )
+                # a retrying failure is Failed=True with ReasonRetrying
+                # (status_manager.go:51) — health reads Unhealthy until
+                # the retry clears it, Degraded once retries pile up
+                self._set_conditions(
+                    job,
+                    [
+                        (SC.CONDITION_FAILED, True, SC.REASON_RETRYING,
+                         f"sync failed: {exc}; retrying"),
+                        (SC.CONDITION_PROCESSING, False, SC.REASON_RETRYING,
+                         "waiting for retry backoff"),
+                    ],
+                )
             else:
                 job.update(status=FAILED, completed_at=_now_iso())
+                job["error_cleared"] = False
                 job["logs"].append(f"sync failed: {exc}")
+                self._set_conditions(
+                    job,
+                    [
+                        (SC.CONDITION_FAILED, True, SC.REASON_JOB_ERROR,
+                         f"sync failed: {exc}"),
+                        (SC.CONDITION_READY, False, SC.REASON_FAILED,
+                         "Sync failed"),
+                        (SC.CONDITION_PROCESSING, False, SC.REASON_FAILED,
+                         "Sync failed"),
+                    ],
+                )
             self._journal(job)
             self._wake.notify()
 
@@ -446,12 +533,21 @@ class JobManager:
     ) -> None:
         with self._lock:
             started = job.get("started_at")
-            job["progress"] = _progress_info(
+            pi = _progress_info(
                 total,
                 completed,
                 _iso_to_ts(started) if started else None,
                 op,
                 stage,
+            )
+            job["progress"] = pi
+            # UpdateProgress parity (status_manager.go:216-239): every
+            # progress tick refreshes the Processing condition with the
+            # "<operation> (N% complete)" message
+            self._set_conditions(
+                job,
+                [(SC.CONDITION_PROCESSING, True, SC.REASON_PROCESSING,
+                  f"{op} ({pi['percentage']}% complete)")],
             )
             self._journal(job)
 
