@@ -1468,6 +1468,17 @@ def autocorrelation_report(
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
     ).agg(F.count("*").cast("long").alias("n"))
+    return acf_from_hourly(hourly, max_lag)
+
+
+def acf_from_hourly(
+    hourly: DataFrame, max_lag: int = ACF_MAX_LAG
+) -> DataFrame:
+    """ACF projection over a prepared (event_type, hour_ts, n) series —
+    shared by autocorrelation_report and its streaming twin
+    (streaming.pipeline.streaming_autocorrelation), so the snapshot a
+    stream emits is BY CONSTRUCTION the batch operator's math over the
+    incrementally-maintained counts."""
     w = Window.partitionBy("event_type").orderBy("hour_ts")
     leads = hourly.select(
         "event_type",

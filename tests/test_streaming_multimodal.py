@@ -1395,3 +1395,138 @@ def test_streaming_transition_entropy_stateful_batch_parity(
         spark, events_dir, ev.schema, str(tmp_path / "ckpt"), out_root
     )
     assert snap() == want
+
+
+def test_streaming_autocorrelation_stateful_batch_parity(
+    spark, sf_dir, tmp_path
+):
+    """The FIFTH stateful twin: per-(type, hour) counts fold
+    incrementally (abelian IVM) with atomic state+marker swaps; the ACF
+    snapshot derives from committed state through the batch operator's
+    own acf_from_hourly projection. Chunk cuts land mid-hour AND one
+    chunk delivers deliberately out-of-order/late rows; the final
+    snapshot must equal autocorrelation_report exactly, and a
+    checkpoint replay must change nothing."""
+    from pyspark.sql import functions as F
+
+    from jira_cdc_git_spark.operators.timeseries import (
+        autocorrelation_report,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        streaming_autocorrelation,
+    )
+
+    ev = load_table(spark, "events", sf_dir).orderBy("ts", "event_id")
+    rows = ev.collect()
+    # chunk 1: the MIDDLE third (so chunk 2 delivers strictly EARLIER,
+    # i.e. late, rows for hours that already folded), chunk 3 the tail;
+    # every cut lands mid-hour by construction
+    c1, c2 = len(rows) // 3, 2 * len(rows) // 3
+    events_dir = str(tmp_path / "feed")
+    for chunk in (rows[c1:c2], rows[:c1], rows[c2:]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    out_root = str(tmp_path / "acf")
+    streaming_autocorrelation(
+        spark, events_dir, ev.schema, str(tmp_path / "ckpt"), out_root
+    )
+
+    def snap():
+        return {
+            (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+            for r in spark.read.parquet(f"{out_root}/acf").collect()
+        }
+
+    got = snap()
+    want = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in autocorrelation_report(spark, sf_dir).collect()
+    }
+    assert got == want
+    # state totals equal the raw event count (nothing lost or doubled
+    # across the out-of-order chunks)
+    state = spark.read.parquet(f"{out_root}/acf_state")
+    assert state.agg(F.sum("n")).first()[0] == len(rows)
+    # idempotent re-run: same checkpoint, snapshot unchanged
+    streaming_autocorrelation(
+        spark, events_dir, ev.schema, str(tmp_path / "ckpt"), out_root
+    )
+    assert snap() == want
+
+
+def test_streaming_autocorrelation_crash_resume(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash in the WORST spot — after a batch's state table swapped
+    (applied_batch_id committed) but before its snapshot emit, with the
+    checkpoint not yet advanced. The restart replays that batch: the
+    applied_batch_id guard must skip the fold (no double counting) while
+    the unconditional snapshot recompute heals the torn emit."""
+    import jira_cdc_git_spark.state as STATE
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from jira_cdc_git_spark.operators.timeseries import (
+        autocorrelation_report,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        streaming_autocorrelation,
+    )
+
+    ev = load_table(spark, "events", sf_dir).orderBy("ts", "event_id")
+    rows = ev.collect()
+    c1 = len(rows) // 2
+    events_dir = str(tmp_path / "feed")
+    for chunk in (rows[:c1], rows[c1:]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    out_root = str(tmp_path / "acf")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_swap = STATE._swap_dir_atomic
+    calls = {"n": 0}
+
+    def flaky_swap(df, path):
+        calls["n"] += 1
+        # batch 0: calls 1 (state) + 2 (snapshot); batch 1: call 3 =
+        # state swap COMMITS, then die before call 4's snapshot emit
+        if calls["n"] == 4:
+            raise RuntimeError("injected crash before snapshot emit")
+        real_swap(df, path)
+
+    monkeypatch.setattr(STATE, "_swap_dir_atomic", flaky_swap)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        streaming_autocorrelation(
+            spark, events_dir, ev.schema, ckpt, out_root
+        )
+    # state holds BOTH batches (the fold committed) ...
+    state = spark.read.parquet(f"{out_root}/acf_state")
+    assert state.agg(F.sum("n")).first()[0] == len(rows)
+    # ... but the snapshot is still batch 0's (torn emit)
+    n_types = ev.select("event_type").distinct().count()
+    snap_before = spark.read.parquet(f"{out_root}/acf")
+    assert snap_before.count() > 0
+
+    monkeypatch.setattr(STATE, "_swap_dir_atomic", real_swap)
+    streaming_autocorrelation(spark, events_dir, ev.schema, ckpt, out_root)
+    # replay did not double-count ...
+    state = spark.read.parquet(f"{out_root}/acf_state")
+    assert state.agg(F.sum("n")).first()[0] == len(rows)
+    assert state.agg(F.max("applied_batch_id")).first()[0] == 1
+    # ... and the healed snapshot equals the batch operator exactly
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in spark.read.parquet(f"{out_root}/acf").collect()
+    }
+    want = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in autocorrelation_report(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len({t for t, _ in got}) == n_types
