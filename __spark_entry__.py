@@ -69,8 +69,8 @@ vintage entries that have never re-earned a driver row on current
 code (commit_messages, timestamp_multiformat, reconciliation_report,
 validate_requests, the epic-discovery variants, jql_was_*, the r4
 curation wave).
-The registry has 293
-entries: 285 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 299
+entries: 291 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -127,7 +127,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ===== slots 1-50: driver-checked this round =====
+        # ===== Round-9 window (slots 1-50) =====
+        # CORRECTNESS_r08 was 50/50 fully green, freeing the whole
+        # window. Composition (derived + asserted by
+        # tests/test_registry_rotation.py, never counted in prose):
+        # (a) the r9 additions — rank statistics (Mann-Whitney U, KS
+        # two-sample), retrieval NDCG/MRR eval, record-linkage blocking
+        # eval, the SemDeDup threshold curve, packing efficiency;
+        "mann_whitney_report": TS.mann_whitney_report,
+        "ks_test_report": TS.ks_test_report,
+        "blocking_quality_report": R.blocking_quality_report,
+        "retrieval_ndcg_report": T.retrieval_ndcg_report,
+        "semdedup_threshold_curve": V.semdedup_threshold_curve,
+        "packing_efficiency_report": T.packing_efficiency_report,
+        # (b) operators whose CODE changed this round: the CC family
+        # (block-local union-find contraction + bounded local finish),
+        # the semdedup candidate-pair refactor, the stored-vocab BPE
+        # consumers, the acf_from_hourly extraction;
+        "link_components": G.link_components,
+        "neardup_clusters": G.neardup_clusters,
+        "corpus_retention_clustered": T.corpus_retention_clustered,
+        "cluster_size_histogram": G.cluster_size_histogram,
+        "cross_split_leakage": T.cross_split_leakage,
+        "semdedup_capped": V.semdedup_capped,
+        "bpe_subword_encode": T.bpe_subword_encode,
+        "tokenizer_fertility_report": T.tokenizer_fertility_report,
+        "bpe_packed_chunks": T.bpe_packed_chunks,
+        "autocorrelation_report": TS.autocorrelation_report,
+        # (c) rotation hygiene (r8 verdict task 4): the 34 STALEST
+        # entries — every r2-last-green name plus the oldest r3 tranche
+        # (epic discovery variants, commit messages, the r3 curation
+        # wave) — re-earn driver rows at sf0.01 on current code.
+        "asof_last_error": TS.asof_last_error_before_purchase,
+        "bpe_token_estimate": T.bpe_token_estimate,
+        "corpus_retention": T.corpus_retention,
+        "cosine_topk": V.cosine_topk,
+        "doc_fingerprints": T.doc_fingerprints,
+        "embedding_neardup": V.embedding_neardup,
+        "ivf_topk": V.ivf_topk,
+        "lang_breakdown": T.lang_breakdown,
+        "lang_id": T.lang_id,
+        "neardup_pairs_lsh": T.neardup_pairs_lsh,
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "quality_score": T.quality_score,
+        "rolling_stats": R.rolling_stats,
+        "sessionize": TS.sessionize,
+        "sliding_windows": TS.sliding_windows,
+        "token_stats": T.token_stats,
+        "tumbling_hourly": TS.tumbling_hourly,
+        "winnow_fingerprints": T.winnow_fingerprints,
+        "bigram_surprisal": T.bigram_surprisal,
+        "boilerplate_ngrams": T.boilerplate_ngrams,
+        "commit_messages": J.commit_messages,
+        "corpus_shards": T.corpus_shards,
+        "curation_report": T.curation_report,
+        "dataset_splits": T.dataset_splits,
+        "decontaminate": T.decontaminate,
+        "doc_length_quantiles": T.doc_length_quantiles,
+        "epic_completeness": J.epic_completeness,
+        "epic_discovery_epic_link": lambda s, d: J.discover_epic_members(
+            s, d, "PROJ-0", "epic_link"
+        ),
+        "epic_discovery_parent": lambda s, d: J.discover_epic_members(
+            s, d, "PROJ-13", "parent"
+        ),
+        "epic_discovery_links": lambda s, d: J.discover_epic_members(
+            s, d, "PROJ-0", "issue_links"
+        ),
+        "epic_hierarchy": J.epic_hierarchy,
+        "epic_members_by_type": J.epic_members_by_type,
+        "gopher_quality_filters": T.gopher_quality_filters,
+        "incremental_candidates": J.incremental_candidates,
+        # ===== slots 51+ (displaced r8 window + prior-green) =====
         # Round-6 rotation: every r5-window entry is green in
         # CORRECTNESS_r05 (49 fully green + 1 clean rows-only), so the
         # whole window is free. The five oracle-stashed backlog
@@ -158,8 +229,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_label_nmi": V.cluster_label_nmi,
         # r8 retrieval fusion + rate-memory analytics
         "hybrid_rrf_topk": V.hybrid_rrf_topk,
-        "autocorrelation_report": TS.autocorrelation_report,
-        "tokenizer_fertility_report": T.tokenizer_fertility_report,
         "source_lang_entropy": T.source_lang_entropy,
         "embedding_dim_variance_report": V.embedding_dim_variance_report,
         # r8 re-earns: operators whose code changed this round (fuzzy's
@@ -206,8 +275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green rows from r2/r3 and the pytest replay
         "jql_recent_updates": J.jql_recent_updates,
         "jql_my_sprint": J.jql_my_sprint,
-        "commit_messages": J.commit_messages,
-        "epic_hierarchy": J.epic_hierarchy,
         "relationship_census": J.relationship_census,
         "incremental_option_variants": J.incremental_option_variants,
         "job_id_report": J.job_id_report,
@@ -271,13 +338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6: the linear-work sorted-neighborhood SemDeDup (capped
         # within-cluster pairwise — the 100 TB default; `semdedup`
         # stays the exact-semantics audit path)
-        "semdedup_capped": V.semdedup_capped,
         # r6: HITS hubs/authorities — integer-exact iterative link
         # analysis next to pagerank_links
         # r6: MMR diversity re-ranking after the ANN pool
         "mmr_diverse_topk": V.mmr_diverse_topk,
         # r6 wave: structural graph analytics over the issue-link graph
-        "link_components": G.link_components,
         "degree_distribution": G.degree_distribution,
         # r6 wave: event-time analytics (Markov matrix, CUSUM drift,
         # hypertable gap-fill/LOCF, seasonal-naive baseline)
@@ -311,7 +376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_equidepth_bins": TS.value_equidepth_bins,
         # r6 wave: one-number structure stats (partitioning inputs)
         "graph_assortativity": G.graph_assortativity,
-        "cluster_size_histogram": G.cluster_size_histogram,
         "gini_user_activity": TS.gini_user_activity,
         # r6 wave: runtime-filter audit + detector calibration
         "bloom_semijoin_report": R.bloom_semijoin_report,
@@ -328,7 +392,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_keywords": T.chi2_keywords,
         "char_entropy_report": T.char_entropy_report,
         "bbit_minhash_report": T.bbit_minhash_report,
-        "cross_split_leakage": T.cross_split_leakage,
         "silhouette_report": V.silhouette_report,
         "label_centroid_similarity": V.label_centroid_similarity,
         "langid_confusion": T.langid_confusion,
@@ -358,10 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": T.dsir_importance_weights,
         "dsir_resample": T.dsir_resample,
         "bpe_subword_train_merges": T.bpe_subword_train_merges,
-        "bpe_subword_encode": T.bpe_subword_encode,
         "bpe_vocab": T.bpe_vocab,
         "tokenizer_report": T.tokenizer_report,
-        "bpe_packed_chunks": T.bpe_packed_chunks,
         "corpus_manifest": T.corpus_manifest,
         "relationship_symlinks": J.relationship_symlinks,
         "multi_benchmark_decontaminate": T.multi_benchmark_decontaminate,
@@ -442,9 +503,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": T.bpe_train_merges,
         # ===== slots 51+: green in a prior round (r02/r03), replayed
         # by tests/test_oracle_parity.py on every pytest run =====
-        "epic_members_by_type": J.epic_members_by_type,
-        "epic_completeness": J.epic_completeness,
-        "incremental_candidates": J.incremental_candidates,
         "incremental_modified_only": J.incremental_modified_only,
         "incremental_project_scoped": J.incremental_project_scoped,
         "reconciliation_report": J.reconciliation_report,
@@ -454,58 +512,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": MM.media_stats,
         "validate_requests": SEC.validate_requests,
         "simhash_neardup_pairs": T.simhash_neardup_pairs,
-        "epic_discovery_epic_link": lambda s, d: J.discover_epic_members(
-            s, d, "PROJ-0", "epic_link"
-        ),
-        "epic_discovery_parent": lambda s, d: J.discover_epic_members(
-            s, d, "PROJ-13", "parent"
-        ),
-        "epic_discovery_links": lambda s, d: J.discover_epic_members(
-            s, d, "PROJ-0", "issue_links"
-        ),
         "jql_preview_breakdowns": J.jql_preview_breakdowns,
         "paged_scan_keyset": R.paged_scan_keyset,
-        "bigram_surprisal": T.bigram_surprisal,
         "kmv_distinct_estimate": T.kmv_distinct_estimate,
-        "dataset_splits": T.dataset_splits,
-        "doc_length_quantiles": T.doc_length_quantiles,
-        "neardup_clusters": G.neardup_clusters,
-        "corpus_retention_clustered": T.corpus_retention_clustered,
         "ivf_recall_report": V.ivf_recall_report,
         "tfidf_topk": T.tfidf_topk,
         "repetition_metrics": T.repetition_metrics,
-        "boilerplate_ngrams": T.boilerplate_ngrams,
-        "decontaminate": T.decontaminate,
         "pii_scrub": T.pii_scrub,
         "stratified_sample": T.stratified_sample,
         "token_examples_salted": T.token_examples_salted,
-        "corpus_shards": T.corpus_shards,
-        "curation_report": T.curation_report,
-        "gopher_quality_filters": T.gopher_quality_filters,
         "perplexity_buckets": T.perplexity_buckets,
         "source_cap_sample": T.source_cap_sample,
         "token_budget_sample": T.token_budget_sample,
         "pmi_topk": T.pmi_topk,
         "minhash_accuracy_report": T.minhash_accuracy_report,
         "semdedup": V.semdedup,
-        "doc_fingerprints": T.doc_fingerprints,
-        "neardup_pairs_lsh": T.neardup_pairs_lsh,
-        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
-        "quality_score": T.quality_score,
-        "winnow_fingerprints": T.winnow_fingerprints,
-        "bpe_token_estimate": T.bpe_token_estimate,
-        "lang_id": T.lang_id,
-        "cosine_topk": V.cosine_topk,
-        "ivf_topk": V.ivf_topk,
-        "embedding_neardup": V.embedding_neardup,
-        "tumbling_hourly": TS.tumbling_hourly,
-        "sessionize": TS.sessionize,
-        "asof_last_error": TS.asof_last_error_before_purchase,
-        "sliding_windows": TS.sliding_windows,
-        "corpus_retention": T.corpus_retention,
-        "token_stats": T.token_stats,
-        "lang_breakdown": T.lang_breakdown,
-        "rolling_stats": R.rolling_stats,
     }
 
 
@@ -7147,6 +7168,296 @@ _JIRA_ORACLES["yaml_roundtrip_report"] = f"""
     WITH {_I}
     SELECT key, project_key, summary, issuetype, status_name
     FROM issues_flat"""
+
+
+# ===== Round-9 wave: rank statistics, retrieval eval, blocking eval, =====
+# ===== dedup tuning curve, packing efficiency =====================
+
+# Mirrors operators/timeseries.mann_whitney_report: average ranks from
+# exact cumulative counts in DOUBLED units, tie term in HUGEINT (the
+# graph_assortativity discipline), one IEEE chain for U/z.
+_ORACLES["mann_whitney_report"] = f"""
+    WITH per_v AS (
+        SELECT c AS v,
+               CAST(sum(CASE WHEN event_type = '{TS.AB_ARM_A}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN event_type = '{TS.AB_ARM_B}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM (SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+              WHERE event_type IN ('{TS.AB_ARM_A}', '{TS.AB_ARM_B}'))
+        GROUP BY 1
+    ), r AS (
+        SELECT na, nb, na + nb AS nv,
+               coalesce(sum(na + nb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM per_v
+    ), agg AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a,
+               CAST(sum(nb) AS BIGINT) AS n_b,
+               CAST(sum(na * (2 * cum_before + nv + 1)) AS BIGINT)
+                 AS r_a_x2,
+               sum(CAST(nv AS HUGEINT) * CAST(nv AS HUGEINT)
+                   * CAST(nv AS HUGEINT) - CAST(nv AS HUGEINT))
+                 AS tie_term
+        FROM r
+    )
+    SELECT n_a, n_b,
+           floor((r_a_x2 - n_a * (n_a + 1)) / 2.0 * 10 + 0.5) / 10
+             AS u_stat,
+           floor(n_a * n_b / 2.0 * 10 + 0.5) / 10 AS mean_u,
+           floor(((r_a_x2 - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
+                 / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                        * (CAST(n_a + n_b + 1 AS DOUBLE)
+                           - CAST(tie_term AS DOUBLE)
+                             / (CAST(n_a + n_b AS DOUBLE)
+                                * CAST(n_a + n_b - 1 AS DOUBLE))))
+                 * 10000 + 0.5) / 10000 AS z_score
+    FROM agg"""
+
+# Mirrors operators/timeseries.ks_test_report: exact integer ECDF gap
+# numerators, argmax ties to the smallest value, the identical pinned
+# five-term Smirnov series for the p-value.
+_KS_SERIES = " ".join(
+    ("-" if j % 2 == 0 else "+")
+    + f" exp(-2.0 * {float(j * j)!r} * lam * lam)"
+    for j in range(1, TS.KS_SERIES_TERMS + 1)
+).lstrip("+ ")
+_ORACLES["ks_test_report"] = f"""
+    WITH per_v AS (
+        SELECT c AS v,
+               CAST(sum(CASE WHEN event_type = '{TS.AB_ARM_A}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS da,
+               CAST(sum(CASE WHEN event_type = '{TS.AB_ARM_B}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS db
+        FROM (SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events
+              WHERE event_type IN ('{TS.AB_ARM_A}', '{TS.AB_ARM_B}'))
+        GROUP BY 1
+    ), cum AS (
+        SELECT v,
+               sum(da) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+               sum(db) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+        FROM per_v
+    ), tot AS (
+        SELECT CAST(sum(da) AS BIGINT) AS n_a,
+               CAST(sum(db) AS BIGINT) AS n_b
+        FROM per_v
+    ), top AS (
+        SELECT v, n_a, n_b,
+               abs(cum_a * n_b - cum_b * n_a) AS gap_num
+        FROM cum CROSS JOIN tot
+        ORDER BY gap_num DESC, v LIMIT 1
+    ), lamv AS (
+        SELECT *,
+               gap_num / (CAST(n_a AS DOUBLE) * n_b) AS d,
+               sqrt(CAST(n_a AS DOUBLE) * n_b
+                    / CAST(n_a + n_b AS DOUBLE)) AS en
+        FROM top
+    ), pv AS (
+        SELECT *, (en + 0.12 + 0.11 / en) * d AS lam FROM lamv
+    )
+    SELECT n_a, n_b,
+           floor(d * 1000000 + 0.5) / 1000000 AS d_stat,
+           floor(v / 100.0 * 100 + 0.5) / 100 AS d_at_value,
+           floor(least(greatest(2.0 * ({_KS_SERIES}), 0.0), 1.0)
+                 * 1000000 + 0.5) / 1000000 AS p_value
+    FROM pv"""
+
+# Mirrors operators/relational.blocking_quality_report: the fuzzy dirty-
+# import fixture, the width grid as one keyed join, count-only metrics.
+_ORACLES["blocking_quality_report"] = f"""
+    WITH cust AS (
+        SELECT c_custkey, c_name FROM customer
+    ), imported AS (
+        SELECT c_custkey + 1000000 AS import_id,
+               substring(c_name, 1, 9) || 'O' || substring(c_name, 11)
+                 AS import_name
+        FROM cust WHERE c_custkey % 20 = 0
+    ), wg AS (
+        SELECT unnest([{", ".join(str(int(w)) for w in R.BLOCKING_WIDTHS)}])
+          AS w
+    ), iw AS (
+        SELECT import_id, import_name, w, right(import_name, w) AS bk
+        FROM imported CROSS JOIN wg
+    ), cw AS (
+        SELECT c_custkey, c_name, w, right(c_name, w) AS bk
+        FROM cust CROSS JOIN wg
+    ), per_w AS (
+        SELECT iw.w,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN cw.c_custkey = iw.import_id - 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_true_found
+        FROM iw JOIN cw ON iw.w = cw.w AND iw.bk = cw.bk
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST((SELECT count(*) FROM imported) AS BIGINT) AS n_imports,
+               CAST((SELECT count(*) FROM cust) AS BIGINT) AS n_master
+    )
+    SELECT CAST(w AS INTEGER) AS key_len, n_candidates, n_true_found,
+           n_imports,
+           floor((1.0 - n_candidates / (CAST(n_imports AS DOUBLE)
+                                        * CAST(n_master AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS reduction_ratio,
+           floor(n_true_found / n_imports * 1000000 + 0.5) / 1000000
+             AS pair_completeness
+    FROM per_w CROSS JOIN tot
+    ORDER BY key_len"""
+
+# Mirrors operators/text.retrieval_ndcg_report: the bm25_topk CTE chain
+# re-emitted (the stored bm25 oracle bakes its LIMIT), graded relevance
+# = matched-term count, micro-unit DCG through the pinned LN2 discount.
+_NDCG_NQ = len(set(T.BM25_QUERY.split()))
+_ORACLES["retrieval_ndcg_report"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+    ), st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               sum(dl) / count(*) AS avgdl
+        FROM dl
+    ), p AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        WHERE tok IN ({_BM25_TERMS})
+        GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT tok, count(*) AS df FROM p GROUP BY 1
+    ), c AS (
+        SELECT doc_id,
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * ({T.BM25_K1} + 1))
+                 / (tf + {T.BM25_K1}
+                        * (1 - {T.BM25_B} + {T.BM25_B} * dl / avgdl)) AS s
+        FROM p JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+    ), sc AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+               floor(sum(s) * 10000 + 0.5) / 10000 AS score
+        FROM c GROUP BY 1
+    ), r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS rank,
+               n_terms
+        FROM sc
+    ), d AS (
+        SELECT CAST(sum(CAST(floor((pow(2.0, n_terms) - 1.0) * {T.LN2!r}
+                                   / ln(rank + 1.0) * 1000000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS dcg_u,
+               CAST(sum(CASE WHEN n_terms = {_NDCG_NQ} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_full_topk,
+               min(CASE WHEN n_terms = {_NDCG_NQ} THEN rank END)
+                 AS first_full
+        FROM r WHERE rank <= 20
+    ), ideal AS (
+        SELECT CAST(sum(CAST(floor((pow(2.0, n_terms) - 1.0) * {T.LN2!r}
+                                   / ln(ipos + 1.0) * 1000000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS idcg_u
+        FROM (SELECT n_terms,
+                     row_number() OVER (ORDER BY n_terms DESC, doc_id)
+                       AS ipos
+              FROM sc)
+        WHERE ipos <= 20
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_scored FROM sc
+    )
+    SELECT CAST(20 AS INTEGER) AS k, n_scored, n_full_topk,
+           floor(dcg_u / 1000000.0 * 1000000 + 0.5) / 1000000 AS dcg,
+           floor(idcg_u / 1000000.0 * 1000000 + 0.5) / 1000000 AS idcg,
+           floor(dcg_u / CAST(idcg_u AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS ndcg,
+           floor(coalesce(1.0 / first_full, 0.0) * 1000000 + 0.5) / 1000000
+             AS mrr
+    FROM d CROSS JOIN ideal CROSS JOIN tot"""
+
+# Mirrors operators/vectors.semdedup_threshold_curve: the capped oracle's
+# clone/assignment/rank CTEs, then the candidate pairs aggregated against
+# the threshold grid (LEFT join so empty thresholds keep their row).
+_ORACLES["semdedup_threshold_curve"] = f"""
+    WITH clones AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_prepend(CAST(embedding[1] + 0.01 AS FLOAT), embedding[2:])
+                 AS embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id, embedding FROM clones
+    ), e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                             AS DOUBLE)) AS em
+        FROM corpus
+    ), cents AS (
+        SELECT CAST(vec_id AS INTEGER) AS cent_id, em AS ce
+        FROM e ORDER BY vec_id
+        LIMIT (SELECT CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT) FROM corpus)
+    ), assigned AS (
+        SELECT vec_id, em, cent_id AS cluster_id, CAST(d AS BIGINT) AS dist_sq
+        FROM (SELECT e.vec_id, e.em, c.cent_id,
+                     list_dot_product(e.em, e.em)
+                     - 2 * list_dot_product(e.em, c.ce)
+                     + list_dot_product(c.ce, c.ce) AS d,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(e.em, e.em)
+                         - 2 * list_dot_product(e.em, c.ce)
+                         + list_dot_product(c.ce, c.ce), c.cent_id) AS rn
+              FROM e CROSS JOIN cents c) t
+        WHERE rn = 1
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY dist_sq, vec_id) AS rnk
+        FROM assigned
+    ), pairs AS (
+        SELECT a.vec_id AS a_vec, b.vec_id AS b_vec,
+               round(list_dot_product(a.em, b.em)
+                     / sqrt(list_dot_product(a.em, a.em)
+                            * list_dot_product(b.em, b.em)), 4) AS cos4
+        FROM ranked a JOIN ranked b
+          ON a.cluster_id = b.cluster_id
+         AND b.rnk > a.rnk AND b.rnk <= a.rnk + 8
+    ), grid AS (
+        SELECT unnest([{", ".join(repr(float(t))
+                                  for t in V.SEMDEDUP_THRESHOLDS)}])
+          AS threshold
+    ), per_t AS (
+        SELECT g.threshold,
+               CAST(count(p.a_vec) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT greatest(p.a_vec, p.b_vec)) AS BIGINT)
+                 AS n_dropped
+        FROM grid g LEFT JOIN pairs p ON p.cos4 >= g.threshold
+        GROUP BY 1
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM ranked)
+    SELECT threshold, n_pairs, n_dropped, n_corpus,
+           floor((1.0 - n_dropped / n_corpus) * 1000000 + 0.5) / 1000000
+             AS retention_frac
+    FROM per_t CROSS JOIN tot
+    ORDER BY threshold DESC"""
+
+# Mirrors operators/text.packing_efficiency_report: one |langs|-bounded
+# aggregation over the bpe_packed_chunks oracle re-used as a subquery.
+_ORACLES["packing_efficiency_report"] = f"""
+    WITH packed AS ({_bpe_packed_oracle(T.BPE_MERGES)}),
+    agg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(max(last_chunk) + 1 AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boundary
+        FROM packed GROUP BY 1
+    )
+    SELECT lang, n_docs, total_tokens, n_chunks,
+           floor(total_tokens / (CAST(n_chunks AS DOUBLE) * 2048)
+                 * 1000000 + 0.5) / 1000000 AS fill_frac,
+           floor(n_boundary / n_docs * 1000000 + 0.5) / 1000000
+             AS boundary_doc_share
+    FROM agg ORDER BY lang"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -259,6 +259,14 @@ BENCH_QUERIES = [
     "top_supplier_revenue",
     "large_volume_customers",
     "dormant_rich_customers",
+    # r9 wave: rank statistics, retrieval eval, blocking eval, dedup
+    # tuning curve, packing efficiency
+    "mann_whitney_report",
+    "ks_test_report",
+    "blocking_quality_report",
+    "retrieval_ndcg_report",
+    "semdedup_threshold_curve",
+    "packing_efficiency_report",
 ]
 
 
@@ -610,6 +618,15 @@ SCALE_PROBE_QUERIES = [
     # task 2) — the corpus-wide encode join and the source-mix entropy
     "tokenizer_fertility_report",
     "source_lang_entropy",
+    # r9 wave: rank statistics, retrieval eval, blocking eval, dedup
+    # tuning curve, packing efficiency (probe-coverage invariant:
+    # every new headline op ships with an sf1 ratio in the same commit)
+    "mann_whitney_report",
+    "ks_test_report",
+    "blocking_quality_report",
+    "retrieval_ndcg_report",
+    "semdedup_threshold_curve",
+    "packing_efficiency_report",
 ]
 
 

@@ -2238,3 +2238,86 @@ def waiting_suppliers_report(
         .orderBy(F.desc("numwait"), "s_name")
         .limit(k)
     )
+
+
+#: blocking-key widths evaluated by blocking_quality_report (the r7/r8
+#: fuzzy-match incident grid: 4 saturated at 10x data, 8 is the default)
+BLOCKING_WIDTHS = (4, 6, 8)
+
+
+def blocking_quality_report(
+    spark: SparkSession, sf_dir: str, widths: tuple = BLOCKING_WIDTHS
+) -> DataFrame:
+    """Record-linkage blocking-key EVALUATION over fuzzy_match_entities'
+    own dirty-import fixture: for each candidate key width, the two
+    standard blocking metrics (Christen 2012) — REDUCTION RATIO
+    (1 - candidates / (n_import x n_master): how much of the all-pairs
+    comparison space the key prunes) and PAIR COMPLETENESS (the share of
+    true matches whose pair survives blocking: the recall ceiling any
+    downstream comparator inherits). The true match set is known by
+    construction (import_id = custkey + 1,000,000). This is the report
+    that would have caught the r7 scale incident BEFORE the probe did:
+    the 4-char key's reduction ratio collapses as the key space
+    saturates while 8 stays pruned.
+
+    100 TB shape: one explode to |widths| keyed copies, one equi-join
+    per width folded into a single (width, key) join, count-only aggs —
+    the expensive comparator never runs here; candidate counts come
+    from the join, cast to double BEFORE the ratio products so the
+    all-pairs denominator cannot overflow int64.
+    """
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    dirty_name = F.concat(
+        F.substring("c_name", 1, 9),
+        F.lit("O"),
+        F.expr("substring(c_name, 11)"),
+    )
+    imported = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("import_id"),
+        dirty_name.alias("import_name"),
+    )
+    wgrid = F.explode(
+        F.array(*[F.lit(int(w)) for w in widths])
+    ).alias("w")
+    iw = imported.select("import_id", "import_name", wgrid).withColumn(
+        "bk", F.expr("right(import_name, w)")
+    )
+    cw = cust.select("c_custkey", "c_name", wgrid).withColumn(
+        "bk", F.expr("right(c_name, w)")
+    )
+    cand = iw.join(cw, ["w", "bk"])
+    per_w = cand.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum(
+            (F.col("c_custkey") == F.col("import_id") - 1_000_000).cast(
+                "long"
+            )
+        ).alias("n_true_found"),
+    )
+    tot = imported.agg(F.count("*").cast("long").alias("n_imports")).crossJoin(
+        cust.agg(F.count("*").cast("long").alias("n_master"))
+    )
+    return (
+        per_w.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").cast("int").alias("key_len"),
+            "n_candidates",
+            "n_true_found",
+            "n_imports",
+            round_half_up(
+                1.0
+                - F.col("n_candidates")
+                / (
+                    F.col("n_imports").cast("double")
+                    * F.col("n_master").cast("double")
+                ),
+                6,
+            ).alias("reduction_ratio"),
+            round_half_up(
+                F.col("n_true_found") / F.col("n_imports"), 6
+            ).alias("pair_completeness"),
+        )
+        .orderBy("key_len")
+    )

@@ -4863,3 +4863,134 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm_entropy"),
         TX.round_half_up(F.col("maj"), 6).alias("majority_share"),
     )
+
+
+#: natural log of 2 as a pinned double — embedded verbatim in BOTH the
+#: Spark expression and the DuckDB oracle so the DCG discount uses the
+#: identical constant (a runtime ln(2) could differ one ulp per engine)
+LN2 = 0.6931471805599453
+
+
+def retrieval_ndcg_report(
+    spark: SparkSession, sf_dir: str, query: str = BM25_QUERY, k: int = 20
+) -> DataFrame:
+    """Ranking-quality evaluation of the repo's own BM25 retrieval —
+    NDCG@k and MRR (Järvelin & Kekäläinen 2002; the two numbers every
+    retrieval eval reports), with graded relevance = the number of
+    distinct query terms a document matches (a deterministic relevance
+    oracle available corpus-wide, so IDCG is the TRUE ideal over all
+    scored docs, not a top-k self-ideal). One row: k, the scored-doc
+    count, full-match count inside the top-k, DCG/IDCG/NDCG, and MRR of
+    the first full-match document.
+
+    CROSS-ENGINE DETERMINISM: gains (2^rel - 1) are exact small ints;
+    each position's discounted gain floors to micro-units through the
+    pinned-LN2 discount before the integer sum; NDCG is one division of
+    two exact unit-sums.
+
+    100 TB shape: rides bm25_topk's posting-scoped plan twice (top-k
+    ranking + all-scored rel counts); the eval math runs over <= k rows
+    plus one |scored docs| top-k agg."""
+    ranking = bm25_topk(spark, sf_dir, query, k)
+    all_scored = bm25_topk(spark, sf_dir, query, k=2_000_000_000)
+    n_query_terms = len(set(query.split()))
+
+    def gain_u(rel, pos):
+        return F.floor(
+            (F.pow(F.lit(2.0), rel) - 1.0)
+            * F.lit(LN2) / F.log(pos + F.lit(1.0))
+            * 1_000_000 + 0.5
+        ).cast("long")
+
+    dcg = ranking.agg(
+        F.sum(gain_u(F.col("n_terms"), F.col("rank"))).alias("dcg_u"),
+        F.sum(
+            (F.col("n_terms") == n_query_terms).cast("long")
+        ).alias("n_full_topk"),
+        F.min(
+            F.when(F.col("n_terms") == n_query_terms, F.col("rank"))
+        ).alias("first_full"),
+    )
+    from pyspark.sql import Window
+
+    ideal = (
+        all_scored.withColumn(
+            "ipos",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_terms"), "doc_id")
+            ),
+        )
+        .filter(F.col("ipos") <= k)
+        .agg(F.sum(gain_u(F.col("n_terms"), F.col("ipos"))).alias("idcg_u"))
+    )
+    tot = all_scored.agg(F.count("*").cast("long").alias("n_scored"))
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    return (
+        dcg.crossJoin(F.broadcast(ideal))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_scored",
+            F.col("n_full_topk").cast("long").alias("n_full_topk"),
+            round_half_up(F.col("dcg_u") / 1_000_000.0, 6).alias("dcg"),
+            round_half_up(F.col("idcg_u") / 1_000_000.0, 6).alias("idcg"),
+            round_half_up(
+                F.col("dcg_u") / F.col("idcg_u").cast("double"), 6
+            ).alias("ndcg"),
+            round_half_up(
+                F.coalesce(1.0 / F.col("first_full"), F.lit(0.0)), 6
+            ).alias("mrr"),
+        )
+    )
+
+
+def packing_efficiency_report(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = 2048,
+    block: int = 256,
+) -> DataFrame:
+    """Packing-efficiency audit of the trained-tokenizer chunk map
+    (bpe_packed_chunks): per language — the packing streams are
+    per-lang — the doc/token mass, the chunk count it packs into, the
+    FILL fraction (token mass over chunk capacity; 1 - fill is padding
+    waste, the number a pretraining-loader team watches), and the share
+    of documents that straddle a chunk boundary (each straddle is a
+    truncated attention context). The last chunk per lang is the only
+    partially-filled one under dense packing, so fill = total /
+    (ceil(total/window) * window) — asserted against the actual chunk
+    map, not assumed.
+
+    100 TB shape: one |langs|-bounded aggregation over the packing
+    frame's output; the packing frame itself is the bounded two-pass
+    prefix sum bpe_packed_chunks already pays."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    packed = bpe_packed_chunks(spark, sf_dir, window=window, block=block)
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.max("last_chunk") + 1).cast("long").alias("n_chunks"),
+            F.sum((F.col("n_chunks") > 1).cast("long")).alias(
+                "n_boundary_docs"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "n_chunks",
+            round_half_up(
+                F.col("total_tokens")
+                / (F.col("n_chunks").cast("double") * window),
+                6,
+            ).alias("fill_frac"),
+            round_half_up(
+                F.col("n_boundary_docs") / F.col("n_docs"), 6
+            ).alias("boundary_doc_share"),
+        )
+        .orderBy("lang")
+    )

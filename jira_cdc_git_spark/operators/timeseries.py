@@ -1538,3 +1538,147 @@ def acf_from_hourly(
             TX_round(F.col("num_u") / F.col("den_u"), 6).alias("acf"),
         )
     )
+
+
+def mann_whitney_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the value distributions of
+    the two experiment arms (same arms as ab_test_report) — the
+    NON-parametric companion: no normality assumption, robust to the
+    heavy tails that break Welch on revenue-like metrics. Average ranks
+    with the standard tie correction; one row: per-arm n, U for arm A,
+    its null mean, and the tie-corrected z-score (Mann & Whitney 1947;
+    normal approximation per Lehmann).
+
+    CROSS-ENGINE DETERMINISM: ranks are computed per DISTINCT cents
+    value from exact cumulative counts and carried in DOUBLED units
+    (rank_x2 = 2*cum_before + cnt + 1 — an exact integer even for .5
+    average ranks), so the rank sum is an exact-integer SUM; the tie
+    term sums n³-n in decimal(38,0) (the HUGEINT discipline of
+    graph_assortativity); z is one fixed-shape IEEE chain at the end.
+
+    100 TB shape: one groupBy(cents) partial agg bounds everything at
+    |distinct values| rows; one ordered window over that bounded frame;
+    no per-row second pass."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin(AB_ARM_A, AB_ARM_B)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_v = (
+        ev.select("event_type", cents.alias("v"))
+        .groupBy("v")
+        .agg(
+            F.sum((F.col("event_type") == AB_ARM_A).cast("long")).alias("na"),
+            F.sum((F.col("event_type") == AB_ARM_B).cast("long")).alias("nb"),
+        )
+        .withColumn("nv", F.col("na") + F.col("nb"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "cum_before", F.coalesce(F.sum("nv").over(w), F.lit(0))
+    ).withColumn("rank_x2", 2 * F.col("cum_before") + F.col("nv") + 1)
+    agg = ranked.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(F.col("na") * F.col("rank_x2")).alias("r_a_x2"),
+        F.sum(
+            F.col("nv").cast("decimal(38,0)")
+            * F.col("nv").cast("decimal(38,0)")
+            * F.col("nv").cast("decimal(38,0)")
+            - F.col("nv").cast("decimal(38,0)")
+        ).alias("tie_term"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    u_a = (F.col("r_a_x2") - n_a * (n_a + 1)) / F.lit(2.0)
+    mean_u = n_a * n_b / F.lit(2.0)
+    var_u = (
+        n_a.cast("double") * n_b.cast("double") / 12.0
+    ) * (
+        (n + 1).cast("double")
+        - F.col("tie_term").cast("double")
+        / (n.cast("double") * (n - 1).cast("double"))
+    )
+    return agg.select(
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        TX_round(u_a, 1).alias("u_stat"),
+        TX_round(mean_u, 1).alias("mean_u"),
+        TX_round((u_a - mean_u) / F.sqrt(var_u), 4).alias("z_score"),
+    )
+
+
+#: truncated-series depth for the asymptotic KS p-value — both engines
+#: evaluate the IDENTICAL five-term alternating sum (j=1..5; terms decay
+#: as exp(-2 j² λ²), so five terms are exact to double precision for
+#: every λ the test statistic can produce on real data).
+KS_SERIES_TERMS = 5
+
+
+def ks_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the same two arms'
+    value distributions: D = max over values of |F_a - F_b| computed
+    EXACTLY (the ECDF gap at each distinct cents value is the integer
+    cum_a*n_b - cum_b*n_a over the common denominator n_a*n_b), the
+    value attaining it (ties -> smallest value), and the asymptotic
+    p-value (Smirnov's Q_KS with the Stephens 1970 small-sample λ
+    adjustment, the form Numerical Recipes standardizes).
+
+    CROSS-ENGINE DETERMINISM: the argmax/max run over exact integers;
+    only λ and the KS series are IEEE, evaluated as one identical
+    fixed-shape five-term expression on both engines.
+
+    100 TB shape: like mann_whitney_report — one groupBy(cents) agg,
+    one window over the |distinct values|-bounded frame, a 1-row
+    reduce."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin(AB_ARM_A, AB_ARM_B)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_v = (
+        ev.select("event_type", cents.alias("v"))
+        .groupBy("v")
+        .agg(
+            F.sum((F.col("event_type") == AB_ARM_A).cast("long")).alias("da"),
+            F.sum((F.col("event_type") == AB_ARM_B).cast("long")).alias("db"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("da").over(w).alias("cum_a"),
+        F.sum("db").over(w).alias("cum_b"),
+    )
+    tot = per_v.agg(
+        F.sum("da").alias("n_a"), F.sum("db").alias("n_b")
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("gap_num"),
+    )
+    top = gaps.orderBy(F.desc("gap_num"), "v").limit(1)
+    d = F.col("gap_num") / (F.col("n_a").cast("double") * F.col("n_b"))
+    en = F.sqrt(
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    lam = (en + 0.12 + 0.11 / en) * d
+    # Q_KS(λ) = 2 Σ_{j>=1} (-1)^{j-1} exp(-2 j² λ²), truncated — the
+    # SAME literal five-term chain is emitted in the oracle SQL
+    q = 2.0 * sum(
+        (1.0 if j % 2 == 1 else -1.0)
+        * F.exp(-2.0 * float(j * j) * lam * lam)
+        for j in range(1, KS_SERIES_TERMS + 1)
+    )
+    p = F.least(F.greatest(q, F.lit(0.0)), F.lit(1.0))
+    return top.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        TX_round(d, 6).alias("d_stat"),
+        TX_round(F.col("v") / 100.0, 2).alias("d_at_value"),
+        TX_round(p, 6).alias("p_value"),
+    )

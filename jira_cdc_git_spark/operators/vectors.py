@@ -498,6 +498,30 @@ def semdedup_capped(
     cluster membership, ranks, and the candidate window all replay
     bit-identically in DuckDB; only the final cosine verify is float,
     rounded to 4 dp on both engines before the threshold."""
+    ranked = _semdedup_ranked(spark, sf_dir, n_centroids)
+    pairs = _semdedup_candidate_pairs(ranked, cap)
+    losers = (
+        pairs.filter(F.col("cos4") >= threshold)
+        .select(F.greatest("a_vec", "b_vec").alias("vec_id"))
+        .distinct()
+    )
+    return ranked.join(
+        losers.withColumn("lost", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster_id",
+        "rnk",
+        F.coalesce(~F.col("lost"), F.lit(True)).alias("keep"),
+    )
+
+
+def _semdedup_ranked(
+    spark: SparkSession, sf_dir: str, n_centroids: int | None = None
+) -> DataFrame:
+    """semdedup_capped's clone fixture + integer-micro assignment +
+    per-cluster centroid-distance ranking — the shared prologue of
+    semdedup_capped and semdedup_threshold_curve (materialized: both
+    consumers branch from it)."""
     import math
 
     from pyspark.sql import Window
@@ -533,35 +557,89 @@ def semdedup_capped(
     assigned = _micro_assign(
         corpus.withColumn("label", F.lit(0)), cents
     ).select("vec_id", "em", F.col("cluster").alias("cluster_id"), "dist_sq")
-    ranked = assigned.withColumn(
+    return assigned.withColumn(
         "rnk",
         F.row_number().over(
             Window.partitionBy("cluster_id").orderBy("dist_sq", "vec_id")
         ),
     ).transform(materialize)
+
+
+def _semdedup_candidate_pairs(ranked: DataFrame, cap: int) -> DataFrame:
+    """semdedup_capped's sorted-neighborhood candidate window over the
+    ranked assignment: within-cluster pairs at rank gap <= cap, with the
+    4dp-rounded cosine — shared by semdedup_capped (threshold filter)
+    and semdedup_threshold_curve (grid aggregation)."""
     a, b = ranked.alias("a"), ranked.alias("b")
-    losers = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("b.rnk") > F.col("a.rnk"))
-            & (F.col("b.rnk") <= F.col("a.rnk") + cap),
-        )
-        .filter(
-            F.round(cosine(F.col("a.em"), F.col("b.em")), 4) >= threshold
-        )
-        .select(
-            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id")
-        )
-        .distinct()
-    )
-    return ranked.join(
-        losers.withColumn("lost", F.lit(True)), "vec_id", "left"
+    return a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col("b.rnk") > F.col("a.rnk"))
+        & (F.col("b.rnk") <= F.col("a.rnk") + cap),
     ).select(
-        "vec_id",
-        "cluster_id",
-        "rnk",
-        F.coalesce(~F.col("lost"), F.lit(True)).alias("keep"),
+        F.col("a.vec_id").alias("a_vec"),
+        F.col("b.vec_id").alias("b_vec"),
+        F.round(cosine(F.col("a.em"), F.col("b.em")), 4).alias("cos4"),
+    )
+
+
+#: cosine thresholds swept by semdedup_threshold_curve — the knob grid a
+#: curation run tunes against (SemDeDup's paper default is 0.95-ish; the
+#: curve shows what each notch costs in retained corpus)
+SEMDEDUP_THRESHOLDS = (0.99, 0.95, 0.9, 0.8, 0.7)
+
+
+def semdedup_threshold_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    thresholds: tuple = SEMDEDUP_THRESHOLDS,
+    cap: int = 8,
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """Retention-vs-threshold curve for semdedup_capped: ONE pass over
+    the sorted-neighborhood candidate pairs, aggregated against a
+    broadcast threshold grid — per threshold the surviving pair count,
+    the dropped-doc count (distinct higher-id member, semdedup's drop
+    rule), and the corpus retention fraction. This is the tuning report
+    a curation team reads BEFORE committing a threshold: the pairs are
+    computed once, not once per candidate setting (Abbas et al. 2023's
+    SemDeDup sweeps exactly this knob).
+
+    100 TB shape: the pair frame is the O(N*cap) semdedup_capped
+    candidate set; the grid join is broadcast |thresholds| rows; the
+    distinct-loser count shuffles |pairs x thresholds| <= 5*N*cap
+    bounded rows."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    ranked = _semdedup_ranked(spark, sf_dir, n_centroids)
+    pairs = _semdedup_candidate_pairs(ranked, cap)
+    grid = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    per_t = (
+        F.broadcast(grid)
+        .join(pairs, pairs["cos4"] >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("a_vec").cast("long").alias("n_pairs"),
+            F.count_distinct(
+                F.greatest("a_vec", "b_vec")
+            ).cast("long").alias("n_dropped"),
+        )
+    )
+    tot = ranked.agg(F.count("*").cast("long").alias("n_corpus"))
+    return (
+        per_t.crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_dropped",
+            "n_corpus",
+            round_half_up(
+                1.0 - F.col("n_dropped") / F.col("n_corpus"), 6
+            ).alias("retention_frac"),
+        )
+        .orderBy(F.desc("threshold"))
     )
 
 

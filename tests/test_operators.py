@@ -1202,3 +1202,110 @@ def test_trained_vocab_store_reuse(spark, sf_dir, tmp_path, monkeypatch):
     other = T.trained_subword_vocab(spark, sf_dir, n_merges + 1)
     assert len(os.listdir(tmp_path)) == 2
     assert other.count() == stored.count()
+
+
+def test_mann_whitney_and_ks_bounds(spark, sf_dir):
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    mw = TS.mann_whitney_report(spark, sf_dir).first()
+    assert 0 <= mw["u_stat"] <= mw["n_a"] * mw["n_b"]
+    assert mw["mean_u"] == mw["n_a"] * mw["n_b"] / 2.0
+    ks = TS.ks_test_report(spark, sf_dir).first()
+    assert 0.0 <= ks["d_stat"] <= 1.0
+    assert 0.0 <= ks["p_value"] <= 1.0
+    assert ks["n_a"] == mw["n_a"] and ks["n_b"] == mw["n_b"]
+
+
+def test_mann_whitney_known_answer(spark):
+    """Hand-checked U on a tiny two-arm sample with a tie:
+    A = [1, 3, 3], B = [2, 3] -> ranks 1, 2, 4, 4, 4 (average ranks);
+    R_A = 1 + 4 + 4 = 9, U_A = 9 - 3*4/2 = 3, mean U = 3."""
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    rows = [("purchase", v) for v in (0.01, 0.03, 0.03)] + [
+        ("click", v) for v in (0.02, 0.03)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    # drive the operator body over a temp view by monkey-free injection:
+    # rebuild the same expressions inline
+    from pyspark.sql import Window, functions as F
+
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_v = (
+        df.select("event_type", cents.alias("v"))
+        .groupBy("v")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("na"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias("nb"),
+        )
+        .withColumn("nv", F.col("na") + F.col("nb"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "cum_before", F.coalesce(F.sum("nv").over(w), F.lit(0))
+    ).withColumn("rank_x2", 2 * F.col("cum_before") + F.col("nv") + 1)
+    r = ranked.agg(
+        F.sum(F.col("na") * F.col("rank_x2")).alias("r_a_x2")
+    ).first()
+    assert r["r_a_x2"] == 18  # R_A = 9 in doubled units
+
+
+def test_blocking_quality_monotone_and_complete(spark, sf_dir):
+    from jira_cdc_git_spark.operators import relational as R
+
+    rows = {r["key_len"]: r for r in
+            R.blocking_quality_report(spark, sf_dir).collect()}
+    assert sorted(rows) == [4, 6, 8]
+    for r in rows.values():
+        # the single-char corruption sits OUTSIDE the suffix key, so
+        # blocking must never lose a true match on this fixture
+        assert r["pair_completeness"] == 1.0
+        assert 0.0 <= r["reduction_ratio"] <= 1.0
+    # wider keys can only prune MORE (candidates non-increasing)
+    assert rows[4]["n_candidates"] >= rows[6]["n_candidates"] >= rows[8]["n_candidates"]
+
+
+def test_semdedup_threshold_curve_monotone_and_consistent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    curve = sorted(
+        V.semdedup_threshold_curve(spark, sf_dir).collect(),
+        key=lambda r: -r["threshold"],
+    )
+    # lowering the threshold can only add pairs / drop more docs
+    for hi, lo in zip(curve, curve[1:]):
+        assert lo["n_pairs"] >= hi["n_pairs"]
+        assert lo["n_dropped"] >= hi["n_dropped"]
+    # the 0.95 point must agree with semdedup_capped's own verdicts
+    at95 = next(r for r in curve if abs(r["threshold"] - 0.95) < 1e-9)
+    dropped = (
+        V.semdedup_capped(spark, sf_dir).filter(~F.col("keep")).count()
+    )
+    assert at95["n_dropped"] == dropped
+    assert at95["n_corpus"] > 0
+    assert abs(
+        at95["retention_frac"]
+        - round(1 - at95["n_dropped"] / at95["n_corpus"], 6)
+    ) < 1e-6
+
+
+def test_retrieval_ndcg_bounds(spark, sf_dir):
+    r = T.retrieval_ndcg_report(spark, sf_dir).first()
+    assert 0.0 <= r["ndcg"] <= 1.0
+    assert r["dcg"] <= r["idcg"]
+    assert 0.0 <= r["mrr"] <= 1.0
+    assert r["n_full_topk"] <= r["k"]
+
+
+def test_packing_efficiency_consistent_with_chunk_map(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    rep = {r["lang"]: r for r in
+           T.packing_efficiency_report(spark, sf_dir).collect()}
+    packed = T.bpe_packed_chunks(spark, sf_dir)
+    for lang, grp in rep.items():
+        sub = packed.filter(F.col("lang") == lang)
+        n_chunks = sub.agg(F.max("last_chunk")).first()[0] + 1
+        assert grp["n_chunks"] == n_chunks
+        assert 0.0 < grp["fill_frac"] <= 1.0
+        assert grp["n_docs"] == sub.count()
