@@ -284,6 +284,7 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         # two runs, report the min: the steady-state cost of the plan.
@@ -306,6 +307,28 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+        all_runs[name] = runs
+
+    # Variance band for the heaviest queries (r8 verdict task 10): one
+    # extra sample each, then min/median/max over ALL samples, so
+    # round-over-round regression calls ("1.2 s -> 2.8 s — real?") read
+    # against a measured spread instead of a single point.
+    import statistics as _stats
+
+    heaviest = sorted(timings, key=timings.get, reverse=True)[:10]
+    variance_band: dict[str, dict] = {}
+    for name in heaviest:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        all_runs[name].append(time.perf_counter() - t0)
+        rs = sorted(all_runs[name])
+        variance_band[name] = {
+            "min": round(rs[0], 3),
+            "median": round(_stats.median(rs), 3),
+            "max": round(rs[-1], 3),
+            "n_runs": len(rs),
+        }
 
     # E2E sync throughput at the reference's benchmark sizes (BASELINE.md:
     # <30s @100, <120s @500, <300s @1000 issues; floor >= 0.5 issues/s).
@@ -460,6 +483,7 @@ def main() -> None:
         "sf": sf,
         "sync": sync,
         "sf1": scale_probe,
+        "variance_band": variance_band,
     }
     # Persist the full payload IN-REPO (r4 verdict task 5: the driver's
     # tail buffer truncated BENCH_r04's long JSON line, losing the
