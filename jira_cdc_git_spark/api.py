@@ -831,8 +831,14 @@ def validate_create_profile_request(req: dict) -> str | None:
 
 
 def _job_response(job: dict) -> dict:
-    """JobResponse (handlers_jobs.go:10-25) — logs stay behind /logs."""
-    return {k: v for k, v in job.items() if k != "logs"}
+    """JobResponse (handlers_jobs.go:10-25) — logs stay behind /logs.
+    `status_issues` carries the StatusManager consistency validator's
+    findings (ValidateStatus, status_manager.go:312-358) so a watcher
+    sees phase/condition drift the moment it exists — empty on every
+    healthy row (asserted across the e2e transition tests)."""
+    out = {k: v for k, v in job.items() if k != "logs"}
+    out["status_issues"] = SC.validate_status(job)
+    return out
 
 
 class TokenBucket:

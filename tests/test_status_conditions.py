@@ -192,3 +192,24 @@ def test_retrying_job_reports_unhealthy_then_degraded(spark, tmp_path):
         assert _cond(row, SC.CONDITION_PROCESSING)["status"] == "False"
     finally:
         mgr.shutdown()
+
+
+def test_job_response_surfaces_status_issues():
+    """GET /jobs/{id} rows carry the ValidateStatus findings; a
+    consistent row reports an empty list, a torn one names the drift
+    (pure shape test — no Spark, no HTTP)."""
+    from jira_cdc_git_spark.api import _job_response
+
+    ok = {
+        "job_id": "j1", "status": "completed", "logs": ["x"],
+        "conditions": [], "progress": {"percentage": 100},
+    }
+    SC.set_condition(ok["conditions"], SC.CONDITION_READY, True,
+                     SC.REASON_COMPLETED, "m", "t")
+    resp = _job_response(ok)
+    assert "logs" not in resp
+    assert resp["status_issues"] == []
+    torn = dict(ok, conditions=[])
+    assert _job_response(torn)["status_issues"] == [
+        "Phase is Completed but Ready condition is not True"
+    ]
