@@ -140,6 +140,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_ndcg_report": T.retrieval_ndcg_report,
         "semdedup_threshold_curve": V.semdedup_threshold_curve,
         "packing_efficiency_report": T.packing_efficiency_report,
+        # (a2) the round-9 second wave — Benford leading-digit audit,
+        # the mergeable bottom-k quantile sketch with measured rank
+        # error, Chao1/Good-Turing vocabulary richness, the LSH S-curve
+        # calibration, and quality-argmax dedup survivorship;
+        "benford_deviation_report": R.benford_deviation_report,
+        "bottomk_quantile_sketch": R.bottomk_quantile_sketch,
+        "vocab_richness_report": T.vocab_richness_report,
+        "lsh_scurve_calibration": T.lsh_scurve_calibration,
+        "cluster_canonical_selection": G.cluster_canonical_selection,
         # (b) operators whose CODE changed this round: the CC family
         # (block-local union-find contraction + bounded local finish),
         # the semdedup candidate-pair refactor, the stored-vocab BPE
@@ -191,6 +200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epic_discovery_parent": lambda s, d: J.discover_epic_members(
             s, d, "PROJ-13", "parent"
         ),
+        # ===== slots 51+ (displaced r8 window + prior-green) =====
+        # (the tail of the r9 stale tranche — displaced past the window
+        # by the round-9 second wave; each re-earns next rotation)
         "epic_discovery_links": lambda s, d: J.discover_epic_members(
             s, d, "PROJ-0", "issue_links"
         ),
@@ -198,7 +210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epic_members_by_type": J.epic_members_by_type,
         "gopher_quality_filters": T.gopher_quality_filters,
         "incremental_candidates": J.incremental_candidates,
-        # ===== slots 51+ (displaced r8 window + prior-green) =====
         # Round-6 rotation: every r5-window entry is green in
         # CORRECTNESS_r05 (49 fully green + 1 clean rows-only), so the
         # whole window is free. The five oracle-stashed backlog
@@ -7458,6 +7469,177 @@ _ORACLES["packing_efficiency_report"] = f"""
            floor(n_boundary / n_docs * 1000000 + 0.5) / 1000000
              AS boundary_doc_share
     FROM agg ORDER BY lang"""
+
+# ---------------------------------------------------------------------------
+# Round-9 second wave
+# ---------------------------------------------------------------------------
+
+# Mirrors operators/relational.benford_deviation_report: leading digit from
+# the INTEGER part rendered as a string (no float log10/pow in the digit
+# path); expected fractions are the shared Python literals
+# (R.BENFORD_EXPECTED); the chi-square total sums per-digit MICRO-UNIT
+# integers, so the 9-term sum is exact under any order.
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {R.BENFORD_EXPECTED[d - 1]!r})" for d in range(1, 10)
+)
+_ORACLES["benford_deviation_report"] = f"""
+    WITH per AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total FROM per
+    ), expd(digit, expected_frac) AS (VALUES {_BENFORD_VALUES}),
+    terms AS (
+        SELECT per.digit, n, n_total, expected_frac,
+               CAST(floor((n / n_total - expected_frac)
+                          * (n / n_total - expected_frac)
+                          / expected_frac * n_total * 1000000 + 0.5)
+                    AS BIGINT) AS tm
+        FROM per CROSS JOIN tot JOIN expd ON expd.digit = per.digit
+    )
+    SELECT digit, n, n_total,
+           floor(n / n_total * 1000000 + 0.5) / 1000000 AS observed_frac,
+           expected_frac,
+           tm / 1000000.0 AS chi2_term,
+           (SELECT sum(tm) FROM terms) / 1000000.0 AS chi2_stat
+    FROM terms ORDER BY digit"""
+
+# Mirrors operators/relational.bottomk_quantile_sketch: same md5 bottom-k
+# sample (ORDER BY hash LIMIT K), same (v, h) rank tie-break, the shared
+# (p, rank) grid literals (R.BOTTOMK_GRID), and the count-below grading
+# scan.
+_BOTTOMK_VALUES = ", ".join(
+    f"(CAST({p!r} AS DOUBLE), {rk})" for p, rk in R.BOTTOMK_GRID
+)
+_ORACLES["bottomk_quantile_sketch"] = f"""
+    WITH hsh AS (
+        SELECT o_totalprice AS v,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                 ::BIGINT AS h
+        FROM orders
+    ), samp AS (
+        SELECT v, h FROM hsh ORDER BY h LIMIT {R.BOTTOMK_K}
+    ), ranked AS (
+        SELECT v, row_number() OVER (ORDER BY v, h) AS rn FROM samp
+    ), grid(p, rk) AS (VALUES {_BOTTOMK_VALUES}),
+    est AS (
+        SELECT p, v AS est_value FROM grid JOIN ranked ON rn = rk
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders
+    ), below AS (
+        SELECT p, est_value, CAST(count(*) AS BIGINT) AS n_below
+        FROM orders JOIN est ON o_totalprice < est_value
+        GROUP BY 1, 2
+    )
+    SELECT p, {R.BOTTOMK_K} AS sample_k, est_value, n_total,
+           floor(n_below / n_total * 1000000 + 0.5) / 1000000
+             AS exact_rank_frac,
+           floor(abs(n_below / n_total - p) * 1000000 + 0.5) / 1000000
+             AS abs_rank_err
+    FROM below CROSS JOIN tot ORDER BY p"""
+
+# Mirrors operators/text.vocab_richness_report: the hapax_report CTE chain
+# plus f2, Chao1 (bias-corrected), and the Good-Turing unseen mass.
+_ORACLES["vocab_richness_report"] = """
+    WITH toks AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), pt AS (
+        SELECT lang, tok, count(*) AS f FROM toks GROUP BY 1, 2
+    ), agg AS (
+        SELECT lang, CAST(sum(f) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM pt GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_types, f1, f2,
+           floor((n_types + (f1 * (f1 - 1)) / (2.0 * (f2 + 1))) * 10000
+                 + 0.5) / 10000 AS chao1_est,
+           floor(f1 / n_tokens * 1000000 + 0.5) / 1000000 AS gt_unseen_mass,
+           floor((1.0 - f1 / n_tokens) * 1000000 + 0.5) / 1000000
+             AS coverage
+    FROM agg"""
+
+# Mirrors operators/text.lsh_scurve_calibration: the LSH CTE chain up
+# through cand (the band-join candidates), the inverted-index exact-
+# Jaccard truth side, decile bucketing, and the shared analytic literals
+# (T.LSH_SCURVE_ANALYTIC).
+_SCURVE_CASE = " ".join(
+    f"WHEN {b} THEN {T.LSH_SCURVE_ANALYTIC[b]!r}" for b in range(10)
+)
+_ORACLES["lsh_scurve_calibration"] = f"""
+    WITH {_LSH_CTES.split(", jac AS")[0]},
+    inv AS (SELECT doc_id, unnest(shs) AS shingle FROM sets),
+    tp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sz AS (
+        SELECT doc_id, len(shs) AS n_sh FROM sets
+    ), jx AS (
+        SELECT doc_a, doc_b,
+               n_inter / (sa.n_sh + sb.n_sh - n_inter) AS j
+        FROM tp JOIN sz sa ON sa.doc_id = tp.doc_a
+                JOIN sz sb ON sb.doc_id = tp.doc_b
+    ), mk AS (
+        SELECT least(CAST(floor(j * 10) AS INTEGER), 9) AS bucket,
+               CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS c
+        FROM jx LEFT JOIN cand c
+          ON c.doc_a = jx.doc_a AND c.doc_b = jx.doc_b
+    ), agg AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(c) AS BIGINT) AS n_candidates
+        FROM mk GROUP BY bucket
+    )
+    SELECT bucket / 10.0 AS jaccard_lo, n_pairs, n_candidates,
+           floor(n_candidates / n_pairs * 1000000 + 0.5) / 1000000
+             AS detect_rate,
+           CASE bucket {_SCURVE_CASE} END AS analytic_prob
+    FROM agg ORDER BY jaccard_lo"""
+
+# Mirrors operators/graph.cluster_canonical_selection: components by
+# recursive reach over the verified LSH pairs, quality from the shared
+# qq CTE, survivor = max quality then min doc_id.
+_ORACLES["cluster_canonical_selection"] = f"""
+    WITH RECURSIVE {_LSH_CTES}, {_QUALITY_CTES},
+    p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+    ed AS (
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION
+        SELECT doc_b, doc_a FROM p
+    ),
+    reach AS (
+        SELECT u AS node, u AS r FROM ed
+        UNION
+        SELECT ed.u AS node, reach.r
+        FROM ed JOIN reach ON reach.node = ed.v
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY node),
+    m AS (
+        SELECT comp.doc_id, comp.cluster_id, qq.quality
+        FROM comp JOIN qq ON qq.doc_id = comp.doc_id
+    ),
+    mx AS (
+        SELECT cluster_id, max(quality) AS kept_quality,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM m GROUP BY 1
+    ),
+    kept AS (
+        SELECT m.cluster_id, CAST(min(m.doc_id) AS BIGINT) AS kept_doc_id
+        FROM m JOIN mx ON mx.cluster_id = m.cluster_id
+                      AND m.quality = mx.kept_quality
+        GROUP BY 1
+    )
+    SELECT mx.cluster_id, kept_doc_id, kept_quality, n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM mx JOIN kept ON kept.cluster_id = mx.cluster_id
+    ORDER BY mx.cluster_id"""
 
 
 def oracle_sql() -> dict[str, str]:

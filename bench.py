@@ -267,6 +267,13 @@ BENCH_QUERIES = [
     "retrieval_ndcg_report",
     "semdedup_threshold_curve",
     "packing_efficiency_report",
+    # r9 wave 2: Benford audit, bottom-k quantile sketch, Chao1/Good-
+    # Turing richness, LSH S-curve calibration, dedup survivorship
+    "benford_deviation_report",
+    "bottomk_quantile_sketch",
+    "vocab_richness_report",
+    "lsh_scurve_calibration",
+    "cluster_canonical_selection",
 ]
 
 
@@ -651,6 +658,13 @@ SCALE_PROBE_QUERIES = [
     "retrieval_ndcg_report",
     "semdedup_threshold_curve",
     "packing_efficiency_report",
+    # r9 wave 2: Benford audit, bottom-k quantile sketch, Chao1/Good-
+    # Turing richness, LSH S-curve calibration, dedup survivorship
+    "benford_deviation_report",
+    "bottomk_quantile_sketch",
+    "vocab_richness_report",
+    "lsh_scurve_calibration",
+    "cluster_canonical_selection",
 ]
 
 

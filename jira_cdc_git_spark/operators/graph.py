@@ -1319,3 +1319,54 @@ def link_reciprocity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def cluster_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship: per near-duplicate cluster
+    (connected components over the LSH pair list, as neardup_clusters)
+    keep the HIGHEST-quality member instead of the lowest doc_id —
+    argmax quality_score, doc_id as the deterministic tie-break. This is
+    the survivorship rule production dedup actually ships (SemDeDup /
+    CCNet keep the best exemplar, not the first-crawled one): min-id
+    retention silently prefers the OLDEST copy, which for boilerplate
+    families is often the most degraded. One row per cluster: the
+    canonical pick, its quality, and the member/drop counts.
+
+    100 TB shape: clusters come from the bounded CC pass
+    (connected_components' local-finish/star machinery); quality is a
+    narrow per-doc projection joined on doc_id; the survivor pick is one
+    max_by-shaped reduction per cluster (groupBy partial agg via struct
+    max — no window over the corpus)."""
+    from jira_cdc_git_spark.operators.text import (
+        neardup_pairs_lsh,
+        quality_score,
+    )
+
+    pairs = neardup_pairs_lsh(spark, sf_dir).transform(materialize)
+    cc = connected_components(pairs)
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    members = cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).join(q, "doc_id")
+    # argmax(quality), min doc_id on ties: struct max over
+    # (quality, -doc_id) is an abelian partial-agg — map-side combinable,
+    # unlike a row_number window that must co-locate whole clusters in
+    # one sorted partition.
+    pick = F.max(
+        F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("best")
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            pick,
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).cast("long").alias("kept_doc_id"),
+            F.col("best.quality").alias("kept_quality"),
+            "n_members",
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )

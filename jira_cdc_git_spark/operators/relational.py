@@ -2321,3 +2321,166 @@ def blocking_quality_report(
         )
         .orderBy("key_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality statistics (round-9 wave 2): Benford's-law audit and the
+# mergeable bottom-k quantile sketch with measured rank error
+# ---------------------------------------------------------------------------
+
+#: Benford expected leading-digit fractions log10(1 + 1/d), d = 1..9.
+#: Computed ONCE here and injected as literals into BOTH the Spark plan
+#: and the DuckDB oracle, so no cross-engine libm log10 is in the
+#: compared path.
+import math as _math
+
+BENFORD_EXPECTED: tuple[float, ...] = tuple(
+    round(_math.log10(1.0 + 1.0 / d), 10) for d in range(1, 10)
+)
+
+
+def benford_deviation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit of o_totalprice — the classic
+    fabricated/synthetic-data detector for financial columns (Benford
+    1938; Nigrini's forensic-accounting battery): per leading digit the
+    observed count and fraction vs the log10(1+1/d) expectation, the
+    chi-square contribution, and the corpus-level chi-square statistic.
+    A pipeline ingesting 100 TB of scraped transactional data runs
+    exactly this scan to flag sources whose amounts were generated, not
+    observed.
+
+    CROSS-ENGINE DETERMINISM: the leading digit comes from the INTEGER
+    part rendered as a string (floor -> bigint -> substring) — no float
+    log10/pow in the digit path; expected fractions are shared Python
+    literals (BENFORD_EXPECTED); the chi-square total sums the per-digit
+    terms AFTER micro-unit rounding, so the 9-term sum is an exact
+    integer sum under any execution order.
+
+    100 TB shape: one projection + 9-group partial agg (map-side
+    combine); the 9-row result self-joins against its own broadcast
+    total — nothing scales past the scan."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    orders = load_table(spark, "orders", sf_dir)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    per = (
+        orders.filter(F.col("o_totalprice") >= 1.0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("n_total"))
+    expected = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d in range(1, 10)
+                for x in (F.lit(d), F.lit(BENFORD_EXPECTED[d - 1]))
+            ]
+        ),
+        F.col("digit"),
+    )
+    obs = F.col("n") / F.col("n_total")
+    term = (
+        (obs - F.col("expected_frac"))
+        * (obs - F.col("expected_frac"))
+        / F.col("expected_frac")
+        * F.col("n_total")
+    )
+    with_terms = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("expected_frac", expected)
+        .withColumn(
+            "chi2_term_micro",
+            F.floor(term * 1000000 + F.lit(0.5)).cast("long"),
+        )
+    )
+    chi2 = with_terms.agg(
+        F.sum("chi2_term_micro").cast("long").alias("chi2_micro")
+    )
+    return (
+        with_terms.crossJoin(F.broadcast(chi2))
+        .select(
+            "digit",
+            "n",
+            "n_total",
+            round_half_up(obs, 6).alias("observed_frac"),
+            "expected_frac",
+            (F.col("chi2_term_micro") / F.lit(1000000.0)).alias("chi2_term"),
+            (F.col("chi2_micro") / F.lit(1000000.0)).alias("chi2_stat"),
+        )
+        .orderBy("digit")
+    )
+
+
+#: bottom-k sample size and the quantiles the sketch is graded on.
+BOTTOMK_K = 1024
+BOTTOMK_QUANTILES: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+#: (p, type-1 sample rank) grid — computed ONCE here, shared verbatim by
+#: the Spark plan and the DuckDB oracle so ceil() runs in neither engine.
+BOTTOMK_GRID: tuple[tuple[float, int], ...] = tuple(
+    (p, int(_math.ceil(p * BOTTOMK_K))) for p in BOTTOMK_QUANTILES
+)
+
+
+def bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch with MEASURED rank error: keep
+    the K=1024 rows whose md5(o_orderkey) hashes are smallest (a fixed-
+    size uniform sample without replacement — the same bottom-k family
+    as the KMV sketch, and mergeable the same way: union two sketches,
+    re-trim to K), read the type-1 sample quantile at each target p,
+    then grade each estimate against the FULL data with one scan
+    (exact_rank = count(v < est)/N). Completes the sketch family
+    (KMV/HLL/CMS/b-bit) with the quantile member — and unlike
+    percentile_approx's GK sketch, every step is engine-neutral md5
+    arithmetic, so the DuckDB oracle replays the estimate bit-for-bit.
+
+    100 TB shape: the sample is `ORDER BY hash LIMIT K` — Spark compiles
+    TakeOrderedAndProject (per-partition bottom-K, merge of K-row
+    partials; NO global sort). The grading pass is one scan against a
+    broadcast 5-row estimate grid. Exact quantiles by global sort are
+    deliberately absent: measuring rank error needs only the count-below
+    scan."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    orders = load_table(spark, "orders", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    samp = (
+        orders.select(F.col("o_totalprice").alias("v"), h.alias("h"))
+        .orderBy("h")
+        .limit(BOTTOMK_K)
+    )
+    ranked = samp.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "h"))
+    )
+    grid = spark.createDataFrame(list(BOTTOMK_GRID), "p double, rk int")
+    est = grid.join(
+        F.broadcast(ranked), F.col("rk") == F.col("rn")
+    ).select("p", F.col("v").alias("est_value"))
+    tot = orders.agg(F.count("*").cast("long").alias("n_total"))
+    below = (
+        orders.crossJoin(F.broadcast(est))
+        .filter(F.col("o_totalprice") < F.col("est_value"))
+        .groupBy("p", "est_value")
+        .agg(F.count("*").cast("long").alias("n_below"))
+    )
+    rank_frac = F.col("n_below") / F.col("n_total")
+    return (
+        below.crossJoin(F.broadcast(tot))
+        .select(
+            "p",
+            F.lit(BOTTOMK_K).alias("sample_k"),
+            "est_value",
+            "n_total",
+            round_half_up(rank_frac, 6).alias("exact_rank_frac"),
+            round_half_up(F.abs(rank_frac - F.col("p")), 6).alias(
+                "abs_rank_err"
+            ),
+        )
+        .orderBy("p")
+    )

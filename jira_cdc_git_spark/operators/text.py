@@ -4994,3 +4994,164 @@ def packing_efficiency_report(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave 2: vocabulary richness estimation + LSH S-curve calibration
+# ---------------------------------------------------------------------------
+
+def vocab_richness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness estimators per language: observed types, hapax
+    (f1) and dis legomena (f2) counts, the bias-corrected Chao1 estimate
+    of TRUE vocabulary size V + f1*(f1-1)/(2*(f2+1)) (Chao 1984, the
+    species-richness estimator corpus linguists use for unseen-type
+    mass), Good-Turing unseen-probability mass f1/N, and sample coverage
+    1 - f1/N (Good 1953). Read next to heaps_law_fit: Heaps extrapolates
+    the growth CURVE, Chao1 estimates its ASYMPTOTE — a corpus whose
+    Chao1 barely exceeds its observed vocabulary has been seen in full,
+    one whose estimate is 2x observed still has a long unseen tail worth
+    crawling.
+
+    100 TB shape: identical to hapax_report — one explode + (lang, tok)
+    partial-agg count (vocab-bounded after the combine), one |langs|-row
+    rollup; every derived statistic is a per-row expression over exact
+    integer counts."""
+    toks = load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    per_type = toks.groupBy("lang", "tok").agg(F.count("*").alias("f"))
+    agg = per_type.groupBy("lang").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    chao1 = F.col("n_types") + (
+        F.col("f1") * (F.col("f1") - 1)
+    ) / (2.0 * (F.col("f2") + 1))
+    unseen = F.col("f1") / F.col("n_tokens")
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        TX.round_half_up(chao1, 4).alias("chao1_est"),
+        TX.round_half_up(unseen, 6).alias("gt_unseen_mass"),
+        TX.round_half_up(1.0 - unseen, 6).alias("coverage"),
+    )
+
+
+#: Analytic LSH candidate probability 1-(1-s^r)^b at each Jaccard-decile
+#: midpoint, for the pipeline's BANDS x ROWS_PER_BAND config. Computed
+#: ONCE here and injected as literals into both engines (no cross-engine
+#: pow in the compared path).
+LSH_SCURVE_ANALYTIC: dict[int, float] = {
+    b: round(
+        1.0 - (1.0 - ((b + 0.5) / 10.0) ** ROWS_PER_BAND) ** BANDS, 6
+    )
+    for b in range(10)
+}
+
+
+def lsh_scurve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-vs-analytic S-curve calibration of the banded MinHash
+    LSH: ground truth = EVERY document pair sharing >= 1 shingle (exact
+    Jaccard via the inverted-index join, as lsh_recall_report), bucketed
+    into Jaccard deciles; per bucket the fraction of pairs the 8x4 band
+    join surfaced as candidates, next to the analytic collision
+    probability 1-(1-s^r)^b at the bucket midpoint (Leskovec/Rajaraman/
+    Ullman MMDS ch.3). THE tuning readout for band parameters: a healthy
+    config shows detect_rate hugging the analytic curve — divergence
+    means the minhash family or the banding is broken, which a single
+    recall scalar (lsh_recall_report) cannot localize.
+
+    100 TB shape: the exact-truth inverted index is the eval's cost
+    (same caveat as lsh_recall_report — production samples docs first);
+    the LSH side under test keeps its production shape: band self-join,
+    candidate-scoped lookups, 10-row output."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    # ONE shingling shared by both arms: the truth side reads shs, the
+    # LSH side derives its minhashes from xs — eager so neither branch
+    # re-shingles the corpus.
+    sets = shingle_sets_frame(docs).transform(materialize)
+    bands = lsh_bands_frame(sets).transform(materialize)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    inv = sets.select("doc_id", F.explode("shs").alias("shingle"))
+    truth_pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sets.select("doc_id", F.size("shs").alias("n_sh"))
+    jac = (
+        truth_pairs.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("j"),
+        )
+    )
+    bucket = F.least(F.floor(F.col("j") * 10).cast("int"), F.lit(9))
+    marked = jac.join(
+        cand.withColumn("is_cand", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).select(bucket.alias("bucket"), F.coalesce("is_cand", F.lit(0)).alias("c"))
+    analytic = F.element_at(
+        F.create_map(
+            *[
+                x
+                for b in range(10)
+                for x in (F.lit(b), F.lit(LSH_SCURVE_ANALYTIC[b]))
+            ]
+        ),
+        F.col("bucket"),
+    )
+    return (
+        marked.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("c").cast("long").alias("n_candidates"),
+        )
+        .select(
+            (F.col("bucket") / 10.0).alias("jaccard_lo"),
+            "n_pairs",
+            "n_candidates",
+            TX.round_half_up(
+                F.col("n_candidates") / F.col("n_pairs"), 6
+            ).alias("detect_rate"),
+            analytic.alias("analytic_prob"),
+        )
+        .orderBy("jaccard_lo")
+    )

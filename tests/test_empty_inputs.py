@@ -111,6 +111,10 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.kmv_accuracy_report,
         T.dataset_card_report,
         V.hybrid_rrf_topk,
+        # r9 wave-2 additions
+        T.vocab_richness_report,
+        T.lsh_scurve_calibration,
+        GR.cluster_canonical_selection,
     ],
 )
 def test_operator_empty_input_yields_empty_output(fn, spark, empty_sf_dir):

@@ -1309,3 +1309,120 @@ def test_packing_efficiency_consistent_with_chunk_map(spark, sf_dir):
         assert grp["n_chunks"] == n_chunks
         assert 0.0 < grp["fill_frac"] <= 1.0
         assert grp["n_docs"] == sub.count()
+
+
+def test_benford_report_structure(spark, sf_dir):
+    rows = R.benford_deviation_report(spark, sf_dir).collect()
+    digits = [r["digit"] for r in rows]
+    assert digits == sorted(digits) and set(digits) <= set(range(1, 10))
+    n_total = rows[0]["n_total"]
+    assert sum(r["n"] for r in rows) == n_total
+    assert abs(sum(r["observed_frac"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["expected_frac"] == R.BENFORD_EXPECTED[r["digit"] - 1]
+        assert r["chi2_term"] >= 0.0
+        assert r["chi2_stat"] == rows[0]["chi2_stat"]
+    # the micro-unit total is exactly the sum of the micro-unit terms
+    assert abs(
+        rows[0]["chi2_stat"] - sum(r["chi2_term"] for r in rows)
+    ) < 1e-9
+    # Benford expectation itself is a probability distribution
+    assert abs(sum(R.BENFORD_EXPECTED) - 1.0) < 1e-9
+
+
+def test_bottomk_quantile_sketch_bounds_and_mergeability(spark, sf_dir):
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    rows = R.bottomk_quantile_sketch(spark, sf_dir).collect()
+    assert [r["p"] for r in rows] == sorted(R.BOTTOMK_QUANTILES)
+    mm = load_table(spark, "orders", sf_dir).agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).first()
+    prev = None
+    for r in rows:
+        assert mm["lo"] <= r["est_value"] <= mm["hi"]
+        assert 0.0 <= r["exact_rank_frac"] <= 1.0
+        # the graded rank error is the sketch's whole point: with
+        # K=1024 the binomial rank sd at p=0.5 is ~1.6% — allow 5x
+        assert r["abs_rank_err"] < 0.08
+        if prev is not None:
+            assert r["est_value"] >= prev
+        prev = r["est_value"]
+    # MERGEABILITY: bottom-K(all) == re-trim(bottom-K(half A) U bottom-K(half B))
+    orders = load_table(spark, "orders", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = orders.select(F.col("o_totalprice").alias("v"), h.alias("h"))
+    full = {
+        (r["v"], r["h"])
+        for r in hashed.orderBy("h").limit(R.BOTTOMK_K).collect()
+    }
+    ka = hashed.filter(F.col("h") % 2 == 0).orderBy("h").limit(R.BOTTOMK_K)
+    kb = hashed.filter(F.col("h") % 2 == 1).orderBy("h").limit(R.BOTTOMK_K)
+    merged = {
+        (r["v"], r["h"])
+        for r in ka.unionAll(kb).orderBy("h").limit(R.BOTTOMK_K).collect()
+    }
+    assert merged == full
+
+
+def test_vocab_richness_invariants(spark, sf_dir):
+    rows = T.vocab_richness_report(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # Chao1 only ADDS unseen mass; equality iff f1 <= 1
+        assert r["chao1_est"] >= r["n_types"]
+        if r["f1"] <= 1:
+            assert r["chao1_est"] == r["n_types"]
+        assert r["f1"] + r["f2"] <= r["n_types"]
+        assert 0.0 <= r["gt_unseen_mass"] <= 1.0
+        # coverage and unseen mass are complements (each rounded to 1e-6)
+        assert abs(r["coverage"] + r["gt_unseen_mass"] - 1.0) <= 2e-6
+    # cross-check counts against hapax_report (same tokenization)
+    hx = {r["lang"]: r for r in T.hapax_report(spark, sf_dir).collect()}
+    for r in rows:
+        assert r["n_tokens"] == hx[r["lang"]]["n_tokens"]
+        assert r["n_types"] == hx[r["lang"]]["n_types"]
+        assert r["f1"] == hx[r["lang"]]["n_hapax"]
+
+
+def test_lsh_scurve_calibration(spark, sf_dir):
+    rows = T.lsh_scurve_calibration(spark, sf_dir).collect()
+    assert len(rows) > 0
+    los = [r["jaccard_lo"] for r in rows]
+    assert los == sorted(los)
+    for r in rows:
+        b = int(round(r["jaccard_lo"] * 10))
+        assert r["analytic_prob"] == T.LSH_SCURVE_ANALYTIC[b]
+        assert 0 <= r["n_candidates"] <= r["n_pairs"]
+        assert abs(
+            r["detect_rate"] - round(r["n_candidates"] / r["n_pairs"], 6)
+        ) < 1e-6
+    # pairs at Jaccard >= 0.9 collide in some band essentially surely
+    # (analytic 1-(1-s^4)^8 > 0.9998 at s=0.95)
+    for r in rows:
+        if r["jaccard_lo"] >= 0.9 and r["n_pairs"] >= 3:
+            assert r["detect_rate"] >= 0.9
+
+
+def test_cluster_canonical_selection_is_argmax(spark, sf_dir):
+    sel = {r["cluster_id"]: r for r in
+           G.cluster_canonical_selection(spark, sf_dir).collect()}
+    assert sel
+    members = {}
+    cl = G.neardup_clusters(spark, sf_dir).collect()
+    q = {r["doc_id"]: r["quality"] for r in
+         T.quality_score(spark, sf_dir).collect()}
+    for r in cl:
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert set(sel) == set(members)
+    for cid, docs in members.items():
+        r = sel[cid]
+        assert r["n_members"] == len(docs)
+        assert r["n_dropped"] == len(docs) - 1
+        assert r["kept_doc_id"] in docs
+        best_q = max(q[d] for d in docs)
+        assert r["kept_quality"] == best_q
+        # deterministic tie-break: lowest doc_id among the argmax set
+        assert r["kept_doc_id"] == min(d for d in docs if q[d] == best_q)
