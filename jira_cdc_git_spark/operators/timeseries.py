@@ -665,10 +665,17 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hypertable resample/gap-fill primitive (TimescaleDB's locf +
     time_bucket_gapfill) for turning event streams into aligned series.
 
-    100 TB shape: the spine explodes to |users| x |hours| — bounded,
-    never event-scale; one user-key shuffle shared by the spine join and
-    the LOCF window; the in-hour dedup is a partial TakeOrdered per
-    (user, hour) group."""
+    100 TB shape (r9 rewrite): the dense |users| x |hours| grid is the
+    OUTPUT, so it must exist — but it need never be SHUFFLED. The
+    original formulation joined a generated spine against the hourly
+    observations and ran LOCF over the dense frame (two exchanges of
+    grid-sized data; the 10x probe held a consistent ~8x ratio — real
+    growth, not noise). This form computes lead(next observed hour)
+    over the SPARSE hourly observations (one user-key shuffle of
+    observation-sized data) and then explodes each observation across
+    the hours it covers — the grid materializes post-shuffle, inside
+    the final projection, and LOCF holds by construction. The in-hour
+    dedup stays a partial TakeOrdered per (user, hour) group."""
     ev = load_table(spark, "events", sf_dir)
     w_last = Window.partitionBy("user_id", "hour_ts").orderBy(
         F.desc("ts"), F.desc("event_id")
@@ -679,35 +686,35 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "hour_ts", F.col("value").alias("obs_value"))
     )
-    spine = (
-        ev.groupBy("user_id")
-        .agg(
-            F.date_trunc("hour", F.min("ts")).alias("h0"),
-            F.date_trunc("hour", F.max("ts")).alias("h1"),
-        )
+    # Each user's first observed hour IS the spine start (min(ts) lands
+    # in an observed hour), so carrying each observation up to the hour
+    # before the next one tiles the user's min..max range exactly —
+    # identical rows to the spine-join + IGNORE-NULLS-last formulation.
+    w_lead = Window.partitionBy("user_id").orderBy("hour_ts")
+    return (
+        hourly_last.withColumn("next_hour", F.lead("hour_ts").over(w_lead))
         .select(
             "user_id",
+            F.col("hour_ts").alias("obs_hour"),
+            # carried raw doubles — bit-identical on both engines, no
+            # rounding needed (never an aggregate)
+            F.col("obs_value"),
             F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+                F.sequence(
+                    F.col("hour_ts"),
+                    F.coalesce(
+                        F.col("next_hour") - F.expr("INTERVAL 1 HOUR"),
+                        F.col("hour_ts"),
+                    ),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
             ).alias("hour_ts"),
         )
-    )
-    w_locf = (
-        Window.partitionBy("user_id")
-        .orderBy("hour_ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        spine.join(hourly_last, ["user_id", "hour_ts"], "left")
         .select(
             "user_id",
             "hour_ts",
-            # carried raw doubles — bit-identical on both engines, no
-            # rounding needed (never an aggregate)
-            F.last("obs_value", ignorenulls=True).over(w_locf).alias(
-                "value_filled"
-            ),
-            F.col("obs_value").isNull().alias("is_gap"),
+            F.col("obs_value").alias("value_filled"),
+            (F.col("hour_ts") != F.col("obs_hour")).alias("is_gap"),
         )
     )
 
