@@ -149,6 +149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness_report": T.vocab_richness_report,
         "lsh_scurve_calibration": T.lsh_scurve_calibration,
         "cluster_canonical_selection": G.cluster_canonical_selection,
+        # (a3) the round-9 third wave — Theil-Sen robust trend,
+        # deterministic label-propagation communities, Rocchio pseudo-
+        # relevance-feedback retrieval;
+        "theil_sen_trend": R.theil_sen_trend,
+        "label_propagation_communities": G.label_propagation_communities,
+        "rocchio_expanded_topk": T.rocchio_expanded_topk,
         # (b) operators whose CODE changed this round: the CC family
         # (block-local union-find contraction + bounded local finish),
         # the semdedup candidate-pair refactor, the stored-vocab BPE
@@ -193,6 +199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_splits": T.dataset_splits,
         "decontaminate": T.decontaminate,
         "doc_length_quantiles": T.doc_length_quantiles,
+        # ===== slots 51+ (displaced r8 window + prior-green) =====
+        # (the tail of the r9 stale tranche — displaced past the window
+        # by the round-9 second and third waves; each re-earns next
+        # rotation)
         "epic_completeness": J.epic_completeness,
         "epic_discovery_epic_link": lambda s, d: J.discover_epic_members(
             s, d, "PROJ-0", "epic_link"
@@ -200,9 +210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epic_discovery_parent": lambda s, d: J.discover_epic_members(
             s, d, "PROJ-13", "parent"
         ),
-        # ===== slots 51+ (displaced r8 window + prior-green) =====
-        # (the tail of the r9 stale tranche — displaced past the window
-        # by the round-9 second wave; each re-earns next rotation)
         "epic_discovery_links": lambda s, d: J.discover_epic_members(
             s, d, "PROJ-0", "issue_links"
         ),
@@ -7640,6 +7647,167 @@ _ORACLES["cluster_canonical_selection"] = f"""
            CAST(n_members - 1 AS BIGINT) AS n_dropped
     FROM mx JOIN kept ON kept.cluster_id = mx.cluster_id
     ORDER BY mx.cluster_id"""
+
+# Mirrors operators/relational.theil_sen_trend: integer-cents daily
+# rollup, pairwise slopes over the bounded day frame, medians by
+# row_number selection (even count -> mean of the middle two).
+_ORACLES["theil_sen_trend"] = """
+    WITH rollup AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), d0 AS (SELECT min(day) AS day0 FROM rollup),
+    daily AS (
+        SELECT date_diff('day', day0, day) AS x, cents
+        FROM rollup CROSS JOIN d0
+    ),
+    slopes AS (
+        SELECT (b.cents - a.cents) / (100.0 * (b.x - a.x)) AS slope
+        FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    ranked AS (
+        SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM slopes
+    ),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM slopes),
+    med AS (
+        SELECT sum(slope) / count(*) AS slope_med, max(n_pairs) AS n_pairs
+        FROM ranked CROSS JOIN np
+        WHERE rn = floor((n_pairs + 1) / 2) OR rn = floor(n_pairs / 2) + 1
+    ),
+    resid AS (
+        SELECT cents / 100.0 - slope_med * x AS r, slope_med, n_pairs
+        FROM daily CROSS JOIN med
+    ),
+    rranked AS (
+        SELECT r, slope_med, n_pairs,
+               row_number() OVER (ORDER BY r) AS rn
+        FROM resid
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    xm AS (SELECT max(x) AS x_max FROM daily),
+    fin AS (
+        SELECT slope_med, n_pairs, max(n_days) AS n_days,
+               sum(r) / count(*) AS intercept_med
+        FROM rranked CROSS JOIN nd
+        WHERE rn = floor((n_days + 1) / 2) OR rn = floor(n_days / 2) + 1
+        GROUP BY 1, 2
+    )
+    SELECT n_days, n_pairs,
+           floor(slope_med * 1000000 + 0.5) / 1000000 AS slope_per_day,
+           floor(intercept_med * 10000 + 0.5) / 10000 AS intercept,
+           floor((intercept_med + slope_med * x_max) * 10000 + 0.5) / 10000
+             AS fit_last_day
+    FROM fin CROSS JOIN xm"""
+
+
+def _labelprop_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation CTE chain mirroring
+    operators/graph.label_propagation_communities: per round the
+    neighbor-label counts (edge multiplicity weighs), argmax by (max
+    count, min label), isolated nodes carry their label. Stage CTEs are
+    MATERIALIZED (each feeds two consumers — the k-core expansion
+    lesson)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""cnt{i} AS MATERIALIZED (
+            SELECT e.dst_key AS node, p.lab, count(*) AS c
+            FROM und e JOIN {prev} p ON p.key = e.src_key
+            GROUP BY 1, 2
+        ), mx{i} AS MATERIALIZED (
+            SELECT node, max(c) AS mc FROM cnt{i} GROUP BY 1
+        ), pk{i} AS MATERIALIZED (
+            SELECT c.node, min(c.lab) AS new_lab
+            FROM cnt{i} c JOIN mx{i} m ON m.node = c.node AND c.c = m.mc
+            GROUP BY 1
+        ), l{i} AS MATERIALIZED (
+            SELECT l.key, coalesce(p.new_lab, l.lab) AS lab
+            FROM {prev} l LEFT JOIN pk{i} p ON p.node = l.key
+        )""")
+        prev = f"l{i}"
+    return f"""
+        WITH {_I}, all_edges AS ({_EDGES_SQL}),
+        nodes AS (SELECT DISTINCT key FROM issues_flat),
+        edges AS (
+            SELECT src_key, dst_key FROM all_edges
+            WHERE dst_key IN (SELECT key FROM nodes)
+        ),
+        und AS (
+            SELECT src_key, dst_key FROM edges
+            UNION ALL
+            SELECT dst_key AS src_key, src_key AS dst_key FROM edges
+        ),
+        l0 AS (SELECT key, key AS lab FROM nodes),
+        {", ".join(steps)}
+        SELECT key, lab AS community FROM l{rounds}
+    """
+
+
+_ORACLES["label_propagation_communities"] = _labelprop_oracle()
+
+# Mirrors operators/text.rocchio_expanded_topk: base BM25 top-10 as the
+# feedback set (reusing the bm25_topk oracle as a subquery), exact-
+# integer expansion-term selection, then the weighted BM25 rescoring
+# pass with the same float expression shapes as bm25_topk.
+from jira_cdc_git_spark.functions.text import STOPWORDS as _PRF_STOPWORDS
+
+_PRF_STOP = ", ".join(f"'{t}'" for t in _PRF_STOPWORDS)
+_PRF_ORIG_VALUES = ", ".join(
+    f"('{t}', CAST(1.0 AS DOUBLE))"
+    for t in sorted(set(T.BM25_QUERY.split()))
+)
+_ORACLES["rocchio_expanded_topk"] = f"""
+    WITH base AS (
+        SELECT doc_id FROM ({_ORACLES["bm25_topk"]}) b
+        WHERE rank <= {T.PRF_TOP_DOCS}
+    ), t2 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), prf AS (
+        SELECT unnest(toks) AS tok FROM t2 JOIN base USING (doc_id)
+    ), expt AS (
+        SELECT tok, count(*) AS tf_prf FROM prf
+        WHERE tok NOT IN ({_BM25_TERMS}) AND tok NOT IN ({_PRF_STOP})
+        GROUP BY 1 ORDER BY tf_prf DESC, tok ASC LIMIT {T.PRF_EXP_TERMS}
+    ), tw AS (
+        SELECT tok, CAST({T.PRF_EXP_WEIGHT!r} AS DOUBLE) AS wt FROM expt
+        UNION ALL
+        SELECT * FROM (VALUES {_PRF_ORIG_VALUES}) v(tok, wt)
+    ), dl2 AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t2
+    ), st2 AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               sum(dl) / count(*) AS avgdl
+        FROM dl2
+    ), post AS (
+        SELECT doc_id, tok, wt, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t2) x
+        JOIN tw USING (tok)
+        GROUP BY 1, 2, 3
+    ), dfq AS (
+        SELECT tok, count(*) AS df FROM post GROUP BY 1
+    ), c2 AS (
+        SELECT doc_id,
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * ({T.BM25_K1} + 1))
+                 / (tf + {T.BM25_K1}
+                        * (1 - {T.BM25_B} + {T.BM25_B} * dl / avgdl))
+                 * wt AS s
+        FROM post JOIN dfq USING (tok) JOIN dl2 USING (doc_id)
+        CROSS JOIN st2
+    ), sc2 AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+               floor(sum(s) * 10000 + 0.5) / 10000 AS score
+        FROM c2 GROUP BY 1
+    ), r2 AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS rank,
+               n_terms, score
+        FROM sc2
+    )
+    SELECT doc_id, rank, n_terms, score FROM r2 WHERE rank <= 20"""
 
 
 def oracle_sql() -> dict[str, str]:

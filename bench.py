@@ -274,6 +274,10 @@ BENCH_QUERIES = [
     "vocab_richness_report",
     "lsh_scurve_calibration",
     "cluster_canonical_selection",
+    # r9 wave 3: robust trend, LPA communities, PRF retrieval
+    "theil_sen_trend",
+    "label_propagation_communities",
+    "rocchio_expanded_topk",
 ]
 
 
@@ -665,6 +669,10 @@ SCALE_PROBE_QUERIES = [
     "vocab_richness_report",
     "lsh_scurve_calibration",
     "cluster_canonical_selection",
+    # r9 wave 3: robust trend, LPA communities, PRF retrieval
+    "theil_sen_trend",
+    "label_propagation_communities",
+    "rocchio_expanded_topk",
 ]
 
 

@@ -1370,3 +1370,67 @@ def cluster_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str, rounds: int = 4
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    undirected issue-link graph (Raghavan et al. 2007, made
+    deterministic): every node starts as its own label; each round every
+    node adopts the most frequent label among its neighbors (edge
+    multiplicity weighs), breaking frequency ties by MINIMUM label;
+    nodes with no neighbors keep their label. A fixed `rounds` budget
+    (default 4) replaces the usual until-stable loop so the DuckDB
+    oracle can replay the exact same unrolled rounds — the pagerank
+    discipline applied to communities. Differs from connected
+    components: LPA splits a weakly-bridged component into dense cores.
+
+    100 TB shape: per round one src-key join (labels -> edges), one
+    (node, label) partial-agg count, and the two-step argmax (max count
+    per node, then min label at that count) — every step is a keyed
+    shuffle of edge- or node-scale data, no windows over the corpus;
+    the label frame is materialized per round so lineage stays flat."""
+    from jira_cdc_git_spark import fixtures as FX
+    from jira_cdc_git_spark.operators.jira import link_edges
+
+    nodes = materialize(
+        FX.issues_flat(spark, sf_dir).select("key").distinct()
+    )
+    directed = (
+        link_edges(spark, sf_dir)
+        .select("src_key", "dst_key")
+        .join(
+            nodes.select(F.col("key").alias("dst_key")), "dst_key", "left_semi"
+        )
+    )
+    und = materialize(
+        directed.select("src_key", "dst_key").unionAll(
+            directed.select(
+                F.col("dst_key").alias("src_key"),
+                F.col("src_key").alias("dst_key"),
+            )
+        )
+    )
+    labels = nodes.select("key", F.col("key").alias("lab"))
+    for _ in range(rounds):
+        cnt = (
+            und.join(labels, und.src_key == labels.key)
+            .groupBy(F.col("dst_key").alias("node"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        mx = cnt.groupBy("node").agg(F.max("c").alias("mc"))
+        pick = (
+            cnt.join(mx, "node")
+            .filter(F.col("c") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("lab").alias("new_lab"))
+        )
+        labels = materialize(
+            labels.join(
+                pick, labels.key == pick.node, "left"
+            ).select(
+                "key", F.coalesce("new_lab", "lab").alias("lab")
+            )
+        )
+    return labels.select("key", F.col("lab").alias("community"))

@@ -2359,8 +2359,6 @@ def benford_deviation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one projection + 9-group partial agg (map-side
     combine); the 9-row result self-joins against its own broadcast
     total — nothing scales past the scan."""
-    from jira_cdc_git_spark.functions.text import round_half_up
-
     orders = load_table(spark, "orders", sf_dir)
     digit = F.substring(
         F.floor("o_totalprice").cast("long").cast("string"), 1, 1
@@ -2371,6 +2369,16 @@ def benford_deviation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count("*").cast("long").alias("n"))
     )
+    return benford_from_digit_counts(per)
+
+
+def benford_from_digit_counts(per: DataFrame) -> DataFrame:
+    """Benford report projection from a (digit, n) count frame — shared
+    by the batch operator and streaming_benford so the streaming twin's
+    snapshot agrees with the batch report by construction (the
+    acf_from_hourly discipline)."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+
     tot = per.agg(F.sum("n").cast("long").alias("n_total"))
     expected = F.element_at(
         F.create_map(
@@ -2483,4 +2491,107 @@ def bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("p")
+    )
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue: the MEDIAN of all
+    pairwise day-over-day slopes plus the median-residual intercept
+    (Theil 1950 / Sen 1968) — the outlier-proof alternative to the OLS
+    trend every revenue/volume monitor should quote when single-day
+    spikes (holidays, incidents) poison least squares. One row: day
+    count, pair count, slope per day, intercept at day 0, and the
+    fitted value at the last observed day.
+
+    CROSS-ENGINE DETERMINISM: daily revenue is summed in integer CENTS
+    (exact under any order); each pairwise slope is ONE IEEE division
+    of exact integers; medians select by row_number over the sorted
+    slope frame (even count -> mean of the middle two, a fixed-shape
+    IEEE expression).
+
+    100 TB shape: one day-key shuffle for the rollup, then everything
+    runs on the |days|-row frame — pairs are |days|^2 (a ~2500-day
+    history is ~3M pairs), broadcast-joined and window-ranked on a
+    frame that is bounded by the CALENDAR, not the data."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    orders = load_table(spark, "orders", sf_dir)
+    rollup = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("cents")
+    )
+    day0 = rollup.agg(F.min("day").alias("day0"))
+    daily = rollup.crossJoin(F.broadcast(day0)).select(
+        F.datediff(F.col("day"), F.col("day0")).alias("x"), "cents"
+    )
+    a = daily.select(
+        F.col("x").alias("xi"), F.col("cents").alias("ci")
+    )
+    b = daily.select(
+        F.col("x").alias("xj"), F.col("cents").alias("cj")
+    )
+    slopes = (
+        a.join(F.broadcast(b), F.col("xi") < F.col("xj"))
+        .select(
+            (
+                (F.col("cj") - F.col("ci"))
+                / (F.lit(100.0) * (F.col("xj") - F.col("xi")))
+            ).alias("slope")
+        )
+    )
+    w = Window.orderBy("slope")
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    n_pairs = ranked.agg(F.count("*").cast("long").alias("n_pairs"))
+    med = (
+        ranked.crossJoin(F.broadcast(n_pairs))
+        .filter(
+            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n_pairs") / 2) + 1)
+        )
+        .agg(
+            (F.sum("slope") / F.count("*")).alias("slope_med"),
+            F.first("n_pairs").alias("n_pairs"),
+        )
+    )
+    # intercept: median of (y_i - slope * x_i), same selection rule
+    resid = (
+        daily.crossJoin(F.broadcast(med))
+        .select(
+            (
+                F.col("cents") / F.lit(100.0)
+                - F.col("slope_med") * F.col("x")
+            ).alias("r"),
+            "slope_med",
+            "n_pairs",
+        )
+    )
+    wr = Window.orderBy("r")
+    rranked = resid.withColumn("rn", F.row_number().over(wr))
+    n_days = rranked.agg(F.count("*").cast("long").alias("n_days"))
+    x_max = daily.agg(F.max("x").alias("x_max"))
+    return (
+        rranked.crossJoin(F.broadcast(n_days))
+        .filter(
+            (F.col("rn") == F.floor((F.col("n_days") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n_days") / 2) + 1)
+        )
+        .groupBy("slope_med", "n_pairs")
+        .agg(
+            F.first("n_days").alias("n_days"),
+            (F.sum("r") / F.count("*")).alias("intercept_med"),
+        )
+        .crossJoin(F.broadcast(x_max))
+        .select(
+            "n_days",
+            "n_pairs",
+            round_half_up(F.col("slope_med"), 6).alias("slope_per_day"),
+            round_half_up(F.col("intercept_med"), 4).alias("intercept"),
+            round_half_up(
+                F.col("intercept_med") + F.col("slope_med") * F.col("x_max"),
+                4,
+            ).alias("fit_last_day"),
+        )
     )

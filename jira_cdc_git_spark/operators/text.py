@@ -5155,3 +5155,112 @@ def lsh_scurve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jaccard_lo")
     )
+
+
+#: pseudo-relevance-feedback parameters: docs fed back, expansion terms
+#: added, and the Rocchio beta weight on expansion-term contributions.
+PRF_TOP_DOCS = 10
+PRF_EXP_TERMS = 5
+PRF_EXP_WEIGHT = 0.5
+
+
+def rocchio_expanded_topk(
+    spark: SparkSession, sf_dir: str, query: str = BM25_QUERY, k: int = 20
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio 1971, the TREC blind-
+    feedback recipe): run BM25 for the query, treat its top
+    PRF_TOP_DOCS hits as relevant, pick the PRF_EXP_TERMS most frequent
+    non-stopword non-query terms inside that set as expansion terms, and
+    rescore the corpus with the expanded weighted query (original terms
+    weight 1.0, expansion terms PRF_EXP_WEIGHT). The recall lever that
+    pulls in documents sharing vocabulary with the topic but not the
+    literal query — the step between plain BM25 and the dense retrieval
+    the repo's hybrid_rrf_topk fuses.
+
+    CROSS-ENGINE DETERMINISM: expansion-term selection is exact-INTEGER
+    (total term frequency, ties by term text) — never a float argmax;
+    the rescoring pass reuses bm25_topk's green float discipline with
+    the weight multiplied LAST in a fixed expression shape.
+
+    100 TB shape: pass 1 is bm25_topk (posting-scoped); the feedback set
+    is PRF_TOP_DOCS rows (broadcast); term selection aggregates only the
+    feedback docs' tokens; pass 2 filters the corpus explode through a
+    broadcast |q|+PRF_EXP_TERMS term table before any shuffle — the same
+    never-shuffle-the-vocabulary posting discipline as pass 1."""
+    orig_terms = sorted(set(query.split()))
+    base = (
+        bm25_topk(spark, sf_dir, query, k=PRF_TOP_DOCS)
+        .select("doc_id")
+        .transform(materialize)
+    )
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    )
+    prf_toks = docs.join(F.broadcast(base), "doc_id").select(
+        F.explode("toks").alias("tok")
+    )
+    expansion = (
+        prf_toks.filter(~F.col("tok").isin(orig_terms))
+        .filter(~F.col("tok").isin(TX.STOPWORDS))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf_prf"))
+        .orderBy(F.desc("tf_prf"), F.asc("tok"))
+        .limit(PRF_EXP_TERMS)
+        .select("tok", F.lit(float(PRF_EXP_WEIGHT)).alias("wt"))
+    )
+    terms_w = materialize(
+        expansion.unionByName(
+            spark.createDataFrame(
+                [(t, 1.0) for t in orig_terms], "tok string, wt double"
+            )
+        )
+    )
+    dl_stats = docs.select(F.size("toks").alias("dl")).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    postings = (
+        docs.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("tok"),
+        )
+        .join(F.broadcast(terms_w), "tok")
+        .groupBy("doc_id", "dl", "tok", "wt")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        postings.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(dl_stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+                * F.col("wt")
+            ).alias("s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = contrib.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_terms"),
+        TX.round_half_up(F.sum("s"), 4).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "rank", "n_terms", "score")
+    )

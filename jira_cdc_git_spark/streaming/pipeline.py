@@ -1922,3 +1922,85 @@ def streaming_autocorrelation(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_benford(
+    spark: SparkSession,
+    orders_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming twin of operators/relational.benford_deviation_report —
+    the SIXTH genuinely stateful twin, and the simplest possible IVM
+    state: per-leading-digit counts are pure abelian sums, so a batch
+    folds in with one 9-row merge and parity holds for ANY chunking,
+    ordering, or lateness (no per-key carry, no unit finalization). The
+    state table (digit, n) commits together with the applied_batch_id
+    marker in a single atomic swap; the report snapshot recomputes
+    UNCONDITIONALLY from committed state through the batch operator's
+    own benford_from_digit_counts projection, so the streaming audit
+    equals the batch audit by construction. The continuous-ingest form
+    of the fraud monitor: the chi-square statistic updates as orders
+    arrive, without ever rescanning history.
+
+    100 TB shape: per batch one 9-group partial agg over the batch and
+    one 9-row state merge — state is O(9) forever."""
+    import os
+
+    from jira_cdc_git_spark.operators.relational import (
+        benford_from_digit_counts,
+    )
+    from jira_cdc_git_spark.state import _swap_dir_atomic
+
+    state_dir = f"{out_root}/benford_state"
+    snap_dir = f"{out_root}/benford"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(orders_dir)
+
+    state_schema = "digit int, n long"
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("o_totalprice").localCheckpoint()
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            last_applied = state.agg(F.max("applied_batch_id")).first()[0]
+            state = state.drop("applied_batch_id")
+        else:
+            state = spark.createDataFrame([], state_schema)
+            last_applied = None
+        if last_applied is None or batch_id > last_applied:
+            digit = F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            ).cast("int")
+            delta = (
+                batch.filter(F.col("o_totalprice") >= 1.0)
+                .select(digit.alias("digit"))
+                .groupBy("digit")
+                .agg(F.count("*").cast("long").alias("n"))
+            )
+            new_state = (
+                state.unionByName(delta)
+                .groupBy("digit")
+                .agg(F.sum("n").cast("long").alias("n"))
+                .withColumn("applied_batch_id", F.lit(batch_id))
+            )
+            _swap_dir_atomic(new_state.localCheckpoint(), state_dir)
+        committed = spark.read.parquet(state_dir).select("digit", "n")
+        _swap_dir_atomic(
+            benford_from_digit_counts(committed).localCheckpoint(), snap_dir
+        )
+
+    (
+        feed.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1426,3 +1426,113 @@ def test_cluster_canonical_selection_is_argmax(spark, sf_dir):
         assert r["kept_quality"] == best_q
         # deterministic tie-break: lowest doc_id among the argmax set
         assert r["kept_doc_id"] == min(d for d in docs if q[d] == best_q)
+
+
+def test_theil_sen_known_answer(spark, sf_dir):
+    """Structural bounds on real data plus a hand-checked median rule:
+    the operator's pair/day counts must satisfy n_pairs = C(n_days, 2),
+    and the fitted endpoints must be consistent with slope/intercept."""
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    r = R.theil_sen_trend(spark, sf_dir).first()
+    assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+    # fit_last_day = intercept + slope * x_max where x_max is the
+    # calendar SPAN (>= n_days - 1 when days are missing)
+    mm = load_table(spark, "orders", sf_dir).agg(
+        F.datediff(
+            F.date_trunc("day", F.max("o_orderdate")),
+            F.date_trunc("day", F.min("o_orderdate")),
+        ).alias("span")
+    ).first()
+    assert abs(
+        r["fit_last_day"]
+        - round(r["intercept"] + r["slope_per_day"] * mm["span"], 3)
+    ) < 0.02  # endpoints derive from the unrounded medians
+
+
+def test_theil_sen_outlier_resistance(spark, sf_dir):
+    """The defining property: one absurd daily spike must barely move
+    the Theil-Sen slope (an OLS slope would chase it). Verified by
+    recomputing the pairwise-median slope in pure Python on the daily
+    rollup, with and without a poisoned day."""
+    import statistics
+
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    rollup = [
+        (r["d"], r["c"])
+        for r in load_table(spark, "orders", sf_dir)
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("c"))
+        .collect()
+    ]
+    d0 = min(d for d, _ in rollup)
+    daily = sorted(((d - d0).days, c) for d, c in rollup)
+
+    def ts_slope(pts):
+        return statistics.median(
+            (cj - ci) / (100.0 * (xj - xi))
+            for i, (xi, ci) in enumerate(pts)
+            for (xj, cj) in pts[i + 1:]
+        )
+
+    clean = ts_slope(daily)
+    poisoned = ts_slope([(x, c * 1000 if x == daily[len(daily) // 2][0] else c) for x, c in daily])
+    spread = max(c for _, c in daily) / 100.0
+    assert abs(poisoned - clean) < spread  # bounded shift, not 1000x
+    # and the operator's slope matches the python recomputation
+    got = R.theil_sen_trend(spark, sf_dir).first()["slope_per_day"]
+    assert abs(got - round(clean, 6)) < 1e-6
+
+
+def test_label_propagation_structure(spark, sf_dir):
+    out = G.label_propagation_communities(spark, sf_dir)
+    rows = out.collect()
+    keys = {r["key"] for r in rows}
+    comm = {r["key"]: r["community"] for r in rows}
+    # every community label is itself a node (labels only propagate)
+    assert set(comm.values()) <= keys
+    # communities refine connected components: two nodes sharing a
+    # community must be in the same CC of the undirected link graph
+    from jira_cdc_git_spark.operators.jira import link_edges
+
+    import collections
+    adj = collections.defaultdict(set)
+    for e in link_edges(spark, sf_dir).select("src_key", "dst_key").collect():
+        if e["dst_key"] in keys:
+            adj[e["src_key"]].add(e["dst_key"])
+            adj[e["dst_key"]].add(e["src_key"])
+    cc = {}
+    for start in keys:
+        if start in cc:
+            continue
+        stack, grp = [start], start
+        while stack:
+            n = stack.pop()
+            if n in cc:
+                continue
+            cc[n] = grp
+            stack.extend(adj[n] - cc.keys())
+    by_comm = collections.defaultdict(set)
+    for k, c in comm.items():
+        by_comm[c].add(cc[k])
+    for c, comps in by_comm.items():
+        assert len(comps) == 1, f"community {c} spans components {comps}"
+    # isolated nodes stay their own community
+    for k in keys:
+        if not adj[k]:
+            assert comm[k] == k
+
+
+def test_rocchio_expansion_behavior(spark, sf_dir):
+    base = {r["doc_id"]: r for r in T.bm25_topk(spark, sf_dir).collect()}
+    exp = {r["doc_id"]: r for r in
+           T.rocchio_expanded_topk(spark, sf_dir).collect()}
+    assert len(exp) == 20
+    # expanded matching can only see MORE terms per doc than the base
+    # query for docs in both rankings
+    for d in set(base) & set(exp):
+        assert exp[d]["n_terms"] >= base[d]["n_terms"]
+    # ranks are 1..20 with deterministic ordering
+    ranks = sorted(r["rank"] for r in exp.values())
+    assert ranks == list(range(1, 21))

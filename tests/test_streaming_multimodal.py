@@ -1530,3 +1530,124 @@ def test_streaming_autocorrelation_crash_resume(
     }
     assert got == want
     assert len({t for t, _ in got}) == n_types
+
+
+def test_streaming_benford_stateful_batch_parity(spark, sf_dir, tmp_path):
+    """The SIXTH stateful twin: per-digit counts fold incrementally
+    (pure abelian IVM — no carry, no finalization) with atomic
+    state+marker swaps; the report snapshot derives from committed
+    state through the batch operator's own benford_from_digit_counts
+    projection. Chunks arrive out of order; the final snapshot must
+    equal benford_deviation_report exactly, and a checkpoint replay
+    must change nothing."""
+    from pyspark.sql import functions as F
+
+    from jira_cdc_git_spark.operators.relational import (
+        benford_deviation_report,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_benford
+
+    od = load_table(spark, "orders", sf_dir).orderBy("o_orderkey")
+    rows = od.collect()
+    c1, c2 = len(rows) // 3, 2 * len(rows) // 3
+    orders_dir = str(tmp_path / "feed")
+    # middle third first — digit counts are abelian, so ANY order folds
+    # to the same state
+    for chunk in (rows[c1:c2], rows[:c1], rows[c2:]):
+        spark.createDataFrame(chunk, od.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(orders_dir)
+
+    out_root = str(tmp_path / "ben")
+    streaming_benford(
+        spark, orders_dir, od.schema, str(tmp_path / "ckpt"), out_root
+    )
+
+    def snap():
+        return {
+            r["digit"]: (
+                r["n"], r["n_total"], r["observed_frac"],
+                r["expected_frac"], r["chi2_term"], r["chi2_stat"],
+            )
+            for r in spark.read.parquet(f"{out_root}/benford").collect()
+        }
+
+    got = snap()
+    want = {
+        r["digit"]: (
+            r["n"], r["n_total"], r["observed_frac"],
+            r["expected_frac"], r["chi2_term"], r["chi2_stat"],
+        )
+        for r in benford_deviation_report(spark, sf_dir).collect()
+    }
+    assert got == want
+    # state totals equal the filtered row count (nothing lost/doubled)
+    state = spark.read.parquet(f"{out_root}/benford_state")
+    n_priced = od.filter(F.col("o_totalprice") >= 1.0).count()
+    assert state.agg(F.sum("n")).first()[0] == n_priced
+    # idempotent re-run: same checkpoint, snapshot unchanged
+    streaming_benford(
+        spark, orders_dir, od.schema, str(tmp_path / "ckpt"), out_root
+    )
+    assert snap() == want
+
+
+def test_streaming_benford_crash_resume(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash after batch 1's state swap committed but before its
+    snapshot emit: the replay must skip the fold (applied_batch_id
+    guard) while the unconditional snapshot recompute heals the torn
+    emit."""
+    import jira_cdc_git_spark.state as STATE
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from jira_cdc_git_spark.operators.relational import (
+        benford_deviation_report,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_benford
+
+    od = load_table(spark, "orders", sf_dir).orderBy("o_orderkey")
+    rows = od.collect()
+    c1 = len(rows) // 2
+    orders_dir = str(tmp_path / "feed")
+    for chunk in (rows[:c1], rows[c1:]):
+        spark.createDataFrame(chunk, od.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(orders_dir)
+
+    out_root = str(tmp_path / "ben")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_swap = STATE._swap_dir_atomic
+    calls = {"n": 0}
+
+    def flaky_swap(df, path):
+        calls["n"] += 1
+        if calls["n"] == 4:  # batch 1's snapshot emit
+            raise RuntimeError("injected crash before snapshot emit")
+        real_swap(df, path)
+
+    monkeypatch.setattr(STATE, "_swap_dir_atomic", flaky_swap)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        streaming_benford(spark, orders_dir, od.schema, ckpt, out_root)
+
+    n_priced = od.filter(F.col("o_totalprice") >= 1.0).count()
+    state = spark.read.parquet(f"{out_root}/benford_state")
+    assert state.agg(F.sum("n")).first()[0] == n_priced  # fold committed
+    assert spark.read.parquet(f"{out_root}/benford").count() > 0
+
+    monkeypatch.setattr(STATE, "_swap_dir_atomic", real_swap)
+    streaming_benford(spark, orders_dir, od.schema, ckpt, out_root)
+    state = spark.read.parquet(f"{out_root}/benford_state")
+    assert state.agg(F.sum("n")).first()[0] == n_priced  # no double count
+    got = {
+        r["digit"]: (r["n"], r["chi2_stat"])
+        for r in spark.read.parquet(f"{out_root}/benford").collect()
+    }
+    want = {
+        r["digit"]: (r["n"], r["chi2_stat"])
+        for r in benford_deviation_report(spark, sf_dir).collect()
+    }
+    assert got == want
