@@ -69,8 +69,8 @@ vintage entries that have never re-earned a driver row on current
 code (commit_messages, timestamp_multiformat, reconciliation_report,
 validate_requests, the epic-discovery variants, jql_was_*, the r4
 curation wave).
-The registry has 299
-entries: 291 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 307
+entries: 299 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility_report": T.tokenizer_fertility_report,
         "bpe_packed_chunks": T.bpe_packed_chunks,
         "autocorrelation_report": TS.autocorrelation_report,
+        "gap_fill_locf": TS.gap_fill_locf,
         # (c) rotation hygiene (r8 verdict task 4): the 34 STALEST
         # entries — every r2-last-green name plus the oldest r3 tranche
         # (epic discovery variants, commit messages, the r3 curation
@@ -198,11 +199,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report": T.curation_report,
         "dataset_splits": T.dataset_splits,
         "decontaminate": T.decontaminate,
-        "doc_length_quantiles": T.doc_length_quantiles,
         # ===== slots 51+ (displaced r8 window + prior-green) =====
         # (the tail of the r9 stale tranche — displaced past the window
         # by the round-9 second and third waves; each re-earns next
         # rotation)
+        "doc_length_quantiles": T.doc_length_quantiles,
         "epic_completeness": J.epic_completeness,
         "epic_discovery_epic_link": lambda s, d: J.discover_epic_members(
             s, d, "PROJ-0", "epic_link"
