@@ -69,8 +69,8 @@ vintage entries that have never re-earned a driver row on current
 code (commit_messages, timestamp_multiformat, reconciliation_report,
 validate_requests, the epic-discovery variants, jql_was_*, the r4
 curation wave).
-The registry has 307
-entries: 299 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 310
+entries: 302 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -155,6 +155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trend": R.theil_sen_trend,
         "label_propagation_communities": G.label_propagation_communities,
         "rocchio_expanded_topk": T.rocchio_expanded_topk,
+        # (a4) the round-9 fourth wave — corpus-drift JSD matrix,
+        # source shingle-set overlap/containment, seasonal-naive
+        # forecast backtest;
+        "token_js_divergence": T.token_js_divergence,
+        "source_shingle_overlap": T.source_shingle_overlap,
+        "seasonal_naive_backtest": TS.seasonal_naive_backtest,
         # (b) operators whose CODE changed this round: the CC family
         # (block-local union-find contraction + bounded local finish),
         # the semdedup candidate-pair refactor, the stored-vocab BPE
@@ -196,13 +202,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": T.boilerplate_ngrams,
         "commit_messages": J.commit_messages,
         "corpus_shards": T.corpus_shards,
-        "curation_report": T.curation_report,
-        "dataset_splits": T.dataset_splits,
-        "decontaminate": T.decontaminate,
         # ===== slots 51+ (displaced r8 window + prior-green) =====
         # (the tail of the r9 stale tranche — displaced past the window
         # by the round-9 second and third waves; each re-earns next
         # rotation)
+        "curation_report": T.curation_report,
+        "dataset_splits": T.dataset_splits,
+        "decontaminate": T.decontaminate,
         "doc_length_quantiles": T.doc_length_quantiles,
         "epic_completeness": J.epic_completeness,
         "epic_discovery_epic_link": lambda s, d: J.discover_epic_members(
@@ -7809,6 +7815,133 @@ _ORACLES["rocchio_expanded_topk"] = f"""
         FROM sc2
     )
     SELECT doc_id, rank, n_terms, score FROM r2 WHERE rank <= 20"""
+
+# Mirrors operators/text.token_js_divergence: per-token JSD contributions
+# floored to JSD_UNIT before the per-pair integer sum; LN2 is the shared
+# literal.
+_ORACLES["token_js_divergence"] = f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2
+    ), totals AS (
+        SELECT source, sum(n) AS tot FROM counts GROUP BY 1
+    ), pg AS (
+        SELECT a.source AS src_a, a.tot AS tot_a,
+               b.source AS src_b, b.tot AS tot_b
+        FROM totals a JOIN totals b ON a.source < b.source
+    ), sided AS (
+        SELECT src_a, src_b, tot_a, tot_b, tok,
+               CASE WHEN source = src_a THEN n ELSE 0 END AS na,
+               CASE WHEN source = src_b THEN n ELSE 0 END AS nb
+        FROM counts JOIN pg ON source = src_a OR source = src_b
+    ), pt AS (
+        SELECT src_a, src_b, tot_a, tot_b, tok,
+               sum(na) AS na, sum(nb) AS nb
+        FROM sided GROUP BY 1, 2, 3, 4, 5
+    ), terms AS (
+        SELECT src_a, src_b,
+               CAST(floor((
+                   CASE WHEN na > 0
+                        THEN 0.5 * (na / tot_a)
+                             * ln(2.0 * (na / tot_a)
+                                  / (na / tot_a + nb / tot_b))
+                        ELSE 0.0 END
+                 + CASE WHEN nb > 0
+                        THEN 0.5 * (nb / tot_b)
+                             * ln(2.0 * (nb / tot_b)
+                                  / (na / tot_a + nb / tot_b))
+                        ELSE 0.0 END
+               ) * {T.JSD_UNIT}) AS BIGINT) AS u
+        FROM pt
+    )
+    SELECT src_a, src_b,
+           CAST(count(*) AS BIGINT) AS n_union_tokens,
+           floor(sum(u) / {float(T.JSD_UNIT)!r} * 1000000 + 0.5) / 1000000
+             AS jsd_nats,
+           floor(sum(u) / {float(T.JSD_UNIT)!r} / {T.LN2!r} * 1000000
+                 + 0.5) / 1000000 AS jsd_bits
+    FROM terms GROUP BY 1, 2 ORDER BY 1, 2"""
+
+# Mirrors operators/text.source_shingle_overlap: distinct (source,
+# shingle) sets via the shared 3-gram construction, inverted-index
+# intersections, broadcast size join.
+_ORACLES["source_shingle_overlap"] = """
+    WITH t AS (
+        SELECT source, string_split_regex(trim(text), '\\s+') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT source, shingle
+        FROM (SELECT source,
+                     unnest(CASE WHEN len(tk) >= 3
+                         THEN list_transform(
+                             generate_series(1, CAST(len(tk) AS INTEGER) - 2),
+                             i -> array_to_string(tk[i:i+2], ' '))
+                         ELSE [] END) AS shingle
+              FROM t) x
+    ), sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_inter,
+           floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1000000 + 0.5)
+             / 1000000 AS jaccard,
+           floor(n_inter / sa.n_sh * 1000000 + 0.5) / 1000000
+             AS containment_a_in_b,
+           floor(n_inter / sb.n_sh * 1000000 + 0.5) / 1000000
+             AS containment_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.source = inter.src_a
+    JOIN sizes sb ON sb.source = inter.src_b
+    ORDER BY src_a, src_b"""
+
+# Mirrors operators/timeseries.seasonal_naive_backtest: dense hourly
+# grid, lag-1 vs lag-24 forecasts, exact-integer error sums.
+_ORACLES["seasonal_naive_backtest"] = f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), span AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM (SELECT DISTINCT event_type FROM hourly) CROSS JOIN span
+    ),
+    dense AS (
+        SELECT g.event_type, g.h, coalesce(hourly.n, 0) AS n
+        FROM grid g LEFT JOIN hourly
+          ON hourly.event_type = g.event_type AND hourly.h = g.h
+    ),
+    scored AS (
+        SELECT event_type, n,
+               lag(n, 1) OVER (PARTITION BY event_type ORDER BY h) AS fn,
+               lag(n, {TS.SEASONAL_LAG_HOURS})
+                 OVER (PARTITION BY event_type ORDER BY h) AS fs
+        FROM dense
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_hours_scored,
+               CAST(sum(abs(n - fn)) AS BIGINT) AS nerr,
+               CAST(sum(abs(n - fs)) AS BIGINT) AS serr
+        FROM scored WHERE fs IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n_hours_scored,
+           floor(nerr / n_hours_scored * 1000000 + 0.5) / 1000000
+             AS naive_mae,
+           floor(serr / n_hours_scored * 1000000 + 0.5) / 1000000
+             AS seasonal_mae,
+           CASE WHEN nerr > 0
+                THEN floor((1.0 - serr / nerr) * 1000000 + 0.5) / 1000000
+           END AS improvement
+    FROM agg ORDER BY event_type"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -278,6 +278,10 @@ BENCH_QUERIES = [
     "theil_sen_trend",
     "label_propagation_communities",
     "rocchio_expanded_topk",
+    # r9 wave 4: JSD drift matrix, source overlap, forecast backtest
+    "token_js_divergence",
+    "source_shingle_overlap",
+    "seasonal_naive_backtest",
 ]
 
 
@@ -673,6 +677,10 @@ SCALE_PROBE_QUERIES = [
     "theil_sen_trend",
     "label_propagation_communities",
     "rocchio_expanded_topk",
+    # r9 wave 4: JSD drift matrix, source overlap, forecast backtest
+    "token_js_divergence",
+    "source_shingle_overlap",
+    "seasonal_naive_backtest",
 ]
 
 

@@ -5264,3 +5264,178 @@ def rocchio_expanded_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "rank", "n_terms", "score")
     )
+
+
+#: micro-units for the JSD term sums (the ENTROPY_UNIT discipline) and
+#: ln(2), shared with the oracle so neither engine computes it.
+JSD_UNIT = 1_000_000_000
+LN2 = 0.6931471805599453
+
+
+def token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram token
+    distributions of every SOURCE pair — the corpus-drift / mixture-
+    distance map (Lin 1991): 0 = identical vocabularies-with-rates,
+    ln 2 = disjoint. The readout a mixture-weighting pass
+    (domain_mixture_weights) should consult before treating two sources
+    as interchangeable, and the drift alarm between crawl snapshots.
+
+    CROSS-ENGINE DETERMINISM: per-token contributions
+    0.5·p·ln(2p/(p+q)) + 0.5·q·ln(2q/(p+q)) are fixed-shape IEEE
+    expressions over exact counts, floored to JSD_UNIT units BEFORE the
+    per-pair integer sum (order-independent — the entropy_from_pairs
+    discipline); bits-normalization divides by the shared LN2 literal.
+
+    100 TB shape: one (source, tok) count shuffle (vocab-bounded after
+    the partial agg); each count row then fans out to the |sources|-1
+    pairs containing its source via a broadcast pair grid — volume is
+    |vocab|·|sources|, never corpus-scale; production with thousands of
+    sources would cap to a top-V vocabulary first (the CMS/top-k
+    discipline)."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    counts = (
+        docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+        .transform(materialize)
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    pair_grid = (
+        totals.select(
+            F.col("source").alias("src_a"), F.col("tot").alias("tot_a")
+        )
+        .crossJoin(
+            F.broadcast(
+                totals.select(
+                    F.col("source").alias("src_b"),
+                    F.col("tot").alias("tot_b"),
+                )
+            )
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    # fan each (source, tok, n) row out to the pairs containing its
+    # source, tagging which side it lands on; one (pair, tok) agg then
+    # holds both sides' counts
+    sided = counts.join(
+        F.broadcast(pair_grid),
+        (F.col("source") == F.col("src_a"))
+        | (F.col("source") == F.col("src_b")),
+    ).select(
+        "src_a",
+        "src_b",
+        "tot_a",
+        "tot_b",
+        "tok",
+        F.when(F.col("source") == F.col("src_a"), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("na"),
+        F.when(F.col("source") == F.col("src_b"), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("nb"),
+    )
+    per_tok = sided.groupBy("src_a", "src_b", "tot_a", "tot_b", "tok").agg(
+        F.sum("na").alias("na"), F.sum("nb").alias("nb")
+    )
+    p = F.col("na") / F.col("tot_a")
+    q = F.col("nb") / F.col("tot_b")
+    term = (
+        F.when(
+            F.col("na") > 0,
+            0.5 * p * F.log(2.0 * p / (p + q)),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("nb") > 0,
+            0.5 * q * F.log(2.0 * q / (p + q)),
+        ).otherwise(F.lit(0.0))
+    )
+    term_u = F.floor(term * JSD_UNIT).cast("long")
+    return (
+        per_tok.select("src_a", "src_b", term_u.alias("u"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("long").alias("n_union_tokens"),
+            F.sum("u").alias("jsd_u"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_union_tokens",
+            TX.round_half_up(F.col("jsd_u") / F.lit(float(JSD_UNIT)), 6).alias(
+                "jsd_nats"
+            ),
+            TX.round_half_up(
+                F.col("jsd_u") / F.lit(float(JSD_UNIT)) / F.lit(LN2), 6
+            ).alias("jsd_bits"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level shingle-set overlap matrix: exact Jaccard and both
+    directional containments of the word-3-gram shingle SETS of every
+    source pair — the set-theoretic companion to token_js_divergence
+    (JSD sees rate drift between shared vocabulary; containment sees one
+    source literally embedded in another — the mirror-site / partial-
+    scrape signal that drives source-level dedup decisions).
+
+    100 TB shape: one distinct (source, shingle) projection (set-
+    bounded), the inverted-index self-join on shingle for intersections
+    (|sources|-bounded fanout per shingle — hot shingles cost
+    |sources|², not |docs|²), and a broadcast size join; output is
+    |sources|² rows."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    sh = (
+        docs.select(
+            "source", F.explode(TX.shingles(F.col("text"), 3)).alias("shingle")
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_a"), F.col("n_sh").alias("sz_a")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_b"), F.col("n_sh").alias("sz_b")
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            TX.round_half_up(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+            TX.round_half_up(F.col("n_inter") / F.col("sz_a"), 6).alias(
+                "containment_a_in_b"
+            ),
+            TX.round_half_up(F.col("n_inter") / F.col("sz_b"), 6).alias(
+                "containment_b_in_a"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -1689,3 +1689,86 @@ def ks_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX_round(F.col("v") / 100.0, 2).alias("d_at_value"),
         TX_round(p, 6).alias("p_value"),
     )
+
+
+#: seasonal-naive backtest lag: 24 hours (daily seasonality) — short
+#: enough that every SF's event span scores a window.
+SEASONAL_LAG_HOURS = 24
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the two zero-parameter forecasters every anomaly
+    alarm implies — naive (next hour = this hour) vs seasonal-naive
+    (next hour = same hour yesterday, Hyndman & Athanasopoulos ch. 5) —
+    over each event type's dense hourly count series. Per type: scored
+    hours, both MAEs (exact integer error sums), and the relative
+    improvement of seasonal over naive. The sanity gate for
+    seasonality_profile: if seasonal-naive does NOT beat naive, the
+    claimed daily cycle isn't there, and a CUSUM tuned to it will page
+    on noise.
+
+    CROSS-ENGINE DETERMINISM: counts, gaps (zero-filled), absolute
+    errors, and their sums are all exact integers; the two divisions
+    and the improvement ratio are final-step IEEE ops.
+
+    100 TB shape: one (type, hour) partial-agg count, a |types|x|hours|
+    calendar-bounded dense grid (generated, not shuffled), two lag
+    windows over the bounded grid, one |types|-row rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").cast("long").alias("n"))
+    span = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    scored = (
+        dense.withColumn("f_naive", F.lag("n", 1).over(w))
+        .withColumn("f_seasonal", F.lag("n", SEASONAL_LAG_HOURS).over(w))
+        .filter(F.col("f_seasonal").isNotNull())
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_hours_scored"),
+            F.sum(F.abs(F.col("n") - F.col("f_naive")))
+            .cast("long")
+            .alias("naive_abs_err"),
+            F.sum(F.abs(F.col("n") - F.col("f_seasonal")))
+            .cast("long")
+            .alias("seasonal_abs_err"),
+        )
+        .select(
+            "event_type",
+            "n_hours_scored",
+            TX_round(
+                F.col("naive_abs_err") / F.col("n_hours_scored"), 6
+            ).alias("naive_mae"),
+            TX_round(
+                F.col("seasonal_abs_err") / F.col("n_hours_scored"), 6
+            ).alias("seasonal_mae"),
+            F.when(
+                F.col("naive_abs_err") > 0,
+                TX_round(
+                    1.0
+                    - F.col("seasonal_abs_err") / F.col("naive_abs_err"),
+                    6,
+                ),
+            ).alias("improvement"),
+        )
+        .orderBy("event_type")
+    )

@@ -115,6 +115,10 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.vocab_richness_report,
         T.lsh_scurve_calibration,
         GR.cluster_canonical_selection,
+        # r9 wave-3/4 documents-table additions
+        T.rocchio_expanded_topk,
+        T.token_js_divergence,
+        T.source_shingle_overlap,
     ],
 )
 def test_operator_empty_input_yields_empty_output(fn, spark, empty_sf_dir):

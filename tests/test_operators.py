@@ -1536,3 +1536,93 @@ def test_rocchio_expansion_behavior(spark, sf_dir):
     # ranks are 1..20 with deterministic ordering
     ranks = sorted(r["rank"] for r in exp.values())
     assert ranks == list(range(1, 21))
+
+
+def test_token_js_divergence_properties(spark, sf_dir):
+    import math
+
+    rows = T.token_js_divergence(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        seen.add((r["src_a"], r["src_b"]))
+        # JSD is bounded by ln 2 nats / 1 bit (micro-unit flooring can
+        # only shrink)
+        assert 0.0 <= r["jsd_nats"] <= math.log(2) + 1e-9
+        assert 0.0 <= r["jsd_bits"] <= 1.0 + 1e-9
+        assert abs(r["jsd_bits"] - round(r["jsd_nats"] / math.log(2), 3)) < 2e-3
+        assert r["n_union_tokens"] > 0
+    # full upper-triangle pair coverage
+    srcs = sorted({s for p in seen for s in p})
+    assert len(seen) == len(srcs) * (len(srcs) - 1) // 2
+
+
+def test_token_js_divergence_identical_is_zero(spark, tmp_path):
+    """JSD of two sources with IDENTICAL token distributions must be ~0
+    (exactly 0 up to the micro-unit floor)."""
+    from jira_cdc_git_spark.operators.text import token_js_divergence
+
+    rows = [
+        (1, "alpha beta beta gamma", "en", "sA", 21),
+        (2, "alpha beta beta gamma", "en", "sB", 21),
+        (3, "delta delta epsilon", "en", "sC", 19),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "documents.parquet")
+    df.write.parquet(d)
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in token_js_divergence(spark, str(tmp_path)).collect()
+    }
+    assert out[("sA", "sB")]["jsd_nats"] == 0.0
+    # disjoint vocabularies -> maximal divergence ln 2
+    import math
+    assert abs(out[("sA", "sC")]["jsd_nats"] - round(math.log(2), 6)) < 1e-5
+
+
+def test_source_shingle_overlap_bounds(spark, sf_dir):
+    rows = T.source_shingle_overlap(spark, sf_dir).collect()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["jaccard"] <= r["containment_a_in_b"] + 1e-9
+        assert r["jaccard"] <= r["containment_b_in_a"] + 1e-9
+        assert r["containment_a_in_b"] <= 1.0 and r["containment_b_in_a"] <= 1.0
+        assert r["n_inter"] > 0  # only intersecting pairs are emitted
+
+
+def test_seasonal_naive_backtest_hand_checked(spark, tmp_path):
+    """48 hourly events with a perfect 24h cycle: seasonal-naive error
+    must be ZERO from hour 24 on; naive error equals the step size."""
+    import datetime
+
+    from jira_cdc_git_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        # n(h) = 1 + (h % 2): alternates 1,2,1,2 — period 2 divides 24,
+        # so the daily forecaster is exact and the hourly one never is
+        for _ in range(1 + (h % 2)):
+            rows.append(
+                (eid, t0 + datetime.timedelta(hours=h, minutes=1), 7, "tick", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    r = seasonal_naive_backtest(spark, str(tmp_path)).first()
+    assert r["event_type"] == "tick"
+    assert r["n_hours_scored"] == 24
+    assert r["seasonal_mae"] == 0.0
+    assert r["naive_mae"] == 1.0
+    assert r["improvement"] == 1.0
