@@ -887,3 +887,48 @@ def test_q21_status_filter_pushed_and_topk(spark, sf_dir):
         "o_orderstatus" in s[:300] for s in plan.split("PushedFilters")[1:]
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# -- r9 wave: the scale properties the new flagships claim ------------------
+
+
+def test_bottomk_sample_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(R.bottomk_quantile_sketch(spark, sf_dir))
+    # the K-row sample: per-partition bottom-K merged on the driver —
+    # a TakeOrderedAndProject with limit 1024 on the hash column
+    assert "TakeOrderedAndProject" in plan
+    assert "1024" in plan.split("TakeOrderedAndProject")[1][:200]
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_generates_grid_above_every_exchange(spark, sf_dir):
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    # executedPlan prints the operator tree top-down, one node per line
+    tree = _plan(TS.gap_fill_locf(spark, sf_dir))
+    # the dense-grid explode (Generate) must sit ABOVE the last Exchange:
+    # grid rows are produced in the final projection, never shuffled
+    gen_pos = tree.index("Generate")
+    last_exchange = tree.rindex("Exchange")
+    assert gen_pos < last_exchange, (
+        "explode must appear above (before, in tree print order) every "
+        "Exchange — the grid is generated post-shuffle"
+    )
+
+
+def test_theil_sen_pairs_are_broadcast_bounded(spark, sf_dir):
+    plan = _plan(R.theil_sen_trend(spark, sf_dir))
+    # the day-pair join is a broadcast nested-loop over the bounded
+    # day frame — never a shuffled cartesian of order rows
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_jsd_pair_grid_broadcasts(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.token_js_divergence(spark, sf_dir))
+    # the pair fan-out joins the vocab-bounded count frame against a
+    # BROADCAST pair grid; no sort-merge join over corpus rows
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -239,6 +239,37 @@ AUDITS = [
         "with TakeOrderedAndProject); the RRF join itself is over the "
         "tiny top pools — the corpus is never re-touched.",
     ),
+    (
+        "bottomk_quantile_sketch",
+        "The bottom-k sample compiles to TakeOrderedAndProject "
+        "(per-partition bottom-K, K-row merge) — NO global Sort+Exchange "
+        "over orders; the grading pass is one scan joined against a "
+        "broadcast 5-row estimate grid.",
+    ),
+    (
+        "gap_fill_locf",
+        "After the rewrite the only exchanges are observation-sized: the "
+        "(user, hour) dedup and the user-key lead() window. The dense "
+        "|users|x|hours| grid appears as a Generate (explode) in the "
+        "FINAL projection — below every Exchange in the plan, so grid "
+        "rows are produced, never shuffled.",
+    ),
+    (
+        "theil_sen_trend",
+        "Everything past the one day-key rollup Exchange runs on the "
+        "|days|-row frame: the pairwise-slope join is a "
+        "BroadcastNestedLoopJoin over two bounded day lists (calendar-"
+        "bounded, never data-bounded), and the median windows sort "
+        "|days|^2 slope rows, not orders.",
+    ),
+    (
+        "token_js_divergence",
+        "The corpus is touched once: a (source, tok) hash aggregate. The "
+        "pair fan-out joins that vocab-bounded frame against a BROADCAST "
+        "pair grid (BroadcastHashJoin/NestedLoop over |sources|^2 rows); "
+        "the JSD term sum is a second bounded aggregate — no shuffle "
+        "ever carries corpus-scale rows twice.",
+    ),
 ]
 
 MAX_LINES = 58
