@@ -686,6 +686,14 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "hour_ts", F.col("value").alias("obs_value"))
     )
+    return locf_from_hourly(hourly_last)
+
+
+def locf_from_hourly(hourly_last: DataFrame) -> DataFrame:
+    """The carry-and-tile projection from a (user_id, hour_ts,
+    obs_value) last-observation frame — shared by the batch operator
+    and streaming_gap_fill_locf so the twin's snapshot agrees by
+    construction (the acf_from_hourly discipline)."""
     # Each user's first observed hour IS the spine start (min(ts) lands
     # in an observed hour), so carrying each observation up to the hour
     # before the next one tiles the user's min..max range exactly —

@@ -2004,3 +2004,103 @@ def streaming_benford(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_gap_fill_locf(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming twin of operators/timeseries.gap_fill_locf — the
+    SEVENTH genuinely stateful twin: the carried state is each (user,
+    hour)'s LAST observation, maintained as a struct-max over
+    (ts, event_id, value). Struct-max is ABELIAN (max of maxes), so a
+    batch folds in with one merge and parity holds for ANY chunking —
+    mid-hour cuts, out-of-order arrival, and late rows all resolve to
+    the same per-hour winner a batch re-run would pick. The dense
+    filled-grid snapshot recomputes UNCONDITIONALLY from committed
+    state through the batch operator's own locf_from_hourly projection
+    (lead + explode — the r9 observation-shuffle shape), committed
+    together with the applied_batch_id marker in one atomic swap.
+
+    100 TB shape: per batch one (user, hour) struct-max delta agg + one
+    merge against observation-sized state; the dense grid exists only
+    inside the snapshot's final projection, exactly as in batch."""
+    import os
+
+    from jira_cdc_git_spark.operators.timeseries import locf_from_hourly
+    from jira_cdc_git_spark.state import _swap_dir_atomic
+
+    state_dir = f"{out_root}/locf_state"
+    snap_dir = f"{out_root}/locf"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(events_dir)
+
+    state_schema = (
+        "user_id long, hour_ts timestamp, ts timestamp, "
+        "event_id long, value double"
+    )
+    pick = F.max(
+        F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    ).alias("w")
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(
+            "user_id", "ts", "event_id", "value"
+        ).localCheckpoint()
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            last_applied = state.agg(F.max("applied_batch_id")).first()[0]
+            state = state.drop("applied_batch_id")
+        else:
+            state = spark.createDataFrame([], state_schema)
+            last_applied = None
+        if last_applied is None or batch_id > last_applied:
+            delta = (
+                batch.withColumn(
+                    "hour_ts", F.date_trunc("hour", F.col("ts"))
+                )
+                .groupBy("user_id", "hour_ts")
+                .agg(pick)
+                .select(
+                    "user_id", "hour_ts",
+                    F.col("w.ts").alias("ts"),
+                    F.col("w.event_id").alias("event_id"),
+                    F.col("w.value").alias("value"),
+                )
+            )
+            new_state = (
+                state.unionByName(delta)
+                .groupBy("user_id", "hour_ts")
+                .agg(pick)
+                .select(
+                    "user_id", "hour_ts",
+                    F.col("w.ts").alias("ts"),
+                    F.col("w.event_id").alias("event_id"),
+                    F.col("w.value").alias("value"),
+                )
+                .withColumn("applied_batch_id", F.lit(batch_id))
+            )
+            _swap_dir_atomic(new_state.localCheckpoint(), state_dir)
+        committed = spark.read.parquet(state_dir).select(
+            "user_id", "hour_ts", F.col("value").alias("obs_value")
+        )
+        _swap_dir_atomic(
+            locf_from_hourly(committed).localCheckpoint(), snap_dir
+        )
+
+    (
+        feed.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1651,3 +1651,106 @@ def test_streaming_benford_crash_resume(spark, sf_dir, tmp_path, monkeypatch):
         for r in benford_deviation_report(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_gap_fill_locf_stateful_batch_parity(
+    spark, sf_dir, tmp_path
+):
+    """The SEVENTH stateful twin: per-(user, hour) last-observation
+    state as an abelian struct-max; the dense filled grid recomputes
+    from committed state through the batch operator's own
+    locf_from_hourly projection. One chunk delivers deliberately
+    out-of-order/late rows; the final snapshot must equal
+    gap_fill_locf exactly, and a checkpoint replay changes nothing."""
+    from jira_cdc_git_spark.operators.timeseries import gap_fill_locf
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        streaming_gap_fill_locf,
+    )
+
+    ev = load_table(spark, "events", sf_dir).orderBy("ts", "event_id")
+    rows = ev.collect()
+    c1, c2 = len(rows) // 3, 2 * len(rows) // 3
+    events_dir = str(tmp_path / "feed")
+    # middle third FIRST: chunk 2 delivers strictly earlier (late) rows
+    # for (user, hour) slots that already hold a winner
+    for chunk in (rows[c1:c2], rows[:c1], rows[c2:]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    out_root = str(tmp_path / "locf")
+    streaming_gap_fill_locf(
+        spark, events_dir, ev.schema, str(tmp_path / "ckpt"), out_root
+    )
+
+    def snap():
+        return {
+            (r["user_id"], r["hour_ts"]): (r["value_filled"], r["is_gap"])
+            for r in spark.read.parquet(f"{out_root}/locf").collect()
+        }
+
+    got = snap()
+    want = {
+        (r["user_id"], r["hour_ts"]): (r["value_filled"], r["is_gap"])
+        for r in gap_fill_locf(spark, sf_dir).collect()
+    }
+    assert got == want
+    # idempotent re-run: same checkpoint, snapshot unchanged
+    streaming_gap_fill_locf(
+        spark, events_dir, ev.schema, str(tmp_path / "ckpt"), out_root
+    )
+    assert snap() == want
+
+
+def test_streaming_gap_fill_locf_crash_resume(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash between batch 1's state swap and its snapshot emit; the
+    replay must not re-fold (applied_batch_id guard) and must heal the
+    torn snapshot."""
+    import jira_cdc_git_spark.state as STATE
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from jira_cdc_git_spark.operators.timeseries import gap_fill_locf
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        streaming_gap_fill_locf,
+    )
+
+    ev = load_table(spark, "events", sf_dir).orderBy("ts", "event_id")
+    rows = ev.collect()
+    c1 = len(rows) // 2
+    events_dir = str(tmp_path / "feed")
+    for chunk in (rows[:c1], rows[c1:]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    out_root = str(tmp_path / "locf")
+    ckpt = str(tmp_path / "ckpt")
+    real_swap = STATE._swap_dir_atomic
+    calls = {"n": 0}
+
+    def flaky_swap(df, path):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("injected crash before snapshot emit")
+        real_swap(df, path)
+
+    monkeypatch.setattr(STATE, "_swap_dir_atomic", flaky_swap)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        streaming_gap_fill_locf(spark, events_dir, ev.schema, ckpt, out_root)
+    assert spark.read.parquet(f"{out_root}/locf").count() > 0  # torn = old
+
+    monkeypatch.setattr(STATE, "_swap_dir_atomic", real_swap)
+    streaming_gap_fill_locf(spark, events_dir, ev.schema, ckpt, out_root)
+    got = {
+        (r["user_id"], r["hour_ts"]): (r["value_filled"], r["is_gap"])
+        for r in spark.read.parquet(f"{out_root}/locf").collect()
+    }
+    want = {
+        (r["user_id"], r["hour_ts"]): (r["value_filled"], r["is_gap"])
+        for r in gap_fill_locf(spark, sf_dir).collect()
+    }
+    assert got == want
