@@ -69,8 +69,8 @@ vintage entries that have never re-earned a driver row on current
 code (commit_messages, timestamp_multiformat, reconciliation_report,
 validate_requests, the epic-discovery variants, jql_was_*, the r4
 curation wave).
-The registry has 310
-entries: 302 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 312
+entries: 304 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -161,6 +161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_js_divergence": T.token_js_divergence,
         "source_shingle_overlap": T.source_shingle_overlap,
         "seasonal_naive_backtest": TS.seasonal_naive_backtest,
+        # (a5) the round-9 fifth wave — Dirichlet query-likelihood
+        # ranking and seasonality-adjusted count anomalies;
+        "lm_dirichlet_topk": T.lm_dirichlet_topk,
+        "seasonal_residual_anomalies": TS.seasonal_residual_anomalies,
         # (b) operators whose CODE changed this round: the CC family
         # (block-local union-find contraction + bounded local finish),
         # the semdedup candidate-pair refactor, the stored-vocab BPE
@@ -7942,6 +7946,122 @@ _ORACLES["seasonal_naive_backtest"] = f"""
                 THEN floor((1.0 - serr / nerr) * 1000000 + 0.5) / 1000000
            END AS improvement
     FROM agg ORDER BY event_type"""
+
+# Mirrors operators/text.lm_dirichlet_topk: the bm25_topk posting chain
+# with Dirichlet query-likelihood scoring — matched-term part plus the
+# dl-only length part, mu and |q| injected as shared literals.
+_ORACLES["lm_dirichlet_topk"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), tr AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS tok
+        FROM t
+    ), coll AS (
+        SELECT CAST(count(*) AS BIGINT) AS c_total FROM tr
+    ), mt AS (
+        SELECT doc_id, dl, tok FROM tr WHERE tok IN ({_BM25_TERMS})
+    ), ctf AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS ctf FROM mt GROUP BY 1
+    ), p AS (
+        SELECT doc_id, dl, tok, count(*) AS tf FROM mt GROUP BY 1, 2, 3
+    ), c AS (
+        SELECT doc_id, dl,
+               ln(1.0 + tf / ({T.LM_MU} * (ctf / c_total))) AS s
+        FROM p JOIN ctf USING (tok) CROSS JOIN coll
+    ), sc AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+               floor((sum(s)
+                      + {len(set(T.BM25_QUERY.split()))}
+                        * ln({T.LM_MU} / (dl + {T.LM_MU}))) * 10000
+                     + 0.5) / 10000 AS score
+        FROM c GROUP BY doc_id, dl
+    ), r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS rank,
+               n_terms, score
+        FROM sc
+    )
+    SELECT doc_id, rank, n_terms, score FROM r WHERE rank <= 20"""
+
+# Mirrors operators/timeseries.seasonal_residual_anomalies: dense grid,
+# (dow, hod) cell means, two row_number medians per type, Hampel band.
+_ORACLES["seasonal_residual_anomalies"] = f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), span AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM (SELECT DISTINCT event_type FROM hourly) CROSS JOIN span
+    ),
+    dense AS (
+        SELECT g.event_type, g.h, coalesce(hourly.n, 0) AS n,
+               dayofweek(g.h) + 1 AS dow, hour(g.h) AS hod
+        FROM grid g LEFT JOIN hourly
+          ON hourly.event_type = g.event_type AND hourly.h = g.h
+    ),
+    prof AS (
+        SELECT event_type, dow, hod,
+               CAST(sum(n) AS BIGINT) AS cell_sum,
+               CAST(count(*) AS BIGINT) AS cell_n
+        FROM dense GROUP BY 1, 2, 3
+    ),
+    resid AS (
+        SELECT d.event_type, d.h, d.n,
+               cell_sum / cell_n AS expected,
+               d.n - cell_sum / cell_n AS r
+        FROM dense d JOIN prof
+          ON prof.event_type = d.event_type
+         AND prof.dow = d.dow AND prof.hod = d.hod
+    ),
+    cnt AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS m
+        FROM resid GROUP BY 1
+    ),
+    ranked AS (
+        SELECT event_type, r,
+               row_number() OVER (PARTITION BY event_type ORDER BY r)
+                 AS rn
+        FROM resid
+    ),
+    med AS (
+        SELECT ranked.event_type, sum(r) / count(*) AS r_med
+        FROM ranked JOIN cnt ON cnt.event_type = ranked.event_type
+        WHERE rn = floor((m + 1) / 2) OR rn = floor(m / 2) + 1
+        GROUP BY 1
+    ),
+    dev AS (
+        SELECT resid.event_type, h, n, expected, r,
+               abs(r - r_med) AS ad
+        FROM resid JOIN med ON med.event_type = resid.event_type
+    ),
+    aranked AS (
+        SELECT event_type, ad,
+               row_number() OVER (PARTITION BY event_type ORDER BY ad)
+                 AS arn
+        FROM dev
+    ),
+    mad AS (
+        SELECT aranked.event_type, sum(ad) / count(*) AS mad
+        FROM aranked JOIN cnt ON cnt.event_type = aranked.event_type
+        WHERE arn = floor((m + 1) / 2) OR arn = floor(m / 2) + 1
+        GROUP BY 1
+    )
+    SELECT dev.event_type, h AS hour_ts, n,
+           floor(expected * 10000 + 0.5) / 10000 AS expected,
+           floor(r * 10000 + 0.5) / 10000 AS residual,
+           CASE WHEN mad > 0
+                THEN floor(ad / ({TS.MAD_SCALE} * mad) * 10000 + 0.5)
+                     / 10000
+           END AS robust_z
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    WHERE ad > {TS.SEASONAL_RESID_K} * {TS.MAD_SCALE} * mad
+    ORDER BY dev.event_type, hour_ts"""
 
 
 def oracle_sql() -> dict[str, str]:

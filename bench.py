@@ -282,6 +282,9 @@ BENCH_QUERIES = [
     "token_js_divergence",
     "source_shingle_overlap",
     "seasonal_naive_backtest",
+    # r9 wave 5: query-likelihood ranking, seasonal residual anomalies
+    "lm_dirichlet_topk",
+    "seasonal_residual_anomalies",
 ]
 
 
@@ -681,6 +684,9 @@ SCALE_PROBE_QUERIES = [
     "token_js_divergence",
     "source_shingle_overlap",
     "seasonal_naive_backtest",
+    # r9 wave 5: query-likelihood ranking, seasonal residual anomalies
+    "lm_dirichlet_topk",
+    "seasonal_residual_anomalies",
 ]
 
 

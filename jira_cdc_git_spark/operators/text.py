@@ -5439,3 +5439,76 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+#: Dirichlet smoothing pseudo-count (Zhai & Lafferty 2001 recommend
+#: ~1000-2000 for short queries).
+LM_MU = 1000.0
+
+
+def lm_dirichlet_topk(
+    spark: SparkSession, sf_dir: str, query: str = BM25_QUERY, k: int = 20
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) — the probabilistic-LM ranking family next to
+    bm25_topk's TF-IDF family:
+
+        score(d, q) = sum_t ln(1 + tf/(mu*P(t|C))) + |q|*ln(mu/(dl+mu))
+
+    (the rank-equivalent decomposition: the first term needs only
+    MATCHED postings, the second only the doc length). A second
+    independent ranker makes the repo's RRF fusion a genuine
+    multi-family ensemble and gives retrieval_ndcg_report a comparison
+    point.
+
+    100 TB shape: identical posting discipline to bm25_topk — the
+    explode filters to query terms before any shuffle; collection
+    statistics (ctf per term, |C|) are per-term/1-row broadcast
+    aggregates; top-k is TakeOrderedAndProject. The dl-dependent second
+    term is computed only for docs that matched >= 1 term (candidates),
+    never the whole corpus."""
+    terms = sorted(set(query.split()))
+    n_q = len(terms)
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    )
+    tok_rows = docs.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+    )
+    coll = tok_rows.agg(F.count("*").cast("long").alias("c_total"))
+    matched = tok_rows.filter(F.col("tok").isin(terms))
+    ctf = matched.groupBy("tok").agg(F.count("*").cast("long").alias("ctf"))
+    postings = matched.groupBy("doc_id", "dl", "tok").agg(
+        F.count("*").alias("tf")
+    )
+    p_c = F.col("ctf") / F.col("c_total")
+    term_part = (
+        postings.join(F.broadcast(ctf), "tok")
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "doc_id",
+            "dl",
+            F.log(1.0 + F.col("tf") / (F.lit(LM_MU) * p_c)).alias("s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = term_part.groupBy("doc_id", "dl").agg(
+        F.count("*").cast("int").alias("n_terms"),
+        F.sum("s").alias("s_sum"),
+    ).select(
+        "doc_id",
+        "n_terms",
+        TX.round_half_up(
+            F.col("s_sum")
+            + n_q * F.log(F.lit(LM_MU) / (F.col("dl") + F.lit(LM_MU))),
+            4,
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "rank", "n_terms", "score")
+    )

@@ -1780,3 +1780,119 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: robust-residual threshold: |residual - median| > 3 * 1.4826 * MAD
+SEASONAL_RESID_K = 3.0
+MAD_SCALE = 1.4826
+
+
+def seasonal_residual_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count anomalies AFTER removing the (day-of-week, hour-of-day)
+    seasonal profile — the alarm seasonal_naive_backtest tells you to
+    build: raw-count MAD alarms (value_anomalies' shape) page on every
+    rush hour; this one subtracts each type's seasonal cell mean over
+    the dense hourly grid and flags hours whose residual leaves the
+    robust band |r - median(r)| > K * 1.4826 * MAD(r) (Hampel's rule).
+
+    CROSS-ENGINE DETERMINISM: cell means are exact-integer sums over
+    exact cell counts (one IEEE division); residuals are single
+    subtractions; both medians select by row_number (even count -> mean
+    of the middle two — the theil_sen selection rule); the band compare
+    is one fixed-shape expression.
+
+    100 TB shape: one (type, hour) count agg; the dense grid is
+    calendar-bounded (generated, not shuffled); the profile is a
+    |types|x168-cell agg; medians are windows over the bounded
+    |types|x|hours| residual frame, partitioned by type."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").cast("long").alias("n"))
+    span = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.dayofweek("h").alias("dow"),
+        F.hour("h").alias("hod"),
+    )
+    prof = dense.groupBy("event_type", "dow", "hod").agg(
+        F.sum("n").cast("long").alias("cell_sum"),
+        F.count("*").cast("long").alias("cell_n"),
+    )
+    resid = (
+        dense.join(prof, ["event_type", "dow", "hod"])
+        .select(
+            "event_type",
+            "h",
+            "n",
+            (F.col("cell_sum") / F.col("cell_n")).alias("expected"),
+            (F.col("n") - F.col("cell_sum") / F.col("cell_n")).alias("r"),
+        )
+    )
+    w_r = Window.partitionBy("event_type").orderBy("r")
+    ranked = resid.withColumn("rn", F.row_number().over(w_r))
+    cnt = resid.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    med = (
+        ranked.join(F.broadcast(cnt), "event_type")
+        .filter(
+            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("m") / 2) + 1)
+        )
+        .groupBy("event_type")
+        .agg((F.sum("r") / F.count("*")).alias("r_med"))
+    )
+    dev = resid.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("r") - F.col("r_med"))
+    )
+    w_a = Window.partitionBy("event_type").orderBy("ad")
+    aranked = dev.withColumn("arn", F.row_number().over(w_a))
+    mad = (
+        aranked.join(F.broadcast(cnt), "event_type")
+        .filter(
+            (F.col("arn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("arn") == F.floor(F.col("m") / 2) + 1)
+        )
+        .groupBy("event_type")
+        .agg((F.sum("ad") / F.count("*")).alias("mad"))
+    )
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.col("ad") > SEASONAL_RESID_K * MAD_SCALE * F.col("mad")
+        )
+        .select(
+            "event_type",
+            F.col("h").alias("hour_ts"),
+            "n",
+            round_half_up(F.col("expected"), 4).alias("expected"),
+            round_half_up(F.col("r"), 4).alias("residual"),
+            # NULL when MAD degenerates to 0 (>50% identical residuals)
+            # — an IEEE inf would floor differently across engines
+            F.when(
+                F.col("mad") > 0,
+                round_half_up(
+                    F.col("ad") / (F.lit(MAD_SCALE) * F.col("mad")), 4
+                ),
+            ).alias("robust_z"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )

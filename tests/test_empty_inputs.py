@@ -119,6 +119,7 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
         T.rocchio_expanded_topk,
         T.token_js_divergence,
         T.source_shingle_overlap,
+        T.lm_dirichlet_topk,
     ],
 )
 def test_operator_empty_input_yields_empty_output(fn, spark, empty_sf_dir):

@@ -1626,3 +1626,77 @@ def test_seasonal_naive_backtest_hand_checked(spark, tmp_path):
     assert r["seasonal_mae"] == 0.0
     assert r["naive_mae"] == 1.0
     assert r["improvement"] == 1.0
+
+
+def test_lm_dirichlet_vs_bm25_family(spark, sf_dir):
+    """Two ranking families over the same query: both must retrieve,
+    ranks 1..20 deterministic, and scores must be <= 0-ish only for the
+    LM (log-probability shaped) while n_terms semantics match."""
+    lm = {r["doc_id"]: r for r in T.lm_dirichlet_topk(spark, sf_dir).collect()}
+    bm = {r["doc_id"]: r for r in T.bm25_topk(spark, sf_dir).collect()}
+    assert len(lm) == 20
+    assert sorted(r["rank"] for r in lm.values()) == list(range(1, 21))
+    # both rankers must agree substantially on what's relevant (same
+    # query, same corpus): at least a third of the top-20 overlaps
+    assert len(set(lm) & set(bm)) >= 7
+    for d, r in lm.items():
+        assert 1 <= r["n_terms"] <= 4
+
+
+def test_lm_dirichlet_length_term_hand_checked(spark, tmp_path):
+    """Two docs with the same single match: the SHORTER doc must score
+    higher (the Dirichlet length normalization), and the score must
+    equal the closed form."""
+    import math
+
+    from jira_cdc_git_spark.operators.text import LM_MU, lm_dirichlet_topk
+
+    rows = [
+        (1, "spark alpha", "en", "s", 10),             # dl=2, tf=1
+        (2, "spark alpha beta gamma delta", "en", "s", 20),  # dl=5, tf=1
+        (3, "unrelated words only here", "en", "s", 20),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           lm_dirichlet_topk(spark, str(tmp_path), query="spark").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["score"] > out[2]["score"]
+    c_total = 2 + 5 + 4
+    ctf = 2 / c_total  # 'spark' appears twice in the collection
+    want1 = math.log(1 + 1 / (LM_MU * ctf)) + math.log(LM_MU / (2 + LM_MU))
+    assert abs(out[1]["score"] - round(want1, 4)) < 1e-9
+
+
+def test_seasonal_residual_anomalies_structure(spark, sf_dir):
+    from jira_cdc_git_spark.operators.timeseries import (
+        MAD_SCALE,
+        SEASONAL_RESID_K,
+        seasonal_residual_anomalies,
+    )
+
+    rows = seasonal_residual_anomalies(spark, sf_dir).collect()
+    for r in rows:
+        # everything flagged is outside the K-sigma robust band
+        assert r["robust_z"] is None or r["robust_z"] > SEASONAL_RESID_K - 1e-6
+        assert abs(r["residual"] - round(r["n"] - r["expected"], 3)) < 2e-3
+    # a flagged hour must NOT simply be the daily rush: inject a clean
+    # periodic series and assert zero flags
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    clean = []
+    eid = 0
+    for h in range(24 * 14):
+        for _ in range(1 + (h % 24 == 12) * 5):  # noon spike EVERY day
+            clean.append((eid, t0 + datetime.timedelta(hours=h), 1, "t", 1.0, "{}"))
+            eid += 1
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        clean,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    assert seasonal_residual_anomalies(spark, d).count() == 0
