@@ -63,12 +63,15 @@ said 12 where the window carried 15 — r8 verdict What's-wrong #3);
 tests/test_registry_rotation.py derives first-green composition from
 the committed CORRECTNESS artifacts and asserts it mechanically.
 Round-9 rotation: CORRECTNESS_r08 was 50/50 fully green, freeing the
-whole window again; the window = the round-9 additions, operators
-whose code changed this round, and the next-oldest tranche of r3/r4-
-vintage entries that have never re-earned a driver row on current
-code (commit_messages, timestamp_multiformat, reconciliation_report,
-validate_requests, the epic-discovery variants, jql_was_*, the r4
-curation wave).
+whole window again; the window = the round-9 additions (five waves),
+the operators whose code changed this round (the CC family, semdedup,
+the stored-vocab BPE consumers, the ACF extraction, the rewritten
+gap_fill_locf), and as much of the stalest r2/r3-vintage tranche as
+the remaining slots hold — each later wave displaced the tranche's
+tail past slot 50, and the displaced names (asserted mechanically, not
+listed here: prose name-lists drifted in r8 and again mid-r9) re-earn
+in the r10 rotation. Every in-window entry was pre-proven green by the
+full-registry sf0.01 diffcheck before shipping.
 The registry has 312
 entries: 304 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
