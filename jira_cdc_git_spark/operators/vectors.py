@@ -605,38 +605,62 @@ def semdedup_threshold_curve(
     computed once, not once per candidate setting (Abbas et al. 2023's
     SemDeDup sweeps exactly this knob).
 
-    100 TB shape: the pair frame is the O(N*cap) semdedup_capped
-    candidate set; the grid join is broadcast |thresholds| rows; the
-    distinct-loser count shuffles |pairs x thresholds| <= 5*N*cap
-    bounded rows."""
+    100 TB shape (r9 rewrite): the pair frame is the O(N*cap)
+    semdedup_capped candidate set, and the sweep never expands it — a
+    doc is dropped at threshold t iff the MAX cos over its loser-pairs
+    reaches t, so one per-loser max reduction plus |thresholds|
+    conditional sums replaces the earlier grid-expanded non-equi join
+    (|pairs| x |thresholds| shuffle + per-threshold count_distinct).
+    The counts are exact integers either way, so the DuckDB oracle is
+    unchanged."""
     from jira_cdc_git_spark.functions.text import round_half_up
 
     ranked = _semdedup_ranked(spark, sf_dir, n_centroids)
-    pairs = _semdedup_candidate_pairs(ranked, cap)
-    grid = spark.createDataFrame(
-        [(float(t),) for t in thresholds], "threshold double"
+    pairs = _semdedup_candidate_pairs(ranked, cap).transform(materialize)
+    ts = [float(t) for t in thresholds]
+    pair_counts = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("cos4") >= t, 1)), F.lit(0)
+            ).cast("long").alias(f"np_{i}")
+            for i, t in enumerate(ts)
+        ]
     )
-    per_t = (
-        F.broadcast(grid)
-        .join(pairs, pairs["cos4"] >= F.col("threshold"), "left")
-        .groupBy("threshold")
-        .agg(
-            F.count("a_vec").cast("long").alias("n_pairs"),
-            F.count_distinct(
-                F.greatest("a_vec", "b_vec")
-            ).cast("long").alias("n_dropped"),
-        )
+    per_loser = pairs.groupBy(
+        F.greatest("a_vec", "b_vec").alias("loser")
+    ).agg(F.max("cos4").alias("mx"))
+    loser_counts = per_loser.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("mx") >= t, 1)), F.lit(0)
+            ).cast("long").alias(f"nd_{i}")
+            for i, t in enumerate(ts)
+        ]
     )
     tot = ranked.agg(F.count("*").cast("long").alias("n_corpus"))
+    curve = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("threshold"),
+                    F.col(f"np_{i}").alias("n_pairs"),
+                    F.col(f"nd_{i}").alias("n_dropped"),
+                )
+                for i, t in enumerate(ts)
+            ]
+        )
+    )
     return (
-        per_t.crossJoin(F.broadcast(tot))
+        pair_counts.crossJoin(F.broadcast(loser_counts))
+        .crossJoin(F.broadcast(tot))
+        .select(curve.alias("c"), "n_corpus")
         .select(
-            "threshold",
-            "n_pairs",
-            "n_dropped",
+            F.col("c.threshold").alias("threshold"),
+            F.col("c.n_pairs").alias("n_pairs"),
+            F.col("c.n_dropped").alias("n_dropped"),
             "n_corpus",
             round_half_up(
-                1.0 - F.col("n_dropped") / F.col("n_corpus"), 6
+                1.0 - F.col("c.n_dropped") / F.col("n_corpus"), 6
             ).alias("retention_frac"),
         )
         .orderBy(F.desc("threshold"))
