@@ -120,3 +120,48 @@ def test_embeddings_rotate_but_keep_norm(spark, scaled_dir):
     assert per_base.filter(
         (F.col("n") == FACTOR) & (F.col("n_vecs") != FACTOR)
     ).count() == 0
+
+
+def test_committed_bench_artifact_shape():
+    """The committed BENCH_LOCAL artifact for the CURRENT round (when
+    present) must honor the probe invariants the round reviews audit:
+    every SCALE_PROBE_QUERIES member has a measured ratio, every ratio
+    at or above the borderline threshold carries median-of-3 samples
+    (run_counts == 3), every headline query has a timing, and any ratio
+    >= 10 names itself in SUPERLINEAR_BY_DESIGN. Guards the
+    late-commit-drift pattern (r7: ~17 ops unprobed, r8: 2) at the
+    artifact level, not just the list level."""
+    import bench
+
+    artifacts = sorted(glob.glob(os.path.join(REPO, "BENCH_LOCAL_r*.json")))
+    assert artifacts, "no committed bench artifact"
+    with open(artifacts[-1]) as fh:
+        art = json.load(fh)
+    # artifacts are per-round snapshots: only hold the CURRENT code's
+    # artifact to the current lists (older rounds predate newer ops)
+    queries = art.get("queries", {})
+    sf1 = art.get("sf1", {})
+    ratios = sf1.get("ratio_vs_base", {})
+    if set(bench.BENCH_QUERIES) - set(queries):
+        pytest.skip(
+            "committed artifact predates the current BENCH_QUERIES — "
+            "regenerate with bench.py before shipping the round"
+        )
+    missing_probe = [n for n in bench.SCALE_PROBE_QUERIES if n not in ratios]
+    assert not missing_probe, missing_probe
+    run_counts = sf1.get("run_counts", {})
+    samples = sf1.get("ratio_samples", {})
+    for name, ratio in ratios.items():
+        if ratio >= bench.BORDERLINE_RATIO:
+            assert run_counts.get(name) == 3, (name, ratio)
+            assert len(samples.get(name, [])) == 3, (name, ratio)
+        if ratio >= 10:
+            assert name in bench.SUPERLINEAR_BY_DESIGN, (
+                f"{name} measured {ratio}x without a superlinear_by_design "
+                "justification"
+            )
+    band = art.get("variance_band", {})
+    assert len(band) >= 10
+    for name, b in band.items():
+        assert b["min"] <= b["median"] <= b["max"], name
+        assert b["n_runs"] >= 2, name
