@@ -1387,10 +1387,13 @@ def label_propagation_communities(
     components: LPA splits a weakly-bridged component into dense cores.
 
     100 TB shape: per round one src-key join (labels -> edges), one
-    (node, label) partial-agg count, and the two-step argmax (max count
-    per node, then min label at that count) — every step is a keyed
-    shuffle of edge- or node-scale data, no windows over the corpus;
-    the label frame is materialized per round so lineage stays flat."""
+    (node, label) partial-agg count, and ONE struct-min argmax
+    reduction — min over (-count, label) is (max count, min label) in
+    a single map-side-combinable agg (the r9 rewrite; the earlier
+    two-step max-count-then-min-label form paid an extra agg + join
+    per round). Every step is a keyed shuffle of edge- or node-scale
+    data, no windows over the corpus; the label frame is materialized
+    per round so lineage stays flat."""
     from jira_cdc_git_spark import fixtures as FX
     from jira_cdc_git_spark.operators.jira import link_edges
 
@@ -1419,12 +1422,15 @@ def label_propagation_communities(
             .groupBy(F.col("dst_key").alias("node"), "lab")
             .agg(F.count("*").alias("c"))
         )
-        mx = cnt.groupBy("node").agg(F.max("c").alias("mc"))
+        # min over (-c, lab) = (max count, then MIN label) in one agg
         pick = (
-            cnt.join(mx, "node")
-            .filter(F.col("c") == F.col("mc"))
-            .groupBy("node")
-            .agg(F.min("lab").alias("new_lab"))
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("negc"), F.col("lab"))
+                ).alias("b")
+            )
+            .select("node", F.col("b.lab").alias("new_lab"))
         )
         labels = materialize(
             labels.join(
