@@ -604,7 +604,10 @@ _BAND_SELECTS = "\n            UNION ALL\n            ".join(
     )
     for b in range(T.BANDS)
 )
-_LSH_CTES = f"""toks AS (
+# toks..cand prefix shared VERBATIM by _LSH_CTES and the lsh_scurve
+# oracle — composed, never sliced, so a reformat of one cannot silently
+# malform the other (r9 advice).
+_LSH_PREFIX_CTES = f"""toks AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
         ), sets AS (
             SELECT doc_id, shs, {_XS_EXPR} AS xs
@@ -624,7 +627,9 @@ _LSH_CTES = f"""toks AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        ), jac AS (
+        )"""
+
+_LSH_CTES = f"""{_LSH_PREFIX_CTES}, jac AS (
             SELECT c.doc_a, c.doc_b,
                    round(len(list_intersect(sa.shs, sb.shs))
                          / (len(sa.shs) + len(sb.shs)
@@ -2103,7 +2108,7 @@ _ORACLES["lsh_recall_report"] = f"""
 # the outer select so abs_err is computed on the unrounded values, same
 # as the Spark side.
 _ORACLES["minhash_accuracy_report"] = f"""
-    WITH {_LSH_CTES.split(", jac AS")[0]},
+    WITH {_LSH_PREFIX_CTES},
     raw AS (
         SELECT c.doc_a, c.doc_b,
                len(list_intersect(sa.shs, sb.shs)) * 1.0
@@ -7509,16 +7514,21 @@ _ORACLES["benford_deviation_report"] = f"""
                                 AS VARCHAR), 1, 1) AS INTEGER) AS digit,
                CAST(count(*) AS BIGINT) AS n
         FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1
-    ), tot AS (
-        SELECT CAST(sum(n) AS BIGINT) AS n_total FROM per
     ), expd(digit, expected_frac) AS (VALUES {_BENFORD_VALUES}),
+    per9 AS (
+        SELECT expd.digit, expected_frac,
+               CAST(coalesce(per.n, 0) AS BIGINT) AS n
+        FROM expd LEFT JOIN per ON per.digit = expd.digit
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total FROM per9
+    ),
     terms AS (
-        SELECT per.digit, n, n_total, expected_frac,
+        SELECT digit, n, n_total, expected_frac,
                CAST(floor((n / n_total - expected_frac)
                           * (n / n_total - expected_frac)
                           / expected_frac * n_total * 1000000 + 0.5)
                     AS BIGINT) AS tm
-        FROM per CROSS JOIN tot JOIN expd ON expd.digit = per.digit
+        FROM per9 CROSS JOIN tot WHERE n_total > 0
     )
     SELECT digit, n, n_total,
            floor(n / n_total * 1000000 + 0.5) / 1000000 AS observed_frac,
@@ -7550,8 +7560,10 @@ _ORACLES["bottomk_quantile_sketch"] = f"""
     ), tot AS (
         SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders
     ), below AS (
-        SELECT p, est_value, CAST(count(*) AS BIGINT) AS n_below
-        FROM orders JOIN est ON o_totalprice < est_value
+        SELECT p, est_value,
+               CAST(sum(CASE WHEN o_totalprice < est_value
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        FROM orders CROSS JOIN est
         GROUP BY 1, 2
     )
     SELECT p, {R.BOTTOMK_K} AS sample_k, est_value, n_total,
@@ -7592,7 +7604,7 @@ _SCURVE_CASE = " ".join(
     f"WHEN {b} THEN {T.LSH_SCURVE_ANALYTIC[b]!r}" for b in range(10)
 )
 _ORACLES["lsh_scurve_calibration"] = f"""
-    WITH {_LSH_CTES.split(", jac AS")[0]},
+    WITH {_LSH_PREFIX_CTES},
     inv AS (SELECT doc_id, unnest(shs) AS shingle FROM sets),
     tp AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -8058,12 +8070,11 @@ _ORACLES["seasonal_residual_anomalies"] = f"""
     SELECT dev.event_type, h AS hour_ts, n,
            floor(expected * 10000 + 0.5) / 10000 AS expected,
            floor(r * 10000 + 0.5) / 10000 AS residual,
-           CASE WHEN mad > 0
-                THEN floor(ad / ({TS.MAD_SCALE} * mad) * 10000 + 0.5)
-                     / 10000
-           END AS robust_z
+           floor(ad / ({TS.MAD_SCALE} * mad) * 10000 + 0.5) / 10000
+             AS robust_z
     FROM dev JOIN mad ON mad.event_type = dev.event_type
-    WHERE ad > {TS.SEASONAL_RESID_K} * {TS.MAD_SCALE} * mad
+    WHERE mad > 0
+      AND ad > {TS.SEASONAL_RESID_K} * {TS.MAD_SCALE} * mad
     ORDER BY dev.event_type, hour_ts"""
 
 

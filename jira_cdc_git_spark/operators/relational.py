@@ -2376,20 +2376,29 @@ def benford_from_digit_counts(per: DataFrame) -> DataFrame:
     """Benford report projection from a (digit, n) count frame — shared
     by the batch operator and streaming_benford so the streaming twin's
     snapshot agrees with the batch report by construction (the
-    acf_from_hourly discipline)."""
+    acf_from_hourly discipline).
+
+    The per frame carries only OBSERVED digits; chi-square must also
+    charge each ABSENT digit its full expected-mass term
+    (n_total * expected_frac — the obs=0 case of the formula), or the
+    statistic is understated on sparse/skewed inputs (r9 advice). The
+    9-digit expectation grid is therefore the left side: every digit
+    emits a row (n=0 for unseen), and the total sums all nine terms.
+    Empty input (n_total = 0) still yields an empty report, not nine
+    0/0 rows."""
     from jira_cdc_git_spark.functions.text import round_half_up
 
-    tot = per.agg(F.sum("n").cast("long").alias("n_total"))
-    expected = F.element_at(
-        F.create_map(
-            *[
-                x
-                for d in range(1, 10)
-                for x in (F.lit(d), F.lit(BENFORD_EXPECTED[d - 1]))
-            ]
-        ),
-        F.col("digit"),
+    spark = per.sparkSession
+    grid = spark.createDataFrame(
+        [(d, BENFORD_EXPECTED[d - 1]) for d in range(1, 10)],
+        "digit int, expected_frac double",
     )
+    per9 = grid.join(F.broadcast(per), "digit", "left").select(
+        "digit",
+        "expected_frac",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+    tot = per9.agg(F.sum("n").cast("long").alias("n_total"))
     obs = F.col("n") / F.col("n_total")
     term = (
         (obs - F.col("expected_frac"))
@@ -2398,8 +2407,8 @@ def benford_from_digit_counts(per: DataFrame) -> DataFrame:
         * F.col("n_total")
     )
     with_terms = (
-        per.crossJoin(F.broadcast(tot))
-        .withColumn("expected_frac", expected)
+        per9.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_total") > 0)
         .withColumn(
             "chi2_term_micro",
             F.floor(term * 1000000 + F.lit(0.5)).cast("long"),
@@ -2471,11 +2480,22 @@ def bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(ranked), F.col("rk") == F.col("rn")
     ).select("p", F.col("v").alias("est_value"))
     tot = orders.agg(F.count("*").cast("long").alias("n_total"))
+    # conditional sum, NOT filter-then-count: a quantile whose estimate
+    # equals the corpus minimum has n_below = 0, and a pre-group filter
+    # would silently drop its report row (r9 advice) — grouping every
+    # (order, p) pair keeps all five p rows alive with an exact 0
     below = (
         orders.crossJoin(F.broadcast(est))
-        .filter(F.col("o_totalprice") < F.col("est_value"))
         .groupBy("p", "est_value")
-        .agg(F.count("*").cast("long").alias("n_below"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") < F.col("est_value"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_below")
+        )
     )
     rank_frac = F.col("n_below") / F.col("n_total")
     return (

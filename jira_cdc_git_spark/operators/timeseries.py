@@ -1876,8 +1876,13 @@ def seasonal_residual_anomalies(
 
     return (
         dev.join(F.broadcast(mad), "event_type")
+        # mad > 0 gates the FILTER, not just the z projection: a type
+        # whose MAD degenerates to 0 (>50% identical residuals) would
+        # otherwise alarm on every hour with ANY nonzero deviation —
+        # degenerate types emit no flags instead of flooding (r9 advice)
         .filter(
-            F.col("ad") > SEASONAL_RESID_K * MAD_SCALE * F.col("mad")
+            (F.col("mad") > 0)
+            & (F.col("ad") > SEASONAL_RESID_K * MAD_SCALE * F.col("mad"))
         )
         .select(
             "event_type",
@@ -1885,13 +1890,9 @@ def seasonal_residual_anomalies(
             "n",
             round_half_up(F.col("expected"), 4).alias("expected"),
             round_half_up(F.col("r"), 4).alias("residual"),
-            # NULL when MAD degenerates to 0 (>50% identical residuals)
-            # — an IEEE inf would floor differently across engines
-            F.when(
-                F.col("mad") > 0,
-                round_half_up(
-                    F.col("ad") / (F.lit(MAD_SCALE) * F.col("mad")), 4
-                ),
+            # always finite now that the filter requires mad > 0
+            round_half_up(
+                F.col("ad") / (F.lit(MAD_SCALE) * F.col("mad")), 4
             ).alias("robust_z"),
         )
         .orderBy("event_type", "hour_ts")

@@ -664,7 +664,7 @@ def streaming_ivm_counts(
     the parquet-dir swap is the dependency-free equivalent.)"""
     import os
 
-    from jira_cdc_git_spark.state import _swap_dir_atomic
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
 
     feed = (
         spark.readStream.schema(schema)
@@ -684,6 +684,8 @@ def streaming_ivm_counts(
             .groupBy(*keys)
             .agg(F.count("*").alias("n_issues"))
         )
+        # same .bak-only crash window as the state twins (r9 advice)
+        _recover_dir(counts_dir)
         if os.path.isdir(counts_dir):
             current = spark.read.parquet(counts_dir)
             last_applied = current.agg(F.max("applied_batch_id")).first()[0]
@@ -1308,7 +1310,7 @@ def streaming_cusum(
     )
     from jira_cdc_git_spark.materialize import materialize
     from jira_cdc_git_spark.sources.registry import load_table
-    from jira_cdc_git_spark.state import _swap_dir_atomic
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
 
     hourly_corpus = (
         load_table(spark, "events", corpus_sf_dir)
@@ -1341,6 +1343,10 @@ def streaming_cusum(
             )
             .agg(F.count("*").cast("long").alias("n"))
         )
+        # crash between _swap_dir_atomic's two renames leaves only
+        # .bak — restore it BEFORE probing, or the twin silently
+        # reinitializes from empty state (r9 advice)
+        _recover_dir(state_dir)
         if os.path.isdir(state_dir):
             state = spark.read.parquet(state_dir)
             last_applied = state.agg(F.max("applied_batch_id")).first()[0]
@@ -1491,7 +1497,7 @@ def streaming_debounce(
     import os
 
     from jira_cdc_git_spark.operators.timeseries import DEBOUNCE_S
-    from jira_cdc_git_spark.state import _swap_dir_atomic
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
 
     if debounce_s is None:
         debounce_s = DEBOUNCE_S
@@ -1506,6 +1512,10 @@ def streaming_debounce(
         if batch_df.isEmpty():
             return
         batch = batch_df.localCheckpoint()
+        # crash between _swap_dir_atomic's two renames leaves only
+        # .bak — restore it BEFORE probing, or the twin silently
+        # reinitializes from empty state (r9 advice)
+        _recover_dir(state_dir)
         if os.path.isdir(state_dir):
             state = spark.read.parquet(state_dir)
             last_applied = state.agg(F.max("applied_batch_id")).first()[0]
@@ -1595,7 +1605,7 @@ def streaming_rolling_median(
     windows over that state table only — never over raw events."""
     import os
 
-    from jira_cdc_git_spark.state import _swap_dir_atomic
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
 
     state_dir = f"{out_root}/median_state"
 
@@ -1608,6 +1618,10 @@ def streaming_rolling_median(
         if batch_df.isEmpty():
             return
         batch = batch_df.localCheckpoint()
+        # crash between _swap_dir_atomic's two renames leaves only
+        # .bak — restore it BEFORE probing, or the twin silently
+        # reinitializes from empty state (r9 advice)
+        _recover_dir(state_dir)
         if os.path.isdir(state_dir):
             state = spark.read.parquet(state_dir)
             last_applied = state.agg(F.max("applied_batch_id")).first()[0]
@@ -1733,7 +1747,7 @@ def streaming_transition_entropy(
     import os
 
     from jira_cdc_git_spark.operators.timeseries import entropy_from_pairs
-    from jira_cdc_git_spark.state import _swap_dir_atomic
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
 
     state_dir = f"{out_root}/entropy_state"
     snap_dir = f"{out_root}/entropy"
@@ -1754,6 +1768,11 @@ def streaming_transition_entropy(
         batch = batch_df.select(
             "user_id", "event_type", "ts", "event_id"
         ).localCheckpoint()
+        # crash between _swap_dir_atomic's two renames leaves only
+        # .bak — restore it BEFORE probing, or the twin silently
+        # reinitializes from empty state (r9 advice)
+        _recover_dir(state_dir)
+        _recover_dir(snap_dir)
         if os.path.isdir(state_dir):
             state = spark.read.parquet(state_dir)
             last_applied = state.agg(F.max("applied_batch_id")).first()[0]
@@ -1871,7 +1890,7 @@ def streaming_autocorrelation(
     import os
 
     from jira_cdc_git_spark.operators.timeseries import acf_from_hourly
-    from jira_cdc_git_spark.state import _swap_dir_atomic
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
 
     state_dir = f"{out_root}/acf_state"
     snap_dir = f"{out_root}/acf"
@@ -1887,6 +1906,11 @@ def streaming_autocorrelation(
         if batch_df.isEmpty():
             return
         batch = batch_df.select("event_type", "ts").localCheckpoint()
+        # crash between _swap_dir_atomic's two renames leaves only
+        # .bak — restore it BEFORE probing, or the twin silently
+        # reinitializes from empty state (r9 advice)
+        _recover_dir(state_dir)
+        _recover_dir(snap_dir)
         if os.path.isdir(state_dir):
             state = spark.read.parquet(state_dir)
             last_applied = state.agg(F.max("applied_batch_id")).first()[0]
@@ -1952,7 +1976,7 @@ def streaming_benford(
     from jira_cdc_git_spark.operators.relational import (
         benford_from_digit_counts,
     )
-    from jira_cdc_git_spark.state import _swap_dir_atomic
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
 
     state_dir = f"{out_root}/benford_state"
     snap_dir = f"{out_root}/benford"
@@ -1968,6 +1992,11 @@ def streaming_benford(
         if batch_df.isEmpty():
             return
         batch = batch_df.select("o_totalprice").localCheckpoint()
+        # crash between _swap_dir_atomic's two renames leaves only
+        # .bak — restore it BEFORE probing, or the twin silently
+        # reinitializes from empty state (r9 advice)
+        _recover_dir(state_dir)
+        _recover_dir(snap_dir)
         if os.path.isdir(state_dir):
             state = spark.read.parquet(state_dir)
             last_applied = state.agg(F.max("applied_batch_id")).first()[0]
@@ -2032,7 +2061,7 @@ def streaming_gap_fill_locf(
     import os
 
     from jira_cdc_git_spark.operators.timeseries import locf_from_hourly
-    from jira_cdc_git_spark.state import _swap_dir_atomic
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
 
     state_dir = f"{out_root}/locf_state"
     snap_dir = f"{out_root}/locf"
@@ -2056,6 +2085,11 @@ def streaming_gap_fill_locf(
         batch = batch_df.select(
             "user_id", "ts", "event_id", "value"
         ).localCheckpoint()
+        # crash between _swap_dir_atomic's two renames leaves only
+        # .bak — restore it BEFORE probing, or the twin silently
+        # reinitializes from empty state (r9 advice)
+        _recover_dir(state_dir)
+        _recover_dir(snap_dir)
         if os.path.isdir(state_dir):
             state = spark.read.parquet(state_dir)
             last_applied = state.agg(F.max("applied_batch_id")).first()[0]

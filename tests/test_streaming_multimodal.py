@@ -1662,7 +1662,6 @@ def test_streaming_gap_fill_locf_stateful_batch_parity(
     locf_from_hourly projection. One chunk delivers deliberately
     out-of-order/late rows; the final snapshot must equal
     gap_fill_locf exactly, and a checkpoint replay changes nothing."""
-    from jira_cdc_git_spark.operators.timeseries import gap_fill_locf
     from jira_cdc_git_spark.sources.registry import load_table
     from jira_cdc_git_spark.streaming.pipeline import (
         streaming_gap_fill_locf,
@@ -1712,7 +1711,6 @@ def test_streaming_gap_fill_locf_crash_resume(
     import jira_cdc_git_spark.state as STATE
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    from jira_cdc_git_spark.operators.timeseries import gap_fill_locf
     from jira_cdc_git_spark.sources.registry import load_table
     from jira_cdc_git_spark.streaming.pipeline import (
         streaming_gap_fill_locf,
@@ -1754,3 +1752,100 @@ def test_streaming_gap_fill_locf_crash_resume(
         for r in gap_fill_locf(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_benford_torn_swap_recovers_state(spark, sf_dir, tmp_path):
+    """Crash INSIDE _swap_dir_atomic's rename window (live already moved
+    to .bak, tmp not yet in place — only state.bak survives): the next
+    run must restore the .bak via _recover_dir and fold the new batch
+    into the RECOVERED counts, not silently reinitialize from empty
+    (r9 advice)."""
+    import os
+
+    from jira_cdc_git_spark.operators.relational import (
+        benford_deviation_report,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_benford
+
+    od = load_table(spark, "orders", sf_dir).orderBy("o_orderkey")
+    rows = od.collect()
+    c1 = len(rows) // 2
+    orders_dir = str(tmp_path / "feed")
+    spark.createDataFrame(rows[:c1], od.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(orders_dir)
+
+    out_root = str(tmp_path / "ben")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_benford(spark, orders_dir, od.schema, ckpt, out_root)
+
+    # simulate the torn swap: live gone, only .bak remains
+    state_dir = f"{out_root}/benford_state"
+    os.replace(state_dir, state_dir + ".bak")
+    snap_dir = f"{out_root}/benford"
+    os.replace(snap_dir, snap_dir + ".bak")
+
+    spark.createDataFrame(rows[c1:], od.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(orders_dir)
+    streaming_benford(spark, orders_dir, od.schema, ckpt, out_root)
+
+    n_priced = od.filter(F.col("o_totalprice") >= 1.0).count()
+    state = spark.read.parquet(state_dir)
+    assert state.agg(F.sum("n")).first()[0] == n_priced
+    got = {
+        r["digit"]: (r["n"], r["chi2_stat"])
+        for r in spark.read.parquet(snap_dir).collect()
+    }
+    want = {
+        r["digit"]: (r["n"], r["chi2_stat"])
+        for r in benford_deviation_report(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_streaming_gap_fill_torn_swap_recovers_state(
+    spark, sf_dir, tmp_path
+):
+    """Same torn-swap window for the LOCF twin: only locf_state.bak
+    survives the crash; the rerun must carry every pre-crash
+    observation forward (r9 advice)."""
+    import os
+
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_gap_fill_locf
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") % 50 == 0)
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("event_id")
+    )
+    rows = ev.collect()
+    c1 = len(rows) // 2
+    events_dir = str(tmp_path / "feed")
+    spark.createDataFrame(rows[:c1], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+
+    out_root = str(tmp_path / "locf")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_gap_fill_locf(spark, events_dir, ev.schema, ckpt, out_root)
+
+    state_dir = f"{out_root}/locf_state"
+    os.replace(state_dir, state_dir + ".bak")
+
+    spark.createDataFrame(rows[c1:], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    streaming_gap_fill_locf(spark, events_dir, ev.schema, ckpt, out_root)
+
+    # state must hold BOTH halves' per-(user, hour) winners
+    n_keys = (
+        spark.createDataFrame(rows, ev.schema)
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert spark.read.parquet(state_dir).count() == n_keys
