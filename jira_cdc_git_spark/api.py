@@ -104,6 +104,195 @@ def _validate_sync_options(options: dict | None) -> str | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# X-Sync-Mode / X-Prefer-CRD dispatch + API->CRD conversion
+# (internal/api/handlers_sync_enhanced.go + crd_converter.go)
+# ---------------------------------------------------------------------------
+
+#: SyncMode (handlers_sync_enhanced.go:17-23)
+SYNC_MODE_DIRECT_JOB = "direct-job"
+SYNC_MODE_CRD = "crd"
+SYNC_MODE_HYBRID = "hybrid"
+SYNC_MODES = (SYNC_MODE_DIRECT_JOB, SYNC_MODE_CRD, SYNC_MODE_HYBRID)
+
+#: CRD-grade validation patterns (crd_converter.go:322-352). The
+#: reference's repo pattern spells the optional ``.git`` suffix as
+#: ``\\.git`` inside a Go backtick literal — a doubled backslash that
+#: makes the suffix unmatchable; we implement the evident intent
+#: (optional literal ``.git``).
+_CRD_ISSUE_KEY_RE = re.compile(r"[A-Z][A-Z0-9]*-[1-9][0-9]*")
+_CRD_HOST = r"[a-zA-Z0-9][a-zA-Z0-9.-]*[a-zA-Z0-9]"
+_CRD_SEG = r"[a-zA-Z0-9_.-]+"
+_CRD_REPO_RE = re.compile(
+    rf"(https://{_CRD_HOST}/{_CRD_SEG}/{_CRD_SEG}(\.git)?"
+    rf"|git@{_CRD_HOST}:{_CRD_SEG}/{_CRD_SEG}(\.git)?)"
+)
+_CRD_JQL_RE = re.compile(r'[^;\\<>"\x00-\x1f]*')
+
+
+def _crd_issue_key_ok(key: str) -> bool:
+    """isValidIssueKeySecure (crd_converter.go:322-331)."""
+    return bool(_CRD_ISSUE_KEY_RE.fullmatch(key or "")) and 4 <= len(key) <= 50
+
+
+def _crd_repo_ok(repo: str) -> bool:
+    """isValidRepositoryURLSecure (crd_converter.go:333-341)."""
+    return bool(_CRD_REPO_RE.fullmatch(repo or "")) and 1 <= len(repo) <= 500
+
+
+def _crd_jql_ok(jql: str) -> bool:
+    """isValidJQLSecure (crd_converter.go:343-352)."""
+    return bool(_CRD_JQL_RE.fullmatch(jql or "")) and 1 <= len(jql) <= 1000
+
+
+#: CRDConverter defaults (crd_converter.go:62-75)
+_CRD_DEFAULTS = {
+    "branch": "main",
+    "path": "/",
+    "priority": "normal",
+    "timeout": 1800,
+    "retryPolicy": {
+        "maxRetries": 3,
+        "backoffMultiplier": 2.0,
+        "initialDelay": 30,
+    },
+}
+
+
+def _crd_options_labels(options: dict | None) -> dict:
+    """applySyncOptionsToSpec (crd_converter.go:354-379): API options map
+    to CRD labels for controller interpretation."""
+    labels: dict[str, str] = {}
+    if not options:
+        return labels
+    if options.get("incremental"):
+        labels["sync.jira.io/incremental"] = "true"
+    if options.get("force"):
+        labels["sync.jira.io/force"] = "true"
+    if options.get("dry_run"):
+        labels["sync.jira.io/dry-run"] = "true"
+    if options.get("include_links"):
+        labels["sync.jira.io/include-links"] = "true"
+    if int(options.get("concurrency") or 0) > 0:
+        labels["sync.jira.io/concurrency"] = str(int(options["concurrency"]))
+    if options.get("rate_limit"):
+        labels["sync.jira.io/rate-limit"] = str(options["rate_limit"])
+    return labels
+
+
+def convert_sync_to_crd(kind: str, req: dict, name: str) -> dict:
+    """API request -> JIRASync CR document (crd_converter.go
+    ConvertSingleSync/ConvertBatchSync/ConvertJQLSync:77-224 +
+    createCRDResource:380-418). Raises ValueError with the reference's
+    message on the CRD-grade validation failures that are STRICTER than
+    the route validators (issue-key pattern, repository URL shape, JQL
+    character set, batch cap of 100) — the hybrid mode's fallback
+    trigger. Returns {"spec", "resource", "annotations", "crd_fields"}.
+    """
+    options = req.get("options")
+    repo = req.get("repository") or ""
+    if kind == "single":
+        keys = [req.get("issue_key") or ""]
+        if not _crd_issue_key_ok(keys[0]):
+            raise ValueError(
+                f"invalid issue key format: {keys[0]} (must match pattern "
+                "^[A-Z][A-Z0-9]*-[1-9][0-9]*$)"
+            )
+        target = {"issueKeys": keys}
+        annotations = {
+            "sync.jira.io/safe-mode": str(bool(req.get("safe_mode"))).lower(),
+            "sync.jira.io/async": str(bool(req.get("async"))).lower(),
+            "sync.jira.io/source": "api-single-sync",
+        }
+        crd_fields = {"issueKeys": f"{keys}"}
+    elif kind == "batch":
+        keys = list(req.get("issue_keys") or [])
+        if len(keys) > 100:
+            raise ValueError(
+                f"too many issue keys: {len(keys)} (maximum 100 allowed)"
+            )
+        for key in keys:
+            if not _crd_issue_key_ok(key):
+                raise ValueError(
+                    f"invalid issue key format: {key} (must match pattern "
+                    "^[A-Z][A-Z0-9]*-[1-9][0-9]*$)"
+                )
+        target = {"issueKeys": keys}
+        annotations = {
+            "sync.jira.io/safe-mode": str(bool(req.get("safe_mode"))).lower(),
+            "sync.jira.io/async": str(bool(req.get("async"))).lower(),
+            "sync.jira.io/parallelism": str(int(req.get("parallelism") or 0)),
+            "sync.jira.io/source": "api-batch-sync",
+            "sync.jira.io/issue-count": str(len(keys)),
+        }
+        crd_fields = {"issueKeys": f"{keys}", "issueCount": str(len(keys))}
+    elif kind == "jql":
+        jql = req.get("jql") or ""
+        if not _crd_jql_ok(jql):
+            raise ValueError(
+                "invalid JQL query contains prohibited characters "
+                '(;\\<>" or control characters)'
+            )
+        target = {"jqlQuery": jql}
+        annotations = {
+            "sync.jira.io/safe-mode": str(bool(req.get("safe_mode"))).lower(),
+            "sync.jira.io/async": str(bool(req.get("async"))).lower(),
+            "sync.jira.io/parallelism": str(int(req.get("parallelism") or 0)),
+            "sync.jira.io/source": "api-jql-sync",
+            "sync.jira.io/jql-query": jql,
+        }
+        crd_fields = {"jqlQuery": jql}
+    else:  # pragma: no cover - route table guards kinds
+        raise ValueError(f"unknown sync kind: {kind}")
+    if not _crd_repo_ok(repo):
+        raise ValueError(
+            f"invalid repository URL: {repo} (must be HTTPS or SSH)"
+        )
+
+    spec = {
+        "syncType": kind if kind != "jql" else "jql",
+        "target": target,
+        "destination": {
+            "repository": repo,
+            "branch": _CRD_DEFAULTS["branch"],
+            "path": _CRD_DEFAULTS["path"],
+        },
+        "priority": _CRD_DEFAULTS["priority"],
+        "timeout": _CRD_DEFAULTS["timeout"],
+        "retryPolicy": dict(_CRD_DEFAULTS["retryPolicy"]),
+    }
+    labels = _crd_options_labels(options)
+    if labels:
+        spec["labels"] = labels
+    crd_fields = {
+        "syncType": spec["syncType"],
+        "repository": repo,
+        **crd_fields,
+    }
+    resource = {
+        "apiVersion": "sync.jira.io/v1alpha1",
+        "kind": "JIRASync",
+        "metadata": {
+            "name": name,
+            "namespace": "default",
+            "annotations": dict(annotations),
+            "labels": {
+                "app.kubernetes.io/name": "jira-sync-operator",
+                "app.kubernetes.io/component": "sync-job",
+                "sync.jira.io/type": kind,
+                "sync.jira.io/source": "api",
+            },
+        },
+        "spec": spec,
+    }
+    return {
+        "spec": spec,
+        "resource": resource,
+        "annotations": annotations,
+        "crd_fields": crd_fields,
+    }
+
+
 class JobManager:
     """In-process job queue replacing the reference's Kubernetes Job
     dispatch (pkg/jobs/scheduler.go:49-88): a pool of worker threads
@@ -276,6 +465,35 @@ class JobManager:
             self._journal(job)
             self._wake.notify()
         return job
+
+    def create_crd(self, kind: str, req: dict) -> dict:
+        """CRD-mode dispatch: convert the sync request to a JIRASync CR
+        and persist it instead of launching a job — the analog of
+        createCRDResource's dynamic-client Create (handlers_sync_
+        enhanced.go:333-357): one YAML document per CR under
+        {out_root}/crds/{namespace}/. Name = jirasync-{type}-{unix}
+        (crd_converter.go:381-382) with a collision counter appended
+        when two CRs land in the same second (the reference would
+        collide in-cluster; a local store must not). Raises ValueError
+        on conversion/validation failure — hybrid mode's fallback
+        trigger."""
+        import os
+        import time as _time
+
+        import yaml
+
+        base = f"jirasync-{kind}-{int(_time.time())}"
+        with self._lock:
+            name, n = base, 1
+            root = os.path.join(self.out_root, "crds", "default")
+            while os.path.exists(os.path.join(root, f"{name}.yaml")):
+                name = f"{base}-{n}"
+                n += 1
+            result = convert_sync_to_crd(kind, req, name)
+            os.makedirs(root, exist_ok=True)
+            with open(os.path.join(root, f"{name}.yaml"), "w") as fh:
+                yaml.safe_dump(result["resource"], fh, sort_keys=True)
+        return {**result, "name": name, "namespace": "default"}
 
     def _set_conditions(
         self,
@@ -909,6 +1127,7 @@ class _Handler(BaseHTTPRequestHandler):
     profiles = None  # injected ProfileStore
     enable_cors = True  # withCORS (server.go:206-226)
     ratelimit: TokenBucket | None = None  # withRateLimit slot
+    sync_mode = SYNC_MODE_DIRECT_JOB  # server-default SyncMode
 
     def log_message(self, *a):  # quiet; the job log is the record
         pass
@@ -1192,6 +1411,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(
                     400, "VALIDATION_ERROR", "Request validation failed", err
                 )
+            if self._crd_dispatch("jql", req):
+                return
             job = self.manager.submit("jql", req["jql"], req["repository"], req)
             self._write(202, self._sync_response(job))
         elif path == "/api/v1/sync/batch":
@@ -1200,6 +1421,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(
                     400, "VALIDATION_ERROR", "Request validation failed", err
                 )
+            if self._crd_dispatch("batch", req):
+                return
             jql = "key in (" + ", ".join(req["issue_keys"]) + ")"
             job = self.manager.submit(
                 "batch", jql, req["repository"], req, req["issue_keys"]
@@ -1211,6 +1434,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(
                     400, "VALIDATION_ERROR", "Request validation failed", err
                 )
+            if self._crd_dispatch("single", req):
+                return
             jql = f"key = {req['issue_key']}"
             job = self.manager.submit(
                 "single", jql, req["repository"], req, [req["issue_key"]]
@@ -1367,6 +1592,62 @@ class _Handler(BaseHTTPRequestHandler):
             "started_at": job["started_at"],
         }
 
+    def _sync_mode(self) -> str:
+        """determineSyncMode (handlers_sync_enhanced.go:315-330):
+        explicit X-Sync-Mode header (invalid values fall through, not
+        400) -> X-Prefer-CRD: true -> server default."""
+        mode = self.headers.get("X-Sync-Mode") or ""
+        if mode in SYNC_MODES:
+            return mode
+        if (self.headers.get("X-Prefer-CRD") or "").lower() == "true":
+            return SYNC_MODE_CRD
+        return self.sync_mode
+
+    def _crd_dispatch(self, kind: str, req: dict) -> bool:
+        """Per-request sync-mode dispatch (HandleEnhancedSingleSync /
+        BatchSync / JQLSync, handlers_sync_enhanced.go:62-185). Returns
+        True when a response was written (crd success, or crd-mode
+        failure -> 500); False when the caller should run the
+        direct-job path (direct-job mode, or hybrid fallback after a
+        failed conversion). The response mirrors CRDSyncResponse
+        (handlers_sync_enhanced.go:34-48) with the EFFECTIVE mode in
+        ``mode`` (the reference echoes the server-config mode there
+        even when a header overrode it — we report what actually
+        ran)."""
+        mode = self._sync_mode()
+        if mode == SYNC_MODE_DIRECT_JOB:
+            return False
+        try:
+            crd = self.manager.create_crd(kind, req)
+        except ValueError as exc:
+            if mode == SYNC_MODE_HYBRID:
+                return False  # fallback to direct job
+            self._error(
+                500, "CRD_SYNC_ERROR",
+                f"Failed to create CRD {kind} sync", str(exc),
+            )
+            return True
+        original = {
+            "single": "SingleSyncRequest",
+            "batch": "BatchSyncRequest",
+            "jql": "JQLSyncRequest",
+        }[kind]
+        self._write(202, {
+            "job_id": f"crd-{crd['name']}",
+            "status": "crd-created",
+            "created_at": _now_iso(),
+            "started_at": None,
+            "crd_name": crd["name"],
+            "crd_namespace": crd["namespace"],
+            "mode": mode,
+            "conversion_info": {
+                "original_request_type": original,
+                "crd_fields": crd["crd_fields"],
+                "annotations": crd["annotations"],
+            },
+        })
+        return True
+
 
 class SyncAPIServer:
     """The bound HTTP server: construct, .start(), drive with any HTTP
@@ -1386,6 +1667,7 @@ class SyncAPIServer:
         enable_cors: bool = True,
         rate_limit_per_sec: float | None = None,
         rate_limit_burst: int | None = None,
+        sync_mode: str = SYNC_MODE_DIRECT_JOB,
     ):
         from jira_cdc_git_spark.profile_store import ProfileStore
 
@@ -1400,6 +1682,7 @@ class SyncAPIServer:
                 "manager": self.manager,
                 "profiles": self.profiles,
                 "enable_cors": enable_cors,
+                "sync_mode": sync_mode,
                 "ratelimit": (
                     TokenBucket(rate_limit_per_sec, rate_limit_burst)
                     if rate_limit_per_sec

@@ -820,3 +820,169 @@ def test_profile_ops_verbs_over_http(api_server):
     assert status == 200 and body["data"]["removed"] == ["broken"]
     status, body = _req("GET", f"{srv.url}/api/v1/profiles/validate")
     assert status == 200 and body["data"]["valid"] is True
+
+
+# ---------------------------------------------------------------------------
+# X-Sync-Mode / X-Prefer-CRD header dispatch
+# (handlers_sync_enhanced.go:62-185, 315-330; crd_converter.go)
+# ---------------------------------------------------------------------------
+
+def _req_h(method, url, body=None, headers=None):
+    data = json.dumps(body).encode() if body is not None else None
+    r = urllib.request.Request(url, data=data, method=method)
+    if data:
+        r.add_header("Content-Type", "application/json")
+    for k, v in (headers or {}).items():
+        r.add_header(k, v)
+    try:
+        with urllib.request.urlopen(r, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_crd_mode_header_creates_cr_not_job(api_server, tmp_path):
+    """X-Sync-Mode: crd emits a JIRASync CR document instead of
+    launching a job (HandleEnhancedSingleSync's SyncModeCRD arm)."""
+    import glob
+    import os
+
+    import yaml
+
+    srv, _ = api_server
+    status, body = _req_h(
+        "POST",
+        f"{srv.url}/api/v1/sync/single",
+        {
+            "issue_key": "PROJ-7",
+            "repository": "https://github.com/org/repo.git",
+            "options": {"incremental": True, "concurrency": 3},
+        },
+        headers={"X-Sync-Mode": "crd"},
+    )
+    assert status == 202 and body["success"]
+    data = body["data"]
+    assert data["status"] == "crd-created"
+    assert data["job_id"] == f"crd-{data['crd_name']}"
+    assert data["crd_name"].startswith("jirasync-single-")
+    assert data["crd_namespace"] == "default"
+    assert data["mode"] == "crd"
+    info = data["conversion_info"]
+    assert info["original_request_type"] == "SingleSyncRequest"
+    assert info["crd_fields"]["syncType"] == "single"
+    assert info["annotations"]["sync.jira.io/source"] == "api-single-sync"
+
+    # no job was queued
+    status, q = _req_h("GET", f"{srv.url}/api/v1/jobs/queue/status")
+    assert q["data"]["total_jobs"] == 0
+
+    # the CR document landed in the store with spec + labels intact
+    paths = glob.glob(
+        os.path.join(srv.manager.out_root, "crds", "default", "*.yaml")
+    )
+    assert len(paths) == 1
+    cr = yaml.safe_load(open(paths[0]))
+    assert cr["kind"] == "JIRASync"
+    assert cr["apiVersion"] == "sync.jira.io/v1alpha1"
+    assert cr["metadata"]["name"] == data["crd_name"]
+    assert cr["spec"]["target"]["issueKeys"] == ["PROJ-7"]
+    assert cr["spec"]["destination"]["branch"] == "main"
+    assert cr["spec"]["retryPolicy"]["maxRetries"] == 3
+    assert cr["spec"]["labels"]["sync.jira.io/incremental"] == "true"
+    assert cr["spec"]["labels"]["sync.jira.io/concurrency"] == "3"
+
+
+def test_prefer_crd_header_and_jql_fields(api_server):
+    """X-Prefer-CRD: true routes to CRD mode when no X-Sync-Mode is
+    given (determineSyncMode's second probe)."""
+    srv, _ = api_server
+    status, body = _req_h(
+        "POST",
+        f"{srv.url}/api/v1/sync/jql",
+        {
+            "jql": "project = PROJ AND status = Open",
+            "repository": "git@github.com:org/repo.git",
+        },
+        headers={"X-Prefer-CRD": "true"},
+    )
+    assert status == 202
+    data = body["data"]
+    assert data["status"] == "crd-created"
+    assert data["crd_name"].startswith("jirasync-jql-")
+    info = data["conversion_info"]
+    assert info["original_request_type"] == "JQLSyncRequest"
+    assert info["crd_fields"]["jqlQuery"] == "project = PROJ AND status = Open"
+    assert (
+        info["annotations"]["sync.jira.io/jql-query"]
+        == "project = PROJ AND status = Open"
+    )
+
+
+def test_crd_mode_strict_validation_500(api_server):
+    """CRD mode applies the converter's STRICTER checks: a repository
+    that passes the route validator (non-empty) but is not an
+    HTTPS/SSH URL fails conversion -> 500 CRD_SYNC_ERROR."""
+    srv, _ = api_server
+    status, body = _req_h(
+        "POST",
+        f"{srv.url}/api/v1/sync/jql",
+        {"jql": "project = PROJ", "repository": "main-repo"},
+        headers={"X-Sync-Mode": "crd"},
+    )
+    assert status == 500
+    assert body["error"]["code"] == "CRD_SYNC_ERROR"
+    assert "invalid repository URL" in body["error"]["details"]
+
+    # batch cap of 100 is converter-only too
+    status, body = _req_h(
+        "POST",
+        f"{srv.url}/api/v1/sync/batch",
+        {
+            "issue_keys": [f"PROJ-{i}" for i in range(1, 102)],
+            "repository": "https://github.com/org/repo.git",
+        },
+        headers={"X-Sync-Mode": "crd"},
+    )
+    assert status == 500
+    assert "too many issue keys: 101" in body["error"]["details"]
+
+
+def test_hybrid_mode_falls_back_to_direct_job(api_server):
+    """SyncModeHybrid: CRD conversion fails (local-path repo) -> the
+    request falls back to the v0.4.0 direct-job path."""
+    srv, _ = api_server
+    status, body = _req_h(
+        "POST",
+        f"{srv.url}/api/v1/sync/jql",
+        {"jql": "project = PROJ", "repository": "main-repo"},
+        headers={"X-Sync-Mode": "hybrid"},
+    )
+    assert status == 202
+    assert body["data"]["job_id"].startswith("sync-job-")
+    srv.manager.wait(body["data"]["job_id"])
+
+    # hybrid with a CONVERTIBLE request goes CRD
+    status, body = _req_h(
+        "POST",
+        f"{srv.url}/api/v1/sync/jql",
+        {"jql": "project = PROJ", "repository": "https://github.com/o/r"},
+        headers={"X-Sync-Mode": "hybrid"},
+    )
+    assert status == 202
+    assert body["data"]["status"] == "crd-created"
+    assert body["data"]["mode"] == "hybrid"
+
+
+def test_invalid_sync_mode_header_falls_through(api_server):
+    """determineSyncMode ignores unknown X-Sync-Mode values (no 400) —
+    falls through to the server default (direct-job here)."""
+    srv, _ = api_server
+    status, body = _req_h(
+        "POST",
+        f"{srv.url}/api/v1/sync/jql",
+        {"jql": "project = PROJ", "repository": "main-repo"},
+        headers={"X-Sync-Mode": "bogus-mode"},
+    )
+    assert status == 202
+    assert body["data"]["job_id"].startswith("sync-job-")
+    srv.manager.wait(body["data"]["job_id"])
