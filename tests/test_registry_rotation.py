@@ -100,6 +100,14 @@ def test_round_addition_counts_derived_not_prose(tmp_path):
     # green in earlier rounds.
     assert counts.get(8) == 15
     assert sum(1 for f in first_seen.values() if f == 8) == 15
+    assert counts.get(9) == 19  # r9 window: 19 first-green + 31 re-earns
+    # the survey's window-composition sentence must carry the DERIVED
+    # r9 split (the r9 prose drifted to "6 additions + 10 changed + 34
+    # stalest" while the artifact held 19+31 — r9 verdict What's-wrong
+    # #1); this pins the corrected paragraph to the artifact numbers.
+    with open(os.path.join(REPO, "SURVEY.md")) as fh:
+        survey = fh.read()
+    assert "19 first-green r9 additions + 31 re-earns" in survey
     # the registry docstring must not state a numeric per-round
     # addition count ("the NN round-K additions") — this test owns it
     doc = E.__doc__ or ""
