@@ -285,6 +285,13 @@ BENCH_QUERIES = [
     # r9 wave 5: query-likelihood ranking, seasonal residual anomalies
     "lm_dirichlet_topk",
     "seasonal_residual_anomalies",
+    # r10 additions
+    "edit_distance_neardup",
+    "split_contamination_report",
+    "source_gini_report",
+    "spearman_corr_report",
+    "hill_tail_index",
+    "event_association_rules",
 ]
 
 
@@ -687,6 +694,13 @@ SCALE_PROBE_QUERIES = [
     # r9 wave 5: query-likelihood ranking, seasonal residual anomalies
     "lm_dirichlet_topk",
     "seasonal_residual_anomalies",
+    # r10 additions
+    "edit_distance_neardup",
+    "split_contamination_report",
+    "source_gini_report",
+    "spearman_corr_report",
+    "hill_tail_index",
+    "event_association_rules",
 ]
 
 

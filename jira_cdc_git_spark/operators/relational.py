@@ -2615,3 +2615,88 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fit_last_day"),
         )
     )
+
+
+def spearman_corr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between an order's total price and its
+    line-item count — the robust (monotone, outlier-proof) association
+    check to run beside a Pearson r before trusting a linear model of
+    basket size vs spend. Tied values get textbook AVERAGE ranks,
+    computed exactly as rank() + (tie_count − 1)/2 (a .5-granular value
+    — exact in doubles), then ρ is Pearson on the rank pairs via the
+    exact-sum identity nΣuv − ΣuΣv over √((nΣu²−(Σu)²)(nΣv²−(Σv)²)).
+    One row: n, pearson_r on the raw values, spearman_rho.
+
+    CROSS-ENGINE DETERMINISM: ranks are integers + halves (exact);
+    price sums run in integer CENTS; the two correlation expressions
+    are single fixed-shape IEEE evaluations, micro-rounded.
+
+    100 TB shape: one orderkey count agg (map-side combinable) + one
+    broadcast-free join pushed to the same key, two rank windows over
+    the value columns (global sort of the (value) projection — at real
+    scale swap row_number for a partition-ranged rank), one final
+    1-row fold."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    per = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").cast("long").alias("n_items"))
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents"),
+                # raw-value moments run in whole DOLLARS: Σcents² would
+                # overflow int64 even at sf0.01; Σdollars² holds to sf1+
+                F.floor(F.col("o_totalprice")).cast("long").alias("dollars"),
+            ),
+            "l_orderkey",
+        )
+    )
+    w_u = Window.orderBy("cents")
+    w_v = Window.orderBy("n_items")
+    ranked = (
+        per.withColumn(
+            "u",
+            F.rank().over(w_u)
+            + (F.count("*").over(Window.partitionBy("cents")) - 1) / 2.0,
+        )
+        .withColumn(
+            "v",
+            F.rank().over(w_v)
+            + (F.count("*").over(Window.partitionBy("n_items")) - 1) / 2.0,
+        )
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum("dollars").cast("long").alias("sx"),
+        F.sum("n_items").cast("long").alias("sy"),
+        F.sum(F.col("dollars") * F.col("n_items")).cast("long").alias("sxy"),
+        F.sum(F.col("dollars") * F.col("dollars")).cast("long").alias("sxx"),
+        F.sum(F.col("n_items") * F.col("n_items")).cast("long").alias("syy"),
+    )
+    rho = (F.col("n") * F.col("suv") - F.col("su") * F.col("sv")) / F.sqrt(
+        (F.col("n") * F.col("suu") - F.col("su") * F.col("su"))
+        * (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv"))
+    )
+    # the raw-moment identity products (n·Σx², (Σx)²) overflow int64
+    # even at modest SFs — run them in DECIMAL(38,0) (exact, like the
+    # oracle's HUGEINT) and only then drop to double
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    r = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double") / F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
+        * (d("n") * d("syy") - d("sy") * d("sy")).cast("double")
+    )
+    return s.select(
+        "n",
+        round_half_up(r, 6).alias("pearson_r"),
+        round_half_up(rho, 6).alias("spearman_rho"),
+    )

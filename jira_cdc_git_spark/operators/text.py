@@ -5541,3 +5541,212 @@ def lm_dirichlet_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "rank", "n_terms", "score")
     )
+
+
+#: edit-distance near-dup knobs: compare the first EDIT_PREFIX chars
+#: (bounded per-pair cost — full-text O(L²) DP is never run at scale),
+#: candidates blocked by (lang, ⌊n_chars/EDIT_BAND⌋) with each doc
+#: replicated into its neighbor band so boundary pairs aren't missed.
+EDIT_PREFIX = 64
+EDIT_BAND = 32
+EDIT_NEARDUP_MAX = 16
+
+
+def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-duplicate pairs by bounded Levenshtein — the
+    OCR-noise/typo complement to the token-shingle families (MinHash/
+    SimHash see word substitutions; edit distance sees character
+    corruption that shatters every word shingle). Docs are blocked by
+    (lang, length band) with adjacent-band replication (a doc enters
+    its own band and the next, so a pair straddling a band boundary
+    still collides exactly once after DISTINCT), pairs are scored with
+    built-in levenshtein() on the EDIT_PREFIX-char prefix, and pairs at
+    distance <= EDIT_NEARDUP_MAX emit.
+
+    100 TB shape: the only shuffle is the (lang, band) self-join —
+    candidate mass is sum of block² over length-banded blocks, the
+    classic sorted-neighborhood bound, never |docs|²; the DP cost per
+    pair is capped by the prefix constant. levenshtein() is identical
+    in Spark and DuckDB, so the oracle replays bit-for-bit."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, EDIT_PREFIX).alias("pfx"),
+        F.floor(F.col("n_chars") / EDIT_BAND).cast("long").alias("band"),
+    )
+    rep = d.unionByName(
+        d.withColumn("band", F.col("band") + F.lit(1))
+    ).transform(materialize)
+    pairs = (
+        rep.alias("a")
+        .join(rep.alias("b"), ["lang", "band"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "lang",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("dist"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.filter(F.col("dist") <= EDIT_NEARDUP_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test split contamination audit:
+    using dataset_splits' hash rule (md5 bucket <98 train, ==99 test),
+    what fraction of the TEST split's distinct word-3-gram shingles
+    never occur in the TRAIN split? Low novelty means the held-out set
+    is contaminated by (or templated from) training text — the eval
+    every pretraining-data pipeline runs before trusting a perplexity
+    number. Per lang: distinct test shingles, how many are seen in
+    train, and the novelty rate.
+
+    100 TB shape: two distinct (lang, shingle) projections (set-
+    bounded), one shingle-keyed LEFT JOIN to mark seen-ness, one
+    |langs|-group agg; never a doc×doc comparison."""
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    with_split = docs.select(
+        "lang",
+        F.col("text"),
+        F.when(bucket < 98, F.lit("train"))
+        .when(bucket == 99, F.lit("test"))
+        .alias("split"),
+    ).filter(F.col("split").isNotNull())
+    sh = with_split.select(
+        "split", "lang", F.explode(TX.shingles(F.col("text"), 3)).alias("shingle")
+    ).distinct()
+    test = sh.filter(F.col("split") == "test").select("lang", "shingle")
+    train = sh.filter(F.col("split") == "train").select(
+        "lang", F.col("shingle").alias("shingle"), F.lit(1).alias("seen")
+    )
+    marked = test.join(train, ["lang", "shingle"], "left")
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_test_shingles"),
+            F.sum(F.coalesce("seen", F.lit(0))).cast("long").alias(
+                "n_seen_in_train"
+            ),
+        )
+        .select(
+            "lang",
+            "n_test_shingles",
+            "n_seen_in_train",
+            TX.round_half_up(
+                (F.col("n_test_shingles") - F.col("n_seen_in_train"))
+                / F.col("n_test_shingles"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def source_gini_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration audit per language: the exact Gini
+    coefficient of token mass across sources (plus the top source's
+    share) — the Lorenz-curve diversity check a mixture designer runs
+    before training (a lang whose token mass is one mirror-site is a
+    diversity problem no dedup statistic shows). Gini via the sorted
+    rank identity G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over sources
+    sorted by (tokens, source) — integer arithmetic until the one final
+    division, so the oracle replays exactly.
+
+    100 TB shape: one (lang, source) token-count agg (map-side
+    combinable), then all windows run over the |langs|×|sources|
+    bounded frame."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_src = (
+        docs.select("lang", "source", TX.token_count(F.col("text")).alias("t"))
+        .groupBy("lang", "source")
+        .agg(F.sum("t").cast("long").alias("tokens"))
+    )
+    w = Window.partitionBy("lang").orderBy("tokens", "source")
+    ranked = per_src.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        F.max("tokens").cast("long").alias("top_source_tokens"),
+        F.sum(F.col("i") * F.col("tokens")).cast("long").alias("s_ix"),
+    )
+    gini = (
+        (F.lit(2) * F.col("s_ix") - (F.col("n_sources") + 1) * F.col("total_tokens"))
+        / (F.col("n_sources") * F.col("total_tokens"))
+    )
+    return agg.select(
+        "lang",
+        "n_sources",
+        "total_tokens",
+        TX.round_half_up(
+            F.col("top_source_tokens") / F.col("total_tokens"), 6
+        ).alias("top_source_share"),
+        TX.round_half_up(gini, 6).alias("gini"),
+    ).orderBy("lang")
+
+
+#: Hill estimator order-statistic count (top-k tail sample).
+HILL_K = 64
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate of the per-language document-length
+    distribution (Hill 1975): α̂ = k / Σ_{i=1..k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) over
+    the k largest n_chars — the Zipf/Heaps companion that quantifies
+    HOW heavy the long-document tail is (α < 2 ⇒ infinite variance:
+    packing and truncation policy must plan for monsters). Ties are
+    broken by doc_id so both engines pick identical order statistics.
+
+    100 TB shape: per-lang top-(k+1) by length — TakeOrderedAndProject-
+    style bounded selection (the window at |langs| groups never sorts
+    the corpus globally at scale; swap to a grouped bottom-k agg), then
+    the estimate is a k-row sum per lang."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    top = (
+        docs.select("lang", "n_chars", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HILL_K + 1)
+        .transform(materialize)
+    )
+    thresh = top.filter(F.col("rn") == HILL_K + 1).select(
+        "lang", F.col("n_chars").alias("x_k1")
+    )
+    # each ln(x/x_k1) term is rounded to NANO units before summing, so
+    # the k-term reduction is an exact integer sum under any partial-
+    # aggregation order — the chi2_term_micro discipline applied to logs
+    term_nano = F.floor(
+        F.log(F.col("n_chars") / F.col("x_k1")) * 1000000000 + F.lit(0.5)
+    ).cast("long")
+    est = (
+        top.filter(F.col("rn") <= HILL_K)
+        .join(F.broadcast(thresh), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.min("x_k1").cast("long").alias("x_k1"),
+            F.sum(term_nano).cast("long").alias("s_nano"),
+        )
+        .filter((F.col("k") == HILL_K) & (F.col("s_nano") > 0))
+    )
+    return est.select(
+        "lang",
+        "k",
+        F.col("x_k1").alias("tail_threshold_chars"),
+        TX.round_half_up(
+            F.col("k") * F.lit(1000000000.0) / F.col("s_nano"), 6
+        ).alias("hill_alpha"),
+    ).orderBy("lang")

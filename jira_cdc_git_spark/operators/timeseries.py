@@ -1897,3 +1897,82 @@ def seasonal_residual_anomalies(
         )
         .orderBy("event_type", "hour_ts")
     )
+
+
+def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over user event baskets: for
+    every event-type pair, the users-with-both support count, both
+    directional confidences, and the lift (how much more often the
+    types co-occur per user than independence predicts) — the
+    behavioral-coupling census (Agrawal & Srikant 1994's A-priori
+    output shape at the pair level) that a funnel designer reads
+    before ordering steps.
+
+    CROSS-ENGINE DETERMINISM: all counts are exact integers over the
+    distinct (user, type) projection; confidence and lift are single
+    IEEE divisions of integers, micro-rounded.
+
+    100 TB shape: one distinct (user, type) projection, one user-keyed
+    self-join whose per-user fanout is bounded by |event_types|² (the
+    basket width, never the event count), one |types|²-group agg, and
+    a broadcast of the |types|-row support table."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    ev = load_table(spark, "events", sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    supp = ut.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    n_tot = ut.select("user_id").distinct().agg(
+        F.count("*").cast("long").alias("n_total_users")
+    )
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                supp.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_users").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_users").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        "n_total_users",
+        round_half_up(F.col("n_both") / F.col("n_a"), 6).alias(
+            "confidence_a_to_b"
+        ),
+        round_half_up(F.col("n_both") / F.col("n_b"), 6).alias(
+            "confidence_b_to_a"
+        ),
+        round_half_up(
+            F.col("n_both") * F.col("n_total_users")
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    ).orderBy("type_a", "type_b")

@@ -1747,3 +1747,97 @@ def test_trained_vocab_store_detects_regenerated_corpus(
     # trained on the regenerated (halved) corpus: total word mass drops
     mass = lambda df: df.agg(F.sum("weight")).first()[0]  # noqa: E731
     assert mass(second) < mass(first)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions
+# ---------------------------------------------------------------------------
+
+def test_edit_distance_neardup_properties(spark, sf_dir):
+    rows = T.edit_distance_neardup(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["dist"] <= T.EDIT_NEARDUP_MAX
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_edit_distance_neardup_band_boundary(spark, tmp_path):
+    """Adjacent-band replication: two near-identical docs whose lengths
+    straddle a band boundary (31 vs 33 chars -> bands 0 and 1) must
+    still pair, and must pair EXACTLY ONCE despite double replication."""
+    rows = [
+        (1, "a" * 31, "en", "s0", 31),
+        (2, "a" * 32 + "b", "en", "s0", 33),
+        (3, "z" * 200, "en", "s0", 200),  # far band: never a candidate
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = T.edit_distance_neardup(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert (got[0]["doc_a"], got[0]["doc_b"]) == (1, 2)
+    assert got[0]["dist"] == 2  # one insert + one substitute
+
+
+def test_split_contamination_bounds(spark, sf_dir):
+    for r in T.split_contamination_report(spark, sf_dir).collect():
+        assert 0 <= r["n_seen_in_train"] <= r["n_test_shingles"]
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+
+
+def test_source_gini_bounds(spark, sf_dir):
+    rows = T.source_gini_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+        # top share can never be below the uniform share
+        assert r["top_source_share"] >= 1.0 / r["n_sources"] - 1e-9
+
+
+def test_source_gini_known_answer(spark, tmp_path):
+    """Hand-checked Gini on token masses 1,1,2 (docs of 1/1/2 tokens in
+    three sources): sorted x=(1,1,2), n=3, Σx=4, Σi·xᵢ=1+2+6=9,
+    G=(18-16)/12=0.166667."""
+    rows = [
+        (1, "w", "en", "sA", 1),
+        (2, "w", "en", "sB", 1),
+        (3, "w w", "en", "sC", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = T.source_gini_report(spark, str(tmp_path)).collect()[0]
+    assert got["gini"] == 0.166667
+    assert got["top_source_share"] == 0.5
+
+
+def test_spearman_corr_bounds(spark, sf_dir):
+    from jira_cdc_git_spark.operators import relational as R
+
+    row = R.spearman_corr_report(spark, sf_dir).first()
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+    assert -1.0 <= row["pearson_r"] <= 1.0
+    assert row["n"] > 0
+
+
+def test_hill_tail_index_positive(spark, sf_dir):
+    rows = T.hill_tail_index(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["k"] == T.HILL_K
+        assert r["hill_alpha"] > 0
+
+
+def test_event_association_rules_consistency(spark, sf_dir):
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    rows = TS.event_association_rules(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert 0 < r["confidence_a_to_b"] <= 1.0
+        assert 0 < r["confidence_b_to_a"] <= 1.0
+        # lift * n_a * n_b == n_both * n_total (up to rounding)
+        assert abs(
+            r["lift"] - r["n_both"] * r["n_total_users"] / (r["n_a"] * r["n_b"])
+        ) < 1e-6

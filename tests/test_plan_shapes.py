@@ -932,3 +932,33 @@ def test_token_jsd_pair_grid_broadcasts(spark, sf_dir):
     # BROADCAST pair grid; no sort-merge join over corpus rows
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_blocks_on_band_key_no_cartesian(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.edit_distance_neardup(spark, sf_dir))
+    # candidates come from an equi-join on (lang, band) — sorted-
+    # neighborhood blocking, never an all-pairs product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_association_rules_broadcast_supports(spark, sf_dir):
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    plan = _plan(TS.event_association_rules(spark, sf_dir))
+    # the |types|-row support table and the 1-row total broadcast; the
+    # only shuffle-scale join is the user-keyed basket self-join
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hill_top_k_filters_before_estimate(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.hill_tail_index(spark, sf_dir))
+    # the per-lang window ranks (lang, n_chars, doc_id) projections,
+    # not whole documents: text never reaches the window
+    assert "text" not in plan.split("Window")[0].split("ReadSchema")[-1]
+    assert "CartesianProduct" not in plan
