@@ -72,8 +72,8 @@ tail past slot 50, and the displaced names (asserted mechanically, not
 listed here: prose name-lists drifted in r8 and again mid-r9) re-earn
 in the r10 rotation. Every in-window entry was pre-proven green by the
 full-registry sf0.01 diffcheck before shipping.
-The registry has 318
-entries: 310 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 322
+entries: 314 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -139,7 +139,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: whose newest fully-green driver row is r3 (the epic-discovery
 #: lambdas, commit_messages, timestamp_multiformat, reconciliation,
 #: validate_requests, the r3 curation wave) — exactly the names the
-#: r9 verdict's staleness table lists. The literal's historical order
+#: r9 verdict's staleness table lists, MINUS four displaced to r11 by
+#: the second wave (incremental_modified_only /
+#: incremental_project_scoped — C3 family re-proven by
+#: incremental_option_variants r7 + incremental_candidates in-window;
+#: ivf_recall_report — IVF path re-proven by in-window ivf_topk;
+#: jql_preview_breakdowns — JQL template family green r8).
+#: The literal's historical order
 #: below is untouched; _rotated() hoists the window so prose never
 #: has to re-count displaced slots again.
 _R10_WINDOW = [
@@ -150,6 +156,11 @@ _R10_WINDOW = [
     "spearman_corr_report",
     "hill_tail_index",
     "event_association_rules",
+    # r10 second wave
+    "embedding_norm_outliers",
+    "length_drift_by_source",
+    "inter_event_gap_quantiles",
+    "bpe_roundtrip_report",
     # changed-code re-earns (r9 advice fixes)
     "benford_deviation_report",
     "bottomk_quantile_sketch",
@@ -169,11 +180,7 @@ _R10_WINDOW = [
     "epic_members_by_type",
     "gopher_quality_filters",
     "incremental_candidates",
-    "incremental_modified_only",
-    "incremental_project_scoped",
-    "ivf_recall_report",
     "jql_my_sprint",
-    "jql_preview_breakdowns",
     "jql_recent_updates",
     "kmv_distinct_estimate",
     "media_stats",
@@ -218,6 +225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail_index": T.hill_tail_index,
         "spearman_corr_report": R.spearman_corr_report,
         "event_association_rules": TS.event_association_rules,
+        # r10 second wave
+        "embedding_norm_outliers": V.embedding_norm_outliers,
+        "length_drift_by_source": T.length_drift_by_source,
+        "inter_event_gap_quantiles": TS.inter_event_gap_quantiles,
+        "bpe_roundtrip_report": T.bpe_roundtrip_report,
         # ===== Round-9 window (slots 1-50) =====
         # CORRECTNESS_r08 was 50/50 fully green, freeing the whole
         # window. Composition (derived + asserted by
@@ -8367,6 +8379,155 @@ _ORACLES["event_association_rules"] = """
     JOIN supp sa ON sa.event_type = pairs.type_a
     JOIN supp sb ON sb.event_type = pairs.type_b
     CROSS JOIN tot ORDER BY type_a, type_b"""
+
+
+
+# ---------------------------------------------------------------------------
+# Round-10 second wave
+# ---------------------------------------------------------------------------
+
+# Mirrors operators/vectors.embedding_norm_outliers: exact integer
+# micro-unit squared norms, row_number medians, Hampel band with the
+# mad > 0 gate.
+_ORACLES["embedding_norm_outliers"] = f"""
+    WITH norms AS (
+        SELECT vec_id, label,
+               list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                   v -> floor(v * 1000000 + 0.5)
+                        * floor(v * 1000000 + 0.5))) AS n2
+        FROM embeddings
+    ), cnt AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS m FROM norms GROUP BY 1
+    ), ranked AS (
+        SELECT label, n2, vec_id,
+               row_number() OVER (PARTITION BY label ORDER BY n2, vec_id)
+                 AS rn
+        FROM norms
+    ), med AS (
+        SELECT ranked.label, sum(n2) / count(*) AS n2_med
+        FROM ranked JOIN cnt ON cnt.label = ranked.label
+        WHERE rn = floor((m + 1) / 2) OR rn = floor(m / 2) + 1
+        GROUP BY 1
+    ), dev AS (
+        SELECT norms.vec_id, norms.label, n2, abs(n2 - n2_med) AS ad
+        FROM norms JOIN med ON med.label = norms.label
+    ), aranked AS (
+        SELECT label, vec_id, ad,
+               row_number() OVER (PARTITION BY label ORDER BY ad, vec_id)
+                 AS arn
+        FROM dev
+    ), mad AS (
+        SELECT aranked.label, sum(ad) / count(*) AS mad
+        FROM aranked JOIN cnt ON cnt.label = aranked.label
+        WHERE arn = floor((m + 1) / 2) OR arn = floor(m / 2) + 1
+        GROUP BY 1
+    )
+    SELECT vec_id, dev.label, n2 / 1000000000000.0 AS norm_sq,
+           floor(ad / mad * 10000 + 0.5) / 10000 AS mad_ratio
+    FROM dev JOIN mad ON mad.label = dev.label
+    WHERE mad > 0 AND ad > {V.NORM_OUTLIER_K} * mad
+    ORDER BY vec_id"""
+
+# Mirrors operators/text.length_drift_by_source: per-source KS D vs the
+# corpus ECDF over the full corpus value grid, exact integer gaps,
+# argmax ties to the smallest length.
+_ORACLES["length_drift_by_source"] = """
+    WITH per_sv AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ), per_v AS (
+        SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ct
+        FROM documents GROUP BY 1
+    ), n_s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        FROM documents GROUP BY 1
+    ), n_tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents
+    ), grid AS (
+        SELECT source, v FROM per_v CROSS JOIN n_s
+    ), dense AS (
+        SELECT g.source, g.v, coalesce(per_sv.c, 0) AS c
+        FROM grid g LEFT JOIN per_sv
+          ON per_sv.source = g.source AND per_sv.v = g.v
+    ), cum_s AS (
+        SELECT source, v,
+               sum(c) OVER (PARTITION BY source ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum_s
+        FROM dense
+    ), cum_t AS (
+        SELECT v, sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                 AS cum_t
+        FROM per_v
+    ), gaps AS (
+        SELECT cum_s.source, cum_s.v, n_src, n_tot,
+               abs(cum_s * n_tot - cum_t * n_src) AS gap_num
+        FROM cum_s JOIN cum_t ON cum_t.v = cum_s.v
+        JOIN n_s ON n_s.source = cum_s.source
+        CROSS JOIN n_tot
+    ), top AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY gap_num DESC, v) AS pk
+        FROM gaps
+    )
+    SELECT source, n_src AS n_docs, v AS at_length,
+           floor(gap_num / (CAST(n_src AS DOUBLE) * n_tot) * 1000000
+                 + 0.5) / 1000000 AS d_stat
+    FROM top WHERE pk = 1 ORDER BY source"""
+
+# Mirrors operators/timeseries.inter_event_gap_quantiles: per-(user,
+# type) lag gaps in whole seconds (floor(epoch) both sides), R-7
+# quantiles via quantile_cont (the doc_length_quantiles precedent).
+_ORACLES["inter_event_gap_quantiles"] = """
+    WITH g AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+        FROM events
+    ), f AS (
+        SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+           floor(quantile_cont(gap_s, 0.5) * 100 + 0.5) / 100
+             AS p50_gap_s,
+           floor(quantile_cont(gap_s, 0.9) * 100 + 0.5) / 100
+             AS p90_gap_s,
+           floor(quantile_cont(gap_s, 0.99) * 100 + 0.5) / 100
+             AS p99_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM f GROUP BY 1 ORDER BY 1"""
+
+# Mirrors operators/text.bpe_roundtrip_report: the unrolled merge chain
+# (shared _bpe_subword_ctes), decode = strip the merge separator,
+# compare against word||EOW; rolled up per lang over DISTINCT words.
+_ORACLES["bpe_roundtrip_report"] = f"""
+    WITH {{_bpe_subword_ctes(T.BPE_MERGES)}},
+    dw AS (
+        SELECT DISTINCT lang, unnest(string_split_regex(trim(text),
+               '\\s+')) AS word
+        FROM documents
+    ), enc AS (
+        SELECT dw.lang, dw.word, s{T.BPE_MERGES}.syms
+        FROM dw JOIN s{T.BPE_MERGES} ON s{T.BPE_MERGES}.word = dw.word
+    ), per AS (
+        SELECT lang, len(syms) AS n_sub,
+               CASE WHEN replace(array_to_string(syms, ''),
+                            '{T.BPE_SEP}', '') = word || '{T.BPE_EOW}'
+                    THEN 1 ELSE 0 END AS ok
+        FROM enc
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(ok) AS BIGINT) AS n_roundtrip_exact,
+           floor((count(*) - sum(ok)) * 1.0 / count(*) * 1000000 + 0.5)
+             / 1000000 AS loss_rate,
+           floor(sum(n_sub) * 1.0 / count(*) * 10000 + 0.5) / 10000
+             AS subwords_per_word
+    FROM per GROUP BY lang ORDER BY lang"""
+# the CTE chain is itself generated — splice it now
+_ORACLES["bpe_roundtrip_report"] = _ORACLES["bpe_roundtrip_report"].replace(
+    "{_bpe_subword_ctes(T.BPE_MERGES)}", _bpe_subword_ctes(T.BPE_MERGES)
+)
 
 
 def oracle_sql() -> dict[str, str]:

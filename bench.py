@@ -292,6 +292,10 @@ BENCH_QUERIES = [
     "spearman_corr_report",
     "hill_tail_index",
     "event_association_rules",
+    "embedding_norm_outliers",
+    "length_drift_by_source",
+    "inter_event_gap_quantiles",
+    "bpe_roundtrip_report",
 ]
 
 
@@ -716,6 +720,10 @@ SCALE_PROBE_QUERIES = [
     "spearman_corr_report",
     "hill_tail_index",
     "event_association_rules",
+    "embedding_norm_outliers",
+    "length_drift_by_source",
+    "inter_event_gap_quantiles",
+    "bpe_roundtrip_report",
 ]
 
 

@@ -5710,15 +5710,25 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     style bounded selection (the window at |langs| groups never sorts
     the corpus globally at scale; swap to a grouped bottom-k agg), then
     the estimate is a k-row sum per lang."""
+    docs = load_table(spark, "documents", sf_dir)
+    return hill_from_top(docs.select("lang", "n_chars", "doc_id"))
+
+
+def hill_from_top(lengths: DataFrame) -> DataFrame:
+    """Hill estimate projection from a (lang, n_chars, doc_id) frame —
+    shared by the batch operator and streaming_hill_tail so the
+    streaming twin's snapshot agrees with the batch report by
+    construction (the acf_from_hourly discipline). The frame may be the
+    whole corpus or an already-trimmed top-(k+1) state: the projection
+    re-ranks internally, and ranking is invariant under trimming below
+    rank k+1."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, "documents", sf_dir)
     w = Window.partitionBy("lang").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
     )
     top = (
-        docs.select("lang", "n_chars", "doc_id")
-        .withColumn("rn", F.row_number().over(w))
+        lengths.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= HILL_K + 1)
         .transform(materialize)
     )
@@ -5750,3 +5760,133 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k") * F.lit(1000000000.0) / F.col("s_nano"), 6
         ).alias("hill_alpha"),
     ).orderBy("lang")
+
+
+def length_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift of document length: the exact
+    Kolmogorov-Smirnov D statistic between each source's n_chars ECDF
+    and the whole-corpus ECDF — the per-feed drift monitor that pages
+    when one crawl feed silently starts truncating (or concatenating)
+    documents while corpus-level quantiles barely move. D is evaluated
+    at every CORPUS length value (the sup over the reals is attained at
+    a jump of either ECDF, and corpus values are a superset of each
+    source's), as the exact integer |cum_s·n_tot − cum_tot·n_s| over
+    the common denominator; argmax ties break to the smallest value.
+
+    100 TB shape: one (source, length) count agg; the evaluation grid
+    is |distinct lengths| × |sources| — bounded by the length domain,
+    never by the doc count; two windows over that bounded frame."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_sv = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_v = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("ct")
+    )
+    n_s = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_src"))
+    n_tot = docs.agg(F.count("*").cast("long").alias("n_tot"))
+    grid = per_v.select("v").crossJoin(F.broadcast(n_s.select("source")))
+    dense = grid.join(per_sv, ["source", "v"], "left").select(
+        "source", "v", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_s = dense.select(
+        "source", "v", F.sum("c").over(w_s).alias("cum_s")
+    )
+    w_t = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_t = per_v.select("v", F.sum("ct").over(w_t).alias("cum_t"))
+    gaps = (
+        cum_s.join(cum_t, "v")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "source",
+            "v",
+            "n_src",
+            "n_tot",
+            F.abs(
+                F.col("cum_s") * F.col("n_tot")
+                - F.col("cum_t") * F.col("n_src")
+            ).alias("gap_num"),
+        )
+    )
+    w_pick = Window.partitionBy("source").orderBy(
+        F.desc("gap_num"), F.col("v")
+    )
+    top = gaps.withColumn("pk", F.row_number().over(w_pick)).filter(
+        F.col("pk") == 1
+    )
+    return top.select(
+        "source",
+        F.col("n_src").alias("n_docs"),
+        F.col("v").alias("at_length"),
+        TX.round_half_up(
+            F.col("gap_num")
+            / (F.col("n_src").cast("double") * F.col("n_tot")),
+            6,
+        ).alias("d_stat"),
+    ).orderBy("source")
+
+
+def bpe_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip QA: decode(encode(word)) must reproduce
+    every distinct corpus word exactly — the invariant a BPE encoder
+    owes you by construction (merges only ever CONCATENATE adjacent
+    symbols), and the first thing to assert about a stored tokenizer
+    artifact before a training run trusts it. Decoding is symbol
+    concatenation with the merge separator removed; the report rolls up
+    per language: distinct words, exact round-trips, loss rate (0 when
+    the encoder is healthy — a nonzero row localizes the broken lang),
+    and the mean subwords/word as a fertility cross-check.
+
+    Reads the STORED artifact (trained_subword_vocab) like every other
+    consumer; the oracle replays the full unrolled merge chain, so a
+    Spark-side encode defect that DuckDB does not share shows up as a
+    hash mismatch, not a silently-agreeing zero."""
+    vocab = trained_subword_vocab(spark, sf_dir)
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    dw = (
+        docs.select(
+            "lang", F.explode(TX.tokens(F.col("text"))).alias("word")
+        )
+        .distinct()
+    )
+    enc = dw.join(vocab.select("word", "syms"), "word")
+    decoded = F.regexp_replace(
+        F.concat_ws("", F.col("syms")), BPE_SEP, ""
+    )
+    per = enc.select(
+        "lang",
+        F.size("syms").alias("n_sub"),
+        (decoded == F.concat(F.col("word"), F.lit(BPE_EOW))).cast(
+            "long"
+        ).alias("ok"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("ok").cast("long").alias("n_roundtrip_exact"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_roundtrip_exact",
+            TX.round_half_up(
+                (F.col("n_words") - F.col("n_roundtrip_exact"))
+                / F.col("n_words"),
+                6,
+            ).alias("loss_rate"),
+            TX.round_half_up(
+                F.col("n_subwords") / F.col("n_words"), 4
+            ).alias("subwords_per_word"),
+        )
+        .orderBy("lang")
+    )

@@ -1976,3 +1976,48 @@ def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     ).orderBy("type_a", "type_b")
+
+
+def inter_event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival-gap distribution: for each event type, the
+    p50/p90/p99 (R-7 linear interpolation — Spark percentile() and
+    DuckDB quantile_cont share the definition, the doc_length_quantiles
+    precedent) of the gap in seconds between a user's consecutive
+    events of that type, plus gap count and max. The cadence profile
+    that sizes session timeouts, dedup windows, and watermark delays —
+    sessionize PICKS a 30-minute gap; this operator is how you justify
+    it from the data.
+
+    100 TB shape: one (user, type) repartition for the lag window
+    (keyed, parallel — never a global sort), then a |types|-group
+    percentile agg over the gap projection."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+            ).cast("long").alias("gap_s"),
+        )
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.expr("percentile(gap_s, array(0.5D, 0.9D, 0.99D))").alias("q"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    return stats.select(
+        "event_type",
+        "n_gaps",
+        round_half_up(F.element_at("q", 1), 2).alias("p50_gap_s"),
+        round_half_up(F.element_at("q", 2), 2).alias("p90_gap_s"),
+        round_half_up(F.element_at("q", 3), 2).alias("p99_gap_s"),
+        "max_gap_s",
+    ).orderBy("event_type")

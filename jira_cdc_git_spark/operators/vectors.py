@@ -2585,3 +2585,79 @@ def embedding_dim_variance_report(
         TX.round_half_up(mean, 6).alias("mean"),
         TX.round_half_up(var, 6).alias("variance"),
     )
+
+
+#: Hampel multiplier for the norm-outlier band (same K family as the
+#: timeseries anomaly operators).
+NORM_OUTLIER_K = 3.0
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm outliers: vectors whose squared L2 norm
+    leaves the label's robust band |x − median| > K·MAD — the cheapest
+    embedding-quality gate there is (a truncated/zero/exploded vector
+    shows up as a norm outlier long before any ANN metric moves, and a
+    batch of them usually means an upstream encoder bug). Norms are
+    EXACT integer micro-unit sums (floor(v·1e6+0.5)², Σ over 64 dims
+    < 2^53), medians select by row_number (even count → mean of the
+    middle two), and the band compare is one fixed-shape expression —
+    fully oracle-replayable.
+
+    100 TB shape: one narrow per-row norm projection, two bounded
+    windows per label over the |vectors-per-label| norm frame (at real
+    scale the median/MAD come from a bottom-k/percentile_approx sketch
+    instead of a full rank — the flag predicate is unchanged), output
+    only the outliers."""
+    from pyspark.sql import Window
+
+    from jira_cdc_git_spark.functions.text import round_half_up
+
+    emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id")
+    m = _micro_units(F.col("embedding"))
+    norms = emb.select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            m, F.lit(0.0), lambda acc, v: acc + v * v
+        ).alias("n2"),
+    )
+    cnt = norms.groupBy("label").agg(F.count("*").cast("long").alias("m"))
+    w_n = Window.partitionBy("label").orderBy("n2", "vec_id")
+    ranked = norms.withColumn("rn", F.row_number().over(w_n))
+    med = (
+        ranked.join(F.broadcast(cnt), "label")
+        .filter(
+            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("m") / 2) + 1)
+        )
+        .groupBy("label")
+        .agg((F.sum("n2") / F.count("*")).alias("n2_med"))
+    )
+    dev = norms.join(F.broadcast(med), "label").withColumn(
+        "ad", F.abs(F.col("n2") - F.col("n2_med"))
+    )
+    w_a = Window.partitionBy("label").orderBy("ad", "vec_id")
+    aranked = dev.withColumn("arn", F.row_number().over(w_a))
+    mad = (
+        aranked.join(F.broadcast(cnt), "label")
+        .filter(
+            (F.col("arn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("arn") == F.floor(F.col("m") / 2) + 1)
+        )
+        .groupBy("label")
+        .agg((F.sum("ad") / F.count("*")).alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("ad") > NORM_OUTLIER_K * F.col("mad"))
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("n2") / F.lit(1e12)).alias("norm_sq"),
+            round_half_up(F.col("ad") / F.col("mad"), 4).alias("mad_ratio"),
+        )
+        .orderBy("vec_id")
+    )

@@ -2138,3 +2138,94 @@ def streaming_gap_fill_locf(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_hill_tail(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming twin of operators/text.hill_tail_index — the EIGHTH
+    genuinely stateful twin, and the first whose state is a MERGEABLE
+    ORDER STATISTIC: each language carries only its top-(k+1) document
+    lengths by (n_chars desc, doc_id). Top-k is abelian under
+    union-then-trim (merge two top-k sets, keep the top k — the same
+    mergeability the bottom-k quantile sketch exploits), so a batch
+    folds in with one window over (state ∪ batch-top-k) and parity
+    holds for ANY chunking, ordering, or lateness: a late monster doc
+    simply re-enters the top set exactly as a batch re-run would place
+    it. State is O(|langs|·(k+1)) forever — the smallest per-key state
+    of any twin. The snapshot recomputes UNCONDITIONALLY from committed
+    state through the batch operator's own estimate projection
+    (hill_from_top — nano-rounded log terms), so stream == batch by
+    construction.
+
+    100 TB shape: per batch one per-lang top-(k+1) selection over the
+    BATCH only (TakeOrderedAndProject-scale), one merge window over the
+    bounded state frame; history is never re-read."""
+    import os
+
+    from jira_cdc_git_spark.operators.text import HILL_K, hill_from_top
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
+
+    state_dir = f"{out_root}/hill_state"
+    snap_dir = f"{out_root}/hill"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(docs_dir)
+
+    state_schema = "lang string, n_chars long, doc_id long"
+
+    def _top(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= HILL_K + 1)
+            .select("lang", "n_chars", "doc_id")
+        )
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("lang", "n_chars", "doc_id").localCheckpoint()
+        # crash between _swap_dir_atomic's two renames leaves only
+        # .bak — restore it BEFORE probing (r9 advice discipline)
+        _recover_dir(state_dir)
+        _recover_dir(snap_dir)
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            last_applied = state.agg(F.max("applied_batch_id")).first()[0]
+            state = state.drop("applied_batch_id")
+        else:
+            state = spark.createDataFrame([], state_schema)
+            last_applied = None
+        if last_applied is None or batch_id > last_applied:
+            merged = _top(
+                state.unionByName(_top(batch)).dropDuplicates(
+                    ["lang", "doc_id"]
+                )
+            ).withColumn("applied_batch_id", F.lit(batch_id))
+            _swap_dir_atomic(merged.localCheckpoint(), state_dir)
+        committed = spark.read.parquet(state_dir).select(
+            "lang", "n_chars", "doc_id"
+        )
+        _swap_dir_atomic(
+            hill_from_top(committed).localCheckpoint(), snap_dir
+        )
+
+    (
+        feed.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1841,3 +1841,66 @@ def test_event_association_rules_consistency(spark, sf_dir):
         assert abs(
             r["lift"] - r["n_both"] * r["n_total_users"] / (r["n_a"] * r["n_b"])
         ) < 1e-6
+
+
+def test_embedding_norm_outliers_band(spark, sf_dir):
+    from jira_cdc_git_spark.operators import vectors as V
+
+    rows = V.embedding_norm_outliers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mad_ratio"] > V.NORM_OUTLIER_K
+        assert r["norm_sq"] > 0
+
+
+def test_length_drift_d_stat_bounds(spark, sf_dir):
+    rows = T.length_drift_by_source(spark, sf_dir).collect()
+    assert len(rows) == 20  # one row per source
+    for r in rows:
+        assert 0.0 <= r["d_stat"] <= 1.0
+
+
+def test_length_drift_known_answer(spark, tmp_path):
+    """Source A = {10, 20}, source B = {30, 40}: at v=20 the A-ECDF is
+    1.0 and the corpus ECDF is 0.5 -> D_A = 0.5 at length 20; B's max
+    gap is 0.5 at v=20 as well (0 vs 0.5)."""
+    rows = [
+        (1, "x", "en", "A", 10),
+        (2, "x", "en", "A", 20),
+        (3, "x", "en", "B", 30),
+        (4, "x", "en", "B", 40),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: (r["d_stat"], r["at_length"])
+        for r in T.length_drift_by_source(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (0.5, 10), "B": (0.5, 20)} or got == {
+        "A": (0.5, 20),
+        "B": (0.5, 20),
+    }
+
+
+def test_inter_event_gap_quantiles_ordered(spark, sf_dir):
+    from jira_cdc_git_spark.operators import timeseries as TS
+
+    rows = TS.inter_event_gap_quantiles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_gap_s"] <= r["p90_gap_s"] <= r["p99_gap_s"]
+        assert r["p99_gap_s"] <= r["max_gap_s"]
+        assert r["n_gaps"] > 0
+
+
+def test_bpe_roundtrip_lossless(spark, sf_dir, tmp_path, monkeypatch):
+    """The whole point: decode(encode(w)) == w for EVERY distinct word
+    -> loss_rate is exactly 0 in every language."""
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DIR", str(tmp_path))
+    rows = T.bpe_roundtrip_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["loss_rate"] == 0.0
+        assert r["n_roundtrip_exact"] == r["n_words"]
+        assert r["subwords_per_word"] >= 1.0

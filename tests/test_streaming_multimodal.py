@@ -1662,6 +1662,7 @@ def test_streaming_gap_fill_locf_stateful_batch_parity(
     locf_from_hourly projection. One chunk delivers deliberately
     out-of-order/late rows; the final snapshot must equal
     gap_fill_locf exactly, and a checkpoint replay changes nothing."""
+    from jira_cdc_git_spark.operators.timeseries import gap_fill_locf
     from jira_cdc_git_spark.sources.registry import load_table
     from jira_cdc_git_spark.streaming.pipeline import (
         streaming_gap_fill_locf,
@@ -1711,6 +1712,7 @@ def test_streaming_gap_fill_locf_crash_resume(
     import jira_cdc_git_spark.state as STATE
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
+    from jira_cdc_git_spark.operators.timeseries import gap_fill_locf
     from jira_cdc_git_spark.sources.registry import load_table
     from jira_cdc_git_spark.streaming.pipeline import (
         streaming_gap_fill_locf,
@@ -1849,3 +1851,92 @@ def test_streaming_gap_fill_torn_swap_recovers_state(
         .count()
     )
     assert spark.read.parquet(state_dir).count() == n_keys
+
+
+def test_streaming_hill_tail_stateful_batch_parity(spark, sf_dir, tmp_path):
+    """The EIGHTH stateful twin: per-lang top-(k+1) order-statistic
+    state (mergeable union-then-trim). Snapshot == the batch operator
+    for an adversarial chunking: the LARGEST docs delivered in the
+    FIRST chunk (so later batches must not displace them) and a
+    replayed middle chunk (dedup by doc_id)."""
+    from jira_cdc_git_spark.operators.text import hill_tail_index
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_hill_tail
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("lang", "n_chars", "doc_id")
+        .orderBy(F.desc("n_chars"), "doc_id")
+    )
+    rows = docs.collect()
+    c1, c2 = len(rows) // 3, 2 * len(rows) // 3
+    docs_dir = str(tmp_path / "feed")
+    # largest first, then middle (delivered twice), then smallest
+    for chunk in (rows[:c1], rows[c1:c2], rows[c1:c2], rows[c2:]):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(docs_dir)
+
+    out_root = str(tmp_path / "hill")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_hill_tail(spark, docs_dir, docs.schema, ckpt, out_root)
+
+    got = {
+        r["lang"]: (r["k"], r["tail_threshold_chars"], r["hill_alpha"])
+        for r in spark.read.parquet(f"{out_root}/hill").collect()
+    }
+    want = {
+        r["lang"]: (r["k"], r["tail_threshold_chars"], r["hill_alpha"])
+        for r in hill_tail_index(spark, sf_dir).collect()
+    }
+    assert got == want
+    # state is bounded: at most k+1 rows per lang
+    from jira_cdc_git_spark.operators.text import HILL_K
+
+    state = spark.read.parquet(f"{out_root}/hill_state")
+    per_lang = state.groupBy("lang").count().collect()
+    assert all(r["count"] <= HILL_K + 1 for r in per_lang)
+
+
+def test_streaming_hill_tail_torn_swap_recovers(spark, sf_dir, tmp_path):
+    """Torn-swap crash window (only .bak survives) between runs: the
+    rerun must restore state and still match the batch operator."""
+    import os
+
+    from jira_cdc_git_spark.operators.text import hill_tail_index
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_hill_tail
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("lang", "n_chars", "doc_id")
+        .orderBy(F.desc("n_chars"), "doc_id")
+    )
+    rows = docs.collect()
+    c1 = len(rows) // 2
+    docs_dir = str(tmp_path / "feed")
+    spark.createDataFrame(rows[:c1], docs.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+
+    out_root = str(tmp_path / "hill")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_hill_tail(spark, docs_dir, docs.schema, ckpt, out_root)
+
+    state_dir = f"{out_root}/hill_state"
+    os.replace(state_dir, state_dir + ".bak")
+
+    spark.createDataFrame(rows[c1:], docs.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    streaming_hill_tail(spark, docs_dir, docs.schema, ckpt, out_root)
+
+    got = {
+        r["lang"]: (r["k"], r["tail_threshold_chars"], r["hill_alpha"])
+        for r in spark.read.parquet(f"{out_root}/hill").collect()
+    }
+    want = {
+        r["lang"]: (r["k"], r["tail_threshold_chars"], r["hill_alpha"])
+        for r in hill_tail_index(spark, sf_dir).collect()
+    }
+    assert got == want

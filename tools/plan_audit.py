@@ -270,6 +270,22 @@ AUDITS = [
         "the JSD term sum is a second bounded aggregate — no shuffle "
         "ever carries corpus-scale rows twice.",
     ),
+    (
+        "edit_distance_neardup",
+        "Candidates come from an EQUI-join on (lang, band) — sorted-"
+        "neighborhood blocking, SortMergeJoin/ShuffledHashJoin on the "
+        "band key, never CartesianProduct or BroadcastNestedLoopJoin; "
+        "levenshtein runs only on the blocked pairs, after the "
+        "doc_id < doc_id filter.",
+    ),
+    (
+        "event_association_rules",
+        "One distinct (user, type) projection feeds a user-keyed self-"
+        "join (per-user fanout bounded by |types|^2); the |types|-row "
+        "support table and the 1-row user total enter as "
+        "BroadcastExchange — the only corpus-scale shuffle is the "
+        "distinct.",
+    ),
 ]
 
 MAX_LINES = 58
