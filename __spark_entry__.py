@@ -8188,6 +8188,24 @@ _ORACLES["seasonal_residual_anomalies"] = f"""
 # blocking with adjacent-band replication, levenshtein on the
 # EDIT_PREFIX-char prefix (identical built-in in both engines), pairs
 # at distance <= EDIT_NEARDUP_MAX.
+_EDIT_LEAD_SELECTS = """SELECT lang, doc_id, pfx, lead(doc_id, 1) OVER w1 AS b_id, lead(pfx, 1) OVER w1 AS b_pfx FROM rep WINDOW w1 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
+            UNION ALL
+            SELECT lang, doc_id, pfx, lead(doc_id, 2) OVER w2 AS b_id, lead(pfx, 2) OVER w2 AS b_pfx FROM rep WINDOW w2 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
+            UNION ALL
+            SELECT lang, doc_id, pfx, lead(doc_id, 3) OVER w3 AS b_id, lead(pfx, 3) OVER w3 AS b_pfx FROM rep WINDOW w3 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
+            UNION ALL
+            SELECT lang, doc_id, pfx, lead(doc_id, 4) OVER w4 AS b_id, lead(pfx, 4) OVER w4 AS b_pfx FROM rep WINDOW w4 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
+            UNION ALL
+            SELECT lang, doc_id, pfx, lead(doc_id, 5) OVER w5 AS b_id, lead(pfx, 5) OVER w5 AS b_pfx FROM rep WINDOW w5 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
+            UNION ALL
+            SELECT lang, doc_id, pfx, lead(doc_id, 6) OVER w6 AS b_id, lead(pfx, 6) OVER w6 AS b_pfx FROM rep WINDOW w6 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
+            UNION ALL
+            SELECT lang, doc_id, pfx, lead(doc_id, 7) OVER w7 AS b_id, lead(pfx, 7) OVER w7 AS b_pfx FROM rep WINDOW w7 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
+            UNION ALL
+            SELECT lang, doc_id, pfx, lead(doc_id, 8) OVER w8 AS b_id, lead(pfx, 8) OVER w8 AS b_pfx FROM rep WINDOW w8 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)"""
+
+# Sorted-neighborhood form (the Spark side's W lead() columns become W
+# windowed SELECTs unioned — same candidate set, same window ordering).
 _ORACLES["edit_distance_neardup"] = f"""
     WITH d AS (
         SELECT doc_id, lang, substr(text, 1, {T.EDIT_PREFIX}) AS pfx,
@@ -8197,12 +8215,14 @@ _ORACLES["edit_distance_neardup"] = f"""
         SELECT doc_id, lang, pfx, band FROM d
         UNION ALL
         SELECT doc_id, lang, pfx, band + 1 FROM d
+    ), nb AS (
+        {_EDIT_LEAD_SELECTS}
     ), pairs AS (
-        SELECT DISTINCT a.lang AS lang, a.doc_id AS doc_a,
-               b.doc_id AS doc_b,
-               CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist
-        FROM rep a JOIN rep b
-          ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        SELECT DISTINCT lang,
+               least(doc_id, b_id) AS doc_a,
+               greatest(doc_id, b_id) AS doc_b,
+               CAST(levenshtein(pfx, b_pfx) AS INTEGER) AS dist
+        FROM nb WHERE b_id IS NOT NULL AND b_id <> doc_id
     )
     SELECT lang, doc_a, doc_b, dist FROM pairs
     WHERE dist <= {T.EDIT_NEARDUP_MAX} ORDER BY doc_a, doc_b"""

@@ -2229,3 +2229,81 @@ def streaming_hill_tail(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_length_drift(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming twin of operators/text.length_drift_by_source — the
+    NINTH genuinely stateful twin: the carried state is the
+    (source, n_chars) count histogram, pure abelian sums (a batch folds
+    in with one merge, parity holds for ANY chunking/ordering/lateness
+    — the streaming_benford state shape, keyed two deep). The KS
+    snapshot recomputes UNCONDITIONALLY from committed state through
+    the batch operator's own drift_from_length_counts projection, so
+    the continuous drift monitor equals the batch audit by
+    construction: a feed that starts truncating documents mid-stream
+    moves its D statistic on the very next micro-batch.
+
+    100 TB shape: per batch one (source, length) delta agg over the
+    batch, one merge against the value-domain-bounded state histogram
+    (|sources| x |distinct lengths| — never doc-scale); the ECDF grid
+    work lives entirely in the snapshot projection."""
+    import os
+
+    from jira_cdc_git_spark.operators.text import drift_from_length_counts
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
+
+    state_dir = f"{out_root}/lendrift_state"
+    snap_dir = f"{out_root}/lendrift"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(docs_dir)
+
+    state_schema = "source string, v long, c long"
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("source", "n_chars").localCheckpoint()
+        # crash between _swap_dir_atomic's two renames leaves only
+        # .bak — restore it BEFORE probing (r9 advice discipline)
+        _recover_dir(state_dir)
+        _recover_dir(snap_dir)
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            last_applied = state.agg(F.max("applied_batch_id")).first()[0]
+            state = state.drop("applied_batch_id")
+        else:
+            state = spark.createDataFrame([], state_schema)
+            last_applied = None
+        if last_applied is None or batch_id > last_applied:
+            delta = batch.groupBy(
+                "source", F.col("n_chars").alias("v")
+            ).agg(F.count("*").cast("long").alias("c"))
+            new_state = (
+                state.unionByName(delta)
+                .groupBy("source", "v")
+                .agg(F.sum("c").cast("long").alias("c"))
+                .withColumn("applied_batch_id", F.lit(batch_id))
+            )
+            _swap_dir_atomic(new_state.localCheckpoint(), state_dir)
+        committed = spark.read.parquet(state_dir).select("source", "v", "c")
+        _swap_dir_atomic(
+            drift_from_length_counts(committed).localCheckpoint(), snap_dir
+        )
+
+    (
+        feed.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1940,3 +1940,43 @@ def test_streaming_hill_tail_torn_swap_recovers(spark, sf_dir, tmp_path):
         for r in hill_tail_index(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_length_drift_stateful_batch_parity(
+    spark, sf_dir, tmp_path
+):
+    """The NINTH stateful twin: (source, length) histogram state (pure
+    abelian sums, keyed two deep); snapshot through the batch
+    operator's own drift_from_length_counts projection. Chunks are
+    delivered out of order (last third first) — counts fold to the
+    same histogram regardless."""
+    from jira_cdc_git_spark.operators.text import length_drift_by_source
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_length_drift
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("source", "n_chars", "doc_id")
+        .orderBy("doc_id")
+    )
+    rows = docs.collect()
+    c1, c2 = len(rows) // 3, 2 * len(rows) // 3
+    docs_dir = str(tmp_path / "feed")
+    for chunk in (rows[c2:], rows[:c1], rows[c1:c2]):  # out of order
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(docs_dir)
+
+    out_root = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_length_drift(spark, docs_dir, docs.schema, ckpt, out_root)
+
+    got = {
+        r["source"]: (r["n_docs"], r["at_length"], r["d_stat"])
+        for r in spark.read.parquet(f"{out_root}/lendrift").collect()
+    }
+    want = {
+        r["source"]: (r["n_docs"], r["at_length"], r["d_stat"])
+        for r in length_drift_by_source(spark, sf_dir).collect()
+    }
+    assert got == want
