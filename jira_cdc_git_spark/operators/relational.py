@@ -2656,19 +2656,29 @@ def spearman_corr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
         )
     )
-    w_u = Window.orderBy("cents")
-    w_v = Window.orderBy("n_items")
-    ranked = (
-        per.withColumn(
-            "u",
-            F.rank().over(w_u)
-            + (F.count("*").over(Window.partitionBy("cents")) - 1) / 2.0,
+    # average ranks come from VALUE HISTOGRAMS, not row-level rank()
+    # windows: rank(row) + (ties-1)/2 == cum_below + (count+1)/2 for the
+    # row's value, so one window over the |distinct values| frame plus a
+    # value-keyed join replaces a single-partition global sort of every
+    # row — at 100 TB distinct prices are millions while rows are
+    # billions. Values are identical to the rank() form (the oracle
+    # keeps it; both engines agree bit-for-bit).
+    def _rank_map(col: str, out: str):
+        hist = per.groupBy(col).agg(F.count("*").cast("long").alias("c"))
+        w = (
+            Window.orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .withColumn(
-            "v",
-            F.rank().over(w_v)
-            + (F.count("*").over(Window.partitionBy("n_items")) - 1) / 2.0,
+        return hist.select(
+            col,
+            (
+                (F.sum("c").over(w) - F.col("c"))
+                + (F.col("c") + 1) / 2.0
+            ).alias(out),
         )
+
+    ranked = per.join(_rank_map("cents", "u"), "cents").join(
+        _rank_map("n_items", "v"), "n_items"
     )
     s = ranked.agg(
         F.count("*").cast("long").alias("n"),

@@ -1920,6 +1920,17 @@ def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     ut = ev.select("user_id", "event_type").distinct()
+    return rules_from_baskets(ut)
+
+
+def rules_from_baskets(ut: DataFrame) -> DataFrame:
+    """Association-rule projection from a DISTINCT (user_id, event_type)
+    basket frame — shared by the batch operator and
+    streaming_association_rules so the streaming twin's snapshot agrees
+    with the batch report by construction (set union is abelian, so the
+    distinct basket table folds incrementally)."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+
     supp = ut.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_users")
     )

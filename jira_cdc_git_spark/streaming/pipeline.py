@@ -2307,3 +2307,78 @@ def streaming_length_drift(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_association_rules(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming twin of operators/timeseries.event_association_rules —
+    the TENTH genuinely stateful twin: the carried state is the
+    DISTINCT (user_id, event_type) basket table itself. Set union is
+    abelian and idempotent, so a batch folds in with one
+    union-and-distinct and parity holds for ANY chunking, ordering,
+    lateness, or replay (a duplicate delivery adds nothing by
+    definition of a set). The support/confidence/lift snapshot
+    recomputes UNCONDITIONALLY from committed state through the batch
+    operator's own rules_from_baskets projection.
+
+    100 TB shape: per batch one distinct over the batch, one merge
+    against basket-bounded state (|users|·|types| worst case — the
+    basket table, never the event log); the pair fan-out lives in the
+    snapshot projection with per-user |types|²-bounded fanout."""
+    import os
+
+    from jira_cdc_git_spark.operators.timeseries import rules_from_baskets
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
+
+    state_dir = f"{out_root}/rules_state"
+    snap_dir = f"{out_root}/rules"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(events_dir)
+
+    state_schema = "user_id long, event_type string"
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("user_id", "event_type").localCheckpoint()
+        # crash between _swap_dir_atomic's two renames leaves only
+        # .bak — restore it BEFORE probing (r9 advice discipline)
+        _recover_dir(state_dir)
+        _recover_dir(snap_dir)
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            last_applied = state.agg(F.max("applied_batch_id")).first()[0]
+            state = state.drop("applied_batch_id")
+        else:
+            state = spark.createDataFrame([], state_schema)
+            last_applied = None
+        if last_applied is None or batch_id > last_applied:
+            new_state = (
+                state.unionByName(batch.distinct())
+                .distinct()
+                .withColumn("applied_batch_id", F.lit(batch_id))
+            )
+            _swap_dir_atomic(new_state.localCheckpoint(), state_dir)
+        committed = spark.read.parquet(state_dir).select(
+            "user_id", "event_type"
+        )
+        _swap_dir_atomic(
+            rules_from_baskets(committed).localCheckpoint(), snap_dir
+        )
+
+    (
+        feed.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1980,3 +1980,48 @@ def test_streaming_length_drift_stateful_batch_parity(
         for r in length_drift_by_source(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_association_rules_stateful_batch_parity(
+    spark, sf_dir, tmp_path
+):
+    """The TENTH stateful twin: distinct (user, type) basket state —
+    set union is abelian AND idempotent, so chunking, reordering, and a
+    full duplicate redelivery all fold to the same basket table; the
+    snapshot equals the batch operator exactly."""
+    from jira_cdc_git_spark.operators.timeseries import (
+        event_association_rules,
+    )
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import (
+        streaming_association_rules,
+    )
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")
+    )
+    rows = ev.collect()
+    c1, c2 = len(rows) // 3, 2 * len(rows) // 3
+    events_dir = str(tmp_path / "feed")
+    # out of order + a full duplicate redelivery of the middle chunk
+    for chunk in (rows[c1:c2], rows[:c1], rows[c1:c2], rows[c2:]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    out_root = str(tmp_path / "rules")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_association_rules(spark, events_dir, ev.schema, ckpt, out_root)
+
+    key = lambda r: (r["type_a"], r["type_b"])  # noqa: E731
+    got = {
+        key(r): (r["n_both"], r["n_a"], r["n_b"], r["lift"])
+        for r in spark.read.parquet(f"{out_root}/rules").collect()
+    }
+    want = {
+        key(r): (r["n_both"], r["n_a"], r["n_b"], r["lift"])
+        for r in event_association_rules(spark, sf_dir).collect()
+    }
+    assert got == want
