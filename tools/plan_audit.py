@@ -272,11 +272,12 @@ AUDITS = [
     ),
     (
         "edit_distance_neardup",
-        "Candidates come from an EQUI-join on (lang, band) — sorted-"
-        "neighborhood blocking, SortMergeJoin/ShuffledHashJoin on the "
-        "band key, never CartesianProduct or BroadcastNestedLoopJoin; "
-        "levenshtein runs only on the blocked pairs, after the "
-        "doc_id < doc_id filter.",
+        "Sorted-neighborhood with NO join at all: one (lang, band) "
+        "window computes EDIT_WINDOW lead() neighbor columns, a "
+        "generator explodes them, levenshtein runs on exactly N*W "
+        "candidate rows. No CartesianProduct, no self-join — the r10 "
+        "probe measured the unwindowed block join at 61x on 10x data; "
+        "this form probes 3.6x.",
     ),
     (
         "event_association_rules",
