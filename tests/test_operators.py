@@ -1966,3 +1966,33 @@ def test_edit_distance_blocking_matches_bruteforce(spark):
                     want.add((min(ia, ib), max(ia, ib)))
     assert got == want
     assert want  # the random corpus genuinely produces pairs
+
+
+def test_spearman_known_answer_monotone(spark, tmp_path):
+    """Perfectly monotone data (more items <=> strictly higher price,
+    no ties) must give spearman_rho == 1.0 exactly; and reversing the
+    price order flips it to -1.0."""
+    from jira_cdc_git_spark.operators import relational as R
+
+    def build(d, prices):
+        orders = [(k, float(p)) for k, p in enumerate(prices, 1)]
+        items = [
+            (k, i) for k, _ in orders for i in range(k)
+        ]  # order k has k line items
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_totalprice double"
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(
+            [(k, i) for k, i in items], "l_orderkey long, l_linenumber long"
+        ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+    up = str(tmp_path / "up")
+    build(up, [10.0 * k for k in range(1, 9)])
+    r = R.spearman_corr_report(spark, up).first()
+    assert r["spearman_rho"] == 1.0
+    assert r["pearson_r"] > 0.99
+
+    down = str(tmp_path / "down")
+    build(down, [10.0 * (9 - k) for k in range(1, 9)])
+    r = R.spearman_corr_report(spark, down).first()
+    assert r["spearman_rho"] == -1.0
