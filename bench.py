@@ -299,18 +299,76 @@ BENCH_QUERIES = [
 ]
 
 
+#: five cheap, code-stable queries re-run at the very START and very END
+#: of every bench pass (r10 verdict task 10): the VM's run-to-run drift
+#: (+6.5% common-set swing on near-identical code between r9 and r10) is
+#: now larger than most engineered wins, so the artifact carries a
+#: measured first/last pair per sentinel. Cross-round comparisons divide
+#: by the sentinel drift instead of guessing which swing is real.
+SENTINEL_QUERIES = [
+    "pricing_summary",
+    "topn_per_group",
+    "token_stats",
+    "sessionize",
+    "cosine_topk",
+]
+
+
+def _git_stamp() -> dict:
+    """Record WHICH code this artifact measured (r9 task 2 / r10 task 2:
+    three consecutive rounds shipped an operator commit AFTER the final
+    bench artifact, so the committed numbers measured code that no
+    longer existed). tests/test_bench_artifact.py asserts the committed
+    artifact's sha is clean and not older than the last operator-code
+    commit."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "jira_cdc_git_spark", "__spark_entry__.py", "bench.py"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        return {"git_sha": sha, "git_dirty": bool(dirty)}
+    except Exception:
+        return {"git_sha": None, "git_dirty": None}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark(app_name="bench")
     qs = E.queries()
+    git_stamp = _git_stamp()
 
     # untimed warmup: absorb JVM/codegen/parquet-footer startup so the first
     # measured query reflects steady-state cost, not session bring-up
     spark.read.parquet(f"{sf_dir}/nation.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+
+    def _sentinel_pass() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in SENTINEL_QUERIES:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # sentinel pass #1: the VM's speed at the start of the bench window
+    # (run twice, keep the min, so first-call codegen doesn't pollute the
+    # drift signal — the END pass runs on a fully warm session)
+    _warm, _steady = _sentinel_pass(), _sentinel_pass()
+    sentinel_first = {k: min(_warm[k], _steady[k]) for k in SENTINEL_QUERIES}
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -503,6 +561,19 @@ def main() -> None:
         except Exception as exc:  # never let the probe sink the bench
             scale_probe = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # sentinel pass #2: same five queries at the END of the bench window.
+    # drift_ratio_median ~ 1.0 means the VM held steady; >1.15 means the
+    # machine slowed under us and cross-round per-query comparisons
+    # should be read against it.
+    import statistics as _st
+
+    sentinel_last = _sentinel_pass()
+    drift = [
+        sentinel_last[k] / sentinel_first[k]
+        for k in SENTINEL_QUERIES
+        if sentinel_first.get(k)
+    ]
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "total_headline_query_sec",
@@ -513,6 +584,12 @@ def main() -> None:
         "sync": sync,
         "sf1": scale_probe,
         "variance_band": variance_band,
+        "sentinels": {
+            "first": sentinel_first,
+            "last": sentinel_last,
+            "drift_ratio_median": round(_st.median(drift), 3) if drift else None,
+        },
+        **git_stamp,
     }
     # Persist the full payload IN-REPO (r4 verdict task 5: the driver's
     # tail buffer truncated BENCH_r04's long JSON line, losing the
