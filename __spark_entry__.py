@@ -8188,21 +8188,16 @@ _ORACLES["seasonal_residual_anomalies"] = f"""
 # blocking with adjacent-band replication, levenshtein on the
 # EDIT_PREFIX-char prefix (identical built-in in both engines), pairs
 # at distance <= EDIT_NEARDUP_MAX.
-_EDIT_LEAD_SELECTS = """SELECT lang, doc_id, pfx, lead(doc_id, 1) OVER w1 AS b_id, lead(pfx, 1) OVER w1 AS b_pfx FROM rep WINDOW w1 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
-            UNION ALL
-            SELECT lang, doc_id, pfx, lead(doc_id, 2) OVER w2 AS b_id, lead(pfx, 2) OVER w2 AS b_pfx FROM rep WINDOW w2 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
-            UNION ALL
-            SELECT lang, doc_id, pfx, lead(doc_id, 3) OVER w3 AS b_id, lead(pfx, 3) OVER w3 AS b_pfx FROM rep WINDOW w3 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
-            UNION ALL
-            SELECT lang, doc_id, pfx, lead(doc_id, 4) OVER w4 AS b_id, lead(pfx, 4) OVER w4 AS b_pfx FROM rep WINDOW w4 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
-            UNION ALL
-            SELECT lang, doc_id, pfx, lead(doc_id, 5) OVER w5 AS b_id, lead(pfx, 5) OVER w5 AS b_pfx FROM rep WINDOW w5 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
-            UNION ALL
-            SELECT lang, doc_id, pfx, lead(doc_id, 6) OVER w6 AS b_id, lead(pfx, 6) OVER w6 AS b_pfx FROM rep WINDOW w6 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
-            UNION ALL
-            SELECT lang, doc_id, pfx, lead(doc_id, 7) OVER w7 AS b_id, lead(pfx, 7) OVER w7 AS b_pfx FROM rep WINDOW w7 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)
-            UNION ALL
-            SELECT lang, doc_id, pfx, lead(doc_id, 8) OVER w8 AS b_id, lead(pfx, 8) OVER w8 AS b_pfx FROM rep WINDOW w8 AS (PARTITION BY lang, band ORDER BY pfx, doc_id)"""
+# Generated from T.EDIT_WINDOW so the oracle tracks the operator's
+# neighbor count — a hardcoded 8-branch UNION here would silently
+# desynchronize the harness if EDIT_WINDOW ever changed (the same
+# slice-drift failure mode _LSH_PREFIX_CTES fixed for the LSH family).
+_EDIT_LEAD_SELECTS = "\n            UNION ALL\n            ".join(
+    f"SELECT lang, doc_id, pfx, lead(doc_id, {i}) OVER w{i} AS b_id, "
+    f"lead(pfx, {i}) OVER w{i} AS b_pfx FROM rep "
+    f"WINDOW w{i} AS (PARTITION BY lang, band ORDER BY pfx, doc_id)"
+    for i in range(1, T.EDIT_WINDOW + 1)
+)
 
 # Sorted-neighborhood form (the Spark side's W lead() columns become W
 # windowed SELECTs unioned — same candidate set, same window ordering).
@@ -8323,47 +8318,48 @@ _ORACLES["hill_tail_index"] = f"""
              AS hill_alpha
     FROM est WHERE k = {T.HILL_K} AND s_nano > 0 ORDER BY lang"""
 
-# Mirrors operators/relational.spearman_corr_report: average ranks as
-# rank() + (ties-1)/2 (exact multiples of 0.5), Pearson via exact-sum
-# identities — integer cents for the rank key, integer DOLLARS for the
-# raw-value moments (cents-squared sums would overflow int64).
+# Mirrors operators/relational.spearman_corr_report: average ranks in
+# integer HALF-UNITS (2u = 2*rank + ties - 1; the doubling cancels in
+# the identity), Pearson on exact integer CENTS (scale-invariant, so it
+# IS r on the raw prices), every moment in HUGEINT (the oracle twin of
+# the Spark side's DECIMAL(38,0)) — one IEEE divide per statistic.
 _ORACLES["spearman_corr_report"] = """
     WITH per AS (
         SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
         FROM lineitem GROUP BY 1
     ), j AS (
         SELECT per.n_items,
-               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-               CAST(floor(o_totalprice) AS BIGINT) AS dollars
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         FROM per JOIN orders ON o_orderkey = l_orderkey
     ), ranked AS (
-        SELECT cents, dollars, n_items,
-               rank() OVER (ORDER BY cents)
-                 + (count(*) OVER (PARTITION BY cents) - 1) / 2.0 AS u,
-               rank() OVER (ORDER BY n_items)
-                 + (count(*) OVER (PARTITION BY n_items) - 1) / 2.0 AS v
+        SELECT cents, n_items,
+               CAST(2 * rank() OVER (ORDER BY cents)
+                 + count(*) OVER (PARTITION BY cents) - 1 AS BIGINT) AS u2,
+               CAST(2 * rank() OVER (ORDER BY n_items)
+                 + count(*) OVER (PARTITION BY n_items) - 1 AS BIGINT) AS v2
         FROM j
     ), s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               sum(u) AS su, sum(v) AS sv, sum(u * v) AS suv,
-               sum(u * u) AS suu, sum(v * v) AS svv,
-               CAST(sum(dollars) AS BIGINT) AS sx,
-               CAST(sum(n_items) AS BIGINT) AS sy,
-               CAST(sum(dollars * n_items) AS BIGINT) AS sxy,
-               CAST(sum(dollars * dollars) AS BIGINT) AS sxx,
-               CAST(sum(n_items * n_items) AS BIGINT) AS syy
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(u2 AS HUGEINT)) AS su,
+               sum(CAST(v2 AS HUGEINT)) AS sv,
+               sum(CAST(u2 AS HUGEINT) * v2) AS suv,
+               sum(CAST(u2 AS HUGEINT) * u2) AS suu,
+               sum(CAST(v2 AS HUGEINT) * v2) AS svv,
+               sum(CAST(cents AS HUGEINT)) AS sx,
+               sum(CAST(n_items AS HUGEINT)) AS sy,
+               sum(CAST(cents AS HUGEINT) * n_items) AS sxy,
+               sum(CAST(cents AS HUGEINT) * cents) AS sxx,
+               sum(CAST(n_items AS HUGEINT) * n_items) AS syy
         FROM ranked
     )
-    SELECT n,
-           floor(CAST(CAST(n AS HUGEINT) * sxy
-                      - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                 / sqrt(CAST(CAST(n AS HUGEINT) * sxx
-                             - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-                        * CAST(CAST(n AS HUGEINT) * syy
-                               - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+    SELECT CAST(n AS BIGINT) AS n,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
                  * 1000000 + 0.5) / 1000000 AS pearson_r,
-           floor((n * suv - su * sv)
-                 / sqrt((n * suu - su * su) * (n * svv - sv * sv))
+           floor(CAST(n * suv - su * sv AS DOUBLE)
+                 / sqrt(CAST(n * suu - su * su AS DOUBLE)
+                        * CAST(n * svv - sv * sv AS DOUBLE))
                  * 1000000 + 0.5) / 1000000 AS spearman_rho
     FROM s"""
 

@@ -1671,6 +1671,16 @@ class SyncAPIServer:
     ):
         from jira_cdc_git_spark.profile_store import ProfileStore
 
+        # The reference's mode switch has a default arm that rejects
+        # unknown modes (handlers_sync_enhanced.go switch default ->
+        # 500 INVALID_MODE); header-level invalid values fall through in
+        # _sync_mode, but a bogus SERVER-default would otherwise be
+        # silently treated as CRD-ish by _crd_dispatch — fail fast here.
+        if sync_mode not in SYNC_MODES:
+            raise ValueError(
+                f"invalid sync_mode {sync_mode!r}; expected one of {SYNC_MODES}"
+            )
+
         self.manager = JobManager(
             spark, jira_base_url, out_root, token=token, limiter=limiter
         )

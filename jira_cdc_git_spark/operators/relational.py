@@ -2622,14 +2622,20 @@ def spearman_corr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-item count — the robust (monotone, outlier-proof) association
     check to run beside a Pearson r before trusting a linear model of
     basket size vs spend. Tied values get textbook AVERAGE ranks,
-    computed exactly as rank() + (tie_count − 1)/2 (a .5-granular value
-    — exact in doubles), then ρ is Pearson on the rank pairs via the
-    exact-sum identity nΣuv − ΣuΣv over √((nΣu²−(Σu)²)(nΣv²−(Σv)²)).
-    One row: n, pearson_r on the raw values, spearman_rho.
+    computed exactly as rank() + (tie_count − 1)/2, carried as INTEGER
+    HALF-UNITS (2u = 2·cum_below + tie_count + 1), then ρ is Pearson on
+    the rank pairs via the exact-sum identity nΣuv − ΣuΣv over
+    √((nΣu²−(Σu)²)(nΣv²−(Σv)²)) — the doubling cancels (numerator ×4,
+    √ of ×4·×4 = ×4). One row: n, pearson_r on the raw prices (exact
+    integer cents — correlation is scale-invariant, so r(cents, items)
+    IS r(price, items) with no dollar truncation), spearman_rho.
 
-    CROSS-ENGINE DETERMINISM: ranks are integers + halves (exact);
-    price sums run in integer CENTS; the two correlation expressions
-    are single fixed-shape IEEE evaluations, micro-rounded.
+    CROSS-ENGINE DETERMINISM: ranks are integer half-units and ALL
+    moments — rank and raw alike — accumulate in DECIMAL(38,0) (exact,
+    order-independent, mirroring the oracle's HUGEINT), so partial-
+    aggregation order can never perturb a digit; each statistic is one
+    fixed-shape IEEE divide at the end, micro-rounded. Headroom: the
+    largest term is n·Σ(2u)² ≤ 4n⁴ < 10³⁸ up to n ≈ 4·10⁹ rows.
 
     100 TB shape: one orderkey count agg (map-side combinable) + one
     broadcast-free join pushed to the same key, two rank windows over
@@ -2649,9 +2655,6 @@ def spearman_corr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("o_totalprice") * 100)
                 .cast("long")
                 .alias("cents"),
-                # raw-value moments run in whole DOLLARS: Σcents² would
-                # overflow int64 even at sf0.01; Σdollars² holds to sf1+
-                F.floor(F.col("o_totalprice")).cast("long").alias("dollars"),
             ),
             "l_orderkey",
         )
@@ -2661,8 +2664,8 @@ def spearman_corr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row's value, so one window over the |distinct values| frame plus a
     # value-keyed join replaces a single-partition global sort of every
     # row — at 100 TB distinct prices are millions while rows are
-    # billions. Values are identical to the rank() form (the oracle
-    # keeps it; both engines agree bit-for-bit).
+    # billions. Emitted as integer half-units 2u = 2·cum_below + c + 1
+    # so every downstream moment is exact integer arithmetic.
     def _rank_map(col: str, out: str):
         hist = per.groupBy(col).agg(F.count("*").cast("long").alias("c"))
         w = (
@@ -2672,39 +2675,45 @@ def spearman_corr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hist.select(
             col,
             (
-                (F.sum("c").over(w) - F.col("c"))
-                + (F.col("c") + 1) / 2.0
-            ).alias(out),
+                2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1
+            ).cast("long").alias(out),
         )
 
-    ranked = per.join(_rank_map("cents", "u"), "cents").join(
-        _rank_map("n_items", "v"), "n_items"
+    ranked = per.join(_rank_map("cents", "u2"), "cents").join(
+        _rank_map("n_items", "v2"), "n_items"
     )
+    # every moment accumulates in DECIMAL(38,0): per-row products of
+    # half-unit ranks (≤2n each) and of cents (≤~10⁸) overflow int64 at
+    # large n, and double accumulation would make the 6th decimal of ρ
+    # depend on partial-aggregation order. Cast the FACTORS to
+    # decimal(19,0) so the product is exact decimal(38,0), then sum.
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     s = ranked.agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("u").alias("su"),
-        F.sum("v").alias("sv"),
-        F.sum(F.col("u") * F.col("v")).alias("suv"),
-        F.sum(F.col("u") * F.col("u")).alias("suu"),
-        F.sum(F.col("v") * F.col("v")).alias("svv"),
-        F.sum("dollars").cast("long").alias("sx"),
-        F.sum("n_items").cast("long").alias("sy"),
-        F.sum(F.col("dollars") * F.col("n_items")).cast("long").alias("sxy"),
-        F.sum(F.col("dollars") * F.col("dollars")).cast("long").alias("sxx"),
-        F.sum(F.col("n_items") * F.col("n_items")).cast("long").alias("syy"),
+        F.sum(d19("u2")).alias("su"),
+        F.sum(d19("v2")).alias("sv"),
+        F.sum(d19("u2") * d19("v2")).alias("suv"),
+        F.sum(d19("u2") * d19("u2")).alias("suu"),
+        F.sum(d19("v2") * d19("v2")).alias("svv"),
+        F.sum(d19("cents")).alias("sx"),
+        F.sum(d19("n_items")).alias("sy"),
+        F.sum(d19("cents") * d19("n_items")).alias("sxy"),
+        F.sum(d19("cents") * d19("cents")).alias("sxx"),
+        F.sum(d19("n_items") * d19("n_items")).alias("syy"),
     )
-    rho = (F.col("n") * F.col("suv") - F.col("su") * F.col("sv")) / F.sqrt(
-        (F.col("n") * F.col("suu") - F.col("su") * F.col("su"))
-        * (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv"))
-    )
-    # the raw-moment identity products (n·Σx², (Σx)²) overflow int64
-    # even at modest SFs — run them in DECIMAL(38,0) (exact, like the
-    # oracle's HUGEINT) and only then drop to double
-    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    r = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double") / F.sqrt(
-        (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
-        * (d("n") * d("syy") - d("sy") * d("sy")).cast("double")
-    )
+
+    def _pearson(sxy, sx, sy, sxx, syy):
+        dn = F.col("n").cast("decimal(19,0)")
+        return (dn * F.col(sxy) - F.col(sx) * F.col(sy)).cast(
+            "double"
+        ) / F.sqrt(
+            (dn * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+            * (dn * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        )
+
+    # half-unit doubling cancels between numerator (×4) and √(×4·×4)
+    rho = _pearson("suv", "su", "sv", "suu", "svv")
+    r = _pearson("sxy", "sx", "sy", "sxx", "syy")
     return s.select(
         "n",
         round_half_up(r, 6).alias("pearson_r"),

@@ -986,3 +986,16 @@ def test_invalid_sync_mode_header_falls_through(api_server):
     assert status == 202
     assert body["data"]["job_id"].startswith("sync-job-")
     srv.manager.wait(body["data"]["job_id"])
+
+
+def test_invalid_server_default_sync_mode_rejected():
+    """The reference's mode switch rejects unknown modes in its default
+    arm (500 INVALID_MODE); our constructor is the equivalent choke
+    point for the SERVER default — a bogus value must fail fast, not be
+    silently treated as CRD-ish by _crd_dispatch (r10 advice)."""
+    import pytest
+
+    from jira_cdc_git_spark.api import SyncAPIServer
+
+    with pytest.raises(ValueError, match="sync_mode"):
+        SyncAPIServer(None, "http://unused", "/tmp/unused", sync_mode="bogus")
