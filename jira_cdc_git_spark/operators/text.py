@@ -5551,9 +5551,17 @@ def lm_dirichlet_topk(
 #: and verify only rank-adjacent pairs within EDIT_WINDOW — O(N·W),
 #: never block². The r10 scale probe measured the full within-block
 #: join at 61× on 10× data (block density is quadratic); the SNM form
-#: probes linear and keeps IDENTICAL output at sf0.001/0.01/0.1
-#: (100% recall of the block join, verified empirically — near-dup
-#: prefixes sort adjacently by construction).
+#: probes linear. RECALL IS A HEURISTIC, not a construction guarantee:
+#: vs the full block join it measures 1.0 at the tested SFs (asserted
+#: mechanically by test_edit_distance_snm_recall_vs_full_block_join at
+#: sf0.01), because near-identical docs usually share a prefix head and
+#: sort adjacently — but an edit in the FIRST prefix characters sorts
+#: the twins arbitrarily far apart and is silently missed once
+#: > EDIT_WINDOW docs fall between them (the boundary is pinned, with
+#: the caught/excluded/missed fixtures, by
+#: test_edit_distance_snm_recall_boundary). Callers hunting leading-
+#: character OCR corruption specifically should run the shingle
+#: families alongside (a word-level survivor keeps MinHash recall).
 EDIT_PREFIX = 64
 EDIT_BAND = 32
 EDIT_NEARDUP_MAX = 16

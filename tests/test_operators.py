@@ -1968,6 +1968,101 @@ def test_edit_distance_blocking_matches_bruteforce(spark):
     assert want  # the random corpus genuinely produces pairs
 
 
+def test_edit_distance_snm_recall_vs_full_block_join(spark):
+    """SNM recall vs the FULL within-block pair join, measured
+    mechanically at sf0.01 (r10 verdict task 4 — the '100% recall,
+    verified empirically' comment now cites THIS test instead). The
+    full join is bounded here because sf0.01 blocks are small; at scale
+    it is the 61×-superlinear shape the probe rejected."""
+    sf01 = "/root/testdata/sf0.01"
+    from jira_cdc_git_spark.sources.registry import load_table
+
+    d = load_table(spark, "documents", sf01).select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, T.EDIT_PREFIX).alias("pfx"),
+        F.floor(F.col("n_chars") / T.EDIT_BAND).cast("long").alias("band"),
+    )
+    rep = d.unionByName(d.withColumn("band", F.col("band") + F.lit(1)))
+    a = rep.select(
+        "lang", "band", F.col("doc_id").alias("ia"), F.col("pfx").alias("pa")
+    )
+    b = rep.select(
+        "lang", "band", F.col("doc_id").alias("ib"), F.col("pfx").alias("pb")
+    )
+    full = (
+        a.join(b, ["lang", "band"])
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(F.levenshtein("pa", "pb") <= T.EDIT_NEARDUP_MAX)
+        .select("ia", "ib")
+        .distinct()
+    )
+    want = {(r["ia"], r["ib"]) for r in full.collect()}
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in T.edit_distance_neardup(spark, sf01).collect()
+    }
+    assert want, "sf0.01 must genuinely produce near-dup pairs"
+    # SNM emits a subset of the block join by construction; recall 1.0
+    # at this SF means the sets are equal
+    assert got == want, (
+        f"SNM missed {len(want - got)} of {len(want)} block-join pairs"
+    )
+
+
+def test_edit_distance_snm_recall_boundary(spark, tmp_path):
+    """Documents WHERE SNM's recall boundary actually sits (r10 advice:
+    adjacency in (pfx, doc_id) order is a heuristic, not a construction
+    guarantee). Three planted cases in one fixture:
+
+    - CAUGHT: docs sharing a long prefix head with a late small edit
+      sort adjacently -> found.
+    - EXCLUDED (soundness, both forms agree): docs that sort adjacently
+      but differ at distance > EDIT_NEARDUP_MAX emit nothing.
+    - MISSED (the boundary): two docs at distance 1 whose edit is in the
+      FIRST character sort to opposite ends of the block once
+      > EDIT_WINDOW docs land between them — the full block join finds
+      the pair, SNM does not. This is the known leading-character
+      (OCR-head-corruption) blind spot; callers needing it run the
+      shingle families alongside (MinHash sees word-level survivors)."""
+    base = "x" * 60
+    rows = []
+    # CAUGHT pair: ids 0/1, late-tail edit (distance 1), adjacent sort
+    rows.append((0, base + "aaaa", "en", "s", 64))
+    rows.append((1, base + "aaab", "en", "s", 64))
+    # EXCLUDED pair: ids 2/3, adjacent sort keys but distance > max
+    rows.append((2, "zz" + "p" * 30 + "q" * 32, "en", "s", 64))
+    rows.append((3, "zz" + "q" * 32 + "p" * 30, "en", "s", 64))
+    # MISSED pair: ids 4/5 differ only in char 0 ('a...' vs 'w...'),
+    # distance 1, with EDIT_WINDOW+2 fillers ('b...'..., distance > max
+    # from both) sorting strictly between them
+    head = "m" * 50
+    rows.append((4, "a" + head + "n" * 13, "en", "s", 64))
+    rows.append((5, "w" + head + "n" * 13, "en", "s", 64))
+    for j in range(T.EDIT_WINDOW + 2):
+        filler = "b" + "".join(
+            "rstuv"[(j + i) % 5] for i in range(55)
+        ) + "o" * 8
+        rows.append((6 + j, filler, "en", "s", 64))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "snm_boundary")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in T.edit_distance_neardup(spark, d).collect()
+    }
+    assert (0, 1) in got, "late-tail edit must be caught (adjacent sort)"
+    assert (2, 3) not in got, "distance > max must never emit"
+    assert (4, 5) not in got, (
+        "leading-character edit separated by > EDIT_WINDOW docs is the "
+        "DOCUMENTED SNM miss; if this starts passing, the operator grew "
+        "a second pass and this test + the knobs comment need updating"
+    )
+
+
 def test_spearman_known_answer_monotone(spark, tmp_path):
     """Perfectly monotone data (more items <=> strictly higher price,
     no ties) must give spearman_rho == 1.0 exactly; and reversing the
