@@ -1056,6 +1056,11 @@ def _job_response(job: dict) -> dict:
     healthy row (asserted across the e2e transition tests)."""
     out = {k: v for k, v in job.items() if k != "logs"}
     out["status_issues"] = SC.validate_status(job)
+    # kubectl printer-column parity (jirasync-crd.yaml:306-331): the
+    # list view carries the same compact cells `kubectl get jirasyncs`
+    # shows, including the canonical-order conditions summary
+    out["printer_columns"] = SC.printer_columns(job)
+    out["conditions_summary"] = out["printer_columns"]["conditions"]
     return out
 
 

@@ -115,6 +115,59 @@ def calculate_health(
     return HEALTH_UNKNOWN
 
 
+#: canonical column order for the compact conditions cell — the CRD
+#: schema's condition types in the order status_manager.go declares them
+CONDITION_ORDER = (
+    CONDITION_READY,
+    CONDITION_PROCESSING,
+    CONDITION_FAILED,
+    CONDITION_VALIDATED,
+    CONDITION_SCHEDULED,
+)
+
+
+def conditions_summary(conditions: list[dict]) -> str:
+    """kubectl-printer-column-style compact conditions cell: each SET
+    condition as ``Type=Status`` in canonical CONDITION_ORDER, unset
+    types omitted the way kubectl omits empty cells. This is the list
+    view's one-line answer to `kubectl get jirasyncs -o wide` for the
+    in-process job table (r9 stretch task 10 / r10 task 5)."""
+    by_type = {c["type"]: c["status"] for c in conditions}
+    return ",".join(
+        f"{t}={by_type[t]}" for t in CONDITION_ORDER if t in by_type
+    )
+
+
+def printer_columns(job: dict) -> dict:
+    """The jirasync CRD's additionalPrinterColumns projected from a job
+    row (crds/v1alpha1/jirasync-crd.yaml:306-331 — Type, Phase,
+    Progress "processed/total", Duration, Age), plus the conditions
+    cell and the health rollup. jsonPath -> job-dict mapping:
+    .spec.syncType -> type, .status.phase -> status,
+    .status.syncStats.processedIssues/totalIssues -> progress counters,
+    .status.syncStats.duration -> completed_at - started_at,
+    .metadata.creationTimestamp -> created_at."""
+    from datetime import datetime
+
+    prog = job.get("progress") or {}
+    done = prog.get("completed_operations") or 0
+    total = prog.get("total_operations") or 0
+    duration = None
+    if job.get("started_at") and job.get("completed_at"):
+        t0 = datetime.fromisoformat(job["started_at"])
+        t1 = datetime.fromisoformat(job["completed_at"])
+        duration = f"{(t1 - t0).total_seconds():.1f}s"
+    return {
+        "type": job.get("type"),
+        "phase": job.get("status"),
+        "progress": f"{done}/{total}",
+        "duration": duration,
+        "age": job.get("created_at"),
+        "health": job.get("health"),
+        "conditions": conditions_summary(job.get("conditions", [])),
+    }
+
+
 def validate_status(job: dict) -> list[str]:
     """Phase/condition/progress consistency checks
     (status_manager.go:312-358), over the repo's job-row field names."""

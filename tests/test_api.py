@@ -988,6 +988,56 @@ def test_invalid_sync_mode_header_falls_through(api_server):
     srv.manager.wait(body["data"]["job_id"])
 
 
+def test_job_list_printer_columns(api_server):
+    """GET /jobs rows carry the jirasync CRD's printer columns (Type/
+    Phase/Progress/Duration/Age) plus a conditions_summary cell that is
+    BYTE-DERIVED from the row's own condition list via the canonical
+    transition-table order — the API list view matches what
+    `kubectl get jirasyncs -o wide` shows (r10 verdict task 5)."""
+    from jira_cdc_git_spark import status_conditions as SC
+
+    srv, _ = api_server
+    status, body = _req(
+        "POST",
+        f"{srv.url}/api/v1/sync/jql",
+        {"jql": "project = PROJ", "repository": "main-repo"},
+    )
+    assert status == 202
+    srv.manager.wait(body["data"]["job_id"])
+    status, body = _req("GET", f"{srv.url}/api/v1/jobs")
+    assert status == 200
+    assert body["data"]["jobs"]
+    for row in body["data"]["jobs"]:
+        pc = row["printer_columns"]
+        assert set(pc) == {
+            "type", "phase", "progress", "duration", "age", "health",
+            "conditions",
+        }
+        assert pc["type"] == row["type"]
+        assert pc["phase"] == row["status"]
+        # the summary is exactly the canonical-order projection of the
+        # row's condition list — recompute it from the transition table
+        assert row["conditions_summary"] == SC.conditions_summary(
+            row["conditions"]
+        )
+        types = [c["type"] for c in row["conditions"]]
+        order = [t for t in SC.CONDITION_ORDER if t in types]
+        assert row["conditions_summary"] == ",".join(
+            f"{t}={dict((c['type'], c['status']) for c in row['conditions'])[t]}"
+            for t in order
+        )
+    done = [
+        r for r in body["data"]["jobs"] if r["status"] == "completed"
+    ]
+    assert done, "the finished job must appear in the list"
+    for row in done:
+        assert "Ready=True" in row["conditions_summary"]
+        assert "Processing=False" in row["conditions_summary"]
+        assert row["printer_columns"]["duration"] is not None
+        d, t = row["printer_columns"]["progress"].split("/")
+        assert d == t != "0"
+
+
 def test_invalid_server_default_sync_mode_rejected():
     """The reference's mode switch rejects unknown modes in its default
     arm (500 INVALID_MODE); our constructor is the equivalent choke
