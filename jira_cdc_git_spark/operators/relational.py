@@ -2669,6 +2669,17 @@ def spearman_corr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
         )
     )
+    return spearman_from_pairs(per)
+
+
+def spearman_from_pairs(per: DataFrame) -> DataFrame:
+    """Spearman/Pearson report projection from a (cents, n_items) pair
+    frame — shared by the batch operator and streaming_spearman so the
+    twin's snapshot agrees with the batch report by construction (the
+    benford_from_digit_counts discipline). See spearman_corr_report for
+    the exactness contract."""
+    from jira_cdc_git_spark.functions.text import round_half_up
+
     # average ranks come from VALUE HISTOGRAMS, not row-level rank()
     # windows: rank(row) + (ties-1)/2 == cum_below + (count+1)/2 for the
     # row's value, so one window over the |distinct values| frame plus a

@@ -2382,3 +2382,95 @@ def streaming_association_rules(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_spearman(
+    spark: SparkSession,
+    lineitem_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    orders_sf_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming twin of operators/relational.spearman_corr_report —
+    the ELEVENTH genuinely stateful twin, closing the statistics family
+    (r10 verdict task 7): lineitem chunks stream in, the carried state
+    is the per-orderkey ITEM COUNT table. Counts are pure abelian sums,
+    so an order whose line items are split across ANY chunk boundary —
+    mid-order cuts, out-of-order arrival, late lines for orders that
+    already emitted — folds to the same totals a batch re-run would
+    compute. The correlation snapshot recomputes UNCONDITIONALLY from
+    committed state joined against the static orders dimension, through
+    the batch operator's own spearman_from_pairs projection (whose
+    value-HISTOGRAM rank path is exactly what makes this twin cheap:
+    ranks derive from the count state, never from re-sorted history),
+    committed together with the applied_batch_id marker in one atomic
+    swap.
+
+    100 TB shape: per batch one orderkey-group delta agg + one merge
+    against |orders|-bounded state; the snapshot's rank windows run
+    over |distinct values|, never rows."""
+    import os
+
+    from jira_cdc_git_spark.operators.relational import spearman_from_pairs
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
+
+    state_dir = f"{out_root}/spearman_state"
+    snap_dir = f"{out_root}/spearman"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(lineitem_dir)
+
+    state_schema = "l_orderkey long, n_items long"
+    cents_by_order = load_table(spark, "orders", orders_sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("l_orderkey").localCheckpoint()
+        # crash between _swap_dir_atomic's two renames leaves only
+        # .bak — restore it BEFORE probing (r9 advice discipline)
+        _recover_dir(state_dir)
+        _recover_dir(snap_dir)
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            last_applied = state.agg(F.max("applied_batch_id")).first()[0]
+            state = state.drop("applied_batch_id")
+        else:
+            state = spark.createDataFrame([], state_schema)
+            last_applied = None
+        if last_applied is None or batch_id > last_applied:
+            delta = batch.groupBy("l_orderkey").agg(
+                F.count("*").cast("long").alias("n_items")
+            )
+            new_state = (
+                state.unionByName(delta)
+                .groupBy("l_orderkey")
+                .agg(F.sum("n_items").cast("long").alias("n_items"))
+                .withColumn("applied_batch_id", F.lit(batch_id))
+            )
+            _swap_dir_atomic(new_state.localCheckpoint(), state_dir)
+        committed = spark.read.parquet(state_dir).select(
+            "l_orderkey", "n_items"
+        )
+        _swap_dir_atomic(
+            spearman_from_pairs(
+                committed.join(cents_by_order, "l_orderkey")
+            ).localCheckpoint(),
+            snap_dir,
+        )
+
+    (
+        feed.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

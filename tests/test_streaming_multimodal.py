@@ -2025,3 +2025,105 @@ def test_streaming_association_rules_stateful_batch_parity(
         for r in event_association_rules(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_spearman_stateful_batch_parity(spark, sf_dir, tmp_path):
+    """The ELEVENTH stateful twin: per-orderkey item counts fold
+    incrementally (pure abelian sums) with atomic state+marker swaps;
+    the correlation snapshot derives from committed state joined to the
+    static orders dimension through the batch operator's own
+    spearman_from_pairs projection. Chunks split MID-ORDER (an order's
+    line items land in different chunks) and arrive out of order; the
+    final snapshot must equal spearman_corr_report exactly, and a
+    checkpoint replay changes nothing."""
+    from jira_cdc_git_spark.operators.relational import spearman_corr_report
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_spearman
+
+    li = load_table(spark, "lineitem", sf_dir).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    rows = li.collect()
+    # cut points nudged off the natural thirds so multi-line orders in
+    # the orderkey-sorted collect split across chunk boundaries
+    c1, c2 = len(rows) // 3 + 1, 2 * len(rows) // 3 + 1
+    feed_dir = str(tmp_path / "feed")
+    for chunk in (rows[c1:c2], rows[:c1], rows[c2:]):
+        spark.createDataFrame(chunk, li.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+
+    out_root = str(tmp_path / "sp")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_spearman(spark, feed_dir, li.schema, ckpt, out_root, sf_dir)
+
+    def snap():
+        return {
+            (r["n"], r["pearson_r"], r["spearman_rho"])
+            for r in spark.read.parquet(f"{out_root}/spearman").collect()
+        }
+
+    got = snap()
+    want = {
+        (r["n"], r["pearson_r"], r["spearman_rho"])
+        for r in spearman_corr_report(spark, sf_dir).collect()
+    }
+    assert got == want
+    # state holds every order's full line count (nothing lost/doubled)
+    state = spark.read.parquet(f"{out_root}/spearman_state")
+    assert state.count() == li.select("l_orderkey").distinct().count()
+    assert state.agg(F.sum("n_items")).first()[0] == len(rows)
+    # idempotent re-run: same checkpoint, snapshot unchanged
+    streaming_spearman(spark, feed_dir, li.schema, ckpt, out_root, sf_dir)
+    assert snap() == want
+
+
+def test_streaming_spearman_torn_swap_recovers_state(
+    spark, sf_dir, tmp_path
+):
+    """Crash INSIDE _swap_dir_atomic's rename window (only
+    spearman_state.bak survives): the next run must restore the .bak
+    via _recover_dir and fold the second half into the RECOVERED
+    counts, not silently reinitialize from empty (r9 advice
+    discipline)."""
+    import os
+
+    from jira_cdc_git_spark.operators.relational import spearman_corr_report
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_spearman
+
+    li = load_table(spark, "lineitem", sf_dir).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    rows = li.collect()
+    c1 = len(rows) // 2 + 1  # mid-order cut
+    feed_dir = str(tmp_path / "feed")
+    spark.createDataFrame(rows[:c1], li.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed_dir)
+
+    out_root = str(tmp_path / "sp")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_spearman(spark, feed_dir, li.schema, ckpt, out_root, sf_dir)
+
+    state_dir = f"{out_root}/spearman_state"
+    os.replace(state_dir, state_dir + ".bak")
+    snap_dir = f"{out_root}/spearman"
+    os.replace(snap_dir, snap_dir + ".bak")
+
+    spark.createDataFrame(rows[c1:], li.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed_dir)
+    streaming_spearman(spark, feed_dir, li.schema, ckpt, out_root, sf_dir)
+
+    state = spark.read.parquet(state_dir)
+    assert state.agg(F.sum("n_items")).first()[0] == len(rows)
+    got = {
+        (r["n"], r["pearson_r"], r["spearman_rho"])
+        for r in spark.read.parquet(snap_dir).collect()
+    }
+    want = {
+        (r["n"], r["pearson_r"], r["spearman_rho"])
+        for r in spearman_corr_report(spark, sf_dir).collect()
+    }
+    assert got == want
