@@ -72,8 +72,8 @@ tail past slot 50, and the displaced names (asserted mechanically, not
 listed here: prose name-lists drifted in r8 and again mid-r9) re-earn
 in the r10 rotation. Every in-window entry was pre-proven green by the
 full-registry sf0.01 diffcheck before shipping.
-The registry has 322
-entries: 314 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 323
+entries: 315 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -128,81 +128,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return R.pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-#: Round-10 driver window (slots 1-50), applied MECHANICALLY over the
-#: registry literal by _rotated() below: CORRECTNESS_r09 was 50/50
-#: fully green, freeing the whole window. Composition = the r10
-#: additions (edit-distance blocked near-dup, train->test n-gram
-#: split contamination, source Gini concentration, Spearman/Pearson report, Hill
-#: tail index, event association rules) + the operators whose CODE
-#: changed this round (benford zero-digit grid, bottomk all-quantile
-#: emit, the seasonal MAD gate) + the STALEST tranche: every entry
-#: whose newest fully-green driver row is r3 (the epic-discovery
-#: lambdas, commit_messages, timestamp_multiformat, reconciliation,
-#: validate_requests, the r3 curation wave) — exactly the names the
-#: r9 verdict's staleness table lists, MINUS four displaced to r11 by
-#: the second wave (incremental_modified_only /
-#: incremental_project_scoped — C3 family re-proven by
-#: incremental_option_variants r7 + incremental_candidates in-window;
-#: ivf_recall_report — IVF path re-proven by in-window ivf_topk;
-#: jql_preview_breakdowns — JQL template family green r8).
-#: The literal's historical order
-#: below is untouched; _rotated() hoists the window so prose never
-#: has to re-count displaced slots again.
-_R10_WINDOW = [
-    # r10 additions
-    "edit_distance_neardup",
-    "split_contamination_report",
-    "source_gini_report",
+#: Round-11 driver window (slots 1-50), applied MECHANICALLY over the
+#: registry literal by _rotated() below: CORRECTNESS_r10 was 50/50
+#: fully green, freeing the whole window. Composition = the r11
+#: additions (cross-doc repeated-substring dedup) + the operators whose
+#: CODE changed this round (the spearman half-unit/decimal + cents-
+#: pearson rewrite, the benford single-pass plan, the regenerated
+#: edit-distance oracle) + the FINAL staleness tranche: all 39 entries
+#: whose newest fully-green driver row is r4 plus the 4 names displaced
+#: from the r10 window (incremental_modified_only /
+#: incremental_project_scoped / ivf_recall_report /
+#: jql_preview_breakdowns) — after this round lands green, no
+#: oracle-backed entry's newest driver row predates r5 and the
+#: standing rotation item retires (r10 verdict task 1).
+#: The literal's historical order below is untouched; _rotated()
+#: hoists the window so prose never has to re-count displaced slots.
+_R11_WINDOW = [
+    # r11 additions
+    "repeated_substring_report",
+    # changed-code re-earns
     "spearman_corr_report",
-    "hill_tail_index",
-    "event_association_rules",
-    # r10 second wave
-    "embedding_norm_outliers",
-    "length_drift_by_source",
-    "inter_event_gap_quantiles",
-    "bpe_roundtrip_report",
-    # changed-code re-earns (r9 advice fixes)
     "benford_deviation_report",
-    "bottomk_quantile_sketch",
-    "seasonal_residual_anomalies",
-    # the 41 r3-stale entries (newest green row r3), alphabetical
-    "commit_messages",
-    "corpus_shards",
-    "curation_report",
-    "dataset_splits",
-    "decontaminate",
-    "doc_length_quantiles",
-    "epic_completeness",
-    "epic_discovery_epic_link",
-    "epic_discovery_links",
-    "epic_discovery_parent",
-    "epic_hierarchy",
-    "epic_members_by_type",
-    "gopher_quality_filters",
-    "incremental_candidates",
-    "jql_my_sprint",
-    "jql_recent_updates",
-    "kmv_distinct_estimate",
-    "media_stats",
-    "minhash_accuracy_report",
-    "paged_scan_keyset",
-    "parse_issue_list",
-    "perplexity_buckets",
-    "pii_scrub",
-    "pmi_topk",
-    "project_key_variants",
-    "reconciliation_report",
-    "relationship_census",
-    "repetition_metrics",
-    "semdedup",
-    "simhash_neardup_pairs",
-    "source_cap_sample",
-    "stratified_sample",
-    "tfidf_topk",
-    "timestamp_multiformat",
-    "token_budget_sample",
-    "token_examples_salted",
-    "validate_requests",
+    "edit_distance_neardup",
+    # the 4 names displaced from the r10 window
+    "incremental_modified_only",
+    "incremental_project_scoped",
+    "ivf_recall_report",
+    "jql_preview_breakdowns",
+    # the 39 r4-stale entries (newest green row r4), alphabetical
+    "admission_report",
+    "asof_within_tolerance",
+    "bloom_decontaminate",
+    "bpe_train_merges",
+    "broken_link_edges",
+    "curation_funnel_report",
+    "domain_mixture_weights",
+    "dq_report",
+    "duplicate_spans",
+    "epic_discovery_custom_field",
+    "epic_discovery_hybrid",
+    "funnel_conversion",
+    "funnel_summary",
+    "hybrid_discovery",
+    "ivm_status_counts",
+    "jql_changed_status",
+    "jql_project_active",
+    "jql_start_of_week",
+    "jql_was_in_progress",
+    "jql_was_open_after",
+    "key_skew_report",
+    "lsh_recall_report",
+    "mixture_resample",
+    "pagerank_links",
+    "pq_recall_report",
+    "pq_rerank_topk",
+    "pq_topk",
+    "quality_by_source",
+    "range_join_concurrency",
+    "scd2_status_history",
+    "sequence_packing",
+    "sq8_recall_report",
+    "sq8_topk",
+    "strip_duplicate_spans",
+    "unpivot_pricing",
+    "value_anomalies",
+    "value_histogram",
+    "winsorized_stats",
+    "zorder_skipping_report",
 ]
 
 
@@ -210,15 +202,16 @@ def _rotated(q: dict) -> dict:
     """Hoist the current round's driver window to slots 1-50, keeping
     every other entry in its historical literal order (the driver
     checks only the first 50 queries() entries per round)."""
-    win = [n for n in _R10_WINDOW if n in q]
-    rest = [n for n in q if n not in set(_R10_WINDOW)]
+    win = [n for n in _R11_WINDOW if n in q]
+    rest = [n for n in q if n not in set(_R11_WINDOW)]
     return {n: q[n] for n in [*win, *rest]}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
-        # ===== Round-10 additions (hoisted to the window by _rotated;
-        # see _R10_WINDOW above) =====
+        # ===== Round-11 additions (hoisted by _rotated via _R11_WINDOW)
+        "repeated_substring_report": T.repeated_substring_report,
+        # ===== Round-10 additions =====
         "edit_distance_neardup": T.edit_distance_neardup,
         "split_contamination_report": T.split_contamination_report,
         "source_gini_report": T.source_gini_report,
@@ -8544,6 +8537,53 @@ _ORACLES["bpe_roundtrip_report"] = f"""
 _ORACLES["bpe_roundtrip_report"] = _ORACLES["bpe_roundtrip_report"].replace(
     "{_bpe_subword_ctes(T.BPE_MERGES)}", _bpe_subword_ctes(T.BPE_MERGES)
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions
+# ---------------------------------------------------------------------------
+
+# Mirrors operators/text.repeated_substring_report: every-position
+# K-char grams (DuckDB's list comprehension + recursive struct unnest
+# stands in for Spark's transform+explode), boilerplate caps on
+# distinct-doc and occurrence counts, within-gram pair join, diagonal
+# islands via pos - row_number(), per-pair max/count/sum of runs.
+_ORACLES["repeated_substring_report"] = f"""
+    WITH g0 AS (
+        SELECT doc_id,
+               unnest([{{'x': x, 'g': substr(text, x, {T.REP_SUB_K})}}
+                       for x in range(1, greatest(length(text)
+                                                  - {T.REP_SUB_K - 1}, 0) + 1)],
+                      recursive := true)
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, CAST(x AS BIGINT) AS pos, g FROM g0
+    ), dup AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND {T.REP_SUB_MAX_DOCS}
+           AND count(*) <= {T.REP_SUB_MAX_OCC}
+    ), f AS (
+        SELECT grams.* FROM grams JOIN dup USING (g)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos - b.pos AS diag, a.pos AS pa
+        FROM f a JOIN f b USING (g) WHERE a.doc_id < b.doc_id
+    ), runs AS (
+        SELECT doc_a, doc_b,
+               CAST(count(*) + {T.REP_SUB_K - 1} AS BIGINT) AS run_chars
+        FROM (SELECT doc_a, doc_b, diag, pa,
+                     pa - row_number() OVER (
+                         PARTITION BY doc_a, doc_b, diag ORDER BY pa
+                     ) AS isl
+              FROM pairs)
+        GROUP BY doc_a, doc_b, diag, isl
+        HAVING count(*) + {T.REP_SUB_K - 1} >= {T.REP_SUB_MIN_RUN}
+    )
+    SELECT doc_a, doc_b,
+           CAST(max(run_chars) AS BIGINT) AS max_run_chars,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(run_chars) AS BIGINT) AS dup_chars
+    FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
 
 
 def oracle_sql() -> dict[str, str]:

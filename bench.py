@@ -296,6 +296,8 @@ BENCH_QUERIES = [
     "length_drift_by_source",
     "inter_event_gap_quantiles",
     "bpe_roundtrip_report",
+    # r11 additions
+    "repeated_substring_report",
 ]
 
 
@@ -801,6 +803,9 @@ SCALE_PROBE_QUERIES = [
     "length_drift_by_source",
     "inter_event_gap_quantiles",
     "bpe_roundtrip_report",
+    # r11 additions (probe-coverage invariant: every new headline op
+    # ships with an sf1 ratio in the same commit)
+    "repeated_substring_report",
 ]
 
 

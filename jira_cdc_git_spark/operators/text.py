@@ -5644,6 +5644,118 @@ def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
+#: cross-doc repeated-substring knobs: K-char grams at EVERY position
+#: (the exactness requirement — stride/winnowing would miss offset-
+#: shifted copies), runs reported at >= REP_SUB_MIN_RUN chars (Lee et
+#: al. 2021 use 50-token runs; 64 chars is the char-level analog for
+#: this corpus), grams shared by > REP_SUB_MAX_DOCS docs or occurring
+#: > REP_SUB_MAX_OCC times dropped as boilerplate (the high-df grams
+#: boilerplate_ngrams already reports; also the pair-mass bound).
+REP_SUB_K = 40
+REP_SUB_MIN_RUN = 64
+REP_SUB_MAX_DOCS = 16
+REP_SUB_MAX_OCC = 64
+
+
+def repeated_substring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT repeated-substring dedup report — the
+    suffix-array family of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed as a bounded
+    Spark shape: a K-char-gram inverted index (every position, so any
+    shared run >= K is guaranteed to collide regardless of offset) ->
+    candidate doc pairs sharing a non-boilerplate gram -> maximal
+    shared runs recovered by DIAGONAL ISLANDS (a shared run of length L
+    yields L-K+1 shared grams at consecutive positions on one
+    pos_a - pos_b diagonal; pos - row_number() groups each island in
+    one window pass — the winnowing/containment discipline). Per
+    (doc_a, doc_b) with a maximal run >= REP_SUB_MIN_RUN chars: the
+    longest run, the run count, and the total duplicated chars.
+
+    100 TB shape: the index is one explode (mass = corpus chars; at
+    scale store an 8-byte gram hash, not the 40-char string) + one
+    gram-keyed agg; the self-join is capped by REP_SUB_MAX_OCC <= 64
+    occurrences per gram (<= 64² candidate rows per gram, and
+    boilerplate grams — the only unbounded df source — are excluded by
+    construction); islands are one (pair, diag) window over candidate
+    mass only. Never doc×doc, never a suffix sort.
+    """
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    K = REP_SUB_K
+    grams = (
+        docs.filter(F.char_length("text") >= K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, char_length(text) - {K - 1}),"
+                    f" i -> struct(i AS pos, substring(text, i, {K}) AS g))"
+                )
+            ).alias("pg"),
+        )
+        .select(
+            "doc_id",
+            F.col("pg.pos").cast("long").alias("pos"),
+            F.col("pg.g").alias("g"),
+        )
+    )
+    # Pass 1 computes the caps with COUNTS ONLY (map-side combinable —
+    # a degenerate boilerplate gram with 10⁹ occurrences costs two longs
+    # per partition, never a list). Pass 2 joins the index down to cap-
+    # passing grams, then collect_list is bounded by REP_SUB_MAX_OCC by
+    # construction, and the pair fan-out is a higher-order transform
+    # over the <= 64-element list — <= 64² rows per gram. Both gram
+    # aggregates and the join share the g hash-partitioning, so the
+    # second groupBy adds no exchange. No DISTINCT is needed on pairs:
+    # (doc_a, pa) determines the gram and diag determines pb, so every
+    # (doc_a, doc_b, diag, pa) candidate row is emitted exactly once.
+    dup = (
+        grams.groupBy("g")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.count("*").alias("nocc"),
+        )
+        .filter(
+            (F.col("nd") >= 2)
+            & (F.col("nd") <= REP_SUB_MAX_DOCS)
+            & (F.col("nocc") <= REP_SUB_MAX_OCC)
+        )
+        .select("g")
+    )
+    occ = (
+        grams.join(dup, "g")
+        .groupBy("g")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occ"))
+    )
+    pairs = occ.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(occ, a -> transform("
+                "filter(occ, b -> b.doc_id > a.doc_id),"
+                " b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,"
+                " a.pos - b.pos AS diag, a.pos AS pa))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.diag", "p.pa")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        pairs.withColumn("isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg((F.count("*") + F.lit(K - 1)).cast("long").alias("run_chars"))
+        .filter(F.col("run_chars") >= REP_SUB_MIN_RUN)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_chars").cast("long").alias("max_run_chars"),
+            F.count("*").cast("long").alias("n_runs"),
+            F.sum("run_chars").cast("long").alias("dup_chars"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train→test split contamination audit:
     using dataset_splits' hash rule (md5 bucket <98 train, ==99 test),

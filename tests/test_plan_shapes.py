@@ -962,3 +962,14 @@ def test_hill_top_k_filters_before_estimate(spark, sf_dir):
     # not whole documents: text never reaches the window
     assert "text" not in plan.split("Window")[0].split("ReadSchema")[-1]
     assert "CartesianProduct" not in plan
+
+
+def test_repeated_substring_joins_on_gram_key_no_cartesian(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.repeated_substring_report(spark, sf_dir))
+    # the pair stage is an equi-join on the gram key over the cap-
+    # filtered index — never an all-pairs product; the island window
+    # partitions by (pair, diag) over candidate mass only
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -287,6 +287,15 @@ AUDITS = [
         "BroadcastExchange — the only corpus-scale shuffle is the "
         "distinct.",
     ),
+    (
+        "repeated_substring_report",
+        "The gram index explodes once (corpus-chars mass) into a gram-"
+        "keyed aggregate; the self-join runs ONLY on grams that passed "
+        "the (distinct-doc <= 16, occurrences <= 64) boilerplate caps, "
+        "so per-gram candidate fanout is <= 64^2 by construction — no "
+        "CartesianProduct, no suffix sort; the diagonal-island window "
+        "partitions by (pair, diag) over candidate mass only.",
+    ),
 ]
 
 MAX_LINES = 58
