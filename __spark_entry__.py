@@ -72,8 +72,8 @@ tail past slot 50, and the displaced names (asserted mechanically, not
 listed here: prose name-lists drifted in r8 and again mid-r9) re-earn
 in the r10 rotation. Every in-window entry was pre-proven green by the
 full-registry sf0.01 diffcheck before shipping.
-The registry has 323
-entries: 315 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 324
+entries: 316 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -146,6 +146,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R11_WINDOW = [
     # r11 additions
     "repeated_substring_report",
+    "rbo_ranking_agreement",
     # changed-code re-earns
     "spearman_corr_report",
     "benford_deviation_report",
@@ -211,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # ===== Round-11 additions (hoisted by _rotated via _R11_WINDOW)
         "repeated_substring_report": T.repeated_substring_report,
+        "rbo_ranking_agreement": T.rbo_ranking_agreement,
         # ===== Round-10 additions =====
         "edit_distance_neardup": T.edit_distance_neardup,
         "split_contamination_report": T.split_contamination_report,
@@ -8584,6 +8586,34 @@ _ORACLES["repeated_substring_report"] = f"""
            CAST(count(*) AS BIGINT) AS n_runs,
            CAST(sum(run_chars) AS BIGINT) AS dup_chars
     FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+
+
+# Mirrors operators/text.rbo_ranking_agreement: the bm25_topk and
+# lm_dirichlet_topk oracle chains as CTEs, prefix overlap via
+# greatest(rank_a, rank_b) <= d against the SAME Python-literal
+# (d, weight) grid the Spark plan uses, per-depth terms floored to
+# 1e-8 units before the integer sum.
+_RBO_GRID = ", ".join(f"({d}, {w!r})" for d, w in T.rbo_weights(20))
+_ORACLES["rbo_ranking_agreement"] = f"""
+    WITH ra AS (
+        SELECT doc_id, rank AS r_a FROM ({_ORACLES["bm25_topk"]})
+    ), rb AS (
+        SELECT doc_id, rank AS r_b FROM ({_ORACLES["lm_dirichlet_topk"]})
+    ), m AS (
+        SELECT greatest(r_a, r_b) AS m FROM ra JOIN rb USING (doc_id)
+    ), grid(d, w) AS (
+        VALUES {_RBO_GRID}
+    ), ov AS (
+        SELECT d, w, CAST(count(m.m) AS BIGINT) AS ov
+        FROM grid LEFT JOIN m ON m.m <= grid.d GROUP BY d, w
+    )
+    SELECT 20 AS k,
+           CAST(max(CASE WHEN d = 1 THEN ov END) AS BIGINT)
+             AS top1_overlap,
+           CAST(max(CASE WHEN d = 20 THEN ov END) AS BIGINT) AS n_common,
+           sum(CAST(floor(w * ov / d * 100000000 + 0.5) AS BIGINT))
+             / 100000000.0 AS rbo
+    FROM ov"""
 
 
 def oracle_sql() -> dict[str, str]:

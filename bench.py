@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "bpe_roundtrip_report",
     # r11 additions
     "repeated_substring_report",
+    "rbo_ranking_agreement",
 ]
 
 
@@ -806,6 +807,7 @@ SCALE_PROBE_QUERIES = [
     # r11 additions (probe-coverage invariant: every new headline op
     # ships with an sf1 ratio in the same commit)
     "repeated_substring_report",
+    "rbo_ranking_agreement",
 ]
 
 

@@ -4974,6 +4974,70 @@ def retrieval_ndcg_report(
     )
 
 
+#: RBO persistence parameter (Webber et al. 2010 recommend 0.9 ≈ the
+#: top-10 carrying ~86% of the weight) and the shared weight grid —
+#: computed ONCE in Python and spliced as identical literals into the
+#: Spark plan and the DuckDB oracle so pow() runs in neither engine.
+RBO_P = 0.9
+
+
+def rbo_weights(k: int) -> list[tuple[int, float]]:
+    return [(d, (1.0 - RBO_P) * RBO_P ** (d - 1)) for d in range(1, k + 1)]
+
+
+def rbo_ranking_agreement(
+    spark: SparkSession, sf_dir: str, query: str = BM25_QUERY, k: int = 20
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the repo's two
+    retrieval families — BM25 and Dirichlet query-likelihood — on the
+    same query: the top-weighted agreement metric every ranker-swap
+    A/B reads before trusting an offline eval. Truncated form
+    RBO@k = Σ_{d<=k} (1-p)p^{d-1} · |A_d ∩ B_d|/d (the unseen-tail
+    residual is dropped — both lists are fully known to depth k). One
+    row: k, overlap at depth 1 and k, rbo.
+
+    CROSS-ENGINE DETERMINISM: prefix overlaps come from max(rank_a,
+    rank_b) <= d counts (exact ints); the (d, weight) grid is a shared
+    Python literal; each depth's term floors to 1e-8 units before an
+    integer sum — one division at the end.
+
+    100 TB shape: both rankers ride their posting-scoped top-k plans;
+    the agreement math joins two <= k-row lists against a k-row
+    broadcast grid — nothing here scales with the corpus."""
+    a = bm25_topk(spark, sf_dir, query, k).select(
+        "doc_id", F.col("rank").alias("ra")
+    )
+    b = lm_dirichlet_topk(spark, sf_dir, query, k).select(
+        "doc_id", F.col("rank").alias("rb")
+    )
+    both = a.join(b, "doc_id").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    grid = spark.createDataFrame(rbo_weights(k), "d int, w double")
+    ov = (
+        grid.join(F.broadcast(both), F.col("m") <= F.col("d"), "left")
+        .groupBy("d", "w")
+        .agg(F.count("m").cast("long").alias("ov"))
+    )
+    term_u = F.floor(
+        F.col("w") * F.col("ov") / F.col("d") * 100_000_000 + F.lit(0.5)
+    ).cast("long")
+    return ov.agg(
+        F.max(F.when(F.col("d") == 1, F.col("ov")))
+        .cast("long")
+        .alias("top1_overlap"),
+        F.max(F.when(F.col("d") == k, F.col("ov")))
+        .cast("long")
+        .alias("n_common"),
+        (F.sum(term_u) / F.lit(100_000_000.0)).alias("rbo"),
+    ).select(
+        F.lit(k).cast("int").alias("k"),
+        "top1_overlap",
+        "n_common",
+        "rbo",
+    )
+
+
 def packing_efficiency_report(
     spark: SparkSession,
     sf_dir: str,

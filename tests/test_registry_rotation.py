@@ -71,8 +71,8 @@ def test_unproven_entries_fit_driver_window():
 def test_registry_counts_match_docstring():
     names = list(E.queries())
     oracles = set(E.oracle_sql())
-    assert len(names) == 323
-    assert len(oracles) == 315
+    assert len(names) == 324
+    assert len(oracles) == 316
     assert set(oracles) <= set(names)
 
 
