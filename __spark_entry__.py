@@ -72,8 +72,8 @@ tail past slot 50, and the displaced names (asserted mechanically, not
 listed here: prose name-lists drifted in r8 and again mid-r9) re-earn
 in the r10 rotation. Every in-window entry was pre-proven green by the
 full-registry sf0.01 diffcheck before shipping.
-The registry has 324
-entries: 316 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 325
+entries: 317 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -147,6 +147,7 @@ _R11_WINDOW = [
     # r11 additions
     "repeated_substring_report",
     "rbo_ranking_agreement",
+    "wasserstein_drift_report",
     # changed-code re-earns
     "spearman_corr_report",
     "benford_deviation_report",
@@ -213,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== Round-11 additions (hoisted by _rotated via _R11_WINDOW)
         "repeated_substring_report": T.repeated_substring_report,
         "rbo_ranking_agreement": T.rbo_ranking_agreement,
+        "wasserstein_drift_report": T.wasserstein_drift_report,
         # ===== Round-10 additions =====
         "edit_distance_neardup": T.edit_distance_neardup,
         "split_contamination_report": T.split_contamination_report,
@@ -8614,6 +8616,49 @@ _ORACLES["rbo_ranking_agreement"] = f"""
            sum(CAST(floor(w * ov / d * 100000000 + 0.5) AS BIGINT))
              / 100000000.0 AS rbo
     FROM ov"""
+
+
+# Mirrors operators/text.wasserstein_drift_report: the length_drift
+# histogram/cum shape, but integrating |F_s - F_t| over consecutive
+# corpus values instead of taking the sup — exact integer area terms
+# |cum_s*n_tot - cum_t*n_src| * gap in HUGEINT (the Spark side's
+# DECIMAL(38,0)), one division per source.
+_ORACLES["wasserstein_drift_report"] = """
+    WITH hist AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ), per_v AS (
+        SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM hist GROUP BY 1
+    ), n_s AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM hist GROUP BY 1
+    ), n_tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM hist
+    ), dense AS (
+        SELECT n_s.source, per_v.v, coalesce(hist.c, 0) AS c
+        FROM per_v CROSS JOIN n_s
+        LEFT JOIN hist ON hist.source = n_s.source AND hist.v = per_v.v
+    ), cum_s AS (
+        SELECT source, v,
+               sum(c) OVER (PARTITION BY source ORDER BY v) AS cum_s,
+               lead(v) OVER (PARTITION BY source ORDER BY v) - v AS gap
+        FROM dense
+    ), cum_t AS (
+        SELECT v, sum(ct) OVER (ORDER BY v) AS cum_t FROM per_v
+    ), terms AS (
+        SELECT cum_s.source, n_src, n_tot,
+               abs(CAST(cum_s AS HUGEINT) * n_tot
+                   - CAST(cum_t AS HUGEINT) * n_src) * gap AS area_num
+        FROM cum_s
+        JOIN cum_t USING (v)
+        JOIN n_s ON n_s.source = cum_s.source
+        CROSS JOIN n_tot
+        WHERE gap IS NOT NULL
+    )
+    SELECT source, n_src AS n_docs,
+           floor(CAST(sum(area_num) AS DOUBLE)
+                 / (CAST(n_src AS DOUBLE) * n_tot) * 10000 + 0.5) / 10000
+             AS w1_chars
+    FROM terms GROUP BY source, n_src, n_tot ORDER BY source"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     # r11 additions
     "repeated_substring_report",
     "rbo_ranking_agreement",
+    "wasserstein_drift_report",
 ]
 
 
@@ -808,6 +809,7 @@ SCALE_PROBE_QUERIES = [
     # ships with an sf1 ratio in the same commit)
     "repeated_substring_report",
     "rbo_ranking_agreement",
+    "wasserstein_drift_report",
 ]
 
 

@@ -6068,6 +6068,80 @@ def drift_from_length_counts(hist: DataFrame) -> DataFrame:
     ).orderBy("source")
 
 
+def wasserstein_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift of document length as the EXACT
+    1-D Wasserstein-1 (earth-mover) distance to the whole-corpus
+    distribution — the drift monitor that complements the KS family:
+    KS D reads the single worst ECDF gap (sensitive to a sharp local
+    shift, blind to magnitude elsewhere), W1 integrates |F_s − F_t|
+    over the value axis, so it prices HOW FAR mass moved in chars —
+    the number a capacity planner reads when a feed's documents drift
+    longer. 1-D W1 is exactly ∫|F_s − F_t| dv = Σ over consecutive
+    corpus values |F_s(v) − F_t(v)|·(v_next − v), with each term an
+    exact integer |cum_s·n_tot − cum_t·n_src|·gap over the common
+    n_src·n_tot denominator. Per source: doc count and w1_chars.
+
+    100 TB shape: one (source, length) count agg; everything after
+    runs on the |distinct lengths| × |sources| grid — bounded by the
+    length domain, never the doc count; term products accumulate in
+    DECIMAL(38,0) (oracle: HUGEINT), one IEEE division per source."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_v = hist.groupBy("v").agg(F.sum("c").cast("long").alias("ct"))
+    n_s = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
+    n_tot = hist.agg(F.sum("c").cast("long").alias("n_tot"))
+    grid = per_v.select("v").crossJoin(F.broadcast(n_s.select("source")))
+    dense = grid.join(hist, ["source", "v"], "left").select(
+        "source", "v", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_s = dense.select(
+        "source", "v", F.sum("c").over(w_s).alias("cum_s")
+    )
+    w_t = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_t = per_v.select("v", F.sum("ct").over(w_t).alias("cum_t"))
+    w_next = Window.partitionBy("source").orderBy("v")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    terms = (
+        cum_s.join(cum_t, "v")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("gap", F.lead("v").over(w_next) - F.col("v"))
+        .filter(F.col("gap").isNotNull())
+        .select(
+            "source",
+            "n_src",
+            "n_tot",
+            (
+                F.abs(d("cum_s") * d("n_tot") - d("cum_t") * d("n_src"))
+                * d("gap")
+            ).alias("area_num"),
+        )
+    )
+    return (
+        terms.groupBy("source", "n_src", "n_tot")
+        .agg(F.sum("area_num").alias("w1_num"))
+        .select(
+            "source",
+            F.col("n_src").alias("n_docs"),
+            TX.round_half_up(
+                F.col("w1_num").cast("double")
+                / (F.col("n_src").cast("double") * F.col("n_tot")),
+                4,
+            ).alias("w1_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def bpe_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer round-trip QA: decode(encode(word)) must reproduce
     every distinct corpus word exactly — the invariant a BPE encoder
