@@ -2725,6 +2725,17 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count("*").alias("tf"))
     )
+    return bm25_score_topk(postings, stats, k)
+
+
+def bm25_score_topk(
+    postings: DataFrame, stats: DataFrame, k: int = 20
+) -> DataFrame:
+    """BM25 scoring + top-k from a (doc_id, dl, tok, tf) posting frame
+    and a 1-row (n_docs, avgdl) stats frame — shared by the batch
+    operator and streaming_bm25_topk so the twin's snapshot agrees with
+    the batch ranking by construction (the benford_from_digit_counts
+    discipline applied to retrieval)."""
     dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0)

@@ -2474,3 +2474,121 @@ def streaming_spearman(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_bm25_topk(
+    spark: SparkSession,
+    documents_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_root: str,
+    query: str | None = None,
+    k: int = 20,
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Streaming twin of operators/text.bm25_topk — the TWELFTH
+    genuinely stateful twin, the continuous-ingest form of corpus
+    search: document chunks stream in and TWO state tables carry the
+    index — the query-term POSTING list (doc_id, dl, tok, tf) and the
+    1-row corpus totals (n_docs, total_dl) that define idf and avgdl.
+    Both are pure abelian sums, so any chunking or arrival order folds
+    to the same index a batch build would produce. Each state dir
+    commits with its own applied_batch_id marker (a crash between the
+    two swaps re-folds the batch ONLY into the dir that missed it —
+    the per-dir guard heals the tear). The ranking snapshot recomputes
+    UNCONDITIONALLY from committed state through the batch operator's
+    own bm25_score_topk projection, so stream and batch rankings agree
+    by construction — scores included, since avgdl derives from the
+    same exact integer sums.
+
+    100 TB shape: per batch one query-term-filtered posting agg (the
+    explode filters to |query| terms BEFORE any shuffle) + one merge
+    against match-bounded state; the snapshot rides the posting-scoped
+    scorer, never the corpus."""
+    import os
+
+    from jira_cdc_git_spark.functions import text as TXF
+    from jira_cdc_git_spark.operators.text import BM25_QUERY, bm25_score_topk
+    from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
+
+    query = query or BM25_QUERY
+    terms = sorted(set(query.split()))
+    post_dir = f"{out_root}/bm25_postings"
+    len_dir = f"{out_root}/bm25_totals"
+    snap_dir = f"{out_root}/bm25"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(documents_dir)
+
+    post_schema = "doc_id long, dl long, tok string, tf long"
+    len_schema = "n_docs long, total_dl long"
+
+    def _load(path: str, schema_str: str):
+        _recover_dir(path)
+        if os.path.isdir(path):
+            state = spark.read.parquet(path)
+            last = state.agg(F.max("applied_batch_id")).first()[0]
+            return state.drop("applied_batch_id"), last
+        return spark.createDataFrame([], schema_str), None
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(
+            "doc_id", TXF.tokens(F.col("text")).alias("toks")
+        ).localCheckpoint()
+        _recover_dir(snap_dir)
+        post_state, post_last = _load(post_dir, post_schema)
+        len_state, len_last = _load(len_dir, len_schema)
+        if post_last is None or batch_id > post_last:
+            delta = (
+                batch.select(
+                    "doc_id",
+                    F.size("toks").cast("long").alias("dl"),
+                    F.explode("toks").alias("tok"),
+                )
+                .filter(F.col("tok").isin(terms))
+                .groupBy("doc_id", "dl", "tok")
+                .agg(F.count("*").cast("long").alias("tf"))
+            )
+            new_post = (
+                post_state.unionByName(delta)
+                .groupBy("doc_id", "dl", "tok")
+                .agg(F.sum("tf").cast("long").alias("tf"))
+                .withColumn("applied_batch_id", F.lit(batch_id))
+            )
+            _swap_dir_atomic(new_post.localCheckpoint(), post_dir)
+        if len_last is None or batch_id > len_last:
+            delta_len = batch.agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.size("toks")).cast("long").alias("total_dl"),
+            )
+            new_len = (
+                len_state.unionByName(delta_len)
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("total_dl").cast("long").alias("total_dl"),
+                )
+                .withColumn("applied_batch_id", F.lit(batch_id))
+            )
+            _swap_dir_atomic(new_len.localCheckpoint(), len_dir)
+        postings = spark.read.parquet(post_dir).select(
+            "doc_id", "dl", "tok", "tf"
+        )
+        stats = spark.read.parquet(len_dir).select(
+            F.col("n_docs").cast("double").alias("n_docs"),
+            (F.col("total_dl") / F.col("n_docs")).alias("avgdl"),
+        )
+        _swap_dir_atomic(
+            bm25_score_topk(postings, stats, k).localCheckpoint(), snap_dir
+        )
+
+    (
+        feed.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -2127,3 +2127,98 @@ def test_streaming_spearman_torn_swap_recovers_state(
         for r in spearman_corr_report(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_bm25_stateful_batch_parity(spark, sf_dir, tmp_path):
+    """The TWELFTH stateful twin: the query-term posting list and the
+    corpus totals fold incrementally (abelian sums, each state dir
+    guarded by its own applied_batch_id); the ranking snapshot derives
+    from committed state through the batch operator's own
+    bm25_score_topk projection. Document chunks arrive out of order;
+    the final snapshot must equal bm25_topk exactly — ranks, matched
+    terms, AND scores (avgdl/idf derive from the same exact integer
+    sums) — and a checkpoint replay changes nothing."""
+    from jira_cdc_git_spark.operators.text import bm25_topk
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir).orderBy("doc_id")
+    rows = docs.collect()
+    c1, c2 = len(rows) // 3, 2 * len(rows) // 3
+    feed_dir = str(tmp_path / "feed")
+    for chunk in (rows[c1:c2], rows[:c1], rows[c2:]):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+
+    out_root = str(tmp_path / "bm")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_bm25_topk(spark, feed_dir, docs.schema, ckpt, out_root)
+
+    def snap():
+        return {
+            r["doc_id"]: (r["rank"], r["n_terms"], r["score"])
+            for r in spark.read.parquet(f"{out_root}/bm25").collect()
+        }
+
+    got = snap()
+    want = {
+        r["doc_id"]: (r["rank"], r["n_terms"], r["score"])
+        for r in bm25_topk(spark, sf_dir).collect()
+    }
+    assert got == want
+    # totals state carries the WHOLE corpus (not just matching docs)
+    totals = spark.read.parquet(f"{out_root}/bm25_totals").first()
+    assert totals["n_docs"] == len(rows)
+    # idempotent re-run: same checkpoint, snapshot unchanged
+    streaming_bm25_topk(spark, feed_dir, docs.schema, ckpt, out_root)
+    assert snap() == want
+
+
+def test_streaming_bm25_torn_swap_recovers_state(spark, sf_dir, tmp_path):
+    """Crash in the window where the POSTINGS swap committed but the
+    TOTALS swap did not (only totals .bak survives): the per-dir
+    applied_batch_id guard must re-fold the second half into totals
+    ONLY, and the healed snapshot must equal the batch ranking."""
+    import os
+
+    from jira_cdc_git_spark.operators.text import bm25_topk
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir).orderBy("doc_id")
+    rows = docs.collect()
+    c1 = len(rows) // 2
+    feed_dir = str(tmp_path / "feed")
+    spark.createDataFrame(rows[:c1], docs.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed_dir)
+
+    out_root = str(tmp_path / "bm")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_bm25_topk(spark, feed_dir, docs.schema, ckpt, out_root)
+
+    # simulate the torn swap on BOTH state dirs + the snapshot
+    for dpath in (
+        f"{out_root}/bm25_postings",
+        f"{out_root}/bm25_totals",
+        f"{out_root}/bm25",
+    ):
+        os.replace(dpath, dpath + ".bak")
+
+    spark.createDataFrame(rows[c1:], docs.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed_dir)
+    streaming_bm25_topk(spark, feed_dir, docs.schema, ckpt, out_root)
+
+    totals = spark.read.parquet(f"{out_root}/bm25_totals").first()
+    assert totals["n_docs"] == len(rows)
+    got = {
+        r["doc_id"]: (r["rank"], r["n_terms"], r["score"])
+        for r in spark.read.parquet(f"{out_root}/bm25").collect()
+    }
+    want = {
+        r["doc_id"]: (r["rank"], r["n_terms"], r["score"])
+        for r in bm25_topk(spark, sf_dir).collect()
+    }
+    assert got == want
