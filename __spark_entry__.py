@@ -72,6 +72,11 @@ tail past slot 50, and the displaced names (asserted mechanically, not
 listed here: prose name-lists drifted in r8 and again mid-r9) re-earn
 in the r10 rotation. Every in-window entry was pre-proven green by the
 full-registry sf0.01 diffcheck before shipping.
+Rounds 10-11 rotate through explicit _R{N}_WINDOW lists hoisted by
+_rotated() (the literal below stays in historical order); the r11
+window carries the FINAL staleness tranche — every r4-vintage name
+plus the four r10-displaced ones — so a green CORRECTNESS_r11 leaves
+no oracle-backed entry with pre-r5 driver evidence.
 The registry has 325
 entries: 317 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
