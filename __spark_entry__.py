@@ -77,8 +77,8 @@ _rotated() (the literal below stays in historical order); the r11
 window carries the FINAL staleness tranche — every r4-vintage name
 plus the four r10-displaced ones — so a green CORRECTNESS_r11 leaves
 no oracle-backed entry with pre-r5 driver evidence.
-The registry has 325
-entries: 317 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 326
+entries: 318 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -153,6 +153,7 @@ _R11_WINDOW = [
     "repeated_substring_report",
     "rbo_ranking_agreement",
     "wasserstein_drift_report",
+    "bigram_entropy_rate",
     # changed-code re-earns
     "spearman_corr_report",
     "benford_deviation_report",
@@ -220,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_substring_report": T.repeated_substring_report,
         "rbo_ranking_agreement": T.rbo_ranking_agreement,
         "wasserstein_drift_report": T.wasserstein_drift_report,
+        "bigram_entropy_rate": T.bigram_entropy_rate,
         # ===== Round-10 additions =====
         "edit_distance_neardup": T.edit_distance_neardup,
         "split_contamination_report": T.split_contamination_report,
@@ -8664,6 +8666,43 @@ _ORACLES["wasserstein_drift_report"] = """
                  / (CAST(n_src AS DOUBLE) * n_tot) * 10000 + 0.5) / 10000
              AS w1_chars
     FROM terms GROUP BY source, n_src, n_tot ORDER BY source"""
+
+
+# Mirrors operators/text.bigram_entropy_rate: token bigrams via the
+# 1-based list comprehension (DuckDB lists index from 1, matching
+# Spark's element_at), window marginals over the distinct-bigram frame,
+# each p*ln(c_a/c_ab) term floored to micro-units before the per-lang
+# integer sum, ppl = exp of the unit-sum ratio.
+_ORACLES["bigram_entropy_rate"] = """
+    WITH t AS (
+        SELECT lang, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+    ), big AS (
+        SELECT lang,
+               unnest([{'a': toks[x], 'b': toks[x + 1]}
+                       for x in range(1, len(toks))],
+                      recursive := true)
+        FROM t
+    ), cnt AS (
+        SELECT lang, a, b, CAST(count(*) AS BIGINT) AS n
+        FROM big GROUP BY 1, 2, 3
+    ), terms AS (
+        SELECT lang, a, n,
+               CAST(floor(
+                   n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)
+                   * ln(CAST(sum(n) OVER (PARTITION BY lang, a) AS DOUBLE)
+                        / n)
+                   * 1000000) AS BIGINT) AS t
+        FROM cnt
+    )
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(count(DISTINCT a) AS BIGINT) AS n_contexts,
+           floor(sum(t) / 1000000.0 * 1000000 + 0.5) / 1000000
+             AS cond_entropy,
+           floor(exp(sum(t) / 1000000.0) * 10000 + 0.5) / 10000 AS ppl
+    FROM terms GROUP BY lang ORDER BY lang"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -300,6 +300,7 @@ BENCH_QUERIES = [
     "repeated_substring_report",
     "rbo_ranking_agreement",
     "wasserstein_drift_report",
+    "bigram_entropy_rate",
 ]
 
 
@@ -810,6 +811,7 @@ SCALE_PROBE_QUERIES = [
     "repeated_substring_report",
     "rbo_ranking_agreement",
     "wasserstein_drift_report",
+    "bigram_entropy_rate",
 ]
 
 

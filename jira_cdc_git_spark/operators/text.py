@@ -5049,6 +5049,72 @@ def rbo_ranking_agreement(
     )
 
 
+def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language conditional token-bigram entropy rate
+    H(next|prev) = Σ p(a,b)·ln(c_a/c_ab) — the corpus-complexity
+    monitor of an LLM-data pipeline (entropy rate tracks
+    compressibility: a feed of templated/boilerplate text reads low, a
+    healthy natural-language mix reads high; a sudden drop per lang
+    flags machine-generated or deduplicated-to-death intake), reported
+    with its branching-factor form ppl = e^H. Complements the
+    unconditional monitors (char_entropy_report, source_lang_entropy)
+    and the per-doc bigram_surprisal: this is the LANGUAGE-level
+    sequence statistic. Per lang: bigram mass, distinct contexts,
+    cond_entropy (nats), ppl.
+
+    CROSS-ENGINE DETERMINISM: each p·ln(c_a/c_ab) term is a
+    fixed-shape IEEE expression over exact counts, floored to
+    micro-units BEFORE the per-lang integer sum (the
+    entropy_from_pairs discipline); ppl is one exp() of the unit-sum
+    ratio.
+
+    100 TB shape: one explode + (lang, a, b) partial agg bounds
+    everything to the distinct-bigram frame (vocab²-bounded, never
+    corpus-scale); the marginals are windows over that bounded frame."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    toks = docs.select(
+        "lang", TX.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    big = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS a,"
+                " element_at(toks, i + 1) AS b))"
+            )
+        ).alias("p"),
+    ).select("lang", "p.a", "p.b")
+    cnt = big.groupBy("lang", "a", "b").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w_lang = Window.partitionBy("lang")
+    w_ctx = Window.partitionBy("lang", "a")
+    p = F.col("n") / F.sum("n").over(w_lang)
+    term_u = F.floor(
+        p * F.log(F.sum("n").over(w_ctx) / F.col("n")) * 1_000_000
+    ).cast("long")
+    agg = (
+        cnt.select("lang", "a", "n", term_u.alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.countDistinct("a").cast("long").alias("n_contexts"),
+            F.sum("t").alias("h_u"),
+        )
+    )
+    h = F.col("h_u") / F.lit(1_000_000.0)
+    return agg.select(
+        "lang",
+        "n_bigrams",
+        "n_contexts",
+        TX.round_half_up(h, 6).alias("cond_entropy"),
+        TX.round_half_up(F.exp(h), 4).alias("ppl"),
+    ).orderBy("lang")
+
+
 def packing_efficiency_report(
     spark: SparkSession,
     sf_dir: str,
@@ -6096,12 +6162,21 @@ def wasserstein_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on the |distinct lengths| × |sources| grid — bounded by the
     length domain, never the doc count; term products accumulate in
     DECIMAL(38,0) (oracle: HUGEINT), one IEEE division per source."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, "documents", sf_dir)
     hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count("*").cast("long").alias("c")
     )
+    return wasserstein_from_length_counts(hist)
+
+
+def wasserstein_from_length_counts(hist: DataFrame) -> DataFrame:
+    """W1-drift projection from a (source, v, c) length histogram —
+    shared by the batch operator and streaming_length_drift, whose
+    committed histogram state now feeds BOTH drift monitors (KS through
+    drift_from_length_counts, W1 through this), so the streaming
+    snapshots agree with both batch reports by construction."""
+    from pyspark.sql import Window
+
     per_v = hist.groupBy("v").agg(F.sum("c").cast("long").alias("ct"))
     n_s = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
     n_tot = hist.agg(F.sum("c").cast("long").alias("n_tot"))

@@ -2256,11 +2256,15 @@ def streaming_length_drift(
     work lives entirely in the snapshot projection."""
     import os
 
-    from jira_cdc_git_spark.operators.text import drift_from_length_counts
+    from jira_cdc_git_spark.operators.text import (
+        drift_from_length_counts,
+        wasserstein_from_length_counts,
+    )
     from jira_cdc_git_spark.state import _recover_dir, _swap_dir_atomic
 
     state_dir = f"{out_root}/lendrift_state"
     snap_dir = f"{out_root}/lendrift"
+    w1_dir = f"{out_root}/w1drift"
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -2298,6 +2302,14 @@ def streaming_length_drift(
         committed = spark.read.parquet(state_dir).select("source", "v", "c")
         _swap_dir_atomic(
             drift_from_length_counts(committed).localCheckpoint(), snap_dir
+        )
+        # the SAME committed histogram feeds the second drift monitor:
+        # W1 is just another projection of the state, so the continuous
+        # KS and earth-mover monitors can never disagree about the data
+        _recover_dir(w1_dir)
+        _swap_dir_atomic(
+            wasserstein_from_length_counts(committed).localCheckpoint(),
+            w1_dir,
         )
 
     (

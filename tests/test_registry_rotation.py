@@ -71,8 +71,8 @@ def test_unproven_entries_fit_driver_window():
 def test_registry_counts_match_docstring():
     names = list(E.queries())
     oracles = set(E.oracle_sql())
-    assert len(names) == 325
-    assert len(oracles) == 317
+    assert len(names) == 326
+    assert len(oracles) == 318
     assert set(oracles) <= set(names)
 
 

@@ -1980,6 +1980,20 @@ def test_streaming_length_drift_stateful_batch_parity(
         for r in length_drift_by_source(spark, sf_dir).collect()
     }
     assert got == want
+    # the SAME committed histogram feeds the W1 monitor: the second
+    # snapshot must equal wasserstein_drift_report exactly (one state,
+    # two drift projections that can never disagree)
+    from jira_cdc_git_spark.operators.text import wasserstein_drift_report
+
+    got_w1 = {
+        r["source"]: (r["n_docs"], r["w1_chars"])
+        for r in spark.read.parquet(f"{out_root}/w1drift").collect()
+    }
+    want_w1 = {
+        r["source"]: (r["n_docs"], r["w1_chars"])
+        for r in wasserstein_drift_report(spark, sf_dir).collect()
+    }
+    assert got_w1 == want_w1
 
 
 def test_streaming_association_rules_stateful_batch_parity(
