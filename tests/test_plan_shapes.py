@@ -973,3 +973,34 @@ def test_repeated_substring_joins_on_gram_key_no_cartesian(spark, sf_dir):
     # partitions by (pair, diag) over candidate mass only
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rbo_grid_and_lists_broadcast(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.rbo_ranking_agreement(spark, sf_dir))
+    # the <= k-row rank intersection enters the k-row weight grid as a
+    # broadcast; both rankers ride their posting-scoped top-k plans
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wasserstein_runs_on_length_grid(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.wasserstein_drift_report(spark, sf_dir))
+    # text is never read: the scan projects only (source, n_chars)
+    assert "text" not in plan.split("ReadSchema")[-1].split("\n")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_entropy_aggregates_before_windows(spark, sf_dir):
+    from jira_cdc_git_spark.operators import text as T
+
+    plan = _plan(T.bigram_entropy_rate(spark, sf_dir))
+    # the corpus-scale work is the (lang, a, b) hash aggregate; the
+    # marginal windows run over that vocab^2-bounded frame, and no
+    # join or product appears anywhere in the plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan

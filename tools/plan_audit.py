@@ -296,6 +296,27 @@ AUDITS = [
         "CartesianProduct, no suffix sort; the diagonal-island window "
         "partitions by (pair, diag) over candidate mass only.",
     ),
+    (
+        "wasserstein_drift_report",
+        "The scan projects only (source, n_chars) — text never leaves "
+        "parquet; everything past the count agg runs on the |distinct "
+        "lengths| x |sources| grid, with the W1 area terms summed in "
+        "decimal(38,0) and one IEEE division per source.",
+    ),
+    (
+        "bigram_entropy_rate",
+        "One explode + (lang, a, b) hash aggregate is the only corpus-"
+        "scale stage; the marginal windows and the per-lang fold run "
+        "over the vocab^2-bounded distinct-bigram frame — the plan has "
+        "NO join at all.",
+    ),
+    (
+        "rbo_ranking_agreement",
+        "Both rankers compile to their posting-scoped top-k plans "
+        "(TakeOrderedAndProject); the agreement math joins two <= k-row "
+        "lists against a broadcast k-row weight grid — nothing past the "
+        "rankers scales with the corpus.",
+    ),
 ]
 
 MAX_LINES = 58
