@@ -72,11 +72,16 @@ tail past slot 50, and the displaced names (asserted mechanically, not
 listed here: prose name-lists drifted in r8 and again mid-r9) re-earn
 in the r10 rotation. Every in-window entry was pre-proven green by the
 full-registry sf0.01 diffcheck before shipping.
-Rounds 10-11 rotate through explicit _R{N}_WINDOW lists hoisted by
-_rotated() (the literal below stays in historical order); the r11
-window carries the FINAL staleness tranche — every r4-vintage name
-plus the four r10-displaced ones — so a green CORRECTNESS_r11 leaves
-no oracle-backed entry with pre-r5 driver evidence.
+Rounds 10-11 rotated through explicit _R{N}_WINDOW lists; a green
+CORRECTNESS_r11 left no oracle-backed entry with pre-r5 driver
+evidence, retiring the one-time backlog. From round 12 the window is
+a STANDING POLICY, not a hand list: pinned names (additions +
+changed-code re-earns) lead, never-green entries follow, and the
+spare slots fill with the oldest-newest-green names DERIVED from the
+committed CORRECTNESS artifacts (see _rotated below; asserted by
+tests/test_registry_rotation.py). Evidence staleness is thereby
+bounded by construction — no future round can re-accumulate the
+backlog rounds 10-11 paid down.
 The registry has 326
 entries: 318 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
@@ -133,85 +138,85 @@ def entry(spark: SparkSession) -> DataFrame:
     return R.pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-#: Round-11 driver window (slots 1-50), applied MECHANICALLY over the
-#: registry literal by _rotated() below: CORRECTNESS_r10 was 50/50
-#: fully green, freeing the whole window. Composition = the r11
-#: additions (cross-doc repeated-substring dedup) + the operators whose
-#: CODE changed this round (the spearman half-unit/decimal + cents-
-#: pearson rewrite, the benford single-pass plan, the regenerated
-#: edit-distance oracle) + the FINAL staleness tranche: all 39 entries
-#: whose newest fully-green driver row is r4 plus the 4 names displaced
-#: from the r10 window (incremental_modified_only /
-#: incremental_project_scoped / ivf_recall_report /
-#: jql_preview_breakdowns) — after this round lands green, no
-#: oracle-backed entry's newest driver row predates r5 and the
-#: standing rotation item retires (r10 verdict task 1).
-#: The literal's historical order below is untouched; _rotated()
-#: hoists the window so prose never has to re-count displaced slots.
-_R11_WINDOW = [
-    # r11 additions
-    "repeated_substring_report",
-    "rbo_ranking_agreement",
-    "wasserstein_drift_report",
+#: Standing rotation policy (r11 verdict What's-missing #1). The
+#: driver checks only the FIRST 50 ``queries()`` entries per round, so
+#: the window each round = (a) this round's pinned names — new
+#: additions and operators whose CODE changed, which must (re-)earn a
+#: driver row — then (b) any entry with NO green driver row yet, then
+#: (c) a stale-evidence fill DERIVED from the committed
+#: CORRECTNESS_r*.json artifacts: the entries whose NEWEST green row is
+#: oldest, oldest round first, alphabetical within a round. No more
+#: hand-built _R{N}_WINDOW lists (r10/r11) — the fill recomputes
+#: itself every round from the artifacts, so evidence staleness is
+#: bounded by |registry|/spare-slots rounds by construction.
+#: tests/test_registry_rotation.py asserts the composition.
+_R12_PINNED = [
+    # r12 additions (first-green candidates)
+    "kn_discount_table",
+    "kn_perplexity_report",
+    "quality_lr_train",
+    "quality_lr_score",
+    "quality_lr_calibration",
+    # changed-code re-earns: the bigram-entropy marginals moved from
+    # per-lang windows to distributed groupBy+join (r11 What's-wrong #3)
     "bigram_entropy_rate",
-    # changed-code re-earns
-    "spearman_corr_report",
-    "benford_deviation_report",
-    "edit_distance_neardup",
-    # the 4 names displaced from the r10 window
-    "incremental_modified_only",
-    "incremental_project_scoped",
-    "ivf_recall_report",
-    "jql_preview_breakdowns",
-    # the 39 r4-stale entries (newest green row r4), alphabetical
-    "admission_report",
-    "asof_within_tolerance",
-    "bloom_decontaminate",
-    "bpe_train_merges",
-    "broken_link_edges",
-    "curation_funnel_report",
-    "domain_mixture_weights",
-    "dq_report",
-    "duplicate_spans",
-    "epic_discovery_custom_field",
-    "epic_discovery_hybrid",
-    "funnel_conversion",
-    "funnel_summary",
-    "hybrid_discovery",
-    "ivm_status_counts",
-    "jql_changed_status",
-    "jql_project_active",
-    "jql_start_of_week",
-    "jql_was_in_progress",
-    "jql_was_open_after",
-    "key_skew_report",
-    "lsh_recall_report",
-    "mixture_resample",
-    "pagerank_links",
-    "pq_recall_report",
-    "pq_rerank_topk",
-    "pq_topk",
-    "quality_by_source",
-    "range_join_concurrency",
-    "scd2_status_history",
-    "sequence_packing",
-    "sq8_recall_report",
-    "sq8_topk",
-    "strip_duplicate_spans",
-    "unpivot_pricing",
-    "value_anomalies",
-    "value_histogram",
-    "winsorized_stats",
-    "zorder_skipping_report",
 ]
+
+_DRIVER_WINDOW = 50
+
+
+def _newest_green_rounds() -> dict[str, int]:
+    """name -> newest round whose committed CORRECTNESS row is fully
+    green (rows+schema+hash; for no-oracle entries a clean rows-only
+    run — the strongest check the driver defines for them)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    newest: dict[str, int] = {}
+    for f in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int(_re.search(r"_r(\d+)\.json$", f).group(1))
+        try:
+            with open(f) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                newest[name] = max(newest.get(name, 0), rnd)
+    return newest
 
 
 def _rotated(q: dict) -> dict:
-    """Hoist the current round's driver window to slots 1-50, keeping
-    every other entry in its historical literal order (the driver
-    checks only the first 50 queries() entries per round)."""
-    win = [n for n in _R11_WINDOW if n in q]
-    rest = [n for n in q if n not in set(_R11_WINDOW)]
+    """Hoist the derived driver window to slots 1-50, keeping every
+    other entry in its historical literal order. Never raises: if the
+    artifacts are unreadable the pinned names still lead and the rest
+    keep literal order."""
+    try:
+        newest = _newest_green_rounds()
+    except Exception:
+        newest = {}
+    pinned = [n for n in _R12_PINNED if n in q]
+    taken = set(pinned)
+    unproven = [n for n in q if n not in newest and n not in taken]
+    taken.update(unproven)
+    fill = sorted(
+        (n for n in q if n not in taken),
+        key=lambda n: (newest[n], n),
+    )
+    win = (pinned + unproven + fill)[:_DRIVER_WINDOW]
+    rest = [n for n in q if n not in set(win)]
     return {n: q[n] for n in [*win, *rest]}
 
 

@@ -572,7 +572,11 @@ def main() -> None:
     # should be read against it.
     import statistics as _st
 
-    sentinel_last = _sentinel_pass()
+    # estimate the END the same way as the START — min of two passes —
+    # so drift_ratio_median is not biased upward by single-pass noise
+    # (r11 advice: asymmetric estimators read steady VMs as drifting)
+    _end_a, _end_b = _sentinel_pass(), _sentinel_pass()
+    sentinel_last = {k: min(_end_a[k], _end_b[k]) for k in SENTINEL_QUERIES}
     drift = [
         sentinel_last[k] / sentinel_first[k]
         for k in SENTINEL_QUERIES

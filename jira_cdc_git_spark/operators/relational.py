@@ -2645,7 +2645,11 @@ def spearman_corr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, mirroring the oracle's HUGEINT), so partial-
     aggregation order can never perturb a digit; each statistic is one
     fixed-shape IEEE divide at the end, micro-rounded. Headroom: the
-    largest term is n·Σ(2u)² ≤ 4n⁴ < 10³⁸ up to n ≈ 4·10⁹ rows.
+    largest term is n·Σ(2u)² ≤ 4n⁴, and 4n⁴ < 10³⁸ only up to
+    n ≈ 2.2·10⁹ rows ((10³⁸/4)^¼ ≈ 2.24·10⁹); past that the moment
+    products overflow DECIMAL(38,0) and non-ANSI Spark yields NULL
+    statistics silently — at that scale pre-aggregate or shard the
+    rank space before folding (r11 advice).
 
     100 TB shape: one orderkey count agg (map-side combinable) + one
     broadcast-free join pushed to the same key, two rank windows over

@@ -5070,9 +5070,13 @@ def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one explode + (lang, a, b) partial agg bounds
     everything to the distinct-bigram frame (vocab²-bounded, never
-    corpus-scale); the marginals are windows over that bounded frame."""
-    from pyspark.sql import Window
-
+    corpus-scale); the marginals are plain distributed aggregates —
+    groupBy("lang") for Σn (a |langs|-row broadcast join back) and
+    groupBy("lang","a") for the context totals (a hash-partitioned
+    join on (lang, a)) — NOT partitionBy("lang") windows, which would
+    sort one language's entire distinct-bigram vocabulary (O(10⁹⁺)
+    rows for English at 100 TB) inside a single task (r11 verdict
+    What's-wrong #3)."""
     docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
     toks = docs.select(
         "lang", TX.tokens(F.col("text")).alias("toks")
@@ -5090,14 +5094,17 @@ def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = big.groupBy("lang", "a", "b").agg(
         F.count("*").cast("long").alias("n")
     )
-    w_lang = Window.partitionBy("lang")
-    w_ctx = Window.partitionBy("lang", "a")
-    p = F.col("n") / F.sum("n").over(w_lang)
+    tot = cnt.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
+    ctx = cnt.groupBy("lang", "a").agg(
+        F.sum("n").cast("long").alias("n_ctx")
+    )
+    joined = cnt.join(ctx, ["lang", "a"]).join(F.broadcast(tot), "lang")
+    p = F.col("n") / F.col("n_lang")
     term_u = F.floor(
-        p * F.log(F.sum("n").over(w_ctx) / F.col("n")) * 1_000_000
+        p * F.log(F.col("n_ctx") / F.col("n")) * 1_000_000
     ).cast("long")
     agg = (
-        cnt.select("lang", "a", "n", term_u.alias("t"))
+        joined.select("lang", "a", "n", term_u.alias("t"))
         .groupBy("lang")
         .agg(
             F.sum("n").cast("long").alias("n_bigrams"),

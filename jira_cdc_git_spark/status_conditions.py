@@ -154,9 +154,21 @@ def printer_columns(job: dict) -> dict:
     total = prog.get("total_operations") or 0
     duration = None
     if job.get("started_at") and job.get("completed_at"):
-        t0 = datetime.fromisoformat(job["started_at"])
-        t1 = datetime.fromisoformat(job["completed_at"])
-        duration = f"{(t1 - t0).total_seconds():.1f}s"
+        # external/CRD-sourced timestamps may be 'Z'-suffixed, which
+        # datetime.fromisoformat rejects before Python 3.11 — normalize
+        # rather than let one malformed row break the whole job-list
+        # response (r11 advice)
+        def _ts(s: str):
+            return datetime.fromisoformat(
+                s[:-1] + "+00:00" if s.endswith("Z") else s
+            )
+
+        try:
+            t0 = _ts(job["started_at"])
+            t1 = _ts(job["completed_at"])
+            duration = f"{(t1 - t0).total_seconds():.1f}s"
+        except ValueError:
+            duration = None
     return {
         "type": job.get("type"),
         "phase": job.get("status"),

@@ -1457,6 +1457,12 @@ def streaming_cusum(
         )
         _swap_dir_atomic(new_state.localCheckpoint(), state_dir)
 
+    # heal a torn final swap BEFORE waiting for data: a crash
+    # between _swap_dir_atomic's two renames leaves only .bak,
+    # and under availableNow no recovery would run until the
+    # next nonempty batch arrives (r11 advice)
+    for _d in (state_dir,):
+        _recover_dir(_d)
     (
         feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)
@@ -1564,6 +1570,12 @@ def streaming_debounce(
         )
         _swap_dir_atomic(merged.localCheckpoint(), state_dir)
 
+    # heal a torn final swap BEFORE waiting for data: a crash
+    # between _swap_dir_atomic's two renames leaves only .bak,
+    # and under availableNow no recovery would run until the
+    # next nonempty batch arrives (r11 advice)
+    for _d in (state_dir,):
+        _recover_dir(_d)
     (
         feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)
@@ -1707,6 +1719,12 @@ def streaming_rolling_median(
         )
         _swap_dir_atomic(new_state.localCheckpoint(), state_dir)
 
+    # heal a torn final swap BEFORE waiting for data: a crash
+    # between _swap_dir_atomic's two renames leaves only .bak,
+    # and under availableNow no recovery would run until the
+    # next nonempty batch arrives (r11 advice)
+    for _d in (state_dir,):
+        _recover_dir(_d)
     (
         feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)
@@ -1850,6 +1868,12 @@ def streaming_transition_entropy(
             entropy_from_pairs(pairs_now).localCheckpoint(), snap_dir
         )
 
+    # heal a torn final swap BEFORE waiting for data: a crash
+    # between _swap_dir_atomic's two renames leaves only .bak,
+    # and under availableNow no recovery would run until the
+    # next nonempty batch arrives (r11 advice)
+    for _d in (state_dir, snap_dir):
+        _recover_dir(_d)
     (
         feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)
@@ -1939,6 +1963,12 @@ def streaming_autocorrelation(
             acf_from_hourly(committed).localCheckpoint(), snap_dir
         )
 
+    # heal a torn final swap BEFORE waiting for data: a crash
+    # between _swap_dir_atomic's two renames leaves only .bak,
+    # and under availableNow no recovery would run until the
+    # next nonempty batch arrives (r11 advice)
+    for _d in (state_dir, snap_dir):
+        _recover_dir(_d)
     (
         feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)
@@ -2026,6 +2056,12 @@ def streaming_benford(
             benford_from_digit_counts(committed).localCheckpoint(), snap_dir
         )
 
+    # heal a torn final swap BEFORE waiting for data: a crash
+    # between _swap_dir_atomic's two renames leaves only .bak,
+    # and under availableNow no recovery would run until the
+    # next nonempty batch arrives (r11 advice)
+    for _d in (state_dir, snap_dir):
+        _recover_dir(_d)
     (
         feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)
@@ -2131,6 +2167,12 @@ def streaming_gap_fill_locf(
             locf_from_hourly(committed).localCheckpoint(), snap_dir
         )
 
+    # heal a torn final swap BEFORE waiting for data: a crash
+    # between _swap_dir_atomic's two renames leaves only .bak,
+    # and under availableNow no recovery would run until the
+    # next nonempty batch arrives (r11 advice)
+    for _d in (state_dir, snap_dir):
+        _recover_dir(_d)
     (
         feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)
@@ -2222,6 +2264,12 @@ def streaming_hill_tail(
             hill_from_top(committed).localCheckpoint(), snap_dir
         )
 
+    # heal a torn final swap BEFORE waiting for data: a crash
+    # between _swap_dir_atomic's two renames leaves only .bak,
+    # and under availableNow no recovery would run until the
+    # next nonempty batch arrives (r11 advice)
+    for _d in (state_dir, snap_dir):
+        _recover_dir(_d)
     (
         feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)
@@ -2312,6 +2360,12 @@ def streaming_length_drift(
             w1_dir,
         )
 
+    # heal a torn final swap BEFORE waiting for data: a crash
+    # between _swap_dir_atomic's two renames leaves only .bak,
+    # and under availableNow no recovery would run until the
+    # next nonempty batch arrives (r11 advice)
+    for _d in (state_dir, snap_dir, w1_dir):
+        _recover_dir(_d)
     (
         feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)
@@ -2387,6 +2441,12 @@ def streaming_association_rules(
             rules_from_baskets(committed).localCheckpoint(), snap_dir
         )
 
+    # heal a torn final swap BEFORE waiting for data: a crash
+    # between _swap_dir_atomic's two renames leaves only .bak,
+    # and under availableNow no recovery would run until the
+    # next nonempty batch arrives (r11 advice)
+    for _d in (state_dir, snap_dir):
+        _recover_dir(_d)
     (
         feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)
@@ -2479,6 +2539,12 @@ def streaming_spearman(
             snap_dir,
         )
 
+    # heal a torn final swap BEFORE waiting for data: a crash
+    # between _swap_dir_atomic's two renames leaves only .bak,
+    # and under availableNow no recovery would run until the
+    # next nonempty batch arrives (r11 advice)
+    for _d in (state_dir, snap_dir):
+        _recover_dir(_d)
     (
         feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)
@@ -2597,6 +2663,12 @@ def streaming_bm25_topk(
             bm25_score_topk(postings, stats, k).localCheckpoint(), snap_dir
         )
 
+    # heal a torn final swap BEFORE waiting for data: a crash
+    # between _swap_dir_atomic's two renames leaves only .bak,
+    # and under availableNow no recovery would run until the
+    # next nonempty batch arrives (r11 advice)
+    for _d in (post_dir, len_dir, snap_dir):
+        _recover_dir(_d)
     (
         feed.writeStream.foreachBatch(_step)
         .option("checkpointLocation", checkpoint_dir)

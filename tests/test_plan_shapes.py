@@ -1000,7 +1000,11 @@ def test_bigram_entropy_aggregates_before_windows(spark, sf_dir):
 
     plan = _plan(T.bigram_entropy_rate(spark, sf_dir))
     # the corpus-scale work is the (lang, a, b) hash aggregate; the
-    # marginal windows run over that vocab^2-bounded frame, and no
-    # join or product appears anywhere in the plan
+    # marginals are distributed groupBy aggregates joined back — the
+    # |langs|-row Σn side as a broadcast, the (lang, a) context totals
+    # hash-partitioned — NOT partitionBy("lang") windows, which would
+    # sort an entire language's distinct-bigram vocabulary in one task
+    # (r11 verdict What's-wrong #3)
     assert "CartesianProduct" not in plan
-    assert "Join" not in plan
+    assert "BroadcastHashJoin" in plan  # the |langs|-row Σn side
+    assert "Window" not in plan  # no single-task per-lang sort

@@ -68,6 +68,64 @@ def test_unproven_entries_fit_driver_window():
     )
 
 
+def test_standing_rotation_fills_window_with_stalest_evidence():
+    """r11 verdict What's-missing #1: the window is now a STANDING
+    policy — pinned (additions + changed-code) first, never-green
+    next, then the oldest-newest-green fill derived from the committed
+    artifacts. Re-derive the expected composition independently from
+    the artifacts and assert the actual window equals it, so a future
+    hand edit that strands stale evidence fails loudly."""
+    names = list(E.queries())
+    window = names[:DRIVER_WINDOW]
+    oracles = set(E.oracle_sql())
+    rows = _rows()
+
+    newest: dict[str, int] = {}
+    import re
+
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        with open(f) as fh:
+            for name, row in json.load(fh).items():
+                green = (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                    and not row.get("err")
+                ) or (
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                )
+                if green:
+                    newest[name] = max(newest.get(name, 0), rnd)
+
+    pinned = [n for n in E._R12_PINNED if n in names]
+    taken = set(pinned)
+    unproven = [n for n in names if n not in newest and n not in taken]
+    taken.update(unproven)
+    fill = sorted(
+        (n for n in names if n not in taken),
+        key=lambda n: (newest[n], n),
+    )
+    expected = (pinned + unproven + fill)[:DRIVER_WINDOW]
+    assert window == expected, (
+        "queries() slots 1-50 must equal pinned + never-green + "
+        "stalest-evidence fill (standing rotation policy)"
+    )
+    # every pinned or never-green name must actually fit — otherwise
+    # the round adds more debt than the window can prove
+    assert len(pinned) + len(unproven) <= DRIVER_WINDOW
+    # and the fill must leave no STALER name outside the window than
+    # any non-pinned name inside it (the no-strand property)
+    in_fill = [n for n in window if n in set(fill)]
+    out_fill = [n for n in fill if n not in set(window)]
+    if in_fill and out_fill:
+        assert max(newest[n] for n in in_fill) <= min(
+            newest[n] for n in out_fill
+        )
+    _ = oracles, rows  # independence of the oracle split is deliberate
+
+
 def test_registry_counts_match_docstring():
     names = list(E.queries())
     oracles = set(E.oracle_sql())

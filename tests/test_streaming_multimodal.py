@@ -1996,6 +1996,51 @@ def test_streaming_length_drift_stateful_batch_parity(
     assert got_w1 == want_w1
 
 
+def test_streaming_torn_final_swap_heals_without_new_data(
+    spark, sf_dir, tmp_path
+):
+    """A crash inside the FINAL snapshot swap of a run (live dir moved
+    to .bak, tmp not yet renamed in) used to strand readers until the
+    next NONEMPTY batch arrived, because recovery only ran inside
+    _step (r11 advice). The twins now heal all their dirs once at
+    stream start — so a restart with NO new data (availableNow fires
+    no batch) must restore every torn dir."""
+    import os
+
+    from jira_cdc_git_spark.sources.registry import load_table
+    from jira_cdc_git_spark.streaming.pipeline import streaming_length_drift
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("source", "n_chars", "doc_id")
+        .limit(200)
+    )
+    docs_dir = str(tmp_path / "feed")
+    docs.coalesce(1).write.mode("append").parquet(docs_dir)
+    out_root = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_length_drift(spark, docs_dir, docs.schema, ckpt, out_root)
+
+    w1_dir = f"{out_root}/w1drift"
+    want = {
+        (r["source"], r["n_docs"], r["w1_chars"])
+        for r in spark.read.parquet(w1_dir).collect()
+    }
+    # torn final swap: the W1 snapshot (written LAST in _step) is gone,
+    # only .bak remains
+    os.replace(w1_dir, w1_dir + ".bak")
+
+    # restart with the SAME checkpoint and no new files: no batch fires
+    streaming_length_drift(spark, docs_dir, docs.schema, ckpt, out_root)
+
+    assert os.path.isdir(w1_dir), "pre-start recovery must restore .bak"
+    got = {
+        (r["source"], r["n_docs"], r["w1_chars"])
+        for r in spark.read.parquet(w1_dir).collect()
+    }
+    assert got == want
+
+
 def test_streaming_association_rules_stateful_batch_parity(
     spark, sf_dir, tmp_path
 ):

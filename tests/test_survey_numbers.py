@@ -23,11 +23,48 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOKEN = re.compile(r"`([a-z0-9_]+)=([0-9]+\.[0-9]+)s@r(\d+)`")
+# sf1 scale-probe ratio claims (unitless): `name=N.NNx@rNN` resolves
+# via payload["sf1"]["ratio_vs_base"][name] (r11 verdict task: extend
+# the token discipline beyond per-query seconds)
+RATIO_TOKEN = re.compile(r"`([a-z0-9_]+)=([0-9]+\.[0-9]+)x@r(\d+)`")
+# composed-sync metrics live under payload["sync"][name]["sec"], not
+# payload["queries"]
+SYNC_PREFIXES = ("sync_", "git_materialize", "git_fan_out", "admission_")
 
 
 def _survey() -> str:
     with open(os.path.join(REPO, "SURVEY.md")) as fh:
         return fh.read()
+
+
+def _committed_artifact(rnd: int) -> dict:
+    """The tokens pin the COMMITTED bench artifact. The round driver
+    re-runs bench post-commit and overwrites the worktree copy, so
+    reading the worktree file makes the suite fail on a clean checkout
+    whose only dirt is the driver's own re-run (r11 verdict
+    What's-wrong #1). Prefer `git show HEAD:<file>`; fall back to the
+    worktree copy when the file is not yet committed (mid-round, the
+    freshly produced artifact of the CURRENT round) or git is absent."""
+    import subprocess
+
+    name = f"BENCH_LOCAL_r{rnd:02d}.json"
+    try:
+        blob = subprocess.run(
+            ["git", "show", f"HEAD:{name}"],
+            cwd=REPO,
+            capture_output=True,
+            timeout=30,
+        )
+        if blob.returncode == 0:
+            return json.loads(blob.stdout)
+    except (OSError, subprocess.TimeoutExpired, ValueError):
+        pass
+    art = os.path.join(REPO, name)
+    if not os.path.exists(art):
+        pytest.fail(f"token cites r{rnd} but {name} is neither committed "
+                    "nor in the worktree")
+    with open(art) as fh:
+        return json.load(fh)
 
 
 def test_survey_timing_tokens_match_committed_artifacts():
@@ -37,17 +74,37 @@ def test_survey_timing_tokens_match_committed_artifacts():
         "as machine-checkable tokens"
     )
     for name, cited, rnd in tokens:
-        art = os.path.join(REPO, f"BENCH_LOCAL_r{int(rnd):02d}.json")
-        if not os.path.exists(art):
-            pytest.fail(f"token cites r{rnd} but {art} does not exist")
-        with open(art) as fh:
-            queries = json.load(fh)["queries"]
-        assert name in queries, f"{name} not in {os.path.basename(art)}"
+        payload = _committed_artifact(int(rnd))
+        if name.startswith(SYNC_PREFIXES):
+            sync = payload.get("sync", {})
+            assert name in sync, f"{name} not in r{rnd} sync block"
+            actual = sync[name]["sec"]
+        else:
+            queries = payload["queries"]
+            assert name in queries, f"{name} not in r{rnd} queries"
+            actual = queries[name]
         decimals = len(cited.split(".")[1])
-        assert round(queries[name], decimals) == float(cited), (
+        assert round(actual, decimals) == float(cited), (
             f"SURVEY cites {name}={cited}s@r{rnd} but the committed "
-            f"artifact reads {queries[name]} — update the prose or "
+            f"artifact reads {actual} — update the prose or "
             "re-run bench"
+        )
+
+
+def test_survey_ratio_tokens_match_committed_artifacts():
+    tokens = RATIO_TOKEN.findall(_survey())
+    assert len(tokens) >= 1, (
+        "probe-ratio claims must be cited as machine-checkable "
+        "`name=N.NNx@rNN` tokens (r11 verdict What's-wrong #4)"
+    )
+    for name, cited, rnd in tokens:
+        payload = _committed_artifact(int(rnd))
+        ratios = payload.get("sf1", {}).get("ratio_vs_base", {})
+        assert name in ratios, f"{name} not in r{rnd} sf1.ratio_vs_base"
+        decimals = len(cited.split(".")[1])
+        assert round(ratios[name], decimals) == float(cited), (
+            f"SURVEY cites {name}={cited}x@r{rnd} but the committed "
+            f"probe reads {ratios[name]}"
         )
 
 
