@@ -82,8 +82,8 @@ committed CORRECTNESS artifacts (see _rotated below; asserted by
 tests/test_registry_rotation.py). Evidence staleness is thereby
 bounded by construction — no future round can re-accumulate the
 backlog rounds 10-11 paid down.
-The registry has 326
-entries: 318 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 331
+entries: 323 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -130,6 +130,7 @@ from jira_cdc_git_spark.operators import security as SEC
 from jira_cdc_git_spark.operators import text as T
 from jira_cdc_git_spark.operators import timeseries as TS
 from jira_cdc_git_spark.operators import vectors as V
+from jira_cdc_git_spark.operators import lm as LM
 from jira_cdc_git_spark.streaming import pipeline as SP
 
 
@@ -222,6 +223,12 @@ def _rotated(q: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
+        # ===== Round-12 additions: trained-LM curation operators =====
+        "kn_discount_table": LM.kn_discount_table,
+        "kn_perplexity_report": LM.kn_perplexity_report,
+        "quality_lr_train": LM.quality_lr_train,
+        "quality_lr_score": LM.quality_lr_score,
+        "quality_lr_calibration": LM.quality_lr_calibration,
         # ===== Round-11 additions (hoisted by _rotated via _R11_WINDOW)
         "repeated_substring_report": T.repeated_substring_report,
         "rbo_ranking_agreement": T.rbo_ranking_agreement,
@@ -8708,6 +8715,16 @@ _ORACLES["bigram_entropy_rate"] = """
              AS cond_entropy,
            floor(exp(sum(t) / 1000000.0) * 10000 + 0.5) / 10000 AS ppl
     FROM terms GROUP BY lang ORDER BY lang"""
+
+
+# Round-12 trained-LM oracles, GENERATED from the operator module's
+# own constants (LR_ROUNDS/LR_ETA_NUM/TX.STOPWORDS/KN fallback) so the
+# unrolled-CTE harness can never desync from the configuration.
+_ORACLES["kn_discount_table"] = LM.kn_discount_oracle_sql()
+_ORACLES["kn_perplexity_report"] = LM.kn_perplexity_oracle_sql()
+_ORACLES["quality_lr_train"] = LM.lr_train_oracle_sql()
+_ORACLES["quality_lr_score"] = LM.lr_score_oracle_sql()
+_ORACLES["quality_lr_calibration"] = LM.lr_calibration_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -301,6 +301,12 @@ BENCH_QUERIES = [
     "rbo_ranking_agreement",
     "wasserstein_drift_report",
     "bigram_entropy_rate",
+    # r12 additions: trained-LM curation (KN perplexity + LR classifier)
+    "kn_discount_table",
+    "kn_perplexity_report",
+    "quality_lr_train",
+    "quality_lr_score",
+    "quality_lr_calibration",
 ]
 
 
@@ -816,6 +822,15 @@ SCALE_PROBE_QUERIES = [
     "rbo_ranking_agreement",
     "wasserstein_drift_report",
     "bigram_entropy_rate",
+    # r12 additions: the KN count/probability tables are distinct-
+    # trigram-bounded (expect sublinear-in-docs growth); LR train is
+    # LR_ROUNDS fixed passes over a narrow feature frame (expect ~
+    # linear); score/calibration ride the same trained frame
+    "kn_discount_table",
+    "kn_perplexity_report",
+    "quality_lr_train",
+    "quality_lr_score",
+    "quality_lr_calibration",
 ]
 
 

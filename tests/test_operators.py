@@ -2206,3 +2206,177 @@ def test_repeated_substring_known_answer(spark, tmp_path):
     assert r["max_run_chars"] == 100
     assert r["n_runs"] == 1
     assert r["dup_chars"] == 100
+
+
+# ---------------------------------------------------------------------------
+# Round-12: trained-LM curation operators (operators/lm.py)
+# ---------------------------------------------------------------------------
+
+def _kn_python_reference(docs):
+    """Independent plain-Python interpolated-KN trigram scorer (no
+    Spark, no SQL) for the parity tests: returns {(lang, source):
+    (n_docs, n_trigrams, cross_entropy_micro_floored)}. Mirrors the
+    MATH (Chen & Goodman interpolated KN from trigram-type tables),
+    not the implementation."""
+    import math
+    from collections import defaultdict
+
+    tri = defaultdict(int)
+    occ = defaultdict(int)
+    nd = defaultdict(int)
+    for doc_id, text, lang, source in docs:
+        toks = text.split()
+        if len(toks) < 3:
+            continue
+        nd[(lang, source)] += 1
+        for i in range(len(toks) - 2):
+            g = (lang, toks[i], toks[i + 1], toks[i + 2])
+            tri[g] += 1
+            occ[(lang, source, toks[i], toks[i + 1], toks[i + 2])] += 1
+    c12, n1p12 = defaultdict(int), defaultdict(int)
+    cont = defaultdict(int)
+    for (lang, w1, w2, w3), c in tri.items():
+        c12[(lang, w1, w2)] += c
+        n1p12[(lang, w1, w2)] += 1
+        cont[(lang, w2, w3)] += 1
+    mid2, ctx2set = defaultdict(int), defaultdict(set)
+    for (lang, w1, w2, w3) in tri:
+        mid2[(lang, w2)] += 1
+        ctx2set[(lang, w2)].add(w3)
+    cont1, tot1 = defaultdict(int), defaultdict(int)
+    for (lang, w2, w3) in cont:
+        cont1[(lang, w3)] += 1
+        tot1[lang] += 1
+
+    def discount(counts, lang):
+        n1 = sum(1 for k, c in counts.items() if k[0] == lang and c == 1)
+        n2 = sum(1 for k, c in counts.items() if k[0] == lang and c == 2)
+        return 0.5 if n1 + 2 * n2 == 0 else n1 / (n1 + 2 * n2)
+
+    langs = {k[0] for k in tri}
+    d3 = {lang: discount(tri, lang) for lang in langs}
+    d2 = {lang: discount(cont, lang) for lang in langs}
+    agg = defaultdict(lambda: [0, 0])
+    for (lang, source, w1, w2, w3), m in occ.items():
+        p1 = cont1[(lang, w3)] / tot1[lang]
+        p2 = (
+            max(cont[(lang, w2, w3)] - d2[lang], 0.0) / mid2[(lang, w2)]
+            + d2[lang] * len(ctx2set[(lang, w2)]) / mid2[(lang, w2)] * p1
+        )
+        p3 = (
+            max(tri[(lang, w1, w2, w3)] - d3[lang], 0.0)
+            / c12[(lang, w1, w2)]
+            + d3[lang] * n1p12[(lang, w1, w2)] / c12[(lang, w1, w2)] * p2
+        )
+        term_u = math.floor(-math.log(p3) * 1_000_000)
+        agg[(lang, source)][0] += m
+        agg[(lang, source)][1] += m * term_u
+    return {
+        k: (nd[k], n, (u / 1_000_000.0) / n)
+        for k, (n, u) in agg.items()
+    }
+
+
+def test_kn_perplexity_matches_python_reference(spark, tmp_path):
+    """The Spark KN report must agree with an independent plain-Python
+    implementation of interpolated Kneser-Ney on a small corpus —
+    counts exactly, cross-entropy to the micro-unit floor."""
+    rows = [
+        (1, "the cat sat on the mat", "en", "a"),
+        (2, "the cat sat on the hat", "en", "a"),
+        (3, "the dog sat on the mat", "en", "b"),
+        (4, "a b c a b d a b c", "zz", "a"),
+        (5, "a b", "zz", "a"),  # < 3 tokens: excluded everywhere
+    ]
+    from jira_cdc_git_spark.operators import lm as LM
+
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "kn")
+    df.write.parquet(f"{d}/documents.parquet")
+    want = _kn_python_reference(rows)
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_docs"],
+            r["n_trigrams"],
+            r["cross_entropy"],
+        )
+        for r in LM.kn_perplexity_report(spark, d).collect()
+    }
+    assert set(got) == set(want)
+    for k, (ndocs, ntri, ce) in want.items():
+        assert got[k][0] == ndocs
+        assert got[k][1] == ntri
+        assert abs(got[k][2] - ce) < 1e-6
+    # and the deterministic-chain floor: every ppl >= 1 (H >= 0)
+    assert all(
+        r["ppl"] >= 1.0 for r in LM.kn_perplexity_report(spark, d).collect()
+    )
+
+
+def test_kn_discount_table_bounds(spark, sf_dir):
+    """Discounts are n1/(n1+2n2) in [0, 1]; count-of-count columns are
+    consistent (n1 + n2 <= n_types) and both orders appear per lang."""
+    from jira_cdc_git_spark.operators import lm as LM
+
+    rows = LM.kn_discount_table(spark, sf_dir).collect()
+    assert rows
+    langs = {}
+    for r in rows:
+        assert 0.0 <= r["discount"] <= 1.0
+        assert r["n1"] + r["n2"] <= r["n_types"]
+        langs.setdefault(r["lang"], set()).add(r["ord"])
+    assert all(v == {2, 3} for v in langs.values())
+
+
+def test_lr_train_distills_weak_labels(spark, sf_dir):
+    """The GD trajectory must (a) start at w=0 / loss ln 2, (b) lower
+    the training loss every round on the real corpus, and (c) the
+    final weights must classify the weak labels far better than
+    chance (the whole point of distillation)."""
+    import math
+
+    from jira_cdc_git_spark.operators import lm as LM
+
+    tr = LM.quality_lr_train(spark, sf_dir).orderBy("step").collect()
+    assert len(tr) == LM.LR_ROUNDS + 1
+    assert all(tr[0][f"w{j}_u"] == 0 for j in range(LM.LR_N_FEATURES))
+    assert abs(tr[0]["train_loss"] - math.log(2)) < 2e-6
+    losses = [r["train_loss"] for r in tr]
+    assert all(b < a for a, b in zip(losses, losses[1:]))
+    sc = LM.quality_lr_score(spark, sf_dir)
+    n = sc.count()
+    agree = sc.filter("pred = y_weak").count()
+    base = sc.filter("y_weak = 1").count()
+    majority = max(base, n - base) / n
+    assert agree / n >= max(0.8, majority - 0.02)
+
+
+def test_lr_calibration_partitions_scores(spark, sf_dir):
+    from jira_cdc_git_spark.operators import lm as LM
+
+    cal = LM.quality_lr_calibration(spark, sf_dir).collect()
+    n_total = LM.quality_lr_score(spark, sf_dir).count()
+    assert sum(r["n"] for r in cal) == n_total
+    for r in cal:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        assert r["bin"] / 10 <= r["mean_score"] <= (r["bin"] + 1) / 10 + 1e-9
+
+
+def test_lr_oracle_floor_division_is_exact_for_negatives():
+    """The oracle's floor-div emulation (a - ((a%n)+n)%n) // n must
+    equal Python's floor // for NEGATIVE gradient sums too — DuckDB's
+    native // truncates toward zero, which would desync the weight
+    trajectory one unit on every negative update."""
+    import duckdb
+
+    for a in (-7, -8, -1, 0, 1, 7, 8, -1_000_001):
+        for n in (2, 3, 500, 7):
+            got = duckdb.sql(
+                f"SELECT (CAST({a} AS BIGINT) - (({a} % {n} + {n}) % {n}))"
+                f" // {n}"
+            ).fetchone()[0]
+            assert got == a // n, (a, n, got, a // n)

@@ -1008,3 +1008,32 @@ def test_bigram_entropy_aggregates_before_windows(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the |langs|-row Σn side
     assert "Window" not in plan  # no single-task per-lang sort
+
+
+def test_kn_perplexity_joins_are_keyed_and_cartesian_free(spark, sf_dir):
+    from jira_cdc_git_spark.operators import lm as LM
+
+    df = LM.kn_perplexity_report(spark, sf_dir)
+    plan = _plan(df)
+    # the probability assembly is all keyed joins over the (materialized)
+    # trigram-type frame: no cartesian anywhere, no single-task window
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    # the |langs|-row discount/total sides must ride broadcasts at
+    # fixture scale (at 100 TB the big type-table joins flip to
+    # shuffle joins — they are keyed, so Catalyst is free to choose)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lr_score_is_narrow_after_training(spark, sf_dir):
+    from jira_cdc_git_spark.operators import lm as LM
+
+    df = LM.quality_lr_score(spark, sf_dir)
+    plan = _plan(df)
+    # inference is a pure projection over the materialized feature
+    # frame with the trained weights inlined as literals: no join of
+    # any kind, no window, no aggregation in the scoring path
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

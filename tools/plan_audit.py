@@ -306,9 +306,28 @@ AUDITS = [
     (
         "bigram_entropy_rate",
         "One explode + (lang, a, b) hash aggregate is the only corpus-"
-        "scale stage; the marginal windows and the per-lang fold run "
-        "over the vocab^2-bounded distinct-bigram frame — the plan has "
-        "NO join at all.",
+        "scale stage; the marginals are distributed groupBy aggregates "
+        "joined back over the vocab^2-bounded distinct-bigram frame "
+        "(the |langs|-row total via broadcast) — NO Window: a "
+        "partitionBy(lang) window would sort a whole language's bigram "
+        "vocabulary in one task (r11 What's-wrong #3).",
+    ),
+    (
+        "kn_perplexity_report",
+        "Interpolated KN trigram LM: ONE corpus-scale explode feeds a "
+        "materialized (lang,source,trigram) occurrence frame; all seven "
+        "count tables and the probability assembly are keyed joins over "
+        "the distinct-trigram-type frame (|langs|-row discount/total "
+        "sides broadcast) — no CartesianProduct, no Window, and the "
+        "documents scan reads only (doc_id, lang, source, text).",
+    ),
+    (
+        "quality_lr_score",
+        "Classifier inference after the 8-round integer-GD train loop "
+        "(which moves only EIGHT integers per round through the "
+        "driver): a pure narrow projection over the materialized "
+        "feature frame with the trained weights inlined as literals — "
+        "no join, no window, no aggregation in the scoring path.",
     ),
     (
         "rbo_ranking_agreement",
