@@ -82,8 +82,8 @@ committed CORRECTNESS artifacts (see _rotated below; asserted by
 tests/test_registry_rotation.py). Evidence staleness is thereby
 bounded by construction — no future round can re-accumulate the
 backlog rounds 10-11 paid down.
-The registry has 331
-entries: 323 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 332
+entries: 324 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -155,6 +155,7 @@ _R12_PINNED = [
     # r12 additions (first-green candidates)
     "kn_discount_table",
     "kn_perplexity_report",
+    "kn_perplexity_split",
     "quality_lr_train",
     "quality_lr_score",
     "quality_lr_calibration",
@@ -226,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== Round-12 additions: trained-LM curation operators =====
         "kn_discount_table": LM.kn_discount_table,
         "kn_perplexity_report": LM.kn_perplexity_report,
+        "kn_perplexity_split": LM.kn_perplexity_split,
         "quality_lr_train": LM.quality_lr_train,
         "quality_lr_score": LM.quality_lr_score,
         "quality_lr_calibration": LM.quality_lr_calibration,
@@ -8722,6 +8724,7 @@ _ORACLES["bigram_entropy_rate"] = """
 # unrolled-CTE harness can never desync from the configuration.
 _ORACLES["kn_discount_table"] = LM.kn_discount_oracle_sql()
 _ORACLES["kn_perplexity_report"] = LM.kn_perplexity_oracle_sql()
+_ORACLES["kn_perplexity_split"] = LM.kn_perplexity_split_oracle_sql()
 _ORACLES["quality_lr_train"] = LM.lr_train_oracle_sql()
 _ORACLES["quality_lr_score"] = LM.lr_score_oracle_sql()
 _ORACLES["quality_lr_calibration"] = LM.lr_calibration_oracle_sql()

@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     # r12 additions: trained-LM curation (KN perplexity + LR classifier)
     "kn_discount_table",
     "kn_perplexity_report",
+    "kn_perplexity_split",
     "quality_lr_train",
     "quality_lr_score",
     "quality_lr_calibration",
@@ -828,6 +829,7 @@ SCALE_PROBE_QUERIES = [
     # linear); score/calibration ride the same trained frame
     "kn_discount_table",
     "kn_perplexity_report",
+    "kn_perplexity_split",
     "quality_lr_train",
     "quality_lr_score",
     "quality_lr_calibration",

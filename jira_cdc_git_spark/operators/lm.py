@@ -116,6 +116,7 @@ def _kn_tables(docs: DataFrame) -> dict[str, DataFrame]:
         F.count("*").cast("long").alias("n_docs")
     )
     return {
+        "trg": trg,
         "occ": occ,
         "tri": tri,
         "c12": c12,
@@ -125,6 +126,45 @@ def _kn_tables(docs: DataFrame) -> dict[str, DataFrame]:
         "tot": tot,
         "n_docs": n_docs,
     }
+
+
+def _kn_type_terms(t: dict[str, DataFrame]) -> DataFrame:
+    """(lang, w1, w2, w3, term_u): -ln P_KN per trigram TYPE, floored
+    to micro-units — the shared probability assembly of every KN
+    consumer. All joins are keyed over the type frame; the |langs|-row
+    discount/total sides ride broadcasts."""
+    d3 = _count_of_counts(t["tri"], "c3").select(
+        "lang", _discount(F.col("n1"), F.col("n2")).alias("dd3")
+    )
+    d2 = _count_of_counts(t["cont"], "cnt").select(
+        "lang", _discount(F.col("n1"), F.col("n2")).alias("dd2")
+    )
+    p1 = F.col("cont1") / F.col("tot1")
+    p2 = (
+        F.greatest(F.col("cnt") - F.col("dd2"), F.lit(0.0)) / F.col("mid2")
+        + F.col("dd2") * F.col("ctx2") / F.col("mid2") * p1
+    )
+    p3 = (
+        F.greatest(F.col("c3") - F.col("dd3"), F.lit(0.0)) / F.col("c12s")
+        + F.col("dd3") * F.col("n1p12") / F.col("c12s") * p2
+    )
+    return (
+        t["tri"]
+        .join(t["c12"], ["lang", "w1", "w2"])
+        .join(t["cont"], ["lang", "w2", "w3"])
+        .join(t["mid"], ["lang", "w2"])
+        .join(t["c1"], ["lang", "w3"])
+        .join(F.broadcast(t["tot"]), "lang")
+        .join(F.broadcast(d3), "lang")
+        .join(F.broadcast(d2), "lang")
+        .select(
+            "lang",
+            "w1",
+            "w2",
+            "w3",
+            F.floor(-F.log(p3) * 1_000_000).cast("long").alias("term_u"),
+        )
+    )
 
 
 def _discount(n1: F.Column, n2: F.Column) -> F.Column:
@@ -205,38 +245,7 @@ def kn_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-joins the type table at the (lang, source, type) grain
     (≤ |sources| × |types|), then folds to |langs|·|sources| rows."""
     t = _kn_tables(load_table_spread(spark, "documents", sf_dir, "doc_id"))
-    d3 = _count_of_counts(t["tri"], "c3").select(
-        "lang", _discount(F.col("n1"), F.col("n2")).alias("dd3")
-    )
-    d2 = _count_of_counts(t["cont"], "cnt").select(
-        "lang", _discount(F.col("n1"), F.col("n2")).alias("dd2")
-    )
-    p1 = F.col("cont1") / F.col("tot1")
-    p2 = (
-        F.greatest(F.col("cnt") - F.col("dd2"), F.lit(0.0)) / F.col("mid2")
-        + F.col("dd2") * F.col("ctx2") / F.col("mid2") * p1
-    )
-    p3 = (
-        F.greatest(F.col("c3") - F.col("dd3"), F.lit(0.0)) / F.col("c12s")
-        + F.col("dd3") * F.col("n1p12") / F.col("c12s") * p2
-    )
-    types = (
-        t["tri"]
-        .join(t["c12"], ["lang", "w1", "w2"])
-        .join(t["cont"], ["lang", "w2", "w3"])
-        .join(t["mid"], ["lang", "w2"])
-        .join(t["c1"], ["lang", "w3"])
-        .join(F.broadcast(t["tot"]), "lang")
-        .join(F.broadcast(d3), "lang")
-        .join(F.broadcast(d2), "lang")
-        .select(
-            "lang",
-            "w1",
-            "w2",
-            "w3",
-            F.floor(-F.log(p3) * 1_000_000).cast("long").alias("term_u"),
-        )
-    )
+    types = _kn_type_terms(t)
     scored = t["occ"].join(types, ["lang", "w1", "w2", "w3"])
     agg = scored.groupBy("lang", "source").agg(
         F.sum("m").cast("long").alias("n_trigrams"),
@@ -257,6 +266,99 @@ def kn_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def kn_perplexity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail split: per-document KN cross-entropy,
+    cut at per-language TERCILES — head = the most-fluent third
+    (lowest perplexity), tail = the third that CCNet-style pipelines
+    drop or downsample. Per (lang, bucket): n_docs, n_trigrams, pooled
+    cross_entropy, ppl, and the tercile boundary the bucket closed at
+    (ce_hi_micro; NULL for tail). This is the operator form of the
+    actual CCNet mechanism (Wenzek et al. 2020 split their corpus by
+    Wikipedia-LM perplexity terciles per language).
+
+    CROSS-ENGINE DETERMINISM: per-doc score = exact integer floor
+    division nll_u div n_tri (micro-nats; Spark `div` and DuckDB `//`
+    agree on non-negative operands), tercile boundaries from exact
+    cumulative counts (3·cum >= n / 3·cum >= 2n — no float quantile
+    anywhere), pooled stats exact integer sums.
+
+    100 TB shape: the per-doc scoring join is keyed on (lang, trigram)
+    like the report; the tercile machinery runs on the VALUE HISTOGRAM
+    (distinct micro-score values per lang — bounded by the micro-grid
+    range, ~5·10⁷ worst case, CONSTANT in corpus size — the
+    streaming-spearman rank discipline), so the per-lang window sorts
+    the histogram, never the corpus; boundaries re-enter via a
+    |langs|-row broadcast."""
+    from pyspark.sql import Window
+
+    t = _kn_tables(load_table_spread(spark, "documents", sf_dir, "doc_id"))
+    types = _kn_type_terms(t)
+    docc = t["trg"].groupBy("lang", "doc_id", "w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    per_doc = (
+        docc.join(types, ["lang", "w1", "w2", "w3"])
+        .groupBy("lang", "doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_tri"),
+            F.sum((F.col("m") * F.col("term_u")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("nll_u"),
+        )
+        .withColumn("ce_u", F.expr("nll_u div n_tri"))
+    )
+    hist = per_doc.groupBy("lang", "ce_u").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    n_lang = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("ce_u")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w)).join(
+        F.broadcast(n_lang), "lang"
+    )
+    bounds = cum.groupBy("lang").agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("ce_u"))).alias(
+            "t1"
+        ),
+        F.min(
+            F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("ce_u"))
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("ce_u") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ce_u") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    tagged = per_doc.join(F.broadcast(bounds), "lang").select(
+        "lang", "n_tri", "nll_u", bucket.alias("bucket"), "t1", "t2"
+    )
+    agg = tagged.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tri").cast("long").alias("n_trigrams"),
+        F.sum(F.col("nll_u").cast("decimal(38,0)")).alias("nll_u"),
+        F.max(
+            F.when(F.col("bucket") == "head", F.col("t1")).when(
+                F.col("bucket") == "middle", F.col("t2")
+            )
+        ).alias("ce_hi_micro"),
+    )
+    ce = F.col("nll_u").cast("double") / 1_000_000.0 / F.col("n_trigrams")
+    return agg.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        "n_trigrams",
+        TX.round_half_up(ce, 6).alias("cross_entropy"),
+        TX.round_half_up(F.exp(ce), 4).alias("ppl"),
+        "ce_hi_micro",
+    ).orderBy("lang", "bucket")
 
 
 # ---------------------------------------------------------------------------
@@ -705,7 +807,9 @@ FROM (
 ) u ORDER BY lang, ord"""
 
 
-def kn_perplexity_oracle_sql() -> str:
+def _kn_types_cte() -> str:
+    """The shared `types` CTE: -ln P_KN per trigram type in micro
+    units, mirroring _kn_type_terms expression-for-expression."""
     p1 = "(cont1 / tot1)"
     p2 = (
         "(greatest(cnt - dd2, 0.0) / mid2"
@@ -715,7 +819,7 @@ def kn_perplexity_oracle_sql() -> str:
         "(greatest(c3 - dd3, 0.0) / c12s"
         f" + dd3 * n1p12 / c12s * {p2})"
     )
-    return f"""WITH {_KN_CTES}, types AS (
+    return f"""types AS (
     SELECT tri.lang, w1, w2, w3,
            CAST(floor(-ln({p3}) * 1000000) AS BIGINT) AS term_u
     FROM tri
@@ -726,7 +830,11 @@ def kn_perplexity_oracle_sql() -> str:
     JOIN tot USING (lang)
     JOIN d3 USING (lang)
     JOIN d2 USING (lang)
-), agg AS (
+)"""
+
+
+def kn_perplexity_oracle_sql() -> str:
+    return f"""WITH {_KN_CTES}, {_kn_types_cte()}, agg AS (
     SELECT o.lang, o.source,
            CAST(sum(o.m) AS BIGINT) AS n_trigrams,
            sum(o.m * ty.term_u) AS nll_u
@@ -743,3 +851,52 @@ SELECT a.lang, a.source, nd.n_docs, a.n_trigrams,
              * 10000 + 0.5) / 10000 AS ppl
 FROM agg a JOIN nd USING (lang, source)
 ORDER BY lang, source"""
+
+
+def kn_perplexity_split_oracle_sql() -> str:
+    return f"""WITH {_KN_CTES}, {_kn_types_cte()}, docc AS (
+    SELECT lang, doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS m
+    FROM trg GROUP BY 1, 2, 3, 4, 5
+), per_doc AS (
+    SELECT d.lang, d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_tri,
+           CAST(sum(d.m * ty.term_u) AS BIGINT) AS nll_u
+    FROM docc d JOIN types ty USING (lang, w1, w2, w3)
+    GROUP BY 1, 2
+), pd AS (
+    SELECT lang, doc_id, n_tri, nll_u, nll_u // n_tri AS ce_u
+    FROM per_doc
+), hist AS (
+    SELECT lang, ce_u, CAST(count(*) AS BIGINT) AS c FROM pd GROUP BY 1, 2
+), nl AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n FROM pd GROUP BY 1
+), cum AS (
+    SELECT lang, ce_u,
+           sum(c) OVER (PARTITION BY lang ORDER BY ce_u) AS cum
+    FROM hist
+), bounds AS (
+    SELECT c.lang,
+           min(CASE WHEN 3 * cum >= n THEN ce_u END) AS t1,
+           min(CASE WHEN 3 * cum >= 2 * n THEN ce_u END) AS t2
+    FROM cum c JOIN nl USING (lang) GROUP BY 1
+), tagged AS (
+    SELECT p.lang, n_tri, nll_u,
+           CASE WHEN ce_u <= t1 THEN 'head'
+                WHEN ce_u <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           t1, t2
+    FROM pd p JOIN bounds USING (lang)
+), agg AS (
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tri) AS BIGINT) AS n_trigrams,
+           sum(nll_u) AS nll_u,
+           max(CASE WHEN bucket = 'head' THEN t1
+                    WHEN bucket = 'middle' THEN t2 END) AS ce_hi_micro
+    FROM tagged GROUP BY 1, 2
+)
+SELECT lang, bucket, n_docs, n_trigrams,
+       floor((CAST(nll_u AS DOUBLE) / 1000000.0 / n_trigrams)
+             * 1000000 + 0.5) / 1000000 AS cross_entropy,
+       floor(exp(CAST(nll_u AS DOUBLE) / 1000000.0 / n_trigrams)
+             * 10000 + 0.5) / 10000 AS ppl,
+       ce_hi_micro
+FROM agg ORDER BY lang, bucket"""

@@ -2380,3 +2380,41 @@ def test_lr_oracle_floor_division_is_exact_for_negatives():
                 f" // {n}"
             ).fetchone()[0]
             assert got == a // n, (a, n, got, a // n)
+
+
+def test_kn_perplexity_split_tercile_invariants(spark, sf_dir):
+    """The CCNet split must partition each language's scored docs into
+    head <= middle <= tail by POOLED cross-entropy (disjoint ordered
+    per-doc score sets force the weighted means to order), cover every
+    scored doc exactly once, and expose the tercile boundaries it cut
+    at (head/middle carry ce_hi_micro, tail is open-ended)."""
+    from jira_cdc_git_spark.operators import lm as LM
+    from pyspark.sql import functions as SF
+
+    rows = LM.kn_perplexity_split(spark, sf_dir).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    n_docs_total = sum(r["n_docs"] for r in rows)
+    scored = (
+        LM.kn_perplexity_report(spark, sf_dir)
+        .agg(SF.sum("n_docs"))
+        .first()[0]
+    )
+    assert n_docs_total == scored
+    for lang, buckets in per_lang.items():
+        ces = [
+            buckets[b]["cross_entropy"]
+            for b in ("head", "middle", "tail")
+            if b in buckets
+        ]
+        assert ces == sorted(ces), (lang, ces)
+        if "head" in buckets:
+            assert buckets["head"]["ce_hi_micro"] is not None
+        if "tail" in buckets:
+            assert buckets["tail"]["ce_hi_micro"] is None
+        # terciles: no bucket hoards more than ~2/3 of the docs unless
+        # ties force it (synthetic corpus has rich score diversity)
+        n = sum(b["n_docs"] for b in buckets.values())
+        if n >= 9 and len(buckets) == 3:
+            assert max(b["n_docs"] for b in buckets.values()) <= n * 2 / 3

@@ -1037,3 +1037,16 @@ def test_lr_score_is_narrow_after_training(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kn_split_window_runs_on_histogram_not_corpus(spark, sf_dir):
+    from jira_cdc_git_spark.operators import lm as LM
+
+    df = LM.kn_perplexity_split(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the only Window is the per-lang cumulative sum over the VALUE
+    # HISTOGRAM (distinct micro-score grid — constant-bounded), and it
+    # is partitioned — never a global single-task sort
+    assert plan.count("Window") >= 1
+    assert "PartitionBy: [lang" in plan or "partitionBy" in plan.lower() or "hashpartitioning(lang" in plan
