@@ -159,9 +159,12 @@ _R12_PINNED = [
     "quality_lr_train",
     "quality_lr_score",
     "quality_lr_calibration",
-    # changed-code re-earns: the bigram-entropy marginals moved from
+    # changed-code re-earns: bootstrap_mean_ci's RNG stream moved to
+    # one-md5-per-four-resamples (4x less hashing — the probe's
+    # compute-bound ceiling), and the bigram-entropy marginals moved from
     # per-lang windows to distributed groupBy+join (r11 What's-wrong #3)
     "bigram_entropy_rate",
+    "bootstrap_mean_ci",
 ]
 
 _DRIVER_WINDOW = 50
@@ -6483,17 +6486,21 @@ _ORACLES["bootstrap_mean_ci"] = f"""
         FROM events
     ),
     expl AS (
-        SELECT event_type, event_id, c, CAST(b AS BIGINT) AS b
-        FROM base, generate_series(1, {TS.BOOT_B}) AS t(b)
+        SELECT event_type, c, CAST(g AS BIGINT) AS g,
+               md5(CAST(event_id AS VARCHAR) || '-'
+                   || CAST(g AS VARCHAR)) AS h
+        FROM base, generate_series(1, {TS.BOOT_B // 4}) AS t(g)
+    ),
+    expl4 AS (
+        SELECT event_type, c, (g - 1) * 4 + CAST(j AS BIGINT) AS b,
+               ('0x' || substr(h, (j - 1) * 8 + 1, 8))::BIGINT
+                 / 4294967296.0 AS u
+        FROM expl, generate_series(1, 4) AS s(j)
     ),
     wtd AS (
         SELECT event_type, b, c,
                CAST(CASE {_POISSON_CASE} ELSE 5 END AS BIGINT) AS w
-        FROM (SELECT *,
-                     (('0x' || substr(md5(CAST(event_id AS VARCHAR) || '-'
-                                          || CAST(b AS VARCHAR)), 1, 8)))
-                       ::BIGINT / 4294967296.0 AS u
-              FROM expl)
+        FROM expl4
     ),
     res AS (
         SELECT event_type, b,

@@ -1320,35 +1320,46 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     no RNG state. Reports the mean and the exact p2.5/p97.5 envelope of
     the B resample means.
 
-    CROSS-ENGINE DETERMINISM: weights derive from hex32(event_id, b)
-    (same digest both engines); each resample mean is exact-integer
-    Σ(w·cents)/Σw; the envelope interpolates over B identical doubles
-    with the same quantile formula.
+    CROSS-ENGINE DETERMINISM: weights derive from md5(event_id, g)
+    (same digest both engines) sliced into FOUR independent 8-hex
+    uniforms — one hash per four resamples, b = (g-1)·4 + j; each
+    resample mean is exact-integer Σ(w·cents)/Σw; the envelope
+    interpolates over B identical doubles with the same quantile
+    formula.
 
     100 TB shape: one B-way explode (documented ×B linear pass), two
-    partial aggs; no shuffle wider than |types × B|."""
+    partial aggs; no shuffle wider than |types × B|. The md5 is the
+    per-row hot cost, so it is paid on N·B/4 rows (the digest-group
+    explode) and the remaining ×4 fan-out is a cheap substring slice —
+    a 4× cut in the dominant hashing work (r12: the probe's
+    10.16× median on the old one-hash-per-resample form was the
+    compute-bound-linear ceiling; less per-row compute = more
+    overhead amortization at 10×)."""
     ev = load_table(spark, "events", sf_dir)
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
-    b = F.explode(
-        F.sequence(F.lit(1), F.lit(BOOT_B))
-    ).alias("b")
-    base = ev.select(
-        "event_type", F.col("event_id"), cents.alias("c")
-    ).select("event_type", "event_id", "c", b)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws("-", F.col("event_id"), F.col("b"))
-                ),
-                1,
-                8,
+    g = F.explode(
+        F.sequence(F.lit(1), F.lit(BOOT_B // 4))
+    ).alias("g")
+    hashed = (
+        ev.select("event_type", F.col("event_id"), cents.alias("c"))
+        .select("event_type", "event_id", "c", g)
+        .select(
+            "event_type",
+            "c",
+            "g",
+            F.md5(F.concat_ws("-", F.col("event_id"), F.col("g"))).alias(
+                "h"
             ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4294967296.0)
+        )
     )
+    j = F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j")
+    base = hashed.select("event_type", "c", "g", "h", j).select(
+        "event_type",
+        "c",
+        ((F.col("g") - 1) * 4 + F.col("j")).cast("long").alias("b"),
+        F.expr("substring(h, (j - 1) * 8 + 1, 8)").alias("u8"),
+    )
+    u = F.conv(F.col("u8"), 16, 10).cast("long") / F.lit(4294967296.0)
     w = (
         F.when(u < POISSON_CDF[0], 0)
         .when(u < POISSON_CDF[1], 1)
