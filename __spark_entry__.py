@@ -82,8 +82,8 @@ committed CORRECTNESS artifacts (see _rotated below; asserted by
 tests/test_registry_rotation.py). Evidence staleness is thereby
 bounded by construction — no future round can re-accumulate the
 backlog rounds 10-11 paid down.
-The registry has 332
-entries: 324 oracle-backed (value-hash checked) and 8 PERMANENTLY
+The registry has 333
+entries: 325 oracle-backed (value-hash checked) and 8 PERMANENTLY
 rows-only BY NATURE — classified, not debt: the six mapInPandas media
 passes (decode/resize/frame/audio/dHash/pHash emit binary/image
 payloads no SQL engine reproduces), `simhash_signatures` (raw xxhash64
@@ -159,6 +159,7 @@ _R12_PINNED = [
     "quality_lr_train",
     "quality_lr_score",
     "quality_lr_calibration",
+    "quality_lr_holdout_eval",
     # changed-code re-earns: bootstrap_mean_ci's RNG stream moved to
     # one-md5-per-four-resamples (4x less hashing — the probe's
     # compute-bound ceiling), and the bigram-entropy marginals moved from
@@ -234,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_train": LM.quality_lr_train,
         "quality_lr_score": LM.quality_lr_score,
         "quality_lr_calibration": LM.quality_lr_calibration,
+        "quality_lr_holdout_eval": LM.quality_lr_holdout_eval,
         # ===== Round-11 additions (hoisted by _rotated via _R11_WINDOW)
         "repeated_substring_report": T.repeated_substring_report,
         "rbo_ranking_agreement": T.rbo_ranking_agreement,
@@ -8735,6 +8737,7 @@ _ORACLES["kn_perplexity_split"] = LM.kn_perplexity_split_oracle_sql()
 _ORACLES["quality_lr_train"] = LM.lr_train_oracle_sql()
 _ORACLES["quality_lr_score"] = LM.lr_score_oracle_sql()
 _ORACLES["quality_lr_calibration"] = LM.lr_calibration_oracle_sql()
+_ORACLES["quality_lr_holdout_eval"] = LM.lr_holdout_eval_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:

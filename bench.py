@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "quality_lr_train",
     "quality_lr_score",
     "quality_lr_calibration",
+    "quality_lr_holdout_eval",
 ]
 
 
@@ -833,6 +834,7 @@ SCALE_PROBE_QUERIES = [
     "quality_lr_train",
     "quality_lr_score",
     "quality_lr_calibration",
+    "quality_lr_holdout_eval",
 ]
 
 

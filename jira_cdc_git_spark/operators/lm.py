@@ -382,6 +382,10 @@ LR_ROUNDS = 8
 LR_ETA_NUM = 4
 LR_N_FEATURES = 6  # bias + 5 signals
 
+#: Deterministic holdout fraction for quality_lr_holdout_eval: a doc
+#: is held out when its seeded md5 fraction u(doc_id) < this value.
+LR_HOLDOUT_FRAC = 0.2
+
 #: Label threshold distilled from quality_score (operators/text.py) —
 #: keep = quality >= 0.6, the reference pipeline's gate.
 LR_LABEL_THRESHOLD = 0.6
@@ -599,6 +603,90 @@ def quality_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lr_holdout_u() -> F.Column:
+    """Seeded md5 fraction u(doc_id) in [0,1) — the deterministic
+    train/holdout split coin, replayed identically by the oracle."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qlr-"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+
+
+def quality_lr_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation stage the distilled classifier needs before its
+    scores gate real data: train on the ~80% md5-split, score the
+    held-out ~20%, report the confusion counts and
+    accuracy/precision/recall/F1 against the weak labels. One row:
+    n_train, n_test, tp, fp, fn, tn, accuracy, precision, recall, f1.
+    A holdout F1 far below the train agreement means the linear model
+    memorized the rule thresholds instead of generalizing them.
+
+    CROSS-ENGINE DETERMINISM: the split coin is a seeded md5 fraction
+    (same digest both engines); training replays the exact integer GD
+    trajectory on the train subset; the confusion counts are exact
+    integers and each metric is a guarded fixed-shape divide.
+
+    100 TB shape: identical to quality_lr_train (the GD passes now
+    scan the ~80% subset) plus one narrow scoring pass and a 1-row
+    fold over the holdout."""
+    feats = materialize(
+        _lr_features(load_table_spread(spark, "documents", sf_dir, "doc_id"))
+        .withColumn("holdout", _lr_holdout_u() < LR_HOLDOUT_FRAC)
+    )
+    train = feats.filter(~F.col("holdout"))
+    test = feats.filter(F.col("holdout"))
+    w_u = _lr_train_rows(train)[-1][1]
+    dot = None
+    for jj, w in enumerate(w_u):
+        term = F.lit(int(w)) * F.col(f"x{jj}_u")
+        dot = term if dot is None else dot + term
+    m = dot / 1_000_000_000_000.0
+    s_ = m * 0.5
+    sigma = F.lit(0.5) + F.lit(0.5) * (s_ / (1 + F.abs(s_)))
+    pred = (sigma >= 0.5).cast("int")
+    conf = test.select(
+        pred.alias("p"), F.col("y")
+    ).agg(
+        F.sum(((F.col("p") == 1) & (F.col("y") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("p") == 1) & (F.col("y") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("p") == 0) & (F.col("y") == 1)).cast("long")).alias("fn"),
+        F.sum(((F.col("p") == 0) & (F.col("y") == 0)).cast("long")).alias("tn"),
+    )
+    n_train = train.count()
+    prec = F.when(
+        F.col("tp") + F.col("fp") == 0, F.lit(0.0)
+    ).otherwise(F.col("tp") / (F.col("tp") + F.col("fp")))
+    rec = F.when(
+        F.col("tp") + F.col("fn") == 0, F.lit(0.0)
+    ).otherwise(F.col("tp") / (F.col("tp") + F.col("fn")))
+    f1 = F.when(prec + rec == 0, F.lit(0.0)).otherwise(
+        2 * prec * rec / (prec + rec)
+    )
+    n_test = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    return conf.select(
+        F.lit(int(n_train)).cast("long").alias("n_train"),
+        n_test.cast("long").alias("n_test"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        TX.round_half_up((F.col("tp") + F.col("tn")) / n_test, 6).alias(
+            "accuracy"
+        ),
+        TX.round_half_up(prec, 6).alias("precision"),
+        TX.round_half_up(rec, 6).alias("recall"),
+        TX.round_half_up(f1, 6).alias("f1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle generators (unrolled GD / static KN CTE chains)
 # ---------------------------------------------------------------------------
@@ -655,7 +743,7 @@ def _sql_sigma(wprefix: str = "") -> str:
     return f"(0.5 + 0.5 * ({s} / (1 + abs({s}))))"
 
 
-def _lr_gd_ctes() -> str:
+def _lr_gd_ctes(src: str = "feats") -> str:
     """w_0..w_K and eval_0..eval_K CTEs: eval_k aggregates the floored
     gradient terms and loss at w_k; w_{k+1} applies exact FLOOR
     division (DuckDB's native // truncates toward zero, so the residue
@@ -678,7 +766,7 @@ def _lr_gd_ctes() -> str:
                            ELSE -ln(1 - {sig}) END) * 1000000) AS BIGINT))
              AS loss_u,
            count(*) AS n
-    FROM feats CROSS JOIN w_{k}
+    FROM {src} CROSS JOIN w_{k}
 )"""
         )
         if k < LR_ROUNDS:
@@ -900,3 +988,48 @@ SELECT lang, bucket, n_docs, n_trigrams,
              * 10000 + 0.5) / 10000 AS ppl,
        ce_hi_micro
 FROM agg ORDER BY lang, bucket"""
+
+
+def lr_holdout_eval_oracle_sql() -> str:
+    sig = _sql_sigma()
+    prec = "CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END"
+    rec = "CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END"
+    f1 = (
+        f"CASE WHEN ({prec}) + ({rec}) = 0 THEN 0.0 "
+        f"ELSE 2 * ({prec}) * ({rec}) / (({prec}) + ({rec})) END"
+    )
+    return (
+        f"""WITH {_LR_FEATS_CTES}, split AS (
+    SELECT *,
+           (('0x' || substr(md5('qlr-' || CAST(doc_id AS VARCHAR)), 1, 8))
+             ::BIGINT / 4294967296.0) < {LR_HOLDOUT_FRAC} AS holdout
+    FROM feats
+), trainfeats AS (
+    SELECT * FROM split WHERE NOT holdout
+), testfeats AS (
+    SELECT * FROM split WHERE holdout
+),
+{_lr_gd_ctes("trainfeats")},
+conf AS (
+    SELECT
+      CAST(sum(CASE WHEN {sig} >= 0.5 AND y = 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS tp,
+      CAST(sum(CASE WHEN {sig} >= 0.5 AND y = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS fp,
+      CAST(sum(CASE WHEN NOT ({sig} >= 0.5) AND y = 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS fn,
+      CAST(sum(CASE WHEN NOT ({sig} >= 0.5) AND y = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS tn
+    FROM testfeats CROSS JOIN w_{LR_ROUNDS}
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM trainfeats) AS n_train,
+  CAST(tp + fp + fn + tn AS BIGINT) AS n_test,
+  tp, fp, fn, tn,
+  floor(((tp + tn) / (tp + fp + fn + tn)) * 1000000 + 0.5) / 1000000
+    AS accuracy,
+  floor(({prec}) * 1000000 + 0.5) / 1000000 AS "precision",
+  floor(({rec}) * 1000000 + 0.5) / 1000000 AS recall,
+  floor(({f1}) * 1000000 + 0.5) / 1000000 AS f1
+FROM conf"""
+    )

@@ -2418,3 +2418,26 @@ def test_kn_perplexity_split_tercile_invariants(spark, sf_dir):
         n = sum(b["n_docs"] for b in buckets.values())
         if n >= 9 and len(buckets) == 3:
             assert max(b["n_docs"] for b in buckets.values()) <= n * 2 / 3
+
+
+def test_lr_holdout_eval_confusion_is_consistent(spark, sf_dir):
+    """The holdout eval must (a) split every featured doc exactly once
+    (n_train + n_test == corpus), (b) report confusion counts that sum
+    to n_test, and (c) derive each metric from those exact counts."""
+    from jira_cdc_git_spark.operators import lm as LM
+
+    r = LM.quality_lr_holdout_eval(spark, sf_dir).collect()[0]
+    total = LM.quality_lr_score(spark, sf_dir).count()
+    assert r["n_train"] + r["n_test"] == total
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_test"]
+    assert abs(
+        r["accuracy"] - (r["tp"] + r["tn"]) / r["n_test"]
+    ) < 1e-6
+    if r["tp"] + r["fp"] > 0:
+        assert abs(r["precision"] - r["tp"] / (r["tp"] + r["fp"])) < 1e-6
+    if r["tp"] + r["fn"] > 0:
+        assert abs(r["recall"] - r["tp"] / (r["tp"] + r["fn"])) < 1e-6
+    for m in ("accuracy", "precision", "recall", "f1"):
+        assert 0.0 <= r[m] <= 1.0
+    # ~20% md5 holdout: the split coin must land near its fraction
+    assert 0.1 <= r["n_test"] / total <= 0.3

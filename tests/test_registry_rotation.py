@@ -129,8 +129,8 @@ def test_standing_rotation_fills_window_with_stalest_evidence():
 def test_registry_counts_match_docstring():
     names = list(E.queries())
     oracles = set(E.oracle_sql())
-    assert len(names) == 332
-    assert len(oracles) == 324
+    assert len(names) == 333
+    assert len(oracles) == 325
     assert set(oracles) <= set(names)
 
 
