@@ -1145,15 +1145,21 @@ def test_mmr_k50_latency_contract(spark, sf_dir):
     """r7 verdict task 8: the MMR greedy loop is latency-linear in k
     (k sequential 1-row jobs). Contract: the documented interactive
     bound k=50 completes within a generous wall budget on the fixture
-    (per-round scheduling floor ~0.4 s -> 50 rounds well under 120 s),
-    returns exactly k distinct picks, and rank 1 is the pure-relevance
-    argmax (lam*rel - 0)."""
+    (per-round scheduling floor ~0.4 s -> 50 rounds, ~20-50 s
+    nominal), returns exactly k distinct picks, and rank 1 is the
+    pure-relevance argmax (lam*rel - 0). The budget is 300 s — 50
+    sequential driver rounds expose ~50 chances for the VM's
+    documented one-off ~40 s hypervisor stalls, and the r12 full-suite
+    run measured 131 s (passes in 48 s standalone) purely from such
+    stalls; 300 s still fails any quadratic regression (a full-pool
+    recompute per round would read minutes) without failing on
+    machine noise."""
     import time
 
     t0 = time.perf_counter()
     rows = V.mmr_diverse_topk(spark, sf_dir, k=50, pool=200).collect()
     elapsed = time.perf_counter() - t0
-    assert elapsed < 120, f"k=50 MMR took {elapsed:.1f}s"
+    assert elapsed < 300, f"k=50 MMR took {elapsed:.1f}s"
     assert len(rows) == 50
     assert len({r["vec_id"] for r in rows}) == 50
     by_rank = sorted(rows, key=lambda r: r["rank"])
