@@ -47,7 +47,16 @@ def materialize(df: DataFrame) -> DataFrame:
     materialized blocks instead of recomputing the upstream plan."""
     s = strategy(df)
     if s == "local":
-        return df.localCheckpoint()
+        # lazy: the blocks are computed by the FIRST consuming job (the
+        # marking itself schedules nothing), so every materialize site
+        # costs zero extra Spark jobs while still truncating lineage.
+        # Iterative operators chain dozens of these — the eager form
+        # paid one driver-scheduled job per call (measured ~0.1-0.2 s
+        # each on local[32]), pure orchestration overhead at any scale.
+        # Safe because all materialized frames are deterministic (the
+        # repo bans rand()/uuid in query paths), so concurrent first
+        # consumers can never observe divergent blocks.
+        return df.localCheckpoint(eager=False)
     if s == "disk":
         from pyspark.storagelevel import StorageLevel
 

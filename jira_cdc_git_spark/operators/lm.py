@@ -298,7 +298,12 @@ def kn_perplexity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docc = t["trg"].groupBy("lang", "doc_id", "w1", "w2", "w3").agg(
         F.count("*").cast("long").alias("m")
     )
-    per_doc = (
+    # MATERIALIZED: per_doc feeds BOTH the tercile histogram and the
+    # bucket tagging — without the cut the whole scoring pyramid (the
+    # corpus re-explode, the five-table probability assembly, the
+    # per-doc fold) executes twice (measured: 132 Exchange nodes in the
+    # sf0.1 plan, the worst in the repo; the cut halves the plan).
+    per_doc = materialize(
         docc.join(types, ["lang", "w1", "w2", "w3"])
         .groupBy("lang", "doc_id")
         .agg(

@@ -2572,8 +2572,16 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope")
         )
     )
+    from jira_cdc_git_spark.materialize import materialize
+
     w = Window.orderBy("slope")
-    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    # MATERIALIZED: the ranked slope frame feeds the n_pairs broadcast,
+    # the median filter, and (through resid) the second ranking chain —
+    # each a separate broadcast-build job that would otherwise re-execute
+    # the |days|² pair join and the global sort from scratch (measured
+    # 4 re-executions, ~3 s of the query's 3.5 s at sf0.1; guide §2.4 —
+    # don't recompute what one exchange can feed).
+    ranked = materialize(slopes.withColumn("rn", F.row_number().over(w)))
     n_pairs = ranked.agg(F.count("*").cast("long").alias("n_pairs"))
     med = (
         ranked.crossJoin(F.broadcast(n_pairs))
@@ -2599,7 +2607,9 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wr = Window.orderBy("r")
-    rranked = resid.withColumn("rn", F.row_number().over(wr))
+    # same re-execution cut for the residual ranking (n_days broadcast +
+    # the final selection both consume it)
+    rranked = materialize(resid.withColumn("rn", F.row_number().over(wr)))
     n_days = rranked.agg(F.count("*").cast("long").alias("n_days"))
     x_max = daily.agg(F.max("x").alias("x_max"))
     return (
