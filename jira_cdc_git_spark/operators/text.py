@@ -2320,24 +2320,49 @@ def _merge_pass(syms: list, left: str, right: str, merged: str) -> list:
     return out
 
 
+def _java_regex_literal(s: str) -> str:
+    r"""Quote an arbitrary symbol for a Java regex via \Q...\E, safe for
+    symbols that themselves contain the \E terminator."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _java_regex_replacement(s: str) -> str:
+    """Escape a literal replacement string for Java's Matcher
+    (backslash and $ are special in replacements)."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def _rewrite_seqs(seqs: DataFrame, left: str, right: str, merged: str) -> DataFrame:
-    """Apply one merge rule to every `syms` array — the Arrow-batched
-    mapInPandas rewrite the r4 verdict prescribed (What's-wrong #1): the
-    F.aggregate fold copied the accumulator array once per token
-    (O(d²) element copies for a d-token doc, ~5·10⁷ per 10k-token doc
-    per round at corpus scale); this pass is O(d). Still no row-at-a-
-    time UDF — one Python call per Arrow batch, other columns ride
-    through untouched."""
-    schema = seqs.schema
-
-    def rewrite(batches):
-        for pdf in batches:
-            pdf["syms"] = [
-                _merge_pass(list(s), left, right, merged) for s in pdf["syms"]
-            ]
-            yield pdf
-
-    return seqs.mapInPandas(rewrite, schema)
+    """Apply one merge rule to every `syms` array entirely in the JVM
+    (guide §4.1 — built-ins over the Python boundary): the symbol array
+    is joined on a single space (symbols are whitespace-free by
+    construction — tokens come from a \\s+ split, merged symbols are
+    ·-joined), the pair becomes one non-overlapping leftmost-first
+    regexp_replace with a lookahead keeping the trailing separator, and
+    the result splits back. Leftmost non-overlapping replacement IS the
+    greedy left-to-right merge-and-skip-both semantics of `_merge_pass`
+    (chained overlaps like "a a a" resolve identically because the
+    consumed match covers both symbols); a property test asserts the
+    equivalence. Replaces the former mapInPandas pass, which shipped
+    the whole corpus across the JVM↔Python boundary once per merge
+    round and walked every sequence in interpreted Python."""
+    pat = (
+        " "
+        + _java_regex_literal(left)
+        + " "
+        + _java_regex_literal(right)
+        + "(?= )"
+    )
+    joined = F.concat(F.lit(" "), F.concat_ws(" ", F.col("syms")), F.lit(" "))
+    rewritten = F.regexp_replace(joined, pat, " " + _java_regex_replacement(merged))
+    parts = F.split(rewritten, " ", -1)
+    # strip exactly the one leading and one trailing split artifact so a
+    # (pathological) empty-string symbol in the middle survives intact
+    new_syms = F.slice(parts, F.lit(2), F.size(parts) - F.lit(2))
+    return seqs.withColumn(
+        "syms",
+        F.when(F.size("syms") < 2, F.col("syms")).otherwise(new_syms),
+    )
 
 
 def _bpe_train_loop(

@@ -2447,3 +2447,42 @@ def test_lr_holdout_eval_confusion_is_consistent(spark, sf_dir):
         assert 0.0 <= r[m] <= 1.0
     # ~20% md5 holdout: the split coin must land near its fraction
     assert 0.1 <= r["n_test"] / total <= 0.3
+
+
+def test_rewrite_seqs_jvm_matches_merge_pass(spark):
+    """The JVM regexp rewrite must reproduce _merge_pass exactly —
+    including regex metacharacters, \\E / $ / backslash in symbols,
+    chained overlaps, and empty-string symbols."""
+    from jira_cdc_git_spark.operators.text import (
+        BPE_SEP,
+        _merge_pass,
+        _rewrite_seqs,
+    )
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["b", "a", "a", "b"], "a", "a"),
+        (["x"], "x", "x"),
+        ([], "x", "y"),
+        ([""], "", ""),
+        (["", "x", "", "x", ""], "", "x"),
+        (["a.b", "c*d", "a.b", "c*d"], "a.b", "c*d"),
+        (["\\Qz\\E", "$1", "\\Qz\\E", "$1"], "\\Qz\\E", "$1"),
+        (["(", ")", "(", ")"], "(", ")"),
+        (["a" + BPE_SEP + "b", "c", "a" + BPE_SEP + "b", "c"],
+         "a" + BPE_SEP + "b", "c"),
+        (["^", "[]", "^", "[]", "^"], "^", "[]"),
+    ]
+    rows = [(i, syms) for i, (syms, _, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, syms array<string>")
+    for i, (syms, left, right) in enumerate(cases):
+        merged = left + BPE_SEP + right
+        got = (
+            _rewrite_seqs(df.filter(F.col("i") == i), left, right, merged)
+            .select("syms")
+            .collect()[0][0]
+        )
+        assert list(got) == _merge_pass(list(syms), left, right, merged), (
+            i, syms, left, right,
+        )
