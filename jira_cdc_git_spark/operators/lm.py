@@ -506,6 +506,23 @@ def _lr_train_rows(
     return out
 
 
+def _lr_feats_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared materialized feature frame. The `rebalance` hint lets
+    AQE size the retained frame's partitions by BYTES (advisory size)
+    instead of inheriting the spread scan's core-count partitioning:
+    the 7-long-column frame is consumed by LR_ROUNDS+1 sequential
+    aggregate passes, so right-sizing it once beats paying
+    core-count near-empty tasks on every pass (locally 32 tasks of
+    ~60 rows each; at scale AQE picks however many advisory-sized
+    partitions the corpus needs — the scale-adaptive form of guide
+    §2.2's 'fewer, larger partitions')."""
+    return materialize(
+        _lr_features(
+            load_table_spread(spark, "documents", sf_dir, "doc_id")
+        ).hint("rebalance")
+    )
+
+
 def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the distilled quality classifier: LR_ROUNDS full-batch GD
     rounds over the corpus, one output row per round — (round,
@@ -519,9 +536,7 @@ def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (cache-friendly; each pass is one map-side-combinable
     aggregate producing EIGHT integers on the driver — the micro-Lloyd
     loop shape, no data-scale collect)."""
-    feats = materialize(
-        _lr_features(load_table_spread(spark, "documents", sf_dir, "doc_id"))
-    )
+    feats = _lr_feats_materialized(spark, sf_dir)
     # the shared floor(x*1e6+0.5)/1e6 rounding, applied ONCE to the raw
     # mean loss (double-rounding through round() first would desync the
     # oracle one ulp from a .5 boundary)
@@ -554,9 +569,7 @@ def quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: training cost as quality_lr_train; inference is a
     pure narrow projection with the weights inlined as literals."""
-    feats = materialize(
-        _lr_features(load_table_spread(spark, "documents", sf_dir, "doc_id"))
-    )
+    feats = _lr_feats_materialized(spark, sf_dir)
     w_u = _lr_final_weights(feats)
     dot = None
     for j, w in enumerate(w_u):
@@ -645,6 +658,7 @@ def quality_lr_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = materialize(
         _lr_features(load_table_spread(spark, "documents", sf_dir, "doc_id"))
         .withColumn("holdout", _lr_holdout_u() < LR_HOLDOUT_FRAC)
+        .hint("rebalance")  # byte-sized retained frame; see _lr_feats_materialized
     )
     train = feats.filter(~F.col("holdout"))
     test = feats.filter(F.col("holdout"))

@@ -2557,41 +2557,75 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = rollup.crossJoin(F.broadcast(day0)).select(
         F.datediff(F.col("day"), F.col("day0")).alias("x"), "cents"
     )
-    a = daily.select(
+    from jira_cdc_git_spark.materialize import materialize
+
+    # Spread the |days|-row frame over the shuffle-partition count
+    # before the pair blowup: the broadcast nested-loop join multiplies
+    # each left row by |days|, so leaving `daily` in the aggregate's
+    # single AQE-coalesced partition ran the whole |days|² pair
+    # production (and everything after it) in ONE task (guide §2.5 —
+    # input skew: repartition immediately after the blowup source).
+    n_part = int(
+        daily.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    a = daily.repartition(n_part, "x").select(
         F.col("x").alias("xi"), F.col("cents").alias("ci")
     )
     b = daily.select(
         F.col("x").alias("xj"), F.col("cents").alias("cj")
     )
-    slopes = (
-        a.join(F.broadcast(b), F.col("xi") < F.col("xj"))
-        .select(
+    slopes = materialize(
+        a.join(F.broadcast(b), F.col("xi") < F.col("xj")).select(
             (
                 (F.col("cj") - F.col("ci"))
                 / (F.lit(100.0) * (F.col("xj") - F.col("xi")))
             ).alias("slope")
         )
     )
-    from jira_cdc_git_spark.materialize import materialize
-
-    w = Window.orderBy("slope")
-    # MATERIALIZED: the ranked slope frame feeds the n_pairs broadcast,
-    # the median filter, and (through resid) the second ranking chain —
-    # each a separate broadcast-build job that would otherwise re-execute
-    # the |days|² pair join and the global sort from scratch (measured
-    # 4 re-executions, ~3 s of the query's 3.5 s at sf0.1; guide §2.4 —
-    # don't recompute what one exchange can feed).
-    ranked = materialize(slopes.withColumn("rn", F.row_number().over(w)))
-    n_pairs = ranked.agg(F.count("*").cast("long").alias("n_pairs"))
+    # EXACT distributed median selection (replaces the former global
+    # Window.orderBy, which exchanged all |days|² slopes into a single
+    # partition and sorted them in one task): range-partition by slope
+    # (equal values land in one partition; partition index order IS
+    # value order), rank locally per partition in parallel, and offset
+    # local ranks by the preceding partitions' counts. The two middle
+    # ranks are Python literals from one bounded count — the selected
+    # values (hence the median) are identical regardless of where the
+    # sampled range bounds fall.
+    n_pairs_v = slopes.count()
+    m1, m2 = (n_pairs_v + 1) // 2, n_pairs_v // 2 + 1
+    parts = slopes.repartitionByRange(n_part, "slope").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    offs = (
+        parts.groupBy("pid")
+        .agg(F.count("*").alias("pc"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("pc").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    wl = Window.partitionBy("pid").orderBy("slope")
+    ranked = parts.withColumn("rl", F.row_number().over(wl)).join(
+        F.broadcast(offs), "pid"
+    )
     med = (
-        ranked.crossJoin(F.broadcast(n_pairs))
-        .filter(
-            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
-            | (F.col("rn") == F.floor(F.col("n_pairs") / 2) + 1)
+        ranked.filter(
+            (F.col("off") + F.col("rl") == F.lit(m1))
+            | (F.col("off") + F.col("rl") == F.lit(m2))
         )
         .agg(
             (F.sum("slope") / F.count("*")).alias("slope_med"),
-            F.first("n_pairs").alias("n_pairs"),
+            # max over a literal: n on any selected row, NULL on an
+            # empty corpus — exactly the old first(n_pairs) behavior
+            F.max(F.lit(n_pairs_v)).cast("long").alias("n_pairs"),
         )
     )
     # intercept: median of (y_i - slope * x_i), same selection rule

@@ -5797,7 +5797,8 @@ def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, EDIT_WINDOW + 1)
         ]
     )
-    pairs = (
+    swap = F.col("nb.b_id") < F.col("doc_id")
+    cand = (
         with_leads.select(
             "lang", "doc_id", "pfx", F.explode(neighbors).alias("nb")
         )
@@ -5807,13 +5808,40 @@ def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "lang",
-            F.least(F.col("doc_id"), F.col("nb.b_id")).alias("doc_a"),
-            F.greatest(F.col("doc_id"), F.col("nb.b_id")).alias("doc_b"),
-            F.levenshtein(F.col("pfx"), F.col("nb.b_pfx")).alias("dist"),
+            F.when(swap, F.col("nb.b_id")).otherwise(F.col("doc_id")).alias(
+                "doc_a"
+            ),
+            F.when(swap, F.col("doc_id")).otherwise(F.col("nb.b_id")).alias(
+                "doc_b"
+            ),
+            F.when(swap, F.col("nb.b_pfx")).otherwise(F.col("pfx")).alias(
+                "pfx_a"
+            ),
+            F.when(swap, F.col("pfx")).otherwise(F.col("nb.b_pfx")).alias(
+                "pfx_b"
+            ),
         )
-        .filter(F.col("dist") <= EDIT_NEARDUP_MAX)
+        # dedup the band-replica candidate pairs BEFORE the DP — the
+        # adjacent-band replication re-discovers roughly half the pairs
+        # in both bands, and the old form ran the O(prefix²) levenshtein
+        # on every copy and deduped afterwards (guide §1.2 — don't
+        # compute things you throw away); prefixes are deterministic per
+        # doc, so deduping on (pair, prefixes) is the same pair set
         .distinct()
     )
+    pairs = cand.select(
+        "lang",
+        "doc_a",
+        "doc_b",
+        # thresholded levenshtein: banded DP, exact distance when
+        # <= EDIT_NEARDUP_MAX and -1 past the band — the filter keeps
+        # exactly the rows the unbounded form kept, with identical
+        # distances (the oracle's plain levenshtein agrees on every
+        # emitted row)
+        F.levenshtein(
+            F.col("pfx_a"), F.col("pfx_b"), EDIT_NEARDUP_MAX
+        ).alias("dist"),
+    ).filter((F.col("dist") >= 0) & (F.col("dist") <= EDIT_NEARDUP_MAX))
     return pairs.orderBy("doc_a", "doc_b")
 
 

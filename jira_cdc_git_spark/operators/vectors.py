@@ -1925,28 +1925,35 @@ def srp_neardup_pairs(
     )
     corpus = emb.select("vec_id", "embedding").unionByName(clones)
     ed = _as_double(F.col("embedding"))
-    bits = [
-        F.when(
+    # ONE nested-array literal for the whole hyperplane matrix + one
+    # transform over it: the previous per-bit construction built
+    # SRP_BITS×dim separate literal Columns (~1k py4j round-trips and a
+    # thousands-of-nodes tree per query build — measured as multi-second
+    # driver-side plan construction). Same left-fold dot product per
+    # plane, same sign bits, same band keys.
+    bits_arr = F.transform(
+        F.lit(planes),
+        lambda row: F.when(
             F.aggregate(
-                F.zip_with(
-                    ed,
-                    F.array(*[F.lit(c) for c in row]),
-                    lambda x, h: x * h,
-                ),
+                F.zip_with(ed, row, lambda x, h: x * h),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
             >= 0,
             F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for row in planes
-    ]
+        ).otherwise(F.lit("0")),
+    )
     per_band = SRP_BITS // SRP_BANDS
-    band_cols = [
-        F.concat(*bits[b * per_band : (b + 1) * per_band]).alias(f"bk{b}")
-        for b in range(SRP_BANDS)
-    ]
-    sigs = corpus.select("vec_id", "embedding", *band_cols)
+    sigs = corpus.withColumn("_bits", bits_arr).select(
+        "vec_id",
+        "embedding",
+        *[
+            F.concat_ws(
+                "", F.slice("_bits", b * per_band + 1, per_band)
+            ).alias(f"bk{b}")
+            for b in range(SRP_BANDS)
+        ],
+    )
     pairs = None
     for b in range(SRP_BANDS):
         a = sigs.alias("a")
