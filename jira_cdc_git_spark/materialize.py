@@ -41,22 +41,33 @@ def strategy(df_or_spark) -> str:
     return s
 
 
-def materialize(df: DataFrame) -> DataFrame:
+def materialize(df: DataFrame, lazy: bool = False) -> DataFrame:
     """Cut the plan here and materialize the result once, per the session's
     configured strategy. Returns a DataFrame whose consumers re-read the
-    materialized blocks instead of recomputing the upstream plan."""
+    materialized blocks instead of recomputing the upstream plan.
+
+    ``lazy`` (local strategy only) defers block computation to the FIRST
+    consuming job: the marking itself schedules nothing, so the
+    materialize site costs zero dedicated Spark jobs while still
+    truncating lineage. Measured trade-off (sf0.1, local[32], r12):
+
+    * lazy WINS on sequential iterative loops whose per-round frames
+      are cheap (HITS half-steps, k-core peels, star rounds, LPA):
+      dozens of eager jobs of ~0.1-0.2 s scheduling floor disappear —
+      hits_scores 5.7 -> 4.8 s, link_components 6.2 -> 5.3 s.
+    * lazy LOSES — badly — when the frame is expensive and feeds MANY
+      CONCURRENT consumers (the LSH band self-joins, tfidf's weight
+      table): parallel broadcast-build jobs race to compute the
+      not-yet-persisted blocks, duplicating the whole upstream plan
+      per consumer (neardup_pairs_lsh 1.2 -> 8.5 s in the r12
+      mid-round bench; tfidf 3.5 -> 6.4 s same-session A/B).
+
+    Hence the default is EAGER (compute once, race-free — any new call
+    site is safe) and the iterative loops that measurably win opt in
+    via :func:`materialize_lazy`."""
     s = strategy(df)
     if s == "local":
-        # lazy: the blocks are computed by the FIRST consuming job (the
-        # marking itself schedules nothing), so every materialize site
-        # costs zero extra Spark jobs while still truncating lineage.
-        # Iterative operators chain dozens of these — the eager form
-        # paid one driver-scheduled job per call (measured ~0.1-0.2 s
-        # each on local[32]), pure orchestration overhead at any scale.
-        # Safe because all materialized frames are deterministic (the
-        # repo bans rand()/uuid in query paths), so concurrent first
-        # consumers can never observe divergent blocks.
-        return df.localCheckpoint(eager=False)
+        return df.localCheckpoint(eager=not lazy)
     if s == "disk":
         from pyspark.storagelevel import StorageLevel
 
@@ -64,3 +75,9 @@ def materialize(df: DataFrame) -> DataFrame:
         out.count()  # eager: consumers must not race the first computation
         return out
     return df.checkpoint(eager=True)
+
+
+def materialize_lazy(df: DataFrame) -> DataFrame:
+    """materialize() with deferred (first-consumer) block computation —
+    for sequential iterative loops; see the trade-off note above."""
+    return materialize(df, lazy=True)

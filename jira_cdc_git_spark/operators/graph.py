@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from jira_cdc_git_spark.functions.text import round_half_up as _rhu
 from jira_cdc_git_spark.sources.registry import load_table
 
-from jira_cdc_git_spark.materialize import materialize
+from jira_cdc_git_spark.materialize import materialize, materialize_lazy
 
 MAX_DEPTH = 5  # reference cap: pkg/epic/analyzer.go:91
 
@@ -48,9 +48,9 @@ def hierarchy_levels(
     # re-reading the source max_depth+1 times
     edges = nodes.select(
         F.col(key_col).alias("key"), F.col(parent_col).alias("parent")
-    ).transform(materialize)
+    ).transform(materialize_lazy)
     frontier = edges.filter(F.col("parent").isNull()).withColumn("level", F.lit(0))
-    frontier = frontier.transform(materialize)
+    frontier = frontier.transform(materialize_lazy)
     levels = [frontier]
     for _ in range(max_depth):
         parents = frontier.select(
@@ -60,7 +60,7 @@ def hierarchy_levels(
             edges.join(parents, edges.parent == parents.pk)
             .select("key", "parent", F.col("child_level").alias("level"))
         )
-        frontier = frontier.transform(materialize)
+        frontier = frontier.transform(materialize_lazy)
         if frontier.isEmpty():
             break
         levels.append(frontier)
@@ -263,7 +263,7 @@ def connected_components(
             adj.join(mins_l, "c")
             .filter(F.col("n") > F.col("c"))
             .select(F.col("n").alias("a"), F.col("m").alias("b"))
-        ).transform(materialize)
+        ).transform(materialize_lazy)
 
         adj2 = _adj(large)
         # SMALL-STAR: m = min over {n <= c} + {c}; the center and each
@@ -596,12 +596,12 @@ def _peel(
             .groupBy("v")
             .agg(F.count("*").alias("d"))
         )
-        keep = deg.filter(F.col("d") >= k).select("v").transform(materialize)
+        keep = deg.filter(F.col("d") >= k).select("v").transform(materialize_lazy)
         e = (
             e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .select("a", "b")
-            .transform(materialize)
+            .transform(materialize_lazy)
         )
         n = e.count()
         if prev_count is not None and n == prev_count:
@@ -695,10 +695,10 @@ def hits_scores(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame:
     from jira_cdc_git_spark import fixtures as FX
     from jira_cdc_git_spark.operators.jira import link_edges
 
-    nodes = materialize(
+    nodes = materialize_lazy(
         FX.issues_flat(spark, sf_dir).select("key").distinct()
     )
-    edges = materialize(
+    edges = materialize_lazy(
         link_edges(spark, sf_dir)
         .select("src_key", "dst_key")
         .join(
@@ -718,7 +718,7 @@ def hits_scores(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame:
         doubling per half-step, ~2^k across k chained half-steps. The
         materialized frame is |touched nodes|-bounded, so the cut is
         cheap at any scale (sf0.1: 9.8 s -> ~5 s)."""
-        raw = materialize(
+        raw = materialize_lazy(
             edges.join(scores, edges[join_on] == scores.key)
             .groupBy(F.col(out_key).alias("key"))
             .agg(F.sum(col).alias("raw"))
@@ -968,7 +968,7 @@ def _contract_link_edges(
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
     )
-    mapping = materialize(
+    mapping = materialize_lazy(
         all_nodes.join(m_intra, "node", "left").select(
             "node", F.coalesce("root", "node").alias("root")
         )
@@ -979,7 +979,7 @@ def _contract_link_edges(
     rv = mapping.select(
         F.col("node").alias("v"), F.col("root").alias("_rv")
     )
-    boundary = materialize(
+    boundary = materialize_lazy(
         inter.join(ru, "u")
         .join(rv, "v")
         .select(
@@ -1010,7 +1010,7 @@ def link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges (per-block memory bounded by CONTRACT_BLOCK), then star
     rounds over the ~|blocks|-sized boundary graph; the final label
     join is one broadcast-sized map-back."""
-    e = materialize(_undirected_link_edges(spark, sf_dir))
+    e = materialize_lazy(_undirected_link_edges(spark, sf_dir))
     mapping, boundary = _contract_link_edges(spark, e)
     cc = connected_components(boundary, a_col="u", b_col="v")
     # compose: node -> local root -> global component. Roots absent from
@@ -1403,11 +1403,16 @@ def label_propagation_communities(
     two-step max-count-then-min-label form paid an extra agg + join
     per round). Every step is a keyed shuffle of edge- or node-scale
     data, no windows over the corpus; the label frame is materialized
-    per round so lineage stays flat."""
+    every SECOND round — a 2-round lineage stack stays shallow (the
+    doubly-consumed label frame dedupes through exchange reuse inside
+    one adaptive plan) while halving the checkpoint boundaries, each
+    of which costs driver-scheduled stage-jobs (A/B at sf0.1, min of
+    4 alternating reps: every-round 5.87 s, every-2nd 5.07 s, never
+    6.12 s)."""
     from jira_cdc_git_spark import fixtures as FX
     from jira_cdc_git_spark.operators.jira import link_edges
 
-    nodes = materialize(
+    nodes = materialize_lazy(
         FX.issues_flat(spark, sf_dir).select("key").distinct()
     )
     directed = (
@@ -1417,7 +1422,7 @@ def label_propagation_communities(
             nodes.select(F.col("key").alias("dst_key")), "dst_key", "left_semi"
         )
     )
-    und = materialize(
+    und = materialize_lazy(
         directed.select("src_key", "dst_key").unionAll(
             directed.select(
                 F.col("dst_key").alias("src_key"),
@@ -1426,7 +1431,7 @@ def label_propagation_communities(
         )
     )
     labels = nodes.select("key", F.col("key").alias("lab"))
-    for _ in range(rounds):
+    for _r in range(rounds):
         cnt = (
             und.join(labels, und.src_key == labels.key)
             .groupBy(F.col("dst_key").alias("node"), "lab")
@@ -1442,11 +1447,11 @@ def label_propagation_communities(
             )
             .select("node", F.col("b.lab").alias("new_lab"))
         )
-        labels = materialize(
-            labels.join(
-                pick, labels.key == pick.node, "left"
-            ).select(
-                "key", F.coalesce("new_lab", "lab").alias("lab")
-            )
+        labels = labels.join(
+            pick, labels.key == pick.node, "left"
+        ).select(
+            "key", F.coalesce("new_lab", "lab").alias("lab")
         )
+        if (_r + 1) % 2 == 0 and (_r + 1) < rounds:
+            labels = materialize_lazy(labels)
     return labels.select("key", F.col("lab").alias("community"))

@@ -60,11 +60,11 @@ from jira_cdc_git_spark.sources.registry import load_table_spread
 KN_DISCOUNT_FALLBACK = 0.5
 
 
-def _kn_tables(docs: DataFrame) -> dict[str, DataFrame]:
-    """The KN count-table family, all derived from one (lang, source,
-    w1, w2, w3) occurrence aggregation. Every table is bounded by
-    distinct-trigram-type count (corpus-sublinear), every groupBy is
-    hash-distributed on its own key prefix."""
+def _kn_trigram_frame(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(toks, trg): the tokenized corpus (>=3 tokens) and its exploded
+    (lang, source, doc_id, w1, w2, w3) trigram occurrence frame —
+    shared by _kn_tables and kn_perplexity_split's single-explode
+    path."""
     toks = docs.select(
         "lang", "source", "doc_id", TX.tokens(F.col("text")).alias("toks")
     ).filter(F.size("toks") >= 3)
@@ -81,6 +81,15 @@ def _kn_tables(docs: DataFrame) -> dict[str, DataFrame]:
             )
         ).alias("g"),
     ).select("lang", "source", "doc_id", "g.w1", "g.w2", "g.w3")
+    return toks, trg
+
+
+def _kn_tables(docs: DataFrame) -> dict[str, DataFrame]:
+    """The KN count-table family, all derived from one (lang, source,
+    w1, w2, w3) occurrence aggregation. Every table is bounded by
+    distinct-trigram-type count (corpus-sublinear), every groupBy is
+    hash-distributed on its own key prefix."""
+    toks, trg = _kn_trigram_frame(docs)
     # per-(source) occurrence counts — the scoring grain; the global
     # type counts fold from it (one corpus-scale shuffle total).
     # MATERIALIZED: seven downstream count tables consume occ/tri, and
@@ -97,6 +106,18 @@ def _kn_tables(docs: DataFrame) -> dict[str, DataFrame]:
             F.sum("m").cast("long").alias("c3")
         )
     )
+    n_docs = toks.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    out = {"trg": trg, "occ": occ, "tri": tri, "n_docs": n_docs}
+    out.update(_kn_derived_from_tri(tri))
+    return out
+
+
+def _kn_derived_from_tri(tri: DataFrame) -> dict[str, DataFrame]:
+    """Every KN table that folds from the distinct-trigram-type frame —
+    shared by _kn_tables and kn_perplexity_split's single-explode path
+    (which derives `tri` from the per-doc grain instead of occ)."""
     c12 = tri.groupBy("lang", "w1", "w2").agg(
         F.sum("c3").cast("long").alias("c12s"),
         F.count("*").cast("long").alias("n1p12"),
@@ -112,20 +133,7 @@ def _kn_tables(docs: DataFrame) -> dict[str, DataFrame]:
         F.count("*").cast("long").alias("cont1")
     )
     tot = cont.groupBy("lang").agg(F.count("*").cast("long").alias("tot1"))
-    n_docs = toks.groupBy("lang", "source").agg(
-        F.count("*").cast("long").alias("n_docs")
-    )
-    return {
-        "trg": trg,
-        "occ": occ,
-        "tri": tri,
-        "c12": c12,
-        "cont": cont,
-        "mid": mid,
-        "c1": c1,
-        "tot": tot,
-        "n_docs": n_docs,
-    }
+    return {"c12": c12, "cont": cont, "mid": mid, "c1": c1, "tot": tot}
 
 
 def _kn_type_terms(t: dict[str, DataFrame]) -> DataFrame:
@@ -148,15 +156,18 @@ def _kn_type_terms(t: dict[str, DataFrame]) -> DataFrame:
         F.greatest(F.col("c3") - F.col("dd3"), F.lit(0.0)) / F.col("c12s")
         + F.col("dd3") * F.col("n1p12") / F.col("c12s") * p2
     )
+    # the three |langs|-row sides (totals + both discounts) pre-join
+    # into ONE broadcast: a broadcast build is a driver-scheduled job,
+    # and the assembly paid three of them where one carries the same
+    # nine columns (the lang sets are identical — all derive from tri)
+    langside = t["tot"].join(d3, "lang").join(d2, "lang")
     return (
         t["tri"]
         .join(t["c12"], ["lang", "w1", "w2"])
         .join(t["cont"], ["lang", "w2", "w3"])
         .join(t["mid"], ["lang", "w2"])
         .join(t["c1"], ["lang", "w3"])
-        .join(F.broadcast(t["tot"]), "lang")
-        .join(F.broadcast(d3), "lang")
-        .join(F.broadcast(d2), "lang")
+        .join(F.broadcast(langside), "lang")
         .select(
             "lang",
             "w1",
@@ -293,11 +304,27 @@ def kn_perplexity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs|-row broadcast."""
     from pyspark.sql import Window
 
-    t = _kn_tables(load_table_spread(spark, "documents", sf_dir, "doc_id"))
-    types = _kn_type_terms(t)
-    docc = t["trg"].groupBy("lang", "doc_id", "w1", "w2", "w3").agg(
-        F.count("*").cast("long").alias("m")
+    # SINGLE corpus explode (r12): the split scores at the (lang, doc,
+    # trigram) grain, so the per-doc counts are the base aggregation
+    # and the type frame FOLDS from them — _kn_tables' occ table (the
+    # (lang, source, trigram) grain) would be a second full corpus
+    # explode + shuffle that nothing here consumes. Same tri values
+    # either way: both grains sum to the per-(lang, trigram) total.
+    docs = load_table_spread(spark, "documents", sf_dir, "doc_id")
+    _toks, trg = _kn_trigram_frame(docs)
+    docc = materialize(
+        trg.groupBy("lang", "doc_id", "w1", "w2", "w3").agg(
+            F.count("*").cast("long").alias("m")
+        )
     )
+    tri = materialize(
+        docc.groupBy("lang", "w1", "w2", "w3").agg(
+            F.sum("m").cast("long").alias("c3")
+        )
+    )
+    t = {"tri": tri}
+    t.update(_kn_derived_from_tri(tri))
+    types = _kn_type_terms(t)
     # MATERIALIZED: per_doc feeds BOTH the tercile histogram and the
     # bucket tagging — without the cut the whole scoring pyramid (the
     # corpus re-explode, the five-table probability assembly, the
@@ -317,16 +344,17 @@ def kn_perplexity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = per_doc.groupBy("lang", "ce_u").agg(
         F.count("*").cast("long").alias("c")
     )
-    n_lang = per_doc.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n")
-    )
     w = (
         Window.partitionBy("lang")
         .orderBy("ce_u")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = hist.withColumn("cum", F.sum("c").over(w)).join(
-        F.broadcast(n_lang), "lang"
+    # per-lang doc total as a second window over the SAME bounded
+    # histogram partition (Σc = n_docs of the lang) — replaces a
+    # separate per_doc aggregate + broadcast join, whose broadcast
+    # build was one more driver-scheduled job re-reading per_doc
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("lang"))
     )
     bounds = cum.groupBy("lang").agg(
         F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("ce_u"))).alias(

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from jira_cdc_git_spark.functions import text as TX
 from jira_cdc_git_spark.sources.registry import load_table, load_table_spread
 
-from jira_cdc_git_spark.materialize import materialize
+from jira_cdc_git_spark.materialize import materialize, materialize_lazy
 
 # 32 hashes in 8 bands of 4: for a pair with Jaccard j, P(candidate) =
 # 1-(1-j⁴)⁸ — 0.985 at j=0.8 (recall ≥ the old 4×2 config's 0.983), but
@@ -2413,7 +2413,13 @@ def _bpe_train_loop(
         out_rows.append((idx, left, right, int(cnt)))
         if idx == n_merges - 1 and not need_final:
             return out_rows, None
-        seqs = _rewrite_seqs(seqs, left, right, merged_sym).transform(materialize)
+        # lazy: each round's rewrite has exactly ONE consumer (the next
+        # round's pair count / the final frame), so deferring the blocks
+        # to that job saves a dedicated eager job per merge round with
+        # no concurrent-consumer race (see materialize.py)
+        seqs = _rewrite_seqs(seqs, left, right, merged_sym).transform(
+            materialize_lazy
+        )
     return out_rows, seqs
 
 

@@ -596,17 +596,51 @@ def _semdedup_candidate_pairs(ranked: DataFrame, cap: int) -> DataFrame:
     """semdedup_capped's sorted-neighborhood candidate window over the
     ranked assignment: within-cluster pairs at rank gap <= cap, with the
     4dp-rounded cosine — shared by semdedup_capped (threshold filter)
-    and semdedup_threshold_curve (grid aggregation)."""
-    a, b = ranked.alias("a"), ranked.alias("b")
-    return a.join(
-        b,
-        (F.col("a.cluster_id") == F.col("b.cluster_id"))
-        & (F.col("b.rnk") > F.col("a.rnk"))
-        & (F.col("b.rnk") <= F.col("a.rnk") + cap),
-    ).select(
-        F.col("a.vec_id").alias("a_vec"),
-        F.col("b.vec_id").alias("b_vec"),
-        F.round(cosine(F.col("a.em"), F.col("b.em")), 4).alias("cos4"),
+    and semdedup_threshold_curve (grid aggregation).
+
+    Pairs come from `cap` lead() columns over the SAME (cluster, rnk)
+    window that built the ranks (the edit_distance_neardup adjacency
+    discipline) instead of a rank-band self-join. The join form had a
+    physical trap: a downstream cosine filter (semdedup_capped's
+    threshold) is a valid join predicate, so Catalyst pushed it into
+    the cluster-equality hash join CONDITION — evaluating the
+    interpreted higher-order cosine on every within-cluster pair
+    (n_c² per cluster, ~143k at sf0.1) and BEFORE the cheap rank-band
+    conjuncts. With leads there is no join: the band pairs (N·cap)
+    materialize directly and the cosine runs exactly once per band
+    pair (~16k), wherever the filter sits. Same pair set by
+    construction (rnk is a dense row_number), same cos4 values."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy("rnk")
+    with_leads = ranked.select(
+        "cluster_id",
+        "vec_id",
+        "em",
+        "rnk",
+        *[
+            F.lead(
+                F.struct(
+                    F.col("vec_id").alias("b_vec"),
+                    F.col("em").alias("b_em"),
+                ),
+                k,
+            )
+            .over(w)
+            .alias(f"_nb{k}")
+            for k in range(1, cap + 1)
+        ],
+    )
+    nbrs = F.array_compact(
+        F.array(*[F.col(f"_nb{k}") for k in range(1, cap + 1)])
+    )
+    return (
+        with_leads.withColumn("nb", F.explode(nbrs))
+        .select(
+            F.col("vec_id").alias("a_vec"),
+            F.col("nb.b_vec").alias("b_vec"),
+            F.round(cosine(F.col("em"), F.col("nb.b_em")), 4).alias("cos4"),
+        )
     )
 
 
@@ -1635,14 +1669,15 @@ def _micro_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _micro_update(assigned: DataFrame, cents: DataFrame) -> DataFrame:
+def _micro_means(assigned: DataFrame) -> DataFrame:
     """Mean update in micro-space: posexplode to (cluster, dim, val),
     per-(cluster, dim) mean re-quantized via floor(sum/count + 0.5) —
     sums stay exact integers, the one division is the same double op in
-    both engines. Empty clusters keep their previous centroid. Shuffle
-    is k×dims rows after partial aggregation, independent of corpus
-    size (the kmeans_centroids discipline)."""
-    means = (
+    both engines. Shuffle is k×dims rows after partial aggregation,
+    independent of corpus size (the kmeans_centroids discipline).
+    Clusters with no members simply emit no row — the caller
+    (_kmeans_micro_train) keeps their previous centroid."""
+    return (
         assigned.select("cluster", F.posexplode("em"))
         .groupBy("cluster", "pos")
         .agg(
@@ -1657,14 +1692,6 @@ def _micro_update(assigned: DataFrame, cents: DataFrame) -> DataFrame:
             F.transform("pm", lambda x: x.m).alias("ce"),
         )
     )
-    return (
-        cents.alias("old")
-        .join(means.alias("new"), "cent_id", "left_outer")
-        .select(
-            "cent_id", F.coalesce(F.col("new.ce"), F.col("old.ce")).alias("ce")
-        )
-        .transform(materialize)
-    )
 
 
 def _kmeans_micro_train(
@@ -1673,7 +1700,18 @@ def _kmeans_micro_train(
     """Shared trainer: k-means in micro-units (init = first k vectors by
     vec_id); returns (emb, final centroids) so consumers can either
     re-assign (kmeans_assign) or score against ALL centroids
-    (silhouette_report)."""
+    (silhouette_report).
+
+    OPTIMIZATION NOTE (r12, measured dead end): carrying the k×dim
+    centroids on the driver (collect the means each round, re-inject
+    as a local relation — the MMR bounded-parameter shape) was tried
+    and is SLOWER in steady state (3.8-4.0 s vs 2.8-3.3 s for the
+    ivfpq composition at sf0.1): each round's synchronous collect +
+    createDataFrame round-trip costs more than the lazy-checkpoint
+    chain, whose per-round frames fuse into the consuming job. The
+    materialize cadence is also measured flat (every round 2.60 s /
+    every 2nd 2.76 / never 2.82, min-of-3) — the per-round cut stays
+    because it keeps lineage flat for free."""
     emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id").select(
         "vec_id", "label", _micro_units(F.col("embedding")).alias("em")
     )
@@ -1685,7 +1723,16 @@ def _kmeans_micro_train(
         .transform(materialize)
     )
     for _ in range(iters):
-        cents = _micro_update(_micro_assign(emb, cents), cents)
+        means = _micro_means(_micro_assign(emb, cents))
+        cents = (
+            cents.alias("old")
+            .join(means.alias("new"), "cent_id", "left_outer")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("new.ce"), F.col("old.ce")).alias("ce"),
+            )
+            .transform(materialize)
+        )
     return emb, cents
 
 
