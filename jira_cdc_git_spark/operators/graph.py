@@ -165,6 +165,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iters: int = STAR_ROUNDS,
     local_finish_cap: int = LOCAL_FINISH_CAP,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Undirected connected components via the two-phase star algorithm
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -190,16 +191,28 @@ def connected_components(
     minimums + two adjacency joins over a monotonically SHRINKING edge
     set (stars collapse paths immediately); each round materializes
     (strategy-configurable) to keep lineage flat. Convergence is an
-    exceptAll emptiness check on the canonical edge frame."""
-    edges = (
-        pairs.select(
-            F.least(F.col(a_col), F.col(b_col)).alias("u"),
-            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+    exceptAll emptiness check on the canonical edge frame.
+
+    ``assume_canonical``: the caller vouches that ``pairs`` is already
+    the canonical (u < v, u != v), DISTINCT, materialized edge frame —
+    link_components' contraction emits exactly that shape — so the
+    canonicalization pass here (a full distinct shuffle + one more
+    materialize boundary) is skipped. Idempotent either way: on
+    canonical input the skipped pass is the identity."""
+    if assume_canonical:
+        edges = pairs.select(
+            F.col(a_col).alias("u"), F.col(b_col).alias("v")
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .transform(materialize)
-    )
+    else:
+        edges = (
+            pairs.select(
+                F.least(F.col(a_col), F.col(b_col)).alias("u"),
+                F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .transform(materialize)
+        )
     all_nodes = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -1012,7 +1025,12 @@ def link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is one broadcast-sized map-back."""
     e = materialize_lazy(_undirected_link_edges(spark, sf_dir))
     mapping, boundary = _contract_link_edges(spark, e)
-    cc = connected_components(boundary, a_col="u", b_col="v")
+    # boundary is canonical (least/greatest, u != v, distinct) and
+    # materialized by _contract_link_edges — skip cc's re-canonicalize
+    # (one full distinct shuffle + a materialize boundary saved)
+    cc = connected_components(
+        boundary, a_col="u", b_col="v", assume_canonical=True
+    )
     # compose: node -> local root -> global component. Roots absent from
     # the boundary graph (fully interior blocks) are their own component.
     root_comp = cc.withColumnRenamed("node", "root")
@@ -1147,7 +1165,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: degree agg + two key joins + a 1-row moment rollup —
     no windows, no iteration."""
-    e = _undirected_link_edges(spark, sf_dir)
+    # MATERIALIZED: the doubled-orientation union references e twice and
+    # deg folds from that union again — unmaterialized, the link_edges
+    # parse/explode lineage re-executes once per branch in one plan
+    e = materialize(_undirected_link_edges(spark, sf_dir))
     both = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         e.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )

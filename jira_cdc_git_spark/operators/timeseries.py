@@ -840,6 +840,17 @@ def user_coactivity_pairs(
         .select("hour_ts", "event_type")
     )
     act = act.join(cool, ["hour_ts", "event_type"], "left_semi")
+    # Spread the bucket keys over the full shuffle-partition count
+    # BEFORE the pair blowup: the per-bucket output is up to
+    # max_bucket_users² rows, and AQE — seeing only the small distinct
+    # input — coalesces the join to a couple of partitions that then
+    # produce (and partially aggregate) every pair nearly single-task
+    # (the theil_sen_trend lesson; guide §2.5 — partition for the
+    # post-blowup size, not the input size). Bucket work is bounded by
+    # the cap, so hashing buckets over n_part tasks parallelizes
+    # cleanly at any scale.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    act = act.repartition(n_part, "hour_ts", "event_type")
     a = act.select("hour_ts", "event_type", F.col("user_id").alias("user_a"))
     b = act.select(
         F.col("hour_ts").alias("h2"),
