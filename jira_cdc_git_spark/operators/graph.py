@@ -213,12 +213,6 @@ def connected_components(
             .distinct()
             .transform(materialize)
         )
-    all_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .distinct()
-    )
-
     # Local finish: once the canonical edge set fits the cap, ONE
     # union-find task labels the whole graph exactly — no rounds, no
     # per-round shuffles. The star loop's value is getting a huge graph
@@ -229,7 +223,13 @@ def connected_components(
     # materialized frame.
     if local_finish_cap and edges.count() <= local_finish_cap:
         schema_t = dict(edges.dtypes)["u"]
-        comp = (
+        # the union-find output already carries EVERY node incident to
+        # the edge set (node = u ∪ v of the single batch) — exactly the
+        # all_nodes frame — so re-deriving all_nodes and left-joining it
+        # back (one distinct shuffle + one join per consumer; the r12
+        # plan audit showed the subtree TWICE in link_components'
+        # final job) is pure redundancy. Return the labels directly.
+        return (
             edges.withColumn("_g", F.lit(0))
             .groupBy("_g")
             .applyInPandas(
@@ -238,9 +238,11 @@ def connected_components(
             )
             .select("node", F.col("root").alias("component"))
         )
-        return all_nodes.join(comp, "node", "left").select(
-            "node", F.coalesce("component", "node").alias("component")
-        )
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
 
     def _adj(e: DataFrame) -> DataFrame:
         return e.select(F.col("u").alias("c"), F.col("v").alias("n")).unionByName(
@@ -973,31 +975,48 @@ def _contract_link_edges(
     )
     inter = eb.filter(F.col("_bu") != F.col("_bv")).select("u", "v")
 
-    m_intra = intra.groupBy("block").applyInPandas(
-        lambda pdf: _unionfind_pdf(pdf), "node string, root string"
-    )
-    all_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    mapping = materialize_lazy(
-        all_nodes.join(m_intra, "node", "left").select(
-            "node", F.coalesce("root", "node").alias("root")
+    m_intra = materialize_lazy(
+        intra.groupBy("block").applyInPandas(
+            lambda pdf: _unionfind_pdf(pdf), "node string, root string"
         )
     )
-    ru = mapping.select(
+    # mapping = union-find roots ∪ self-roots for the nodes that only
+    # appear on inter-block edges. The r12 shape: the complement is an
+    # anti-join of the (small) distinct inter-node set against m_intra,
+    # instead of a distinct over the FULL edge node set + left join —
+    # one corpus-scale distinct shuffle saved; values identical (every
+    # intra-edge node is in m_intra by construction).
+    inter_nodes = (
+        inter.select(F.col("u").alias("node"))
+        .unionByName(inter.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    mapping = m_intra.unionByName(
+        inter_nodes.join(m_intra, "node", "left_anti").select(
+            "node", F.col("node").alias("root")
+        )
+    )
+    # boundary roots come straight off m_intra (left join + coalesce:
+    # an inter-only endpoint is its own root) — the joins run against
+    # the smaller union-find output instead of the full mapping, and
+    # the mapping itself no longer needs its own materialize boundary
+    # (its one consumer is the caller's final label join).
+    ru = m_intra.select(
         F.col("node").alias("u"), F.col("root").alias("_ru")
     )
-    rv = mapping.select(
+    rv = m_intra.select(
         F.col("node").alias("v"), F.col("root").alias("_rv")
     )
     boundary = materialize_lazy(
-        inter.join(ru, "u")
-        .join(rv, "v")
+        inter.join(ru, "u", "left")
+        .join(rv, "v", "left")
         .select(
-            F.least("_ru", "_rv").alias("u"),
-            F.greatest("_ru", "_rv").alias("v"),
+            F.coalesce("_ru", "u").alias("ru"),
+            F.coalesce("_rv", "v").alias("rv"),
+        )
+        .select(
+            F.least("ru", "rv").alias("u"),
+            F.greatest("ru", "rv").alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -1024,23 +1043,44 @@ def link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds over the ~|blocks|-sized boundary graph; the final label
     join is one broadcast-sized map-back."""
     e = materialize_lazy(_undirected_link_edges(spark, sf_dir))
-    mapping, boundary = _contract_link_edges(spark, e)
-    # boundary is canonical (least/greatest, u != v, distinct) and
-    # materialized by _contract_link_edges — skip cc's re-canonicalize
-    # (one full distinct shuffle + a materialize boundary saved)
-    cc = connected_components(
-        boundary, a_col="u", b_col="v", assume_canonical=True
-    )
-    # compose: node -> local root -> global component. Roots absent from
-    # the boundary graph (fully interior blocks) are their own component.
-    root_comp = cc.withColumnRenamed("node", "root")
-    labeled = (
-        mapping.join(root_comp, "root", "left")
-        .select(
-            F.col("node"),
-            F.coalesce("component", "root").alias("component"),
+    if e.count() <= LOCAL_FINISH_CAP:
+        # The whole canonical edge set fits one union-find task: the
+        # contraction pre-pass (block split + per-block union-find +
+        # boundary rewrite — ~6 stages and 2 more materialize
+        # boundaries) would only shrink a graph that already fits, so
+        # hand it straight to cc's local finish (r12; the same
+        # "finish locally once it fits" rule applied one level up).
+        # e is canonical + materialized, so the re-canonicalize pass
+        # is skipped too. Above the cap — the 100 TB path — the
+        # contraction runs unchanged.
+        labeled = materialize_lazy(
+            connected_components(
+                e, a_col="u", b_col="v", assume_canonical=True
+            )
         )
-    )
+    else:
+        mapping, boundary = _contract_link_edges(spark, e)
+        # boundary is canonical (least/greatest, u != v, distinct) and
+        # materialized by _contract_link_edges — skip cc's
+        # re-canonicalize (one full distinct shuffle saved)
+        cc = connected_components(
+            boundary, a_col="u", b_col="v", assume_canonical=True
+        )
+        # compose: node -> local root -> global component. Roots absent
+        # from the boundary graph (fully interior blocks) are their own
+        # component. Materialized (lazily): labeled feeds BOTH the
+        # sizes aggregation and the final join — uncut, the whole label
+        # subtree (mapping join + the boundary union-find) executed
+        # once per side (r12 plan audit: two FlatMapGroupsInPandas
+        # copies in the final job).
+        root_comp = cc.withColumnRenamed("node", "root")
+        labeled = materialize_lazy(
+            mapping.join(root_comp, "root", "left")
+            .select(
+                F.col("node"),
+                F.coalesce("component", "root").alias("component"),
+            )
+        )
     sizes = labeled.groupBy("component").agg(
         F.count("*").cast("long").alias("component_size")
     )
