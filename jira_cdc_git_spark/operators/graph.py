@@ -844,8 +844,8 @@ def link_prediction_scores(
     the user_coactivity_pairs bucket-cap discipline) — then an
     anti-join against the edge set, one partial-agg groupBy(pair),
     and a TakeOrderedAndProject for the k rows."""
-    e = materialize(_undirected_link_edges(spark, sf_dir))
-    nbrs = materialize(
+    e = materialize_lazy(_undirected_link_edges(spark, sf_dir))
+    nbrs = materialize_lazy(
         e.select(F.col("u").alias("n"), F.col("v").alias("x")).unionAll(
             e.select(F.col("v").alias("n"), F.col("u").alias("x"))
         )
@@ -1099,8 +1099,11 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: two partial-agg aggregations (node degree, then
     histogram) — no joins, no windows over the full frame."""
-    e = _undirected_link_edges(spark, sf_dir)
-    deg = (
+    # e feeds both union legs and deg feeds both the total and the
+    # histogram — uncut, the link parse + semi-join lineage executed up
+    # to 4× inside one query (r12); two lazy cuts compute each once
+    e = materialize_lazy(_undirected_link_edges(spark, sf_dir))
+    deg = materialize_lazy(
         e.select(F.col("u").alias("key"))
         .unionAll(e.select(F.col("v").alias("key")))
         .groupBy("key")

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jira_cdc_git_spark.functions import text as TX
-from jira_cdc_git_spark.materialize import materialize
+from jira_cdc_git_spark.materialize import materialize, materialize_lazy
 from jira_cdc_git_spark.sources.registry import load_table_spread
 
 # ---------------------------------------------------------------------------
@@ -96,7 +96,10 @@ def _kn_tables(docs: DataFrame) -> dict[str, DataFrame]:
     # without a cut each would re-scan and re-explode the corpus —
     # ~8 redundant 100 TB passes (the materialize-strategy knob picks
     # local blocks / DISK_ONLY / reliable checkpoint per deployment)
-    occ = materialize(
+    # occ's two consumers are strictly sequential (tri's eager cut
+    # below computes occ's blocks; the report's scoring join then reads
+    # them) — the lazy mark saves occ's dedicated job
+    occ = materialize_lazy(
         trg.groupBy("lang", "source", "w1", "w2", "w3").agg(
             F.count("*").cast("long").alias("m")
         )
@@ -122,8 +125,13 @@ def _kn_derived_from_tri(tri: DataFrame) -> dict[str, DataFrame]:
         F.sum("c3").cast("long").alias("c12s"),
         F.count("*").cast("long").alias("n1p12"),
     )
-    cont = tri.groupBy("lang", "w2", "w3").agg(
-        F.count("*").cast("long").alias("cnt")
+    # cont is re-consumed by FOUR downstream tables (c1, tot, d2, and
+    # the type-terms join) — cut it once so the (lang,w2,w3) fold over
+    # the distinct-trigram frame doesn't re-shuffle per consumer
+    cont = materialize_lazy(
+        tri.groupBy("lang", "w2", "w3").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
     )
     mid = tri.groupBy("lang", "w2").agg(
         F.count("*").cast("long").alias("mid2"),

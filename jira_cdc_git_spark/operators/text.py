@@ -3976,19 +3976,49 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.floor((7 * F.size("ord_shs") + 9) / 10)
         + 1
     ).cast("int")
+    # each prefix entry carries its 1-based position and the set size:
+    # the PPJoin length + positional filters (Xiao et al. 2008) prune
+    # candidates PROVABLY below the threshold before the expensive
+    # array-intersect verification (r12: verification was ~2/3 of the
+    # query; the filters are exact, so emitted rows are unchanged)
     prefixes = ordered.select(
         "doc_id",
-        F.explode(F.slice("ord_shs", 1, prefix_len)).alias("sh"),
-    )
+        F.size("ord_shs").alias("sz"),
+        F.posexplode(F.slice("ord_shs", 1, prefix_len)).alias("p0", "sh"),
+    ).select("doc_id", "sz", (F.col("p0") + 1).alias("p"), "sh")
     a = prefixes.alias("a")
     b = prefixes.alias("b")
+    # jac >= 7/10  <=>  17·|∩| >= 7·(sz_a+sz_b)  <=>  |∩| >= ceil(7·(sz_a+sz_b)/17)
+    alpha = F.floor((7 * (F.col("sza") + F.col("szb")) + 16) / 17)
+    # order-consistent overlap upper bound through a shared prefix
+    # element at positions (p_a, p_b): elements before it in one set can
+    # only match elements before it in the other (both arrays follow the
+    # SAME global df-asc order), so |∩| <= min(p_a, p_b) + min(sz_a - p_a,
+    # sz_b - p_b). Every matched row yields a valid bound; the tightest
+    # (min over rows) must still reach alpha.
+    ub_row = F.least(F.col("a.p"), F.col("b.p")) + F.least(
+        F.col("a.sz") - F.col("a.p"), F.col("b.sz") - F.col("b.p")
+    )
     cand = (
         a.join(b, "sh")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        # length filter first: 10·min(sz) >= 7·max(sz) is implied by the
+        # threshold; cheap row-local prune before the pair shuffle
+        .filter(
+            10 * F.least(F.col("a.sz"), F.col("b.sz"))
+            >= 7 * F.greatest(F.col("a.sz"), F.col("b.sz"))
         )
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.min(ub_row).alias("ub"),
+            F.first(F.col("a.sz")).alias("sza"),
+            F.first(F.col("b.sz")).alias("szb"),
+        )
+        .filter(F.col("ub") >= alpha)
+        .select("doc_a", "doc_b")
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))

@@ -15,7 +15,7 @@ from pyspark.sql import types as T
 from jira_cdc_git_spark.functions import text as TX
 from jira_cdc_git_spark.sources.registry import load_table, load_table_spread
 
-from jira_cdc_git_spark.materialize import materialize
+from jira_cdc_git_spark.materialize import materialize, materialize_lazy
 
 
 def _as_double(arr: Column) -> Column:
@@ -1991,33 +1991,45 @@ def srp_neardup_pairs(
         ).otherwise(F.lit("0")),
     )
     per_band = SRP_BITS // SRP_BANDS
-    sigs = corpus.withColumn("_bits", bits_arr).select(
-        "vec_id",
-        "embedding",
-        *[
-            F.concat_ws(
-                "", F.slice("_bits", b * per_band + 1, per_band)
-            ).alias(f"bk{b}")
-            for b in range(SRP_BANDS)
-        ],
+    # materialized: the signature fold (SRP_BITS plane dot products per
+    # vector) was re-evaluated on BOTH sides of every band self-join —
+    # 2·SRP_BANDS recomputes; one cut computes it once (r12)
+    sigs = materialize_lazy(
+        corpus.withColumn("_bits", bits_arr).select(
+            "vec_id",
+            "embedding",
+            *[
+                F.concat_ws(
+                    "", F.slice("_bits", b * per_band + 1, per_band)
+                ).alias(f"bk{b}")
+                for b in range(SRP_BANDS)
+            ],
+        )
     )
+    # band joins move (vec_id, band key) ONLY; the heavyweight embedding
+    # arrays are re-attached once, after pair dedup, for the candidate-
+    # scoped verification (guide §8: shuffle a lightweight proxy, move
+    # the payload once)
+    keys = sigs.select("vec_id", *[f"bk{b}" for b in range(SRP_BANDS)])
     pairs = None
     for b in range(SRP_BANDS):
-        a = sigs.alias("a")
-        c = sigs.alias("b")
+        a = keys.alias("a")
+        c = keys.alias("b")
         p = (
             a.join(c, F.col(f"a.bk{b}") == F.col(f"b.bk{b}"))
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(
                 F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
-                F.col("a.embedding").alias("emb_a"),
-                F.col("b.embedding").alias("emb_b"),
             )
         )
         pairs = p if pairs is None else pairs.unionByName(p)
+    ea = sigs.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
         pairs.dropDuplicates(["vec_a", "vec_b"])
+        .join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
