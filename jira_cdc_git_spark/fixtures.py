@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jira_cdc_git_spark.sources.registry import load_table, load_table_spread
+from jira_cdc_git_spark.sources.registry import load_table
 
 PROJECTS = ["PROJ", "BENCH", "MEM", "CONC", "RHOAIENG"]
 
@@ -279,7 +279,7 @@ def _cached_frame(spark: SparkSession, name: str, sf_dir: str, build) -> DataFra
 
 def issues_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build() -> DataFrame:
-        orders = load_table_spread(spark, "orders", sf_dir, "o_orderkey")
+        orders = load_table(spark, "orders", sf_dir)
         return spark.sql(flat_issues_sql("{orders}"), orders=orders)
 
     return _cached_frame(spark, "issues_flat", sf_dir, _build)
@@ -345,7 +345,7 @@ def issues(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build() -> DataFrame:
-        orders = load_table_spread(spark, "orders", sf_dir, "o_orderkey")
+        orders = load_table(spark, "orders", sf_dir)
         return spark.sql(sync_state_sql("{orders}", "spark"), orders=orders)
 
     return _cached_frame(spark, "sync_state", sf_dir, _build)
@@ -353,7 +353,7 @@ def sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def files(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build() -> DataFrame:
-        orders = load_table_spread(spark, "orders", sf_dir, "o_orderkey")
+        orders = load_table(spark, "orders", sf_dir)
         return spark.sql(files_sql("{orders}", "spark"), orders=orders)
 
     return _cached_frame(spark, "files", sf_dir, _build)
@@ -361,7 +361,7 @@ def files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build() -> DataFrame:
-        orders = load_table_spread(spark, "orders", sf_dir, "o_orderkey")
+        orders = load_table(spark, "orders", sf_dir)
         return spark.sql(changelog_sql("{orders}"), orders=orders)
 
     return _cached_frame(spark, "changelog", sf_dir, _build)

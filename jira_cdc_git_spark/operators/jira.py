@@ -1030,7 +1030,17 @@ def json_edge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the literal oracle string needs no escaping arm.
 
     100 TB shape: narrow projection, zero shuffle."""
+    # the serialize+parse pair is CPU-per-row work and the fixture frame
+    # arrives as a handful of scan splits at bench scale — spread it so
+    # the codec saturates the cores instead of one task (the
+    # yaml_roundtrip_report discipline; measured 2.3 s single-task →
+    # 0.35 s). On a real multi-split table the repartition condition in
+    # load_table_spread-style sizing never fires; here the frame is
+    # already loaded, so spread only when narrower than the cluster.
     iss = FX.issues_flat(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    if iss.rdd.getNumPartitions() < target:
+        iss = iss.repartition(target, "key")
     js = SC.row_to_json("key", "project_key", "priority")
     parsed = SC.json_to_row(
         js, "key string, project_key string, priority string"
