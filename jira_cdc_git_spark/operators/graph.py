@@ -395,7 +395,7 @@ def pagerank_links(
     from jira_cdc_git_spark.operators.jira import link_edges
 
     nodes = materialize(
-        FX.issues_flat(spark, sf_dir).select("key").distinct()
+        FX.issues_flat(spark, sf_dir).select("key")
     )
     edges = materialize(
         link_edges(spark, sf_dir)
@@ -711,7 +711,7 @@ def hits_scores(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame:
     from jira_cdc_git_spark.operators.jira import link_edges
 
     nodes = materialize_lazy(
-        FX.issues_flat(spark, sf_dir).select("key").distinct()
+        FX.issues_flat(spark, sf_dir).select("key")
     )
     edges = materialize_lazy(
         link_edges(spark, sf_dir)
@@ -805,7 +805,11 @@ def _undirected_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jira_cdc_git_spark import fixtures as FX
     from jira_cdc_git_spark.operators.jira import link_edges
 
-    nodes = FX.issues_flat(spark, sf_dir).select("key").distinct()
+    # issues_flat carries exactly one row per issue key (key embeds the
+    # generating order key), so no distinct is needed on the node frame
+    # (r12: the distinct was an Exchange + two HashAggregates in every
+    # graph query)
+    nodes = FX.issues_flat(spark, sf_dir).select("key")
     e = (
         link_edges(spark, sf_dir)
         .select("src_key", "dst_key")
@@ -1291,8 +1295,8 @@ def personalized_pagerank(
     from jira_cdc_git_spark.operators.jira import link_edges
 
     flat = FX.issues_flat(spark, sf_dir)
-    nodes = materialize(flat.select("key").distinct())
-    seeds = flat.filter(F.col("issuetype") == "Epic").select("key").distinct()
+    nodes = materialize(flat.select("key"))
+    seeds = flat.filter(F.col("issuetype") == "Epic").select("key")
     edges = materialize(
         link_edges(spark, sf_dir)
         .select("src_key", "dst_key")
@@ -1365,7 +1369,7 @@ def link_reciprocity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jira_cdc_git_spark import fixtures as FX
     from jira_cdc_git_spark.operators.jira import link_edges
 
-    nodes = FX.issues_flat(spark, sf_dir).select("key").distinct()
+    nodes = FX.issues_flat(spark, sf_dir).select("key")
     e = (
         link_edges(spark, sf_dir)
         .select("src_key", "dst_key")
@@ -1477,7 +1481,7 @@ def label_propagation_communities(
     from jira_cdc_git_spark.operators.jira import link_edges
 
     nodes = materialize_lazy(
-        FX.issues_flat(spark, sf_dir).select("key").distinct()
+        FX.issues_flat(spark, sf_dir).select("key")
     )
     directed = (
         link_edges(spark, sf_dir)
