@@ -36,7 +36,7 @@ def profile(names: list[str], write_plans: bool, suffix: str) -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 
