@@ -1028,7 +1028,9 @@ def _contract_link_edges(
     return mapping, boundary
 
 
-def link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def link_components(
+    spark: SparkSession, sf_dir: str, local_finish_cap: int = LOCAL_FINISH_CAP
+) -> DataFrame:
     """Weakly-connected components over the issue-link graph: every
     linked issue labeled with its component id (= min issue key in the
     component) plus the component size — the global structure view that
@@ -1047,7 +1049,10 @@ def link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds over the ~|blocks|-sized boundary graph; the final label
     join is one broadcast-sized map-back."""
     e = materialize_lazy(_undirected_link_edges(spark, sf_dir))
-    if e.count() <= LOCAL_FINISH_CAP:
+    # local_finish_cap is a test seam (r12 advice): cap=0 forces the
+    # contraction branch at fixture scale so the mapping∘boundary-cc
+    # composition keeps an end-to-end label-equality test.
+    if e.count() <= local_finish_cap:
         # The whole canonical edge set fits one union-find task: the
         # contraction pre-pass (block split + per-block union-find +
         # boundary rewrite — ~6 stages and 2 more materialize

@@ -1029,7 +1029,10 @@ def json_edge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fields are chosen non-null and quote-free (key/project_key/priority)
     so the literal oracle string needs no escaping arm.
 
-    100 TB shape: narrow projection, zero shuffle."""
+    100 TB shape: narrow projection, plus one CONDITIONAL spread
+    repartition that fires only when the scan arrives narrower than the
+    cluster (never on a real multi-split table — the
+    yaml_roundtrip_report treatment)."""
     # the serialize+parse pair is CPU-per-row work and the fixture frame
     # arrives as a handful of scan splits at bench scale — spread it so
     # the codec saturates the cores instead of one task (the

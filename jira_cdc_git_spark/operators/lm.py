@@ -125,17 +125,21 @@ def _kn_derived_from_tri(tri: DataFrame) -> dict[str, DataFrame]:
         F.sum("c3").cast("long").alias("c12s"),
         F.count("*").cast("long").alias("n1p12"),
     )
-    # cont is re-consumed by FOUR downstream tables (c1, tot, d2, and
-    # the type-terms join) — cut it once so the (lang,w2,w3) fold over
-    # the distinct-trigram frame doesn't re-shuffle per consumer
+    # cont is re-consumed by FIVE downstream tables (c1, tot, mid, d2,
+    # and the type-terms join) — cut it once so the (lang,w2,w3) fold
+    # over the distinct-trigram frame doesn't re-shuffle per consumer
     cont = materialize_lazy(
         tri.groupBy("lang", "w2", "w3").agg(
             F.count("*").cast("long").alias("cnt")
         )
     )
-    mid = tri.groupBy("lang", "w2").agg(
-        F.count("*").cast("long").alias("mid2"),
-        F.countDistinct("w3").cast("long").alias("ctx2"),
+    # mid folds from cont, not tri (r13): per (lang,w2), Σcnt over the
+    # (lang,w2,w3) rows = |{(w1,w3)}| = count(*) over tri = mid2, and
+    # count(*) of cont rows = |{w3}| = countDistinct(w3) over tri =
+    # ctx2 — exact integer identities, measured off the SMALLER frame
+    mid = cont.groupBy("lang", "w2").agg(
+        F.sum("cnt").cast("long").alias("mid2"),
+        F.count("*").cast("long").alias("ctx2"),
     )
     c1 = cont.groupBy("lang", "w3").agg(
         F.count("*").cast("long").alias("cont1")
@@ -169,12 +173,22 @@ def _kn_type_terms(t: dict[str, DataFrame]) -> DataFrame:
     # and the assembly paid three of them where one carries the same
     # nine columns (the lang sets are identical — all derive from tri)
     langside = t["tot"].join(d3, "lang").join(d2, "lang")
+    # the (lang,w2,w3)/(lang,w2)/(lang,w3) sides PRE-MERGE into one
+    # (lang,w2,w3)-keyed frame (r13, guide §2.3): the type frame — the
+    # biggest frame in the assembly — now re-shuffles twice (c12 key,
+    # merged key) instead of four times; the cont-sized merge inputs
+    # are strictly smaller. Inner joins on total keys (every side
+    # derives from tri, so every key matches) — row set and the p2/p3
+    # expression inputs are unchanged, values bit-identical.
+    merged = (
+        t["cont"]
+        .join(t["mid"], ["lang", "w2"])
+        .join(t["c1"], ["lang", "w3"])
+    )
     return (
         t["tri"]
         .join(t["c12"], ["lang", "w1", "w2"])
-        .join(t["cont"], ["lang", "w2", "w3"])
-        .join(t["mid"], ["lang", "w2"])
-        .join(t["c1"], ["lang", "w3"])
+        .join(merged, ["lang", "w2", "w3"])
         .join(F.broadcast(langside), "lang")
         .select(
             "lang",

@@ -174,13 +174,16 @@ def _micro_probe_clusters(cents: DataFrame, qm: DataFrame, n_probe: int) -> Data
     FAISS IVF probes by the index metric (the same L2 the trainer
     minimizes), and the integer distance makes the probe list itself
     oracle-replayable (ties to the lowest cent_id)."""
+    # lazy: one consumer (the probe left_semi's broadcast build) — the
+    # mark truncates lineage for free and the n_probe-row TakeOrdered
+    # computes inside that build instead of a dedicated job (r13)
     return (
         cents.crossJoin(F.broadcast(qm))
         .withColumn("d", _micro_l2(F.col("ce"), F.col("qm")))
         .orderBy(F.col("d").asc(), F.col("cent_id"))
         .limit(n_probe)
         .select("cent_id")
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
 
 
@@ -208,10 +211,13 @@ def ivf_topk_kmeans(
     k×dims rows after partial aggregation, independent of corpus size."""
     emb, cents = _kmeans_micro_train(spark, sf_dir, n_centroids, train_iters)
     assigned = _micro_assign(emb, cents)
+    # lazy: qm's two consumers (the probe TakeOrdered and the final
+    # crossJoin broadcast) are sequential jobs over a 1-row narrow
+    # filter — no dedicated eager job, no race (r13)
     qm = (
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("em").alias("qm"))
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     probes = _micro_probe_clusters(cents, qm, n_probe)
     probe = assigned.join(
@@ -1574,15 +1580,18 @@ def ivfpq_topk_kmeans(
         ).limit(0)
     memb, mcents = _kmeans_micro_train(spark, sf_dir, n_centroids, train_iters)
     clusters = _micro_assign(memb, mcents).select("vec_id", "cluster")
+    # q/qm are 1-row narrow filters over the spread scan with strictly
+    # sequential consumers (broadcast builds) — lazy marks cut lineage
+    # without the two dedicated eager jobs (r13)
     q = (
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("q_embedding"))
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     qm = (
         memb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("em").alias("qm"))
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     probes = _micro_probe_clusters(mcents, qm, n_probe)
     probe = (
@@ -1590,7 +1599,9 @@ def ivfpq_topk_kmeans(
         .join(F.broadcast(probes), clusters.cluster == probes.cent_id, "left_semi")
         .select("vec_id", "label", "embedding")
     )
-    cb = _pq_codebook_row(emb, dim).transform(materialize)
+    # lazy: cb's one consumer is _pq_scored_frame's broadcast build —
+    # the 1-row codebook agg computes inside it (r13)
+    cb = _pq_codebook_row(emb, dim).transform(materialize_lazy)
     qv = q.select(_as_double(F.col("q_embedding")).alias("qv"))
     short = (
         _pq_scored_frame(probe, cb, qv, dim, query_vec_id)
@@ -1669,22 +1680,48 @@ def _micro_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _micro_means(assigned: DataFrame) -> DataFrame:
-    """Mean update in micro-space: posexplode to (cluster, dim, val),
-    per-(cluster, dim) mean re-quantized via floor(sum/count + 0.5) —
-    sums stay exact integers, the one division is the same double op in
-    both engines. Shuffle is k×dims rows after partial aggregation,
-    independent of corpus size (the kmeans_centroids discipline).
-    Clusters with no members simply emit no row — the caller
-    (_kmeans_micro_train) keeps their previous centroid."""
-    return (
-        assigned.select("cluster", F.posexplode("em"))
+def _micro_means(assigned: DataFrame, cents: DataFrame) -> DataFrame:
+    """Fused mean update in micro-space (r13, guide §2.4): the previous
+    round's centroids are UNION-SEEDED into the aggregation as
+    weight-0 rows, so the "empty cluster keeps its old centroid" rule
+    resolves inside the same groupBy instead of a per-round
+    left_outer join (which cost one broadcast-build job + one join per
+    Lloyd round). Per (cluster, dim): n = Σw counts only real members,
+    s = Σ(val where w=1) is their exact integer sum, o carries the old
+    centroid value (exactly one w=0 row per cluster exists). The mean
+    re-quantizes via floor(s/n + 0.5) — identical expression shape and
+    identical exact-integer inputs as the unfused form, so every
+    emitted value is bit-identical (n>0 arm) or the old centroid
+    (n=0 arm, previously the join's coalesce). Shuffle stays k×dims
+    rows after partial aggregation, independent of corpus size."""
+    seeded = assigned.select(
+        "cluster", "em", F.lit(1).alias("w")
+    ).unionByName(
+        cents.select(
+            F.col("cent_id").alias("cluster"),
+            F.col("ce").alias("em"),
+            F.lit(0).alias("w"),
+        )
+    )
+    lvl = (
+        seeded.select("cluster", "w", F.posexplode("em"))
         .groupBy("cluster", "pos")
         .agg(
-            F.floor(F.sum("col") / F.count("*") + F.lit(0.5))
-            .cast("double")
-            .alias("m")
+            F.sum("w").alias("n"),
+            F.sum(F.when(F.col("w") == 1, F.col("col"))).alias("s"),
+            F.max(F.when(F.col("w") == 0, F.col("col"))).alias("o"),
         )
+    )
+    m = (
+        F.when(
+            F.col("n") > 0,
+            F.floor(F.col("s") / F.col("n") + F.lit(0.5)).cast("double"),
+        )
+        .otherwise(F.col("o"))
+        .alias("m")
+    )
+    return (
+        lvl.select("cluster", "pos", m)
         .groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
@@ -1715,6 +1752,12 @@ def _kmeans_micro_train(
     emb = load_table_spread(spark, "embeddings", sf_dir, "vec_id").select(
         "vec_id", "label", _micro_units(F.col("embedding")).alias("em")
     )
+    # init stays EAGER: with the union-seeded mean update, round 1
+    # consumes cents on TWO branches (the carr broadcast build and the
+    # seed side of the union) — a lazy mark here re-scans the corpus
+    # filter on the second branch (measured: the round-1 map stage read
+    # 65 tasks instead of 33+1), while the eager k-row checkpoint costs
+    # one 33-task job once (r13 A/B)
     cents = (
         emb.filter(F.col("vec_id") < k)
         .select(
@@ -1723,16 +1766,11 @@ def _kmeans_micro_train(
         .transform(materialize)
     )
     for _ in range(iters):
-        means = _micro_means(_micro_assign(emb, cents))
-        cents = (
-            cents.alias("old")
-            .join(means.alias("new"), "cent_id", "left_outer")
-            .select(
-                "cent_id",
-                F.coalesce(F.col("new.ce"), F.col("old.ce")).alias("ce"),
-            )
-            .transform(materialize)
-        )
+        # the union-seeded mean update resolves "empty cluster keeps its
+        # old centroid" inside the aggregation (see _micro_means) — the
+        # old per-round left_outer join + coalesce (one broadcast-build
+        # job + one join per round) is gone (r13)
+        cents = materialize(_micro_means(_micro_assign(emb, cents), cents))
     return emb, cents
 
 
@@ -1991,10 +2029,19 @@ def srp_neardup_pairs(
         ).otherwise(F.lit("0")),
     )
     per_band = SRP_BITS // SRP_BANDS
-    # materialized: the signature fold (SRP_BITS plane dot products per
-    # vector) was re-evaluated on BOTH sides of every band self-join —
-    # 2·SRP_BANDS recomputes; one cut computes it once (r12)
-    sigs = materialize_lazy(
+    # materialized EAGERLY: the signature fold (SRP_BITS plane dot
+    # products per vector) was re-evaluated on BOTH sides of every band
+    # self-join — 2·SRP_BANDS recomputes; one cut computes it once
+    # (r12). sigs feeds SRP_BANDS CONCURRENT band self-joins plus two
+    # re-attach joins — exactly the fan-out shape materialize.py
+    # documents lazy losing on (concurrent broadcast builds race the
+    # uncomputed blocks and duplicate the upstream plan); r12 shipped
+    # it lazy without an A/B, fixed per the r12 advice. r13 A/B
+    # (alternating legs, sf0.1): lazy 2.08/2.36/2.45 s vs eager
+    # 2.25/2.45/2.92 — within the VM noise band locally (the signature
+    # fold is cheap at this SF), so the documented eager-by-default
+    # rule for multi-concurrent-consumer frames decides
+    sigs = materialize(
         corpus.withColumn("_bits", bits_arr).select(
             "vec_id",
             "embedding",
@@ -2530,13 +2577,18 @@ def cluster_label_nmi(
     IEEE expression over three exact unit-sums.
 
     100 TB shape: the contingency table is |k × labels|-bounded after
-    one partial-agg shuffle of the assignment frame; everything after
-    is constant-size."""
+    ONE partial-agg shuffle of the assignment frame — the single
+    corpus-scale pass in the query (r13: the cluster/label margins and
+    the total fold from the contingency cells — Σ_l n_cl and Σ n_cl
+    are the same exact integers the old per-margin re-aggregations of
+    the assignment frame produced, so the two extra corpus passes and
+    the corpus-size eager checkpoint are gone); everything after is
+    constant-size."""
     from pyspark.sql import Window
 
-    final = materialize(_kmeans_micro_final(spark, sf_dir, k, iters))
-    cells = final.groupBy("cluster", "label").agg(
-        F.count("*").alias("n_cl")
+    final = _kmeans_micro_final(spark, sf_dir, k, iters)
+    cells = materialize(
+        final.groupBy("cluster", "label").agg(F.count("*").alias("n_cl"))
     )
     # margins attach via |k|/|labels|-bounded windows over the tiny
     # contingency frame (constant-size after the one assignment agg)
@@ -2568,16 +2620,17 @@ def cluster_label_nmi(
         * NMI_UNIT
     ).cast("long")
     agg = margins.agg(F.sum(mi_term).alias("mi_u"))
+    n_total = cells.agg(F.sum("n_cl").alias("n"))
     hc = (
-        final.groupBy("cluster")
-        .agg(F.count("*").alias("n_c"))
-        .crossJoin(F.broadcast(final.agg(F.count("*").alias("n"))))
+        cells.groupBy("cluster")
+        .agg(F.sum("n_cl").alias("n_c"))
+        .crossJoin(F.broadcast(n_total))
         .agg(F.sum(hc_term).alias("hc_u"))
     )
     hl = (
-        final.groupBy("label")
-        .agg(F.count("*").alias("n_l"))
-        .crossJoin(F.broadcast(final.agg(F.count("*").alias("n"))))
+        cells.groupBy("label")
+        .agg(F.sum("n_cl").alias("n_l"))
+        .crossJoin(F.broadcast(n_total))
         .agg(F.sum(hl_term).alias("hl_u"))
     )
     u = float(NMI_UNIT)

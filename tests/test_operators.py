@@ -351,6 +351,51 @@ def test_link_components_contraction_exact(spark, sf_dir):
     assert new == old
 
 
+def test_link_components_contraction_branch_exact(spark, sf_dir):
+    """Force link_components THROUGH the contraction pre-pass
+    (local_finish_cap=0 — the 100 TB branch the default local-finish
+    bypass skips at fixture scale) and pin its labels against the plain
+    star loop over the raw edge set (r12 advice: the r12 rewrite of the
+    mapping∘boundary-cc composition had no end-to-end equality test)."""
+    from jira_cdc_git_spark.materialize import materialize
+
+    new = {
+        tuple(r)
+        for r in G.link_components(
+            spark, sf_dir, local_finish_cap=0
+        ).collect()
+    }
+    e = materialize(G._undirected_link_edges(spark, sf_dir))
+    cc = G.connected_components(e, a_col="u", b_col="v", local_finish_cap=0)
+    sizes = cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("component_size")
+    )
+    old = {
+        tuple(r)
+        for r in cc.join(sizes, "component")
+        .select(F.col("node").alias("key"), "component", "component_size")
+        .collect()
+    }
+    assert new == old
+
+
+def test_issues_flat_key_unique(spark, sf_dir):
+    """The graph family's node frames dropped their distinct() in r12 on
+    the invariant that issues_flat emits exactly one row per issue key
+    (the key embeds the unique generating o_orderkey). That is a FIXTURE
+    invariant, not an engine guarantee — if a future fixture/source edit
+    violates it, pagerank/HITS/PPR initialization and dangling-mass
+    terms silently double-count. Fail loudly instead (r12 verdict
+    What's-wrong #2 / advice item 4)."""
+    from jira_cdc_git_spark import fixtures as FX
+
+    iss = FX.issues_flat(spark, sf_dir)
+    n, nd = iss.agg(
+        F.count("key"), F.countDistinct("key")
+    ).first()
+    assert n == nd, f"issues_flat.key not unique: {n} rows, {nd} distinct"
+
+
 def test_contract_link_edges_mapping_sound(spark, sf_dir):
     """Contraction-mapping invariants: every node maps to a
     lexicographically <= root; roots are fixpoints of the mapping; the
