@@ -1,0 +1,233 @@
+"""Plain-Python full-frame reference checks for the registry entries
+that have NO DuckDB oracle (r12 verdict What's-wrong #3 / next-round #5:
+`compression_ratio`, the five `media_*` passes and `phash_neardup_pairs`
+were only rows-counted by the driver; back them with independent
+reference implementations — the KN-fixture discipline).
+
+Each test recomputes the operator's ENTIRE expected output at sf0.001
+in plain Python (pyarrow read + hashlib/zlib/numpy — no Spark, and no
+imports from the operator module, so a bug in the operator cannot
+propagate into its own expectation) and compares frames exactly.
+
+These tests pin the PIL-absent decoder ladder (this container has no
+PIL, so every media row takes the deterministic header-sniff/fake
+path — text payloads have no image magic, hence the md5-derived fake).
+If PIL appears in the environment the media expectations would need the
+real-codec arm; the guard below skips loudly rather than asserting the
+wrong branch.
+
+`simhash_signatures` (raw xxhash64 bits) stays covered by its existing
+two-independent-Spark-formulations cross-check
+(tests/test_streaming_multimodal.py::test_media_table_shape and the
+packed-lane equivalence in test_operators) — DuckDB and stdlib Python
+both lack xxhash64, which is exactly why the registry classifies it
+rows-only by nature.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _no_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return False
+    except ImportError:
+        return True
+
+
+pil_absent = pytest.mark.skipif(
+    not _no_pil(),
+    reason="PIL importable: media ops take the real-codec arm; these "
+    "reference frames pin the deterministic fake path",
+)
+
+
+def _docs():
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    return t.to_pylist()
+
+
+def _media_rows():
+    """Replays media_table's derivation: payload = utf-8 text bytes,
+    modality cycles by doc_id % 3 (0=image, 1=audio, 2=video)."""
+    out = []
+    for r in _docs():
+        mod = ("image", "audio", "video")[r["doc_id"] % 3]
+        out.append((r["doc_id"], mod, r["text"].encode("utf-8")))
+    return out
+
+
+def _fake_dims(content: bytes) -> tuple[int, int, int]:
+    h = hashlib.md5(content).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4
+
+
+def test_compression_ratio_reference(spark):
+    from jira_cdc_git_spark.operators.text import compression_ratio
+
+    expected = {}
+    for r in _docs():
+        raw = r["text"].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        expected[r["doc_id"]] = (
+            len(raw), comp, round(comp / len(raw), 4) if raw else None
+        )
+    got = {
+        row["doc_id"]: (row["n_bytes"], row["n_compressed"], row["ratio"])
+        for row in compression_ratio(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+@pil_absent
+def test_media_decode_image_reference(spark):
+    from jira_cdc_git_spark.operators.multimodal import decode_image
+
+    expected = {}
+    for mid, mod, payload in _media_rows():
+        if mod != "image":
+            continue
+        w, h, ch = _fake_dims(payload)
+        expected[mid] = (mod, w, h, ch, True, "fake-deterministic")
+    got = {
+        r["media_id"]: (
+            r["modality"], r["width"], r["height"], r["n_channels"],
+            r["decode_ok"], r["decoder"],
+        )
+        for r in decode_image(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_media_frame_sample_reference(spark):
+    from jira_cdc_git_spark.operators.multimodal import frame_sample
+
+    expected = set()
+    for mid, mod, payload in _media_rows():
+        if mod != "video":
+            continue
+        n_frames = max(1, len(payload) // 256)
+        for i in range(n_frames):
+            chunk = payload[i * 256:(i + 1) * 256]
+            expected.add((mid, i, hashlib.md5(chunk).hexdigest()))
+    got = {
+        (r["media_id"], r["frame_idx"], r["frame_hash"])
+        for r in frame_sample(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_media_audio_features_reference(spark):
+    import numpy as np
+
+    from jira_cdc_git_spark.operators.multimodal import audio_features
+
+    expected = {}
+    for mid, mod, payload in _media_rows():
+        if mod != "audio":
+            continue
+        s = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        expected[mid] = (
+            len(s),
+            float(s.mean()),
+            float(s.std()),
+            float(np.sqrt((s**2).mean())),
+        )
+    got = {
+        r["media_id"]: (r["n_samples"], r["mean_amp"], r["std_amp"], r["rms"])
+        for r in audio_features(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+@pil_absent
+def test_media_resize_image_reference(spark):
+    from jira_cdc_git_spark.operators.multimodal import resize_image
+
+    expected = {}
+    for mid, mod, payload in _media_rows():
+        if mod != "image":
+            continue
+        w0, h0, _ = _fake_dims(payload)  # text payloads sniff to None
+        scale = min(64 / w0, 64 / h0)
+        w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+        digest = hashlib.md5(payload + f":{w}x{h}".encode()).hexdigest()
+        expected[mid] = (w, h, 64, 64, digest)
+    got = {
+        r["media_id"]: (
+            r["width"], r["height"], r["target_w"], r["target_h"],
+            r["resized_hash"],
+        )
+        for r in resize_image(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def _ref_dhash(payload: bytes) -> int:
+    raw = (payload or b"\x00") * (72 // max(1, len(payload or b"\x00")) + 1)
+    pixels = list(raw[:72])
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if pixels[r * 9 + c] < pixels[r * 9 + c + 1]:
+                bits |= 1 << (r * 8 + c)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def _ref_image_corpus() -> dict[int, int]:
+    """media_id -> dhash for the image rows PLUS image_dhash's planted
+    clones (media_id + 1e6, byte 9 flipped to 0xff)."""
+    sigs = {}
+    for mid, mod, payload in _media_rows():
+        if mod != "image":
+            continue
+        sigs[mid] = _ref_dhash(payload)
+        if mid % 30 == 0:
+            clone = payload[:8] + b"\xff" + payload[9:]
+            sigs[mid + 1_000_000] = _ref_dhash(clone)
+    return sigs
+
+
+@pil_absent
+def test_media_image_dhash_reference(spark):
+    from jira_cdc_git_spark.operators.multimodal import image_dhash
+
+    expected = {
+        mid: (h, "fake-deterministic") for mid, h in _ref_image_corpus().items()
+    }
+    got = {
+        r["media_id"]: (r["dhash"], r["decoder"])
+        for r in image_dhash(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+@pil_absent
+def test_phash_neardup_pairs_reference(spark):
+    """Brute-force all-pairs Hamming over the Python-computed dhashes —
+    also proves the 8-band pigeonhole join loses no pair at the
+    max_hamming=6 threshold."""
+    from jira_cdc_git_spark.operators.multimodal import phash_neardup_pairs
+
+    sigs = _ref_image_corpus()
+    ids = sorted(sigs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((sigs[a] & (1 << 64) - 1) ^ (sigs[b] & (1 << 64) - 1)).count("1")
+            if d <= 6:
+                expected.add((a, b, d))
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in phash_neardup_pairs(spark, SF_DIR).collect()
+    }
+    assert got == expected
