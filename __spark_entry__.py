@@ -151,21 +151,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #: itself every round from the artifacts, so evidence staleness is
 #: bounded by |registry|/spare-slots rounds by construction.
 #: tests/test_registry_rotation.py asserts the composition.
-_R12_PINNED = [
-    # r12 additions (first-green candidates)
+_R13_PINNED = [
+    # r13 changed-code re-earns (optimization round 2): the fused
+    # union-seeded k-means round + lazy composition marks (every trainer
+    # consumer), the contingency-fold NMI, the pre-merged KN assembly,
+    # srp's eager signature cut, and link_components' cap seam. All were
+    # proven value-identical by the sf0.01 differential before shipping;
+    # the pins make the driver re-earn each on current code.
+    "kmeans_assign",
+    "kmeans_cluster_report",
+    "silhouette_report",
+    "ivf_topk_kmeans",
+    "ivfpq_topk_kmeans",
+    "cluster_label_nmi",
     "kn_discount_table",
     "kn_perplexity_report",
     "kn_perplexity_split",
-    "quality_lr_train",
-    "quality_lr_score",
-    "quality_lr_calibration",
-    "quality_lr_holdout_eval",
-    # changed-code re-earns: bootstrap_mean_ci's RNG stream moved to
-    # one-md5-per-four-resamples (4x less hashing — the probe's
-    # compute-bound ceiling), and the bigram-entropy marginals moved from
-    # per-lang windows to distributed groupBy+join (r11 What's-wrong #3)
-    "bigram_entropy_rate",
-    "bootstrap_mean_ci",
+    "srp_neardup_pairs",
+    "link_components",
 ]
 
 _DRIVER_WINDOW = 50
@@ -213,7 +216,7 @@ def _rotated(q: dict) -> dict:
         newest = _newest_green_rounds()
     except Exception:
         newest = {}
-    pinned = [n for n in _R12_PINNED if n in q]
+    pinned = [n for n in _R13_PINNED if n in q]
     taken = set(pinned)
     unproven = [n for n in q if n not in newest and n not in taken]
     taken.update(unproven)

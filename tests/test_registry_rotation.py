@@ -99,7 +99,7 @@ def test_standing_rotation_fills_window_with_stalest_evidence():
                 if green:
                     newest[name] = max(newest.get(name, 0), rnd)
 
-    pinned = [n for n in E._R12_PINNED if n in names]
+    pinned = [n for n in E._R13_PINNED if n in names]
     taken = set(pinned)
     unproven = [n for n in names if n not in newest and n not in taken]
     taken.update(unproven)
