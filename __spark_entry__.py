@@ -169,6 +169,10 @@ _R13_PINNED = [
     "kn_perplexity_split",
     "srp_neardup_pairs",
     "link_components",
+    # the two sf1-probe fixes: events spread before the x32 resample
+    # explode; hash-prefiltered gram index (both value-identical)
+    "bootstrap_mean_ci",
+    "repeated_substring_report",
 ]
 
 _DRIVER_WINDOW = 50

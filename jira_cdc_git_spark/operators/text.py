@@ -5935,18 +5935,37 @@ def repeated_substring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pg.g").alias("g"),
         )
     )
-    # Pass 1 computes the caps with COUNTS ONLY (map-side combinable —
-    # a degenerate boilerplate gram with 10⁹ occurrences costs two longs
-    # per partition, never a list). Pass 2 joins the index down to cap-
-    # passing grams, then collect_list is bounded by REP_SUB_MAX_OCC by
-    # construction, and the pair fan-out is a higher-order transform
-    # over the <= 64-element list — <= 64² rows per gram. Both gram
-    # aggregates and the join share the g hash-partitioning, so the
-    # second groupBy adds no exchange. No DISTINCT is needed on pairs:
-    # (doc_a, pa) determines the gram and diag determines pb, so every
-    # (doc_a, doc_b, diag, pa) candidate row is emitted exactly once.
+    # Pass 0 (r13, guide §3.2/§2.3): the cross-doc prefilter runs on the
+    # 8-BYTE xxhash64 of the gram, not the 40-char string — the one
+    # full-index aggregation ships (h, doc_id) instead of the string.
+    # Hash collisions can only ADD grams to the candidate set (an
+    # h-group with >= 2 distinct docs may merge single-doc grams), never
+    # remove one (a truly cross-doc gram's h-group sees >= its own
+    # distinct docs) — false positives only, and the EXACT per-gram
+    # caps below re-check every surviving gram, so emitted values are
+    # untouched. The cap filters must NOT run at the hash grain (a
+    # collision could push a valid gram's merged nocc over the cap —
+    # a false NEGATIVE — so only the nd>=2 arm prefilters here).
+    # Pass 1 then computes the exact caps with COUNTS ONLY over the
+    # surviving slice (map-side combinable — a degenerate boilerplate
+    # gram costs two longs per partition, never a list). Pass 2 joins
+    # the slice down to cap-passing grams; collect_list is bounded by
+    # REP_SUB_MAX_OCC by construction, and the pair fan-out is a
+    # higher-order transform over the <= 64-element list — <= 64² rows
+    # per gram. No DISTINCT is needed on pairs: (doc_a, pa) determines
+    # the gram and diag determines pb, so every (doc_a, doc_b, diag,
+    # pa) candidate row is emitted exactly once.
+    cand_h = (
+        grams.groupBy(F.xxhash64("g").alias("h"))
+        .agg(F.countDistinct("doc_id").alias("nd_h"))
+        .filter(F.col("nd_h") >= 2)
+        .select("h")
+    )
+    idx = materialize(
+        grams.join(cand_h, F.xxhash64("g") == F.col("h"), "left_semi")
+    )
     dup = (
-        grams.groupBy("g")
+        idx.groupBy("g")
         .agg(
             F.countDistinct("doc_id").alias("nd"),
             F.count("*").alias("nocc"),
@@ -5959,7 +5978,7 @@ def repeated_substring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
     )
     occ = (
-        grams.join(dup, "g")
+        idx.join(dup, "g")
         .groupBy("g")
         .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occ"))
     )

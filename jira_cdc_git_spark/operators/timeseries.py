@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jira_cdc_git_spark.functions.text import round_half_up as TX_round
-from jira_cdc_git_spark.sources.registry import load_table
+from jira_cdc_git_spark.sources.registry import load_table, load_table_spread
 
 
 def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1345,8 +1345,16 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 4× cut in the dominant hashing work (r12: the probe's
     10.16× median on the old one-hash-per-resample form was the
     compute-bound-linear ceiling; less per-row compute = more
-    overhead amortization at 10×)."""
-    ev = load_table(spark, "events", sf_dir)
+    overhead amortization at 10×).
+
+    r13 (guide §2.5): the events scan arrives as 1-2 splits at bench
+    SFs, so the N·B/4 md5 pyramid — the documented dominant cost — ran
+    on 1-2 CORES (the core-underfill the r11/r12 probes kept reading
+    as a near-superlinear ratio). load_table_spread parallelizes the
+    explode across the cluster; on a real multi-split table the spread
+    never fires. Values unchanged: the per-row weight derivation and
+    all aggregates are key-determined exact integers."""
+    ev = load_table_spread(spark, "events", sf_dir, "event_id")
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     g = F.explode(
         F.sequence(F.lit(1), F.lit(BOOT_B // 4))
