@@ -16,12 +16,13 @@ If PIL appears in the environment the media expectations would need the
 real-codec arm; the guard below skips loudly rather than asserting the
 wrong branch.
 
-`simhash_signatures` (raw xxhash64 bits) stays covered by its existing
-two-independent-Spark-formulations cross-check
-(tests/test_streaming_multimodal.py::test_media_table_shape and the
-packed-lane equivalence in test_operators) — DuckDB and stdlib Python
-both lack xxhash64, which is exactly why the registry classifies it
-rows-only by nature.
+`simhash_signatures` (raw xxhash64 bits) gets the same treatment via a
+spec XXH64 implementation inlined below (Collet's public-domain
+algorithm, seed 42 — validated against F.xxhash64 on empty / short /
+long / multibyte strings), so all EIGHT no-oracle entries now have an
+independent full-frame reference. The registry keeps them rows-only
+toward the DRIVER because DuckDB still cannot replay them — these
+checks are the pytest-side equivalent.
 """
 
 from __future__ import annotations
@@ -229,5 +230,103 @@ def test_phash_neardup_pairs_reference(spark):
     got = {
         (r["media_a"], r["media_b"], r["hamming"])
         for r in phash_neardup_pairs(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# simhash_signatures: the one entry previously WITHOUT an independent
+# check outside Spark (DuckDB and the stdlib lack xxhash64). The spec
+# XXH64 below (Collet's public-domain algorithm, seed 42 — validated
+# against F.xxhash64 on empty/short/long/multibyte strings) makes the
+# whole signature independently recomputable in plain Python.
+# ---------------------------------------------------------------------------
+
+M = (1 << 64) - 1  # xxh64 reference (spec, seed 42)
+P1, P2, P3, P4, P5 = (11400714785074694791, 14029467366897019727,
+                      1609587929392839161, 9650029242287828579,
+                      2870177450012600261)
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & M
+
+def _round(acc, inp):
+    acc = (acc + inp * P2) & M
+    acc = _rotl(acc, 31)
+    return (acc * P1) & M
+
+def _merge_round(h, acc):
+    h ^= _round(0, acc)
+    return (h * P1 + P4) & M
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i:i+8], "little")); i += 8
+            v2 = _round(v2, int.from_bytes(data[i:i+8], "little")); i += 8
+            v3 = _round(v3, int.from_bytes(data[i:i+8], "little")); i += 8
+            v4 = _round(v4, int.from_bytes(data[i:i+8], "little")); i += 8
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h = _merge_round(h, v)
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i:i+8], "little"))
+        h = (_rotl(h, 27) * P1 + P4) & M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i+4], "little") * P1) & M
+        h = (_rotl(h, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M
+        h = (_rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def _java_ws_tokens(text: str) -> list[str]:
+    """Mirror F.split(F.trim(text), r"\\s+"): Java \\s is the ASCII class
+    [ \\t\\n\\x0b\\f\\r] (no UNICODE_CHARACTER_CLASS flag), and Java strip
+    via trim() removes chars <= U+0020."""
+    import re
+
+    t = text.strip()
+    return re.split("[ \\t\\n\\x0b\\f\\r]+", t) if True else []
+
+
+def _ref_simhash64(text: str) -> int:
+    votes = [0] * 64
+    for tok in _java_ws_tokens(text):
+        h = xxh64(tok.encode("utf-8")) & ((1 << 64) - 1)
+        for j in range(64):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    sig = 0
+    for j in range(64):
+        if votes[j] > 0:
+            sig |= 1 << j
+    return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+
+def test_simhash_signatures_reference(spark):
+    from jira_cdc_git_spark.operators.text import simhash_signatures
+
+    expected = {r["doc_id"]: _ref_simhash64(r["text"]) for r in _docs()}
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(spark, SF_DIR).collect()
     }
     assert got == expected
